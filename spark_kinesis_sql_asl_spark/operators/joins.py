@@ -1,0 +1,304 @@
+"""Join surface (SURVEY.md §2 rows B9-B20).
+
+Scale posture (100 TB): fact-to-fact joins (lineitem⋈orders) shuffle on the
+join key and rely on AQE for skew splitting; dimension joins (nation, region,
+in-code period tables) are explicitly broadcast so no shuffle of the fact
+side ever happens for them. Non-equi joins are kept to broadcastable sides —
+a BroadcastNestedLoopJoin against a big build side would not survive scale.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+from ..registry import query
+from ..tables import table
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_join_inner(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_multiway",
+    oracle="""
+    SELECT r_name,
+           n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey  = o_orderkey
+    JOIN customer ON o_custkey   = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+      AND c_mktsegment = 'BUILDING'
+    GROUP BY r_name, n_name
+    """,
+)
+def q_join_multiway(spark, sf_dir):
+    """Flagship (entry()): 5-table star join → filtered revenue by nation.
+
+    Plan shape at scale: lineitem⋈orders shuffles on orderkey (both huge);
+    customer arrives via shuffle too, but nation/region are broadcast. The
+    o_orderdate + c_mktsegment predicates are pushed below the joins by
+    Catalyst, so the shuffled fact side is pre-filtered.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c_custkey, c_name, event_id, event_type, value
+    FROM customer LEFT JOIN events ON c_custkey = user_id
+    """,
+)
+def q_join_left(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    e = table(spark, sf_dir, "events")
+    return c.join(e, c.c_custkey == e.user_id, "left").select(
+        "c_custkey", "c_name", "event_id", "event_type", "value"
+    )
+
+
+@query(
+    "q_join_right",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_join_right(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    SELECT c_custkey, c_name, event_id, event_type
+    FROM customer FULL JOIN events ON c_custkey = user_id
+    """,
+)
+def q_join_full(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    e = table(spark, sf_dir, "events")
+    return c.join(e, c.c_custkey == e.user_id, "full").select(
+        "c_custkey", "c_name", "event_id", "event_type"
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_semi(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_anti(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def q_join_cross(spark, sf_dir):
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "q_join_theta",
+    oracle="""
+    SELECT a.n_name AS a_name, b.n_name AS b_name,
+           a.n_nationkey AS a_key, b.n_nationkey AS b_key
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    """,
+)
+def q_join_theta(spark, sf_dir):
+    # Non-equi condition → BroadcastNestedLoopJoin; only safe because nation
+    # is a tiny broadcastable dim (SURVEY.md B17).
+    a = table(spark, sf_dir, "nation").alias("a")
+    b = table(spark, sf_dir, "nation").alias("b")
+    return a.join(b, F.col("a.n_nationkey") < F.col("b.n_nationkey")).select(
+        F.col("a.n_name").alias("a_name"),
+        F.col("b.n_name").alias("b_name"),
+        F.col("a.n_nationkey").alias("a_key"),
+        F.col("b.n_nationkey").alias("b_key"),
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT c_custkey, c_name, n_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def q_join_broadcast(spark, sf_dir):
+    # Same result as a plain equi-join; the broadcast hint pins the physical
+    # strategy (BroadcastHashJoin — no shuffle of the customer side).
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "c_name", "n_name"
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type = 'click' THEN ts END AS click_ts,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT event_id, user_id, ts, last_click_ts
+    FROM (
+        SELECT *,
+               max(click_ts) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, is_p, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS last_click_ts
+        FROM tagged
+    )
+    WHERE event_type = 'purchase'
+    """,
+)
+def q_join_asof(spark, sf_dir):
+    """As-of join (B19): for each purchase, the latest click at-or-before it
+    by the same user. Spark has no native ASOF JOIN; the scalable idiom is a
+    single window pass (one shuffle on user_id) instead of a range join —
+    this is O(n log n) per key and holds at 100 TB, unlike a ts-range join.
+
+    Clicks sort before purchases at equal ts (is_p tiebreak) so an
+    exactly-simultaneous click counts as "prior" in both engines.
+    """
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+        F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(0).alias("is_p"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_click_ts", F.max("click_ts").over(w))
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )
+
+
+_PERIODS = [
+    (f"Y{y}", dt.datetime(y, 1, 1), dt.datetime(y + 1, 1, 1)) for y in range(1995, 2002)
+]
+
+
+@query(
+    "q_join_interval",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, period_name
+    FROM orders
+    JOIN (
+        VALUES """
+    + ",\n             ".join(
+        f"('Y{y}', TIMESTAMP '{y}-01-01', TIMESTAMP '{y + 1}-01-01')"
+        for y in range(1995, 2002)
+    )
+    + """
+    ) AS periods(period_name, p_start, p_end)
+      ON o_orderdate >= p_start AND o_orderdate < p_end
+    """,
+)
+def q_join_interval(spark, sf_dir):
+    """Interval/band join (B20): orderdate ∈ [p_start, p_end). The period dim
+    is tiny and in-code → broadcast nested-loop, no fact-side shuffle."""
+    o = table(spark, sf_dir, "orders")
+    schema = StructType(
+        [
+            StructField("period_name", StringType()),
+            StructField("p_start", TimestampType()),
+            StructField("p_end", TimestampType()),
+        ]
+    )
+    periods = spark.createDataFrame(_PERIODS, schema)
+    cond = (F.col("o_orderdate") >= F.col("p_start")) & (
+        F.col("o_orderdate") < F.col("p_end")
+    )
+    return o.join(F.broadcast(periods), cond).select(
+        "o_orderkey", "o_orderdate", "period_name"
+    )

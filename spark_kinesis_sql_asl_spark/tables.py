@@ -1,0 +1,65 @@
+"""Fixture-table access (TESTDATA.md / FIXTURES.md).
+
+Every query function loads inputs through :func:`table` so that runtime-
+settable session confs the oracle contract depends on are pinned even when
+the SparkSession is driver-provided.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Runtime-settable confs pinned per query invocation. Timezone must match
+# DuckDB's naive-timestamp rendering; AQE keeps plans scale-adaptive.
+# nanosAsLong: events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
+# reader otherwise rejects (PARQUET_TYPE_ILLEGAL); read as int64 nanos and
+# truncate to micros in table() — matching DuckDB's ns→µs truncation.
+_RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def prep(spark: SparkSession) -> SparkSession:
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            spark.conf.set(k, v)
+    return spark
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan for one fixture table; column pruning / predicate
+    pushdown happen automatically downstream (SURVEY.md §4)."""
+    prep(spark)
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events":
+        # int64 nanos → TimestampType(µs) via integer division (truncation,
+        # like DuckDB). Must stay integer arithmetic: a double round-trip
+        # would mis-round near-µs-boundary values (ulp at 1.7e15 is 0.25).
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
