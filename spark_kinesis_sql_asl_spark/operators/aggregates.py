@@ -1,0 +1,334 @@
+"""Aggregation surface (SURVEY.md §2 rows B21-B33).
+
+All float aggregates are rounded identically in query and oracle (sum order
+differs between engines; SURVEY.md §4 rounding discipline). Every groupBy
+here is a 2-phase hash aggregate (partial map-side combine → final after
+shuffle) — the shape that scales: shuffled bytes are per-group partials, not
+rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+
+@query(
+    "q_agg_global",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           min(l_shipdate) AS min_ship,
+           max(l_shipdate) AS max_ship
+    FROM lineitem
+    """,
+)
+def q_agg_global(spark, sf_dir):
+    return table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+@query(
+    "q_agg_group",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_group(spark, sf_dir):
+    """TPC-H Q1 shape — the canonical pricing-summary hash aggregate."""
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
+        ).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"))
+    )
+
+
+@query(
+    "q_agg_multi_distinct",
+    oracle="""
+    SELECT l_linestatus,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q_agg_multi_distinct(spark, sf_dir):
+    # Two distinct aggregates → Catalyst Expand (one shuffle, grouping-id
+    # fan-out) rather than N self-joins; stays a single pass at scale.
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_agg_rollup(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_rf,
+           GROUPING(l_linestatus) AS g_ls,
+           count(*) AS n_rows,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_agg_grouping_sets(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gsets")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               GROUPING(l_returnflag) AS g_rf,
+               GROUPING(l_linestatus) AS g_ls,
+               count(*) AS n_rows,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem_gsets
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    HAVING count(*) > 100 AND avg(o_totalprice) > 1000
+    """,
+)
+def q_agg_having(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.avg("o_totalprice").alias("_avg_raw"),
+        )
+        .where((F.col("n_orders") > 100) & (F.col("_avg_raw") > 1000))
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.round(F.col("_avg_raw"), 4).alias("avg_price"),
+        )
+    )
+
+
+@query("q_agg_approx_distinct")  # rows-only: HLL++ sketch differs from DuckDB's
+def q_agg_approx_distinct(spark, sf_dir):
+    """B29: approx_count_distinct (HyperLogLog++). No cross-engine oracle —
+    sketches differ; tests/test_approx.py bounds the relative error vs exact
+    instead. At 100 TB this replaces exact distinct's shuffle of every key
+    with fixed-size mergeable sketches."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "covar_qty_price"
+            ),
+        )
+    )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark, sf_dir):
+    # Exact interpolated percentile (Spark `percentile` ≡ DuckDB
+    # quantile_cont). At 100 TB prefer approx_percentile — documented
+    # trade-off; the exact form is the oracle-able contract.
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", 0.5), 4).alias("median_qty"),
+            F.round(F.percentile("l_extendedprice", 0.95), 4).alias("p95_price"),
+        )
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers,
+           count(*) AS n_lines
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q_agg_collect(spark, sf_dir):
+    # collect_list is unordered across partitions → sort_array before
+    # rendering; string form avoids cross-engine array formatting drift.
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("l_linenumber")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("linenumbers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q_agg_argmax",
+    oracle="""
+    SELECT o_orderpriority, best_key, round(best_price, 2) AS best_price
+    FROM (
+        SELECT o_orderpriority, o_orderkey AS best_key, o_totalprice AS best_price,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey DESC
+               ) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def q_agg_argmax(spark, sf_dir):
+    """B33 min_by/max_by. The fixture HAS one duplicated o_totalprice within
+    a priority group (verified), so ordering uses a (price, key) struct —
+    deterministic max_by, mirrored by the oracle's DESC,DESC row_number."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.max_by(
+                "o_orderkey", F.struct("o_totalprice", "o_orderkey")
+            ).alias("best_key"),
+            F.max(F.struct("o_totalprice", "o_orderkey")).alias("_best"),
+        )
+        .select(
+            "o_orderpriority",
+            "best_key",
+            F.round(F.col("_best.o_totalprice"), 2).alias("best_price"),
+        )
+    )

@@ -149,12 +149,18 @@ def q_join_semi(spark, sf_dir):
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
     """,
 )
 def q_join_anti(spark, sf_dir):
+    # "no URGENT order" rather than "no order": every customer has some
+    # order at sf0.01 (verified), which would make the plain anti-join an
+    # empty — and therefore weak — check.
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
     )

@@ -1,0 +1,132 @@
+"""Sorts, top-k, set operations (SURVEY.md §2 rows B40-B45).
+
+The driver's value-hash is order-insensitive, so sort order is materialized
+as a row_number column (B40) or pinned by a unique composite key (B41).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+
+@query(
+    "q_sort_multi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS bal,
+           row_number() OVER (ORDER BY c_acctbal DESC, c_mktsegment ASC, c_custkey ASC) AS rn
+    FROM customer
+    """,
+)
+def q_sort_multi(spark, sf_dir):
+    """Multi-key sort materialized via a global row_number. Scale note: an
+    empty partitionBy funnels everything to one task — acceptable only for
+    verification output; production global sorts use orderBy (range
+    partitioned) without materializing a rank."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy(
+        F.col("c_acctbal").desc(), F.col("c_mktsegment").asc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("bal"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+@query(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_topk(spark, sf_dir):
+    # orderBy+limit → TakeOrderedAndProject: per-partition heaps, only k rows
+    # reach the driver — the same plan holds at 100 TB.
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+@query(
+    "q_set_union_all",
+    oracle="""
+    SELECT c_custkey AS id, 'customer' AS src FROM customer
+    UNION ALL
+    SELECT s_suppkey AS id, 'supplier' AS src FROM supplier
+    UNION ALL
+    SELECT user_id AS id, 'event' AS src FROM events
+    """,
+)
+def q_set_union_all(spark, sf_dir):
+    """B42 — also the Tier A9 semantics: a multi-stream source is exactly a
+    unionByName of per-stream relations (SURVEY.md §2 A9)."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.lit("customer").alias("src")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"), F.lit("supplier").alias("src")
+    )
+    e = table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("id"), F.lit("event").alias("src")
+    )
+    return c.unionByName(s).unionByName(e)
+
+
+@query(
+    "q_set_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    UNION
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def q_set_union_distinct(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.union(s).distinct()
+
+
+@query(
+    "q_set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def q_set_intersect(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+@query(
+    "q_set_except",
+    oracle="""
+    SELECT o_custkey AS ck FROM orders
+    EXCEPT
+    SELECT c_custkey AS ck FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def q_set_except(spark, sf_dir):
+    # Right side filtered to one segment so the difference is non-empty
+    # (suppliers/customers cover every nation key → trivial EXCEPTs are all
+    # empty at sf0.01, verified).
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("ck"))
+    c = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("ck"))
+    )
+    return o.subtract(c)
