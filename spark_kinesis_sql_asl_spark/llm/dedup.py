@@ -1,0 +1,194 @@
+"""Deduplication operators (SURVEY.md §2 rows C1-C3) over `documents`.
+
+Three rungs of the scale ladder:
+- C1 exact:   content-hash groupBy — one shuffle on the hash, linear.
+- C2 exact near-dup: token-set Jaccard with a blocking key — quadratic
+  within a block, exact, oracle-able; the ground truth for C3's recall.
+- C3 MinHash+LSH: signature → band-bucket join — the 100 TB path: candidate
+  pairs scale with collisions, not n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+# The fixture corpus has no exact duplicate texts (FIXTURES.md, verified);
+# C1 injects copies of every 10th doc so the detector has real work.
+_DUP_OFFSET = 100_000
+
+
+def _corpus_with_dups(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"), "text"
+    )
+    return d.unionByName(dups)
+
+
+@query(
+    "q_llm_dedup_exact",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_DUP_OFFSET} AS doc_id, text
+        FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT md5(text) AS text_hash,
+           count(*) AS n_copies,
+           min(doc_id) AS canonical_id,
+           max(doc_id) AS latest_dup_id
+    FROM corpus
+    GROUP BY md5(text)
+    HAVING count(*) > 1
+    """,
+)
+def q_llm_dedup_exact(spark, sf_dir):
+    """C1: exact dedup via content hash. At 100 TB: hash is computed in the
+    scan stage (cheap, codegen), shuffle carries (hash, id) pairs only —
+    never the text — and min() picks the canonical survivor."""
+    corpus = _corpus_with_dups(spark, sf_dir)
+    return (
+        corpus.select("doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_id"),
+            F.max("doc_id").alias("latest_dup_id"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+_JACCARD_TAU = 0.8
+
+
+@query(
+    "q_llm_dedup_jaccard",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM toks a
+        JOIN toks b ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {_JACCARD_TAU}
+    """,
+)
+def q_llm_dedup_jaccard(spark, sf_dir):
+    """C2: exact pairwise token-set Jaccard ≥ τ within a `lang` block.
+    |A∩B| comes from a token-bucket self-join (pairs only materialize for
+    docs sharing a token), |A|,|B| from per-doc distinct counts. The lang
+    blocking key bounds the pair space; at 100 TB you block finer
+    (lang × length-bucket) or go to C3."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i") * 1.0 / (F.col("sa.sz") + F.col("sb.sz") - F.col("i"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jac >= _JACCARD_TAU)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+_MINHASH_K = 16  # signature length
+_MINHASH_BANDS = 4  # 4 bands × 4 rows → catches sim ≳ 0.7 w.h.p.
+
+
+@query("q_llm_dedup_minhash")  # rows-only: hash-seeded sketch, no SQL oracle
+def q_llm_dedup_minhash(spark, sf_dir):
+    """C3: MinHash + LSH banding — the scalable approximation of C2.
+
+    sig_i(doc) = min over tokens of xxhash64(tok, seed=i); docs agreeing on
+    all rows of any band become candidate pairs. One groupBy for signatures,
+    one for bands, one self-join on (band, band_hash) — pair blow-up is
+    bounded by real collisions. tests/test_llm.py asserts recall ≥ 0.9
+    against C2's exact pairs at τ=0.8."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    sigs = toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64("tok", F.lit(i))).alias(f"h{i}")
+            for i in range(_MINHASH_K)
+        ]
+    )
+    rows_per_band = _MINHASH_K // _MINHASH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(_MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # estimate similarity = fraction of agreeing signature rows
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    agree = sum(
+        F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+        for i in range(_MINHASH_K)
+    )
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree / float(_MINHASH_K)).alias("est_jaccard"),
+        )
+    )

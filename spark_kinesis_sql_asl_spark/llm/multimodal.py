@@ -1,0 +1,100 @@
+"""Multimodal column operators (SURVEY.md §2 row C11 + north-star
+multimodal plumbing).
+
+Design: media rides as an opaque BINARY column inside a typed struct with
+metadata and an embedding — decode/feature-extraction are Arrow-batched
+mapInPandas stages (stubbed deterministically here: the container has no
+image/audio codecs — SURVEY.md §1.3). The Spark-side plumbing (schema,
+batching, partition behavior) is real and tested in tests/test_multimodal.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+from .similarity import as_double, sq_norm
+
+# Typed multimodal record: the engine's answer to "image/audio/video column".
+MULTIMODAL_SCHEMA_DDL = (
+    "doc_id BIGINT, payload BINARY, media_type STRING, "
+    "meta MAP<STRING, STRING>, embedding ARRAY<DOUBLE>"
+)
+
+
+def bundle(spark, sf_dir) -> DataFrame:
+    """documents ⋈ embeddings → one struct-typed multimodal frame. The
+    embeddings side is keyed 1:1 (vec_id == doc_id in the fixtures)."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+        F.create_map(
+            F.lit("lang"), F.col("lang"),
+            F.lit("source"), F.col("source"),
+            F.lit("n_chars"), F.col("n_chars").cast("string"),
+        ).alias("meta"),
+        as_double("embedding").alias("embedding"),
+        "label",
+    )
+
+
+def decode_media(records: DataFrame) -> DataFrame:
+    """Decode/feature-extract stage over the binary payload as an
+    Arrow-batched mapInPandas. Real codecs are not installed in this
+    container, so the transform is a deterministic stand-in (byte length +
+    first-byte "brightness"); swapping in PIL/librosa later changes ONLY
+    the body of `extract`."""
+    out_ddl = "doc_id BIGINT, n_bytes BIGINT, first_byte INT, media_type STRING"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "first_byte": payloads.map(
+                        lambda b: b[0] if len(b) else -1
+                    ).astype("int32"),
+                    "media_type": pdf["media_type"],
+                }
+            )
+
+    return records.mapInPandas(extract, schema=out_ddl)
+
+
+@query(
+    "q_llm_multimodal",
+    oracle="""
+    SELECT d.doc_id,
+           d.lang,
+           'text/plain' AS media_type,
+           octet_length(encode(d.text)) AS n_bytes,
+           CAST(d.n_chars AS VARCHAR) AS meta_n_chars,
+           round(sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x))), 6)
+               AS emb_norm,
+           e.label
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def q_llm_multimodal(spark, sf_dir):
+    """C11: the struct-bundled multimodal row, flattened for the oracle —
+    binary payload size, map-typed metadata access, embedding norm."""
+    b = bundle(spark, sf_dir)
+    return b.select(
+        "doc_id",
+        F.element_at("meta", "lang").alias("lang"),
+        "media_type",
+        F.octet_length("payload").alias("n_bytes"),
+        F.element_at("meta", "n_chars").alias("meta_n_chars"),
+        F.round(F.sqrt(sq_norm(F.col("embedding"))), 6).alias("emb_norm"),
+        "label",
+    )

@@ -1,0 +1,225 @@
+"""Similarity search + vector ops (SURVEY.md §2 rows C4-C6) over
+`embeddings` (array<float> dim 64, verified).
+
+All vector math is JVM-side higher-order functions over double arrays — no
+Python UDFs in any hot path. Casting float→double first keeps both engines
+in the same arithmetic domain (float32→float64 is exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+from ..registry import query
+from ..tables import table
+
+
+def as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def sq_norm(a) -> Column:
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+_TOPK = 5
+_N_QUERIES = 5  # vec_id < 5 are the query vectors
+
+
+@query(
+    "q_llm_sim_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings),
+    sims AS (
+        SELECT query_id, neighbor_id, list_cosine_similarity(qe, ce) AS cos
+        FROM q CROSS JOIN c
+        WHERE neighbor_id <> query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+        ) AS rn
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rn
+    FROM ranked WHERE rn <= {_TOPK}
+    """,
+)
+def q_llm_sim_topk(spark, sf_dir):
+    """C4: brute-force cosine top-k — the exact baseline ANN is judged
+    against. Norms are precomputed per vector BEFORE the join (linear work),
+    so the quadratic stage is one fused multiply-add per pair. The query
+    side is broadcast; at 100 TB the candidate side streams partition-local
+    with no shuffle."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    withn = emb.withColumn("nrm", F.sqrt(sq_norm(F.col("e"))))
+    q = withn.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = withn.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TOPK)
+        .select(
+            "query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn"
+        )
+    )
+
+
+_N_PLANES = 16
+_DIM = 64
+
+
+def _plane_sign(p: int, d: int) -> float:
+    # Deterministic ±1 pseudo-random hyperplane components (no RNG: stable
+    # across sessions/resumes).
+    return 1.0 if ((p * 73856093) ^ (d * 19349663)) & 0x10 else -1.0
+
+
+_PLANES = [[_plane_sign(p, d) for d in range(_DIM)] for p in range(_N_PLANES)]
+
+
+@query("q_llm_sim_lsh")  # rows-only: bucketed ANN, recall-tested vs C4
+def q_llm_sim_lsh(spark, sf_dir):
+    """C5: random-hyperplane LSH — the 100 TB similarity path. 16 sign bits
+    → two 8-bit band buckets; candidates = bucket collisions (join on
+    (band, bucket) instead of a cross join), then exact cosine re-rank of
+    candidates only. tests/test_llm.py checks recall vs C4."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    bits = [
+        F.when(
+            dot(F.col("e"), F.array(*[F.lit(v) for v in _PLANES[p]])) >= 0, 1
+        ).otherwise(0)
+        for p in range(_N_PLANES)
+    ]
+    half = _N_PLANES // 2
+    b0 = sum(bits[i] * (1 << i) for i in range(half))
+    b1 = sum(bits[half + i] * (1 << i) for i in range(half))
+    withn = emb.withColumn("nrm", F.sqrt(sq_norm(F.col("e")))).withColumn(
+        "bands",
+        F.array(
+            F.struct(F.lit(0).alias("band"), b0.alias("bucket")),
+            F.struct(F.lit(1).alias("band"), b1.alias("bucket")),
+        ),
+    )
+    buckets = withn.select(
+        "vec_id", "e", "nrm", F.explode("bands").alias("bb")
+    ).select("vec_id", "e", "nrm", "bb.band", "bb.bucket")
+    q = buckets.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+        "band",
+        "bucket",
+    )
+    cand = (
+        buckets.join(
+            F.broadcast(q),
+            ["band", "bucket"],
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qe",
+            "qn",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("e").alias("ce"),
+            F.col("nrm").alias("cn"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cos = dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TOPK)
+        .select(
+            "query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn"
+        )
+    )
+
+
+@query(
+    "q_llm_vec_ops",
+    oracle="""
+    WITH norms AS (
+        SELECT label, sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        FROM embeddings
+    ),
+    per_label AS (
+        SELECT label, count(*) AS n_vecs, round(avg(nrm), 6) AS avg_norm
+        FROM norms GROUP BY label
+    ),
+    exploded AS (
+        SELECT label,
+               unnest(list_transform(embedding::DOUBLE[], (x, i) -> i - 1)) AS pos,
+               unnest(embedding::DOUBLE[]) AS val
+        FROM embeddings
+    ),
+    centroid AS (
+        SELECT label, pos, avg(val) AS c FROM exploded GROUP BY label, pos
+    ),
+    cnorm AS (
+        SELECT label, round(sqrt(sum(c * c)), 6) AS centroid_norm
+        FROM centroid GROUP BY label
+    )
+    SELECT p.label, p.n_vecs, p.avg_norm, c.centroid_norm
+    FROM per_label p JOIN cnorm c ON p.label = c.label
+    """,
+)
+def q_llm_vec_ops(spark, sf_dir):
+    """C6: per-label L2 norms and centroid norm. Norms use the per-row
+    array fold (no explode); only the centroid needs the (label, pos)
+    shuffle — 64·|labels| groups regardless of row count."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("e")
+    )
+    per_label = (
+        emb.withColumn("nrm", F.sqrt(sq_norm(F.col("e"))))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        )
+    )
+    centroid = (
+        emb.select("label", F.posexplode("e").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("c"))
+        .groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"))
+    )
+    return per_label.join(centroid, "label")

@@ -1,0 +1,190 @@
+"""Text-analysis operators (SURVEY.md §2 rows C7-C10, C12) over `documents`.
+
+The shared primitive is the exploded token frame — at 100 TB the explode
+happens partition-local (no shuffle) and every downstream agg is a 2-phase
+hash aggregate on (key, token).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+_STOPWORDS = ("a", "the")
+
+
+def tokens(spark, sf_dir, with_lang: bool = True):
+    d = table(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang"] if with_lang else ["doc_id"]
+    return d.select(*cols, F.explode(F.split("text", " ")).alias("token"))
+
+
+@query(
+    "q_llm_tokenize",
+    oracle=f"""
+    SELECT lang, token, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token NOT IN {_STOPWORDS!r}
+    GROUP BY lang, token
+    """,
+)
+def q_llm_tokenize(spark, sf_dir):
+    """C7: tokenize + stopword filter + per-language token stats."""
+    return (
+        tokens(spark, sf_dir)
+        .where(~F.col("token").isin(*_STOPWORDS))
+        .groupBy("lang", "token")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "q_llm_tfidf",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents)
+    SELECT tf.doc_id, tf.term,
+           round(tf * ln(n * 1.0 / df), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    """,
+)
+def q_llm_tfidf(spark, sf_dir):
+    """C8: tf·idf per (doc, term): tf × ln(N/df). The doc count N rides in
+    as a broadcast scalar (crossJoin with a 1-row frame), df as a broadcast
+    dim — the big tf frame never shuffles twice."""
+    tok = tokens(spark, sf_dir, with_lang=False).withColumnRenamed("token", "term")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = table(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "q_llm_corpus_stats",
+    oracle="""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           count(*) FILTER (WHERE n_chars BETWEEN 200 AND 2000) AS n_mid_length
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def q_llm_corpus_stats(spark, sf_dir):
+    """C9: corpus quality/language stats — the C4-style pre-training corpus
+    filter report (counts, char-length distribution, mid-length share)."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.count(F.when(F.col("n_chars").between(200, 2000), 1)).alias(
+            "n_mid_length"
+        ),
+    )
+
+
+_CHUNK_SIZE = 120
+_CHUNK_STRIDE = 80
+
+
+@query(
+    "q_llm_chunk",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((start - 1) / {_CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+           substr(text, start, {_CHUNK_SIZE}) AS chunk,
+           length(substr(text, start, {_CHUNK_SIZE})) AS chunk_len
+    FROM (
+        SELECT doc_id, text,
+               unnest(range(1, CAST(n_chars AS INTEGER) + 1, {_CHUNK_STRIDE})) AS start
+        FROM documents
+    )
+    """,
+)
+def q_llm_chunk(spark, sf_dir):
+    """C10: fixed-size overlapping character chunks (RAG prep): size 120,
+    stride 80 → 40-char overlap. sequence+posexplode is partition-local."""
+    d = table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1), F.col("n_chars").cast("int"), F.lit(_CHUNK_STRIDE)
+    )
+    chunk = F.expr(f"substring(text, start, {_CHUNK_SIZE})")
+    return (
+        d.select("doc_id", "text", F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            chunk.alias("chunk"),
+            F.length(chunk).alias("chunk_len"),
+        )
+    )
+
+
+# C12: tiny in-code polarity lexicon over the fixture vocabulary —
+# deterministic, offline (SURVEY.md C12; lexicon-based scoring à la
+# EDBT'16 sentiment-on-Spark).
+_LEXICON = {
+    "fast": 1,
+    "big": 1,
+    "value": 1,
+    "merge": 1,
+    "slow": -1,
+    "small": -1,
+    "filter": -1,
+}
+
+
+@query(
+    "q_llm_textscore",
+    oracle=f"""
+    WITH lex(word, pol) AS (
+        VALUES {", ".join(f"('{w}', {p})" for w, p in _LEXICON.items())}
+    ),
+    tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT t.doc_id,
+           CAST(sum(coalesce(l.pol, 0)) AS BIGINT) AS polarity,
+           count(l.word) AS n_matched
+    FROM tok t LEFT JOIN lex l ON t.token = l.word
+    GROUP BY t.doc_id
+    """,
+)
+def q_llm_textscore(spark, sf_dir):
+    """C12: lexicon polarity score per doc. The lexicon is a broadcast
+    in-code dim; integer sums → exact cross-engine."""
+    lex = spark.createDataFrame(
+        list(_LEXICON.items()), schema="word string, pol int"
+    )
+    tok = tokens(spark, sf_dir, with_lang=False)
+    return (
+        tok.join(F.broadcast(lex), tok.token == lex.word, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("pol"), F.lit(0))).cast("bigint").alias("polarity"),
+            F.count("word").alias("n_matched"),
+        )
+    )

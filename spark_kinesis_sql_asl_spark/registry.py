@@ -34,6 +34,7 @@ _MODULES = (
     "llm.dedup",
     "llm.similarity",
     "llm.text",
+    "llm.multimodal",
 )
 
 _loaded = False

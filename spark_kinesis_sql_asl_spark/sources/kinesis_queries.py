@@ -1,0 +1,68 @@
+"""Oracled Tier A queries over the Kinesis record envelope (SURVEY.md §2
+rows A6 q_kinesis_schema, A7 q_kinesis_decode_json).
+
+The envelope is built from the events fixture (the decoded-stream analog,
+§1.3); the oracle recomputes the same values straight from events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+from .envelope import decode_json_payload, wrap_events
+
+
+@query(
+    "q_kinesis_schema",
+    oracle="""
+    SELECT props AS data_str,
+           'events' AS stream_name,
+           CAST(user_id AS VARCHAR) AS partition_key,
+           CAST(event_id AS VARCHAR) AS sequence_number,
+           ts AS arrival_ts
+    FROM events
+    """,
+)
+def q_kinesis_schema(spark, sf_dir):
+    # A6 record→row: envelope columns, payload rendered back to string so
+    # the oracle compares text not blobs.
+    records = wrap_events(table(spark, sf_dir, "events"))
+    return records.select(
+        F.col("data").cast("string").alias("data_str"),
+        F.col("streamName").alias("stream_name"),
+        F.col("partitionKey").alias("partition_key"),
+        F.col("sequenceNumber").alias("sequence_number"),
+        F.col("approximateArrivalTimestamp").alias("arrival_ts"),
+    )
+
+
+@query(
+    "q_kinesis_decode_json",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS partition_key,
+           count(*) AS n_records,
+           sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+           min(ts) AS first_arrival,
+           max(ts) AS last_arrival
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_kinesis_decode_json(spark, sf_dir):
+    # A7 payload decode + per-partition-key rollup — the canonical "consume
+    # a Kinesis stream with SQL" query shape.
+    records = decode_json_payload(wrap_events(table(spark, sf_dir, "events")))
+    return records.groupBy("partitionKey").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("k_val").alias("sum_k"),
+        F.min("approximateArrivalTimestamp").alias("first_arrival"),
+        F.max("approximateArrivalTimestamp").alias("last_arrival"),
+    ).select(
+        F.col("partitionKey").alias("partition_key"),
+        "n_records",
+        "sum_k",
+        "first_arrival",
+        "last_arrival",
+    )

@@ -1,0 +1,48 @@
+"""Recall / sanity harness for the approximate (rows-only) LLM operators
+(SURVEY.md §7 M4): the scalable approximations must track their exact
+counterparts, since the driver can only row-count them.
+"""
+
+from __future__ import annotations
+
+from spark_kinesis_sql_asl_spark.registry import all_queries
+
+from .conftest import SF_ORACLE
+
+QUERIES = all_queries()
+
+
+def test_minhash_recall_vs_exact_jaccard(spark):
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["q_llm_dedup_jaccard"](spark, SF_ORACLE).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["q_llm_dedup_minhash"](spark, SF_ORACLE).collect()
+    }
+    assert exact, "exact jaccard produced no pairs — threshold broken"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"MinHash-LSH recall {recall:.3f} < 0.9 vs exact τ=0.8"
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["q_llm_sim_topk"](spark, SF_ORACLE).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["q_llm_sim_lsh"](spark, SF_ORACLE).collect()
+    }
+    assert exact
+    recall = len(exact & approx) / len(exact)
+    # Random-gaussian embeddings are a worst case for LSH (no cluster
+    # structure); still expect a solid fraction of true top-5 recovered.
+    assert recall >= 0.4, f"LSH ANN recall {recall:.3f} < 0.4 vs brute force"
+
+
+def test_minhash_estimates_bounded(spark):
+    rows = QUERIES["q_llm_dedup_minhash"](spark, SF_ORACLE).collect()
+    assert rows, "banding produced no candidate pairs"
+    assert all(0.0 <= r.est_jaccard <= 1.0 for r in rows)

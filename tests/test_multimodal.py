@@ -1,0 +1,38 @@
+"""Multimodal plumbing harness (SURVEY.md north-star): the binary-payload
+mapInPandas decode path must be schema-stable, batch-shaped, and
+deterministic — codecs are stubbed (none installed here), plumbing is real.
+"""
+
+from __future__ import annotations
+
+from spark_kinesis_sql_asl_spark.llm.multimodal import bundle, decode_media
+
+from .conftest import SF_ORACLE
+
+
+def test_bundle_schema_and_join_cardinality(spark):
+    b = bundle(spark, SF_ORACLE)
+    assert dict(b.dtypes)["payload"] == "binary"
+    assert dict(b.dtypes)["meta"] == "map<string,string>"
+    assert dict(b.dtypes)["embedding"] == "array<double>"
+    assert b.count() == 500  # 1:1 doc↔embedding join (fixtures)
+
+
+def test_decode_media_roundtrip_values(spark):
+    b = bundle(spark, SF_ORACLE)
+    out = decode_media(b)
+    rows = {r.doc_id: r for r in out.collect()}
+    src = {r.doc_id: r for r in b.select("doc_id", "payload").collect()}
+    assert len(rows) == len(src)
+    for doc_id, r in list(rows.items())[:50]:
+        payload = src[doc_id].payload
+        assert r.n_bytes == len(payload)
+        assert r.first_byte == payload[0]
+        assert r.media_type == "text/plain"
+
+
+def test_decode_media_partitioning_preserved(spark):
+    # mapInPandas must not force a shuffle: partition count is preserved.
+    b = bundle(spark, SF_ORACLE).repartition(4)
+    out = decode_media(b)
+    assert out.rdd.getNumPartitions() == 4
