@@ -1,0 +1,183 @@
+"""Tier A connector-facade harness (SURVEY.md §2 A1-A5, A9-A11; §5.2.3).
+
+Covers: registration, batch + streaming reads, offset checkpointing across
+restarts (no loss / no dup), mid-stream shard discovery (resharding),
+LATEST initial position, data-loss policy, multi-stream union.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from spark_kinesis_sql_asl_spark.sources.kinesis_source import (
+    KinesisLikeDataSource,
+)
+from spark_kinesis_sql_asl_spark.sources.staging import (
+    events_to_dicts,
+    write_staging,
+)
+from spark_kinesis_sql_asl_spark.tables import table
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_rows(spark):
+    return table(spark, SF_SMOKE, "events").orderBy("event_id").collect()
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.dataSource.register(KinesisLikeDataSource)
+    return spark
+
+
+def _run_available_now(spark, reader_df, out_dir, ckpt_dir):
+    q = (
+        reader_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_batch_read_parity(registered, events_rows, tmp_path):
+    spark = registered
+    root = str(tmp_path / "staging")
+    n = write_staging(events_to_dicts(events_rows), root, n_shards=3, n_chunks=4)
+    assert n == len(events_rows)
+
+    df = spark.read.format("kinesislike").option("path", root).load()
+    assert df.columns == [
+        "data",
+        "streamName",
+        "partitionKey",
+        "sequenceNumber",
+        "approximateArrivalTimestamp",
+    ]
+    rows = df.collect()
+    assert len(rows) == len(events_rows)
+    # payload decodes back to the source events (A6/A7 roundtrip)
+    got_ids = sorted(
+        int(__import__("json").loads(bytes(r.data).decode())["event_id"])
+        for r in rows
+    )
+    assert got_ids == [r.event_id for r in events_rows]
+
+
+def test_stream_read_then_restart_no_loss_no_dup(
+    registered, events_rows, tmp_path
+):
+    spark = registered
+    root = str(tmp_path / "staging")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    first, second = events_rows[:600], events_rows[600:]
+    write_staging(events_to_dicts(first), root, n_shards=3, n_chunks=4)
+
+    reader = spark.readStream.format("kinesislike").option("path", root).load()
+    _run_available_now(spark, reader, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == len(first)
+
+    # new arrivals land as later chunks; restart from the SAME checkpoint
+    write_staging(
+        events_to_dicts(second), root, n_shards=3, n_chunks=4,
+        start_chunk=4, seq_start=1_000_000,
+    )
+    reader2 = spark.readStream.format("kinesislike").option("path", root).load()
+    _run_available_now(spark, reader2, out, ckpt)
+
+    final = spark.read.parquet(out)
+    assert final.count() == len(events_rows)  # no loss
+    keys = final.select("partitionKey", "sequenceNumber").distinct().count()
+    assert keys == final.count()  # no duplicate delivery per shard-key+seq
+
+
+def test_resharding_new_shard_discovered(registered, events_rows, tmp_path):
+    spark = registered
+    root = str(tmp_path / "staging")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    write_staging(events_to_dicts(events_rows[:300]), root, n_shards=2, n_chunks=2)
+    reader = spark.readStream.format("kinesislike").option("path", root).load()
+    _run_available_now(spark, reader, out, ckpt)
+    base = spark.read.parquet(out).count()
+    assert base == 300
+
+    # a "shard split": a NEW shard dir appears mid-stream (A5) — its chunks
+    # must be read from its own TRIM_HORIZON on the next run. Stage to a
+    # scratch stream, then move its shard dir in as events/shard-2.
+    extra = events_to_dicts(events_rows[300:400])
+    write_staging(extra, root, stream="_scratch", n_shards=1, n_chunks=1,
+                  seq_start=2_000_000)
+    os.rename(
+        os.path.join(root, "_scratch", "shard-0"),
+        os.path.join(root, "events", "shard-2"),
+    )
+    os.rmdir(os.path.join(root, "_scratch"))
+    reader2 = spark.readStream.format("kinesislike").option("path", root).load()
+    _run_available_now(spark, reader2, out, ckpt)
+    assert spark.read.parquet(out).count() == base + len(extra)
+
+
+def test_latest_initial_position_skips_backlog(registered, events_rows, tmp_path):
+    spark = registered
+    root = str(tmp_path / "staging")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    write_staging(events_to_dicts(events_rows[:200]), root)
+    reader = (
+        spark.readStream.format("kinesislike")
+        .option("path", root)
+        .option("initialPosition", "LATEST")
+        .load()
+    )
+    _run_available_now(spark, reader, out, ckpt)
+    produced = glob.glob(os.path.join(out, "*.parquet"))
+    n = spark.read.parquet(out).count() if produced else 0
+    assert n == 0  # backlog skipped: LATEST starts at the current frontier
+
+
+def test_data_loss_policy(registered, events_rows, tmp_path):
+    spark = registered
+    root = str(tmp_path / "staging")
+    write_staging(events_to_dicts(events_rows[:300]), root, n_shards=1, n_chunks=3)
+    lost = os.path.join(root, "events", "shard-0", "00000000.parquet")
+    kept = spark.read.parquet(lost).count()
+    os.remove(lost)  # records aged out past retention (A11)
+
+    strict = spark.read.format("kinesislike").option("path", root).load()
+    with pytest.raises(Exception, match="DATA_LOSS"):
+        strict.count()
+
+    lenient = (
+        spark.read.format("kinesislike")
+        .option("path", root)
+        .option("failOnDataLoss", "false")
+        .load()
+    )
+    assert lenient.count() == 300 - kept
+
+
+def test_multi_stream_union(registered, events_rows, tmp_path):
+    spark = registered
+    root = str(tmp_path / "staging")
+    write_staging(events_to_dicts(events_rows[:100]), root, stream="s1")
+    write_staging(events_to_dicts(events_rows[100:250]), root, stream="s2")
+    write_staging(events_to_dicts(events_rows[250:300]), root, stream="ignored")
+
+    df = (
+        spark.read.format("kinesislike")
+        .option("path", root)
+        .option("streams", "s1,s2")
+        .load()
+    )
+    by_stream = {r.streamName: r.cnt for r in df.groupBy("streamName").count().withColumnRenamed("count", "cnt").collect()}
+    assert by_stream == {"s1": 100, "s2": 150}

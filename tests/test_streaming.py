@@ -1,0 +1,398 @@
+"""Structured Streaming semantics harness (SURVEY.md §2 rows B64, B66-B70,
+A12; §5.2.3 staging-dir replay).
+
+Pattern: events rows are re-staged as numbered parquet files with increasing
+mtimes (simulated micro-batch arrivals), consumed with
+`readStream.parquet + maxFilesPerTrigger=1 + trigger(availableNow)` —
+deterministic offline replay of a stream, asserted against batch twins.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from spark_kinesis_sql_asl_spark.tables import table
+
+from .conftest import SF_SMOKE
+
+
+def _stage(rows, out_dir: str, n_files: int, reorder_late: bool = False):
+    """Slice time-ordered rows into n_files 'arrival' files. With
+    reorder_late, one early event is moved into the last file — a late
+    arrival for watermark tests."""
+    os.makedirs(out_dir, exist_ok=True)
+    rows = sorted(rows, key=lambda r: (r.ts, r.event_id))
+    late = None
+    if reorder_late:
+        # pick an early event whose 1h window holds other events too —
+        # otherwise the window has no on-time rows and is never emitted
+        from collections import Counter
+
+        hours = Counter(r.ts.replace(minute=0, second=0, microsecond=0) for r in rows)
+        idx = next(
+            i
+            for i, r in enumerate(rows[:200])
+            if hours[r.ts.replace(minute=0, second=0, microsecond=0)] >= 3
+        )
+        late = rows.pop(idx)  # early event, arrives last
+    per = (len(rows) + n_files - 1) // n_files
+    slices = [rows[i * per : (i + 1) * per] for i in range(n_files)]
+    if late is not None:
+        slices[-1] = slices[-1] + [late]
+    for i, sl in enumerate(slices):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r.event_id for r in sl], pa.int64()),
+                "ts": pa.array([r.ts for r in sl], pa.timestamp("us")),
+                "user_id": pa.array([r.user_id for r in sl], pa.int64()),
+                "event_type": pa.array([r.event_type for r in sl], pa.string()),
+                "value": pa.array([r.value for r in sl], pa.float64()),
+                "props": pa.array([r.props for r in sl], pa.string()),
+            }
+        )
+        f = os.path.join(out_dir, f"{i:04d}.parquet")
+        pq.write_table(tbl, f)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))  # arrival order
+    return late
+
+
+@pytest.fixture(scope="module")
+def events_rows(spark):
+    return table(spark, SF_SMOKE, "events").collect()
+
+
+def _stream(spark, staging: str):
+    sch = table(spark, SF_SMOKE, "events").schema
+    return (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+
+
+def _drain(df_writer, timeout: int = 180):
+    q = df_writer.start()
+    q.awaitTermination(timeout)
+    assert not q.isActive, "stream did not drain"
+    return q
+
+
+# --- B64: watermark drops late data ------------------------------------
+
+
+def test_watermark_drops_late_rows(spark, events_rows, tmp_path):
+    staging = str(tmp_path / "staging")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    late = _stage(events_rows, staging, n_files=6, reorder_late=True)
+
+    agg = (
+        _stream(spark, staging)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").alias("ws"), "cnt")
+    )
+    _drain(
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    stream_counts = {r.ws: r.cnt for r in spark.read.parquet(out).collect()}
+
+    batch = (
+        table(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").alias("ws"), "cnt")
+    )
+    batch_counts = {r.ws: r.cnt for r in batch.collect()}
+
+    late_ws = late.ts.replace(minute=0, second=0, microsecond=0)
+    assert stream_counts[late_ws] == batch_counts[late_ws] - 1, (
+        "late row should have been dropped by the watermark"
+    )
+    # every other emitted window agrees with batch
+    for ws, cnt in stream_counts.items():
+        if ws != late_ws:
+            assert cnt == batch_counts[ws], f"window {ws} diverged"
+    # only the un-finalized tail (past the last watermark) may be missing
+    assert len(stream_counts) >= 0.8 * len(batch_counts)
+
+
+# --- B66: stream-static join --------------------------------------------
+
+
+def test_stream_static_join(spark, events_rows, tmp_path):
+    staging = str(tmp_path / "staging")
+    out = str(tmp_path / "out")
+    _stage(events_rows, staging, n_files=3)
+    customer = table(spark, SF_SMOKE, "customer")
+
+    joined = _stream(spark, staging).join(
+        F.broadcast(customer),
+        F.col("user_id") == F.col("c_custkey"),
+    ).select("event_id", "c_custkey", "c_mktsegment")
+    _drain(
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    got = spark.read.parquet(out)
+    expect = (
+        table(spark, SF_SMOKE, "events")
+        .join(customer, F.col("user_id") == F.col("c_custkey"))
+        .count()
+    )
+    assert got.count() == expect
+    assert got.select("event_id").distinct().count() == got.count()
+
+
+# --- B67: stream-stream join --------------------------------------------
+
+
+def test_stream_stream_time_interval_join(spark, events_rows, tmp_path):
+    staging = str(tmp_path / "staging")
+    out = str(tmp_path / "out")
+    _stage(events_rows, staging, n_files=3)
+
+    s = _stream(spark, staging)
+    clicks = (
+        s.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        s.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    _drain(
+        clicks.join(purchases, cond)
+        .select("c_id", "p_id")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    got = {(r.c_id, r.p_id) for r in spark.read.parquet(out).collect()}
+
+    e = table(spark, SF_SMOKE, "events")
+    bc = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    bp = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    expect = {
+        (r.c_id, r.p_id)
+        for r in bc.join(
+            bp,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        ).select("c_id", "p_id").collect()
+    }
+    assert got == expect
+
+
+# --- B68: arbitrary stateful op -----------------------------------------
+
+
+def test_apply_in_pandas_with_state_running_count(spark, events_rows, tmp_path):
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    staging = str(tmp_path / "staging")
+    _stage(events_rows, staging, n_files=4)
+
+    def running(key, pdfs, state: GroupState):
+        cnt = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            cnt += len(pdf)
+        state.update((cnt,))
+        yield pd.DataFrame({"user_id": [key[0]], "running_n": [cnt]})
+
+    out = (
+        _stream(spark, staging)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            running,
+            outputStructType="user_id bigint, running_n bigint",
+            stateStructType="cnt bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    _drain(
+        out.writeStream.format("memory")
+        .queryName("running_counts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    got = (
+        spark.table("running_counts")
+        .groupBy("user_id")
+        .agg(F.max("running_n").alias("n"))  # running_n is monotonic
+    )
+    expect = {
+        r.user_id: r.n
+        for r in table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r.user_id: r.n for r in got.collect()} == expect
+
+
+# --- B69: output modes + A12 foreachBatch sink ---------------------------
+
+
+def test_complete_mode_equals_batch(spark, events_rows, tmp_path):
+    staging = str(tmp_path / "staging")
+    _stage(events_rows, staging, n_files=3)
+    agg = (
+        _stream(spark, staging)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    _drain(
+        agg.writeStream.format("memory")
+        .queryName("by_type")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    got = {r.event_type: r.n for r in spark.table("by_type").collect()}
+    expect = {
+        r.event_type: r.n
+        for r in table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expect
+
+
+def test_foreach_batch_sink(spark, events_rows, tmp_path):
+    # A12: the write-side facade — per-epoch idempotent parquet writes
+    # (epoch id in the path ≈ put_records batching + exactly-once replay).
+    staging = str(tmp_path / "staging")
+    sink_root = str(tmp_path / "sink")
+    _stage(events_rows, staging, n_files=3)
+    epochs = []
+
+    def write_epoch(batch_df, epoch_id: int):
+        epochs.append((epoch_id, batch_df.count()))
+        batch_df.write.mode("overwrite").parquet(f"{sink_root}/epoch={epoch_id}")
+
+    _drain(
+        _stream(spark, staging)
+        .writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    assert len(epochs) >= 2  # maxFilesPerTrigger=1 → multiple epochs
+    total = spark.read.parquet(f"{sink_root}/epoch=*").count()
+    assert total == len(events_rows)
+
+
+# --- B70 / A3: checkpoint recovery --------------------------------------
+
+
+def test_checkpoint_recovery_no_loss_no_dup(spark, events_rows, tmp_path):
+    staging = str(tmp_path / "staging")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows = sorted(events_rows, key=lambda r: (r.ts, r.event_id))
+    half = len(rows) // 2
+    _stage(rows[:half], staging, n_files=3)
+
+    def windowed(src):
+        return (
+            src.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("window.start").alias("ws"), "event_type", "cnt")
+        )
+
+    _drain(
+        windowed(_stream(spark, staging))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    n_first = spark.read.parquet(out).count()
+
+    # later arrivals land as NEW files; restart with the SAME checkpoint —
+    # stateful windows must resume, not recount (A3/B70)
+    for i, r in enumerate(
+        [rows[half + i : half + i + (len(rows) - half) // 3 + 1]
+         for i in range(0, len(rows) - half, (len(rows) - half) // 3 + 1)]
+    ):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([x.event_id for x in r], pa.int64()),
+                "ts": pa.array([x.ts for x in r], pa.timestamp("us")),
+                "user_id": pa.array([x.user_id for x in r], pa.int64()),
+                "event_type": pa.array([x.event_type for x in r], pa.string()),
+                "value": pa.array([x.value for x in r], pa.float64()),
+                "props": pa.array([x.props for x in r], pa.string()),
+            }
+        )
+        f = os.path.join(staging, f"1{i:03d}.parquet")
+        pq.write_table(tbl, f)
+        os.utime(f, (1_700_000_100 + i, 1_700_000_100 + i))
+
+    _drain(
+        windowed(_stream(spark, staging))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    final = spark.read.parquet(out)
+    assert final.count() > n_first
+    # exactly-once per (window, type): no group emitted twice across restart
+    assert (
+        final.groupBy("ws", "event_type").count().where(F.col("count") > 1).count()
+        == 0
+    )
+    # every emitted group's count matches the batch twin over ALL data
+    batch = {
+        (r.ws, r.event_type): r.cnt
+        for r in table(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").alias("ws"), "event_type", "cnt")
+        .collect()
+    }
+    for r in final.collect():
+        assert batch[(r.ws, r.event_type)] == r.cnt
