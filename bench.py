@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Per-round benchmark: time every registered query at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "suite_seconds", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is executed end-to-end with the ``noop`` sink so the whole physical
+plan runs (scan -> shuffle -> agg) without paying Py4J collect() transfer for
+large results — timings reflect engine work, not driver serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+from spark_kinesis_sql_asl_spark.registry import all_queries  # noqa: E402
+from spark_kinesis_sql_asl_spark.session import get_session  # noqa: E402
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session("bench")
+    queries = all_queries()
+
+    # Warm up the JVM + parquet footer cache so query #1 isn't charged for
+    # session start-up (the 100 TB analog: long-lived cluster, amortized init).
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name in sorted(queries):
+        t0 = time.perf_counter()
+        try:
+            df = queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 - report, don't abort the suite
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+
+    out = {
+        "metric": "suite_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
