@@ -11,6 +11,7 @@ Three rungs of the scale ladder:
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..registry import query
 from ..tables import table
@@ -89,36 +90,62 @@ _JACCARD_TAU = 0.8
     """,
 )
 def q_llm_dedup_jaccard(spark, sf_dir):
-    """C2: exact pairwise token-set Jaccard ≥ τ within a `lang` block.
-    |A∩B| comes from a token-bucket self-join (pairs only materialize for
-    docs sharing a token), |A|,|B| from per-doc distinct counts. The lang
-    blocking key bounds the pair space; at 100 TB you block finer
-    (lang × length-bucket) or go to C3."""
+    """C2: exact pairwise token-set Jaccard ≥ τ within a `lang` block,
+    via PPJoin-style prefix filtering (Xiao et al., WWW 2008).
+
+    A naive token self-join generates sum(df²) candidate pairs — 57M at
+    sf0.1 (measured), quadratic in document frequency, hopeless at 100 TB.
+    Prefix filtering is exact: order tokens by global rarity; any pair with
+    Jaccard ≥ τ must share a token within each doc's first
+    sz − ceil(τ·sz) + 1 tokens of that order. Only prefixes are indexed and
+    self-joined (rare tokens → tiny posting lists), then candidates are
+    verified exactly with array_intersect on the full token sets.
+    """
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "lang", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    docs = d.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(F.split("text", " ")).alias("tokset"),
+    ).withColumn("sz", F.size("tokset"))
+
+    toks = docs.select("doc_id", "lang", F.explode("tokset").alias("tok"))
+    dfreq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("df"))
+    # global total order = (df asc, tok asc); prefix = rarest tokens first
+    pos = W.partitionBy("doc_id").orderBy("df", "tok")
+    prefix = (
+        toks.join(dfreq, ["lang", "tok"])
+        .withColumn("pos", F.row_number().over(pos))
+        .join(docs.select("doc_id", "sz"), "doc_id")
+        .where(F.col("pos") <= F.col("sz") - F.ceil(F.lit(_JACCARD_TAU) * F.col("sz")) + 1)
+        .select("doc_id", "lang", "tok")
     )
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    inter = (
-        a.join(
-            b,
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("i"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("i") * 1.0 / (F.col("sa.sz") + F.col("sb.sz") - F.col("i"))
+    # exact verification on the (small) candidate set
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("tokset").alias("ta"),
+        F.col("sz").alias("sa"),
+    )
+    db = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("tokset").alias("tb"),
+        F.col("sz").alias("sb"),
+    )
+    i = F.size(F.array_intersect("ta", "tb"))
+    jac = i * 1.0 / (F.col("sa") + F.col("sb") - i)
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
         .where(jac >= _JACCARD_TAU)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
@@ -141,6 +168,10 @@ def q_llm_dedup_minhash(spark, sf_dir):
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
+    # Signatures stay as 16 flat BIGINT columns, not an array: flat columns
+    # keep the band hash, the candidate distinct, and the agreement sum inside
+    # whole-stage codegen — the array + zip_with/aggregate variant measured
+    # ~50% slower at sf0.1 (per-row array allocation in the 6M-candidate join).
     sigs = toks.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64("tok", F.lit(i))).alias(f"h{i}")
