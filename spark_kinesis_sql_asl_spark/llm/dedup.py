@@ -67,6 +67,123 @@ def q_llm_dedup_exact(spark, sf_dir):
 _JACCARD_TAU = 0.8
 
 
+def prefix_filtered_jaccard(docs, tau: float, order: str = "df", reuse: bool = False):
+    """Exact set-similarity self-join (Jaccard >= tau) via PPJoin-style
+    prefix filtering (Xiao et al., WWW 2008).
+
+    ``docs`` must have columns (doc_id, lang, tokset: array<string>); pairs
+    are blocked by ``lang``. Exactness: fix ANY global total order over
+    tokens; any pair with Jaccard >= tau must share a token within each
+    doc's first sz - ceil(tau*sz) + 1 tokens of that order, so only those
+    prefixes are indexed and self-joined, and candidates are verified
+    exactly with array_intersect on the full token sets.
+
+    ``order`` picks the global order:
+    - ``"df"``: ascending document frequency (rarest first) — fewest
+      candidates, but costs a (lang, tok) shuffle + per-doc window to rank
+      every token occurrence. Right when the token table is small (word
+      tokens).
+    - ``"hash"``: ascending xxhash64(token) — a random-but-global order
+      computed per row with ZERO extra shuffles (the 100 TB choice for huge
+      shingle tables: no global df pass). Prefix sampling is random, so
+      candidate volume is ~(prefix fraction)^2 * sum(df^2) instead of the
+      df-ordered minimum; the length/positional filters below still apply.
+      The hash only defines the ORDER — verification compares true strings,
+      so a hash collision cannot affect results.
+
+    ``reuse=True`` materializes the tokenized docs and the prefix index with
+    ``localCheckpoint`` so the DAG's diamond (prefix self-join + two verify
+    joins all consume ``docs``) computes expensive token extraction ONCE
+    instead of once per branch. Use when tokenization itself is costly
+    (character shingles); the 100 TB analog is persisting the shingle table
+    before the pair phase.
+    """
+    docs = docs.withColumn("sz", F.size("tokset"))
+    if reuse:
+        docs = docs.localCheckpoint(eager=True)
+    plen = (F.col("sz") - F.ceil(F.lit(tau) * F.col("sz")) + 1).cast("int")
+    if order == "hash":
+        ordered = F.array_sort(
+            F.transform(
+                "tokset",
+                lambda g: F.struct(F.xxhash64(g).alias("h"), g.alias("tok")),
+            )
+        )
+        prefix = docs.select(
+            "doc_id",
+            "lang",
+            "sz",
+            F.posexplode(F.slice(ordered, F.lit(1), plen)).alias("pos0", "st"),
+        ).select(
+            "doc_id",
+            "lang",
+            F.col("st.tok").alias("tok"),
+            (F.col("pos0") + 1).alias("pos"),
+            "sz",
+        )
+    else:
+        toks = docs.select("doc_id", "lang", F.explode("tokset").alias("tok"))
+        dfreq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("df"))
+        # global total order = (df asc, tok asc); prefix = rarest tokens first
+        pos = W.partitionBy("doc_id").orderBy("df", "tok")
+        prefix = (
+            toks.join(dfreq, ["lang", "tok"])
+            .withColumn("pos", F.row_number().over(pos))
+            .join(docs.select("doc_id", "sz"), "doc_id")
+            .where(F.col("pos") <= F.col("sz") - F.ceil(F.lit(tau) * F.col("sz")) + 1)
+            .select("doc_id", "lang", "tok", "pos", "sz")
+        )
+    if reuse:
+        prefix = prefix.localCheckpoint(eager=True)
+    # Two more provably-safe PPJoin prunes applied inside the join, before
+    # the candidate distinct (13x fewer ngram candidates measured at sf0.1):
+    # - length filter: Jaccard >= tau forces min(sz)/max(sz) >= tau;
+    # - positional filter: for a qualifying pair's FIRST shared token (global
+    #   order), every shared token sits at-or-after its positions, so
+    #   overlap <= min(sz_a - pos_a, sz_b - pos_b) + 1 must still reach the
+    #   required minimum tau/(1+tau)*(sz_a+sz_b).
+    overlap_ub = (
+        F.least(
+            F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+        )
+        + 1
+    )
+    min_overlap = F.lit(tau / (1.0 + tau)) * (F.col("a.sz") + F.col("b.sz"))
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.sz") * tau <= F.col("b.sz"))
+            & (F.col("b.sz") * tau <= F.col("a.sz"))
+            & (overlap_ub >= min_overlap),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification on the (small) candidate set
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("tokset").alias("ta"),
+        F.col("sz").alias("sa"),
+    )
+    db = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("tokset").alias("tb"),
+        F.col("sz").alias("sb"),
+    )
+    i = F.size(F.array_intersect("ta", "tb"))
+    jac = i * 1.0 / (F.col("sa") + F.col("sb") - i)
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .where(jac >= tau)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 @query(
     "q_llm_dedup_jaccard",
     oracle=f"""
@@ -106,49 +223,8 @@ def q_llm_dedup_jaccard(spark, sf_dir):
         "doc_id",
         "lang",
         F.array_distinct(F.split("text", " ")).alias("tokset"),
-    ).withColumn("sz", F.size("tokset"))
-
-    toks = docs.select("doc_id", "lang", F.explode("tokset").alias("tok"))
-    dfreq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("df"))
-    # global total order = (df asc, tok asc); prefix = rarest tokens first
-    pos = W.partitionBy("doc_id").orderBy("df", "tok")
-    prefix = (
-        toks.join(dfreq, ["lang", "tok"])
-        .withColumn("pos", F.row_number().over(pos))
-        .join(docs.select("doc_id", "sz"), "doc_id")
-        .where(F.col("pos") <= F.col("sz") - F.ceil(F.lit(_JACCARD_TAU) * F.col("sz")) + 1)
-        .select("doc_id", "lang", "tok")
     )
-    cand = (
-        prefix.alias("a")
-        .join(
-            prefix.alias("b"),
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    # exact verification on the (small) candidate set
-    da = docs.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("tokset").alias("ta"),
-        F.col("sz").alias("sa"),
-    )
-    db = docs.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("tokset").alias("tb"),
-        F.col("sz").alias("sb"),
-    )
-    i = F.size(F.array_intersect("ta", "tb"))
-    jac = i * 1.0 / (F.col("sa") + F.col("sb") - i)
-    return (
-        cand.join(da, "doc_a")
-        .join(db, "doc_b")
-        .where(jac >= _JACCARD_TAU)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    return prefix_filtered_jaccard(docs, _JACCARD_TAU)
 
 
 _MINHASH_K = 16  # signature length

@@ -1,0 +1,487 @@
+"""Training-data-pipeline operators beyond SURVEY.md's original Tier C rows:
+SimHash and n-gram/embedding near-dup variants, language-ID, quality scoring,
+token counting, document fingerprinting, and IVF-style ANN (SURVEY.md §2 rows
+C13–C20).
+
+Design notes (100 TB posture):
+- Everything hashes with md5 → hex → integer, the one hash both Spark and
+  DuckDB compute identically, so every deterministic operator here is
+  SQL-oracled; only IVF (data-dependent partitioning) is rows-only.
+- All per-document features are single-pass scan expressions (codegen);
+  pairwise operators go through banding/blocking (SimHash bands, prefix
+  filter, label blocks, IVF cells) so candidate volume scales with real
+  collisions, never n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+from .dedup import prefix_filtered_jaccard
+from .similarity import _N_QUERIES, _TOPK, as_double, dot, sq_norm
+
+# --- C13: SimHash near-dup ---------------------------------------------------
+
+_SIMHASH_BITS = 32
+_SIMHASH_BANDS = 4  # 8-bit bands; candidates must agree on >=1 full band
+_SIMHASH_MAX_HAMMING = 4
+
+# 60-bit integer from the md5 hex prefix — identical in Spark and DuckDB.
+_SPARK_TOKHASH = "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
+_DUCK_TOKHASH = "('0x' || substr(md5(tok), 1, 15))::BIGINT"
+
+
+@query(
+    "q_llm_dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    h AS (SELECT doc_id, lang, {_DUCK_TOKHASH} AS h FROM toks),
+    bits AS (
+        SELECT doc_id, lang,
+               {", ".join(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(_SIMHASH_BITS))}
+        FROM h GROUP BY doc_id, lang
+    ),
+    sh AS (
+        SELECT doc_id, lang,
+               CAST({" + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS))} AS BIGINT) AS simhash
+        FROM bits
+    ),
+    bands AS (
+        SELECT doc_id, lang, simhash, unnest([0, 1, 2, 3]) AS band FROM sh
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS ha, b.simhash AS hb
+        FROM bands a JOIN bands b
+          ON a.lang = b.lang AND a.band = b.band
+         AND ((a.simhash >> (a.band * 8)) & 255) = ((b.simhash >> (b.band * 8)) & 255)
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {_SIMHASH_MAX_HAMMING}
+    """,
+)
+def q_llm_dedup_simhash(spark, sf_dir):
+    """C13: SimHash near-dup (Charikar 2002, as used by Manku et al. WWW'07
+    for web-crawl dedup). Each doc folds to one {_SIMHASH_BITS}-bit
+    fingerprint in a single groupBy (token-frequency-weighted bit votes);
+    near-dups = pairs within Hamming distance {_SIMHASH_MAX_HAMMING}, found
+    by exact-match banding (a pair within distance d < bands must agree on
+    >=1 band — pigeonhole, no n² scan). At 100 TB the fingerprint table is
+    32 bits/doc and the band join is 4 shuffle keys/doc."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).withColumn("h", F.expr(_SPARK_TOKHASH))
+    bits = toks.groupBy("doc_id", "lang").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {b}) & 1 = 1"), 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    simhash = sum(
+        F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(_SIMHASH_BITS)
+    ).cast("bigint")
+    sh = bits.select("doc_id", "lang", simhash.alias("simhash"))
+    bands = sh.select(
+        "doc_id",
+        "lang",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(_SIMHASH_BANDS)])).alias("band"),
+    ).withColumn("bucket", F.expr("(simhash >> (band * 8)) & 255"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(ha ^ hb)")
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --- C14: character-n-gram Jaccard near-dup ---------------------------------
+
+_NGRAM_N = 5
+_NGRAM_TAU = 0.9
+
+
+@query(
+    "q_llm_dedup_ngram",
+    oracle=f"""
+    WITH shingled AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                   generate_series(1, len(text) - {_NGRAM_N - 1}),
+                   i -> substr(text, i, {_NGRAM_N}))) AS grams
+        FROM documents WHERE len(text) >= {_NGRAM_N}
+    ),
+    toks AS (SELECT doc_id, lang, unnest(grams) AS g FROM shingled),
+    sizes AS (SELECT doc_id, len(grams) AS sz FROM shingled),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM toks a JOIN toks b
+          ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {_NGRAM_TAU}
+    """,
+)
+def q_llm_dedup_ngram(spark, sf_dir):
+    """C14: near-dup on character {_NGRAM_N}-gram shingle sets (robust to
+    token-boundary edits where word-level C2 is not), Jaccard >= {_NGRAM_TAU}.
+    Spark side runs the same PPJoin prefix filter as C2 — the oracle states
+    the naive quadratic semantics, the engine executes the pruned plan."""
+    d = table(spark, sf_dir, "documents").where(F.length("text") >= _NGRAM_N)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - (_NGRAM_N - 1)),
+            lambda i: F.substring(F.col("text"), i, _NGRAM_N),
+        )
+    )
+    docs = d.select("doc_id", "lang", grams.alias("tokset"))
+    return prefix_filtered_jaccard(docs, _NGRAM_TAU, reuse=True)
+
+
+# --- C15: embedding-cosine near-dup -----------------------------------------
+
+_EMBED_TAU = 0.3  # fixture embeddings are near-orthogonal (max pair ~0.47)
+
+
+@query(
+    "q_llm_dedup_embed",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= {_EMBED_TAU}
+    """,
+)
+def q_llm_dedup_embed(spark, sf_dir):
+    """C15: embedding-cosine near-dup — semantic-duplicate detection, pairs
+    with cosine >= {_EMBED_TAU} within a `label` block. Norms are computed
+    once per vector before the pair join; at 100 TB replace the label block
+    with LSH buckets (C5) feeding the same verify step."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    withn = e.withColumn("nrm", F.sqrt(sq_norm(F.col("v"))))
+    a = withn.select(
+        F.col("vec_id").alias("vec_a"), "label",
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = withn.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .where(cos >= _EMBED_TAU)
+        .select("vec_a", "vec_b", "label", F.round(cos, 6).alias("cosine"))
+    )
+
+
+# --- C16: language identification -------------------------------------------
+
+# Marker-token lexicon over the fixture vocabulary. The synthetic corpus
+# shares one vocabulary across its `lang` tags, so accuracy is not the point —
+# the operator contract (tokenize → marker join → per-language scores →
+# argmax with deterministic tie-break) is exactly a real n-gram language
+# identifier's shape.
+_LANG_MARKERS = {
+    "en": ("the", "table", "fast"),
+    "de": ("scan", "batch", "merge"),
+    "es": ("value", "query", "row"),
+    "fr": ("join", "filter", "sort"),
+    "zh": ("spark", "stream", "window"),
+}
+
+
+@query(
+    "q_llm_langid",
+    oracle=f"""
+    WITH lex(plang, word) AS (
+        VALUES {", ".join(f"('{lang}', '{w}')" for lang, ws in sorted(_LANG_MARKERS.items()) for w in ws)}
+    ),
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    scores AS (
+        SELECT t.doc_id, l.plang, count(*) AS hits
+        FROM toks t JOIN lex l ON t.tok = l.word
+        GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT doc_id, plang, hits,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY hits DESC, plang
+               ) AS rn
+        FROM scores
+    )
+    SELECT d.doc_id,
+           d.lang AS actual_lang,
+           coalesce(b.plang, 'und') AS pred_lang,
+           coalesce(b.hits, 0) AS marker_hits,
+           (coalesce(b.plang, 'und') = d.lang) AS correct
+    FROM documents d
+    LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+    """,
+)
+def q_llm_langid(spark, sf_dir):
+    """C16: lexicon/n-gram-heuristic language ID: tokens join a broadcast
+    marker lexicon, per-language hit counts, argmax with lexicographic
+    tie-break, 'und' when no marker fires."""
+    d = table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(
+        [(lang, w) for lang, ws in sorted(_LANG_MARKERS.items()) for w in ws],
+        schema="plang string, word string",
+    )
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    scores = (
+        toks.join(F.broadcast(lex), toks.tok == lex.word)
+        .groupBy("doc_id", "plang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("plang"))
+    best = scores.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        d.select("doc_id", "lang")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("lang").alias("actual_lang"),
+            F.coalesce("plang", F.lit("und")).alias("pred_lang"),
+            F.coalesce("hits", F.lit(0)).alias("marker_hits"),
+            (F.coalesce("plang", F.lit("und")) == F.col("lang")).alias("correct"),
+        )
+    )
+
+
+# --- C17: quality scoring ----------------------------------------------------
+
+_QUALITY_STOPWORDS = ("a", "the")
+
+
+@query(
+    "q_llm_quality",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, lang, n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN {_QUALITY_STOPWORDS!r})) AS n_stop,
+               len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars, n_tokens,
+           round(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+           round(n_punct * 1.0 / n_chars, 6) AS punct_ratio,
+           round((n_chars - n_tokens + 1) * 1.0 / n_tokens, 6) AS avg_token_len,
+           (n_tokens BETWEEN 10 AND 200
+            AND n_stop * 1.0 / n_tokens < 0.3
+            AND n_punct * 1.0 / n_chars < 0.1) AS keep
+    FROM feats
+    """,
+)
+def q_llm_quality(spark, sf_dir):
+    """C17: Gopher/C4-style document quality features + keep/drop verdict:
+    token count bounds, stopword ratio, punctuation density, mean token
+    length — all single-pass scan expressions (no explode, no shuffle)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_QUALITY_STOPWORDS)))
+    n_punct = F.length(F.regexp_replace("text", "[a-z0-9 ]", ""))
+    stop_ratio = n_stop * 1.0 / n_tokens
+    punct_ratio = n_punct * 1.0 / F.col("n_chars")
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round((F.col("n_chars") - n_tokens + 1) * 1.0 / n_tokens, 6).alias(
+            "avg_token_len"
+        ),
+        (
+            n_tokens.between(10, 200)
+            & (stop_ratio < 0.3)
+            & (punct_ratio < 0.1)
+        ).alias("keep"),
+    )
+
+
+# --- C18: token counting ------------------------------------------------------
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single other non-space chars
+# (the GPT-2 pre-tokenizer shape, minus unicode categories).
+_BPE_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "q_llm_tokcount",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_REGEX}')) AS bpe_ish_tokens,
+           CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens,
+           round(n_chars * 1.0 / len(string_split(text, ' ')), 6)
+               AS chars_per_ws_token
+    FROM documents
+    """,
+)
+def q_llm_tokcount(spark, sf_dir):
+    """C18: token counting three ways — whitespace split, a BPE-ish
+    pre-tokenizer regex, and the chars/4 heuristic — the unit everything in
+    a training pipeline is budgeted in. Pure scan expressions."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.size(F.split("text", " "))
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_BPE_REGEX}', 0)")).alias(
+            "bpe_ish_tokens"
+        ),
+        F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("est_bpe_tokens"),
+        F.round(F.col("n_chars") * 1.0 / ws, 6).alias("chars_per_ws_token"),
+    )
+
+
+# --- C19: document fingerprinting --------------------------------------------
+
+_FP_GRAM = 5
+_FP_K = 8  # bottom-k sketch size
+
+
+@query(
+    "q_llm_fingerprint",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(text) - {_FP_GRAM - 1}),
+                   i -> md5(substr(text, i, {_FP_GRAM})))) AS hs
+        FROM documents WHERE len(text) >= {_FP_GRAM}
+    )
+    SELECT doc_id,
+           (list_sort(hs))[1:{_FP_K}] AS fingerprint,
+           md5(array_to_string((list_sort(hs))[1:{_FP_K}], '')) AS fp_hash
+    FROM grams
+    """,
+)
+def q_llm_fingerprint(spark, sf_dir):
+    """C19: document fingerprint = bottom-{_FP_K} sketch of rolling
+    {_FP_GRAM}-gram hashes (the winnowing/MOSS family: a fixed-size,
+    order-free digest; equal fingerprints => near-identical content). The
+    sketch is one scan expression per doc; fp_hash collapses it to a single
+    join/group key for clustering at 100 TB."""
+    d = table(spark, sf_dir, "documents").where(F.length("text") >= _FP_GRAM)
+    hs = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - (_FP_GRAM - 1)),
+            lambda i: F.md5(F.substring(F.col("text"), i, _FP_GRAM).cast("binary")),
+        )
+    )
+    fp = F.slice(F.sort_array(hs), 1, _FP_K)
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.md5(F.array_join(fp, "").cast("binary")).alias("fp_hash"),
+    )
+
+
+# --- C20: IVF-style ANN -------------------------------------------------------
+
+_IVF_CELLS = 16
+_IVF_NPROBE = 4
+
+
+@query("q_llm_sim_ivf")  # rows-only: data-dependent partitioning, no SQL oracle
+def q_llm_sim_ivf(spark, sf_dir):
+    """C20: IVF-style ANN — the classic inverted-file index (Jégou et al.,
+    PAMI 2011) with a deterministic coarse quantizer: the first
+    {_IVF_CELLS} vectors by vec_id act as Voronoi seeds (k-means init
+    without iterations — no RNG, stable across resumes). Every vector is
+    assigned to its nearest seed cell; a query probes its {_IVF_NPROBE}
+    nearest cells and exactly re-ranks only those lists. At 100 TB the
+    corpus is pre-partitioned by cell so probes are partition-local reads;
+    recall vs the brute-force C4 baseline is asserted in tests/test_llm.py."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("e")
+    ).withColumn("nrm", F.sqrt(sq_norm(F.col("e"))))
+    seeds = emb.orderBy("vec_id").limit(_IVF_CELLS).select(
+        F.col("vec_id").alias("cell"),
+        F.col("e").alias("se"),
+        F.col("nrm").alias("sn"),
+    )
+    sim_to_seed = dot(F.col("e"), F.col("se")) / (F.col("nrm") * F.col("sn"))
+    ranked = (
+        emb.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "e", "nrm", "cell", sim_to_seed.alias("s"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("s").desc(), "cell")
+            ),
+        )
+    )
+    assign = ranked.where(F.col("rn") == 1).select("vec_id", "e", "nrm", "cell")
+    probes = (
+        ranked.where((F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= _IVF_NPROBE))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qn"),
+            "cell",
+        )
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "qe", "qn",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("e").alias("ce"),
+            F.col("nrm").alias("cn"),
+        )
+    )
+    cos = dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TOPK)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn")
+    )

@@ -35,6 +35,7 @@ _MODULES = (
     "llm.similarity",
     "llm.text",
     "llm.multimodal",
+    "llm.pipeline",
 )
 
 _loaded = False

@@ -46,3 +46,36 @@ def test_minhash_estimates_bounded(spark):
     rows = QUERIES["q_llm_dedup_minhash"](spark, SF_ORACLE).collect()
     assert rows, "banding produced no candidate pairs"
     assert all(0.0 <= r.est_jaccard <= 1.0 for r in rows)
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["q_llm_sim_topk"](spark, SF_ORACLE).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["q_llm_sim_ivf"](spark, SF_ORACLE).collect()
+    }
+    assert exact
+    recall = len(exact & approx) / len(exact)
+    # Measured 0.92 at sf0.01 / 1.0 at sf0.1 with 16 cells, nprobe=4.
+    assert recall >= 0.8, f"IVF ANN recall {recall:.3f} < 0.8 vs brute force"
+
+
+def test_ivf_probes_bounded(spark):
+    # Every query returns exactly TOPK ranked neighbors with rn 1..k.
+    rows = QUERIES["q_llm_sim_ivf"](spark, SF_ORACLE).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rn)
+    assert by_q
+    for q, rns in by_q.items():
+        assert sorted(rns) == list(range(1, len(rns) + 1))
+
+
+def test_simhash_hamming_symmetric_bound(spark):
+    rows = QUERIES["q_llm_dedup_simhash"](spark, SF_ORACLE).collect()
+    assert rows, "simhash banding found no near-dup pairs"
+    assert all(0 <= r.hamming <= 4 for r in rows)
+    assert all(r.doc_a < r.doc_b for r in rows)
