@@ -71,6 +71,65 @@ def decode_media(records: DataFrame) -> DataFrame:
     return records.mapInPandas(extract, schema=out_ddl)
 
 
+def resize_images(records: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Image-resize stage: payload → resized payload + dimension metadata,
+    as an Arrow-batched mapInPandas. No image codec ships in this container,
+    so the pixel work is a clearly-marked deterministic stand-in (payload
+    truncated/padded to width*height bytes — a fake "thumbnail" with the
+    right buffer size); with PIL installed, ONLY the body of `resize_one`
+    changes. Partition-local: no shuffle at any scale."""
+    out_ddl = (
+        "doc_id BIGINT, payload BINARY, media_type STRING, "
+        "out_w INT, out_h INT, n_bytes BIGINT"
+    )
+    n_out = width * height
+
+    def resize_one(b: bytes) -> bytes:
+        # STUB: real impl = PIL.Image.open(BytesIO(b)).resize((w, h)).
+        return bytes(b[:n_out]).ljust(n_out, b"\x00")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(lambda b: resize_one(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "media_type": pdf["media_type"],
+                    "out_w": width,
+                    "out_h": height,
+                    "n_bytes": resized.map(len).astype("int64"),
+                }
+            )
+
+    return records.mapInPandas(run, schema=out_ddl)
+
+
+def sample_frames(records: DataFrame, every_n_bytes: int = 32, max_frames: int = 4) -> DataFrame:
+    """Video frame-sampling stage: one input row → up to ``max_frames``
+    frame rows (row-expanding mapInPandas, the shape a real decoder needs).
+    STUB decode: a "frame" is an ``every_n_bytes`` slice of the payload —
+    deterministic; a real impl swaps in av/ffmpeg frame extraction with the
+    same (doc_id, frame_idx, frame_payload) output contract."""
+    out_ddl = "doc_id BIGINT, frame_idx INT, frame_payload BINARY, media_type STRING"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_payload": [], "media_type": []}
+            for _, r in pdf.iterrows():
+                blob = bytes(r["payload"])
+                for idx in range(min(max_frames, max(1, len(blob) // every_n_bytes))):
+                    rows["doc_id"].append(r["doc_id"])
+                    rows["frame_idx"].append(idx)
+                    rows["frame_payload"].append(
+                        blob[idx * every_n_bytes : (idx + 1) * every_n_bytes]
+                    )
+                    rows["media_type"].append(r["media_type"])
+            yield pd.DataFrame(rows)
+
+    return records.mapInPandas(run, schema=out_ddl)
+
+
 @query(
     "q_llm_multimodal",
     oracle="""

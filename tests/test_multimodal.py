@@ -5,7 +5,12 @@ deterministic — codecs are stubbed (none installed here), plumbing is real.
 
 from __future__ import annotations
 
-from spark_kinesis_sql_asl_spark.llm.multimodal import bundle, decode_media
+from spark_kinesis_sql_asl_spark.llm.multimodal import (
+    bundle,
+    decode_media,
+    resize_images,
+    sample_frames,
+)
 
 from .conftest import SF_ORACLE
 
@@ -36,3 +41,30 @@ def test_decode_media_partitioning_preserved(spark):
     b = bundle(spark, SF_ORACLE).repartition(4)
     out = decode_media(b)
     assert out.rdd.getNumPartitions() == 4
+
+
+def test_resize_images_buffer_contract(spark):
+    b = bundle(spark, SF_ORACLE)
+    out = resize_images(b, width=16, height=8)
+    rows = out.collect()
+    assert len(rows) == b.count()
+    assert all(r.n_bytes == 16 * 8 for r in rows)
+    assert all(len(r.payload) == 16 * 8 for r in rows)
+    assert all(r.out_w == 16 and r.out_h == 8 for r in rows)
+
+
+def test_sample_frames_expands_rows_deterministically(spark):
+    b = bundle(spark, SF_ORACLE)
+    out = sample_frames(b, every_n_bytes=32, max_frames=3)
+    per_doc = {}
+    for r in out.collect():
+        per_doc.setdefault(r.doc_id, []).append(r)
+    src = {r.doc_id: bytes(r.payload) for r in b.select("doc_id", "payload").collect()}
+    assert set(per_doc) == set(src)
+    for doc_id, frames in list(per_doc.items())[:50]:
+        blob = src[doc_id]
+        expect = min(3, max(1, len(blob) // 32))
+        assert sorted(f.frame_idx for f in frames) == list(range(expect))
+        for f in frames:
+            lo = f.frame_idx * 32
+            assert bytes(f.frame_payload) == blob[lo : lo + 32]
