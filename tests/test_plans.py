@@ -1,0 +1,96 @@
+"""Plan-shape regression guards (SURVEY.md §4): the engine's 100 TB posture
+is Catalyst picking the right built-in plan. These tests pin the properties
+a scale review reads off ``explain("formatted")`` — losing any of them is a
+silent scale regression even while results stay correct.
+"""
+
+from __future__ import annotations
+
+
+from spark_kinesis_sql_asl_spark.plans.inspect import (
+    count_nodes,
+    formatted_plan,
+    pushed_filters,
+    read_schemas,
+)
+from spark_kinesis_sql_asl_spark.registry import all_queries
+
+from .conftest import SF_ORACLE
+
+QUERIES = all_queries()
+
+
+def test_pruned_scan_reads_only_projected_columns(spark):
+    schemas = read_schemas(QUERIES["q_scan_pruned"](spark, SF_ORACLE))
+    assert schemas == ["struct<l_orderkey:bigint,l_quantity:double>"]
+
+
+def test_pushdown_scan_pushes_predicate_to_parquet(spark):
+    pushed = pushed_filters(QUERIES["q_scan_pushdown"](spark, SF_ORACLE))
+    assert any("l_shipdate" in p and "LessThan" in p for p in pushed)
+
+
+def test_flagship_join_all_dims_broadcast_single_shuffle(spark):
+    df = QUERIES["q_join_multiway"](spark, SF_ORACLE)
+    # 4 dim joins all broadcast; the only shuffle is the final aggregation.
+    assert count_nodes(df, "BroadcastHashJoin") == 4
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "Exchange") == 1
+    # fact scan is pruned to the 3 columns the query needs
+    fact = [s for s in read_schemas(df) if "l_extendedprice" in s]
+    assert fact and "l_comment" not in fact[0]
+
+
+def test_flagship_filters_reach_scans(spark):
+    pushed = pushed_filters(QUERIES["q_join_multiway"](spark, SF_ORACLE))
+    assert any("o_orderdate" in p for p in pushed)
+    assert any("c_mktsegment" in p for p in pushed)
+
+
+def test_broadcast_hint_produces_broadcast_join(spark):
+    df = QUERIES["q_join_broadcast"](spark, SF_ORACLE)
+    assert count_nodes(df, "BroadcastHashJoin") >= 1
+    assert count_nodes(df, "SortMergeJoin") == 0
+
+
+def test_agg_group_is_two_phase(spark):
+    plan = formatted_plan(QUERIES["q_agg_group"](spark, SF_ORACLE))
+    # partial (map-side) + final HashAggregate around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = formatted_plan(QUERIES["q_topk"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_broadcasts_small_sides(spark):
+    # df (term dim) and N (1-row scalar) must broadcast, never shuffle the
+    # big tf frame twice.
+    df = QUERIES["q_llm_tfidf"](spark, SF_ORACLE)
+    assert count_nodes(df, "BroadcastHashJoin") >= 1
+    assert count_nodes(df, "BroadcastNestedLoopJoin") >= 1
+
+
+def test_whole_stage_codegen_covers_scan_pipeline(spark):
+    plan = QUERIES["q_project_arith"](spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark operators fused into a whole-stage-codegen stage.
+    assert "*(1) Project" in plan
+
+
+def test_exact_dedup_shuffles_hash_not_text(spark):
+    # C1's shuffle carries (text_hash, doc_id) — the Exchange must not
+    # include the text column.
+    df = QUERIES["q_llm_dedup_exact"](spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    ex = plan.split("Exchange")[1].split("\n")[0] if "Exchange" in plan else ""
+    assert "text#" not in ex
+
+
+def test_events_scan_prunes_props_when_unused(spark):
+    from spark_kinesis_sql_asl_spark.tables import table
+
+    df = table(spark, SF_ORACLE, "events").select("event_id", "user_id")
+    schemas = read_schemas(df)
+    assert schemas and all("props" not in s for s in schemas)
