@@ -174,12 +174,26 @@ def prefix_filtered_jaccard(docs, tau: float, order: str = "df", reuse: bool = F
         F.col("tokset").alias("tb"),
         F.col("sz").alias("sb"),
     )
-    i = F.size(F.array_intersect("ta", "tb"))
-    jac = i * 1.0 / (F.col("sa") + F.col("sb") - i)
-    return (
+    scored = (
         cand.join(da, "doc_a")
         .join(db, "doc_b")
-        .where(jac >= tau)
+        .select(
+            "doc_a",
+            "doc_b",
+            "sa",
+            "sb",
+            F.size(F.array_intersect("ta", "tb")).alias("i"),
+        )
+    )
+    if reuse:
+        # array_intersect is the dominant verify cost; without a barrier the
+        # optimizer collapses projections and re-evaluates it in both the
+        # filter and the output expression (2x measured). Materializing the
+        # scored pairs (small: ids + 3 ints) forces single evaluation.
+        scored = scored.localCheckpoint(eager=True)
+    jac = F.col("i") * 1.0 / (F.col("sa") + F.col("sb") - F.col("i"))
+    return (
+        scored.where(jac >= tau)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -224,7 +238,7 @@ def q_llm_dedup_jaccard(spark, sf_dir):
         "lang",
         F.array_distinct(F.split("text", " ")).alias("tokset"),
     )
-    return prefix_filtered_jaccard(docs, _JACCARD_TAU)
+    return prefix_filtered_jaccard(docs, _JACCARD_TAU, reuse=True)
 
 
 _MINHASH_K = 16  # signature length
