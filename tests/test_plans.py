@@ -6,6 +6,7 @@ silent scale regression even while results stay correct.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
 
 from spark_kinesis_sql_asl_spark.plans.inspect import (
     count_nodes,
@@ -94,3 +95,33 @@ def test_events_scan_prunes_props_when_unused(spark):
     df = table(spark, SF_ORACLE, "events").select("event_id", "user_id")
     schemas = read_schemas(df)
     assert schemas and all("props" not in s for s in schemas)
+
+
+def test_partitioned_layout_static_and_dynamic_pruning(spark, tmp_path):
+    """DESIGN-100TB.md §1: with facts date-partitioned, date predicates become
+    partition pruning and date joins qualify for dynamic partition pruning —
+    this pins both behaviors on a real partitioned copy of orders."""
+    from spark_kinesis_sql_asl_spark.tables import table
+
+    root = str(tmp_path / "orders_by_year")
+    orders = table(spark, SF_ORACLE, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    orders.write.partitionBy("o_year").mode("overwrite").parquet(root)
+    part = spark.read.parquet(root)
+
+    # static pruning: the filter must land in PartitionFilters, not as a
+    # row-group data filter
+    pruned = part.where(F.col("o_year") == 1996).select("o_orderkey")
+    plan = formatted_plan(pruned)
+    pf_line = plan.split("PartitionFilters", 1)[1].split("\n")[0]
+    assert "= 1996)" in pf_line  # attribute ids vary: (o_year#N = 1996)
+
+    # dynamic pruning: joining on the partition column against a filtered
+    # tiny dim inserts a dynamicpruning subquery on the partition filter
+    years = (
+        part.select("o_year").distinct().where(F.col("o_year") >= 1997)
+    )
+    joined = part.join(years, "o_year").select("o_orderkey", "o_year")
+    dplan = formatted_plan(joined)
+    assert "dynamicpruning" in dplan.lower()
