@@ -94,7 +94,11 @@ def q_udaf_grouped(spark, sf_dir):
     """B73 grouped-map UDAF via applyInPandas — each group arrives as one
     Arrow batch. Scale note: a group must fit in executor memory; group key
     cardinality 3 here, fine — for high-skew keys pre-aggregate instead."""
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem").select(
+        # project BEFORE the grouped exchange: only the 3 referenced columns
+        # cross the shuffle and the Arrow boundary (16-col frame otherwise)
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
     return li.groupBy("l_returnflag").applyInPandas(
         _weighted_mean,
         schema="l_returnflag string, wavg_price double, n_rows bigint",
