@@ -267,7 +267,7 @@ def q_llm_dedup_minhash(spark, sf_dir):
             F.min(F.xxhash64("tok", F.lit(i))).alias(f"h{i}")
             for i in range(_MINHASH_K)
         ]
-    )
+    ).localCheckpoint(eager=True)  # consumed 3x: bands + both estimate joins
     rows_per_band = _MINHASH_K // _MINHASH_BANDS
     bands = sigs.select(
         "doc_id",

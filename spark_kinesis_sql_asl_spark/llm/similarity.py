@@ -134,7 +134,9 @@ def q_llm_sim_lsh(spark, sf_dir):
     )
     buckets = withn.select(
         "vec_id", "e", "nrm", F.explode("bands").alias("bb")
-    ).select("vec_id", "e", "nrm", "bb.band", "bb.bucket")
+    ).select("vec_id", "e", "nrm", "bb.band", "bb.bucket").localCheckpoint(
+        eager=True  # consumed by both the query side and the candidate side
+    )
     q = buckets.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
