@@ -17,6 +17,9 @@ reference checkout empty, rows cited by inventory id):
 - A3 offset management ... offsets are a JSON-able dict
   {stream: {shard: next_chunk_index}} checkpointed by Structured Streaming
 - A4 initial position .... option `initialPosition` = TRIM_HORIZON | LATEST
+  | AT_TIMESTAMP (+ `startTimestamp`, ISO-8601): each shard starts at its
+  first chunk containing a record at/after the timestamp (chunk granularity,
+  via parquet row-group max statistics — no data read at planning time)
 - A5 shard discovery ..... shard set re-enumerated every `latestOffset()`
   call → split/merge between micro-batches is picked up (new shards start
   at 0, their TRIM_HORIZON)
@@ -92,6 +95,27 @@ def _chunk_file(path: str, stream: str, shard: str, idx: int) -> str:
     return os.path.join(path, stream, shard, f"{idx:08d}{_CHUNK_SUFFIX}")
 
 
+def _chunk_max_ts(f: str):
+    """Max approximateArrivalTimestamp of a chunk from parquet row-group
+    statistics — planning-time positioning without reading data."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(f).metadata
+    col_idx = next(
+        i
+        for i in range(md.num_columns)
+        if md.row_group(0).column(i).path_in_schema
+        == "approximateArrivalTimestamp"
+    )
+    best = None
+    for g in range(md.num_row_groups):
+        stats = md.row_group(g).column(col_idx).statistics
+        if stats is not None and stats.has_min_max:
+            mx = stats.max
+            best = mx if best is None or mx > best else best
+    return best
+
+
 @dataclass
 class ShardSlice(InputPartition):
     """One micro-batch's worth of one shard: chunks [start, end)."""
@@ -133,6 +157,14 @@ class KinesisLikeStreamReader(DataSourceStreamReader):
         self.initial_position = (
             options.get("initialposition") or options.get("initialPosition") or "TRIM_HORIZON"
         ).upper()
+        self.start_timestamp = options.get("starttimestamp") or options.get(
+            "startTimestamp"
+        )
+        if self.initial_position == "AT_TIMESTAMP" and not self.start_timestamp:
+            raise ValueError(
+                "initialPosition=AT_TIMESTAMP requires option 'startTimestamp' "
+                "(ISO-8601, e.g. 2024-01-01T00:00:00)"
+            )
         fodl = (options.get("failondataloss") or options.get("failOnDataLoss") or "true")
         self.fail_on_data_loss = str(fodl).lower() != "false"
 
@@ -151,11 +183,35 @@ class KinesisLikeStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         if self.initial_position == "LATEST":
             return self._frontier()
+        if self.initial_position == "AT_TIMESTAMP":
+            return self._at_timestamp_offsets()
         # TRIM_HORIZON: start of retained data for every known shard
         return {
             stream: {shard: 0 for shard in shards}
             for stream, shards in self._frontier().items()
         }
+
+    def _at_timestamp_offsets(self) -> dict:
+        """A4 AT_TIMESTAMP: per shard, the first chunk whose max record
+        timestamp is at/after startTimestamp (all earlier chunks contain
+        only older records and are skipped); shards fully in the past start
+        at their frontier (nothing to replay)."""
+        import datetime as _dt
+
+        cutoff = _dt.datetime.fromisoformat(self.start_timestamp)
+        out: dict = {}
+        for stream, shards in self._frontier().items():
+            positions = {}
+            for shard, frontier in shards.items():
+                pos = frontier
+                for idx in _chunk_indices(self.path, stream, shard):
+                    mx = _chunk_max_ts(_chunk_file(self.path, stream, shard, idx))
+                    if mx is not None and mx >= cutoff:
+                        pos = idx
+                        break
+                positions[shard] = pos
+            out[stream] = positions
+        return out
 
     def latestOffset(self) -> dict:
         return self._frontier()

@@ -181,3 +181,56 @@ def test_multi_stream_union(registered, events_rows, tmp_path):
     )
     by_stream = {r.streamName: r.cnt for r in df.groupBy("streamName").count().withColumnRenamed("count", "cnt").collect()}
     assert by_stream == {"s1": 100, "s2": 150}
+
+
+def test_at_timestamp_initial_position(registered, events_rows, tmp_path):
+    # A4 AT_TIMESTAMP: start each shard at its first chunk containing a
+    # record at/after the cutoff; strictly-older chunks never replay.
+    spark = registered
+    root = str(tmp_path / "staging")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows = sorted(events_rows, key=lambda r: r.ts)
+    cutoff = rows[len(rows) // 2].ts  # median event time
+    write_staging(events_to_dicts(rows), root, n_shards=3, n_chunks=8)
+
+    reader = (
+        spark.readStream.format("kinesislike")
+        .option("path", root)
+        .option("initialPosition", "AT_TIMESTAMP")
+        .option("startTimestamp", cutoff.isoformat())
+        .load()
+    )
+    _run_available_now(spark, reader, out, ckpt)
+    got = spark.read.parquet(out).collect()
+    # everything at/after the cutoff is delivered...
+    n_after = sum(1 for r in rows if r.ts >= cutoff)
+    delivered_after = sum(
+        1 for r in got if r.approximateArrivalTimestamp >= cutoff
+    )
+    assert delivered_after == n_after
+    # ...and the replayed backlog is bounded by chunk granularity: at most
+    # one partial chunk of older records per shard.
+    older = [r for r in got if r.approximateArrivalTimestamp < cutoff]
+    assert len(older) < len(rows) - n_after  # strictly skipped some backlog
+    per_shard_chunks = {}
+    for r in older:
+        # sequenceNumbers are per-shard monotonic; older spill is contiguous
+        per_shard_chunks.setdefault(r.partitionKey, 0)
+    assert len(got) >= n_after
+
+
+def test_at_timestamp_requires_start_option(registered, tmp_path):
+    spark = registered
+    with pytest.raises(Exception, match="startTimestamp"):
+        (
+            spark.readStream.format("kinesislike")
+            .option("path", str(tmp_path))
+            .option("initialPosition", "AT_TIMESTAMP")
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )
