@@ -34,9 +34,9 @@ _SPARK_TOKHASH = "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
 _DUCK_TOKHASH = "('0x' || substr(md5(tok), 1, 15))::BIGINT"
 
 
-@query(
-    "q_llm_dedup_simhash",
-    oracle=f"""
+# The SimHash pair pipeline as composable oracle SQL (CTE body) — reused by
+# the clustering oracle below.
+_SIMHASH_PAIRS_SQL = f"""
     WITH toks AS (
         SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
     ),
@@ -65,8 +65,10 @@ _DUCK_TOKHASH = "('0x' || substr(md5(tok), 1, 15))::BIGINT"
     SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
     FROM cand
     WHERE bit_count(xor(ha, hb)) <= {_SIMHASH_MAX_HAMMING}
-    """,
-)
+"""
+
+
+@query("q_llm_dedup_simhash", oracle=_SIMHASH_PAIRS_SQL)
 def q_llm_dedup_simhash(spark, sf_dir):
     """C13: SimHash near-dup (Charikar 2002, as used by Manku et al. WWW'07
     for web-crawl dedup). Each doc folds to one {_SIMHASH_BITS}-bit
@@ -484,4 +486,74 @@ def q_llm_sim_ivf(spark, sf_dir):
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _TOPK)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn")
+    )
+
+
+# --- C21: duplicate-cluster resolution ---------------------------------------
+
+_CC_MAX_ITERS = 20
+
+
+@query(
+    "q_llm_dedup_cluster",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_SIMHASH_PAIRS_SQL}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    cc(doc_id, root) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, c.root FROM cc c JOIN edges e ON e.a = c.doc_id
+        WHERE c.root < e.b
+    ),
+    labeled AS (SELECT doc_id, min(root) AS cluster_id FROM cc GROUP BY doc_id)
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM labeled
+    """,
+)
+def q_llm_dedup_cluster(spark, sf_dir):
+    """C21: collapse pairwise near-dups (C13 SimHash pairs) into duplicate
+    CLUSTERS — connected components by iterative min-label propagation
+    (the Spark-native form of the large/small-star CC algorithm: each
+    iteration is one edge join + one min-groupBy, lineage truncated per
+    round with localCheckpoint so the plan stays flat). Converges in
+    O(component diameter) rounds — near-dup clusters are clique-like, so
+    2-3 in practice. cluster_id = min doc_id of the component (the
+    canonical survivor a dedup pipeline keeps)."""
+    pairs = q_llm_dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_CC_MAX_ITERS):
+        neighbor_labels = (
+            edges.join(labels, edges.doc_a == labels.doc_id)
+            .select(F.col("doc_b").alias("doc_id"), "cluster_id")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.join(
+            labels, ["doc_id", "cluster_id"], "left_anti"
+        ).count()
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")
     )

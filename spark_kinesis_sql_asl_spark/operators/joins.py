@@ -308,3 +308,45 @@ def q_join_interval(spark, sf_dir):
     return o.join(F.broadcast(periods), cond).select(
         "o_orderkey", "o_orderdate", "period_name"
     )
+
+
+_SALT_BUCKETS = 8
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_salted(spark, sf_dir):
+    """Skew-mitigated equi-join (the salting pattern, DESIGN-100TB.md §2):
+    results are identical to the plain join the oracle states, but a hot
+    user_id can no longer pin one reducer — the probe side spreads each key
+    across 8 salt buckets (deterministic per-row salt) and the build side
+    replicates once per salt, so the shuffle key is (key, salt). At fixture
+    scale AQE handles skew on its own; this operator pins the explicit
+    pattern for key distributions AQE can't split (single monster key)."""
+    e = table(spark, sf_dir, "events").select("user_id", "value")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    probe = e.withColumn(
+        "salt", F.pmod(F.xxhash64("user_id", "value"), F.lit(_SALT_BUCKETS))
+    )
+    build = c.withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(_SALT_BUCKETS)]))
+    )
+    return (
+        probe.join(
+            build,
+            (probe.user_id == build.c_custkey) & (probe.salt == build.salt),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
