@@ -557,3 +557,129 @@ def q_llm_dedup_cluster(spark, sf_dir):
     return labels.select(
         "doc_id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")
     )
+
+
+# --- C22: PII scrubbing -------------------------------------------------------
+
+# The fixture corpus carries no PII, so (like C1's duplicate injection) every
+# 7th doc gets a deterministic synthetic contact line before scrubbing —
+# the operator under test is the scrub, the injection just gives it work.
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "q_llm_pii_scrub",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' contact user' || doc_id ||
+                         '@example.com or 555-010-' ||
+                         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE text END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+           regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+    FROM corpus
+    """,
+)
+def q_llm_pii_scrub(spark, sf_dir):
+    """C22: PII detection + redaction (emails, phone numbers) — the standard
+    pre-training scrub pass. Pure regexp scan expressions, one pass, no
+    shuffle; patterns kept to the RE2/Java-regex common subset so the
+    DuckDB oracle computes byte-identical redactions."""
+    d = table(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    corpus = d.select("doc_id", injected.alias("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return corpus.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{_EMAIL_RE}', 0)")).alias(
+            "n_emails"
+        ),
+        F.size(F.expr(f"regexp_extract_all(text, '{_PHONE_RE}', 0)")).alias(
+            "n_phones"
+        ),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+# --- C23: benchmark decontamination ------------------------------------------
+
+_DECON_GRAM = 3  # word n-gram overlap unit (GPT-3 used 13-grams; fixture
+_DECON_BENCH_DOCS = 5  # docs are ~10-100 words of shuffled vocab, so 3 keeps hits meaningful)
+
+
+@query(
+    "q_llm_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(t) - {_DECON_GRAM - 1}),
+                   i -> array_to_string(t[i:i+{_DECON_GRAM - 1}], ' ')))) AS g
+        FROM toks WHERE len(t) >= {_DECON_GRAM}
+    ),
+    bench AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id < {_DECON_BENCH_DOCS}
+    )
+    SELECT c.doc_id,
+           count(DISTINCT c.g) AS n_contaminated_grams
+    FROM grams c JOIN bench b ON c.g = b.g
+    WHERE c.doc_id >= {_DECON_BENCH_DOCS}
+    GROUP BY c.doc_id
+    """,
+)
+def q_llm_decontaminate(spark, sf_dir):
+    """C23: benchmark decontamination (the GPT-3 appendix-C method): flag
+    training docs sharing any word {_DECON_GRAM}-gram with a held-out
+    benchmark set (docs 0..{_DECON_BENCH_DOCS - 1} stand in for it). The
+    benchmark gram set is tiny → broadcast join against the corpus gram
+    stream; at 100 TB the corpus side stays partition-local and the flagged
+    ids feed an anti-join to drop contaminated docs."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    grams = (
+        toks.where(F.size("t") >= _DECON_GRAM)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - (_DECON_GRAM - 1)),
+                        lambda i: F.array_join(
+                            F.slice("t", i, _DECON_GRAM), " "
+                        ),
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    bench = (
+        grams.where(F.col("doc_id") < _DECON_BENCH_DOCS).select("g").distinct()
+    )
+    return (
+        grams.where(F.col("doc_id") >= _DECON_BENCH_DOCS)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_contaminated_grams"))
+    )
