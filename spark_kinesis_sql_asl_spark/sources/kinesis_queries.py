@@ -66,3 +66,47 @@ def q_kinesis_decode_json(spark, sf_dir):
         "first_arrival",
         "last_arrival",
     )
+
+
+@query(
+    "q_kinesis_decode_csv",
+    oracle="""
+    SELECT event_id,
+           event_type,
+           round(value, 6) AS value,
+           CAST(user_id AS VARCHAR) AS partition_key
+    FROM events
+    """,
+)
+def q_kinesis_decode_csv(spark, sf_dir):
+    """A7 (CSV variant): schema-on-read decode of a CSV payload with
+    `from_csv` — the other decode path the connector family's README shows.
+    The envelope is produced with a CSV payload in-query (the fixture's
+    stream analog carries JSON), then decoded back to typed columns; the
+    oracle states the identity straight from events."""
+    ev = table(spark, sf_dir, "events")
+    records = ev.select(
+        F.encode(
+            F.concat_ws(
+                ",",
+                F.col("event_id").cast("string"),
+                F.col("event_type"),
+                F.col("value").cast("string"),
+            ),
+            "UTF-8",
+        ).alias("data"),
+        F.col("user_id").cast("string").alias("partitionKey"),
+    )
+    decoded = records.select(
+        F.from_csv(
+            F.col("data").cast("string"),
+            "event_id BIGINT, event_type STRING, value DOUBLE",
+        ).alias("p"),
+        "partitionKey",
+    )
+    return decoded.select(
+        F.col("p.event_id").alias("event_id"),
+        F.col("p.event_type").alias("event_type"),
+        F.round("p.value", 6).alias("value"),
+        F.col("partitionKey").alias("partition_key"),
+    )

@@ -554,3 +554,34 @@ def test_boto3_sink_import_guard():
     except ImportError:
         with pytest.raises(ImportError, match="boto3"):
             kinesis_put_records_writer("stream")
+
+
+# --- B4: CSV / JSON sinks roundtrip ---------------------------------------
+
+
+def test_csv_and_json_sink_roundtrip(spark, tmp_path):
+    # B4: the non-parquet batch sinks preserve values through a write+read.
+    src = (
+        table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .limit(500)
+    )
+    expect = sorted(tuple(r) for r in src.collect())
+
+    csv_dir = str(tmp_path / "csv")
+    src.write.mode("overwrite").option("header", "true").csv(csv_dir)
+    got_csv = sorted(
+        tuple(r)
+        for r in spark.read.option("header", "true")
+        .schema(src.schema)
+        .csv(csv_dir)
+        .collect()
+    )
+    assert got_csv == expect
+
+    json_dir = str(tmp_path / "json")
+    src.write.mode("overwrite").json(json_dir)
+    got_json = sorted(
+        tuple(r) for r in spark.read.schema(src.schema).json(json_dir).collect()
+    )
+    assert got_json == expect
