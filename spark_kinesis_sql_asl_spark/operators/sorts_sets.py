@@ -130,3 +130,62 @@ def q_set_except(spark, sf_dir):
         .select(F.col("c_custkey").alias("ck"))
     )
     return o.subtract(c)
+
+
+# --- B76/B77: pivot / unpivot (reshaping) --------------------------------
+
+_PIVOT_TYPES = ("click", "purchase", "view")
+
+
+@query(
+    "q_pivot",
+    oracle=f"""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events
+    WHERE event_type IN {_PIVOT_TYPES!r}
+    GROUP BY user_id
+    """,
+)
+def q_pivot(spark, sf_dir):
+    """B76: long→wide pivot — `groupBy().pivot(col, values)` compiles to a
+    single 2-phase hash aggregate (one shuffle); passing the value list
+    explicitly skips the extra distinct-values job, which at 100 TB is the
+    difference between one pass and two."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(*_PIVOT_TYPES)
+    )
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_PIVOT_TYPES))
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT o_orderkey, 'price' AS metric, o_totalprice AS val
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE)
+    FROM orders
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    """B77: wide→long unpivot via `unpivot` (SQL `stack` equivalent) — a
+    zero-shuffle narrow transform (each row expands partition-locally)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    )
+    return o.unpivot(
+        ids=["o_orderkey"],
+        values=["price", "custkey"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
