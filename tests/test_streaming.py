@@ -585,3 +585,127 @@ def test_csv_and_json_sink_roundtrip(spark, tmp_path):
         tuple(r) for r in spark.read.schema(src.schema).json(json_dir).collect()
     )
     assert got_json == expect
+
+
+# --- B63 (streaming mode): session windows end-to-end ---------------------
+
+
+def test_streaming_session_window_equals_batch(spark, events_rows, tmp_path):
+    staging = str(tmp_path / "staging")
+    _stage(events_rows, staging, n_files=3)
+
+    def sessionize(src):
+        return (
+            src.withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("session_window.start").alias("ss"),
+                "user_id",
+                "n_events",
+            )
+        )
+
+    _drain(
+        sessionize(_stream(spark, staging))
+        .writeStream.format("memory")
+        .queryName("stream_sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    got = {
+        (r.ss, r.user_id): r.n_events
+        for r in spark.table("stream_sessions").collect()
+    }
+    batch = (
+        table(spark, SF_SMOKE, "events")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("session_window.start").alias("ss"), "user_id", "n_events")
+    )
+    expect = {(r.ss, r.user_id): r.n_events for r in batch.collect()}
+    assert got == expect
+
+
+# --- B68 (modern API): transformWithStateInPandas -------------------------
+
+
+def test_transform_with_state_running_count(spark, events_rows, tmp_path):
+    # The PySpark 4 arbitrary-stateful API (successor to
+    # applyInPandasWithState): per-user running event count via ValueState.
+    try:
+        from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    except ImportError:
+        pytest.skip("transformWithStateInPandas API not available")
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        # The state-server protocol of transformWithState speaks protobuf;
+        # without the pip package the driver worker cannot start. The legacy
+        # applyInPandasWithState path (tested above) has no such dependency.
+        pytest.skip("google.protobuf unavailable in this container")
+    import pandas as pd_mod
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    staging = str(tmp_path / "staging")
+    _stage(events_rows, staging, n_files=3)
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._cnt = handle.getValueState(
+                "cnt", StructType([StructField("n", LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._cnt.get()[0] if self._cnt.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._cnt.update((n,))
+            yield pd_mod.DataFrame({"user_id": [key[0]], "running_n": [n]})
+
+        def close(self) -> None:
+            pass
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = (
+            _stream(spark, staging)
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                RunningCount(),
+                outputStructType="user_id bigint, running_n bigint",
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+        _drain(
+            out.writeStream.format("memory")
+            .queryName("tws_counts")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+        )
+        got = (
+            spark.table("tws_counts")
+            .groupBy("user_id")
+            .agg(F.max("running_n").alias("n"))
+        )
+        expect = {
+            r.user_id: r.n
+            for r in table(spark, SF_SMOKE, "events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert {r.user_id: r.n for r in got.collect()} == expect
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
