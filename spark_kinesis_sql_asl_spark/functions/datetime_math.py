@@ -139,3 +139,31 @@ def q_fn_cast(spark, sf_dir):
         F.lit("2024-01-15 12:30:00").cast("timestamp").alias("ts_lit"),
         (F.col("o_orderstatus") == "O").cast("int").alias("is_open_int"),
     )
+
+
+@query(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS and_lo,
+           o_orderkey | 4096 AS or_hi,
+           xor(o_orderkey, o_custkey) AS xor_keys,
+           o_orderkey << 2 AS shl2,
+           o_orderkey >> 3 AS shr3,
+           bit_count(o_orderkey) AS popcount
+    FROM orders
+    """,
+)
+def q_fn_bitwise(spark, sf_dir):
+    """Bitwise bundle: AND/OR/XOR, shifts, popcount — the primitives behind
+    the SimHash/banding operators (C13), exercised standalone."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").alias("and_lo"),
+        F.expr("o_orderkey | 4096").alias("or_hi"),
+        F.expr("o_orderkey ^ o_custkey").alias("xor_keys"),
+        F.expr("shiftleft(o_orderkey, 2)").alias("shl2"),
+        F.expr("shiftright(o_orderkey, 3)").alias("shr3"),
+        F.expr("bit_count(o_orderkey)").alias("popcount"),
+    )
