@@ -683,3 +683,66 @@ def q_llm_decontaminate(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.countDistinct("g").alias("n_contaminated_grams"))
     )
+
+
+# --- C24: embedding quantization ---------------------------------------------
+
+_QUANT_LEVELS = 255  # int8-style: 256 levels, symmetric range per vector
+
+
+@query(
+    "q_llm_vec_quantize",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    scaled AS (
+        SELECT vec_id, label, v,
+               greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS s
+        FROM e
+    ),
+    q AS (
+        SELECT vec_id, label, v, s,
+               list_transform(v, x -> round(x / s * {_QUANT_LEVELS // 2})) AS qv
+        FROM scaled
+    )
+    SELECT vec_id, label,
+           round(s, 6) AS scale,
+           CAST(list_max(qv) AS BIGINT) AS q_max,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           round(sqrt(list_sum(list_transform(
+               list_zip(v, qv),
+               p -> pow(p[1] - p[2] * s / {_QUANT_LEVELS // 2}, 2)))), 6)
+               AS recon_err_l2
+    FROM q
+    """,
+)
+def q_llm_vec_quantize(spark, sf_dir):
+    """C24: per-vector symmetric int8 scalar quantization — the 4x storage
+    compression that makes 100 TB-scale vector search affordable (store
+    int8 + one float32 scale per vector; rerank survivors at full
+    precision). Reports the quantized range and L2 reconstruction error per
+    vector; all higher-order-function arithmetic, zero shuffles."""
+    half = _QUANT_LEVELS // 2
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    s = F.greatest(
+        F.array_max(F.transform("v", lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    scaled = e.withColumn("s", s).withColumn(
+        "qv", F.transform("v", lambda x: F.round(x / F.col("s") * half))
+    )
+    recon_sq = F.aggregate(
+        F.zip_with("v", "qv", lambda x, q: F.pow(x - q * F.col("s") / half, 2)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return scaled.select(
+        "vec_id",
+        "label",
+        F.round("s", 6).alias("scale"),
+        F.array_max("qv").cast("bigint").alias("q_max"),
+        F.array_min("qv").cast("bigint").alias("q_min"),
+        F.round(F.sqrt(recon_sq), 6).alias("recon_err_l2"),
+    )
