@@ -1,9 +1,13 @@
 #!/usr/bin/env python
 """Per-round benchmark: time every registered query at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-  {"metric": "suite_seconds", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+Prints ONE COMPACT JSON line (the round driver keeps only an ~8 KB tail, so
+the summary must fit well under that):
+  {"metric": "suite_seconds", "value": N, "unit": "sec", "sf": 0.1,
+   "queries": {...top slowest only...}, "n_queries": 98, "detail": "BENCH_DETAIL.json"}
+
+The full per-query timing map is written to BENCH_DETAIL.json at the repo
+root so nothing is lost to the driver's tail-truncation.
 
 Each query is executed end-to-end with the ``noop`` sink so the whole physical
 plan runs (scan -> shuffle -> agg) without paying Py4J collect() transfer for
@@ -53,7 +57,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - report, don't abort the suite
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
 
-    out = {
+    detail = {
         "metric": "suite_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -61,7 +65,22 @@ def main() -> None:
         "sf": _sf_of(sf_dir),
     }
     if failures:
-        out["failures"] = failures
+        detail["failures"] = failures
+    detail_path = os.path.join(_REPO_DIR, "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    out = {
+        "metric": "suite_seconds",
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": detail["sf"],
+        "n_queries": len(timings),
+        "n_failures": len(failures),
+        "queries": slowest,
+        "detail": "BENCH_DETAIL.json",
+    }
     print(json.dumps(out))
     spark.stop()
 

@@ -15,7 +15,12 @@ Design notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import Window
+import atexit
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import Observation, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -161,7 +166,17 @@ def q_llm_dedup_ngram(spark, sf_dir):
     """C14: near-dup on character {_NGRAM_N}-gram shingle sets (robust to
     token-boundary edits where word-level C2 is not), Jaccard >= {_NGRAM_TAU}.
     Spark side runs the same PPJoin prefix filter as C2 — the oracle states
-    the naive quadratic semantics, the engine executes the pruned plan."""
+    the naive quadratic semantics, the engine executes the pruned plan.
+
+    Order choice, measured at sf0.1 (round 2): ``order="hash"`` (zero-
+    shuffle global order) was tried per the round-1 advice and LOST —
+    17.4 s vs df's 10.8 s warmed — because the fixture's shingle
+    vocabulary is tiny (2041 distinct 5-grams over 5000 docs, mean df
+    ≈ 500), so a random prefix is stuffed with frequent shingles and
+    candidate volume explodes past what the df pass costs. df-order stays.
+    The real hot spot was the verify stage (6.3 s of 13.7 s profiled):
+    ``hash_tokens=True`` moves prefix keys + verify intersects to the
+    BIGINT domain, which is also the smaller-shuffle choice at 100 TB."""
     d = table(spark, sf_dir, "documents").where(F.length("text") >= _NGRAM_N)
     grams = F.array_distinct(
         F.transform(
@@ -170,7 +185,9 @@ def q_llm_dedup_ngram(spark, sf_dir):
         )
     )
     docs = d.select("doc_id", "lang", grams.alias("tokset"))
-    return prefix_filtered_jaccard(docs, _NGRAM_TAU, reuse=True)
+    return prefix_filtered_jaccard(
+        docs, _NGRAM_TAU, order="df", reuse=True, hash_tokens=True
+    )
 
 
 # --- C15: embedding-cosine near-dup -----------------------------------------
@@ -519,39 +536,79 @@ def q_llm_dedup_cluster(spark, sf_dir):
     """C21: collapse pairwise near-dups (C13 SimHash pairs) into duplicate
     CLUSTERS — connected components by iterative min-label propagation
     (the Spark-native form of the large/small-star CC algorithm: each
-    iteration is one edge join + one min-groupBy, lineage truncated per
-    round with localCheckpoint so the plan stays flat). Converges in
+    iteration is one edge join + one min-groupBy). Converges in
     O(component diameter) rounds — near-dup clusters are clique-like, so
     2-3 in practice. cluster_id = min doc_id of the component (the
-    canonical survivor a dedup pipeline keeps)."""
+    canonical survivor a dedup pipeline keeps).
+
+    Cluster-scale hardening (DESIGN-100TB.md §4): each round's labels are
+    MATERIALIZED TO PARQUET (a reliable store — an executor loss recomputes
+    from disk, unlike ``localCheckpoint`` whose blocks die with the
+    executor), which also truncates lineage so the plan stays flat. The
+    convergence signal rides the SAME write job via ``Observation``
+    metrics: each row carries a ``changed`` flag (new label < the label the
+    doc entered the round with) and the observed sum is read off the write
+    — no separate driver-side ``.count()`` job per round. The staging dir
+    is the 100 TB analog of a job-scratch prefix on HDFS/S3."""
     pairs = q_llm_dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+    stage = tempfile.mkdtemp(prefix="spark_cc_rounds_")
+    # Best-effort scratch cleanup at interpreter exit; the returned DataFrame
+    # reads the final round's parquet, so the dir must outlive this call.
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+
+    edges_path = os.path.join(stage, "edges")
+    pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).write.parquet(edges_path)
+    edges = spark.read.parquet(edges_path)
+
+    # Round 1 fused into initialization: starting from label(v) = v, one
+    # propagation round yields exactly min(v, neighbors(v)) — a single
+    # groupBy over the edge list, no union with an identity-label table.
+    labels_path = os.path.join(stage, "labels_1")
+    (
+        edges.groupBy("doc_a")
+        .agg(F.min("doc_b").alias("mn"))
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.least("doc_a", "mn").alias("cluster_id"),
         )
-    ).localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
-        .localCheckpoint(eager=True)
+        .write.parquet(labels_path)
     )
-    for _ in range(_CC_MAX_ITERS):
-        neighbor_labels = (
-            edges.join(labels, edges.doc_a == labels.doc_id)
-            .select(F.col("doc_b").alias("doc_id"), "cluster_id")
+    labels = spark.read.parquet(labels_path)
+
+    for it in range(1, _CC_MAX_ITERS):
+        neighbor_labels = edges.join(labels, edges.doc_a == labels.doc_id).select(
+            F.col("doc_b").alias("doc_id"),
+            "cluster_id",
+            F.lit(False).alias("own"),
         )
+        # Tag each doc's incumbent label so the same min-groupBy yields both
+        # the new label and the label it started the round with: labels only
+        # ever decrease, so changed == (new < incumbent).
         new_labels = (
-            labels.unionByName(neighbor_labels)
+            labels.select("doc_id", "cluster_id", F.lit(True).alias("own"))
+            .unionByName(neighbor_labels)
             .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint(eager=True)
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                F.min(F.when(F.col("own"), F.col("cluster_id"))).alias("incumbent"),
+            )
         )
-        changed = new_labels.join(
-            labels, ["doc_id", "cluster_id"], "left_anti"
-        ).count()
-        labels = new_labels
-        if changed == 0:
+        obs = Observation()
+        out_path = os.path.join(stage, f"labels_{it + 1}")
+        (
+            new_labels.observe(
+                obs,
+                F.sum(
+                    (F.col("cluster_id") < F.col("incumbent")).cast("long")
+                ).alias("n_changed"),
+            )
+            .select("doc_id", "cluster_id")
+            .write.parquet(out_path)
+        )
+        labels = spark.read.parquet(out_path)
+        if not obs.get["n_changed"]:
             break
     w = Window.partitionBy("cluster_id")
     return labels.select(
