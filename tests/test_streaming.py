@@ -631,59 +631,36 @@ def test_streaming_session_window_equals_batch(spark, events_rows, tmp_path):
 # --- B68 (modern API): transformWithStateInPandas -------------------------
 
 
-def test_transform_with_state_running_count(spark, events_rows, tmp_path):
-    # The PySpark 4 arbitrary-stateful API (successor to
-    # applyInPandasWithState): per-user running event count via ValueState.
-    try:
-        from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
-    except ImportError:
-        pytest.skip("transformWithStateInPandas API not available")
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
-        # The state-server protocol of transformWithState speaks protobuf;
-        # without the pip package the driver worker cannot start. The legacy
-        # applyInPandasWithState path (tested above) has no such dependency.
-        pytest.skip("google.protobuf unavailable in this container")
-    import pandas as pd_mod
-    from pyspark.sql.types import LongType, StructField, StructType
+def test_stateful_running_count_api_adaptive(spark, events_rows, tmp_path):
+    # B68 via the API-adaptive product operator (streaming/stateful.py):
+    # transformWithStateInPandas (PySpark 4 StatefulProcessor) when its
+    # protobuf runtime dependency is importable, else the dependency-free
+    # applyInPandasWithState with identical semantics. Either way the
+    # running-count output must equal the batch groupBy count — no skip.
+    from spark_kinesis_sql_asl_spark.streaming.stateful import (
+        _protobuf_available,
+        running_count,
+    )
 
     staging = str(tmp_path / "staging")
     _stage(events_rows, staging, n_files=3)
 
-    class RunningCount(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._cnt = handle.getValueState(
-                "cnt", StructType([StructField("n", LongType())])
-            )
-
-        def handleInputRows(self, key, rows, timerValues):
-            n = self._cnt.get()[0] if self._cnt.exists() else 0
-            for pdf in rows:
-                n += len(pdf)
-            self._cnt.update((n,))
-            yield pd_mod.DataFrame({"user_id": [key[0]], "running_n": [n]})
-
-        def close(self) -> None:
-            pass
-
     key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(key, None)
-    spark.conf.set(
-        key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
-        out = (
-            _stream(spark, staging)
-            .groupBy("user_id")
-            .transformWithStateInPandas(
-                RunningCount(),
-                outputStructType="user_id bigint, running_n bigint",
-                outputMode="Update",
-                timeMode="None",
-            )
+    if _protobuf_available():
+        # transformWithState requires the RocksDB provider.
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
+    try:
+        out, api = running_count(_stream(spark, staging))
+        expected_api = (
+            "transformWithStateInPandas"
+            if _protobuf_available()
+            else "applyInPandasWithState"
+        )
+        assert api == expected_api
         _drain(
             out.writeStream.format("memory")
             .queryName("tws_counts")
@@ -694,7 +671,7 @@ def test_transform_with_state_running_count(spark, events_rows, tmp_path):
         got = (
             spark.table("tws_counts")
             .groupBy("user_id")
-            .agg(F.max("running_n").alias("n"))
+            .agg(F.max("running_n").alias("n"))  # running_n is monotonic
         )
         expect = {
             r.user_id: r.n
