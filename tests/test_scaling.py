@@ -1,0 +1,60 @@
+"""sf-scaling smoke: the quadratic-prone dedup operators must grow
+sub-quadratically in data size.
+
+The pairwise dedup family (exact Jaccard, char-n-gram Jaccard, MinHash LSH,
+cluster resolution) is exactly where a naive plan is O(n²) — an all-pairs
+self-join that "works on 60k rows" and dies at 100 TB. This test turns the
+"survives 100×" claim into a regression: each query is timed at sf0.01 and
+sf0.1 (a true 10× decade in corpus size) and the fitted log-log slope
+log(t_big/t_small) / log(10) must stay below 2.0. A genuinely quadratic
+candidate explosion across the decade would show slope ≈ 2 even with fixed
+per-job overhead inflating the small-sf time (overhead only *lowers* the
+measured slope, so a failure here is a real blow-up, not noise).
+
+Timing uses the same noop-sink execution as bench.py: the full physical plan
+runs (scan → shuffle → join → verify) without Py4Jcollect() transfer.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+import pytest
+
+from spark_kinesis_sql_asl_spark.registry import all_queries
+
+_SF_SMALL = ("/root/testdata/sf0.01", 0.01)
+_SF_BIG = ("/root/testdata/sf0.1", 0.1)
+_MAX_SLOPE = 2.0
+
+_QUADRATIC_PRONE = [
+    "q_llm_dedup_jaccard",
+    "q_llm_dedup_ngram",
+    "q_llm_dedup_minhash",
+    "q_llm_dedup_cluster",
+]
+
+
+def _run(spark, name: str, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    all_queries()[name](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return time.perf_counter() - t0
+
+
+@pytest.mark.parametrize("name", _QUADRATIC_PRONE)
+def test_subquadratic_scaling(spark, name):
+    # Warm-up at the smallest sf so JVM/codegen/parquet-footer costs are not
+    # charged to the measured small-sf run (they would only lower the slope,
+    # but a warmed measurement is the honest one).
+    _run(spark, name, "/root/testdata/sf0.001")
+
+    t_small = _run(spark, name, _SF_SMALL[0])
+    t_big = _run(spark, name, _SF_BIG[0])
+    slope = math.log(t_big / t_small) / math.log(_SF_BIG[1] / _SF_SMALL[1])
+    assert slope < _MAX_SLOPE, (
+        f"{name}: log-log slope {slope:.2f} over sf0.01->sf0.1 "
+        f"({t_small:.2f}s -> {t_big:.2f}s) looks quadratic"
+    )
