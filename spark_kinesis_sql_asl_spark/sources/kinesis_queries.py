@@ -69,6 +69,50 @@ def q_kinesis_decode_json(spark, sf_dir):
 
 
 @query(
+    "q_kinesis_replay_window",
+    oracle="""
+    WITH b AS (SELECT min(ts) AS t0 FROM events)
+    SELECT CAST(event_id AS VARCHAR) AS sequence_number,
+           CAST(user_id AS VARCHAR) AS partition_key,
+           ts AS arrival_ts
+    FROM events, b
+    WHERE ts >= b.t0 + INTERVAL 1 DAY AND ts < b.t0 + INTERVAL 3 DAY
+    """,
+)
+def q_kinesis_replay_window(spark, sf_dir):
+    """A4 batch twin: AT_TIMESTAMP start-position semantics through the
+    oracled path (not only harness asserts). A consumer positioned
+    AT_TIMESTAMP t0+1d and stopped before t0+3d sees exactly the envelope
+    records whose approximateArrivalTimestamp falls in [t0+1d, t0+3d) — the
+    replay-window filter a backfill/reprocessing job runs. The stream-epoch
+    anchor t0 is a 1-row broadcast aggregate (no fact-table shuffle; the
+    arrival-ts predicate is evaluated scan-side), matching how a real resume
+    point is resolved once on the driver and shipped to every shard reader."""
+    records = wrap_events(table(spark, sf_dir, "events"))
+    bounds = records.agg(
+        F.min("approximateArrivalTimestamp").alias("t0")
+    )
+    return (
+        records.join(F.broadcast(bounds))
+        .where(
+            (
+                F.col("approximateArrivalTimestamp")
+                >= F.col("t0") + F.expr("INTERVAL 1 DAY")
+            )
+            & (
+                F.col("approximateArrivalTimestamp")
+                < F.col("t0") + F.expr("INTERVAL 3 DAY")
+            )
+        )
+        .select(
+            F.col("sequenceNumber").alias("sequence_number"),
+            F.col("partitionKey").alias("partition_key"),
+            F.col("approximateArrivalTimestamp").alias("arrival_ts"),
+        )
+    )
+
+
+@query(
     "q_kinesis_decode_csv",
     oracle="""
     SELECT event_id,

@@ -57,6 +57,12 @@ from .envelope import KINESIS_SCHEMA_DDL
 _SHARD_PREFIX = "shard-"
 _CHUNK_SUFFIX = ".parquet"
 
+# Declared envelope column order (must match KINESIS_SCHEMA_DDL); executor
+# reads yield tuples in THIS order regardless of chunk-file physical order.
+_ENVELOPE_COLS = tuple(
+    f.split()[0] for f in KINESIS_SCHEMA_DDL.split(", ")
+)
+
 
 def _list_streams(path: str, streams_opt: str | None) -> list[str]:
     if streams_opt:
@@ -143,9 +149,18 @@ def _read_slice(part: ShardSlice):
                 f"out (missing {f}); set failOnDataLoss=false to skip"
             )
         tbl = pq.read_table(f)
-        cols = tbl.column_names
+        # Yield in the declared envelope order, NOT the chunk file's physical
+        # column order: three envelope columns share type STRING, so an
+        # externally-written chunk with reordered columns would silently
+        # misalign them instead of erroring.
+        missing = [c for c in _ENVELOPE_COLS if c not in tbl.column_names]
+        if missing:
+            raise ValueError(
+                f"chunk {f} missing envelope columns {missing}; "
+                f"has {tbl.column_names}"
+            )
         for row in tbl.to_pylist():
-            yield tuple(row[c] for c in cols)
+            yield tuple(row[c] for c in _ENVELOPE_COLS)
 
 
 class KinesisLikeStreamReader(DataSourceStreamReader):

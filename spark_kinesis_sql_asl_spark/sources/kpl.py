@@ -51,15 +51,23 @@ def _write_varint(n: int) -> bytes:
 
 
 def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    # Callers expect ValueError on any corrupt blob: bound the shift (a
+    # valid uint64 varint is <= 10 bytes) and map a truncated buffer's
+    # IndexError to ValueError.
     shift = 0
     val = 0
     while True:
-        b = buf[i]
+        try:
+            b = buf[i]
+        except IndexError:
+            raise ValueError(f"truncated varint at offset {i}") from None
         i += 1
         val |= (b & 0x7F) << shift
         if not b & 0x80:
             return val, i
         shift += 7
+        if shift > 63:
+            raise ValueError(f"varint overruns 64 bits at offset {i}")
 
 
 def _field(number: int, wire: int) -> bytes:

@@ -87,3 +87,16 @@ def test_spark_deaggregate_stage(spark):
     assert bytes(passthrough[0].data) == bytes(plain.data)
     # partition-local: no shuffle introduced
     assert deaggregate_records(agg_df.repartition(3)).rdd.getNumPartitions() == 3
+
+
+def test_varint_truncated_and_overlong_raise_value_error():
+    from spark_kinesis_sql_asl_spark.sources.kpl import _read_varint
+
+    # Truncated: continuation bit set but the buffer ends.
+    with pytest.raises(ValueError, match="truncated varint"):
+        _read_varint(b"\x80\x80", 0)
+    # Overlong: >10 continuation bytes would shift past 64 bits.
+    with pytest.raises(ValueError, match="64 bits"):
+        _read_varint(b"\x80" * 11 + b"\x01", 0)
+    # Sane varint still decodes.
+    assert _read_varint(b"\xac\x02", 0) == (300, 2)
