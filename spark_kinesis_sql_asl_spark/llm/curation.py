@@ -1,0 +1,208 @@
+"""Corpus-curation operator bundle (SURVEY.md §2 rows C25–C28, round-2
+widening): deterministic sampling, edit-distance near-dup, inverted index,
+collocation mining.
+
+These extend the Tier C training-data pipeline with the remaining curation
+stages a 100 TB corpus run needs between dedup and tokenization. All four
+are SQL-oracled (the blocking strategies are exact, not approximate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+# md5-prefix sampling: substr(md5(text),1,2) < '1a' keeps 26/256 ~ 10.2%.
+_SAMPLE_BOUND = "1a"
+
+_EDIT_BLOCK_CHARS = 16  # block key: same lang + same leading 16 chars
+_EDIT_PREFIX = 80  # distance computed over the first 80 chars
+_EDIT_MAX_DIST = 20
+_EDIT_MAX_LEN_DIFF = 40
+
+_IDX_MIN_DF = 5
+_IDX_POSTING_CAP = 20
+
+_BIGRAM_TOP_K = 20
+
+
+@query(
+    "q_llm_sample_hash",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_total,
+           count(*) FILTER (WHERE substr(md5(text), 1, 2) < '{_SAMPLE_BOUND}')
+               AS n_sampled,
+           round(100.0 * count(*) FILTER (
+               WHERE substr(md5(text), 1, 2) < '{_SAMPLE_BOUND}') / count(*), 4)
+               AS sample_pct
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_llm_sample_hash(spark, sf_dir):
+    """C25: deterministic content-hash sampling — the reproducible-subset
+    primitive (eval splits, ablation corpora). Membership is a pure
+    function of the text (first md5 byte < 0x1a keeps ~10.2%), so the same
+    document samples identically on any cluster, any partitioning, any
+    engine — unlike ``df.sample`` whose output depends on partition layout.
+    Zero shuffle beyond the per-lang count rollup; at 100 TB the hash rides
+    the scan stage."""
+    d = table(spark, sf_dir, "documents")
+    in_sample = F.substring(F.md5(F.encode("text", "UTF-8")), 1, 2) < _SAMPLE_BOUND
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(in_sample, 1)).alias("n_sampled"),
+        F.round(
+            100.0 * F.count(F.when(in_sample, 1)) / F.count(F.lit(1)), 4
+        ).alias("sample_pct"),
+    )
+
+
+@query(
+    "q_llm_dedup_editdist",
+    oracle=f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(substr(a.text, 1, {_EDIT_PREFIX}),
+                       substr(b.text, 1, {_EDIT_PREFIX})) AS dist
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang
+     AND substr(a.text, 1, {_EDIT_BLOCK_CHARS}) = substr(b.text, 1, {_EDIT_BLOCK_CHARS})
+     AND a.doc_id < b.doc_id
+    WHERE abs(a.n_chars - b.n_chars) <= {_EDIT_MAX_LEN_DIFF}
+      AND levenshtein(substr(a.text, 1, {_EDIT_PREFIX}),
+                      substr(b.text, 1, {_EDIT_PREFIX})) <= {_EDIT_MAX_DIST}
+    """,
+)
+def q_llm_dedup_editdist(spark, sf_dir):
+    """C26: edit-distance near-dup — catches single-character edits that
+    set-based Jaccard (C2/C14) underweights on short texts. Candidate
+    generation is PREFIX BLOCKING (equi-join on lang + leading
+    {_EDIT_BLOCK_CHARS} chars): template near-dups share openings, so the
+    O(len²) Levenshtein runs on 210 blocked pairs at sf0.1, not 12.5M
+    all-pairs — and the join is a plain shuffled equi-join, no theta scan.
+    The length filter is a cheap pre-verify prune (|len diff| bounds edit
+    distance from below). At 100 TB: block key cardinality grows with the
+    corpus, so bucket occupancy — hence candidate volume — stays flat."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.substring("text", 1, _EDIT_BLOCK_CHARS).alias("blk"),
+        F.substring("text", 1, _EDIT_PREFIX).alias("pfx"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(
+            (
+                F.abs(F.col("a.n_chars") - F.col("b.n_chars"))
+                <= _EDIT_MAX_LEN_DIFF
+            )
+            & (dist <= _EDIT_MAX_DIST)
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("dist"),
+        )
+    )
+
+
+@query(
+    "q_llm_inverted_index",
+    oracle=f"""
+    SELECT token,
+           count(DISTINCT doc_id) AS df,
+           array_to_string(list(DISTINCT doc_id ORDER BY doc_id)
+                           [1:{_IDX_POSTING_CAP}], ',') AS postings
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    GROUP BY token
+    HAVING count(DISTINCT doc_id) >= {_IDX_MIN_DF}
+    """,
+)
+def q_llm_inverted_index(spark, sf_dir):
+    """C27: inverted index build — token → document-frequency + capped,
+    sorted posting list (the retrieval/decontamination lookup structure).
+    One explode + one groupBy; posting lists are SORTED then CAPPED to
+    {_IDX_POSTING_CAP} ids and rendered as a comma string (cross-engine
+    array formatting, same convention as B32). At 100 TB: partition by
+    token hash; the cap bounds per-token state so stopword-like tokens
+    can't blow a partition (store full postings blocked per shard in a real
+    index; the capped head is the index *preview* shape)."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.array_join(
+                F.slice(
+                    F.sort_array(F.collect_set("doc_id")),
+                    1,
+                    _IDX_POSTING_CAP,
+                ).cast("array<string>"),
+                ",",
+            ).alias("postings"),
+        )
+        .where(F.col("df") >= _IDX_MIN_DF)
+    )
+
+
+@query(
+    "q_llm_bigram_topk",
+    oracle=f"""
+    WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i + 1])) AS bigram
+        FROM w WHERE len(w) >= 2
+    )
+    SELECT bigram, cnt, rn FROM (
+        SELECT bigram, count(*) AS cnt,
+               row_number() OVER (ORDER BY count(*) DESC, bigram) AS rn
+        FROM bg GROUP BY bigram
+    ) WHERE rn <= {_BIGRAM_TOP_K}
+    """,
+)
+def q_llm_bigram_topk(spark, sf_dir):
+    """C28: collocation mining — global top-{_BIGRAM_TOP_K} word bigrams
+    (the n-gram LM / tokenizer-merge-candidate statistic). Bigrams are
+    generated partition-local from the split array (no self-join), counted
+    with map-side combine, and the final top-k is a single-partition window
+    over the aggregated bigram counts (|distinct bigrams|, not |tokens|),
+    with a lexicographic tiebreak for a deterministic total order."""
+    d = table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("w")
+    )
+    bigrams = (
+        d.where(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+                )
+            ).alias("bigram")
+        )
+    )
+    counts = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("bigram"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _BIGRAM_TOP_K)
+        .select("bigram", "cnt", "rn")
+    )

@@ -1,0 +1,242 @@
+"""Analytics operator bundle (SURVEY.md §2 rows B79–B84, round-2 widening):
+subqueries, per-group top-k, equi-width histogram, funnel conversion,
+distribution windows.
+
+These are query shapes the reference's SQL consumers run daily that the
+round-1 inventory expressed only as building blocks. Each is declarative
+DataFrame/SQL so Catalyst keeps pushdown/broadcast/AQE; scale notes inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+
+@query(
+    "q_subquery_scalar",
+    oracle="""
+    WITH a AS (SELECT avg(o_totalprice) AS av FROM orders)
+    SELECT o_orderkey, round(o_totalprice, 2) AS price
+    FROM orders, a
+    WHERE o_totalprice > 1.5 * av
+    """,
+)
+def q_subquery_scalar(spark, sf_dir):
+    """B79: scalar-subquery filter (orders priced >1.5x the global mean).
+    The scalar rides in as a 1-row broadcast (crossJoin), so the fact scan
+    evaluates the predicate scan-side — no shuffle, no second pass. At
+    100 TB the aggregate is one map-side-combined column scan."""
+    o = table(spark, sf_dir, "orders")
+    av = o.agg(F.avg("o_totalprice").alias("av"))
+    return (
+        o.join(F.broadcast(av))
+        .where(F.col("o_totalprice") > 1.5 * F.col("av"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+@query(
+    "q_subquery_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def q_subquery_exists(spark, sf_dir):
+    """B80: correlated EXISTS through the SQL parser path (Catalyst rewrites
+    it to a left-semi hash join — same physical plan as B14, different API
+    surface). Registered as temp views so the text is plain ANSI SQL."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("v_sq_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_sq_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM v_sq_customer c
+        WHERE EXISTS (
+            SELECT 1 FROM v_sq_orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+        )
+        """
+    )
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+    WITH rev AS (
+        SELECT n_name, s_suppkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name, s_suppkey
+    )
+    SELECT n_name, s_suppkey, revenue, rn
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY n_name ORDER BY revenue DESC, s_suppkey
+        ) AS rn
+        FROM rev
+    )
+    WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark, sf_dir):
+    """B81: top-3 suppliers by revenue within each nation. The rank runs on
+    the ROUNDED revenue with a key tiebreak, so ordering is deterministic
+    across engines despite float-sum ordering. One fact shuffle (the
+    groupBy); supplier/nation broadcast; the window partitions by nation —
+    25 groups, trivially parallel. At 100 TB the per-group window input is
+    the aggregated (nation, supplier) frame, not the fact table."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "s_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("revenue").desc(), F.col("s_suppkey")
+    )
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("n_name", "s_suppkey", "revenue", "rn")
+    )
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+    WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+               FROM orders)
+    SELECT CAST(least(floor((o_totalprice - mn) * 10.0 / (mx - mn)), 9)
+                AS BIGINT) AS bucket,
+           count(*) AS n_orders
+    FROM orders, b
+    GROUP BY 1
+    """,
+)
+def q_agg_histogram(spark, sf_dir):
+    """B82: equi-width 10-bucket histogram of order totals. Bounds are a
+    1-row broadcast; the bucket expression is written with IDENTICAL
+    operation order in Spark and the oracle so IEEE doubles agree bit-for-
+    bit. Single scan + 10-group aggregate — the CDF/quantile-sketch shape
+    without any sketch approximation."""
+    o = table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    return (
+        o.join(F.broadcast(b))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("o_totalprice") - F.col("mn"))
+                    * 10.0
+                    / (F.col("mx") - F.col("mn"))
+                ),
+                F.lit(9),
+            )
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "q_events_funnel",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, min(ts) AS click_ts
+        FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    conv AS (
+        SELECT DISTINCT c.user_id
+        FROM c JOIN events e
+          ON e.user_id = c.user_id
+         AND e.event_type = 'purchase'
+         AND e.ts >= c.click_ts
+         AND e.ts <= c.click_ts + INTERVAL 1 HOUR
+    )
+    SELECT (SELECT count(*) FROM c) AS n_clickers,
+           (SELECT count(*) FROM conv) AS n_converted,
+           round(100.0 * (SELECT count(*) FROM conv)
+                 / (SELECT count(*) FROM c), 4) AS conv_pct
+    """,
+)
+def q_events_funnel(spark, sf_dir):
+    """B83: click→purchase funnel — users whose first click converts to a
+    purchase within 1 hour. Clicks aggregate to one row per user before the
+    join (the funnel join input is |users|, not |events|), the purchase
+    probe is a left-semi range join on the user key, and the final counts
+    are two 1-row aggregates crossed — no driver collect."""
+    ev = table(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    )
+    n_clickers = clicks.agg(F.count(F.lit(1)).alias("n_clickers"))
+    n_conv = converted.agg(F.count(F.lit(1)).alias("n_converted"))
+    return n_clickers.crossJoin(n_conv).select(
+        "n_clickers",
+        "n_converted",
+        F.round(
+            100.0 * F.col("n_converted") / F.col("n_clickers"), 4
+        ).alias("conv_pct"),
+    )
+
+
+@query(
+    "q_win_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_win_distribution(spark, sf_dir):
+    """B84: distribution windows (percent_rank, cume_dist) per priority
+    class. The (price, orderkey) ordering is a total order, so peer groups
+    are singletons and both functions are rank arithmetic — deterministic
+    doubles across engines."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )

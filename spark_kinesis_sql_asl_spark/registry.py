@@ -29,6 +29,8 @@ _ORACLES: dict[str, str] = {}
 _MODULES = (
     "llm.dedup",
     "llm.pipeline",
+    "llm.curation",
+    "operators.analytics",
     "llm.similarity",
     "functions.udfs",
     "streaming.windows",

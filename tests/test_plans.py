@@ -125,3 +125,37 @@ def test_partitioned_layout_static_and_dynamic_pruning(spark, tmp_path):
     joined = part.join(years, "o_year").select("o_orderkey", "o_year")
     dplan = formatted_plan(joined)
     assert "dynamicpruning" in dplan.lower()
+
+
+def test_exists_rewrites_to_broadcast_semi_join(spark):
+    # B80: the SQL-parser EXISTS path must land on the same broadcast
+    # left-semi plan as the DataFrame semi join — no shuffle at dim scale.
+    df = QUERIES["q_subquery_exists"](spark, SF_ORACLE)
+    assert count_nodes(df, "BroadcastHashJoin") == 1
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "Exchange") == 0
+
+
+def test_topk_per_group_broadcasts_both_dims(spark):
+    # B81: supplier and nation broadcast; the only shuffles are the revenue
+    # aggregation and the per-nation window partition.
+    df = QUERIES["q_topk_per_group"](spark, SF_ORACLE)
+    assert count_nodes(df, "BroadcastHashJoin") == 2
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "Exchange") == 2
+
+
+def test_editdist_blocked_join_no_cartesian(spark):
+    # C26: prefix blocking must stay an equi-join — a theta/cartesian scan
+    # here is the O(n^2) plan this operator exists to avoid.
+    df = QUERIES["q_llm_dedup_editdist"](spark, SF_ORACLE)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "BroadcastNestedLoopJoin") == 0
+
+
+def test_histogram_bounds_ride_as_broadcast(spark):
+    # B82: the min/max bounds join must be a 1-row broadcast, never a
+    # shuffle of the fact table against the bounds.
+    df = QUERIES["q_agg_histogram"](spark, SF_ORACLE)
+    assert count_nodes(df, "BroadcastNestedLoopJoin") == 1
+    assert count_nodes(df, "SortMergeJoin") == 0
