@@ -206,3 +206,186 @@ def q_llm_bigram_topk(spark, sf_dir):
         .where(F.col("rn") <= _BIGRAM_TOP_K)
         .select("bigram", "cnt", "rn")
     )
+
+
+_PACK_TOKENS = 2048
+
+
+@query(
+    "q_llm_pack",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    p AS (
+        SELECT lang,
+               CAST(floor((sum(n_tok) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tok) / {_PACK_TOKENS}) AS BIGINT) AS pack_id,
+               n_tok
+        FROM d
+    )
+    SELECT lang, pack_id, count(*) AS n_docs, sum(n_tok) AS sum_tokens
+    FROM p GROUP BY lang, pack_id
+    """,
+)
+def q_llm_pack(spark, sf_dir):
+    """C29: sequence packing — assign docs to ~{_PACK_TOKENS}-token training
+    packs per language. pack_id = floor(exclusive-prefix-sum / target) over
+    a DETERMINISTIC order (doc_id), so the packing is reproducible on any
+    cluster. One window over the (lang-partitioned) doc-length frame + one
+    rollup; the text column never leaves the scan stage (only lengths
+    shuffle). At 100 TB: the window partitions by lang — for a single
+    dominant lang, sub-partition by (lang, doc_id range bucket) and offset
+    pack ids by bucket base, keeping the prefix sum partition-local."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = d.select(
+        "lang",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / _PACK_TOKENS)
+        .cast("bigint")
+        .alias("pack_id"),
+        "n_tok",
+    )
+    return p.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+    )
+
+
+@query(
+    "q_llm_mixture",
+    oracle="""
+    WITH ps AS (
+        SELECT source, sum(len(string_split(text, ' '))) AS sum_tok
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT sum(sum_tok) AS total, count(*) AS s FROM ps)
+    SELECT source, sum_tok,
+           round(sum_tok * 1.0 / total, 6) AS share,
+           round(total * 1.0 / (s * sum_tok), 6) AS weight
+    FROM ps, t
+    """,
+)
+def q_llm_mixture(spark, sf_dir):
+    """C30: domain-mixture weights — per-source token share and the
+    sampling weight that re-balances the corpus to a uniform target mix
+    (weight = target_share / actual_share). The per-source rollup is one
+    map-side-combined aggregate; totals ride back as a 1-row broadcast.
+    Integer token counts make the shares engine-deterministic."""
+    ps = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("sum_tok"))
+    )
+    t = ps.agg(
+        F.sum("sum_tok").alias("total"), F.count(F.lit(1)).alias("s")
+    )
+    return ps.join(F.broadcast(t)).select(
+        "source",
+        "sum_tok",
+        F.round(F.col("sum_tok") * 1.0 / F.col("total"), 6).alias("share"),
+        F.round(
+            F.col("total") * 1.0 / (F.col("s") * F.col("sum_tok")), 6
+        ).alias("weight"),
+    )
+
+
+@query(
+    "q_llm_repetition",
+    oracle="""
+    WITH tc AS (
+        SELECT doc_id, token, count(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           sum(c) AS n_tok,
+           count(*) AS n_distinct,
+           round(count(*) * 1.0 / sum(c), 6) AS distinct_ratio,
+           max(c) AS max_tok_cnt,
+           (count(*) * 1.0 / sum(c) < 0.6 OR max(c) * 1.0 / sum(c) > 0.1)
+               AS repetitive
+    FROM tc GROUP BY doc_id
+    """,
+)
+def q_llm_repetition(spark, sf_dir):
+    """C31: repetition scoring (Gopher-style repetitive-text signal):
+    distinct-token ratio + max single-token share per doc, with a keep/drop
+    verdict. Two-level aggregate over the exploded token frame — both
+    levels partial-aggregate map-side, and only (doc_id, token, count)
+    triples shuffle, never text. The fixture has no newlines, so the
+    line-dup variant is expressed on tokens (same plan shape)."""
+    tc = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tok"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.count(F.lit(1)) * 1.0 / F.sum("c"), 6).alias(
+            "distinct_ratio"
+        ),
+        F.max("c").alias("max_tok_cnt"),
+        (
+            (F.count(F.lit(1)) * 1.0 / F.sum("c") < 0.6)
+            | (F.max("c") * 1.0 / F.sum("c") > 0.1)
+        ).alias("repetitive"),
+    )
+
+
+_PROJ_DIMS = 8
+_EMB_DIM = 64
+
+
+def _proj_weight_sql(j: int) -> str:
+    # Deterministic pseudo-random integer weight grid in {-6, ..., +6}.
+    return f"(((i * 31 + {j} * 17) % 13) - 6)"
+
+
+@query(
+    "q_llm_random_proj",
+    oracle=f"""
+    SELECT vec_id,
+           {", ".join(
+               f"CAST(list_sum(list_transform(range(0, {_EMB_DIM}), "
+               f"i -> CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 64.0) AS BIGINT)"
+               f" * {_proj_weight_sql(j)})) AS BIGINT) AS p{j}"
+               for j in range(_PROJ_DIMS)
+           )}
+    FROM embeddings
+    """,
+)
+def q_llm_random_proj(spark, sf_dir):
+    """C32: QUANTIZED random projection {_EMB_DIM}d → {_PROJ_DIMS}d
+    (Johnson–Lindenstrauss-style cheap dimensionality reduction before
+    clustering/ANN). Elements are quantized to integers (floor(e·64), the
+    C24 int8 grid) and the projection matrix is a deterministic integer
+    hash grid computed INLINE — so the whole operator is exact integer
+    arithmetic: bit-reproducible across engines/partitionings (a float
+    fold differs in the last ulp between engines and flips round-half
+    boundaries — measured), and at 100 TB it runs directly on C24's
+    int8-quantized vectors with no dequantization pass. No matrix table,
+    no join, no shuffle: one scan-stage higher-order fold."""
+    e = table(spark, sf_dir, "embeddings")
+    cols = [F.col("vec_id")] + [
+        F.expr(
+            f"CAST(aggregate(sequence(0, {_EMB_DIM - 1}), CAST(0 AS BIGINT), "
+            f"(acc, i) -> acc + "
+            f"CAST(floor(CAST(element_at(embedding, i + 1) AS DOUBLE) * 64.0) "
+            f"AS BIGINT) * {_proj_weight_sql(j)}) AS BIGINT)"
+        ).alias(f"p{j}")
+        for j in range(_PROJ_DIMS)
+    ]
+    return e.select(*cols)

@@ -240,3 +240,69 @@ def q_win_distribution(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+_SPINE_SQL = """
+WITH RECURSIVE spine(mon) AS (
+    SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) FROM {tbl}
+    UNION ALL
+    SELECT CAST(mon + INTERVAL 1 MONTH AS DATE) FROM spine
+    WHERE mon < (SELECT CAST(date_trunc('month', max(o_orderdate)) AS DATE)
+                 FROM {tbl})
+)
+SELECT s.mon, count(o.o_orderkey) AS n_orders,
+       round(coalesce(sum(o.o_totalprice), 0), 2) AS revenue
+FROM spine s LEFT JOIN {tbl} o
+  ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = s.mon
+GROUP BY s.mon
+"""
+
+
+@query("q_sql_recursive_spine", oracle=_SPINE_SQL.format(tbl="orders"))
+def q_sql_recursive_spine(spark, sf_dir):
+    """B85: recursive CTE (new SQL surface in Spark 4) — a month spine from
+    min to max order date, left-joined to monthly revenue so gap months
+    appear with zero counts (time-series calendar fill). The IDENTICAL SQL
+    text runs on Spark and DuckDB; CAST AS DATE pins the cross-engine type
+    (DuckDB's date_trunc yields DATE, Spark's TIMESTAMP). The recursion
+    produces one row per month (~80) on the driver-side loop of the
+    recursive union — the fact table is only touched by the final grouped
+    join, which shuffles the 80-row spine, not the facts, after the
+    broadcast."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_spine_orders")
+    return spark.sql(_SPINE_SQL.format(tbl="v_spine_orders"))
+
+
+@query(
+    "q_set_except_all",
+    oracle="""
+    SELECT l_partkey FROM lineitem WHERE l_quantity > 40
+    EXCEPT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def q_set_except_all(spark, sf_dir):
+    """B86: EXCEPT ALL — bag difference preserving multiplicities (the
+    dedup-aware form B45's EXCEPT DISTINCT can't express). Catalyst plans a
+    single-shuffle aggregate over (value, count) pairs."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_quantity") > 40).select("l_partkey")
+    b = li.where(F.col("l_returnflag") == "R").select("l_partkey")
+    return a.exceptAll(b)
+
+
+@query(
+    "q_set_intersect_all",
+    oracle="""
+    SELECT l_partkey FROM lineitem WHERE l_quantity > 40
+    INTERSECT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def q_set_intersect_all(spark, sf_dir):
+    """B87: INTERSECT ALL — bag intersection with min-multiplicity
+    semantics."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_quantity") > 40).select("l_partkey")
+    b = li.where(F.col("l_returnflag") == "R").select("l_partkey")
+    return a.intersectAll(b)
