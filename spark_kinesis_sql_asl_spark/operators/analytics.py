@@ -243,17 +243,18 @@ def q_win_distribution(spark, sf_dir):
 
 
 _SPINE_SQL = """
-WITH RECURSIVE spine(mon) AS (
-    SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) FROM {tbl}
+WITH RECURSIVE spine(k, mon) AS (
+    SELECT 0, CAST(date_trunc('month', min(o_orderdate)) AS DATE) FROM {tbl}
     UNION ALL
-    SELECT CAST(mon + INTERVAL 1 MONTH AS DATE) FROM spine
-    WHERE mon < (SELECT CAST(date_trunc('month', max(o_orderdate)) AS DATE)
-                 FROM {tbl})
+    SELECT k + 1, CAST(mon + INTERVAL 1 MONTH AS DATE) FROM spine
+    WHERE k < 99
 )
 SELECT s.mon, count(o.o_orderkey) AS n_orders,
        round(coalesce(sum(o.o_totalprice), 0), 2) AS revenue
 FROM spine s LEFT JOIN {tbl} o
   ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = s.mon
+WHERE s.mon <= (SELECT CAST(date_trunc('month', max(o_orderdate)) AS DATE)
+                FROM {tbl})
 GROUP BY s.mon
 """
 
@@ -264,11 +265,16 @@ def q_sql_recursive_spine(spark, sf_dir):
     min to max order date, left-joined to monthly revenue so gap months
     appear with zero counts (time-series calendar fill). The IDENTICAL SQL
     text runs on Spark and DuckDB; CAST AS DATE pins the cross-engine type
-    (DuckDB's date_trunc yields DATE, Spark's TIMESTAMP). The recursion
-    produces one row per month (~80) on the driver-side loop of the
-    recursive union — the fact table is only touched by the final grouped
-    join, which shuffles the 80-row spine, not the facts, after the
-    broadcast."""
+    (DuckDB's date_trunc yields DATE, Spark's TIMESTAMP).
+
+    Perf note (measured at sf0.1): the termination predicate is a CONSTANT
+    iteration bound (k < 99, under Spark's default 100-level recursion
+    limit) with the data-driven max-date cut applied ONCE in the outer
+    WHERE — a scalar subquery inside the recursive term re-executes its
+    fact-table aggregate on every iteration in Spark (80 iterations ×
+    full orders scan = 14.1 s; the constant-bound form is 1.9 s warmed).
+    The fact table is touched twice total (bounds + grouped join), and the
+    join broadcasts the ≤100-row spine, never shuffling the facts."""
     table(spark, sf_dir, "orders").createOrReplaceTempView("v_spine_orders")
     return spark.sql(_SPINE_SQL.format(tbl="v_spine_orders"))
 
