@@ -389,3 +389,79 @@ def q_llm_random_proj(spark, sf_dir):
         for j in range(_PROJ_DIMS)
     ]
     return e.select(*cols)
+
+
+_KMEANS_K = 16
+
+_Q_VEC_SQL_DUCK = (
+    "list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 64.0) AS BIGINT))"
+)
+_Q_VEC_SQL_SPARK = (
+    "transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 64.0) AS BIGINT))"
+)
+
+
+@query(
+    "q_llm_kmeans",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, {_Q_VEC_SQL_DUCK} AS qv FROM embeddings
+    ),
+    seeds AS (SELECT vec_id AS seed_id, qv AS sv FROM q WHERE vec_id < {_KMEANS_K}),
+    dists AS (
+        SELECT q.vec_id, s.seed_id,
+               list_sum(list_transform(range(1, 65),
+                   i -> (qv[i] - sv[i]) * (qv[i] - sv[i]))) AS dist
+        FROM q CROSS JOIN seeds s
+    ),
+    assign AS (
+        SELECT vec_id, seed_id, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, seed_id) AS rn
+        FROM dists
+    )
+    SELECT seed_id AS cell_id, count(*) AS n_vecs,
+           sum(dist) AS inertia,
+           round(sum(dist) * 1.0 / count(*), 4) AS avg_dist
+    FROM assign WHERE rn = 1
+    GROUP BY seed_id
+    """,
+)
+def q_llm_kmeans(spark, sf_dir):
+    """C33: one exact k-means assignment step (Lloyd E-step) on the C24
+    int8-quantized grid — k={_KMEANS_K} deterministic seeds (the first
+    {_KMEANS_K} vec_ids), squared-L2 in PURE INTEGER arithmetic so the
+    argmin can never flip on a float ulp across engines or partitionings.
+    The seed table broadcasts ({_KMEANS_K} rows); distance evaluation is a
+    scan-stage fold over the crossJoin (n×{_KMEANS_K} rows, partition-
+    local); the per-vector argmin is a window over {_KMEANS_K}-row groups.
+    At 100 TB this is exactly the IVF/k-means assignment pass: broadcast
+    centroids, one scan, no vector shuffle — the M-step (centroid
+    recompute) is one further groupBy(cell) over integer sums."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_Q_VEC_SQL_SPARK).alias("qv")
+    )
+    seeds = e.where(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("seed_id"), F.col("qv").alias("sv")
+    )
+    dists = e.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "seed_id",
+        F.expr(
+            "aggregate(sequence(1, 64), CAST(0 AS BIGINT), (acc, i) -> "
+            "acc + (element_at(qv, i) - element_at(sv, i)) * "
+            "(element_at(qv, i) - element_at(sv, i)))"
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "seed_id")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy(F.col("seed_id").alias("cell_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("dist").alias("inertia"),
+            F.round(F.sum("dist") * 1.0 / F.count(F.lit(1)), 4).alias(
+                "avg_dist"
+            ),
+        )
+    )

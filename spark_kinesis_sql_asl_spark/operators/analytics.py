@@ -312,3 +312,81 @@ def q_set_intersect_all(spark, sf_dir):
     a = li.where(F.col("l_quantity") > 40).select("l_partkey")
     b = li.where(F.col("l_returnflag") == "R").select("l_partkey")
     return a.intersectAll(b)
+
+
+@query(
+    "q_win_time_range",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_7d,
+           sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS sum_cents_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_time_range(spark, sf_dir):
+    """B88: time-interval RANGE frame — per-user trailing-7-day activity
+    (count + spend), the rolling-metric shape dashboards run constantly.
+    The frame is TIME-based (`RANGE BETWEEN INTERVAL`), not row-based, so
+    sparse/bursty users get correct calendar windows. Spend is summed in
+    integer cents: sliding-frame float aggregation differs between engines
+    (incremental add/remove vs rescan), integers are exact either way. One
+    shuffle on user_id; frame evaluation is sorted partition-local."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("v_wtr_events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               count(*) OVER w AS n_7d,
+               sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS sum_cents_7d
+        FROM v_wtr_events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+        """
+    )
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+    WITH a AS (
+        SELECT user_id, nullif(event_type, 'click') AS k, count(*) AS cnt_a
+        FROM events WHERE event_id % 2 = 0 GROUP BY user_id, nullif(event_type, 'click')
+    ),
+    b AS (
+        SELECT user_id, nullif(event_type, 'click') AS k, count(*) AS cnt_b
+        FROM events WHERE event_id % 2 = 1 GROUP BY user_id, nullif(event_type, 'click')
+    )
+    SELECT a.user_id, a.k, cnt_a, cnt_b
+    FROM a JOIN b
+      ON a.user_id = b.user_id AND a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def q_join_null_safe(spark, sf_dir):
+    """B89: null-safe equi-join (`<=>` / IS NOT DISTINCT FROM) — NULL keys
+    match NULL keys instead of silently dropping, the semantics ETL joins
+    on optional attributes need (a plain inner join here loses every
+    'click' row nullified by the nullif). Catalyst treats `<=>` as an
+    equi-key, so this stays a hash join, not a theta scan."""
+    ev = table(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("click"))
+    a = (
+        ev.where(F.col("event_id") % 2 == 0)
+        .groupBy("user_id", k.alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt_a"))
+    )
+    b = (
+        ev.where(F.col("event_id") % 2 == 1)
+        .groupBy("user_id", k.alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt_b"))
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("k").alias("b_k"),
+            "cnt_b",
+        )
+    )
+    return a.join(
+        b,
+        (F.col("user_id") == F.col("b_user"))
+        & F.col("k").eqNullSafe(F.col("b_k")),
+    ).select("user_id", "k", "cnt_a", "cnt_b")

@@ -686,3 +686,40 @@ def test_stateful_running_count_api_adaptive(spark, events_rows, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+# --- B65+ : dropDuplicatesWithinWatermark ---------------------------------
+
+
+def test_drop_duplicates_within_watermark(spark, events_rows, tmp_path):
+    # Inject exact duplicate events (each row staged twice) and dedup on
+    # event_id with the watermark-scoped API: state for a key is dropped
+    # once the watermark passes it, so state is bounded — the form that
+    # survives an unbounded stream, unlike plain dropDuplicates whose
+    # state grows forever.
+    staging = str(tmp_path / "staging")
+    doubled = list(events_rows) + list(events_rows)
+    _stage(doubled, staging, n_files=4)
+
+    out = (
+        _stream(spark, staging)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    _drain(
+        out.writeStream.format("memory")
+        .queryName("ddww")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    got = spark.table("ddww").groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_id").alias("n_ids"),
+    ).collect()[0]
+    n_src = len(events_rows)
+    assert got.n_ids == n_src
+    # every duplicate arriving within the watermark horizon is dropped:
+    # with 4 arrival files over the same ts range, dup copies land well
+    # inside the 1h horizon of their originals
+    assert got.n == n_src
