@@ -390,3 +390,99 @@ def q_join_null_safe(spark, sf_dir):
         (F.col("user_id") == F.col("b_user"))
         & F.col("k").eqNullSafe(F.col("b_k")),
     ).select("user_id", "k", "cnt_a", "cnt_b")
+
+
+@query(
+    "q_subquery_correlated_scalar",
+    oracle="""
+    SELECT c_custkey,
+           (SELECT max(o_orderdate) FROM orders
+            WHERE o_custkey = c_custkey) AS last_order
+    FROM customer
+    """,
+)
+def q_subquery_correlated_scalar(spark, sf_dir):
+    """B90: correlated scalar subquery in the SELECT list — last order date
+    per customer, NULL for never-ordered customers. Catalyst de-correlates
+    into a left-outer aggregate join (one orders shuffle on the customer
+    key, no per-row re-execution), which is exactly the plan to want at
+    100 TB: the naive interpretation is one orders scan per customer."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("v_csq_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_csq_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT max(o_orderdate) FROM v_csq_orders
+                WHERE o_custkey = c_custkey) AS last_order
+        FROM v_csq_customer
+        """
+    )
+
+
+@query(
+    "q_lateral_topn",
+    oracle="""
+    SELECT n.n_name, t.s_suppkey, t.s_name, round(t.s_acctbal, 2) AS acctbal
+    FROM nation n,
+    LATERAL (
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM supplier
+        WHERE s_nationkey = n.n_nationkey
+        ORDER BY s_acctbal DESC, s_suppkey
+        LIMIT 2
+    ) t
+    """,
+)
+def q_lateral_topn(spark, sf_dir):
+    """B91: LATERAL derived table — per-nation top-2 suppliers by account
+    balance, the 'for each row, run this parameterized subquery' surface.
+    Catalyst de-correlates the lateral into a ranked window under the hood
+    (same physical shape as B81), so it stays one shuffle; the ORDER BY has
+    a key tiebreak and ranks a raw stored column (no float aggregation), so
+    the pick is engine-deterministic."""
+    table(spark, sf_dir, "nation").createOrReplaceTempView("v_lat_nation")
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("v_lat_supplier")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.s_suppkey, t.s_name, round(t.s_acctbal, 2) AS acctbal
+        FROM v_lat_nation n,
+        LATERAL (
+            SELECT s_suppkey, s_name, s_acctbal
+            FROM v_lat_supplier
+            WHERE s_nationkey = n.n_nationkey
+            ORDER BY s_acctbal DESC, s_suppkey
+            LIMIT 2
+        ) t
+        """
+    )
+
+
+@query(
+    "q_agg_filter_clause",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           count(*) FILTER (WHERE l_quantity > 30) AS n_bulk,
+           sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+               FILTER (WHERE l_discount > 0.05) AS disc_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_filter_clause(spark, sf_dir):
+    """B92: the SQL FILTER clause on aggregates — per-flag conditional
+    rollups in ONE pass over the fact table (the alternative is N filtered
+    scans or N self-joins). Summed in integer cents for engine-exact
+    results. Single shuffle, partial aggregation map-side."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_fc_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               count(*) FILTER (WHERE l_quantity > 30) AS n_bulk,
+               sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                   FILTER (WHERE l_discount > 0.05) AS disc_cents
+        FROM v_fc_lineitem
+        GROUP BY l_returnflag
+        """
+    )

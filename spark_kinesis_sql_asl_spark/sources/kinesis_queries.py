@@ -154,3 +154,40 @@ def q_kinesis_decode_csv(spark, sf_dir):
         F.round("p.value", 6).alias("value"),
         F.col("partitionKey").alias("partition_key"),
     )
+
+
+@query(
+    "q_kinesis_shard_route",
+    oracle="""
+    SELECT (instr('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 32, 1)) - 1) % 4
+               AS shard,
+           count(*) AS n_records,
+           count(DISTINCT user_id) AS n_keys
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_kinesis_shard_route(spark, sf_dir):
+    """A5 (oracled): the MD5-ring shard routing rule itself — per-shard
+    record and key counts for a 4-shard stream. staging._route assigns
+    shard = int(md5(pk), 16) % n; for n = 4 only the LAST hex digit matters
+    (16^k ≡ 0 mod 4 for k ≥ 1), so the rule is exactly expressible in both
+    engines as (hex digit value of md5[32]) % 4 — the oracle checks the
+    routing arithmetic, not just a count. tests/test_kinesis_source.py pins
+    this expression ≡ staging._route on the same keys."""
+    ev = table(spark, sf_dir, "events")
+    digit = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.encode(F.col("user_id").cast("string"), "UTF-8")), 32, 1),
+        )
+        - 1
+    )
+    return (
+        ev.select((digit % 4).alias("shard"), "user_id")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.countDistinct("user_id").alias("n_keys"),
+        )
+    )

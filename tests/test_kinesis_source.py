@@ -234,3 +234,37 @@ def test_at_timestamp_requires_start_option(registered, tmp_path):
             .start()
             .awaitTermination(60)
         )
+
+
+def test_shard_route_sql_expression_matches_python_route(spark):
+    # q_kinesis_shard_route's oracle claims (md5 last hex digit) % 4 ==
+    # staging._route(pk, 4). Pin that congruence on the real fixture keys so
+    # the oracled query checks the actual routing rule, not a lookalike.
+    from pyspark.sql import functions as F
+
+    from spark_kinesis_sql_asl_spark.sources.staging import _route
+    from spark_kinesis_sql_asl_spark.tables import table
+
+    from .conftest import SF_ORACLE
+
+    keys = [
+        r.pk
+        for r in table(spark, SF_ORACLE, "events")
+        .select(F.col("user_id").cast("string").alias("pk"))
+        .distinct()
+        .collect()
+    ]
+    digit = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.encode(F.col("pk"), "UTF-8")), 32, 1),
+        )
+        - 1
+    )
+    got = {
+        r.pk: r.shard
+        for r in spark.createDataFrame([(k,) for k in keys], "pk string")
+        .select("pk", (digit % 4).alias("shard"))
+        .collect()
+    }
+    assert got == {k: _route(k, 4) for k in keys}
