@@ -220,6 +220,31 @@ def q_agg_approx_distinct(spark, sf_dir):
     )
 
 
+@query("q_agg_percentile_approx")  # rows-only: sketch values are engine-specific
+def q_agg_percentile_approx(spark, sf_dir):
+    """B29b: percentile_approx (Greenwald–Khanna quantile sketch) — p50/p95
+    of extended price per return flag. No cross-engine oracle (GK sketches
+    are engine- and accuracy-parameter-specific); tests/test_approx.py
+    bounds the rank error vs the exact percentile instead. At 100 TB the
+    sketch is the only viable form: exact percentile needs a full sort or
+    all values collected per group, GK merges fixed-size summaries
+    map-side like any partial aggregate."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", [0.5, 0.95], 1000).alias(
+                "approx_p"
+            )
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("approx_p", 1), 2).alias("p50"),
+            F.round(F.element_at("approx_p", 2), 2).alias("p95"),
+        )
+    )
+
+
 @query(
     "q_agg_stats",
     oracle="""

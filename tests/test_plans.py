@@ -159,3 +159,38 @@ def test_histogram_bounds_ride_as_broadcast(spark):
     df = QUERIES["q_agg_histogram"](spark, SF_ORACLE)
     assert count_nodes(df, "BroadcastNestedLoopJoin") == 1
     assert count_nodes(df, "SortMergeJoin") == 0
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    # 100 TB posture: with broadcast off (both sides huge), Spark can still
+    # prune the fact scan by injecting a bloom filter built from the
+    # selective dim side (runtime row-level filtering, Spark 3.3+). Pin
+    # that the injection fires when thresholds allow — losing it silently
+    # costs a full fact scan at cluster scale.
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = QUERIES["q_scan_full"](spark, SF_ORACLE)
+        from spark_kinesis_sql_asl_spark.tables import table as _t
+
+        o = _t(spark, SF_ORACLE, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_extendedprice", "o_orderdate"
+        )
+        plan = formatted_plan(j)
+        assert "bloomfilter" in plan.lower() or "bloom_filter" in plan.lower()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
