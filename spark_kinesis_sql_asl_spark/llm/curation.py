@@ -465,3 +465,79 @@ def q_llm_kmeans(spark, sf_dir):
             ),
         )
     )
+
+
+_E2E_MIN_TOK = 20
+_E2E_MIN_RATIO = 0.3
+
+
+@query(
+    "q_llm_curate_e2e",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct
+        FROM documents
+    ),
+    kept AS (
+        SELECT * FROM scored
+        WHERE n_tok >= {_E2E_MIN_TOK}
+          AND n_distinct * 1.0 / n_tok >= {_E2E_MIN_RATIO}
+    ),
+    packed AS (
+        SELECT lang, n_tok, n_distinct,
+               CAST(floor((sum(n_tok) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tok) / {_PACK_TOKENS}) AS BIGINT) AS pack_id
+        FROM kept
+    )
+    SELECT lang, pack_id, count(*) AS n_docs, sum(n_tok) AS sum_tokens,
+           round(sum(n_distinct) * 1.0 / sum(n_tok), 6)
+               AS pooled_distinct_ratio
+    FROM packed GROUP BY lang, pack_id
+    """,
+)
+def q_llm_curate_e2e(spark, sf_dir):
+    """C34: the curation pipeline END-TO-END as one composed query —
+    quality scoring (C17/C31 signals) → filter → deterministic packing
+    (C29) → per-pack stats. This is the shape a real corpus build runs: one
+    declarative chain, so Catalyst fuses scoring+filtering into the scan
+    stage (the dropped 10% of docs never reach the window), the only
+    shuffle before the rollup is the lang-partitioned prefix-sum window,
+    and text never leaves the scan. The per-pack quality stat is a POOLED
+    ratio (sum/sum of integer counts, one division) — engine-deterministic
+    where a mean-of-ratios float fold is not. At 100 TB: identical plan,
+    with the C25 hash-sampling predicate slotted into the same scan when a
+    subsample is wanted."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("n_distinct"),
+    )
+    kept = d.where(
+        (F.col("n_tok") >= _E2E_MIN_TOK)
+        & (F.col("n_distinct") * 1.0 / F.col("n_tok") >= _E2E_MIN_RATIO)
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = kept.select(
+        "lang",
+        "n_tok",
+        "n_distinct",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / _PACK_TOKENS)
+        .cast("bigint")
+        .alias("pack_id"),
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+        F.round(
+            F.sum("n_distinct") * 1.0 / F.sum("n_tok"), 6
+        ).alias("pooled_distinct_ratio"),
+    )

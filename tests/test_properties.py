@@ -189,3 +189,33 @@ def test_sample_hash_is_partition_layout_invariant(spark):
         .collect()
     }
     assert a == b
+
+
+# --- driver-environment robustness (the probes that have bitten before) ---
+
+
+def test_trailing_slash_sf_dir_is_harmless(spark):
+    from spark_kinesis_sql_asl_spark.registry import all_queries
+
+    q = all_queries()["q_agg_group"]
+    a = sorted(map(tuple, q(spark, "/root/testdata/sf0.01").collect()))
+    b = sorted(map(tuple, q(spark, "/root/testdata/sf0.01/").collect()))
+    assert a == b
+
+
+def test_non_utc_session_timezone_is_repaired(spark, ddb):
+    # The driver supplies its OWN SparkSession with whatever timezone the
+    # host has. tables.prep() must pin the session back to UTC semantics so
+    # timestamp-carrying queries still hash-match the oracle.
+    from .conftest import assert_matches_oracle
+    from spark_kinesis_sql_asl_spark.registry import all_oracles, all_queries
+
+    key = "spark.sql.session.timeZone"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "America/New_York")
+    try:
+        name = "q_kinesis_decode_json"  # min/max timestamps per key
+        df = all_queries()[name](spark, "/root/testdata/sf0.01")
+        assert_matches_oracle(df, ddb, all_oracles()[name])
+    finally:
+        spark.conf.set(key, prev)
