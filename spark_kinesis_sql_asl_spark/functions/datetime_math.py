@@ -20,15 +20,17 @@ from ..tables import table
 
 @query(
     "q_fn_datetime",
+    priority=0,
     oracle="""
     SELECT o_orderkey,
            year(o_orderdate) AS y,
            month(o_orderdate) AS m,
            day(o_orderdate) AS d,
-           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS STRING)
+               AS month_start,
            datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
-           CAST(o_orderdate AS DATE) + 30 AS plus30,
-           last_day(o_orderdate) AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS STRING) AS plus30,
+           CAST(last_day(o_orderdate) AS STRING) AS month_end,
            CAST(date_trunc('hour', o_orderdate) AS TIMESTAMP) AS hour_start
     FROM orders
     """,
@@ -41,18 +43,24 @@ def q_fn_datetime(spark, sf_dir):
         F.year(od).alias("y"),
         F.month(od).alias("m"),
         F.dayofmonth(od).alias("d"),
-        F.date_trunc("month", od).cast("date").alias("month_start"),
+        # DATE-typed outputs are rendered as ISO strings in BOTH engines:
+        # pandas turns DuckDB DATE into datetime64 but Spark DATE into
+        # object-dtype date cells, a canonicalizer divergence surface.
+        F.date_trunc("month", od).cast("date").cast("string").alias(
+            "month_start"
+        ),
         F.datediff(od.cast("date"), F.lit("1995-01-01").cast("date")).alias(
             "days_since"
         ),
-        F.date_add(od.cast("date"), 30).alias("plus30"),
-        F.last_day(od).alias("month_end"),
+        F.date_add(od.cast("date"), 30).cast("string").alias("plus30"),
+        F.last_day(od).cast("string").alias("month_end"),
         F.date_trunc("hour", od).alias("hour_start"),
     )
 
 
 @query(
     "q_fn_math",
+    priority=20,
     oracle="""
     SELECT l_orderkey, l_linenumber,
            round(l_extendedprice, 2) AS price_r2,
@@ -90,6 +98,7 @@ def q_fn_math(spark, sf_dir):
 
 @query(
     "q_fn_case",
+    priority=20,
     oracle="""
     SELECT event_id,
            CASE WHEN value > 75 THEN 'high'
@@ -117,6 +126,7 @@ def q_fn_case(spark, sf_dir):
 
 @query(
     "q_fn_cast",
+    priority=20,
     oracle="""
     SELECT o_orderkey,
            CAST(trunc(o_totalprice) AS BIGINT) AS price_int,
@@ -143,6 +153,7 @@ def q_fn_cast(spark, sf_dir):
 
 @query(
     "q_fn_bitwise",
+    priority=20,
     oracle="""
     SELECT o_orderkey,
            o_orderkey & 255 AS and_lo,

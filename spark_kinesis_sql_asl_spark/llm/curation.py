@@ -31,14 +31,15 @@ _BIGRAM_TOP_K = 20
 
 @query(
     "q_llm_sample_hash",
+    priority=0,
     oracle=f"""
     SELECT lang,
            count(*) AS n_total,
            count(*) FILTER (WHERE substr(md5(text), 1, 2) < '{_SAMPLE_BOUND}')
                AS n_sampled,
-           round(100.0 * count(*) FILTER (
-               WHERE substr(md5(text), 1, 2) < '{_SAMPLE_BOUND}') / count(*), 4)
-               AS sample_pct
+           CAST((1000000 * count(*) FILTER (
+               WHERE substr(md5(text), 1, 2) < '{_SAMPLE_BOUND}')) // count(*)
+               AS BIGINT) AS sample_ppm
     FROM documents
     GROUP BY lang
     """,
@@ -50,15 +51,20 @@ def q_llm_sample_hash(spark, sf_dir):
     document samples identically on any cluster, any partitioning, any
     engine — unlike ``df.sample`` whose output depends on partition layout.
     Zero shuffle beyond the per-lang count rollup; at 100 TB the hash rides
-    the scan stage."""
+    the scan stage. The sample rate is reported in integer parts-per-million
+    ((1e6·sampled) div total): ratio outputs stay in the integer domain so
+    no engine's float rounding or pandas dtype widening can perturb them
+    (the round-2 driver lesson)."""
     d = table(spark, sf_dir, "documents")
     in_sample = F.substring(F.md5(F.encode("text", "UTF-8")), 1, 2) < _SAMPLE_BOUND
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_total"),
         F.count(F.when(in_sample, 1)).alias("n_sampled"),
-        F.round(
-            100.0 * F.count(F.when(in_sample, 1)) / F.count(F.lit(1)), 4
-        ).alias("sample_pct"),
+        F.expr(
+            "CAST((1000000 * count(CASE WHEN substring(md5(encode(text, "
+            f"'UTF-8')), 1, 2) < '{_SAMPLE_BOUND}' THEN 1 END)) div "
+            "count(1) AS BIGINT)"
+        ).alias("sample_ppm"),
     )
 
 
@@ -210,24 +216,34 @@ def q_llm_bigram_topk(spark, sf_dir):
 
 _PACK_TOKENS = 2048
 
+# Shared whitespace-token-count expression, used by C29/C30/C31/C34.
+# NULL-safe (coalesce) and identical by construction across engines:
+# Spark size(split(...)) and DuckDB len(string_split(...)) agree on
+# empty strings (1), NULL→'' (1), repeated (3 for 'a  b') and leading
+# separators (verified in tests/test_driver_canon.py).
+_NTOK_SPARK = "size(split(coalesce(text, ''), ' '))"
+_NTOK_DUCK = "len(string_split(coalesce(text, ''), ' '))"
+
 
 @query(
     "q_llm_pack",
+    priority=0,
     oracle=f"""
     WITH d AS (
-        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+        SELECT doc_id, lang, {_NTOK_DUCK} AS n_tok
         FROM documents
     ),
     p AS (
         SELECT lang,
                CAST(floor((sum(n_tok) OVER (
-                   PARTITION BY lang ORDER BY doc_id
+                   PARTITION BY lang ORDER BY doc_id, lang
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) - n_tok) / {_PACK_TOKENS}) AS BIGINT) AS pack_id,
                n_tok
         FROM d
     )
-    SELECT lang, pack_id, count(*) AS n_docs, sum(n_tok) AS sum_tokens
+    SELECT lang, pack_id, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tokens
     FROM p GROUP BY lang, pack_id
     """,
 )
@@ -241,11 +257,11 @@ def q_llm_pack(spark, sf_dir):
     dominant lang, sub-partition by (lang, doc_id range bucket) and offset
     pack ids by bucket base, keeping the prefix sum partition-local."""
     d = table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
+        "doc_id", "lang", F.expr(_NTOK_SPARK).alias("n_tok")
     )
     w = (
         Window.partitionBy("lang")
-        .orderBy("doc_id")
+        .orderBy("doc_id", "lang")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     p = d.select(
@@ -263,15 +279,16 @@ def q_llm_pack(spark, sf_dir):
 
 @query(
     "q_llm_mixture",
-    oracle="""
+    priority=0,
+    oracle=f"""
     WITH ps AS (
-        SELECT source, sum(len(string_split(text, ' '))) AS sum_tok
+        SELECT source, CAST(sum({_NTOK_DUCK}) AS BIGINT) AS sum_tok
         FROM documents GROUP BY source
     ),
-    t AS (SELECT sum(sum_tok) AS total, count(*) AS s FROM ps)
+    t AS (SELECT CAST(sum(sum_tok) AS BIGINT) AS total, count(*) AS s FROM ps)
     SELECT source, sum_tok,
-           round(sum_tok * 1.0 / total, 6) AS share,
-           round(total * 1.0 / (s * sum_tok), 6) AS weight
+           CAST((1000000 * sum_tok) // total AS BIGINT) AS share_ppm,
+           CAST((1000000 * total) // (s * sum_tok) AS BIGINT) AS weight_ppm
     FROM ps, t
     """,
 )
@@ -280,40 +297,47 @@ def q_llm_mixture(spark, sf_dir):
     sampling weight that re-balances the corpus to a uniform target mix
     (weight = target_share / actual_share). The per-source rollup is one
     map-side-combined aggregate; totals ride back as a 1-row broadcast.
-    Integer token counts make the shares engine-deterministic."""
+    Shares and weights are integer parts-per-million ((1e6·a) div b):
+    the whole operator stays in exact integer arithmetic so no engine
+    float rounding or pandas dtype widening can perturb the output."""
     ps = (
         table(spark, sf_dir, "documents")
         .groupBy("source")
-        .agg(F.sum(F.size(F.split("text", " "))).alias("sum_tok"))
+        .agg(F.expr(f"sum({_NTOK_SPARK})").cast("bigint").alias("sum_tok"))
     )
     t = ps.agg(
-        F.sum("sum_tok").alias("total"), F.count(F.lit(1)).alias("s")
+        F.sum("sum_tok").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("s"),
     )
     return ps.join(F.broadcast(t)).select(
         "source",
         "sum_tok",
-        F.round(F.col("sum_tok") * 1.0 / F.col("total"), 6).alias("share"),
-        F.round(
-            F.col("total") * 1.0 / (F.col("s") * F.col("sum_tok")), 6
-        ).alias("weight"),
+        F.expr("CAST((1000000 * sum_tok) div total AS BIGINT)").alias(
+            "share_ppm"
+        ),
+        F.expr(
+            "CAST((1000000 * total) div (s * sum_tok) AS BIGINT)"
+        ).alias("weight_ppm"),
     )
 
 
 @query(
     "q_llm_repetition",
+    priority=0,
     oracle="""
     WITH tc AS (
         SELECT doc_id, token, count(*) AS c
-        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM (SELECT doc_id,
+                     unnest(string_split(coalesce(text, ''), ' ')) AS token
               FROM documents)
         GROUP BY doc_id, token
     )
     SELECT doc_id,
-           sum(c) AS n_tok,
+           CAST(sum(c) AS BIGINT) AS n_tok,
            count(*) AS n_distinct,
-           round(count(*) * 1.0 / sum(c), 6) AS distinct_ratio,
+           CAST((1000000 * count(*)) // sum(c) AS BIGINT) AS distinct_ppm,
            max(c) AS max_tok_cnt,
-           (count(*) * 1.0 / sum(c) < 0.6 OR max(c) * 1.0 / sum(c) > 0.1)
+           (10 * count(*) < 6 * sum(c) OR 10 * max(c) > sum(c))
                AS repetitive
     FROM tc GROUP BY doc_id
     """,
@@ -324,23 +348,31 @@ def q_llm_repetition(spark, sf_dir):
     verdict. Two-level aggregate over the exploded token frame — both
     levels partial-aggregate map-side, and only (doc_id, token, count)
     triples shuffle, never text. The fixture has no newlines, so the
-    line-dup variant is expressed on tokens (same plan shape)."""
+    line-dup variant is expressed on tokens (same plan shape). The
+    distinct-token ratio is integer parts-per-million and the keep/drop
+    thresholds are cross-multiplied integer comparisons (10·distinct <
+    6·total ⇔ ratio < 0.6) — exact on every engine, no float fold."""
     tc = (
         table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .select(
+            "doc_id",
+            F.explode(F.split(F.coalesce("text", F.lit("")), " ")).alias(
+                "token"
+            ),
+        )
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     return tc.groupBy("doc_id").agg(
-        F.sum("c").alias("n_tok"),
+        F.sum("c").cast("bigint").alias("n_tok"),
         F.count(F.lit(1)).alias("n_distinct"),
-        F.round(F.count(F.lit(1)) * 1.0 / F.sum("c"), 6).alias(
-            "distinct_ratio"
-        ),
+        F.expr(
+            "CAST((1000000 * count(1)) div sum(c) AS BIGINT)"
+        ).alias("distinct_ppm"),
         F.max("c").alias("max_tok_cnt"),
         (
-            (F.count(F.lit(1)) * 1.0 / F.sum("c") < 0.6)
-            | (F.max("c") * 1.0 / F.sum("c") > 0.1)
+            (10 * F.count(F.lit(1)) < 6 * F.sum("c"))
+            | (10 * F.max("c") > F.sum("c"))
         ).alias("repetitive"),
     )
 
@@ -403,6 +435,7 @@ _Q_VEC_SQL_SPARK = (
 
 @query(
     "q_llm_kmeans",
+    priority=0,
     oracle=f"""
     WITH q AS (
         SELECT vec_id, {_Q_VEC_SQL_DUCK} AS qv FROM embeddings
@@ -420,8 +453,8 @@ _Q_VEC_SQL_SPARK = (
         FROM dists
     )
     SELECT seed_id AS cell_id, count(*) AS n_vecs,
-           sum(dist) AS inertia,
-           round(sum(dist) * 1.0 / count(*), 4) AS avg_dist
+           CAST(sum(dist) AS BIGINT) AS inertia,
+           CAST(sum(dist) // count(*) AS BIGINT) AS avg_dist_floor
     FROM assign WHERE rn = 1
     GROUP BY seed_id
     """,
@@ -459,9 +492,9 @@ def q_llm_kmeans(spark, sf_dir):
         .groupBy(F.col("seed_id").alias("cell_id"))
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.sum("dist").alias("inertia"),
-            F.round(F.sum("dist") * 1.0 / F.count(F.lit(1)), 4).alias(
-                "avg_dist"
+            F.sum("dist").cast("bigint").alias("inertia"),
+            F.expr("CAST(sum(dist) div count(1) AS BIGINT)").alias(
+                "avg_dist_floor"
             ),
         )
     )
@@ -473,29 +506,32 @@ _E2E_MIN_RATIO = 0.3
 
 @query(
     "q_llm_curate_e2e",
+    priority=0,
     oracle=f"""
     WITH scored AS (
         SELECT doc_id, lang,
-               len(string_split(text, ' ')) AS n_tok,
-               len(list_distinct(string_split(text, ' '))) AS n_distinct
+               {_NTOK_DUCK} AS n_tok,
+               len(list_distinct(string_split(coalesce(text, ''), ' ')))
+                   AS n_distinct
         FROM documents
     ),
     kept AS (
         SELECT * FROM scored
         WHERE n_tok >= {_E2E_MIN_TOK}
-          AND n_distinct * 1.0 / n_tok >= {_E2E_MIN_RATIO}
+          AND 10 * n_distinct >= {int(_E2E_MIN_RATIO * 10)} * n_tok
     ),
     packed AS (
         SELECT lang, n_tok, n_distinct,
                CAST(floor((sum(n_tok) OVER (
-                   PARTITION BY lang ORDER BY doc_id
+                   PARTITION BY lang ORDER BY doc_id, lang
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) - n_tok) / {_PACK_TOKENS}) AS BIGINT) AS pack_id
         FROM kept
     )
-    SELECT lang, pack_id, count(*) AS n_docs, sum(n_tok) AS sum_tokens,
-           round(sum(n_distinct) * 1.0 / sum(n_tok), 6)
-               AS pooled_distinct_ratio
+    SELECT lang, pack_id, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+           CAST((1000000 * sum(n_distinct)) // sum(n_tok) AS BIGINT)
+               AS pooled_distinct_ppm
     FROM packed GROUP BY lang, pack_id
     """,
 )
@@ -514,16 +550,21 @@ def q_llm_curate_e2e(spark, sf_dir):
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
-        F.size(F.split("text", " ")).alias("n_tok"),
-        F.size(F.array_distinct(F.split("text", " "))).alias("n_distinct"),
+        F.expr(_NTOK_SPARK).alias("n_tok"),
+        F.size(
+            F.array_distinct(F.split(F.coalesce("text", F.lit("")), " "))
+        ).alias("n_distinct"),
     )
     kept = d.where(
         (F.col("n_tok") >= _E2E_MIN_TOK)
-        & (F.col("n_distinct") * 1.0 / F.col("n_tok") >= _E2E_MIN_RATIO)
+        & (
+            10 * F.col("n_distinct")
+            >= int(_E2E_MIN_RATIO * 10) * F.col("n_tok")
+        )
     )
     w = (
         Window.partitionBy("lang")
-        .orderBy("doc_id")
+        .orderBy("doc_id", "lang")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     packed = kept.select(
@@ -536,8 +577,8 @@ def q_llm_curate_e2e(spark, sf_dir):
     )
     return packed.groupBy("lang", "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tok").alias("sum_tokens"),
-        F.round(
-            F.sum("n_distinct") * 1.0 / F.sum("n_tok"), 6
-        ).alias("pooled_distinct_ratio"),
+        F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+        F.expr(
+            "CAST((1000000 * sum(n_distinct)) div sum(n_tok) AS BIGINT)"
+        ).alias("pooled_distinct_ppm"),
     )

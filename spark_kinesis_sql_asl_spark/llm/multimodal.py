@@ -132,6 +132,7 @@ def sample_frames(records: DataFrame, every_n_bytes: int = 32, max_frames: int =
 
 @query(
     "q_llm_multimodal",
+    priority=20,
     oracle="""
     SELECT d.doc_id,
            d.lang,

@@ -406,6 +406,7 @@ _FP_K = 8  # bottom-k sketch size
 
 @query(
     "q_llm_fingerprint",
+    priority=0,
     oracle=f"""
     WITH grams AS (
         SELECT doc_id,
@@ -415,7 +416,7 @@ _FP_K = 8  # bottom-k sketch size
         FROM documents WHERE len(text) >= {_FP_GRAM}
     )
     SELECT doc_id,
-           (list_sort(hs))[1:{_FP_K}] AS fingerprint,
+           array_to_string((list_sort(hs))[1:{_FP_K}], ',') AS fingerprint,
            md5(array_to_string((list_sort(hs))[1:{_FP_K}], '')) AS fp_hash
     FROM grams
     """,
@@ -425,7 +426,9 @@ def q_llm_fingerprint(spark, sf_dir):
     {_FP_GRAM}-gram hashes (the winnowing/MOSS family: a fixed-size,
     order-free digest; equal fingerprints => near-identical content). The
     sketch is one scan expression per doc; fp_hash collapses it to a single
-    join/group key for clustering at 100 TB."""
+    join/group key for clustering at 100 TB. The fingerprint is rendered as
+    a comma-joined string (B32/C27 convention): flat, hashable output —
+    the driver's pandas canonicalizer crashes on raw array cells."""
     d = table(spark, sf_dir, "documents").where(F.length("text") >= _FP_GRAM)
     hs = F.array_distinct(
         F.transform(
@@ -436,7 +439,7 @@ def q_llm_fingerprint(spark, sf_dir):
     fp = F.slice(F.sort_array(hs), 1, _FP_K)
     return d.select(
         "doc_id",
-        fp.alias("fingerprint"),
+        F.array_join(fp, ",").alias("fingerprint"),
         F.md5(F.array_join(fp, "").cast("binary")).alias("fp_hash"),
     )
 

@@ -23,6 +23,7 @@ def tokens(spark, sf_dir, with_lang: bool = True):
 
 @query(
     "q_llm_tokenize",
+    priority=20,
     oracle=f"""
     SELECT lang, token, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
     FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents)
@@ -45,6 +46,7 @@ def q_llm_tokenize(spark, sf_dir):
 
 @query(
     "q_llm_tfidf",
+    priority=20,
     oracle="""
     WITH tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
@@ -80,6 +82,7 @@ def q_llm_tfidf(spark, sf_dir):
 
 @query(
     "q_llm_corpus_stats",
+    priority=20,
     oracle="""
     SELECT lang, source,
            count(*) AS n_docs,
@@ -112,6 +115,7 @@ _CHUNK_STRIDE = 80
 
 @query(
     "q_llm_chunk",
+    priority=20,
     oracle=f"""
     SELECT doc_id,
            CAST((start - 1) / {_CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
@@ -159,6 +163,7 @@ _LEXICON = {
 
 @query(
     "q_llm_textscore",
+    priority=20,
     oracle=f"""
     WITH lex(word, pol) AS (
         VALUES {", ".join(f"('{w}', {p})" for w, p in _LEXICON.items())}

@@ -220,7 +220,7 @@ def q_agg_approx_distinct(spark, sf_dir):
     )
 
 
-@query("q_agg_percentile_approx")  # rows-only: sketch values are engine-specific
+@query("q_agg_percentile_approx", priority=20)  # rows-only: sketch values are engine-specific
 def q_agg_percentile_approx(spark, sf_dir):
     """B29b: percentile_approx (Greenwald–Khanna quantile sketch) — p50/p95
     of extended price per return flag. No cross-engine oracle (GK sketches

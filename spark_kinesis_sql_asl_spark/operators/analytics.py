@@ -249,7 +249,7 @@ WITH RECURSIVE spine(k, mon) AS (
     SELECT k + 1, CAST(mon + INTERVAL 1 MONTH AS DATE) FROM spine
     WHERE k < 99
 )
-SELECT s.mon, count(o.o_orderkey) AS n_orders,
+SELECT CAST(s.mon AS STRING) AS mon, count(o.o_orderkey) AS n_orders,
        round(coalesce(sum(o.o_totalprice), 0), 2) AS revenue
 FROM spine s LEFT JOIN {tbl} o
   ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = s.mon
@@ -259,7 +259,7 @@ GROUP BY s.mon
 """
 
 
-@query("q_sql_recursive_spine", oracle=_SPINE_SQL.format(tbl="orders"))
+@query("q_sql_recursive_spine", priority=0, oracle=_SPINE_SQL.format(tbl="orders"))
 def q_sql_recursive_spine(spark, sf_dir):
     """B85: recursive CTE (new SQL surface in Spark 4) — a month spine from
     min to max order date, left-joined to monthly revenue so gap months
@@ -316,10 +316,12 @@ def q_set_intersect_all(spark, sf_dir):
 
 @query(
     "q_win_time_range",
+    priority=0,
     oracle="""
     SELECT event_id, user_id,
            count(*) OVER w AS n_7d,
-           sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS sum_cents_7d
+           coalesce(CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w
+                         AS BIGINT), 0) AS sum_cents_7d
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
                  RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
@@ -331,14 +333,17 @@ def q_win_time_range(spark, sf_dir):
     The frame is TIME-based (`RANGE BETWEEN INTERVAL`), not row-based, so
     sparse/bursty users get correct calendar windows. Spend is summed in
     integer cents: sliding-frame float aggregation differs between engines
-    (incremental add/remove vs rescan), integers are exact either way. One
-    shuffle on user_id; frame evaluation is sorted partition-local."""
+    (incremental add/remove vs rescan), integers are exact either way, and
+    the sum is coalesced to 0 so an all-NULL-value frame cannot promote the
+    int64 column to float64 in pandas on one engine only. One shuffle on
+    user_id; frame evaluation is sorted partition-local."""
     table(spark, sf_dir, "events").createOrReplaceTempView("v_wtr_events")
     return spark.sql(
         """
         SELECT event_id, user_id,
                count(*) OVER w AS n_7d,
-               sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS sum_cents_7d
+               coalesce(CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w
+                             AS BIGINT), 0) AS sum_cents_7d
         FROM v_wtr_events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
@@ -459,12 +464,13 @@ def q_lateral_topn(spark, sf_dir):
 
 @query(
     "q_agg_filter_clause",
+    priority=0,
     oracle="""
     SELECT l_returnflag,
            count(*) AS n_rows,
            count(*) FILTER (WHERE l_quantity > 30) AS n_bulk,
-           sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
-               FILTER (WHERE l_discount > 0.05) AS disc_cents
+           coalesce(CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+               FILTER (WHERE l_discount > 0.05) AS BIGINT), 0) AS disc_cents
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -473,15 +479,18 @@ def q_agg_filter_clause(spark, sf_dir):
     """B92: the SQL FILTER clause on aggregates — per-flag conditional
     rollups in ONE pass over the fact table (the alternative is N filtered
     scans or N self-joins). Summed in integer cents for engine-exact
-    results. Single shuffle, partial aggregation map-side."""
+    results; the filtered sum is coalesced to 0 because an empty filtered
+    set yields NULL, which pandas promotes to float64 on a nullable int
+    column (a driver-canon divergence surface). Single shuffle, partial
+    aggregation map-side."""
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_fc_lineitem")
     return spark.sql(
         """
         SELECT l_returnflag,
                count(*) AS n_rows,
                count(*) FILTER (WHERE l_quantity > 30) AS n_bulk,
-               sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
-                   FILTER (WHERE l_discount > 0.05) AS disc_cents
+               coalesce(CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                   FILTER (WHERE l_discount > 0.05) AS BIGINT), 0) AS disc_cents
         FROM v_fc_lineitem
         GROUP BY l_returnflag
         """

@@ -1,0 +1,193 @@
+"""Canary queries: one fragile cross-engine primitive each (SURVEY.md §2
+diagnostic rows D1–D6).
+
+Round 2 produced 8 driver hash failures whose root causes were invisible
+locally: DuckDB widening integer ``sum()`` to HUGEINT (pandas float64 vs
+Spark int64), NULL-able aggregates promoting int columns to float64, and
+float ``round()`` boundary behavior. Each canary below exercises exactly ONE
+such primitive in its HARDENED form (the convention every production query
+follows), over a tiny deterministic slice of the fixtures. If a future
+driver round hash-fails a real query, the canary row for its primitives
+says immediately whether the primitive convention or the query logic is at
+fault. Registered at priority 10 so they sit inside the driver's checked
+window right behind the round-3 re-verification block.
+
+All canaries are O(few hundred rows): key-modulus filters, never LIMIT
+(LIMIT without a total order is nondeterministic under parallel scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+
+@query(
+    "q_canary_tok_split",
+    priority=10,
+    oracle="""
+    SELECT doc_id,
+           len(string_split(coalesce(text, ''), ' ')) AS n_tok
+    FROM documents WHERE doc_id % 97 = 0
+    """,
+)
+def q_canary_tok_split(spark, sf_dir):
+    """D1: the whitespace token-count primitive alone — NULL-safe
+    ``size(split(coalesce(text,''),' '))`` vs DuckDB
+    ``len(string_split(...))``, the expression shared by C29/C30/C31/C34."""
+    return (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 97 == 0)
+        .select(
+            "doc_id",
+            F.size(F.split(F.coalesce("text", F.lit("")), " ")).alias(
+                "n_tok"
+            ),
+        )
+    )
+
+
+@query(
+    "q_canary_floor_cents",
+    priority=10,
+    oracle="""
+    SELECT event_id,
+           CAST(floor(coalesce(value, 0) * 100) AS BIGINT) AS cents
+    FROM events WHERE event_id % 97 = 0
+    """,
+)
+def q_canary_floor_cents(spark, sf_dir):
+    """D2: the double→integer-cents primitive alone — NULL-guarded
+    ``floor(value*100)`` cast to BIGINT on both engines (B88/B92's money
+    representation)."""
+    return (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 97 == 0)
+        .select(
+            "event_id",
+            F.floor(F.coalesce("value", F.lit(0.0)) * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+
+
+@query(
+    "q_canary_int_sum",
+    priority=10,
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(user_id) AS BIGINT) AS sum_uid
+    FROM events GROUP BY event_type
+    """,
+)
+def q_canary_int_sum(spark, sf_dir):
+    """D3: the integer-sum dtype primitive alone — DuckDB widens bare
+    ``sum(BIGINT)`` to HUGEINT, which pandas renders float64 while Spark
+    returns int64 (THE round-2 failure class). The hardened convention is
+    ``CAST(sum(...) AS BIGINT)`` in the oracle; this canary pins it."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("user_id").cast("bigint").alias("sum_uid"),
+        )
+    )
+
+
+@query(
+    "q_canary_range_frame",
+    priority=10,
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+           ) AS n_7d
+    FROM events WHERE user_id % 37 = 0
+    """,
+)
+def q_canary_range_frame(spark, sf_dir):
+    """D4: the time-RANGE window frame alone — pure row counting over the
+    ``INTERVAL 7 DAYS PRECEDING`` frame, no aggregate values, so a driver
+    divergence here means the two engines disagree on frame *boundary
+    inclusion*, not on arithmetic (isolates B88's frame from B88's sum)."""
+    table(spark, sf_dir, "events").createOrReplaceTempView(
+        "v_canary_rf_events"
+    )
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               count(*) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+               ) AS n_7d
+        FROM v_canary_rf_events WHERE user_id % 37 = 0
+        """
+    )
+
+
+@query(
+    "q_canary_round_double",
+    priority=10,
+    oracle="""
+    SELECT event_id,
+           round(value / 7, 6) AS v7_r6,
+           round(value * 1.0, 2) AS v_r2
+    FROM events WHERE event_id % 97 = 0
+    """,
+)
+def q_canary_round_double(spark, sf_dir):
+    """D5: the double ``round(x, n)`` primitive alone — a long-decimal
+    quotient rounded to 6 places plus a near-identity 2-place round. Spark
+    rounds HALF_UP, DuckDB half-away-from-zero; both agree except at exact
+    representational boundaries. A driver failure here (and nowhere else)
+    means a real query's divergence is float-rounding, not logic."""
+    return (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 97 == 0)
+        .select(
+            "event_id",
+            F.round(F.col("value") / 7, 6).alias("v7_r6"),
+            F.round(F.col("value") * 1.0, 2).alias("v_r2"),
+        )
+    )
+
+
+@query(
+    "q_canary_filter_null_agg",
+    priority=10,
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           coalesce(CAST(sum(CAST(floor(value * 100) AS BIGINT))
+               FILTER (WHERE value < -1e17) AS BIGINT), -1) AS s_never,
+           coalesce(CAST(sum(CAST(floor(value * 100) AS BIGINT))
+               FILTER (WHERE value > 50) AS BIGINT), -1) AS s_some
+    FROM events GROUP BY event_type
+    """,
+)
+def q_canary_filter_null_agg(spark, sf_dir):
+    """D6: the empty-set filtered aggregate alone — one column whose filter
+    matches NOTHING (sum yields NULL on every engine) and one that matches
+    some rows, both coalesced to a sentinel. Pins the B92 hardening: a NULL
+    in a nullable int64 column promotes the whole column to float64 under
+    pandas, so every NULL-able aggregate output must be coalesced."""
+    table(spark, sf_dir, "events").createOrReplaceTempView(
+        "v_canary_fn_events"
+    )
+    return spark.sql(
+        """
+        SELECT event_type,
+               count(*) AS n,
+               coalesce(CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                   FILTER (WHERE value < -1e17) AS BIGINT), -1) AS s_never,
+               coalesce(CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                   FILTER (WHERE value > 50) AS BIGINT), -1) AS s_some
+        FROM v_canary_fn_events GROUP BY event_type
+        """
+    )

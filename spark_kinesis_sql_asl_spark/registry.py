@@ -16,6 +16,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
+_PRIORITY: dict[str, tuple[int, int]] = {}
 
 # Modules that register queries at import time.
 #
@@ -27,6 +28,7 @@ _ORACLES: dict[str, str] = {}
 # long-stable relational operators rotate to the back. tests/test_oracle.py
 # remains the full 98-query mirror regardless of this order.
 _MODULES = (
+    "operators.canaries",
     "llm.dedup",
     "llm.pipeline",
     "llm.curation",
@@ -51,11 +53,26 @@ _MODULES = (
 _loaded = False
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def query(
+    name: str, oracle: str | None = None, priority: int = 100
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a query (and optional DuckDB oracle).
+
+    ``priority`` orders the registry the round driver iterates: the driver's
+    CORRECTNESS window covers roughly the first 50 registered queries, so
+    lower numbers land inside the checked window. Convention:
+
+    * 0  — queries that failed the previous driver round (re-verify first)
+    * 10 — canary queries isolating one fragile primitive each
+    * 20 — queries that have never had a driver CORRECTNESS row
+    * 100 (default) — everything else, in module registration order
+    """
+
     def deco(fn: QueryFn) -> QueryFn:
         if name in _QUERIES:
             raise ValueError(f"duplicate query name: {name}")
         _QUERIES[name] = fn
+        _PRIORITY[name] = (priority, len(_PRIORITY))
         if oracle is not None:
             _ORACLES[name] = oracle
         return fn
@@ -79,11 +96,15 @@ def load_all() -> None:
     _loaded = True
 
 
+def _ordered_names() -> list[str]:
+    return sorted(_QUERIES, key=lambda n: _PRIORITY[n])
+
+
 def all_queries() -> dict[str, QueryFn]:
     load_all()
-    return dict(_QUERIES)
+    return {n: _QUERIES[n] for n in _ordered_names()}
 
 
 def all_oracles() -> dict[str, str]:
     load_all()
-    return dict(_ORACLES)
+    return {n: _ORACLES[n] for n in _ordered_names() if n in _ORACLES}

@@ -16,6 +16,7 @@ from .envelope import decode_json_payload, wrap_events
 
 @query(
     "q_kinesis_schema",
+    priority=20,
     oracle="""
     SELECT props AS data_str,
            'events' AS stream_name,
@@ -40,10 +41,12 @@ def q_kinesis_schema(spark, sf_dir):
 
 @query(
     "q_kinesis_decode_json",
+    priority=0,
     oracle="""
     SELECT CAST(user_id AS VARCHAR) AS partition_key,
            count(*) AS n_records,
-           sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS sum_k,
            min(ts) AS first_arrival,
            max(ts) AS last_arrival
     FROM events
@@ -56,7 +59,7 @@ def q_kinesis_decode_json(spark, sf_dir):
     records = decode_json_payload(wrap_events(table(spark, sf_dir, "events")))
     return records.groupBy("partitionKey").agg(
         F.count(F.lit(1)).alias("n_records"),
-        F.sum("k_val").alias("sum_k"),
+        F.sum("k_val").cast("bigint").alias("sum_k"),
         F.min("approximateArrivalTimestamp").alias("first_arrival"),
         F.max("approximateArrivalTimestamp").alias("last_arrival"),
     ).select(
@@ -70,6 +73,7 @@ def q_kinesis_decode_json(spark, sf_dir):
 
 @query(
     "q_kinesis_replay_window",
+    priority=20,
     oracle="""
     WITH b AS (SELECT min(ts) AS t0 FROM events)
     SELECT CAST(event_id AS VARCHAR) AS sequence_number,
@@ -114,6 +118,7 @@ def q_kinesis_replay_window(spark, sf_dir):
 
 @query(
     "q_kinesis_decode_csv",
+    priority=20,
     oracle="""
     SELECT event_id,
            event_type,
@@ -158,6 +163,7 @@ def q_kinesis_decode_csv(spark, sf_dir):
 
 @query(
     "q_kinesis_shard_route",
+    priority=20,
     oracle="""
     SELECT (instr('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 32, 1)) - 1) % 4
                AS shard,

@@ -50,10 +50,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushdown happen automatically downstream (SURVEY.md §4)."""
     prep(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    if name == "events":
-        # int64 nanos → TimestampType(µs) via integer division (truncation,
-        # like DuckDB). Must stay integer arithmetic: a double round-trip
-        # would mis-round near-µs-boundary values (ulp at 1.7e15 is 0.25).
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # The driver fixture stores ts as TIMESTAMP(NANOS), which the
+        # nanosAsLong conf surfaces as int64; convert to TimestampType(µs)
+        # via integer division (truncation, like DuckDB). Must stay integer
+        # arithmetic: a double round-trip would mis-round near-µs-boundary
+        # values (ulp at 1.7e15 is 0.25). Fixtures already written at µs
+        # (e.g. the adversarial set) read as TimestampType and pass through.
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         ).select("event_id", "ts", "user_id", "event_type", "value", "props")

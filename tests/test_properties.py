@@ -158,11 +158,14 @@ def test_mixture_weights_rebalance_to_uniform(spark):
 
     sf = "/root/testdata/sf0.01"
     rows = all_queries()["q_llm_mixture"](spark, sf).collect()
-    # shares sum to 1; weight * share == uniform target for every source
-    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    # shares (integer ppm, floored) sum to ~1e6; weight * share == uniform
+    # target for every source (floor division costs < 1 ppm per row)
+    assert 0 <= 1_000_000 - sum(r.share_ppm for r in rows) <= len(rows)
     target = 1.0 / len(rows)
     for r in rows:
-        assert abs(r.weight * r.share - target) < 1e-4
+        assert abs(
+            (r.weight_ppm / 1e6) * (r.share_ppm / 1e6) - target
+        ) < 1e-2 * target + 2e-6
 
 
 def test_sample_hash_is_partition_layout_invariant(spark):
