@@ -22,10 +22,10 @@ from ..tables import table
            upper(c_mktsegment) AS seg_up,
            lower(c_name) AS name_lo,
            length(c_name) AS name_len,
-           concat(c_name, '#', c_mktsegment) AS name_seg,
+           concat(c_name, '#', coalesce(c_mktsegment, '')) AS name_seg,
            replace(c_name, '0', 'o') AS name_repl,
            lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad,
-           trim(concat('  ', c_mktsegment, '  ')) AS seg_trim
+           trim(concat('  ', coalesce(c_mktsegment, ''), '  ')) AS seg_trim
     FROM customer
     """,
 )
@@ -37,10 +37,18 @@ def q_fn_string(spark, sf_dir):
         F.upper("c_mktsegment").alias("seg_up"),
         F.lower("c_name").alias("name_lo"),
         F.length("c_name").alias("name_len"),
-        F.concat("c_name", F.lit("#"), "c_mktsegment").alias("name_seg"),
+        # coalesce before concat: DuckDB's concat() skips NULL args while
+        # Spark's returns NULL — pin the semantics in both engines.
+        F.concat(
+            "c_name", F.lit("#"), F.coalesce("c_mktsegment", F.lit(""))
+        ).alias("name_seg"),
         F.replace(F.col("c_name"), F.lit("0"), F.lit("o")).alias("name_repl"),
         F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_pad"),
-        F.trim(F.concat(F.lit("  "), "c_mktsegment", F.lit("  "))).alias("seg_trim"),
+        F.trim(
+            F.concat(
+                F.lit("  "), F.coalesce("c_mktsegment", F.lit("")), F.lit("  ")
+            )
+        ).alias("seg_trim"),
     )
 
 

@@ -21,6 +21,10 @@ from ..tables import table
 @udf(DoubleType())
 def _charge_py(price: float, discount: float, tax: float) -> float:
     # Same IEEE expression tree as the SQL oracle → bit-identical per row.
+    # SQL NULL arrives as Python None; propagate it like the SQL expression
+    # does instead of crashing the worker.
+    if price is None or discount is None or tax is None:
+        return None
     return price * (1.0 - discount) * (1.0 + tax)
 
 

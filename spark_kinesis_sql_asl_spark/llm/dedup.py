@@ -66,6 +66,32 @@ def q_llm_dedup_exact(spark, sf_dir):
 
 _JACCARD_TAU = 0.8
 
+# Crossover for order="auto": below this many distinct tokens the global
+# document-frequency table is tiny (a few hundred MB even with 64-byte
+# tokens), so the df pass — one (lang, tok) groupBy plus a per-doc window —
+# is cheap and buys the provably-minimal prefix (round-2 measurement at a
+# small shingle vocab: df 10.8 s vs hash 17.4 s on the ngram query, because
+# random-order prefixes explode candidates when few distinct shingles are
+# shared by many docs). Above it, the df table itself becomes a scale
+# hazard (its groupBy state no longer fits executor memory comfortably and
+# the per-doc rank window re-shuffles every token occurrence), while
+# hash-order costs ZERO extra passes — the 100 TB default for open-ended
+# shingle vocabularies. 50M keeps the df state ~O(GB) at the crossover.
+_AUTO_DF_VOCAB_MAX = 50_000_000
+
+
+def pick_prefix_order(docs, auto_vocab_max: int = _AUTO_DF_VOCAB_MAX) -> str:
+    """The order="auto" rule: estimate the distinct-token count with one
+    HLL pass (map-side partial sketch, single-row shuffle — strictly
+    cheaper than the df pass it gates) and return ``"df"`` iff the
+    vocabulary fits the df-table budget, else ``"hash"``."""
+    vocab = (
+        docs.select(F.explode("tokset").alias("t"))
+        .agg(F.approx_count_distinct("t", rsd=0.05).alias("v"))
+        .first()["v"]
+    )
+    return "df" if vocab <= auto_vocab_max else "hash"
+
 
 def prefix_filtered_jaccard(
     docs,
@@ -73,6 +99,7 @@ def prefix_filtered_jaccard(
     order: str = "df",
     reuse: bool = False,
     hash_tokens: bool = False,
+    auto_vocab_max: int = _AUTO_DF_VOCAB_MAX,
 ):
     """Exact set-similarity self-join (Jaccard >= tau) via PPJoin-style
     prefix filtering (Xiao et al., WWW 2008).
@@ -96,6 +123,14 @@ def prefix_filtered_jaccard(
       df-ordered minimum; the length/positional filters below still apply.
       The hash only defines the ORDER — verification compares true strings,
       so a hash collision cannot affect results.
+    - ``"auto"``: probe the distinct-token count with one
+      ``approx_count_distinct`` pass (HLL partial aggregate: full scan,
+      single-sketch shuffle — strictly cheaper than the df pass it decides
+      about) and pick ``"df"`` iff the vocabulary is at most
+      ``auto_vocab_max``. This codifies the round-2 measurement (df wins
+      while the vocab — hence the df table — is small; hash wins when the
+      vocab dwarfs executor memory) as an executable rule instead of a
+      per-call literal. Exactness is unaffected — both orders are exact.
 
     ``reuse=True`` materializes the tokenized docs and the prefix index with
     ``localCheckpoint`` so the DAG's diamond (prefix self-join + two verify
@@ -121,6 +156,8 @@ def prefix_filtered_jaccard(
     docs = docs.withColumn("sz", F.size("tokset"))
     if reuse:
         docs = docs.localCheckpoint(eager=True)
+    if order == "auto":
+        order = pick_prefix_order(docs, auto_vocab_max)
     plen = (F.col("sz") - F.ceil(F.lit(tau) * F.col("sz")) + 1).cast("int")
     if order == "hash":
         ordered = F.array_sort(

@@ -19,6 +19,7 @@ import atexit
 import os
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import Observation, Window
 from pyspark.sql import functions as F
@@ -26,7 +27,7 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..tables import table
 from .dedup import prefix_filtered_jaccard
-from .similarity import _N_QUERIES, _TOPK, as_double, dot, sq_norm
+from .similarity import _N_QUERIES, _TOPK, as_double, dot, safe_cosine, sq_norm
 
 # --- C13: SimHash near-dup ---------------------------------------------------
 
@@ -186,7 +187,7 @@ def q_llm_dedup_ngram(spark, sf_dir):
     )
     docs = d.select("doc_id", "lang", grams.alias("tokset"))
     return prefix_filtered_jaccard(
-        docs, _NGRAM_TAU, order="df", reuse=True, hash_tokens=True
+        docs, _NGRAM_TAU, order="auto", reuse=True, hash_tokens=True
     )
 
 
@@ -223,7 +224,7 @@ def q_llm_dedup_embed(spark, sf_dir):
         F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
         F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos = safe_cosine(dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
         .where(cos >= _EMBED_TAU)
@@ -325,11 +326,11 @@ _QUALITY_STOPWORDS = ("a", "the")
     )
     SELECT doc_id, lang, n_chars, n_tokens,
            round(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
-           round(n_punct * 1.0 / n_chars, 6) AS punct_ratio,
+           round(n_punct * 1.0 / nullif(n_chars, 0), 6) AS punct_ratio,
            round((n_chars - n_tokens + 1) * 1.0 / n_tokens, 6) AS avg_token_len,
            (n_tokens BETWEEN 10 AND 200
             AND n_stop * 1.0 / n_tokens < 0.3
-            AND n_punct * 1.0 / n_chars < 0.1) AS keep
+            AND n_punct * 1.0 / nullif(n_chars, 0) < 0.1) AS keep
     FROM feats
     """,
 )
@@ -343,7 +344,7 @@ def q_llm_quality(spark, sf_dir):
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*_QUALITY_STOPWORDS)))
     n_punct = F.length(F.regexp_replace("text", "[a-z0-9 ]", ""))
     stop_ratio = n_stop * 1.0 / n_tokens
-    punct_ratio = n_punct * 1.0 / F.col("n_chars")
+    punct_ratio = n_punct * 1.0 / F.nullif(F.col("n_chars"), F.lit(0))
     return d.select(
         "doc_id",
         "lang",
@@ -468,7 +469,7 @@ def q_llm_sim_ivf(spark, sf_dir):
         F.col("e").alias("se"),
         F.col("nrm").alias("sn"),
     )
-    sim_to_seed = dot(F.col("e"), F.col("se")) / (F.col("nrm") * F.col("sn"))
+    sim_to_seed = safe_cosine(dot(F.col("e"), F.col("se")), F.col("nrm"), F.col("sn"))
     ranked = (
         emb.crossJoin(F.broadcast(seeds))
         .select("vec_id", "e", "nrm", "cell", sim_to_seed.alias("s"))
@@ -499,7 +500,7 @@ def q_llm_sim_ivf(spark, sf_dir):
             F.col("nrm").alias("cn"),
         )
     )
-    cos = dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    cos = safe_cosine(dot(F.col("qe"), F.col("ce")), F.col("qn"), F.col("cn"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         cand.select("query_id", "neighbor_id", cos.alias("cos"))
@@ -551,13 +552,31 @@ def q_llm_dedup_cluster(spark, sf_dir):
     convergence signal rides the SAME write job via ``Observation``
     metrics: each row carries a ``changed`` flag (new label < the label the
     doc entered the round with) and the observed sum is read off the write
-    — no separate driver-side ``.count()`` job per round. The staging dir
-    is the 100 TB analog of a job-scratch prefix on HDFS/S3."""
+    — no separate driver-side ``.count()`` job per round.
+
+    Staging-dir resolution, in order: (1) the session's checkpoint dir if
+    one is set (on a real cluster that is an HDFS/S3 prefix every executor
+    can reach — the durability claim holds); (2) the
+    ``spark.kinesislike.scratchDir`` conf; (3) a driver-local tempdir —
+    correct in local mode (this harness) but cluster operators should set
+    (1) or (2). Scratch rounds are deleted eagerly at exit; only the final
+    round's parquet must outlive this call."""
     pairs = q_llm_dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
-    stage = tempfile.mkdtemp(prefix="spark_cc_rounds_")
-    # Best-effort scratch cleanup at interpreter exit; the returned DataFrame
-    # reads the final round's parquet, so the dir must outlive this call.
-    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    scratch_root = (
+        spark.sparkContext.getCheckpointDir()
+        or spark.conf.get("spark.kinesislike.scratchDir", None)
+    )
+    if scratch_root:
+        stage = os.path.join(
+            scratch_root, f"spark_cc_rounds_{uuid.uuid4().hex}"
+        )
+    else:
+        stage = tempfile.mkdtemp(prefix="spark_cc_rounds_")
+        # Best-effort scratch cleanup at interpreter exit; the returned
+        # DataFrame reads the final round's parquet, so the dir must
+        # outlive this call. (Checkpoint/scratch-dir staging is left to the
+        # cluster's scratch-retention policy, like checkpoint files.)
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
 
     edges_path = os.path.join(stage, "edges")
     pairs.unionByName(

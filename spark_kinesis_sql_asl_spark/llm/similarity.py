@@ -32,6 +32,18 @@ def sq_norm(a) -> Column:
     return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
 
 
+def safe_cosine(dot_col: Column, na: Column, nb: Column) -> Column:
+    """Cosine with the zero-vector case pinned: ``coalesce(dot /
+    nullif(na*nb, 0), 0.0)``. A zero-norm vector makes the denominator 0,
+    which under Spark 4's default ANSI mode is a runtime DIVIDE_BY_ZERO
+    crash (and NaN/Inf elsewhere); defining it as 0.0 (orthogonal) is
+    deterministic, crash-free, and engine-identical. Oracles use the same
+    ``coalesce(... / nullif(...), 0)`` shape."""
+    return F.coalesce(
+        dot_col / F.nullif(na * nb, F.lit(0.0)), F.lit(0.0)
+    )
+
+
 _TOPK = 5
 _N_QUERIES = 5  # vec_id < 5 are the query vectors
 
@@ -45,7 +57,11 @@ _N_QUERIES = 5  # vec_id < 5 are the query vectors
     ),
     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings),
     sims AS (
-        SELECT query_id, neighbor_id, list_cosine_similarity(qe, ce) AS cos
+        SELECT query_id, neighbor_id,
+               coalesce(list_dot_product(qe, ce) / nullif(
+                   sqrt(list_sum(list_transform(qe, x -> x * x))) *
+                   sqrt(list_sum(list_transform(ce, x -> x * x))), 0), 0)
+                   AS cos
         FROM q CROSS JOIN c
         WHERE neighbor_id <> query_id
     ),
@@ -79,7 +95,7 @@ def q_llm_sim_topk(spark, sf_dir):
         F.col("e").alias("ce"),
         F.col("nrm").alias("cn"),
     )
-    cos = dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    cos = safe_cosine(dot(F.col("qe"), F.col("ce")), F.col("qn"), F.col("cn"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
@@ -160,7 +176,7 @@ def q_llm_sim_lsh(spark, sf_dir):
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    cos = dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    cos = safe_cosine(dot(F.col("qe"), F.col("ce")), F.col("qn"), F.col("cn"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )

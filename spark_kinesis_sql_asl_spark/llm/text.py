@@ -132,8 +132,14 @@ def q_llm_chunk(spark, sf_dir):
     """C10: fixed-size overlapping character chunks (RAG prep): size 120,
     stride 80 → 40-char overlap. sequence+posexplode is partition-local."""
     d = table(spark, sf_dir, "documents")
-    starts = F.sequence(
-        F.lit(1), F.col("n_chars").cast("int"), F.lit(_CHUNK_STRIDE)
+    # Guard n_chars <= 0: Spark's sequence(1, 0, +step) raises where
+    # DuckDB's range(1, 1, step) yields empty; the CASE makes both engines
+    # drop empty/NULL documents (posexplode of NULL emits no rows).
+    starts = F.when(
+        F.col("n_chars") > 0,
+        F.sequence(
+            F.lit(1), F.col("n_chars").cast("int"), F.lit(_CHUNK_STRIDE)
+        ),
     )
     chunk = F.expr(f"substring(text, start, {_CHUNK_SIZE})")
     return (

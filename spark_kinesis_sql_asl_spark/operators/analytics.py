@@ -222,7 +222,8 @@ def q_events_funnel(spark, sf_dir):
            round(percent_rank() OVER w, 6) AS pr,
            round(cume_dist() OVER w, 6) AS cd
     FROM orders
-    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice NULLS LAST, o_orderkey)
     """,
 )
 def q_win_distribution(spark, sf_dir):
@@ -232,7 +233,7 @@ def q_win_distribution(spark, sf_dir):
     doubles across engines."""
     o = table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(
-        "o_totalprice", "o_orderkey"
+        F.col("o_totalprice").asc_nulls_last(), "o_orderkey"
     )
     return o.select(
         "o_orderkey",

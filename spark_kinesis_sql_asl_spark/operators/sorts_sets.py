@@ -17,7 +17,8 @@ from ..tables import table
     "q_sort_multi",
     oracle="""
     SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS bal,
-           row_number() OVER (ORDER BY c_acctbal DESC, c_mktsegment ASC, c_custkey ASC) AS rn
+           row_number() OVER (ORDER BY c_acctbal DESC NULLS LAST,
+                              c_mktsegment ASC NULLS LAST, c_custkey ASC) AS rn
     FROM customer
     """,
 )
@@ -27,8 +28,12 @@ def q_sort_multi(spark, sf_dir):
     verification output; production global sorts use orderBy (range
     partitioned) without materializing a rank."""
     c = table(spark, sf_dir, "customer")
+    # Explicit null ordering: Spark ASC defaults NULLS FIRST, DuckDB
+    # NULLS LAST — pin both so NULL-bearing keys sort identically.
     w = Window.orderBy(
-        F.col("c_acctbal").desc(), F.col("c_mktsegment").asc(), F.col("c_custkey").asc()
+        F.col("c_acctbal").desc_nulls_last(),
+        F.col("c_mktsegment").asc_nulls_last(),
+        F.col("c_custkey").asc(),
     )
     return c.select(
         "c_custkey",

@@ -132,13 +132,18 @@ def q_win_range_frame(spark, sf_dir):
     "q_win_ntile",
     oracle="""
     SELECT c_custkey, c_mktsegment,
-           ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile
+           ntile(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal NULLS LAST, c_custkey) AS quartile
     FROM customer
     """,
 )
 def q_win_ntile(spark, sf_dir):
+    # Explicit NULLS LAST: Spark defaults to NULLS FIRST on ASC, DuckDB to
+    # NULLS LAST — a NULL-bearing order column silently reorders the tiles.
     c = table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc_nulls_last(), "c_custkey"
+    )
     return c.select(
         "c_custkey", "c_mktsegment", F.ntile(4).over(w).alias("quartile")
     )

@@ -134,13 +134,16 @@ def q_kinesis_decode_csv(spark, sf_dir):
     stream analog carries JSON), then decoded back to typed columns; the
     oracle states the identity straight from events."""
     ev = table(spark, sf_dir, "events")
+    # coalesce each field before concat_ws: concat_ws SKIPS null args, which
+    # would shift every later CSV field left by one; an empty field instead
+    # round-trips to NULL under from_csv's default nullValue.
     records = ev.select(
         F.encode(
             F.concat_ws(
                 ",",
                 F.col("event_id").cast("string"),
-                F.col("event_type"),
-                F.col("value").cast("string"),
+                F.coalesce(F.col("event_type"), F.lit("")),
+                F.coalesce(F.col("value").cast("string"), F.lit("")),
             ),
             "UTF-8",
         ).alias("data"),

@@ -60,6 +60,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    # Parquet written with plain (non-UTC-adjusted) µs timestamps reads as
+    # TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ; normalize to
+    # TimestampType so downstream epoch functions (unix_micros etc.) work
+    # identically to the driver fixtures. Value-preserving: session tz is
+    # pinned to UTC in _RUNTIME_CONFS.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -47,6 +47,12 @@ _DAY = dt.timedelta(days=1)
 _WEEK = dt.timedelta(days=7)
 
 # Values engineered to sit on predicate boundaries used by the queries.
+# Magnitudes are capped at 1e6: IEEE float summation is order-dependent,
+# and mixing ~1e15 with ~1e0 values makes Spark's partial-aggregation sum
+# and DuckDB's sequential sum legitimately differ at the ULP — an
+# engine-fundamental property no output convention can fix, and one the
+# bounded driver domain (prices/values ~1e2) never exercises. At ≤1e6 the
+# ULP noise stays far below every round(..., N) the queries emit.
 _HOSTILE_DOUBLES = [
     None,
     0.0,
@@ -55,7 +61,7 @@ _HOSTILE_DOUBLES = [
     50.0,  # canary filter boundary
     75.0,  # q_fn_case boundary
     -123.456,
-    1e15,
+    1e6,
     1e-7,
     0.1 + 0.2,  # 0.30000000000000004
     2.675,  # classic round-half float trap
@@ -414,7 +420,7 @@ def write_adversarial(out_dir: str) -> None:
         elif k == 3:
             v = [0.0] * 63 + [1.0]  # one-hot
         elif k == 4:
-            v = [1e10] * 64
+            v = [1e3] * 64  # huge vs N(0,0.1) peers, but ULP-safe in sums
         elif k == 5:
             v = [1e-10] * 64
         else:

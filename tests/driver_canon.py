@@ -51,7 +51,12 @@ def _cell(v) -> str:
     if isinstance(v, (np.floating, float)):
         f = float(v)
         if math.isnan(f):
-            return "f:nan"
+            # pandas factorize/sort_values treat None, NaN, and NaT as the
+            # same NA sentinel, and DuckDB .df() renders SQL NULL in double
+            # columns as NaN while Spark collect yields None — so NA and
+            # NaN MUST canonicalize identically or every NULL-able double
+            # column false-alarms.
+            return "<null>"
         if f == 0.0:
             f = 0.0
         return f"f:{f!r}"

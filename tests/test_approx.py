@@ -41,19 +41,23 @@ def test_approx_percentile_within_rank_error(spark):
         r.l_returnflag: (r.p50, r.p95)
         for r in all_queries()["q_agg_percentile_approx"](spark, SF_ORACLE).collect()
     }
-    exact = {
-        r.l_returnflag: (r.p50, r.p95)
-        for r in table(spark, SF_ORACLE, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
-            F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
-        )
+    # GK with accuracy=1000 guarantees RANK error <= 1/1000 — it implies
+    # nothing about relative VALUE error (on a heavy tail a rank-correct
+    # answer can be far away in value), so bound by rank: the approximate
+    # value must fall between the exact order statistics at ranks
+    # n*(q ± eps). Collecting per-group values is fine at sf0.01 (~60k).
+    eps = 1.0 / 1000.0
+    by_group: dict[str, list[float]] = {}
+    for r in (
+        table(spark, SF_ORACLE, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
         .collect()
-    }
-    # GK with accuracy=1000 guarantees rank error <= 1/1000; translate to a
-    # loose value tolerance via the local value spread
-    for k, (e50, e95) in exact.items():
-        a50, a95 = got[k]
-        assert abs(a50 - e50) / e50 < 0.02, (k, a50, e50)
-        assert abs(a95 - e95) / e95 < 0.02, (k, a95, e95)
+    ):
+        by_group.setdefault(r.l_returnflag, []).append(r.l_extendedprice)
+    for k, vals in by_group.items():
+        vals.sort()
+        n = len(vals)
+        for q, approx in zip((0.5, 0.95), got[k]):
+            lo = vals[max(0, int(n * (q - eps)) - 1)]
+            hi = vals[min(n - 1, int(n * (q + eps)))]
+            assert lo <= approx <= hi, (k, q, approx, lo, hi)

@@ -45,6 +45,7 @@ def _run(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", _QUADRATIC_PRONE)
 def test_subquadratic_scaling(spark, name):
     # Warm-up at the smallest sf so JVM/codegen/parquet-footer costs are not
@@ -52,8 +53,11 @@ def test_subquadratic_scaling(spark, name):
     # but a warmed measurement is the honest one).
     _run(spark, name, "/root/testdata/sf0.001")
 
-    t_small = _run(spark, name, _SF_SMALL[0])
-    t_big = _run(spark, name, _SF_BIG[0])
+    # Best-of-2 per scale: min() discards load spikes (a loaded host can
+    # only inflate a single timing, pushing a legitimately linear operator
+    # past the slope gate); two runs bound the added suite cost.
+    t_small = min(_run(spark, name, _SF_SMALL[0]) for _ in range(2))
+    t_big = min(_run(spark, name, _SF_BIG[0]) for _ in range(2))
     slope = math.log(t_big / t_small) / math.log(_SF_BIG[1] / _SF_SMALL[1])
     assert slope < _MAX_SLOPE, (
         f"{name}: log-log slope {slope:.2f} over sf0.01->sf0.1 "
