@@ -1,0 +1,247 @@
+"""Corpus split / sampling / survivor operators (SURVEY.md §2 rows C35-C38).
+
+The round-3 additions a 100 TB training-data pipeline needs between "dedup"
+and "train": deterministic train/val/test assignment, fixed-size per-group
+samples, per-language vocabulary heavy hitters, and the materialized
+post-dedup corpus. All outputs follow the driver-canon conventions
+(integer ppm ratios, BIGINT-cast sums, explicit tiebreaks, NULL-safe text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+from .pipeline import _SIMHASH_PAIRS_SQL, q_llm_dedup_cluster
+
+# 3-way split on the first md5 hex byte of the text: < 0xcc train (~79.7%),
+# < 0xe6 val (~10.2%), else test (~10.2%). Membership is a pure function of
+# the CONTENT, so a document lands in the same split on any cluster, any
+# partitioning, any engine — re-runs and incremental ingests cannot leak
+# val/test docs into train the way positional or df.randomSplit assignment
+# would.
+_TRAIN_BOUND = "cc"
+_VAL_BOUND = "e6"
+
+_SPLIT_EXPR = (
+    f"CASE WHEN h < '{_TRAIN_BOUND}' THEN 'train' "
+    f"WHEN h < '{_VAL_BOUND}' THEN 'val' ELSE 'test' END"
+)
+
+
+@query(
+    "q_llm_split_stratified",
+    priority=30,
+    oracle=f"""
+    WITH hashed AS (
+        SELECT lang, substr(md5(coalesce(text, '')), 1, 2) AS h
+        FROM documents
+    ),
+    assigned AS (SELECT lang, {_SPLIT_EXPR} AS split FROM hashed)
+    SELECT lang, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST((1000000 * count(*)) //
+                sum(count(*)) OVER (PARTITION BY lang) AS BIGINT) AS share_ppm
+    FROM assigned
+    GROUP BY lang, split
+    """,
+)
+def q_llm_split_stratified(spark, sf_dir):
+    """C35: deterministic stratified train/val/test split — hash-bucket
+    assignment per document, audited per (lang, split) stratum. At 100 TB
+    the split column is a scan-stage expression (no shuffle, no state);
+    only the per-stratum audit counts aggregate, and the per-lang share
+    rides a window over the already-tiny (lang x split) rollup. share_ppm
+    is integer parts-per-million — no float division anywhere."""
+    d = table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")), 1, 2)
+    assigned = d.select("lang", h.alias("h")).withColumn(
+        "split", F.expr(_SPLIT_EXPR)
+    )
+    counts = assigned.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    lang_total = Window.partitionBy("lang")
+    # integer-domain ppm: floor-div by the per-lang total (driver-canon rule)
+    return counts.withColumn(
+        "lang_n", F.sum("n_docs").over(lang_total)
+    ).select(
+        "lang",
+        "split",
+        "n_docs",
+        F.expr("CAST((1000000 * n_docs) div lang_n AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    )
+
+
+_RESERVOIR_K = 20
+
+
+@query(
+    "q_llm_sample_reservoir",
+    priority=30,
+    oracle=f"""
+    SELECT doc_id, lang, rk FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(coalesce(text, '')) ASC, doc_id ASC
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= {_RESERVOIR_K}
+    """,
+)
+def q_llm_sample_reservoir(spark, sf_dir):
+    """C36: fixed-size uniform-without-replacement sample per group — the
+    deterministic analog of per-stratum reservoir sampling (Vitter 1985):
+    rank documents by a content hash inside each lang and keep the first
+    {_RESERVOIR_K}. The md5 order is uniform over content, so the kept set
+    is an unbiased size-k sample, yet reproducible across engines, runs and
+    partitionings. At 100 TB Spark's rank-limit pushdown
+    (WindowGroupLimit, 3.5+) keeps only k rows per partition before the
+    per-lang shuffle — the full corpus is never globally sorted."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).asc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= _RESERVOIR_K)
+    )
+
+
+_HH_TOPK = 10
+
+
+@query(
+    "q_llm_heavy_hitters",
+    priority=30,
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, unnest(list_distinct(string_split(
+            coalesce(text, ''), ' '))) AS tok
+        FROM documents
+    ),
+    df AS (
+        SELECT lang, tok, CAST(count(*) AS BIGINT) AS doc_freq
+        FROM toks WHERE tok <> '' GROUP BY lang, tok
+    )
+    SELECT lang, tok, doc_freq, rk FROM (
+        SELECT lang, tok, doc_freq,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY doc_freq DESC, tok ASC
+               ) AS rk
+        FROM df
+    ) WHERE rk <= {_HH_TOPK}
+    """,
+)
+def q_llm_heavy_hitters(spark, sf_dir):
+    """C37: top-{_HH_TOPK} vocabulary heavy hitters per language by DOCUMENT
+    frequency (vocab pruning / stopword discovery / tokenizer audits).
+    Exact: per-doc distinct tokens explode (map-side), (lang, tok) counts
+    partial-aggregate before the shuffle, and the top-k is a rank-limited
+    window over the aggregated frame — at 100 TB the shuffled rows are
+    (lang, tok) partial counts, never raw tokens. For a vocabulary too big
+    to aggregate exactly, the sketch path is Misra-Gries / Count-Min
+    per-partition summaries merged at the reducer; exact is right here
+    because the aggregated (lang, tok) frame is tiny relative to input."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(
+            F.array_distinct(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+            )
+        ).alias("tok"),
+    ).where(F.col("tok") != "")
+    df = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("doc_freq").desc(), F.col("tok").asc()
+    )
+    return (
+        df.select("lang", "tok", "doc_freq", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= _HH_TOPK)
+    )
+
+
+@query(
+    "q_llm_dedup_survivors",
+    priority=30,
+    oracle=f"""
+    WITH RECURSIVE exact_drop AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (
+                PARTITION BY md5(coalesce(text, ''))
+                ORDER BY doc_id ASC
+            ) AS rn
+            FROM documents
+        ) WHERE rn > 1
+    ),
+    pairs AS ({_SIMHASH_PAIRS_SQL}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    cc(doc_id, root) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, c.root FROM cc c JOIN edges e ON e.a = c.doc_id
+        WHERE c.root < e.b
+    ),
+    near_drop AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, min(root) AS cluster_id FROM cc GROUP BY doc_id
+        ) WHERE doc_id <> cluster_id
+    ),
+    drops AS (
+        SELECT doc_id FROM exact_drop UNION SELECT doc_id FROM near_drop
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (WHERE dr.doc_id IS NULL) AS BIGINT) AS n_kept,
+           CAST((1000000 * count(*) FILTER (WHERE dr.doc_id IS NULL))
+                // count(*) AS BIGINT) AS kept_ppm
+    FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.doc_id
+    GROUP BY d.lang
+    """,
+)
+def q_llm_dedup_survivors(spark, sf_dir):
+    """C38: the materialized post-dedup corpus — composes the exact stage
+    (md5 content groups, min-doc_id survivor) with the near-dup stage (C21
+    SimHash connected-component clusters, cluster_id survivor) and audits
+    the kept fraction per language. This is the operator a pipeline
+    actually ships: everything upstream finds duplicates; this one decides
+    the corpus. At 100 TB both drop sets are (doc_id)-only frames — the
+    text never shuffles — and the final membership check is a left-anti
+    join on the corpus's natural key."""
+    d = table(spark, sf_dir, "documents")
+    exact_w = Window.partitionBy(
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary"))
+    ).orderBy(F.col("doc_id").asc())
+    exact_drop = (
+        d.select("doc_id", F.row_number().over(exact_w).alias("rn"))
+        .where(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    near_drop = (
+        q_llm_dedup_cluster(spark, sf_dir)
+        .where(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    drops = exact_drop.unionByName(near_drop).distinct()
+    flagged = d.select("doc_id", "lang").join(
+        drops.withColumn("dropped", F.lit(1)), "doc_id", "left"
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("dropped").isNull(), 1)).alias("n_kept"),
+        F.expr(
+            "CAST((1000000 * count(CASE WHEN dropped IS NULL THEN 1 END))"
+            " div count(1) AS BIGINT)"
+        ).alias("kept_ppm"),
+    )

@@ -32,6 +32,7 @@ _MODULES = (
     "llm.dedup",
     "llm.pipeline",
     "llm.curation",
+    "llm.splits",
     "operators.analytics",
     "llm.similarity",
     "functions.udfs",
@@ -65,6 +66,7 @@ def query(
     * 0  — queries that failed the previous driver round (re-verify first)
     * 10 — canary queries isolating one fragile primitive each
     * 20 — queries that have never had a driver CORRECTNESS row
+    * 30 — queries newly added this round (first driver look)
     * 100 (default) — everything else, in module registration order
     """
 

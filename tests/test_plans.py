@@ -194,3 +194,19 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_reservoir_sample_uses_window_group_limit(spark):
+    # C36's 100 TB claim: the rank<=k filter pushes into WindowGroupLimit
+    # so each partition keeps k rows before the per-lang shuffle — without
+    # it the full corpus flows into the window sort.
+    plan = formatted_plan(QUERIES["q_llm_sample_reservoir"](spark, SF_ORACLE))
+    assert "WindowGroupLimit" in plan
+
+
+def test_heavy_hitters_partial_aggregates_before_shuffle(spark):
+    # C37: (lang, tok) doc-freq counts must partial-aggregate map-side and
+    # the top-k must be a rank-limited window, never a global sort.
+    plan = formatted_plan(QUERIES["q_llm_heavy_hitters"](spark, SF_ORACLE))
+    assert "partial_count" in plan
+    assert "WindowGroupLimit" in plan
