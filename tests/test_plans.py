@@ -210,3 +210,43 @@ def test_heavy_hitters_partial_aggregates_before_shuffle(spark):
     plan = formatted_plan(QUERIES["q_llm_heavy_hitters"](spark, SF_ORACLE))
     assert "partial_count" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_bucketed_join_skips_both_shuffles(spark, tmp_path):
+    """DESIGN-100TB.md §2: two fact tables bucketed (and sorted) on the join
+    key co-locate, so their sort-merge join needs NO Exchange on either side
+    — the 100 TB repeated-fact-join layout. Pins that bucket metadata
+    actually reaches the planner (an unbucketed copy of the same join must
+    show Exchanges)."""
+    from spark_kinesis_sql_asl_spark.tables import table
+
+    li = table(spark, SF_ORACLE, "lineitem").select("l_orderkey", "l_quantity")
+    od = table(spark, SF_ORACLE, "orders").select("o_orderkey", "o_totalprice")
+    (
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("li_bkt")
+    )
+    (
+        od.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("od_bkt")
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the planner must choose between shuffled and
+        # bucket-co-located SMJ — at real fact-fact scale broadcast is
+        # impossible anyway, which is the case bucketing exists for
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("li_bkt").join(
+            spark.table("od_bkt"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+        # control: the same join over plain parquet must shuffle
+        control = li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        assert "Exchange" in formatted_plan(control)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS od_bkt")
