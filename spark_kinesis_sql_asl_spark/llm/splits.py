@@ -245,3 +245,72 @@ def q_llm_dedup_survivors(spark, sf_dir):
             " div count(1) AS BIGINT)"
         ).alias("kept_ppm"),
     )
+
+
+_MG_COUNTERS = 64
+
+
+@query("q_llm_heavy_hitters_sketch", priority=30)  # rows-only: partition-dependent
+def q_llm_heavy_hitters_sketch(spark, sf_dir):
+    """C37 sketch path: Misra-Gries heavy hitters (Misra & Gries 1982) —
+    the huge-vocab variant of `q_llm_heavy_hitters` for when the exact
+    (lang, tok) aggregation state no longer fits executor memory. Each
+    partition keeps at most {m} counters per language (classic MG: hit ->
+    increment, room -> insert, full -> decrement all); the per-partition
+    summaries merge by a plain sum and the top-10 per language is read off
+    the merged frame.
+
+    Guarantee: a partition's undercount is <= n_p/(m+1) tokens, so the
+    merged estimate undercounts any token by at most N_lang/(m+1) — every
+    token with true document frequency > N_lang/(m+1) is GUARANTEED to
+    survive (tested against the exact operator in tests/test_llm.py). At
+    100 TB the shuffle carries at most m * partitions * langs summary rows
+    — independent of vocabulary size, which is the point. Rows-only: the
+    estimates are partitioning-dependent below the guarantee threshold, so
+    there is no cross-engine SQL oracle; the pytest bound is the contract.
+    Arrow-batched mapInPandas keeps the Python boundary vectorized."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("lang", "text")
+
+    def mg_partial(batches):
+        counters: dict[str, dict[str, int]] = {}
+        for pdf in batches:
+            for lang, text in zip(pdf["lang"], pdf["text"]):
+                if text is None:
+                    continue
+                lang = lang if lang is not None else ""
+                c = counters.setdefault(lang, {})
+                for tok in set(text.split(" ")):
+                    if not tok:
+                        continue
+                    if tok in c:
+                        c[tok] += 1
+                    elif len(c) < _MG_COUNTERS:
+                        c[tok] = 1
+                    else:
+                        dead = []
+                        for k in c:
+                            c[k] -= 1
+                            if c[k] == 0:
+                                dead.append(k)
+                        for k in dead:
+                            del c[k]
+        rows = [
+            (lang, tok, cnt)
+            for lang, c in counters.items()
+            for tok, cnt in c.items()
+        ]
+        yield pd.DataFrame(rows, columns=["lang", "tok", "est"])
+
+    partials = d.mapInPandas(mg_partial, "lang string, tok string, est long")
+    merged = partials.groupBy("lang", "tok").agg(F.sum("est").alias("est_freq"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("est_freq").desc(), F.col("tok").asc()
+    )
+    return (
+        merged.select(
+            "lang", "tok", "est_freq", F.row_number().over(w).alias("rk")
+        )
+        .where(F.col("rk") <= _HH_TOPK)
+    )
