@@ -723,3 +723,75 @@ def test_drop_duplicates_within_watermark(spark, events_rows, tmp_path):
     # with 4 arrival files over the same ts range, dup copies land well
     # inside the 1h horizon of their originals
     assert got.n == n_src
+
+
+# --- Tier C on a stream: curation micro-pipeline ------------------------
+
+
+def test_streaming_curation_equals_batch(spark, tmp_path):
+    """The curation entry ops (content-hash exact dedup + quality gate +
+    per-lang audit) run under Structured Streaming with identical results
+    to the batch twin — documents replayed as micro-batch arrivals, exact
+    dedup via streaming dropDuplicates on the content hash (the bounded
+    form for production is dropDuplicatesWithinWatermark; documents carry
+    no event time, so the test uses the unbounded variant over a finite
+    replay), complete-mode aggregation."""
+    docs = table(spark, SF_SMOKE, "documents").collect()
+    staging = str(tmp_path / "docs_stream")
+    os.makedirs(staging)
+    per = (len(docs) + 3) // 4
+    for i in range(4):
+        sl = docs[i * per : (i + 1) * per]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r.doc_id for r in sl], pa.int64()),
+                "text": pa.array([r.text for r in sl], pa.string()),
+                "lang": pa.array([r.lang for r in sl], pa.string()),
+                "source": pa.array([r.source for r in sl], pa.string()),
+                "n_chars": pa.array([r.n_chars for r in sl], pa.int64()),
+            }
+        )
+        f = os.path.join(staging, f"{i:04d}.parquet")
+        pq.write_table(tbl, f)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def curate(df):
+        toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        return (
+            df.withColumn(
+                "text_hash", F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary"))
+            )
+            .withColumn("n_tok", F.size(toks))
+            .where(F.col("n_tok").between(10, 200))
+            .dropDuplicates(["text_hash"])
+        )
+
+    sch = table(spark, SF_SMOKE, "documents").schema
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    q = (
+        curate(stream)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_tok").alias("sum_tok"))
+        .writeStream.format("memory")
+        .queryName("curation_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    _drain(q)
+    got = {
+        r.lang: (r.n_kept, r.sum_tok)
+        for r in spark.sql("SELECT * FROM curation_stream").collect()
+    }
+    want = {
+        r.lang: (r.n_kept, r.sum_tok)
+        for r in curate(table(spark, SF_SMOKE, "documents"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_tok").alias("sum_tok"))
+        .collect()
+    }
+    assert got == want
