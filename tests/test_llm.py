@@ -114,6 +114,9 @@ def test_cluster_staging_uses_configured_scratch_dir(spark, tmp_path):
     tempdir would break the executor-loss durability claim."""
     from .conftest import SF_SMOKE
 
+    from spark_kinesis_sql_asl_spark.llm import pipeline
+
+    pipeline._CC_LABELS_CACHE.clear()  # force a fresh staging run
     scratch = str(tmp_path / "scratch")
     spark.conf.set("spark.kinesislike.scratchDir", scratch)
     try:
