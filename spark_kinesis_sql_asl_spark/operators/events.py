@@ -1,0 +1,176 @@
+"""Event-stream batch analytics (SURVEY.md §2 rows B93–B95): gap-based
+sessionization, cohort retention, and null-ordered ranked reads.
+
+These are the three event-table shapes every clickstream/telemetry workload
+runs on top of the relational core. All outputs follow the driver-canon
+conventions: integer epoch-microseconds (``unix_micros`` / ``epoch_us`` are
+BIGINT-exact on both engines, unlike second-granularity ``unix_timestamp``
+whose sub-second truncation direction is engine-defined), explicit
+deterministic tiebreaks on every window order, and BIGINT-cast counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+# Session gap: 30 minutes, expressed in integer microseconds so the
+# comparison is exact on both engines.
+_GAP_US = 30 * 60 * 1_000_000
+
+_DAY_US = 86_400 * 1_000_000
+
+
+@query(
+    "q_events_sessionize",
+    priority=30,
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts_us, event_id,
+               CASE WHEN ts_us - lag(ts_us) OVER w > {_GAP_US}
+                         OR lag(ts_us) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts_us,
+               CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           CAST(min(ts_us) AS BIGINT) AS session_start_us,
+           CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def q_events_sessionize(spark, sf_dir):
+    """B93: gap-based sessionization — split each user's event stream into
+    sessions wherever two consecutive events are more than 30 minutes
+    apart, then roll up per-session start/duration/size. The classic
+    lag-flag + running-sum formulation: one shuffle on user_id feeds BOTH
+    windows and the final rollup (same partitioning key, so Catalyst reuses
+    the exchange; AQE coalesces the tiny tail). Timestamps stay in integer
+    epoch-microseconds end-to-end — no interval arithmetic, no sub-second
+    truncation ambiguity. Ties on ts break on event_id, making session
+    numbering reproducible on any partitioning. At 100 TB: sessions per
+    user are bounded; the per-user window state is a single lag value and a
+    running sum, so executor memory is flat regardless of corpus size."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    order = [F.col("ts_us").asc(), F.col("event_id").asc()]
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w_lag) > _GAP_US)
+            | F.lag("ts_us").over(w_lag).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts_us",
+        F.sum("new_session").over(w_run).cast("bigint").alias("session_id"),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts_us").cast("bigint").alias("session_start_us"),
+        (F.max("ts_us") - F.min("ts_us")).cast("bigint").alias("duration_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "q_events_cohort_retention",
+    priority=30,
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+    ),
+    cohorts AS (
+        SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           e.day - c.cohort_day AS day_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM e JOIN cohorts c ON e.user_id = c.user_id
+    GROUP BY c.cohort_day, e.day - c.cohort_day
+    """,
+)
+def q_events_cohort_retention(spark, sf_dir):
+    """B94: cohort retention triangle — users grouped by first-seen day
+    (their cohort), counted distinct on each subsequent activity-day
+    offset. The product-analytics staple (D1/D7/D30 retention reads
+    straight off the offsets). Day numbers are integer epoch-day floors
+    (``epoch_us div 86400e6``) — no timezone-dependent date_trunc, no
+    calendar types crossing the engine boundary. Plan: the cohort frame is
+    one groupBy(user) over the already-user-keyed event days; the join back
+    is on the same key (exchange reuse), and the distinct-count shuffles
+    (cohort_day, offset, user) triples — at 100 TB that is bounded by
+    |events| with map-side partial distinct, never a cross product."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day")
+    )
+    cohorts = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        e.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+_NULLSORT_LIMIT = 100
+
+
+@query(
+    "q_sort_nulls_first",
+    priority=30,
+    oracle=f"""
+    SELECT event_id,
+           nullif(event_type, 'click') AS et,
+           CAST(coalesce(CAST(floor(value * 100) AS BIGINT), 0) AS BIGINT)
+               AS cents
+    FROM events
+    ORDER BY et ASC NULLS FIRST, event_id ASC
+    LIMIT {_NULLSORT_LIMIT}
+    """,
+)
+def q_sort_nulls_first(spark, sf_dir):
+    """B95: explicit NULL-ordering ranked read. Spark's default ASC sort
+    places NULLs FIRST while DuckDB's places them LAST — a silent
+    cross-engine divergence whenever a LIMIT rides a sort over a nullable
+    key. This operator pins the semantics explicitly (``NULLS FIRST`` in
+    both engines) so the kept set under LIMIT is engine-independent;
+    ``nullif`` manufactures NULL keys even on fixtures whose columns are
+    fully populated, and event_id breaks all ties. At 100 TB a sort+LIMIT
+    is a TakeOrderedAndProject: per-partition top-k then a single merge —
+    no global sort materializes."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.nullif(F.col("event_type"), F.lit("click")).alias("et"),
+        F.coalesce(
+            F.floor(F.col("value") * 100).cast("bigint"), F.lit(0)
+        ).alias("cents"),
+    )
+    return ev.orderBy(
+        F.col("et").asc_nulls_first(), F.col("event_id").asc()
+    ).limit(_NULLSORT_LIMIT)

@@ -33,6 +33,9 @@ _MODULES = (
     "llm.pipeline",
     "llm.curation",
     "llm.splits",
+    "llm.vectors",
+    "llm.ordering",
+    "operators.events",
     "operators.analytics",
     "llm.similarity",
     "functions.udfs",
