@@ -81,10 +81,25 @@ _AUTO_DF_VOCAB_MAX = 50_000_000
 
 
 def pick_prefix_order(docs, auto_vocab_max: int = _AUTO_DF_VOCAB_MAX) -> str:
-    """The order="auto" rule: estimate the distinct-token count with one
-    HLL pass (map-side partial sketch, single-row shuffle — strictly
-    cheaper than the df pass it gates) and return ``"df"`` iff the
-    vocabulary fits the df-table budget, else ``"hash"``."""
+    """The order="auto" rule, two-tier so the probe itself never dominates:
+
+    1. Cheap upper bound: distinct tokens <= total token OCCURRENCES, and
+       ``sum(size(tokset))`` is a scan-stage aggregate — no explode, no
+       per-token rows, milliseconds even on a checkpointed frame. If the
+       bound already fits the df budget, "df" is decided with zero extra
+       token-level work (always the case at fixture scale — measured: the
+       unconditional HLL probe cost +13 s on the sf0.1 ngram bench).
+    2. Only when the occurrence bound exceeds the budget (a genuinely
+       large corpus) spend the one HLL pass (map-side partial sketch,
+       single-row shuffle — still strictly cheaper than the df pass it
+       gates) to check whether the DISTINCT count also exceeds it.
+
+    Returns ``"df"`` iff the vocabulary fits the df-table budget."""
+    occurrences = docs.agg(
+        F.sum(F.size("tokset")).cast("bigint").alias("n")
+    ).first()["n"]
+    if occurrences is not None and occurrences <= auto_vocab_max:
+        return "df"
     vocab = (
         docs.select(F.explode("tokset").alias("t"))
         .agg(F.approx_count_distinct("t", rsd=0.05).alias("v"))

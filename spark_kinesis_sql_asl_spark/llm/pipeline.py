@@ -96,9 +96,16 @@ def q_llm_dedup_simhash(spark, sf_dir):
         "transform(split(text, ' '), "
         "tok -> cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint))"
     )
+    # Per-bit majority via allocation-free integer folds: aggregate() adds
+    # ((h >> b) & 1) straight into a BIGINT accumulator. The earlier
+    # filter()-based form allocated a fresh array per bit per row (32
+    # allocations/doc) and measured ~2x slower at sf0.1.
     simhash = sum(
         F.when(
-            F.expr(f"2 * size(filter(hs, h -> (h >> {b}) & 1 = 1)) > size(hs)"),
+            F.expr(
+                f"2 * aggregate(hs, CAST(0 AS BIGINT), "
+                f"(acc, h) -> acc + ((h >> {b}) & 1)) > size(hs)"
+            ),
             F.lit(1 << b),
         ).otherwise(F.lit(0))
         for b in range(_SIMHASH_BITS)

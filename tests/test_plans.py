@@ -250,3 +250,31 @@ def test_bucketed_join_skips_both_shuffles(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS li_bkt")
         spark.sql("DROP TABLE IF EXISTS od_bkt")
+
+
+def test_sessionize_single_exchange_reused(spark):
+    # B93: the lag window, running-sum window, and session rollup all key
+    # on user_id — one shuffle must feed all three (exchange reuse). A
+    # second Exchange would mean the rollup re-shuffles what the windows
+    # already partitioned.
+    df = QUERIES["q_events_sessionize"](spark, SF_ORACLE)
+    assert count_nodes(df, "Exchange") == 1
+
+
+def test_train_order_no_global_sort(spark):
+    # C42's 100 TB claim: the epoch shuffle sorts per-shard after ONE hash
+    # exchange — a global Sort node (single-partition ordering) would be
+    # the unscalable plan.
+    df = QUERIES["q_llm_train_order"](spark, SF_ORACLE)
+    assert count_nodes(df, "Exchange") == 1
+    plan = formatted_plan(df)
+    assert "Window" in plan
+
+
+def test_pq_encode_codebook_broadcasts(spark):
+    # C40: the 16-row codebook must broadcast; the only shuffle is the
+    # per-(vector, subspace) argmin window. No sort-merge join may touch
+    # the vector frame.
+    df = QUERIES["q_llm_pq_encode"](spark, SF_ORACLE)
+    assert count_nodes(df, "BroadcastNestedLoopJoin") == 1
+    assert count_nodes(df, "SortMergeJoin") == 0
