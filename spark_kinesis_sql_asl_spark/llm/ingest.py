@@ -1,0 +1,255 @@
+"""Corpus refresh / re-balancing operators (SURVEY.md §2 rows C45–C47):
+bitext candidate mining, incremental-ingest dedup, and mixture-rebalanced
+deterministic downsampling.
+
+A 100 TB corpus is never built once — it is refreshed: new crawl batches
+arrive (C46 decides what is actually new), cross-lingual pairs are mined
+for translation data (C45), and the final mix is rebalanced to target
+weights without a separate sampling service (C47 composes C30's weights
+with C25's hash-gate into one scan predicate). Driver-canon rules: integer
+ppm ratios, BIGINT counts, the ``round(cos, 6)`` float convention C15
+already driver-validated, and hex-string comparisons whose byte order is
+identical on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+from .curation import _NTOK_DUCK, _NTOK_SPARK
+from .similarity import as_double, dot, safe_cosine, sq_norm
+
+_BITEXT_TAU = 0.3  # fixture embeddings are near-orthogonal (max pair ~0.47)
+
+
+@query(
+    "q_llm_bitext_mine",
+    priority=30,
+    oracle=f"""
+    WITH j AS (
+        SELECT d.doc_id, d.lang, e.label, e.embedding::DOUBLE[] AS v
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.lang AS lang_a, b.lang AS lang_b,
+           round(coalesce(list_dot_product(a.v, b.v) / nullif(
+               sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+               sqrt(list_sum(list_transform(b.v, x -> x * x))), 0), 0), 6)
+               AS cosine
+    FROM j a JOIN j b
+      ON a.label = b.label AND a.lang < b.lang
+    WHERE coalesce(list_dot_product(a.v, b.v) / nullif(
+              sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+              sqrt(list_sum(list_transform(b.v, x -> x * x))), 0), 0)
+          >= {_BITEXT_TAU}
+    """,
+)
+def q_llm_bitext_mine(spark, sf_dir):
+    """C45: bitext candidate mining — cross-LANGUAGE document pairs whose
+    embeddings are close (the parallel-corpus generation step behind
+    translation training sets; the margin/kNN refinement runs downstream
+    of exactly this candidate join). Same blocked-pairwise shape as C15,
+    but the pair predicate demands ``lang_a < lang_b``: monolingual
+    near-dups are C15's job, translations are this one's. Blocking by the
+    embedding label keeps candidates to same-cluster pairs — at 100 TB the
+    label is a coarse quantizer cell (C33), so candidate volume is
+    sum-of-cell-sizes², never corpus². Text never enters the join: only
+    (doc_id, lang, label, vector) flow, and the doc⋈embedding lookup is an
+    equi-join on the natural key."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        as_double(F.col("embedding")).alias("v"),
+    )
+    j = d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id", "lang", "label", "v", F.sqrt(sq_norm(F.col("v"))).alias("nrm")
+    )
+    a = j.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
+        F.col("label").alias("la"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = j.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
+        F.col("label").alias("lb"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = safe_cosine(dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
+    return (
+        a.join(
+            b,
+            (F.col("la") == F.col("lb")) & (F.col("lang_a") < F.col("lang_b")),
+        )
+        .where(cos >= _BITEXT_TAU)
+        .select(
+            "doc_a", "doc_b", "lang_a", "lang_b",
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
+
+
+_BATCH_MOD = 5  # doc_id % 5 == 0 plays the freshly-ingested batch (~20%)
+
+
+@query(
+    "q_llm_ingest_dedup",
+    priority=30,
+    oracle=f"""
+    WITH corpus AS (
+        SELECT DISTINCT md5(coalesce(text, '')) AS h
+        FROM documents WHERE doc_id % {_BATCH_MOD} <> 0
+    ),
+    batch AS (
+        SELECT doc_id, lang, md5(coalesce(text, '')) AS h
+        FROM documents WHERE doc_id % {_BATCH_MOD} = 0
+    )
+    SELECT b.lang,
+           CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(count(c.h) AS BIGINT) AS n_dup,
+           CAST(count(*) - count(c.h) AS BIGINT) AS n_novel,
+           CAST((1000000 * (count(*) - count(c.h))) // count(*) AS BIGINT)
+               AS novel_ppm
+    FROM batch b LEFT JOIN corpus c ON b.h = c.h
+    GROUP BY b.lang
+    """,
+)
+def q_llm_ingest_dedup(spark, sf_dir):
+    """C46: incremental-ingest dedup — screen a freshly-arrived batch
+    against the existing corpus by content hash and report, per language,
+    how much of it is actually novel. This is the operator a *living*
+    corpus runs on every crawl drop: full-corpus dedup (C1/C38) is the
+    build-time pass, this is the delta pass, and its cost is |batch| — not
+    |corpus| — on the probe side. The corpus side reduces to a DISTINCT
+    hash set before the join (32-byte keys, text never shuffles); at
+    100 TB that hash set is the persistent dedup index a pipeline keeps
+    sorted/bucketed on disk, and the left join is a bucket-local probe.
+    The fixture batch is carved deterministically (doc_id % {_BATCH_MOD})
+    so both engines and every run see the same split."""
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary"))
+    corpus = (
+        d.where(F.col("doc_id") % _BATCH_MOD != 0)
+        .select(h.alias("h"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    batch = d.where(F.col("doc_id") % _BATCH_MOD == 0).select(
+        "doc_id", "lang", h.alias("h")
+    )
+    joined = batch.join(corpus, "h", "left")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.count("hit").alias("n_dup"),
+        (F.count(F.lit(1)) - F.count("hit")).alias("n_novel"),
+        F.expr(
+            "CAST((1000000 * (count(1) - count(hit))) div count(1) AS BIGINT)"
+        ).alias("novel_ppm"),
+    )
+
+
+# 6-hex-digit bucket space for the sampling gate: 16^6 = 16777216.
+_GATE_SPACE = 16_777_216
+
+
+@query(
+    "q_llm_mixture_sample",
+    priority=30,
+    oracle=f"""
+    WITH d AS (
+        SELECT coalesce(source, '') AS src, {_NTOK_DUCK} AS n_tok,
+               substr(md5(coalesce(text, '')), 1, 6) AS h6
+        FROM documents
+    ),
+    ps AS (
+        SELECT src, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+               CAST(count(*) AS BIGINT) AS n_total
+        FROM d GROUP BY src
+    ),
+    t AS (SELECT CAST(sum(sum_tok) AS BIGINT) AS total, count(*) AS s FROM ps),
+    bounds AS (
+        SELECT src, sum_tok, n_total,
+               least(1000000, CAST((1000000 * total) // (s * sum_tok)
+                              AS BIGINT)) AS bound_ppm
+        FROM ps, t
+    )
+    SELECT b.src AS source, b.sum_tok, b.n_total, b.bound_ppm,
+           CAST(count(CASE WHEN b.bound_ppm >= 1000000
+                           OR d.h6 < lpad(lower(to_hex(
+                                  (b.bound_ppm * {_GATE_SPACE}) // 1000000)),
+                                  6, '0')
+                           THEN 1 END) AS BIGINT) AS n_kept,
+           CAST((1000000 * count(CASE WHEN b.bound_ppm >= 1000000
+                           OR d.h6 < lpad(lower(to_hex(
+                                  (b.bound_ppm * {_GATE_SPACE}) // 1000000)),
+                                  6, '0')
+                           THEN 1 END)) // count(*) AS BIGINT) AS kept_ppm
+    FROM d JOIN bounds b ON d.src = b.src
+    GROUP BY b.src, b.sum_tok, b.n_total, b.bound_ppm
+    """,
+)
+def q_llm_mixture_sample(spark, sf_dir):
+    """C47: mixture-rebalanced deterministic downsampling — C30's uniform-
+    target weights turned into a per-source KEEP PREDICATE and audited.
+    Over-represented sources get bound_ppm < 1e6 and are thinned by the
+    C25 content-hash gate (first 6 md5 hex digits, compared against the
+    integer-exact hex rendering of the bound scaled into the 16^6 bucket
+    space — same-length hex strings compare lexicographically = numerically
+    on every engine); under-represented sources keep everything (their
+    deficit is an upsampling decision for the loader, not a filter).
+    Membership is a pure function of (text, weights): reproducible on any
+    cluster and stable across incremental re-runs. Plan: one rollup builds
+    the |sources|-row weight table, totals ride a 1-row broadcast, the
+    bounds broadcast back onto the scan, and the keep predicate fuses into
+    it — at 100 TB this is a single pass over the corpus plus two
+    broadcast joins, no shuffle of document rows at all."""
+    d = table(spark, sf_dir, "documents").select(
+        F.coalesce(F.col("source"), F.lit("")).alias("src"),
+        F.expr(_NTOK_SPARK).alias("n_tok"),
+        F.substring(
+            F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")), 1, 6
+        ).alias("h6"),
+    )
+    ps = d.groupBy("src").agg(
+        F.sum("n_tok").cast("bigint").alias("sum_tok"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    t = ps.agg(
+        F.sum("sum_tok").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("s"),
+    )
+    bounds = ps.join(F.broadcast(t)).select(
+        "src",
+        "sum_tok",
+        "n_total",
+        F.expr(
+            "least(CAST(1000000 AS BIGINT), "
+            "CAST((1000000 * total) div (s * sum_tok) AS BIGINT))"
+        ).alias("bound_ppm"),
+    )
+    keep = F.expr(
+        f"bound_ppm >= 1000000 OR h6 < lpad(lower(hex("
+        f"(bound_ppm * {_GATE_SPACE}) div 1000000)), 6, '0')"
+    )
+    return (
+        d.join(F.broadcast(bounds), "src")
+        .groupBy("src", "sum_tok", "n_total", "bound_ppm")
+        .agg(
+            F.count(F.when(keep, 1)).alias("n_kept"),
+            F.expr(
+                f"CAST((1000000 * count(CASE WHEN bound_ppm >= 1000000 OR "
+                f"h6 < lpad(lower(hex((bound_ppm * {_GATE_SPACE}) div "
+                f"1000000)), 6, '0') THEN 1 END)) div count(1) AS BIGINT)"
+            ).alias("kept_ppm"),
+        )
+        .select(
+            F.col("src").alias("source"),
+            "sum_tok",
+            "n_total",
+            "bound_ppm",
+            "n_kept",
+            "kept_ppm",
+        )
+    )

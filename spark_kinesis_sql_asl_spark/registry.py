@@ -35,6 +35,7 @@ _MODULES = (
     "llm.splits",
     "llm.vectors",
     "llm.ordering",
+    "llm.ingest",
     "operators.events",
     "operators.analytics",
     "llm.similarity",
