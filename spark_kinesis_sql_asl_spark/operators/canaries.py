@@ -191,3 +191,37 @@ def q_canary_filter_null_agg(spark, sf_dir):
         FROM v_canary_fn_events GROUP BY event_type
         """
     )
+
+
+@query(
+    "q_canary_neg_div",
+    priority=10,
+    oracle="""
+    SELECT event_id,
+           CAST(coalesce(CAST(floor(value * 100) AS BIGINT), 0) - 5000
+               AS BIGINT) AS d,
+           CAST((coalesce(CAST(floor(value * 100) AS BIGINT), 0) - 5000) // 7
+               AS BIGINT) AS q7,
+           CAST((coalesce(CAST(floor(value * 100) AS BIGINT), 0) - 5000) % 7
+               AS BIGINT) AS r7
+    FROM events
+    WHERE event_id % 11 = 0
+    """,
+)
+def q_canary_neg_div(spark, sf_dir):
+    """D7: integer division and modulo on NEGATIVE operands alone. SQL
+    engines split between truncate-toward-zero and floor semantics for
+    `div`/`%` on negatives (Spark `div` and DuckDB `//` both truncate —
+    verified by the C39 oracle match — but any regression here silently
+    shifts every ppm/centroid output computed from a sum that can go
+    negative). The dividend is shifted (cents - 5000) so BOTH signs occur
+    on any fixture, including testdata whose raw values are all
+    positive."""
+    ev = table(spark, sf_dir, "events").where(F.col("event_id") % 11 == 0)
+    d = "(coalesce(CAST(floor(value * 100) AS BIGINT), 0) - 5000)"
+    return ev.select(
+        "event_id",
+        F.expr(f"CAST({d} AS BIGINT)").alias("d"),
+        F.expr(f"CAST({d} div 7 AS BIGINT)").alias("q7"),
+        F.expr(f"CAST({d} % 7 AS BIGINT)").alias("r7"),
+    )
