@@ -795,3 +795,75 @@ def test_streaming_curation_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_ingest_dedup_equals_batch(spark, tmp_path):
+    """C46 on a stream: a freshly-arriving batch (replayed as micro-batch
+    files) is screened against the STATIC corpus hash index with a
+    stream-static left-anti join — the production shape for continuous
+    ingest, where the corpus index is the slowly-changing side and every
+    trigger probes only its own arrivals. The per-lang novelty counts must
+    equal the batch C46 operator's n_novel column exactly."""
+    batch_docs = (
+        table(spark, SF_SMOKE, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .collect()
+    )
+    staging = str(tmp_path / "ingest_stream")
+    os.makedirs(staging)
+    per = (len(batch_docs) + 2) // 3
+    for i in range(3):
+        sl = batch_docs[i * per : (i + 1) * per]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r.doc_id for r in sl], pa.int64()),
+                "text": pa.array([r.text for r in sl], pa.string()),
+                "lang": pa.array([r.lang for r in sl], pa.string()),
+                "source": pa.array([r.source for r in sl], pa.string()),
+                "n_chars": pa.array([r.n_chars for r in sl], pa.int64()),
+            }
+        )
+        f = os.path.join(staging, f"{i:04d}.parquet")
+        pq.write_table(tbl, f)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary"))
+    corpus_index = (
+        table(spark, SF_SMOKE, "documents")
+        .where(F.col("doc_id") % 5 != 0)
+        .select(h.alias("h"))
+        .distinct()
+    )
+    sch = table(spark, SF_SMOKE, "documents").schema
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    novel = (
+        stream.withColumn("h", h)
+        .join(corpus_index, "h", "left_anti")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    q = (
+        novel.writeStream.format("memory")
+        .queryName("ingest_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ingest"))
+        .trigger(availableNow=True)
+    )
+    _drain(q)
+    got = {
+        r.lang: r.n_novel
+        for r in spark.sql("SELECT * FROM ingest_stream").collect()
+    }
+    from spark_kinesis_sql_asl_spark.registry import all_queries
+
+    want = {
+        r.lang: r.n_novel
+        for r in all_queries()["q_llm_ingest_dedup"](spark, SF_SMOKE).collect()
+        if r.n_novel > 0
+    }
+    got = {k: v for k, v in got.items() if v > 0}
+    assert got == want
