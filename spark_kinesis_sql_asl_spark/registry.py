@@ -36,6 +36,7 @@ _MODULES = (
     "llm.vectors",
     "llm.ordering",
     "llm.ingest",
+    "llm.scoring",
     "operators.events",
     "operators.analytics",
     "llm.similarity",
