@@ -278,3 +278,22 @@ def test_pq_encode_codebook_broadcasts(spark):
     df = QUERIES["q_llm_pq_encode"](spark, SF_ORACLE)
     assert count_nodes(df, "BroadcastNestedLoopJoin") == 1
     assert count_nodes(df, "SortMergeJoin") == 0
+
+
+def test_bitext_label_join_is_equi_not_cartesian(spark):
+    # C45: the cross-lang pair join must key on the label block (equi
+    # join; SMJ/BHJ both fine) — a BroadcastNestedLoopJoin or
+    # CartesianProduct would mean the lang inequality leaked into the join
+    # condition as the ONLY key and candidates went corpus².
+    df = QUERIES["q_llm_bitext_mine"](spark, SF_ORACLE)
+    assert count_nodes(df, "BroadcastNestedLoopJoin") == 0
+    assert count_nodes(df, "CartesianProduct") == 0
+
+
+def test_surprisal_freq_join_broadcasts_at_fixture_scale(spark):
+    # C48: the corpus total must ride a broadcast and the token⋈freq join
+    # must be a hash join (broadcast here; bucket-join at vocab scale) —
+    # never a sort-merge over the exploded token stream.
+    df = QUERIES["q_llm_surprisal"](spark, SF_ORACLE)
+    assert count_nodes(df, "BroadcastHashJoin") >= 1
+    assert count_nodes(df, "SortMergeJoin") == 0
