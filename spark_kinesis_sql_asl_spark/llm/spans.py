@@ -1,0 +1,146 @@
+"""Sub-document span statistics (SURVEY.md §2 rows C50–C51): repeated-chunk
+mining and the vocabulary frequency spectrum.
+
+Doc-level dedup (C1/C13/C21) misses boilerplate REGIONS shared by otherwise
+distinct documents — headers, license blocks, navigation chrome. C50 finds
+them at chunk granularity. C51 is the vocabulary's count-of-counts (the
+Good-Turing / Zipf-audit statistic) in exact integer octaves via the same
+``length(bin(n))`` identity as C48 — corpus-health metrics with no float
+anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+_SPAN_W = 32  # chunk width (chars), non-overlapping
+_SPAN_TOP_K = 50
+_SPAN_MIN_DOCS = 2
+
+
+@query(
+    "q_llm_repeated_chunks",
+    priority=30,
+    oracle=f"""
+    WITH ch AS (
+        SELECT doc_id, substr(text, s, {_SPAN_W}) AS chunk
+        FROM (SELECT doc_id, text,
+                     unnest(range(1, CAST(len(text) AS INTEGER) + 1,
+                                  {_SPAN_W})) AS s
+              FROM documents)
+        WHERE len(substr(text, s, {_SPAN_W})) = {_SPAN_W}
+    ),
+    rep AS (
+        SELECT chunk,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occ
+        FROM ch GROUP BY chunk
+        HAVING count(DISTINCT doc_id) >= {_SPAN_MIN_DOCS}
+    )
+    SELECT chunk, n_docs, n_occ, rk FROM (
+        SELECT chunk, n_docs, n_occ,
+               row_number() OVER (ORDER BY n_docs DESC, chunk ASC) AS rk
+        FROM rep
+    ) WHERE rk <= {_SPAN_TOP_K}
+    """,
+)
+def q_llm_repeated_chunks(spark, sf_dir):
+    """C50: repeated-chunk mining — fixed-width ({_SPAN_W}-char,
+    non-overlapping) chunks that recur across at least {_SPAN_MIN_DOCS}
+    distinct documents, ranked by spread. This is the boilerplate detector
+    between doc-level dedup and token statistics: shared license headers,
+    navigation chrome and template scaffolding surface here even when
+    every containing document is unique (the winnowing/suffix-array use
+    case at its cheapest useful granularity). Chunking is a scan-stage
+    explode; the rollup groups by chunk with map-side partial counts (at
+    100 TB group by a chunk HASH and keep one exemplar via min(chunk) —
+    32-byte keys instead of raw spans on the shuffle); the global top-k is
+    a single-partition window over the already-aggregated repeated-chunk
+    frame (|repeated chunks|, not |chunks|), lexicographically
+    tiebroken."""
+    ch = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.expr(
+                    f"sequence(1, greatest(1, CAST(n_chars AS INT)), {_SPAN_W})"
+                )
+            ).alias("s"),
+        )
+        .select(
+            "doc_id", F.substring("text", F.col("s"), _SPAN_W).alias("chunk")
+        )
+        .where(F.length("chunk") == _SPAN_W)
+    )
+    rep = (
+        ch.groupBy("chunk")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= _SPAN_MIN_DOCS)
+    )
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("chunk").asc())
+    return (
+        rep.select(
+            "chunk", "n_docs", "n_occ", F.row_number().over(w).alias("rk")
+        )
+        .where(F.col("rk") <= _SPAN_TOP_K)
+    )
+
+
+@query(
+    "q_llm_freq_spectrum",
+    priority=30,
+    oracle="""
+    WITH t AS (
+        SELECT unnest(string_split(coalesce(text, ''), ' ')) AS tok
+        FROM documents
+    ),
+    freq AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS n_occ
+        FROM t WHERE tok <> '' GROUP BY tok
+    )
+    SELECT CAST(length(bin(n_occ)) AS BIGINT) AS octave,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(n_occ) AS BIGINT) AS n_tokens
+    FROM freq GROUP BY length(bin(n_occ))
+    """,
+)
+def q_llm_freq_spectrum(spark, sf_dir):
+    """C51: vocabulary frequency spectrum (count-of-counts in octaves) —
+    how many distinct token TYPES occur 1x, 2-3x, 4-7x, ... (octave =
+    bit-length of the occurrence count, the C48 ``bin()`` identity; exact
+    integers, no log). This is the Good-Turing smoothing input and the
+    Zipf-health audit a corpus build watches: a bulge in low octaves means
+    OCR noise / tokenizer breakage, a missing tail means over-dedup. Plan:
+    one (tok) rollup with map-side partial counts, then a ~60-row
+    re-aggregation — at 100 TB the second stage is negligible and the
+    first is the same vocab rollup C48/C37 already run (a pipeline shares
+    it)."""
+    freq = (
+        table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+            ).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    return (
+        freq.groupBy(
+            F.length(F.expr("bin(n_occ)")).cast("bigint").alias("octave")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("n_occ").cast("bigint").alias("n_tokens"),
+        )
+    )

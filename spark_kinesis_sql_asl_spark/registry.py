@@ -37,6 +37,7 @@ _MODULES = (
     "llm.ordering",
     "llm.ingest",
     "llm.scoring",
+    "llm.spans",
     "operators.events",
     "operators.analytics",
     "llm.similarity",
