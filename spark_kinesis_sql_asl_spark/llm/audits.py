@@ -1,0 +1,108 @@
+"""Corpus / embedding audit rollups (SURVEY.md §2 rows C52–C53): per-dim
+embedding health and the source×language composition crosstab.
+
+The observability pair: before a 100 TB corpus feeds training, its
+embedding space and its composition matrix get eyeballed. Both operators
+are single-rollup shapes whose outputs are tiny (64 rows / |sources| rows)
+— the cheap-by-construction audits a pipeline runs after every refresh.
+Driver-canon rules: the C24 integer grid for all vector statistics, BIGINT
+counts, deterministic column sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+from .curation import _Q_VEC_SQL_DUCK, _Q_VEC_SQL_SPARK
+
+
+@query(
+    "q_llm_embed_dimstats",
+    priority=30,
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, {_Q_VEC_SQL_DUCK} AS qv FROM embeddings
+    ),
+    dims AS (
+        SELECT t.i AS dim, qv[t.i + 1] AS qval
+        FROM q, range(0, 64) t(i)
+    )
+    SELECT dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(qval) AS BIGINT) AS min_q,
+           CAST(max(qval) AS BIGINT) AS max_q,
+           CAST(sum(qval) AS BIGINT) AS sum_q,
+           CAST(sum(qval * qval) AS BIGINT) AS sumsq_q
+    FROM dims GROUP BY dim
+    """,
+)
+def q_llm_embed_dimstats(spark, sf_dir):
+    """C52: per-dimension embedding health stats on the C24 integer grid —
+    min/max (quantization clipping check: a dim pinned at the grid edge
+    means the int8 range is too narrow), sum and sum-of-squares (mean and
+    variance derive exactly downstream; a near-zero-variance dim is dead
+    weight ANN distance computations pay for anyway). The audit every
+    embedding refresh runs before C33/C40 consume the vectors. Plan: one
+    posexplode + groupBy(dim) with map-side partial aggregates — the
+    shuffle carries 64·|vectors| integer triples partial-combined down to
+    64·|partitions|, and the output is 64 rows. Exact integer end-to-end:
+    means/variances are left as (sum, sumsq, n) so no division happens in
+    the engine at all."""
+    exploded = table(spark, sf_dir, "embeddings").select(
+        F.expr(_Q_VEC_SQL_SPARK).alias("qv")
+    ).select(F.posexplode("qv").alias("dim", "qval"))
+    return exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("qval").cast("bigint").alias("min_q"),
+        F.max("qval").cast("bigint").alias("max_q"),
+        F.sum("qval").cast("bigint").alias("sum_q"),
+        F.sum(F.col("qval") * F.col("qval")).cast("bigint").alias("sumsq_q"),
+    )
+
+
+@query(
+    "q_llm_composition",
+    priority=30,
+    oracle="""
+    SELECT coalesce(source, '') AS src,
+           CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS n_en,
+           CAST(count(CASE WHEN lang = 'de' THEN 1 END) AS BIGINT) AS n_de,
+           CAST(count(CASE WHEN lang = 'es' THEN 1 END) AS BIGINT) AS n_es,
+           CAST(count(CASE WHEN lang = 'fr' THEN 1 END) AS BIGINT) AS n_fr,
+           CAST(count(CASE WHEN lang = 'zh' THEN 1 END) AS BIGINT) AS n_zh,
+           CAST(count(CASE WHEN lang IS NULL
+                           OR lang NOT IN ('en', 'de', 'es', 'fr', 'zh')
+                      THEN 1 END) AS BIGINT) AS n_other,
+           CAST(count(*) AS BIGINT) AS n_total
+    FROM documents GROUP BY coalesce(source, '')
+    """,
+)
+def q_llm_composition(spark, sf_dir):
+    """C53: the source×language composition crosstab — one row per source,
+    one column per tracked language plus an explicit other/NULL bucket
+    (FIXED columns rather than a dynamic pivot, so the output schema is
+    stable no matter what languages a fixture contains — the driver-canon
+    schema-stability rule; B76 demonstrates the dynamic pivot). This is
+    the mixture dashboard C30/C47 decisions are read against. Plan: a
+    single conditional-count rollup — at 100 TB it is one map-side-combined
+    pass, |sources| output rows, and the same shape extends to any fixed
+    dimension pair (source×split, lang×decile)."""
+    d = table(spark, sf_dir, "documents").select(
+        F.coalesce(F.col("source"), F.lit("")).alias("src"), "lang"
+    )
+    tracked = ("en", "de", "es", "fr", "zh")
+    aggs = [
+        F.count(F.when(F.col("lang") == lg, 1)).alias(f"n_{lg}")
+        for lg in tracked
+    ]
+    aggs.append(
+        F.count(
+            F.when(
+                F.col("lang").isNull() | ~F.col("lang").isin(*tracked), 1
+            )
+        ).alias("n_other")
+    )
+    aggs.append(F.count(F.lit(1)).alias("n_total"))
+    return d.groupBy("src").agg(*aggs)

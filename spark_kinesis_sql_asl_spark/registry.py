@@ -38,6 +38,7 @@ _MODULES = (
     "llm.ingest",
     "llm.scoring",
     "llm.spans",
+    "llm.audits",
     "operators.events",
     "operators.analytics",
     "llm.similarity",

@@ -152,3 +152,29 @@ def test_bitext_pairs_are_cross_language(spark):
     for r in rows:
         assert r["lang_a"] < r["lang_b"]
         assert r["cosine"] >= 0.3
+
+
+def test_embed_dimstats_covers_grid(spark):
+    # 64 dims, each counting every vector; min <= max; sumsq consistent
+    # with the extremes (|sum| <= n * max(|min|,|max|)).
+    rows = QUERIES["q_llm_embed_dimstats"](spark, SF_ORACLE).collect()
+    n_vecs = table(spark, SF_ORACLE, "embeddings").count()
+    assert sorted(r["dim"] for r in rows) == list(range(64))
+    for r in rows:
+        assert r["n"] == n_vecs
+        assert r["min_q"] <= r["max_q"]
+        bound = max(abs(r["min_q"]), abs(r["max_q"]))
+        assert abs(r["sum_q"]) <= r["n"] * bound
+        assert r["sumsq_q"] <= r["n"] * bound * bound
+
+
+def test_composition_rows_sum_to_total(spark):
+    rows = QUERIES["q_llm_composition"](spark, SF_ORACLE).collect()
+    n_docs = table(spark, SF_ORACLE, "documents").count()
+    assert sum(r["n_total"] for r in rows) == n_docs
+    for r in rows:
+        parts = (
+            r["n_en"] + r["n_de"] + r["n_es"] + r["n_fr"] + r["n_zh"]
+            + r["n_other"]
+        )
+        assert parts == r["n_total"], r["src"]
