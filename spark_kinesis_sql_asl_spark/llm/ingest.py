@@ -14,6 +14,7 @@ identical on both engines.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -252,4 +253,98 @@ def q_llm_mixture_sample(spark, sf_dir):
             "n_kept",
             "kept_ppm",
         )
+    )
+
+
+_BUILD_MIN_TOK = 20
+_BUILD_MIN_DISTINCT_X10 = 3  # 10 * n_distinct >= 3 * n_tok  (ratio >= 0.3)
+_BUILD_TRAIN_BOUND = "cc"  # md5 first byte < 0xcc => train (C35 convention)
+_BUILD_PACK = 2048
+
+
+@query(
+    "q_llm_corpus_build",
+    priority=30,
+    oracle=f"""
+    WITH uniq AS (
+        SELECT doc_id, lang, text FROM (
+            SELECT doc_id, lang, text,
+                   row_number() OVER (
+                       PARTITION BY md5(coalesce(text, ''))
+                       ORDER BY doc_id ASC
+                   ) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    ),
+    kept AS (
+        SELECT doc_id, lang, {_NTOK_DUCK} AS n_tok
+        FROM uniq
+        WHERE {_NTOK_DUCK} >= {_BUILD_MIN_TOK}
+          AND 10 * len(list_distinct(string_split(coalesce(text, ''), ' ')))
+              >= {_BUILD_MIN_DISTINCT_X10} * {_NTOK_DUCK}
+          AND substr(md5(coalesce(text, '')), 1, 2) < '{_BUILD_TRAIN_BOUND}'
+    ),
+    packed AS (
+        SELECT lang, n_tok,
+               CAST(floor((sum(n_tok) OVER (
+                   PARTITION BY lang ORDER BY doc_id, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tok) / {_BUILD_PACK}) AS BIGINT) AS pack_id
+        FROM kept
+    )
+    SELECT lang, pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+    FROM packed GROUP BY lang, pack_id
+    """,
+)
+def q_llm_corpus_build(spark, sf_dir):
+    """C54: the corpus build END-TO-END as one declarative chain — exact
+    dedup (md5 min-doc survivor) → quality gate (C17/C31 thresholds) →
+    train-split membership (C35 content-hash gate) → deterministic packing
+    (C29) → per-(lang, pack) stats. C34 demonstrated scoring→packing; this
+    composes the FULL build including dedup and split, which is what a
+    production corpus refresh actually executes as a single job. Catalyst
+    fuses the quality and split predicates into the post-dedup projection,
+    so a dropped document costs one hash + one window visit and never
+    reaches the packing window. Near-dup drops (C38's CC cluster set) plug
+    in as one more anti-join on the same frame. Plan: two shuffles total —
+    the dedup window (md5-partitioned) and the lang-partitioned pack
+    window feeding a same-key rollup; text never leaves the scan stage;
+    every downstream column is an integer."""
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary"))
+    dedup_w = Window.partitionBy(h).orderBy(F.col("doc_id").asc())
+    uniq = (
+        d.select("doc_id", "lang", "text", F.row_number().over(dedup_w).alias("rn"))
+        .where(F.col("rn") == 1)
+    )
+    n_tok = F.expr(_NTOK_SPARK)
+    n_distinct = F.size(
+        F.array_distinct(F.split(F.coalesce("text", F.lit("")), " "))
+    )
+    in_train = (
+        F.substring(F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")), 1, 2)
+        < _BUILD_TRAIN_BOUND
+    )
+    kept = uniq.where(
+        (n_tok >= _BUILD_MIN_TOK)
+        & (10 * n_distinct >= _BUILD_MIN_DISTINCT_X10 * n_tok)
+        & in_train
+    ).select("doc_id", "lang", n_tok.alias("n_tok"))
+    pack_w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id", "lang")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = kept.select(
+        "lang",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(pack_w) - F.col("n_tok")) / _BUILD_PACK)
+        .cast("bigint")
+        .alias("pack_id"),
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("sum_tokens"),
     )
