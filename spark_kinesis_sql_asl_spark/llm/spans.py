@@ -144,3 +144,56 @@ def q_llm_freq_spectrum(spark, sf_dir):
             F.sum("n_occ").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+_BPE_TOP_K = 20
+
+
+@query(
+    "q_llm_bpe_pairs",
+    priority=30,
+    oracle=f"""
+    WITH words AS (
+        SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w
+        FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, len(w)),
+                                     i -> substr(w, i, 2))) AS pair
+        FROM words WHERE len(w) >= 2
+    )
+    SELECT pair, cnt, rk FROM (
+        SELECT pair, CAST(count(*) AS BIGINT) AS cnt,
+               row_number() OVER (ORDER BY count(*) DESC, pair ASC) AS rk
+        FROM pairs GROUP BY pair
+    ) WHERE rk <= {_BPE_TOP_K}
+    """,
+)
+def q_llm_bpe_pairs(spark, sf_dir):
+    """C55: BPE first-merge pair counting — the corpus-wide adjacent
+    symbol-pair frequencies over the character-level initial state (Sennrich
+    et al., ACL 2016): the top pair IS the first merge a BPE tokenizer
+    trained on this corpus would learn, and the ranked list is the merge-
+    candidate queue. Subsequent merge rounds re-run the same shape over the
+    re-segmented corpus, so this operator is the per-iteration workhorse of
+    distributed tokenizer training. Pairs are generated partition-local
+    from word substrings (scan-stage explode — no join), counted with
+    map-side combine, and the global top-{_BPE_TOP_K} is a single-partition
+    window over the aggregated pair frame (|distinct pairs| ≈ alphabet², a
+    few thousand rows — not |tokens|), lexicographically tiebroken."""
+    words = table(spark, sf_dir, "documents").select(
+        F.explode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        ).alias("w")
+    ).where(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+    return (
+        counts.select("pair", "cnt", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= _BPE_TOP_K)
+    )
