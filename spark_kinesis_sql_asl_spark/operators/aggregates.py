@@ -357,3 +357,45 @@ def q_agg_argmax(spark, sf_dir):
             F.round(F.col("_best.o_totalprice"), 2).alias("best_price"),
         )
     )
+
+
+@query(
+    "q_agg_listagg",
+    priority=30,
+    oracle="""
+    WITH pc AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag,
+           string_agg(l_linestatus || ':' || CAST(cnt AS VARCHAR), ','
+                      ORDER BY l_linestatus) AS status_counts,
+           CAST(count(*) AS BIGINT) AS n_statuses
+    FROM pc GROUP BY l_returnflag
+    """,
+)
+def q_agg_listagg(spark, sf_dir):
+    """B97: SQL-standard ordered string aggregation — ``LISTAGG ... WITHIN
+    GROUP (ORDER BY ...)`` (Spark 4's listagg; DuckDB's ordered
+    string_agg). The report-formatting aggregate every BI surface expects;
+    distinct from B32 collect_list in that the ORDER is part of the
+    aggregate contract, not a post-sort. Aggregated over the pre-rolled
+    (flag, status) count frame so the concatenation input is bounded (a
+    raw listagg over fact rows would build megabyte strings — the at-scale
+    rule is: aggregate first, concatenate the aggregate)."""
+    pc = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pc.createOrReplaceTempView("v_listagg_pc")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               listagg(l_linestatus || ':' || CAST(cnt AS STRING), ',')
+                   WITHIN GROUP (ORDER BY l_linestatus) AS status_counts,
+               count(*) AS n_statuses
+        FROM v_listagg_pc GROUP BY l_returnflag
+        """
+    )
