@@ -75,6 +75,14 @@ def query(
     * 20 — queries that have never had a driver CORRECTNESS row
     * 30 — queries newly added this round (first driver look)
     * 100 (default) — everything else, in module registration order
+
+    ROUND-4 ROTATION PLAN (read CORRECTNESS_r03.json first): (a) any r3
+    FAIL/ERR rows get priority 0; (b) the ~25 r3-era priority-30 queries
+    that fell OUTSIDE the ~50-entry window (registration positions > 50 —
+    the later llm.ordering/ingest/scoring/spans/audits/events entries)
+    move to priority 20 so they get their first driver row; (c) r3-era
+    priority-0/20 queries that passed rotate to 100. Canaries stay at 10
+    permanently.
     """
 
     def deco(fn: QueryFn) -> QueryFn:
