@@ -297,3 +297,14 @@ def test_surprisal_freq_join_broadcasts_at_fixture_scale(spark):
     df = QUERIES["q_llm_surprisal"](spark, SF_ORACLE)
     assert count_nodes(df, "BroadcastHashJoin") >= 1
     assert count_nodes(df, "SortMergeJoin") == 0
+
+
+def test_corpus_build_compiles_to_two_shuffles(spark):
+    # C54: the full build chain (dedup window -> quality+split gates ->
+    # pack window -> rollup) must stay at exactly two exchanges — the
+    # md5-partitioned dedup window and the lang-partitioned pack window
+    # whose partitioning the rollup reuses. A third exchange means a gate
+    # stopped fusing into the scan/projection.
+    df = QUERIES["q_llm_corpus_build"](spark, SF_ORACLE)
+    assert count_nodes(df, "BroadcastExchange") == 0
+    assert count_nodes(df, "Exchange") == 2
