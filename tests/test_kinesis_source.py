@@ -268,3 +268,64 @@ def test_shard_route_sql_expression_matches_python_route(spark):
         .collect()
     }
     assert got == {k: _route(k, 4) for k in keys}
+
+
+def test_kinesis_stream_feeds_curation_gate(registered, tmp_path):
+    """The reference's product story end-to-end on the Tier C surface:
+    documents published as Kinesis-envelope JSON records → kinesislike
+    streaming source → schema-on-read decode → quality gate → per-lang
+    audit, equal to the same gate computed in batch directly on the table.
+    Ties A1/A2/A6/A7 to the curation operators in one path."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    spark = registered
+    docs = table(spark, SF_SMOKE, "documents").collect()
+    root = str(tmp_path / "doc_staging")
+    write_staging(
+        [
+            {
+                "user_id": r.doc_id,
+                "ts": None,
+                "payload": _json.dumps(
+                    {"doc_id": r.doc_id, "text": r.text, "lang": r.lang}
+                ),
+            }
+            for r in docs
+        ],
+        root,
+        stream="docs",
+        n_shards=3,
+        n_chunks=4,
+    )
+    reader = (
+        spark.readStream.format("kinesislike").option("path", root).load()
+    )
+    sch = "doc_id BIGINT, text STRING, lang STRING"
+    decoded = reader.select(
+        F.from_json(F.col("data").cast("string"), sch).alias("d")
+    ).select("d.*")
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    gated = decoded.withColumn("n_tok", F.size(toks)).where(
+        F.col("n_tok").between(10, 200)
+    )
+    out = str(tmp_path / "gated_out")
+    _run_available_now(spark, gated, out, str(tmp_path / "ckpt_gate"))
+    got = {
+        r.lang: (r.n, r.s)
+        for r in spark.read.parquet(out)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("s"))
+        .collect()
+    }
+    want = {
+        r.lang: (r.n, r.s)
+        for r in table(spark, SF_SMOKE, "documents")
+        .withColumn("n_tok", F.size(toks))
+        .where(F.col("n_tok").between(10, 200))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("s"))
+        .collect()
+    }
+    assert got == want
