@@ -199,7 +199,15 @@ def q_llm_heavy_hitters(spark, sf_dir):
         ) WHERE doc_id <> cluster_id
     ),
     drops AS (
-        SELECT doc_id FROM exact_drop UNION SELECT doc_id FROM near_drop
+        -- DISTINCT over UNION ALL, not bare UNION: DuckDB 1.0.0 silently
+        -- treats a non-recursive CTE's UNION as UNION ALL inside a WITH
+        -- RECURSIVE chain (surfaced at sf0.1, where 6 docs are both exact-
+        -- and near-dups and the duplicate keys fanned out the audit join).
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_id FROM exact_drop
+            UNION ALL
+            SELECT doc_id FROM near_drop
+        )
     )
     SELECT d.lang,
            CAST(count(*) AS BIGINT) AS n_total,
