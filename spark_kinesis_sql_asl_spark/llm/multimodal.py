@@ -158,3 +158,51 @@ def q_llm_multimodal(spark, sf_dir):
         F.round(F.sqrt(sq_norm(F.col("embedding"))), 6).alias("emb_norm"),
         "label",
     )
+
+
+_FRAME_BYTES = 32
+_MAX_FRAMES = 4
+
+
+@query(
+    "q_llm_frame_sample",
+    priority=30,
+    oracle=f"""
+    WITH b AS (
+        SELECT d.doc_id, hex(encode(d.text)) AS blob_hex
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        WHERE d.text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(t.i AS INTEGER) AS frame_idx,
+           substr(blob_hex, CAST(t.i AS INTEGER) * {2 * _FRAME_BYTES} + 1,
+                  {2 * _FRAME_BYTES}) AS frame_hex,
+           'text/plain' AS media_type
+    FROM b, range(0, {_MAX_FRAMES}) t(i)
+    WHERE t.i < greatest(1, length(blob_hex) // {2 * _FRAME_BYTES})
+    """,
+)
+def q_llm_frame_sample(spark, sf_dir):
+    """C11b: the frame-sampling mapInPandas stage, ORACLED — the stub
+    decoder slices deterministic {_FRAME_BYTES}-byte "frames" off the
+    payload, so the Python row-expanding stage can be cross-checked
+    bit-for-bit against pure SQL (frames rendered as hex: byte-aligned, so
+    slicing the hex string at {2 * _FRAME_BYTES}-char boundaries equals
+    slicing the blob — DuckDB 1.0 has no BLOB substring). This pins the
+    multimodal PLUMBING contract (row expansion, frame indexing, batch
+    shapes) even though the real codec is environment-stubbed; swapping in
+    av/ffmpeg changes only the decode body, not this verified shape. NULL
+    payloads are filtered on both sides (a real decoder's
+    corrupt-input-drop policy)."""
+    b = bundle(spark, sf_dir).where(F.col("payload").isNotNull())
+    frames = sample_frames(
+        b.select("doc_id", "payload", "media_type"),
+        every_n_bytes=_FRAME_BYTES,
+        max_frames=_MAX_FRAMES,
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.hex("frame_payload").alias("frame_hex"),
+        "media_type",
+    )
