@@ -206,3 +206,43 @@ def q_llm_frame_sample(spark, sf_dir):
         F.hex("frame_payload").alias("frame_hex"),
         "media_type",
     )
+
+
+_HEXD = "0123456789ABCDEF"
+
+
+@query(
+    "q_llm_decode_media",
+    priority=30,
+    oracle=f"""
+    WITH b AS (
+        SELECT d.doc_id, hex(encode(d.text)) AS blob_hex
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        WHERE d.text IS NOT NULL AND length(d.text) > 0
+    )
+    SELECT doc_id,
+           CAST(length(blob_hex) // 2 AS BIGINT) AS n_bytes,
+           CAST((strpos('{_HEXD}', substr(blob_hex, 1, 1)) - 1) * 16
+                + (strpos('{_HEXD}', substr(blob_hex, 2, 1)) - 1)
+               AS INTEGER) AS first_byte,
+           'text/plain' AS media_type
+    FROM b
+    """,
+)
+def q_llm_decode_media(spark, sf_dir):
+    """C11c: the decode/feature-extract mapInPandas stage, ORACLED — the
+    stub decoder's outputs (payload byte length, first-byte "brightness")
+    are deterministic, so the Arrow-batched Python stage cross-checks
+    bit-for-bit against SQL. The first byte is recovered engine-neutrally
+    from the payload's hex rendering via hex-digit position arithmetic
+    (no BLOB indexing needed on either engine). Together with C11b this
+    pins BOTH multimodal Python stages — per-row feature extraction and
+    row expansion — to verified contracts; only the codec body inside
+    `extract` is environment-stubbed. Empty payloads are filtered (the
+    stub's first-byte read requires one byte; a real decoder's
+    corrupt-input-drop policy)."""
+    b = bundle(spark, sf_dir).where(
+        F.col("payload").isNotNull() & (F.octet_length("payload") > 0)
+    )
+    decoded = decode_media(b.select("doc_id", "payload", "media_type"))
+    return decoded.select("doc_id", "n_bytes", "first_byte", "media_type")
