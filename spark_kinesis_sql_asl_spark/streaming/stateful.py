@@ -96,3 +96,77 @@ def running_count(stream_df, key_col: str = "user_id"):
     if _protobuf_available():
         return _modern(grouped), "transformWithStateInPandas"
     return _legacy(grouped), "applyInPandasWithState"
+
+
+_MG_OUT_SCHEMA = "lang string, tok string, est bigint, seq bigint"
+_MG_STATE_SCHEMA = "toks array<string>, cnts array<bigint>, seq bigint"
+
+
+def streaming_misra_gries(doc_stream, m: int = 64):
+    """C37-stream: Misra–Gries heavy hitters as an arbitrary-stateful
+    streaming operator — the per-language counter summary lives in keyed
+    state and folds each micro-batch's per-doc distinct tokens in as it
+    arrives, so the heavy-hitter estimate is continuously available
+    without re-scanning history (the streaming twin of the batch
+    ``q_llm_heavy_hitters_sketch`` path).
+
+    Semantics per language key: classic MG with at most ``m`` counters
+    (hit → increment, room → insert, full → decrement-all); the documented
+    undercount bound N_lang/(m+1) holds over the whole stream because MG
+    summaries compose sequentially. With ``m`` at least the language's
+    distinct-token count the sketch degenerates to EXACT document
+    frequencies — the property the harness test pins against the batch
+    operator. Emissions carry a per-key monotone ``seq`` so a reader can
+    select each key's latest summary from an update-mode sink.
+
+    At 100 TB: one shuffle on lang (or (lang, shard-salt) for giant
+    languages, merging summaries downstream); state is m counters per key
+    — constant memory regardless of vocabulary; RocksDB-backed under the
+    modern state store. Legacy ``applyInPandasWithState`` is used for its
+    dependency-free availability (B68 documents the API-adaptive story).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            toks, cnts, seq = state.get
+            counters = dict(zip(toks, cnts))
+        else:
+            counters, seq = {}, 0
+        for pdf in pdfs:
+            for text in pdf["text"]:
+                if text is None:
+                    continue
+                for tok in set(text.split(" ")):
+                    if not tok:
+                        continue
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < m:
+                        counters[tok] = 1
+                    else:
+                        dead = []
+                        for k in counters:
+                            counters[k] -= 1
+                            if counters[k] == 0:
+                                dead.append(k)
+                        for k in dead:
+                            del counters[k]
+        seq += 1
+        state.update((list(counters), [counters[k] for k in counters], seq))
+        yield pd.DataFrame(
+            {
+                "lang": [key[0]] * len(counters),
+                "tok": list(counters),
+                "est": [counters[k] for k in counters],
+                "seq": [seq] * len(counters),
+            }
+        )
+
+    return doc_stream.groupBy("lang").applyInPandasWithState(
+        fold,
+        outputStructType=_MG_OUT_SCHEMA,
+        stateStructType=_MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

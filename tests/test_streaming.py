@@ -867,3 +867,81 @@ def test_streaming_ingest_dedup_equals_batch(spark, tmp_path):
     }
     got = {k: v for k, v in got.items() if v > 0}
     assert got == want
+
+
+def test_streaming_misra_gries_exact_when_m_covers_vocab(spark, tmp_path):
+    """C37-stream: the stateful Misra-Gries summary folds micro-batches
+    sequentially; with m >= the per-lang distinct-token count it must
+    degenerate to EXACT document frequencies — pinned against the batch
+    q_llm_heavy_hitters rollup. Each key's final summary is selected by
+    its max seq from the update-mode sink."""
+    from spark_kinesis_sql_asl_spark.streaming.stateful import (
+        streaming_misra_gries,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents").collect()
+    staging = str(tmp_path / "mg_stream")
+    os.makedirs(staging)
+    per = (len(docs) + 3) // 4
+    for i in range(4):
+        sl = docs[i * per : (i + 1) * per]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r.doc_id for r in sl], pa.int64()),
+                "text": pa.array([r.text for r in sl], pa.string()),
+                "lang": pa.array([r.lang for r in sl], pa.string()),
+                "source": pa.array([r.source for r in sl], pa.string()),
+                "n_chars": pa.array([r.n_chars for r in sl], pa.int64()),
+            }
+        )
+        f = os.path.join(staging, f"{i:04d}.parquet")
+        pq.write_table(tbl, f)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    sch = table(spark, SF_SMOKE, "documents").schema
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+        .select("lang", "text")
+    )
+    mg = streaming_misra_gries(stream, m=100_000)  # >> vocab: exact regime
+    q = (
+        mg.writeStream.format("memory")
+        .queryName("mg_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mg"))
+        .trigger(availableNow=True)
+    )
+    _drain(q)
+    rows = spark.sql(
+        """
+        SELECT lang, tok, est FROM (
+            SELECT lang, tok, est,
+                   row_number() OVER (
+                       PARTITION BY lang, tok ORDER BY seq DESC
+                   ) AS rn,
+                   max(seq) OVER (PARTITION BY lang) AS max_seq,
+                   seq
+            FROM mg_stream
+        ) WHERE rn = 1 AND seq = max_seq
+        """
+    ).collect()
+    got = {(r.lang, r.tok): r.est for r in rows}
+    exact = {
+        (r.lang, r.tok): r.doc_freq
+        for r in table(spark, SF_SMOKE, "documents")
+        .select(
+            "lang",
+            F.explode(
+                F.array_distinct(
+                    F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+                )
+            ).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .collect()
+    }
+    assert got == exact
