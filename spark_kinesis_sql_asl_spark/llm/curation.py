@@ -188,9 +188,12 @@ def q_llm_bigram_topk(spark, sf_dir):
     """C28: collocation mining — global top-{_BIGRAM_TOP_K} word bigrams
     (the n-gram LM / tokenizer-merge-candidate statistic). Bigrams are
     generated partition-local from the split array (no self-join), counted
-    with map-side combine, and the final top-k is a single-partition window
-    over the aggregated bigram counts (|distinct bigrams|, not |tokens|),
-    with a lexicographic tiebreak for a deterministic total order."""
+    with map-side combine, and the final top-k is orderBy().limit(K) —
+    TakeOrderedAndProject keeps a K-row heap per partition and merges K
+    rows on the driver, so the vocab-scale bigram counts frame (10^9+ rows
+    at 100 TB) never funnels into a single-partition sort; the rank column
+    is a window over only the <=K survivors, lexicographically tiebroken
+    for a deterministic total order."""
     d = table(spark, sf_dir, "documents").select(
         F.split("text", " ").alias("w")
     )
@@ -206,12 +209,11 @@ def q_llm_bigram_topk(spark, sf_dir):
         )
     )
     counts = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.col("cnt").desc(), F.col("bigram"))
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= _BIGRAM_TOP_K)
-        .select("bigram", "cnt", "rn")
+    top = counts.orderBy(F.col("cnt").desc(), F.col("bigram")).limit(
+        _BIGRAM_TOP_K
     )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("bigram"))
+    return top.select("bigram", "cnt", F.row_number().over(w).alias("rn"))
 
 
 _PACK_TOKENS = 2048

@@ -172,7 +172,8 @@ _GATE_SPACE = 16_777_216
     t AS (SELECT CAST(sum(sum_tok) AS BIGINT) AS total, count(*) AS s FROM ps),
     bounds AS (
         SELECT src, sum_tok, n_total,
-               least(1000000, CAST((1000000 * total) // (s * sum_tok)
+               least(1000000, CAST((1000000 * total)
+                              // greatest(1, s * sum_tok)
                               AS BIGINT)) AS bound_ppm
         FROM ps, t
     )
@@ -225,9 +226,13 @@ def q_llm_mixture_sample(spark, sf_dir):
         "src",
         "sum_tok",
         "n_total",
+        # greatest(1, ...) guards the divisor on BOTH engines: sum_tok >= 1
+        # today (_NTOK counts >= 1 token even for empty text), but if the
+        # token expression ever changes, int div-by-zero errors in DuckDB
+        # while Spark yields NULL — the guard keeps the oracle comparable.
         F.expr(
             "least(CAST(1000000 AS BIGINT), "
-            "CAST((1000000 * total) div (s * sum_tok) AS BIGINT))"
+            "CAST((1000000 * total) div greatest(1, s * sum_tok) AS BIGINT))"
         ).alias("bound_ppm"),
     )
     keep = F.expr(

@@ -56,12 +56,14 @@ def q_llm_repeated_chunks(spark, sf_dir):
     navigation chrome and template scaffolding surface here even when
     every containing document is unique (the winnowing/suffix-array use
     case at its cheapest useful granularity). Chunking is a scan-stage
-    explode; the rollup groups by chunk with map-side partial counts (at
+    explode over length(text) — derived from the text column itself, not
+    the n_chars metadata column, so both engines compute offsets from the
+    same bytes; the rollup groups by chunk with map-side partial counts (at
     100 TB group by a chunk HASH and keep one exemplar via min(chunk) —
     32-byte keys instead of raw spans on the shuffle); the global top-k is
-    a single-partition window over the already-aggregated repeated-chunk
-    frame (|repeated chunks|, not |chunks|), lexicographically
-    tiebroken."""
+    orderBy().limit(K) — TakeOrderedAndProject, a per-partition K-row heap
+    plus one K-row driver merge — and only the <=K survivors see the rank
+    window, so no vocab-scale frame ever funnels into one task."""
     ch = (
         table(spark, sf_dir, "documents")
         .select(
@@ -69,7 +71,7 @@ def q_llm_repeated_chunks(spark, sf_dir):
             "text",
             F.explode(
                 F.expr(
-                    f"sequence(1, greatest(1, CAST(n_chars AS INT)), {_SPAN_W})"
+                    f"sequence(1, greatest(1, CAST(length(text) AS INT)), {_SPAN_W})"
                 )
             ).alias("s"),
         )
@@ -86,12 +88,12 @@ def q_llm_repeated_chunks(spark, sf_dir):
         )
         .where(F.col("n_docs") >= _SPAN_MIN_DOCS)
     )
+    top = rep.orderBy(F.col("n_docs").desc(), F.col("chunk").asc()).limit(
+        _SPAN_TOP_K
+    )
     w = Window.orderBy(F.col("n_docs").desc(), F.col("chunk").asc())
-    return (
-        rep.select(
-            "chunk", "n_docs", "n_occ", F.row_number().over(w).alias("rk")
-        )
-        .where(F.col("rk") <= _SPAN_TOP_K)
+    return top.select(
+        "chunk", "n_docs", "n_occ", F.row_number().over(w).alias("rk")
     )
 
 
@@ -176,11 +178,14 @@ def q_llm_bpe_pairs(spark, sf_dir):
     trained on this corpus would learn, and the ranked list is the merge-
     candidate queue. Subsequent merge rounds re-run the same shape over the
     re-segmented corpus, so this operator is the per-iteration workhorse of
-    distributed tokenizer training. Pairs are generated partition-local
-    from word substrings (scan-stage explode — no join), counted with
-    map-side combine, and the global top-{_BPE_TOP_K} is a single-partition
-    window over the aggregated pair frame (|distinct pairs| ≈ alphabet², a
-    few thousand rows — not |tokens|), lexicographically tiebroken."""
+    distributed tokenizer training (the multi-round loop is
+    q_llm_bpe_train3). Pairs are generated partition-local from word
+    substrings (scan-stage explode — no join), counted with map-side
+    combine, and the global top-{_BPE_TOP_K} is orderBy().limit(K)
+    (TakeOrderedAndProject: per-partition K-row heaps, K-row driver merge)
+    with the rank window computed only over the <=K survivors — after a
+    merge round the pair vocabulary grows toward |vocab|², so never sort
+    the full counts frame in one task."""
     words = table(spark, sf_dir, "documents").select(
         F.explode(
             F.split(F.coalesce(F.col("text"), F.lit("")), " ")
@@ -192,8 +197,8 @@ def q_llm_bpe_pairs(spark, sf_dir):
         ).alias("pair")
     )
     counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
-    return (
-        counts.select("pair", "cnt", F.row_number().over(w).alias("rk"))
-        .where(F.col("rk") <= _BPE_TOP_K)
+    top = counts.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(
+        _BPE_TOP_K
     )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+    return top.select("pair", "cnt", F.row_number().over(w).alias("rk"))

@@ -38,12 +38,12 @@ _DAY_US = 86_400 * 1_000_000
                          OR lag(ts_us) OVER w IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM e
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us NULLS FIRST, event_id)
     ),
     numbered AS (
         SELECT user_id, ts_us,
                CAST(sum(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   PARTITION BY user_id ORDER BY ts_us NULLS FIRST, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS BIGINT) AS session_id
         FROM flagged
@@ -66,11 +66,14 @@ def q_events_sessionize(spark, sf_dir):
     truncation ambiguity. Ties on ts break on event_id, making session
     numbering reproducible on any partitioning. At 100 TB: sessions per
     user are bounded; the per-user window state is a single lag value and a
-    running sum, so executor memory is flat regardless of corpus size."""
+    running sum, so executor memory is flat regardless of corpus size.
+    NULL ts ordering is pinned to NULLS FIRST on both engines (Spark's ASC
+    default, made explicit here and in the oracle) so a stream with NULL
+    timestamps sessionizes identically everywhere."""
     e = table(spark, sf_dir, "events").select(
         "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
     )
-    order = [F.col("ts_us").asc(), F.col("event_id").asc()]
+    order = [F.col("ts_us").asc_nulls_first(), F.col("event_id").asc()]
     w_lag = Window.partitionBy("user_id").orderBy(*order)
     w_run = (
         Window.partitionBy("user_id")

@@ -58,6 +58,90 @@ _MODULES = (
     "operators.sorts_sets",
 )
 
+# ROUND-4 ROTATION (computed from CORRECTNESS_r01..r03.json): promote the 20
+# queries that have never received a driver CORRECTNESS row to 20 so they land
+# inside the driver's ~50-entry sampling window; rotate every r3-passed
+# priority-0/20/30 query to 100 (their green rows stand). Canaries keep their
+# decorator priority 10 (not listed here). New round-4 queries use
+# decorator priority=30.
+_PRIORITY_OVERRIDES: dict[str, int] = {
+    # (b) never driver-sampled → first driver row this round
+    **{
+        n: 20
+        for n in (
+            "q_llm_train_order",
+            "q_llm_shard_balance",
+            "q_llm_source_leak",
+            "q_llm_bitext_mine",
+            "q_llm_ingest_dedup",
+            "q_llm_mixture_sample",
+            "q_llm_corpus_build",
+            "q_llm_surprisal",
+            "q_llm_novelty",
+            "q_llm_repeated_chunks",
+            "q_llm_freq_spectrum",
+            "q_llm_bpe_pairs",
+            "q_llm_embed_dimstats",
+            "q_llm_composition",
+            "q_events_sessionize",
+            "q_events_cohort_retention",
+            "q_sort_nulls_first",
+            "q_llm_frame_sample",
+            "q_llm_decode_media",
+            "q_agg_listagg",
+        )
+    },
+    # (c) r3-passed priority-0/20/30 rows rotate to the back
+    **{
+        n: 100
+        for n in (
+            "q_llm_fingerprint",
+            "q_llm_sample_hash",
+            "q_llm_pack",
+            "q_llm_mixture",
+            "q_llm_repetition",
+            "q_llm_kmeans",
+            "q_llm_curate_e2e",
+            "q_sql_recursive_spine",
+            "q_win_time_range",
+            "q_agg_filter_clause",
+            "q_kinesis_decode_json",
+            "q_fn_datetime",
+            "q_kinesis_schema",
+            "q_kinesis_replay_window",
+            "q_kinesis_decode_csv",
+            "q_kinesis_shard_route",
+            "q_llm_tokenize",
+            "q_llm_tfidf",
+            "q_llm_corpus_stats",
+            "q_llm_chunk",
+            "q_llm_textscore",
+            "q_llm_multimodal",
+            "q_fn_array",
+            "q_fn_explode",
+            "q_fn_posexplode",
+            "q_fn_map",
+            "q_fn_json",
+            "q_fn_struct",
+            "q_fn_hash",
+            "q_fn_binary",
+            "q_fn_math",
+            "q_fn_case",
+            "q_fn_cast",
+            "q_fn_bitwise",
+            "q_agg_percentile_approx",
+            "q_llm_split_stratified",
+            "q_llm_sample_reservoir",
+            "q_llm_heavy_hitters",
+            "q_llm_dedup_survivors",
+            "q_llm_heavy_hitters_sketch",
+            "q_llm_kmeans_mstep",
+            "q_llm_pq_encode",
+            "q_llm_quality_calibrate",
+        )
+    },
+}
+
 _loaded = False
 
 
@@ -76,20 +160,21 @@ def query(
     * 30 — queries newly added this round (first driver look)
     * 100 (default) — everything else, in module registration order
 
-    ROUND-4 ROTATION PLAN (read CORRECTNESS_r03.json first): (a) any r3
-    FAIL/ERR rows get priority 0; (b) the ~25 r3-era priority-30 queries
-    that fell OUTSIDE the ~50-entry window (registration positions > 50 —
-    the later llm.ordering/ingest/scoring/spans/audits/events entries)
-    move to priority 20 so they get their first driver row; (c) r3-era
-    priority-0/20 queries that passed rotate to 100. Canaries stay at 10
-    permanently.
+    Per-round rotation lives in ``_PRIORITY_OVERRIDES`` below, which takes
+    precedence over the decorator value — decorators keep the priority at
+    time of authorship, the override map is the one place each round's
+    rotation is applied. ROUND-5 ROTATION PLAN (read CORRECTNESS_r04.json
+    first): (a) any r4 FAIL/ERR rows get override 0; (b) queries that have
+    STILL never received a driver row move to override 20; (c) r4-passed
+    override-20/priority-30 queries rotate to override 100. Canaries stay
+    at 10 permanently.
     """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _QUERIES:
             raise ValueError(f"duplicate query name: {name}")
         _QUERIES[name] = fn
-        _PRIORITY[name] = (priority, len(_PRIORITY))
+        _PRIORITY[name] = (_PRIORITY_OVERRIDES.get(name, priority), len(_PRIORITY))
         if oracle is not None:
             _ORACLES[name] = oracle
         return fn

@@ -308,3 +308,16 @@ def test_corpus_build_compiles_to_two_shuffles(spark):
     df = QUERIES["q_llm_corpus_build"](spark, SF_ORACLE)
     assert count_nodes(df, "BroadcastExchange") == 0
     assert count_nodes(df, "Exchange") == 2
+
+
+def test_global_topk_trio_takes_ordered_before_rank_window(spark):
+    # C28/C50/C55: the global top-k over a vocab-scale counts frame must be
+    # orderBy().limit(K) — TakeOrderedAndProject (per-partition K-row heaps,
+    # K-row driver merge) — with the rank window applied only to the <=K
+    # survivors. Before round 4 these three ranked through a partitionless
+    # row_number window over the ENTIRE aggregated frame: Spark warned
+    # "Moving all data to a single partition", which at 100 TB funnels a
+    # 10^9-row bigram/chunk/pair vocabulary into one task's sort.
+    for name in ("q_llm_bigram_topk", "q_llm_repeated_chunks", "q_llm_bpe_pairs"):
+        plan = formatted_plan(QUERIES[name](spark, SF_ORACLE))
+        assert "TakeOrderedAndProject" in plan, name
