@@ -41,6 +41,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_session("bench")
     queries = all_queries()
+    if sys.argv[1:]:  # isolation re-bench: `python bench.py q_a q_b ...`
+        queries = {n: queries[n] for n in sys.argv[1:]}
 
     # Warm up the JVM + parquet footer cache so query #1 isn't charged for
     # session start-up (the 100 TB analog: long-lived cluster, amortized init).
@@ -66,9 +68,10 @@ def main() -> None:
     }
     if failures:
         detail["failures"] = failures
-    detail_path = os.path.join(_REPO_DIR, "BENCH_DETAIL.json")
-    with open(detail_path, "w") as f:
-        json.dump(detail, f, indent=1, sort_keys=True)
+    if not sys.argv[1:]:  # isolation runs must not clobber the round record
+        detail_path = os.path.join(_REPO_DIR, "BENCH_DETAIL.json")
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
 
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     out = {

@@ -27,7 +27,15 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..tables import table
 from .dedup import prefix_filtered_jaccard
-from .similarity import _N_QUERIES, _TOPK, as_double, dot, safe_cosine, sq_norm
+from .similarity import (
+    _N_QUERIES,
+    _TOPK,
+    as_double,
+    dot,
+    hyperplane_bands,
+    safe_cosine,
+    sq_norm,
+)
 
 # --- C13: SimHash near-dup ---------------------------------------------------
 
@@ -110,8 +118,15 @@ def q_llm_dedup_simhash(spark, sf_dir):
         ).otherwise(F.lit(0))
         for b in range(_SIMHASH_BITS)
     ).cast("bigint")
-    sh = d.select("doc_id", "lang", tok_hashes.alias("hs")).select(
-        "doc_id", "lang", simhash.alias("simhash")
+    # Barrier the 3-column fingerprint table before the band self-join:
+    # without it Spark recomputes the md5 + 32-bit fold for BOTH join sides
+    # (measured ~2x the whole query at sf0.1). Same localCheckpoint
+    # pattern as prefix_filtered_jaccard — the table is ~12 bytes/doc, so
+    # the barrier is negligible next to the fold it saves.
+    sh = (
+        d.select("doc_id", "lang", tok_hashes.alias("hs"))
+        .select("doc_id", "lang", simhash.alias("simhash"))
+        .localCheckpoint(eager=True)
     )
     bands = sh.select(
         "doc_id",
@@ -134,13 +149,17 @@ def q_llm_dedup_simhash(spark, sf_dir):
             F.col("a.simhash").alias("ha"),
             F.col("b.simhash").alias("hb"),
         )
-        .distinct()
     )
     hamming = F.expr("bit_count(ha ^ hb)")
+    # Hamming filter BEFORE the multi-band dedup: bit_count is a pure
+    # function of the row, so filtering first is result-identical but the
+    # distinct() shuffles only surviving pairs instead of every band
+    # collision (band collisions >> true near-dups at loose bucket widths).
     return (
         cand.withColumn("hamming", hamming)
         .where(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
@@ -208,6 +227,79 @@ def q_llm_dedup_ngram(spark, sf_dir):
 
 _EMBED_TAU = 0.3  # fixture embeddings are near-orthogonal (max pair ~0.47)
 
+# Auto-blocking crossover (C2 order="auto" pattern): below this max block
+# size the exact within-label pair join is cheaper than signature + bucket
+# shuffle overhead AND stays oracle-exact; above it the quadratic
+# within-block join is the scale-killer and candidates must route through
+# LSH band buckets instead.
+_EMBED_BLOCK_CAP = 8192
+
+
+def embed_neardup_pairs(df, tau=_EMBED_TAU, block="auto"):
+    """Pairs with cosine >= tau, blocked for sub-quadratic candidates.
+
+    ``df`` has columns (vec_id, label, v: array<double>). ``block``:
+
+    * ``"exact"`` — all pairs within each label block (exact recall;
+      quadratic in block size, so only safe for bounded blocks).
+    * ``"lsh"`` — candidates are pairs sharing label AND a hyperplane band
+      bucket (C5's banding), then the SAME exact-cosine verify. Candidate
+      volume is sum over (label, band, bucket) of |bucket|^2 instead of
+      sum over label of |block|^2 — the 100 TB path. Recall < 1 by design
+      (bounded in tests/test_llm.py with planted near-duplicates).
+    * ``"auto"`` — one tiny driver-side probe (max label block size, a
+      count-by-label agg) picks exact when every block fits under
+      {_EMBED_BLOCK_CAP} rows, LSH otherwise. Same decision rule a real
+      pipeline would apply per-partition-stat at 100 TB.
+    """
+    withn = df.withColumn("nrm", F.sqrt(sq_norm(F.col("v"))))
+    if block == "auto":
+        biggest = (
+            df.groupBy("label").agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c"))
+            .first()[0]
+        )
+        block = "exact" if (biggest or 0) <= _EMBED_BLOCK_CAP else "lsh"
+    cos = safe_cosine(dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
+    if block == "exact":
+        a = withn.select(
+            F.col("vec_id").alias("vec_a"), "label",
+            F.col("v").alias("va"), F.col("nrm").alias("na"),
+        )
+        b = withn.select(
+            F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
+            F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+        )
+        cand = a.join(
+            b,
+            (F.col("label") == F.col("label_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+    else:
+        buckets = withn.select(
+            "vec_id", "label", "v", "nrm",
+            F.explode(hyperplane_bands(F.col("v"))).alias("bb"),
+        ).select("vec_id", "label", "v", "nrm", "bb.band", "bb.bucket")
+        a = buckets.select(
+            F.col("vec_id").alias("vec_a"), "label", "band", "bucket",
+            F.col("v").alias("va"), F.col("nrm").alias("na"),
+        )
+        b = buckets.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("label").alias("label"),
+            "band", "bucket",
+            F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+        )
+        cand = (
+            a.join(b, ["label", "band", "bucket"])
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .dropDuplicates(["vec_a", "vec_b"])
+        )
+    return (
+        cand.where(cos >= tau)
+        .select("vec_a", "vec_b", "label", F.round(cos, 6).alias("cosine"))
+    )
+
 
 @query(
     "q_llm_dedup_embed",
@@ -222,27 +314,16 @@ _EMBED_TAU = 0.3  # fixture embeddings are near-orthogonal (max pair ~0.47)
 )
 def q_llm_dedup_embed(spark, sf_dir):
     """C15: embedding-cosine near-dup — semantic-duplicate detection, pairs
-    with cosine >= {_EMBED_TAU} within a `label` block. Norms are computed
-    once per vector before the pair join; at 100 TB replace the label block
-    with LSH buckets (C5) feeding the same verify step."""
+    with cosine >= {_EMBED_TAU}. Norms are computed once per vector before
+    the pair join. Blocking is ``block="auto"`` (see
+    :func:`embed_neardup_pairs`): exact within-label pairs while every
+    block is bounded — which is what the fixture (and the oracle) sees —
+    and label x LSH-band buckets (C5's banding) feeding the same exact
+    cosine verify once any block outgrows the quadratic-safe cap."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double("embedding").alias("v")
     )
-    withn = e.withColumn("nrm", F.sqrt(sq_norm(F.col("v"))))
-    a = withn.select(
-        F.col("vec_id").alias("vec_a"), "label",
-        F.col("v").alias("va"), F.col("nrm").alias("na"),
-    )
-    b = withn.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
-        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
-    )
-    cos = safe_cosine(dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
-    return (
-        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .where(cos >= _EMBED_TAU)
-        .select("vec_a", "vec_b", "label", F.round(cos, 6).alias("cosine"))
-    )
+    return embed_neardup_pairs(e, _EMBED_TAU, block="auto")
 
 
 # --- C16: language identification -------------------------------------------

@@ -123,6 +123,28 @@ def _plane_sign(p: int, d: int) -> float:
 _PLANES = [[_plane_sign(p, d) for d in range(_DIM)] for p in range(_N_PLANES)]
 
 
+def hyperplane_bands(e_col: Column) -> Column:
+    """LSH banding shared by C5 (sim search) and C15 (embed dedup): 16
+    deterministic random-hyperplane sign bits folded into two 8-bit band
+    buckets, returned as ``array<struct<band:int, bucket:int>>`` ready to
+    explode. All JVM-side arithmetic — the planes ride the plan as
+    literals, so the signature computes in the scan stage with no shuffle
+    and no Python."""
+    bits = [
+        F.when(
+            dot(e_col, F.array(*[F.lit(v) for v in _PLANES[p]])) >= 0, 1
+        ).otherwise(0)
+        for p in range(_N_PLANES)
+    ]
+    half = _N_PLANES // 2
+    b0 = sum(bits[i] * (1 << i) for i in range(half))
+    b1 = sum(bits[half + i] * (1 << i) for i in range(half))
+    return F.array(
+        F.struct(F.lit(0).alias("band"), b0.alias("bucket")),
+        F.struct(F.lit(1).alias("band"), b1.alias("bucket")),
+    )
+
+
 @query("q_llm_sim_lsh")  # rows-only: bucketed ANN, recall-tested vs C4
 def q_llm_sim_lsh(spark, sf_dir):
     """C5: random-hyperplane LSH — the 100 TB similarity path. 16 sign bits
@@ -132,21 +154,8 @@ def q_llm_sim_lsh(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("e")
     )
-    bits = [
-        F.when(
-            dot(F.col("e"), F.array(*[F.lit(v) for v in _PLANES[p]])) >= 0, 1
-        ).otherwise(0)
-        for p in range(_N_PLANES)
-    ]
-    half = _N_PLANES // 2
-    b0 = sum(bits[i] * (1 << i) for i in range(half))
-    b1 = sum(bits[half + i] * (1 << i) for i in range(half))
     withn = emb.withColumn("nrm", F.sqrt(sq_norm(F.col("e")))).withColumn(
-        "bands",
-        F.array(
-            F.struct(F.lit(0).alias("band"), b0.alias("bucket")),
-            F.struct(F.lit(1).alias("band"), b1.alias("bucket")),
-        ),
+        "bands", hyperplane_bands(F.col("e"))
     )
     buckets = withn.select(
         "vec_id", "e", "nrm", F.explode("bands").alias("bb")

@@ -181,3 +181,59 @@ def test_mg_sketch_bound_under_vocab_pressure(spark):
         assert true_freq > threshold
         assert heavy in got, f"{heavy} (freq {true_freq}) lost by sketch"
         assert got[heavy] <= true_freq  # MG never overcounts
+
+
+def _planted_neardup_df(spark, n_base=40, dim=64):
+    """n_base deterministic pseudo-random vectors + one near-copy each
+    (tiny perturbation, cosine ~0.999): the planted ground-truth pairs an
+    embed near-dup blocker must recover."""
+    import random
+
+    rng = random.Random(0xC15)
+    rows = []
+    for i in range(n_base):
+        v = [rng.uniform(-1, 1) for _ in range(dim)]
+        w = [x + rng.uniform(-0.02, 0.02) for x in v]
+        rows.append((2 * i, "blk", v))
+        rows.append((2 * i + 1, "blk", w))
+    return spark.createDataFrame(
+        rows, "vec_id bigint, label string, v array<double>"
+    )
+
+
+def test_embed_lsh_blocking_recall_vs_exact(spark):
+    # C15 block="lsh" must recover nearly all planted near-dup pairs that
+    # the exact within-label join finds at tau=0.9, while generating
+    # candidates only from band-bucket collisions (the 100 TB path).
+    from spark_kinesis_sql_asl_spark.llm.pipeline import embed_neardup_pairs
+
+    df = _planted_neardup_df(spark)
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in embed_neardup_pairs(df, 0.9, block="exact").collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b)
+        for r in embed_neardup_pairs(df, 0.9, block="lsh").collect()
+    }
+    assert len(exact) >= 40  # every planted pair clears tau=0.9
+    assert approx <= exact  # verify step is exact → no false positives
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.85, f"embed LSH blocking recall {recall:.3f} < 0.85"
+
+
+def test_embed_auto_blocking_is_exact_at_fixture_scale(spark):
+    # block="auto" must resolve to the exact plan below the block cap —
+    # the oracle-comparability guarantee for q_llm_dedup_embed at sf<=0.1.
+    from spark_kinesis_sql_asl_spark.llm.pipeline import embed_neardup_pairs
+
+    df = _planted_neardup_df(spark, n_base=10)
+    auto = sorted(
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in embed_neardup_pairs(df, 0.9, block="auto").collect()
+    )
+    exact = sorted(
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in embed_neardup_pairs(df, 0.9, block="exact").collect()
+    )
+    assert auto == exact

@@ -35,6 +35,7 @@ _QUADRATIC_PRONE = [
     "q_llm_dedup_cluster",
     "q_llm_dedup_editdist",
     "q_llm_bitext_mine",  # label-blocked pairwise (round 3) — same risk class
+    "q_llm_dedup_embed",  # label-blocked pairwise w/ auto LSH crossover (r4)
 ]
 
 
