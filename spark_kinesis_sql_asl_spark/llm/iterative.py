@@ -1,0 +1,35 @@
+"""Shared machinery for iterative (multi-job) operators — the CC label
+loop (C21) and the BPE merge loop (C56) both materialize per-round state
+to parquet: a reliable store (an executor loss recomputes from disk,
+unlike ``localCheckpoint`` whose blocks die with the executor) that also
+truncates lineage so round-k plans stay flat.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+import uuid
+
+
+def scratch_dir(spark, prefix: str) -> str:
+    """Resolve a staging dir for per-round parquet state, in order:
+
+    1. the session's checkpoint dir if set (on a real cluster an HDFS/S3
+       prefix every executor can reach — the durability claim holds);
+    2. the ``spark.kinesislike.scratchDir`` conf;
+    3. a driver-local tempdir — correct in local mode (this harness), and
+       registered for best-effort removal at interpreter exit. Cluster
+       operators should set (1) or (2); those dirs follow the cluster's
+       scratch-retention policy, like checkpoint files.
+    """
+    root = spark.sparkContext.getCheckpointDir() or spark.conf.get(
+        "spark.kinesislike.scratchDir", None
+    )
+    if root:
+        return os.path.join(root, f"{prefix}_{uuid.uuid4().hex}")
+    stage = tempfile.mkdtemp(prefix=f"{prefix}_")
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    return stage

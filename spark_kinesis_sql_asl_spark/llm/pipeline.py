@@ -15,11 +15,7 @@ Design notes (100 TB posture):
 
 from __future__ import annotations
 
-import atexit
 import os
-import shutil
-import tempfile
-import uuid
 
 from pyspark.sql import Observation, Window
 from pyspark.sql import functions as F
@@ -27,6 +23,7 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..tables import table
 from .dedup import prefix_filtered_jaccard
+from .iterative import scratch_dir
 from .similarity import (
     _N_QUERIES,
     _TOPK,
@@ -675,22 +672,7 @@ def q_llm_dedup_cluster(spark, sf_dir):
             F.count(F.lit(1)).over(w).alias("cluster_size"),
         )
     pairs = q_llm_dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
-    scratch_root = (
-        spark.sparkContext.getCheckpointDir()
-        or spark.conf.get("spark.kinesislike.scratchDir", None)
-    )
-    if scratch_root:
-        stage = os.path.join(
-            scratch_root, f"spark_cc_rounds_{uuid.uuid4().hex}"
-        )
-    else:
-        stage = tempfile.mkdtemp(prefix="spark_cc_rounds_")
-        # Best-effort scratch cleanup at interpreter exit; the returned
-        # DataFrame reads the final round's parquet, so the dir must
-        # outlive this call. (Checkpoint/scratch-dir staging is left to the
-        # cluster's scratch-retention policy, like checkpoint files.)
-        atexit.register(shutil.rmtree, stage, ignore_errors=True)
-
+    stage = scratch_dir(spark, "spark_cc_rounds")
     edges_path = os.path.join(stage, "edges")
     pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))

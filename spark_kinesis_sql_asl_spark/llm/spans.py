@@ -11,11 +11,14 @@ anywhere.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import table
+from .iterative import scratch_dir
 
 _SPAN_W = 32  # chunk width (chars), non-overlapping
 _SPAN_TOP_K = 50
@@ -202,3 +205,149 @@ def q_llm_bpe_pairs(spark, sf_dir):
     )
     w = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
     return top.select("pair", "cnt", F.row_number().over(w).alias("rk"))
+
+
+# --- C56: iterative BPE training (3 merge rounds) ----------------------------
+
+_BPE_ROUNDS = 3
+# Merge placeholders: one private-use char per learned merge, so the word
+# state stays ONE CHARACTER PER SYMBOL. That encoding is what makes both
+# the pair count (2-char substrings) and the greedy merge (plain replace(),
+# left-to-right non-overlapping on both engines — verified 'aaa'->'Xa',
+# 'aaaa'->'XX') exact BPE with no symbol-boundary ambiguity: with
+# multi-char symbols, replace('ab c', 'b c', ..) would merge across a
+# boundary (measured on both engines).
+_BPE_PH_CODE = [0xE000, 0xE001]
+_BPE_PH = [chr(c) for c in _BPE_PH_CODE]
+
+
+def _bpe_train_oracle() -> str:
+    ctes = [
+        """w0 AS (
+        SELECT w FROM (
+            SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w
+            FROM documents
+        ) WHERE len(w) >= 2
+    )"""
+    ]
+    for k in (1, 2, 3):
+        ctes.append(
+            f"""p{k} AS (
+        SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest(list_transform(range(1, len(w)),
+                                         i -> substr(w, i, 2))) AS pair
+            FROM w{k - 1} WHERE len(w) >= 2
+        ) GROUP BY pair
+    ),
+    m{k} AS (SELECT pair, cnt FROM p{k} ORDER BY cnt DESC, pair LIMIT 1)"""
+        )
+        if k < _BPE_ROUNDS:
+            ctes.append(
+                f"""w{k} AS (
+        SELECT replace(w, (SELECT pair FROM m{k}),
+                       chr({_BPE_PH_CODE[k - 1]})) AS w
+        FROM w{k - 1}
+    )"""
+            )
+    # Decode round-k pairs back to corpus text: expand placeholders in
+    # DESCENDING merge order (ph2 may expand to a string containing ph1).
+    dec = {
+        1: "pair",
+        2: f"replace(pair, chr({_BPE_PH_CODE[0]}), (SELECT pair FROM m1))",
+        3: (
+            f"replace(replace(pair, chr({_BPE_PH_CODE[1]}), "
+            f"(SELECT pair FROM m2)), chr({_BPE_PH_CODE[0]}), "
+            f"(SELECT pair FROM m1))"
+        ),
+    }
+    arms = [
+        f"SELECT {k} AS rk, {dec[k]} AS merged, cnt FROM m{k}"
+        for k in (1, 2, 3)
+    ]
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    "
+        + "\n    UNION ALL ".join(arms)
+    )
+
+
+@query("q_llm_bpe_train3", priority=30, oracle=_bpe_train_oracle())
+def q_llm_bpe_train3(spark, sf_dir):
+    """C56: distributed BPE TRAINING, {_BPE_ROUNDS} merge rounds — the
+    iterative loop behind a real tokenizer build (Sennrich et al., ACL
+    2016), extending C55's single pair count: each round counts adjacent
+    symbol pairs over the whole corpus, learns the most frequent pair
+    (count desc, pair asc tie-break — fully deterministic), and greedily
+    re-segments every word before the next count. Word state is one char
+    per symbol (learned merges become private-use placeholder chars), so
+    re-segmentation is a plain left-to-right replace() — exact BPE greedy
+    merge semantics with no boundary ambiguity, identical on both engines.
+
+    Iteration machinery is the C21 pattern (llm/iterative.py): each
+    round's re-segmented corpus is MATERIALIZED TO PARQUET — reliable
+    store, executor-loss-safe, lineage truncated so round-k plans stay
+    flat. The per-round workhorse (the pair-count shuffle with map-side
+    combine) is exactly C55's shape; only the learned merge row — 1 row,
+    like a k-means centroid set — ever reaches the driver, via a
+    TakeOrderedAndProject limit(1), and rides back into round k+1's plan
+    as a replace literal. At 100 TB each round is one scan + one
+    partial-agg shuffle over pair counts; the corpus rows themselves never
+    shuffle. Rounds are inherently sequential (BPE's definition), so N
+    rounds = N passes — real trainers batch-count many candidate pairs per
+    pass to amortize, which this shape extends to directly (take top-M
+    non-conflicting merges from the same TakeOrdered)."""
+    words = (
+        table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+            ).alias("w")
+        )
+        .where(F.length("w") >= 2)
+    )
+    stage = scratch_dir(spark, "spark_bpe_rounds")
+    cur = words
+    merges: list[tuple[str, int]] = []
+    for k in range(1, _BPE_ROUNDS + 1):
+        counts = (
+            cur.where(F.length("w") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(w) - 1), "
+                        "i -> substring(w, i, 2))"
+                    )
+                ).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        top = (
+            counts.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+            .first()
+        )
+        if top is None:  # no pairs left anywhere (degenerate corpus)
+            break
+        merges.append((top["pair"], top["cnt"]))
+        if k < _BPE_ROUNDS:
+            out = os.path.join(stage, f"w{k}")
+            cur.select(
+                F.replace(
+                    F.col("w"),
+                    F.lit(merges[-1][0]),
+                    F.lit(_BPE_PH[k - 1]),
+                ).alias("w")
+            ).write.parquet(out)
+            cur = spark.read.parquet(out)
+
+    def _decode(s: str) -> str:
+        for j in range(len(_BPE_PH) - 1, -1, -1):
+            if j < len(merges) - 1:
+                s = s.replace(_BPE_PH[j], merges[j][0])
+        return s
+
+    rows = [
+        (k, _decode(pair), cnt)
+        for k, (pair, cnt) in enumerate(merges, start=1)
+    ]
+    return spark.createDataFrame(rows, "rk bigint, merged string, cnt bigint")

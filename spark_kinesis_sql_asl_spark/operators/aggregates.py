@@ -399,3 +399,73 @@ def q_agg_listagg(spark, sf_dir):
         FROM v_listagg_pc GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "q_agg_decimal",
+    priority=30,
+    oracle="""
+    WITH dec AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(CAST(pc // 100 AS VARCHAR) || '.' ||
+                    lpad(CAST(pc % 100 AS VARCHAR), 2, '0')
+                    AS DECIMAL(14,2)) AS price,
+               CAST('0.' || lpad(CAST(dc AS VARCHAR), 2, '0')
+                    AS DECIMAL(4,2)) AS disc
+        FROM (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(floor(l_extendedprice * 100) AS BIGINT) AS pc,
+                   CAST(floor(l_discount * 100) AS BIGINT) AS dc
+            FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+        )
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(CAST(sum(price) AS DECIMAL(18,2)) AS VARCHAR) AS sum_price_s,
+           CAST(CAST(sum(CAST(price * (1 - disc) AS DECIMAL(18,4)))
+                AS DECIMAL(18,4)) AS VARCHAR) AS sum_disc_price_s,
+           CAST(count(*) AS BIGINT) AS n
+    FROM dec GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_decimal(spark, sf_dir):
+    """B98: exact-money aggregation in DecimalType — the TPC-H Q1 shape
+    (pricing summary by returnflag/linestatus) computed entirely in
+    DECIMAL, the dtype a billing pipeline is obliged to use where double
+    drift is unacceptable. Follows the D8 hardened decimal conventions
+    (q_canary_decimal_sum): decimals constructed exactly from integer
+    cents via string cast (double->decimal cast rounding diverges across
+    engines at .5-ulp boundaries), every aggregate's scale pinned by
+    explicit CAST (engines widen sum/avg precision differently), results
+    crossing the driver boundary as strings (DuckDB .df() renders DECIMAL
+    as float64, Spark as decimal.Decimal — different canon dtypes). The
+    disc_price multiply is scale 2+2=4, exact on both engines before the
+    pinned cast. Plan shape: scan-stage projection + one partial-agg
+    shuffle on the 6-group key — decimal arithmetic stays inside
+    whole-stage codegen (Spark Decimal ops are JVM-native, no Python)."""
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")
+    )
+    dec = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.expr(
+            "CAST(concat(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) "
+            "div 100 AS STRING), '.', "
+            "lpad(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) % 100 "
+            "AS STRING), 2, '0')) AS DECIMAL(14,2))"
+        ).alias("price"),
+        F.expr(
+            "CAST(concat('0.', lpad(CAST(CAST(floor(l_discount * 100) "
+            "AS BIGINT) AS STRING), 2, '0')) AS DECIMAL(4,2))"
+        ).alias("disc"),
+    )
+    return dec.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr("CAST(CAST(sum(price) AS DECIMAL(18,2)) AS STRING)").alias(
+            "sum_price_s"
+        ),
+        F.expr(
+            "CAST(CAST(sum(CAST(price * (1 - disc) AS DECIMAL(18,4))) "
+            "AS DECIMAL(18,4)) AS STRING)"
+        ).alias("sum_disc_price_s"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -225,3 +225,69 @@ def q_canary_neg_div(spark, sf_dir):
         F.expr(f"CAST({d} div 7 AS BIGINT)").alias("q7"),
         F.expr(f"CAST({d} % 7 AS BIGINT)").alias("r7"),
     )
+
+
+@query(
+    "q_canary_decimal_sum",
+    priority=10,
+    oracle="""
+    WITH cents AS (
+        SELECT l_orderkey,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS c
+        FROM lineitem WHERE l_orderkey % 97 = 0
+    ),
+    dec AS (
+        SELECT l_orderkey,
+               CAST(CAST(c // 100 AS VARCHAR) || '.' ||
+                    lpad(CAST(c % 100 AS VARCHAR), 2, '0')
+                    AS DECIMAL(14,2)) AS amt
+        FROM cents
+    )
+    SELECT l_orderkey,
+           CAST(CAST(sum(amt) AS DECIMAL(18,2)) AS VARCHAR) AS total_s,
+           CAST(round(CAST(sum(amt) AS DECIMAL(18,2)), 1) AS VARCHAR)
+               AS total_r1_s
+    FROM dec GROUP BY l_orderkey
+    """,
+)
+def q_canary_decimal_sum(spark, sf_dir):
+    """D8: the DecimalType primitive alone, in its HARDENED form. Three
+    conventions under test, each forced by a measured cross-engine
+    divergence:
+
+    * CONSTRUCT decimals from exact sources only — integer cents (the D2
+      floor primitive) rendered as a '<units>.<cc>' string, then
+      string->DECIMAL cast (exact on both engines). A direct double->
+      DECIMAL(12,2) cast DIVERGES at .5-ulp boundaries (measured: DuckDB
+      1.115 -> 1.11 via the binary double, Spark -> 1.12 HALF_UP).
+    * PIN the scale of every aggregate with an explicit CAST: Spark
+      sum(DECIMAL(14,2)) widens to (24,2), DuckDB to (38,2), and division/
+      avg render different scales entirely ('2.25' vs '2.250000').
+    * CROSS THE DRIVER BOUNDARY AS STRING: DuckDB .df() renders DECIMAL as
+      float64 while Spark collect yields decimal.Decimal (pandas object) —
+      the driver's dtype-sensitive canon hashes 'f:1.23' vs 's:1.23' even
+      when values agree, so a raw DECIMAL result column can NEVER match.
+
+    Decimal round() itself agrees (half-away-from-zero: 2.25 -> 2.3,
+    2.35 -> 2.4 on both engines), so round-then-stringify is safe."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 97 == 0)
+    amt = (
+        "CAST(concat(CAST(c div 100 AS STRING), '.', "
+        "lpad(CAST(c % 100 AS STRING), 2, '0')) AS DECIMAL(14,2))"
+    )
+    return (
+        li.select(
+            "l_orderkey",
+            F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias("c"),
+        )
+        .select("l_orderkey", F.expr(amt).alias("amt"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.expr(
+                "CAST(CAST(sum(amt) AS DECIMAL(18,2)) AS STRING)"
+            ).alias("total_s"),
+            F.expr(
+                "CAST(round(CAST(sum(amt) AS DECIMAL(18,2)), 1) AS STRING)"
+            ).alias("total_r1_s"),
+        )
+    )
