@@ -82,21 +82,18 @@ def test_rows_only_output_is_driver_safe(spark, name, adv_dir):
         canon_hash(pdf)  # raises CanonError on driver-crashing output
 
 
-# Queries whose oracle correctness is SCALE-DEPENDENT: overlap between the
-# exact- and near-dup drop sets (survivors), recursive-CTE convergence depth
-# (cluster), and spine re-execution (recursive_spine) only exercise their
-# edge cases once the corpus is big enough. The sf0.01 gate missed a DuckDB
-# 1.0.0 UNION-in-recursive-WITH dedup bug that sf0.1 exposed — this tier
-# keeps that class covered. Full sweep:
+# Oracle correctness can be SCALE-DEPENDENT: overlap between the exact- and
+# near-dup drop sets (survivors), recursive-CTE convergence depth (cluster),
+# and spine re-execution (recursive_spine) only exercise their edge cases
+# once the corpus is big enough. The sf0.01 gate missed a DuckDB 1.0.0
+# UNION-in-recursive-WITH dedup bug that sf0.1 exposed — so the slow tier
+# runs the FULL oracled registry at sf0.1 (promoted from a 3-query
+# scale-sensitive list in round 4; ~10 min, deselect with -m "not slow").
+# Script equivalent:
 # SPARK_GRAFT_ORACLE_SF_DIR=/root/testdata/sf0.1 python scripts/driver_check.py
-_SCALE_SENSITIVE = [
-    "q_llm_dedup_survivors",
-    "q_llm_dedup_cluster",
-    "q_sql_recursive_spine",
-]
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("name", _SCALE_SENSITIVE)
+@pytest.mark.parametrize("name", _ORACLED)
 def test_driver_canon_sf01(spark, ddb, name):
     _check(spark, ddb, name, "/root/testdata/sf0.1")
