@@ -353,3 +353,163 @@ def q_llm_corpus_build(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("sum_tokens"),
     )
+
+
+# --- C57: corpus snapshot diff (CDC for corpora) -----------------------------
+
+# Deterministic snapshot carving: the "old" snapshot lacks doc_id%17==3
+# (those are ADDED in the new one), mutates text for doc_id%13==0 (CHANGED),
+# and the "new" snapshot lacks doc_id%19==5 (REMOVED). Both snapshots derive
+# from the one fixture table, so the diff is fully reproducible.
+_DIFF_ADD_MOD, _DIFF_ADD_RES = 17, 3
+_DIFF_CHG_MOD = 13
+_DIFF_RM_MOD, _DIFF_RM_RES = 19, 5
+
+
+@query(
+    "q_llm_corpus_diff",
+    priority=30,
+    oracle=f"""
+    WITH old AS (
+        SELECT doc_id, lang,
+               md5(coalesce(CASE WHEN doc_id % {_DIFF_CHG_MOD} = 0
+                                 THEN text || ' [v1]' ELSE text END, '')) AS h
+        FROM documents WHERE doc_id % {_DIFF_ADD_MOD} <> {_DIFF_ADD_RES}
+    ),
+    new AS (
+        SELECT doc_id, lang, md5(coalesce(text, '')) AS h
+        FROM documents WHERE doc_id % {_DIFF_RM_MOD} <> {_DIFF_RM_RES}
+    )
+    SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.h <> n.h THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           coalesce(n.lang, o.lang) AS lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q_llm_corpus_diff(spark, sf_dir):
+    """C57: snapshot diff — the CDC pass a LIVING corpus runs between
+    crawl drops: which documents were added, removed, or changed (by
+    content hash), rolled up per language. Identity is doc_id, change
+    detection is md5(text) computed SCAN-SIDE on each snapshot, so the
+    full outer join shuffles only (doc_id, hash, lang) — ~50 bytes/doc,
+    never the text. At 100 TB both snapshots are parquet layouts bucketed
+    by doc_id, making the full join a zero-shuffle bucket-local merge; the
+    status rollup is a |langs|x4-row aggregate. This diff's 'changed +
+    added' output is exactly the delta C46's incremental dedup then
+    screens."""
+    d = table(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % _DIFF_ADD_MOD != _DIFF_ADD_RES).select(
+        "doc_id",
+        F.col("lang").alias("o_lang"),
+        F.md5(
+            F.coalesce(
+                F.when(
+                    F.col("doc_id") % _DIFF_CHG_MOD == 0,
+                    F.concat(F.col("text"), F.lit(" [v1]")),
+                ).otherwise(F.col("text")),
+                F.lit(""),
+            ).cast("binary")
+        ).alias("o_h"),
+    )
+    new = d.where(F.col("doc_id") % _DIFF_RM_MOD != _DIFF_RM_RES).select(
+        F.col("doc_id").alias("n_doc_id"),
+        F.col("lang").alias("n_lang"),
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias(
+            "n_h"
+        ),
+    )
+    j = old.join(new, old.doc_id == new.n_doc_id, "full_outer")
+    status = (
+        F.when(F.col("doc_id").isNull(), "added")
+        .when(F.col("n_doc_id").isNull(), "removed")
+        .when(F.col("o_h") != F.col("n_h"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            status.alias("status"),
+            F.coalesce("n_lang", "o_lang").alias("lang"),
+        )
+        .groupBy("status", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --- C60: JSONL crawl-drop ingest with corrupt-record quarantine -------------
+
+_JSONL_BAD_LINES = 3  # deterministic malformed lines injected per drop
+
+
+@query(
+    "q_llm_ingest_jsonl",
+    priority=30,
+    oracle=f"""
+    SELECT 'ok' AS status, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'corrupt', NULL, {_JSONL_BAD_LINES}, 0
+    """,
+)
+def q_llm_ingest_jsonl(spark, sf_dir):
+    """C60: JSONL ingest — the wire format crawl drops actually arrive in,
+    exercised end-to-end: the fixture corpus round-trips through JSON
+    Lines files in scratch (llm/iterative.py resolution), {_JSONL_BAD_LINES}
+    deterministically malformed lines are injected into the drop, and the
+    read back enforces an EXPLICIT schema in PERMISSIVE mode with a
+    ``_corrupt_record`` quarantine column — the production posture
+    (failFast kills a 100 TB job on one bad crawl line; schema inference
+    is a second full pass and can silently widen types). Output: per-lang
+    doc/char counts from clean rows plus the quarantine bucket — which the
+    oracle can state exactly because JSON round-trips the columns
+    losslessly and the injected corruption is deterministic. At 100 TB
+    this is one pass over the drop; the JSONL scan splits by line across
+    executors like any text source."""
+    import os as _os
+
+    from .iterative import scratch_dir as _scratch
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    drop = _os.path.join(_scratch(spark, "spark_jsonl_drop"), "drop")
+    d.write.json(drop)
+    bad = spark.createDataFrame(
+        [(f'{{"doc_id": broken line {i}',) for i in range(_JSONL_BAD_LINES)],
+        "value string",
+    )
+    bad.coalesce(1).write.mode("append").text(drop)
+
+    schema = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint, _corrupt_record string"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(drop)
+    )
+    return (
+        back.select(
+            F.when(F.col("_corrupt_record").isNotNull(), "corrupt")
+            .otherwise("ok")
+            .alias("status"),
+            F.when(F.col("_corrupt_record").isNull(), F.col("lang")).alias(
+                "lang"
+            ),
+            F.col("n_chars"),
+        )
+        .groupBy("status", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("n_chars", F.lit(0))).cast("bigint").alias(
+                "sum_chars"
+            ),
+        )
+    )

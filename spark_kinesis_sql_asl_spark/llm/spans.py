@@ -351,3 +351,78 @@ def q_llm_bpe_train3(spark, sf_dir):
         for k, (pair, cnt) in enumerate(merges, start=1)
     ]
     return spark.createDataFrame(rows, "rk bigint, merged string, cnt bigint")
+
+
+# --- C59: bigram LM estimation ----------------------------------------------
+
+_LM_MIN_BIGRAM = 5  # report conditionals only for bigrams seen >= 5 times
+
+
+@query(
+    "q_llm_ngram_lm",
+    priority=30,
+    oracle=f"""
+    WITH w AS (
+        SELECT string_split(coalesce(text, ''), ' ') AS ws FROM documents
+    ),
+    uni AS (
+        SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM (
+            SELECT unnest(ws) AS w1 FROM w
+        ) GROUP BY w1
+    ),
+    bg AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM (
+            SELECT unnest(ws[1:len(ws)-1]) AS w1,
+                   unnest(ws[2:len(ws)]) AS w2
+            FROM w WHERE len(ws) >= 2
+        ) GROUP BY w1, w2
+        HAVING count(*) >= {_LM_MIN_BIGRAM}
+    )
+    SELECT b.w1, b.w2, b.c2, u.c1,
+           CAST((1000000 * b.c2) // u.c1 AS BIGINT) AS cond_ppm
+    FROM bg b JOIN uni u ON b.w1 = u.w1
+    """,
+)
+def q_llm_ngram_lm(spark, sf_dir):
+    """C59: bigram language-model estimation — conditional probabilities
+    P(w2|w1) = c(w1 w2)/c(w1) in integer ppm, for bigrams seen >=
+    {_LM_MIN_BIGRAM} times. This is the count-based LM the data-quality
+    stack actually trains (the KenLM-style filter scoring in CCNet-class
+    pipelines starts from exactly these counts), one level up from C28's
+    unconditional ranking. Both count tables explode scan-locally (the
+    bigram stream via a zip of two array slices — no self-join), aggregate
+    with map-side combine, and meet in an equi-join on w1 — at fixture
+    scale the unigram side broadcasts; at 100 TB both sides are
+    vocab-scale tables bucketed on w1 and the join is shuffle-free. The
+    ratio stays in exact integer ppm: bit-identical across engines,
+    partitionings and summation orders."""
+    w = table(spark, sf_dir, "documents").select(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("ws")
+    )
+    uni = (
+        w.select(F.explode("ws").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bg = (
+        w.where(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("ws"), 1, F.size("ws") - 1).alias("w1"),
+                    F.slice(F.col("ws"), 2, F.size("ws") - 1).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .where(F.col("c2") >= _LM_MIN_BIGRAM)
+    )
+    return bg.join(uni, "w1").select(
+        "w1",
+        "w2",
+        "c2",
+        "c1",
+        F.expr("CAST((1000000 * c2) div c1 AS BIGINT)").alias("cond_ppm"),
+    )

@@ -322,3 +322,46 @@ def q_llm_heavy_hitters_sketch(spark, sf_dir):
         )
         .where(F.col("rk") <= _HH_TOPK)
     )
+
+
+# --- C58: quota sampling (per-stratum caps) ----------------------------------
+
+_QUOTA_K = 3  # exemplars kept per (lang, source) stratum
+
+
+@query(
+    "q_llm_quota_sample",
+    priority=30,
+    oracle=f"""
+    SELECT doc_id, lang, source, rk FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY md5(coalesce(text, '')), doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= {_QUOTA_K}
+    """,
+)
+def q_llm_quota_sample(spark, sf_dir):
+    """C58: quota sampling — at most {_QUOTA_K} exemplar documents per
+    (lang, source) stratum, the eval-holdout / human-review draw where a
+    proportional sample (C35/C36) would starve small strata entirely.
+    Rank-by-content-hash makes membership a pure function of the text:
+    re-run-stable on any partitioning and cluster size, immune to input
+    order (a doc_id tiebreak pins hash collisions). Plan (asserted in
+    tests/test_plans.py): the rank<=K predicate pushes into
+    WindowGroupLimit, so every partition keeps only K rows per stratum
+    BEFORE the stratum shuffle — at 100 TB the shuffle carries
+    O(K x strata x partitions) rows, not the corpus."""
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")),
+        F.col("doc_id"),
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "lang", "source", F.row_number().over(w).alias("rk")
+        )
+        .where(F.col("rk") <= _QUOTA_K)
+    )

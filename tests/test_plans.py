@@ -321,3 +321,10 @@ def test_global_topk_trio_takes_ordered_before_rank_window(spark):
     for name in ("q_llm_bigram_topk", "q_llm_repeated_chunks", "q_llm_bpe_pairs"):
         plan = formatted_plan(QUERIES[name](spark, SF_ORACLE))
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_quota_sample_uses_window_group_limit(spark):
+    # C58: the rank<=K stratum cap must push into WindowGroupLimit so each
+    # partition keeps K rows per (lang, source) BEFORE the stratum shuffle.
+    plan = formatted_plan(QUERIES["q_llm_quota_sample"](spark, SF_ORACLE))
+    assert "WindowGroupLimit" in plan
