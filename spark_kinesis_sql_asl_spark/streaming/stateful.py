@@ -170,3 +170,84 @@ def streaming_misra_gries(doc_stream, m: int = 64):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_QH_OUT_SCHEMA = (
+    "event_type string, n bigint, p50_oct bigint, p90_oct bigint, "
+    "p99_oct bigint, seq bigint"
+)
+_QH_STATE_SCHEMA = "cnts array<bigint>, n bigint, seq bigint"
+_QH_BINS = 64  # one bin per integer-cents bit length — covers all BIGINT
+
+
+def streaming_quantile_octaves(event_stream, quantiles=(0.5, 0.9, 0.99)):
+    """Streaming quantile summary as an arbitrary-stateful operator — the
+    stateful twin of the percentile family (B31/B29b): per event_type, a
+    CONSTANT-SIZE histogram over integer-cents OCTAVES (bin = bit length
+    of floor(value*100), the C51 ``bin()`` trick) lives in keyed state and
+    folds each micro-batch in; quantile estimates read off the cumulative
+    histogram are continuously available without re-scanning history.
+
+    The estimate is EXACT AT OCTAVE GRANULARITY, deterministically: the
+    reported p-quantile octave is precisely the octave containing the
+    ceil(p*N)-th smallest value seen so far (discrete order-statistic
+    definition), because octave binning is monotone in the value. That is
+    the honest contract — factor-of-2 relative value error, zero rank
+    error at bin edges — and the harness test pins it against an exact
+    batch computation over the same rows. Unlike a sampled sketch it is
+    also MERGE-EXACT: histograms add, so shard-salted keys can fold
+    downstream without widening the bound.
+
+    At 100 TB: one shuffle on event_type; state is {_QH_BINS} BIGINTs per
+    key regardless of stream length; RocksDB-backed under the modern state
+    store. Same legacy ``applyInPandasWithState`` surface as the MG sketch
+    above (B68 documents the API-adaptive story)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def octave(cents: int) -> int:
+        return cents.bit_length() if cents >= 1 else 0
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            cnts, n, seq = state.get
+            cnts = list(cnts)
+        else:
+            cnts, n, seq = [0] * _QH_BINS, 0, 0
+        for pdf in pdfs:
+            for v in pdf["value"]:
+                if v is None or (isinstance(v, float) and v != v):
+                    continue
+                cnts[min(octave(int(v * 100 // 1)), _QH_BINS - 1)] += 1
+                n += 1
+        seq += 1
+        state.update((cnts, n, seq))
+
+        def q_oct(p: float) -> int:
+            if n == 0:
+                return -1
+            want = max(1, -(-int(p * n * 1_000_000) // 1_000_000))  # ceil
+            run = 0
+            for o, c in enumerate(cnts):
+                run += c
+                if run >= want:
+                    return o
+            return _QH_BINS - 1
+
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n": [n],
+                "p50_oct": [q_oct(quantiles[0])],
+                "p90_oct": [q_oct(quantiles[1])],
+                "p99_oct": [q_oct(quantiles[2])],
+                "seq": [seq],
+            }
+        )
+
+    return event_stream.groupBy("event_type").applyInPandasWithState(
+        fold,
+        outputStructType=_QH_OUT_SCHEMA,
+        stateStructType=_QH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -68,3 +68,28 @@ def test_sample_frames_expands_rows_deterministically(spark):
         for f in frames:
             lo = f.frame_idx * 32
             assert bytes(f.frame_payload) == blob[lo : lo + 32]
+
+
+def test_sniff_modality_handcrafted_payloads(spark):
+    # The router is real logic: verify each signature, the unknown-binary
+    # fallthrough, empty payloads, and a signature PREFIX that must NOT
+    # match (2 of JPEG's 3 bytes).
+    from spark_kinesis_sql_asl_spark.llm.multimodal import sniff_modality
+
+    cases = [
+        (0, bytes.fromhex("ffd8ff") + b"rest", "jpeg"),
+        (1, bytes.fromhex("89504e470d0a1a0a") + b"x", "png"),
+        (2, b"RIFF....WAVE", "riff"),
+        (3, b"%PDF-1.7 ...", "pdf"),
+        (4, b"GIF89a.....", "gif"),
+        (5, b"plain old text", "text"),
+        (6, b"", "text"),
+        (7, bytes.fromhex("ffd8") + b"truncated magic", "text"),
+        (8, bytes.fromhex("89504e47") + b"half a png magic", "text"),
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p, _ in cases], "doc_id bigint, payload binary"
+    )
+    got = {r.doc_id: (r.detected, r.n_bytes) for r in sniff_modality(df).collect()}
+    for i, p, want in cases:
+        assert got[i] == (want, len(p)), f"payload {i}: {got[i]} != {want}"

@@ -945,3 +945,82 @@ def test_streaming_misra_gries_exact_when_m_covers_vocab(spark, tmp_path):
         .collect()
     }
     assert got == exact
+
+
+def test_streaming_quantile_octaves_exact_at_octave_granularity(spark, tmp_path):
+    """C61s: the stateful quantile-octave histogram folds micro-batches
+    sequentially; its reported p-quantile octave must equal the octave of
+    the exact ceil(p*N)-th smallest value over the whole stream — pinned
+    against a pure-Python exact computation on the same rows. Each key's
+    final summary is its max-seq row in the update-mode sink."""
+    from spark_kinesis_sql_asl_spark.streaming.stateful import (
+        streaming_quantile_octaves,
+    )
+
+    ev = (
+        table(spark, SF_SMOKE, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    staging = str(tmp_path / "qh_stream")
+    os.makedirs(staging)
+    per = (len(ev) + 3) // 4
+    for i in range(4):
+        sl = ev[i * per : (i + 1) * per]
+        tbl = pa.table(
+            {
+                "event_type": pa.array([r.event_type for r in sl], pa.string()),
+                "value": pa.array([r.value for r in sl], pa.float64()),
+            }
+        )
+        f = os.path.join(staging, f"{i:04d}.parquet")
+        pq.write_table(tbl, f)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    q = (
+        streaming_quantile_octaves(stream)
+        .writeStream.format("memory")
+        .queryName("qh_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_qh"))
+        .trigger(availableNow=True)
+    )
+    _drain(q)
+    rows = spark.sql(
+        """
+        SELECT event_type, n, p50_oct, p90_oct, p99_oct FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY event_type ORDER BY seq DESC
+            ) AS rn
+            FROM qh_stream
+        ) WHERE rn = 1
+        """
+    ).collect()
+    got = {
+        r.event_type: (r.n, r.p50_oct, r.p90_oct, r.p99_oct) for r in rows
+    }
+
+    # Exact reference: octave of the ceil(p*N)-th smallest cents per type.
+    import math
+    from collections import defaultdict
+
+    cents = defaultdict(list)
+    for r in ev:
+        if r.value is None or r.value != r.value:
+            continue
+        cents[r.event_type].append(int(math.floor(r.value * 100)))
+    want = {}
+    for t, vals in cents.items():
+        vals.sort()
+        octs = [max(v, 0).bit_length() if v >= 1 else 0 for v in vals]
+
+        def kth(p):
+            return octs[max(1, math.ceil(p * len(octs))) - 1]
+
+        want[t] = (len(vals), kth(0.5), kth(0.9), kth(0.99))
+    assert got == want
