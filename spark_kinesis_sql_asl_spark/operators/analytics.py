@@ -496,3 +496,102 @@ def q_agg_filter_clause(spark, sf_dir):
         GROUP BY l_returnflag
         """
     )
+
+
+_GAPFILL_HOUR_US = 3_600 * 1_000_000
+
+
+@query(
+    "q_ts_gapfill",
+    priority=30,
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // {_GAPFILL_HOUR_US} AS BIGINT) AS h,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(coalesce(CAST(floor(value * 100) AS BIGINT), 0))
+                    AS BIGINT) AS sum_cents
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT event_type, unnest(range(min(h), max(h) + 1)) AS h
+        FROM b GROUP BY event_type
+    )
+    SELECT s.event_type, s.h AS hour_epoch,
+           coalesce(b.n_events, 0) AS n_events,
+           CAST(last_value(b.sum_cents IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS filled_cents,
+           CAST(b.h IS NULL AS BIGINT) AS is_gap
+    FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.h = b.h
+    """,
+)
+def q_ts_gapfill(spark, sf_dir):
+    """B99: hypertable-style downsample + gap-fill — hourly rollup per
+    event_type joined against a DENSE hour spine (min..max per type), with
+    empty buckets carried forward from the last observed bucket
+    (``last(..., ignorenulls=True)`` / ``last_value(... IGNORE NULLS)``,
+    identical frame semantics both engines). This is the time-series
+    staple behind dashboards and downstream window features: without the
+    spine, absent buckets silently vanish and moving averages skew. All
+    arithmetic stays in exact integers (epoch-µs floor-div hour index,
+    floor-cents sums). Plan: one (type, hour) partial-agg shuffle builds
+    the buckets; the spine explodes from a |types|-row min/max aggregate
+    (broadcast); the fill window rides the same (type) partitioning. At
+    100 TB buckets ≪ raw events — the rollup is the only corpus-scale
+    stage, and a hypertable layout (partition by day, cluster by type)
+    prunes the scan to the queried range."""
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    b = (
+        ev.select(
+            "event_type",
+            # integer div, never float-divide-then-cast: a double quotient
+            # can land 1 ulp under an integer boundary and truncate into
+            # the previous hour bucket on one engine only
+            F.expr(f"unix_micros(ts) div {_GAPFILL_HOUR_US}").alias("h"),
+            F.coalesce(
+                F.floor(F.col("value") * 100).cast("bigint"), F.lit(0)
+            ).alias("cents"),
+        )
+        .groupBy("event_type", "h")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+    spine = (
+        b.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(h0, h1)")).alias("h"),
+        )
+    )
+    bb = b.select(
+        F.col("event_type").alias("b_type"),
+        F.col("h").alias("b_h"),
+        "n_events",
+        "sum_cents",
+    )
+    j = spine.join(
+        bb,
+        (spine.event_type == bb.b_type) & (spine.h == bb.b_h),
+        "left",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        F.col("h").alias("hour_epoch"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("sum_cents", ignorenulls=True)
+        .over(w)
+        .cast("bigint")
+        .alias("filled_cents"),
+        F.col("b_h").isNull().cast("bigint").alias("is_gap"),
+    )
