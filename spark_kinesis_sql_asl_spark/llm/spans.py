@@ -426,3 +426,96 @@ def q_llm_ngram_lm(spark, sf_dir):
         "c1",
         F.expr("CAST((1000000 * c2) div c1 AS BIGINT)").alias("cond_ppm"),
     )
+
+
+@query(
+    "q_llm_lm_score",
+    priority=30,
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+        FROM documents
+    ),
+    bg_all AS (
+        SELECT doc_id, w1, w2 FROM (
+            SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1,
+                   unnest(ws[2:len(ws)]) AS w2
+            FROM w WHERE len(ws) >= 2
+        )
+    ),
+    uni AS (
+        SELECT w1, CAST(count(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(ws) AS w1 FROM w) GROUP BY w1
+    ),
+    lm AS (
+        SELECT b.w1, b.w2,
+               CAST((1000000 * count(*)) // max(u.c1) AS BIGINT) AS cond_ppm
+        FROM bg_all b JOIN uni u ON b.w1 = u.w1
+        GROUP BY b.w1, b.w2
+        HAVING count(*) >= {_LM_MIN_BIGRAM}
+    )
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(coalesce(lm.cond_ppm, 0)) // count(*) AS BIGINT)
+               AS score_ppm
+    FROM bg_all d LEFT JOIN lm ON d.w1 = lm.w1 AND d.w2 = lm.w2
+    GROUP BY d.doc_id
+    """,
+)
+def q_llm_lm_score(spark, sf_dir):
+    """C62: LM-based document scoring — each document's mean bigram
+    conditional probability (integer ppm) under the corpus bigram LM
+    (C59), the CCNet-style fluency filter: boilerplate and templated text
+    scores high-predictable, OCR noise and gibberish score near zero.
+    Unseen bigrams (below the LM's count floor) back off to 0 ppm — the
+    harshest penalty, stated rather than smoothed, so the score is an
+    exact integer function of the corpus. Composition shape: the SAME
+    scan-local zip-sliced bigram stream feeds both the LM estimation
+    rollup and the per-doc scoring join (a pipeline materializes the LM
+    once); the score join keys on (w1, w2) — bucketable at vocab scale —
+    and the final rollup shuffles one (doc_id, ppm) pair per bigram. At
+    100 TB the LM table is the only state shared across shards, exactly
+    like the real KenLM filter's model broadcast."""
+    w = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("ws")
+    )
+    bg_all = (
+        w.where(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("ws"), 1, F.size("ws") - 1).alias("w1"),
+                    F.slice(F.col("ws"), 2, F.size("ws") - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    uni = (
+        w.select(F.explode("ws").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    lm = (
+        bg_all.join(uni, "w1")
+        .groupBy("w1", "w2")
+        .agg(
+            F.expr(
+                "CAST((1000000 * count(1)) div max(c1) AS BIGINT)"
+            ).alias("cond_ppm"),
+            F.count(F.lit(1)).alias("c2"),
+        )
+        .where(F.col("c2") >= _LM_MIN_BIGRAM)
+        .select("w1", "w2", "cond_ppm")
+    )
+    return (
+        bg_all.join(lm, ["w1", "w2"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr(
+                "CAST(sum(coalesce(cond_ppm, 0)) div count(1) AS BIGINT)"
+            ).alias("score_ppm"),
+        )
+    )

@@ -1024,3 +1024,35 @@ def test_streaming_quantile_octaves_exact_at_octave_granularity(spark, tmp_path)
 
         want[t] = (len(vals), kth(0.5), kth(0.9), kth(0.99))
     assert got == want
+
+
+def test_jsonl_ingest_reads_gzip_drops(spark, tmp_path):
+    """C60 companion: crawl drops arrive gzip-compressed; Spark's text/json
+    codecs must decompress .json.gz transparently under the same explicit
+    schema + PERMISSIVE posture (gzip is NOT splittable — at 100 TB the
+    parallelism unit is the file, so drops are many ~100 MB gzip members,
+    never one giant archive; this test pins the read path works at all)."""
+    import gzip
+    import json as _json
+
+    docs = table(spark, SF_SMOKE, "documents").limit(50).collect()
+    drop = tmp_path / "gz_drop"
+    drop.mkdir()
+    half = len(docs) // 2
+    for i, sl in enumerate((docs[:half], docs[half:])):
+        with gzip.open(drop / f"part-{i}.json.gz", "wt") as f:
+            for r in sl:
+                f.write(
+                    _json.dumps(
+                        {"doc_id": r.doc_id, "text": r.text, "lang": r.lang}
+                    )
+                    + "\n"
+                )
+    back = (
+        spark.read.schema("doc_id bigint, text string, lang string")
+        .option("mode", "PERMISSIVE")
+        .json(str(drop))
+    )
+    got = {(r.doc_id, r.text, r.lang) for r in back.collect()}
+    want = {(r.doc_id, r.text, r.lang) for r in docs}
+    assert got == want
