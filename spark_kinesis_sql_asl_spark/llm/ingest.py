@@ -451,15 +451,17 @@ _JSONL_BAD_LINES = 3  # deterministic malformed lines injected per drop
     SELECT 'ok' AS status, lang,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS sum_chars
-    FROM documents GROUP BY lang
+    FROM documents WHERE doc_id % 4 = 0 GROUP BY lang
     UNION ALL
     SELECT 'corrupt', NULL, {_JSONL_BAD_LINES}, 0
     """,
 )
 def q_llm_ingest_jsonl(spark, sf_dir):
     """C60: JSONL ingest — the wire format crawl drops actually arrive in,
-    exercised end-to-end: the fixture corpus round-trips through JSON
-    Lines files in scratch (llm/iterative.py resolution), {_JSONL_BAD_LINES}
+    exercised end-to-end: a deterministic 1-in-4 drop (doc_id % 4 = 0 —
+    one crawl batch, not the whole corpus; the read path is size-invariant)
+    round-trips through JSON Lines files in scratch (llm/iterative.py
+    resolution), {_JSONL_BAD_LINES}
     deterministically malformed lines are injected into the drop, and the
     read back enforces an EXPLICIT schema in PERMISSIVE mode with a
     ``_corrupt_record`` quarantine column — the production posture
@@ -474,14 +476,18 @@ def q_llm_ingest_jsonl(spark, sf_dir):
 
     from .iterative import scratch_dir as _scratch
 
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang", "source", "n_chars"
+    d = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "text", "lang", "source", "n_chars")
     )
     drop = _os.path.join(_scratch(spark, "spark_jsonl_drop"), "drop")
     d.write.json(drop)
-    bad = spark.createDataFrame(
-        [(f'{{"doc_id": broken line {i}',) for i in range(_JSONL_BAD_LINES)],
-        "value string",
+    # spark.range, not createDataFrame: a driver-local relation spins up
+    # Python workers for a 3-row write (measured ~6 s of the query's cost);
+    # range + concat stays entirely JVM-side.
+    bad = spark.range(_JSONL_BAD_LINES).select(
+        F.concat(F.lit('{"doc_id": broken line '), F.col("id")).alias("value")
     )
     bad.coalesce(1).write.mode("append").text(drop)
 

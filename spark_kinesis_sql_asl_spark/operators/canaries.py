@@ -291,3 +291,58 @@ def q_canary_decimal_sum(spark, sf_dir):
             ).alias("total_r1_s"),
         )
     )
+
+
+@query(
+    "q_canary_string_order",
+    priority=10,
+    oracle="""
+    WITH k AS (
+        SELECT doc_id,
+               CASE doc_id % 5
+                    WHEN 0 THEN upper(left(coalesce(text, ''), 8))
+                    WHEN 1 THEN lower(left(coalesce(text, ''), 8))
+                    WHEN 2 THEN 'é' || left(coalesce(text, ''), 4)
+                    WHEN 3 THEN '~' || left(coalesce(text, ''), 4)
+                    ELSE ' ' || left(coalesce(text, ''), 4)
+               END AS k
+        FROM documents WHERE doc_id % 53 = 0
+    )
+    SELECT doc_id, k,
+           CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS rk
+    FROM k
+    """,
+)
+def q_canary_string_order(spark, sf_dir):
+    """D9: string ORDER BY collation alone. Every rank/top-k/limit query
+    with a string tiebreak silently depends on both engines sorting
+    strings identically; a locale-collating engine orders 'a' < 'Z' and
+    'é' among the e's, binary (UTF-8 byte) order puts ALL uppercase before
+    lowercase and multibyte chars last. Both engines use binary order
+    (probed: '' < ' lead' < '0' < 'AB' < 'Z' < 'a' < 'zz' < '~' < 'ß' <
+    'é' identically) — this canary pins that with case-mixed, leading-
+    space, tilde (0x7E, last ASCII) and multibyte keys derived from the
+    fixture text. The rank window is global but the slice is a few dozen
+    rows by construction (doc_id % 53), so the single partition is
+    harmless here — unlike production top-k, which must TakeOrdered."""
+    k = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 53 == 0)
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE CAST(doc_id % 5 AS INT) "
+                "WHEN 0 THEN upper(left(coalesce(text, ''), 8)) "
+                "WHEN 1 THEN lower(left(coalesce(text, ''), 8)) "
+                "WHEN 2 THEN 'é' || left(coalesce(text, ''), 4) "
+                "WHEN 3 THEN '~' || left(coalesce(text, ''), 4) "
+                "ELSE ' ' || left(coalesce(text, ''), 4) END"
+            ).alias("k"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("k", "doc_id")
+    return k.select(
+        "doc_id", "k", F.row_number().over(w).cast("bigint").alias("rk")
+    )
