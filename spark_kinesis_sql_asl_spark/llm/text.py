@@ -199,3 +199,87 @@ def q_llm_textscore(spark, sf_dir):
             F.count("word").alias("n_matched"),
         )
     )
+
+
+# --- C63: link extraction / link-density audit -------------------------------
+
+# Deterministic URL injection (fixture text carries no URLs, like the PII
+# corpus in C22): every 3rd doc gains one link whose domain is keyed by
+# doc_id, every 9th a second one on a different TLD.
+_URL_RE = "https?://[a-z0-9.-]+\\.[a-z]{2,}"
+
+
+@query(
+    "q_llm_link_extract",
+    priority=30,
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id,
+               coalesce(text, '')
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' see https://site' || (doc_id % 7) || '.com/page'
+                       ELSE '' END
+               || CASE WHEN doc_id % 9 = 0
+                       THEN ' and http://mirror' || (doc_id % 5) || '.org/x'
+                       ELSE '' END AS text
+        FROM documents
+    ),
+    links AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '{_URL_RE}')) AS url
+        FROM corpus
+    ),
+    dom AS (
+        SELECT doc_id, regexp_replace(url, '^https?://', '') AS domain
+        FROM links
+    )
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_links,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM dom GROUP BY domain
+    """,
+)
+def q_llm_link_extract(spark, sf_dir):
+    """C63: link extraction + per-domain rollup — the crawl-processing
+    staple on both sides of the pipeline: link DENSITY is a quality signal
+    (link farms score high), and the harvested (domain, count) table seeds
+    the next crawl frontier / domain-level mixture weights (C47 consumes
+    exactly such a table). Pure regexp scan expressions in the RE2/Java
+    common subset (same literal pattern both engines), explode + rollup
+    with map-side combine — at 100 TB the domain table is the only
+    shuffled data, ~60 bytes per link. URL injection is deterministic
+    (doc_id-keyed, like C22's PII corpus): the operator under test is the
+    extraction, the injection just gives it ground truth."""
+    d = table(spark, sf_dir, "documents")
+    corpus = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" see https://site"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".com/page"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(
+                F.lit(" and http://mirror"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(".org/x"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    links = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(corpus, F.lit(_URL_RE), 0)
+        ).alias("url"),
+    )
+    dom = links.select(
+        "doc_id",
+        F.regexp_replace("url", "^https?://", "").alias("domain"),
+    )
+    return dom.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )

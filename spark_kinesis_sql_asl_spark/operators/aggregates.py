@@ -469,3 +469,36 @@ def q_agg_decimal(spark, sf_dir):
         ).alias("sum_disc_price_s"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q_agg_boolcond",
+    priority=30,
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk,
+           bool_and(l_quantity > 0) AS all_positive,
+           bool_or(l_discount > 0.09) AS any_deep_discount,
+           bool_or(l_tax > l_discount) AS any_tax_over_discount
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_boolcond(spark, sf_dir):
+    """B100: conditional/boolean aggregate surface — ``count_if``,
+    ``bool_and`` (SQL EVERY), ``bool_or`` (SQL ANY/SOME), the data-audit
+    aggregates ("do ALL rows satisfy the invariant, how many violate
+    it?"). All four fold map-side like any partial aggregate and carry
+    1-bit/8-byte state, so the shuffle is |groups|-sized at any corpus
+    scale — the assertion layer a 100 TB pipeline runs after every load
+    (e.g. C60's quarantine counts are exactly a count_if). BOOLEAN columns
+    cross the driver canon natively (both engines -> pandas bool;
+    canon renders 'b:')."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("count_if(l_quantity > 25)").alias("n_bulk"),
+        F.expr("bool_and(l_quantity > 0)").alias("all_positive"),
+        F.expr("bool_or(l_discount > 0.09)").alias("any_deep_discount"),
+        F.expr("bool_or(l_tax > l_discount)").alias(
+            "any_tax_over_discount"
+        ),
+    )
