@@ -1056,3 +1056,80 @@ def test_jsonl_ingest_reads_gzip_drops(spark, tmp_path):
     got = {(r.doc_id, r.text, r.lang) for r in back.collect()}
     want = {(r.doc_id, r.text, r.lang) for r in docs}
     assert got == want
+
+
+def test_streaming_quantile_octaves_state_survives_restart(spark, tmp_path):
+    """C61s recovery: the keyed octave histogram must RESUME from
+    checkpointed state after a stop/start — the restarted run's final
+    summary must equal the single-run result over all data (state loss
+    would undercount n; re-processing would overcount)."""
+    from spark_kinesis_sql_asl_spark.streaming.stateful import (
+        streaming_quantile_octaves,
+    )
+
+    ev = (
+        table(spark, SF_SMOKE, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    staging = str(tmp_path / "qhr_stream")
+    os.makedirs(staging)
+    per = (len(ev) + 3) // 4
+
+    def stage(i):
+        sl = ev[i * per : (i + 1) * per]
+        tbl = pa.table(
+            {
+                "event_type": pa.array([r.event_type for r in sl], pa.string()),
+                "value": pa.array([r.value for r in sl], pa.float64()),
+            }
+        )
+        f = os.path.join(staging, f"{i:04d}.parquet")
+        pq.write_table(tbl, f)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    out = str(tmp_path / "qhr_out")
+
+    def run():
+        from spark_kinesis_sql_asl_spark.sources.sink import (
+            parquet_stream_writer,
+        )
+
+        stream = (
+            spark.readStream.schema("event_type string, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staging)
+        )
+        _drain(
+            streaming_quantile_octaves(stream)
+            .writeStream.foreachBatch(parquet_stream_writer(out))
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_qhr"))
+            .trigger(availableNow=True)
+        )
+
+    stage(0)
+    stage(1)
+    run()  # first run consumes files 0-1, checkpoints keyed state
+    stage(2)
+    stage(3)
+    run()  # restart: must fold files 2-3 into the RESTORED state
+
+    sink = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    sink.createOrReplaceTempView("qhr_sink")
+    rows = spark.sql(
+        """
+        SELECT event_type, n FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY event_type ORDER BY seq DESC
+            ) AS rn FROM qhr_sink
+        ) WHERE rn = 1
+        """
+    ).collect()
+    got = {r.event_type: r.n for r in rows}
+    from collections import Counter
+
+    want = Counter(
+        r.event_type for r in ev if r.value is not None and r.value == r.value
+    )
+    assert got == dict(want)
