@@ -1133,3 +1133,95 @@ def test_streaming_quantile_octaves_state_survives_restart(spark, tmp_path):
         r.event_type for r in ev if r.value is not None and r.value == r.value
     )
     assert got == dict(want)
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, events_rows, tmp_path):
+    """B67b: stream-stream LEFT OUTER time-interval join — the subtle
+    half: unmatched left rows may only emit once the watermark passes
+    their join window (earlier emission could be falsified by a late
+    match). A far-future sentinel click in the final file pushes the
+    watermark past all real data so every outer row flushes; the result
+    must then equal the batch left join exactly."""
+    import datetime as _dt
+
+    staging = str(tmp_path / "staging")
+    out = str(tmp_path / "out")
+    _stage(events_rows, staging, n_files=3)
+
+    # sentinel: one click far past the data, in its own last-arriving file
+    max_ts = max(r.ts for r in events_rows)
+    sent_ts = max_ts + _dt.timedelta(hours=10)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([10**12], pa.int64()),
+            "ts": pa.array([sent_ts], pa.timestamp("us")),
+            "user_id": pa.array([-1], pa.int64()),
+            "event_type": pa.array(["click"], pa.string()),
+            "value": pa.array([0.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    )
+    f = os.path.join(staging, "9999.parquet")
+    pq.write_table(tbl, f)
+    os.utime(f, (1_700_009_999, 1_700_009_999))
+
+    def sides(src):
+        clicks = (
+            src.where(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("c_id"),
+            )
+            .withWatermark("c_ts", "1 minute")
+        )
+        purchases = (
+            src.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("p_id"),
+            )
+            .withWatermark("p_ts", "1 minute")
+        )
+        cond = (
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        return clicks.join(purchases, cond, "left_outer").select("c_id", "p_id")
+
+    _drain(
+        sides(_stream(spark, staging))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    got = {
+        (r.c_id, r.p_id)
+        for r in spark.read.parquet(out).collect()
+        if r.c_id != 10**12  # drop the sentinel's own outer row
+    }
+
+    e = table(spark, SF_SMOKE, "events")
+    bc = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    bp = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    expect = {
+        (r.c_id, r.p_id)
+        for r in bc.join(
+            bp,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+            "left_outer",
+        ).select("c_id", "p_id").collect()
+    }
+    assert got == expect
+    assert any(p is None for _, p in got)  # outer rows actually emitted
