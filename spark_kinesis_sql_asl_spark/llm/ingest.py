@@ -519,3 +519,100 @@ def q_llm_ingest_jsonl(spark, sf_dir):
             ),
         )
     )
+
+
+# --- C64: incremental refresh e2e (diff -> dedup -> quality) -----------------
+
+
+@query(
+    "q_llm_refresh_e2e",
+    priority=30,
+    oracle=f"""
+    WITH old AS (
+        SELECT doc_id,
+               md5(coalesce(CASE WHEN doc_id % {_DIFF_CHG_MOD} = 0
+                                 THEN text || ' [v1]' ELSE text END, '')) AS h
+        FROM documents WHERE doc_id % {_DIFF_ADD_MOD} <> {_DIFF_ADD_RES}
+    ),
+    new AS (
+        SELECT doc_id, lang, text, md5(coalesce(text, '')) AS h
+        FROM documents WHERE doc_id % {_DIFF_RM_MOD} <> {_DIFF_RM_RES}
+    ),
+    delta AS (
+        SELECT n.doc_id, n.lang, n.text, n.h
+        FROM new n LEFT JOIN old o ON n.doc_id = o.doc_id
+        WHERE o.doc_id IS NULL OR o.h <> n.h
+    ),
+    corpus_hashes AS (SELECT DISTINCT h FROM old),
+    novel AS (
+        SELECT d.doc_id, d.lang, d.text,
+               (c.h IS NULL) AS is_novel
+        FROM delta d LEFT JOIN corpus_hashes c ON d.h = c.h
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_delta,
+           CAST(count_if(is_novel) AS BIGINT) AS n_novel,
+           CAST(count_if(is_novel
+                AND {_NTOK_DUCK} >= {_BUILD_MIN_TOK}
+                AND 10 * len(list_distinct(string_split(coalesce(text, ''), ' ')))
+                    >= {_BUILD_MIN_DISTINCT_X10} * {_NTOK_DUCK}) AS BIGINT)
+               AS n_admitted
+    FROM novel GROUP BY lang
+    """,
+)
+def q_llm_refresh_e2e(spark, sf_dir):
+    """C64: the incremental refresh END-TO-END — what a living corpus runs
+    per crawl drop, composing C57's snapshot diff (which docs are new or
+    changed), C46's corpus-hash screen (is the content actually novel, or
+    a changed doc colliding with text the corpus already has), and C54's
+    quality gate (token count + distinct-token ratio), rolled up per
+    language as delta -> novel -> admitted funnel counts. This is the
+    delta-path twin of C54's full build: cost scales with |delta| on the
+    probe side, |corpus| appears only as the DISTINCT hash set (the
+    persistent dedup index, bucketed on disk at 100 TB). Catalyst fuses
+    the hash + both gate predicates into the delta scan; the two joins
+    shuffle only (doc_id|hash, lang) pairs; text never leaves its scan."""
+    d = table(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % _DIFF_ADD_MOD != _DIFF_ADD_RES).select(
+        F.col("doc_id").alias("o_doc_id"),
+        F.md5(
+            F.coalesce(
+                F.when(
+                    F.col("doc_id") % _DIFF_CHG_MOD == 0,
+                    F.concat(F.col("text"), F.lit(" [v1]")),
+                ).otherwise(F.col("text")),
+                F.lit(""),
+            ).cast("binary")
+        ).alias("o_h"),
+    )
+    new = d.where(F.col("doc_id") % _DIFF_RM_MOD != _DIFF_RM_RES).select(
+        "doc_id",
+        "lang",
+        "text",
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias("h"),
+    )
+    delta = (
+        new.join(old, new.doc_id == old.o_doc_id, "left")
+        .where(F.col("o_doc_id").isNull() | (F.col("o_h") != F.col("h")))
+        .select("doc_id", "lang", "text", "h")
+    )
+    corpus_hashes = old.select(F.col("o_h").alias("ch")).distinct()
+    novel = delta.join(
+        corpus_hashes, delta.h == corpus_hashes.ch, "left"
+    ).select(
+        "lang", "text", F.col("ch").isNull().alias("is_novel")
+    )
+    n_tok = F.expr(_NTOK_SPARK)
+    n_distinct = F.size(
+        F.array_distinct(F.split(F.coalesce("text", F.lit("")), " "))
+    )
+    admitted = (
+        F.col("is_novel")
+        & (n_tok >= _BUILD_MIN_TOK)
+        & (10 * n_distinct >= _BUILD_MIN_DISTINCT_X10 * n_tok)
+    )
+    return novel.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_delta"),
+        F.expr("count_if(is_novel)").alias("n_novel"),
+        F.count(F.when(admitted, 1)).alias("n_admitted"),
+    )

@@ -346,3 +346,52 @@ def q_canary_string_order(spark, sf_dir):
     return k.select(
         "doc_id", "k", F.row_number().over(w).cast("bigint").alias("rk")
     )
+
+
+@query(
+    "q_canary_empty_agg",
+    priority=10,
+    oracle="""
+    SELECT 'global' AS shape,
+           CAST(count(*) AS BIGINT) AS n,
+           coalesce(CAST(sum(o_totalprice * 0 + 1) AS BIGINT), -1) AS s,
+           coalesce(CAST(max(o_orderkey) AS BIGINT), -1) AS mx
+    FROM orders WHERE o_orderkey < 0
+    UNION ALL
+    SELECT 'grouped', CAST(count(*) AS BIGINT),
+           coalesce(CAST(sum(1) AS BIGINT), -1),
+           coalesce(CAST(max(o_orderkey) AS BIGINT), -1)
+    FROM orders WHERE o_orderkey < 0 GROUP BY o_orderpriority
+    """,
+)
+def q_canary_empty_agg(spark, sf_dir):
+    """D10: aggregate-over-empty-input shape alone. SQL's most quietly
+    divergent corner: a GLOBAL aggregate over zero rows returns EXACTLY
+    ONE row (count 0, sum/max NULL — coalesced to -1 here so the NULL
+    crosses the canon deterministically), while the SAME aggregate with a
+    GROUP BY returns ZERO rows. Every incremental pipeline hits this the
+    first day a delta batch is empty: a downstream join against the
+    'grouped' shape silently drops, against the 'global' shape it
+    produces a 0/-1 row. Both engines agree on both shapes — this canary
+    pins that, so any future driver red on an empty-slice query localizes
+    immediately."""
+    empty = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 0)
+    g = empty.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.col("o_totalprice") * 0 + 1).cast("bigint"), F.lit(-1)
+        ).alias("s"),
+        F.coalesce(F.max("o_orderkey").cast("bigint"), F.lit(-1)).alias("mx"),
+    ).select(F.lit("global").alias("shape"), "n", "s", "mx")
+    gb = (
+        empty.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.lit(1)).cast("bigint"), F.lit(-1)).alias("s"),
+            F.coalesce(F.max("o_orderkey").cast("bigint"), F.lit(-1)).alias(
+                "mx"
+            ),
+        )
+        .select(F.lit("grouped").alias("shape"), "n", "s", "mx")
+    )
+    return g.unionByName(gb)
