@@ -519,3 +519,96 @@ def q_llm_lm_score(spark, sf_dir):
             ).alias("score_ppm"),
         )
     )
+
+
+# --- C65: winnowing fingerprints (MOSS) --------------------------------------
+
+_WIN_K = 8  # k-gram width (chars)
+_WIN_W = 4  # winnowing window (k-grams)
+_WIN_TOP = 50
+
+
+@query(
+    "q_llm_winnow",
+    priority=30,
+    oracle=f"""
+    WITH hs AS (
+        SELECT doc_id,
+               list_transform(range(1, len(coalesce(text, '')) - {_WIN_K} + 2),
+                   i -> ('0x' || substr(md5(substr(text, i, {_WIN_K})),
+                                        1, 15))::BIGINT) AS h
+        FROM documents WHERE len(coalesce(text, '')) >= {_WIN_K + _WIN_W - 1}
+    ),
+    fps AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(h) - {_WIN_W} + 2),
+                   j -> list_min(h[j:j+{_WIN_W - 1}])))) AS fp
+        FROM hs
+    ),
+    shared AS (
+        SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occ
+        FROM fps GROUP BY fp
+        HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT fp, n_docs, n_occ, rk FROM (
+        SELECT fp, n_docs, n_occ,
+               row_number() OVER (ORDER BY n_docs DESC, fp ASC) AS rk
+        FROM shared
+    ) WHERE rk <= {_WIN_TOP}
+    """,
+)
+def q_llm_winnow(spark, sf_dir):
+    """C65: winnowing fingerprints (Schleimer, Wilkerson, Aiken — SIGMOD
+    2003, the MOSS algorithm): hash every {_WIN_K}-char k-gram, slide a
+    {_WIN_W}-wide window over the hash sequence and keep each window's
+    MINIMUM — the guarantee is that any match of length >=
+    {_WIN_K + _WIN_W - 1} shares at least one selected fingerprint, making
+    this the SHIFT-ROBUST boilerplate detector (C50's aligned chunks miss
+    a license header indented by one space; winnowing does not). Shared
+    fingerprints roll up per fp with the C50 spread ranking. Everything
+    through fingerprint selection is a SCAN-STAGE array fold (k-gram
+    hashes + window minima as nested transform/array_min — no explode
+    until the selected set, which winnowing bounds to ~2/(w+1) of
+    positions); hashes are the first 60 bits of md5 so both engines
+    compute identical integers. The rank window sees only the
+    TakeOrdered-limited survivors at 100 TB — here the shared-fp frame is
+    ranked directly (bounded by HAVING >= 2) through the same
+    orderBy+limit shape as C28/C50."""
+    n_hash = F.expr(
+        f"transform(sequence(1, length(coalesce(text, '')) - {_WIN_K} + 1), "
+        f"i -> cast(conv(substring(md5(substring(text, i, {_WIN_K})), 1, 15), "
+        f"16, 10) as bigint))"
+    )
+    hs = (
+        table(spark, sf_dir, "documents")
+        .where(F.length(F.coalesce("text", F.lit(""))) >= _WIN_K + _WIN_W - 1)
+        .select("doc_id", n_hash.alias("h"))
+    )
+    fps = hs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(h) - {_WIN_W} + 1), "
+                    f"j -> array_min(slice(h, j, {_WIN_W})))"
+                )
+            )
+        ).alias("fp"),
+    )
+    shared = (
+        fps.groupBy("fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+    top = shared.orderBy(F.col("n_docs").desc(), F.col("fp").asc()).limit(
+        _WIN_TOP
+    )
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("fp").asc())
+    return top.select(
+        "fp", "n_docs", "n_occ", F.row_number().over(w).alias("rk")
+    )

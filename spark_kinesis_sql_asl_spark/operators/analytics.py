@@ -595,3 +595,110 @@ def q_ts_gapfill(spark, sf_dir):
         .alias("filled_cents"),
         F.col("b_h").isNull().cast("bigint").alias("is_gap"),
     )
+
+
+_BASKET_MIN_SUPPORT = 2
+_BASKET_TOP = 30
+
+
+@query(
+    "q_basket_pairs",
+    priority=30,
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    n_orders AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM items),
+    item_supp AS (
+        SELECT pk, CAST(count(*) AS BIGINT) AS supp FROM items GROUP BY pk
+    ),
+    pairs AS (
+        SELECT a.pk AS pk_a, b.pk AS pk_b, CAST(count(*) AS BIGINT) AS supp_ab
+        FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY a.pk, b.pk
+        HAVING count(*) >= {_BASKET_MIN_SUPPORT}
+    ),
+    scored AS (
+        SELECT p.pk_a, p.pk_b, p.supp_ab,
+               CAST((1000000 * p.supp_ab * n.n) //
+                    (sa.supp * sb.supp) AS BIGINT) AS lift_ppm
+        FROM pairs p
+        JOIN item_supp sa ON p.pk_a = sa.pk
+        JOIN item_supp sb ON p.pk_b = sb.pk
+        CROSS JOIN n_orders n
+    )
+    SELECT pk_a, pk_b, supp_ab, lift_ppm, rk FROM (
+        SELECT pk_a, pk_b, supp_ab, lift_ppm,
+               row_number() OVER (
+                   ORDER BY supp_ab DESC, lift_ppm DESC, pk_a, pk_b
+               ) AS rk
+        FROM scored
+    ) WHERE rk <= {_BASKET_TOP}
+    """,
+)
+def q_basket_pairs(spark, sf_dir):
+    """B101: market-basket pair mining — co-purchased part pairs with
+    support and LIFT (P(a,b)/(P(a)P(b)) in integer ppm), the association-
+    rule primitive (Agrawal/Srikant's Apriori at its 2-itemset core). The
+    pair self-join keys on the ORDER — candidate volume is
+    sum over orders of |basket|², and baskets are bounded (TPC-H: <=7
+    lines), so the join is linear in orders at any corpus scale; the
+    support filter then prunes before the two |parts|-sized dimension
+    joins (bucketable on pk at 100 TB; broadcast at fixture scale). The
+    order count rides a 1-row cross join. Lift stays in exact integer ppm
+    — deterministic across engines and summation orders; ranking goes
+    through orderBy+limit (TakeOrderedAndProject), never a full-frame
+    window sort."""
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    n_orders = items.agg(
+        F.countDistinct("ok").cast("bigint").alias("n")
+    )
+    item_supp = items.groupBy("pk").agg(F.count(F.lit(1)).alias("supp"))
+    a = items.select(F.col("ok"), F.col("pk").alias("pk_a"))
+    b = items.select(F.col("ok").alias("ok_b"), F.col("pk").alias("pk_b"))
+    pairs = (
+        a.join(b, (a.ok == b.ok_b) & (F.col("pk_a") < F.col("pk_b")))
+        .groupBy("pk_a", "pk_b")
+        .agg(F.count(F.lit(1)).alias("supp_ab"))
+        .where(F.col("supp_ab") >= _BASKET_MIN_SUPPORT)
+    )
+    sa = item_supp.select(
+        F.col("pk").alias("pk_a"), F.col("supp").alias("supp_a")
+    )
+    sb = item_supp.select(
+        F.col("pk").alias("pk_b"), F.col("supp").alias("supp_b")
+    )
+    scored = (
+        pairs.join(sa, "pk_a")
+        .join(sb, "pk_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pk_a",
+            "pk_b",
+            "supp_ab",
+            F.expr(
+                "CAST((1000000 * supp_ab * n) div (supp_a * supp_b) "
+                "AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("supp_ab").desc(),
+        F.col("lift_ppm").desc(),
+        F.col("pk_a"),
+        F.col("pk_b"),
+    ).limit(_BASKET_TOP)
+    w = Window.orderBy(
+        F.col("supp_ab").desc(),
+        F.col("lift_ppm").desc(),
+        F.col("pk_a"),
+        F.col("pk_b"),
+    )
+    return top.select(
+        "pk_a", "pk_b", "supp_ab", "lift_ppm",
+        F.row_number().over(w).alias("rk"),
+    )
