@@ -328,3 +328,27 @@ def test_quota_sample_uses_window_group_limit(spark):
     # partition keeps K rows per (lang, source) BEFORE the stratum shuffle.
     plan = formatted_plan(QUERIES["q_llm_quota_sample"](spark, SF_ORACLE))
     assert "WindowGroupLimit" in plan
+
+
+def test_winnow_and_basket_take_ordered_no_cartesian(spark):
+    # C65/B101: both rank through TakeOrderedAndProject (never a full-frame
+    # partitionless window sort), and the basket pair join must stay an
+    # equi-join on the order key — a CartesianProduct would mean the
+    # pk_a < pk_b inequality leaked in as the only join condition.
+    for name in ("q_llm_winnow", "q_basket_pairs"):
+        df = QUERIES[name](spark, SF_ORACLE)
+        plan = formatted_plan(df)
+        assert "TakeOrderedAndProject" in plan, name
+        assert count_nodes(df, "CartesianProduct") == 0, name
+
+
+def test_refresh_e2e_shuffles_hashes_not_text(spark):
+    # C64: the diff and novelty joins must carry (doc_id|hash, lang) —
+    # never the text column — through any Exchange.
+    from spark_kinesis_sql_asl_spark.plans.inspect import formatted_plan as fp
+
+    plan = fp(QUERIES["q_llm_refresh_e2e"](spark, SF_ORACLE))
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), f"text in shuffle key: {m.group(0)}"

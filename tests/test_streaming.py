@@ -1225,3 +1225,82 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, events_rows, tmp_p
     }
     assert got == expect
     assert any(p is None for _, p in got)  # outer rows actually emitted
+
+
+def test_stream_static_ingest_dedup_matches_batch(spark, tmp_path):
+    """C46-stream: the incremental-ingest dedup as a LIVE pipeline —
+    streaming crawl batches probe a STATIC corpus hash index via a
+    stream-static left join (the index broadcasts; at 100 TB it is the
+    bucketed on-disk dedup index). Per-lang novel counts accumulated
+    across all micro-batches must equal the batch q_llm_ingest_dedup
+    rollup over the same carve."""
+    from spark_kinesis_sql_asl_spark.registry import all_queries
+
+    docs = table(spark, SF_SMOKE, "documents").collect()
+    batch_rows = [r for r in docs if r.doc_id % 5 == 0]
+
+    staging = str(tmp_path / "ingest_stream")
+    os.makedirs(staging)
+    per = (len(batch_rows) + 2) // 3
+    for i in range(3):
+        sl = batch_rows[i * per : (i + 1) * per]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r.doc_id for r in sl], pa.int64()),
+                "text": pa.array([r.text for r in sl], pa.string()),
+                "lang": pa.array([r.lang for r in sl], pa.string()),
+            }
+        )
+        f = os.path.join(staging, f"{i:04d}.parquet")
+        pq.write_table(tbl, f)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    corpus = (
+        table(spark, SF_SMOKE, "documents")
+        .where(F.col("doc_id") % 5 != 0)
+        .select(
+            F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias(
+                "h"
+            )
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, lang string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+        .select(
+            "lang",
+            F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias(
+                "h"
+            ),
+        )
+    )
+    screened = (
+        stream.join(corpus, "h", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            (F.count(F.lit(1)) - F.count("hit")).alias("n_novel"),
+        )
+    )
+    q = (
+        screened.writeStream.format("memory")
+        .queryName("ingest_screen")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_is"))
+        .trigger(availableNow=True)
+    )
+    _drain(q)
+    got = {
+        (r.lang, r.n_batch, r.n_novel)
+        for r in spark.sql("SELECT * FROM ingest_screen").collect()
+    }
+    want = {
+        (r.lang, r.n_batch, r.n_novel)
+        for r in all_queries()["q_llm_ingest_dedup"](spark, SF_SMOKE)
+        .select("lang", "n_batch", "n_novel")
+        .collect()
+    }
+    assert got == want
