@@ -616,3 +616,118 @@ def q_llm_refresh_e2e(spark, sf_dir):
         F.expr("count_if(is_novel)").alias("n_novel"),
         F.count(F.when(admitted, 1)).alias("n_admitted"),
     )
+
+
+# --- C66: SCD2 history compaction from snapshots -----------------------------
+
+_SCD2_V1_MOD = 13  # docs mutated in snapshot 1
+_SCD2_V3_MOD = 7  # docs mutated in snapshot 3
+_SCD2_OPEN = 99  # valid_to sentinel for the current version
+
+
+@query(
+    "q_llm_scd2",
+    priority=30,
+    oracle=f"""
+    WITH snaps AS (
+        SELECT doc_id, 1 AS snap,
+               md5(coalesce(CASE WHEN doc_id % {_SCD2_V1_MOD} = 0
+                                 THEN text || ' [v1]' ELSE text END, '')) AS h
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 2, md5(coalesce(text, '')) FROM documents
+        UNION ALL
+        SELECT doc_id, 3,
+               md5(coalesce(CASE WHEN doc_id % {_SCD2_V3_MOD} = 0
+                                 THEN text || ' [v3]' ELSE text END, ''))
+        FROM documents
+    ),
+    changes AS (
+        SELECT doc_id, snap, h,
+               CASE WHEN lag(h) OVER w IS NULL OR lag(h) OVER w <> h
+                    THEN 1 ELSE 0 END AS is_new
+        FROM snaps
+        WINDOW w AS (PARTITION BY doc_id ORDER BY snap)
+    ),
+    versions AS (
+        SELECT doc_id, snap AS valid_from, h,
+               CAST(sum(is_new) OVER (
+                   PARTITION BY doc_id ORDER BY snap
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS ver
+        FROM changes WHERE is_new = 1
+    )
+    SELECT doc_id, ver, CAST(valid_from AS BIGINT) AS valid_from,
+           CAST(coalesce(lead(valid_from) OVER (
+                    PARTITION BY doc_id ORDER BY valid_from
+                ) - 1, {_SCD2_OPEN}) AS BIGINT) AS valid_to,
+           h
+    FROM versions
+    """,
+)
+def q_llm_scd2(spark, sf_dir):
+    """C66: SCD type-2 history compaction — turn a sequence of corpus
+    snapshots into versioned validity ranges per document (valid_from /
+    valid_to snapshot ids, open current version = {_SCD2_OPEN}), the
+    warehouse pattern that lets 'as of snapshot k' queries run against
+    one compacted table instead of k snapshots. Three deterministic
+    snapshot versions derive from the one fixture (doc_id-keyed
+    mutations); change detection is lag(hash) per doc, version numbering
+    a running sum over change flags, range closure a lead() — all three
+    windows share ONE doc_id shuffle (same partitioning, Catalyst reuses
+    the exchange). At 100 TB: snapshots are parquet partitions, hashes
+    compute scan-side, and the windows see (doc_id, snap, hash) — ~50
+    bytes/row — never the text; per-doc state is bounded by snapshot
+    count, so executor memory is flat."""
+    d = table(spark, sf_dir, "documents")
+    h_of = lambda col: F.md5(F.coalesce(col, F.lit("")).cast("binary"))  # noqa: E731
+    v1 = d.select(
+        "doc_id",
+        F.lit(1).alias("snap"),
+        h_of(
+            F.when(
+                F.col("doc_id") % _SCD2_V1_MOD == 0,
+                F.concat(F.col("text"), F.lit(" [v1]")),
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    v2 = d.select("doc_id", F.lit(2).alias("snap"), h_of(F.col("text")).alias("h"))
+    v3 = d.select(
+        "doc_id",
+        F.lit(3).alias("snap"),
+        h_of(
+            F.when(
+                F.col("doc_id") % _SCD2_V3_MOD == 0,
+                F.concat(F.col("text"), F.lit(" [v3]")),
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    snaps = v1.unionByName(v2).unionByName(v3)
+    w = Window.partitionBy("doc_id").orderBy("snap")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    changes = snaps.withColumn(
+        "is_new",
+        F.when(
+            F.lag("h").over(w).isNull() | (F.lag("h").over(w) != F.col("h")),
+            1,
+        ).otherwise(0),
+    )
+    versions = (
+        changes.withColumn(
+            "ver", F.sum("is_new").over(w_run).cast("bigint")
+        )
+        .where(F.col("is_new") == 1)
+        .select("doc_id", F.col("snap").alias("valid_from"), "h", "ver")
+    )
+    w_lead = Window.partitionBy("doc_id").orderBy("valid_from")
+    return versions.select(
+        "doc_id",
+        "ver",
+        F.col("valid_from").cast("bigint").alias("valid_from"),
+        F.coalesce(
+            F.lead("valid_from").over(w_lead) - 1, F.lit(_SCD2_OPEN)
+        )
+        .cast("bigint")
+        .alias("valid_to"),
+        "h",
+    )
