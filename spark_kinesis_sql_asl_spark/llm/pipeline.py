@@ -922,3 +922,69 @@ def q_llm_vec_quantize(spark, sf_dir):
         F.array_min("qv").cast("bigint").alias("q_min"),
         F.round(F.sqrt(recon_sq), 6).alias("recon_err_l2"),
     )
+
+
+# --- C67: duplicate-graph triangle census ------------------------------------
+
+
+@query(
+    "q_llm_dup_triangles",
+    oracle=f"""
+    WITH pairs AS ({_SIMHASH_PAIRS_SQL}),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+    wedges AS (
+        SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+    ),
+    tri AS (
+        SELECT w.a, w.b, w.c FROM wedges w JOIN e ON w.a = e.a AND w.c = e.b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
+           (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles,
+           CAST((1000000 * (SELECT count(*) FROM tri))
+                // greatest(1, (SELECT count(*) FROM wedges)) AS BIGINT)
+               AS closure_ppm
+    """,
+)
+def q_llm_dup_triangles(spark, sf_dir):
+    """C67: triangle census of the near-dup graph (C13's SimHash pairs as
+    edges) — wedge count, triangle count, and closure ratio in integer
+    ppm. This is the cluster-cohesion audit run before trusting C21's
+    components for dedup DROPS: closure near 1e6 means near-dup clusters
+    are clique-like (safe to keep one survivor per component), low closure
+    means chains of marginal pairs are bridging unrelated documents and
+    the Hamming threshold is too loose. Ordered edges (a<b) make each
+    wedge and triangle counted exactly once with no orientation dedup:
+    wedges join on the middle vertex, closure probes the (a,c) edge — the
+    standard two-join triangle enumeration whose cost is sum of
+    degree(b)^2, NOT |V|^3; at 100 TB the edge list is hash-partitioned
+    on the join vertex and the heavy-degree tail is exactly what the C37
+    heavy-hitter audit flags first. Scalar outputs ride 1-row
+    broadcasts."""
+    e = q_llm_dedup_simhash(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).localCheckpoint(eager=True)  # consumed 3x: edges, wedges, closure probe
+    e1 = e.select(F.col("a"), F.col("b").alias("mid"))
+    e2 = e.select(F.col("a").alias("mid"), F.col("b").alias("c"))
+    wedges = e1.join(e2, "mid").select("a", "mid", "c")
+    tri = wedges.join(
+        e.select(F.col("a").alias("ta"), F.col("b").alias("tc")),
+        (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
+    )
+    n_e = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_w = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
+    n_t = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        n_e.crossJoin(F.broadcast(n_w))
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr(
+                "CAST((1000000 * n_triangles) div greatest(1, n_wedges) "
+                "AS BIGINT)"
+            ).alias("closure_ppm"),
+        )
+    )

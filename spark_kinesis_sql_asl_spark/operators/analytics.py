@@ -702,3 +702,70 @@ def q_basket_pairs(spark, sf_dir):
         "pk_a", "pk_b", "supp_ab", "lift_ppm",
         F.row_number().over(w).alias("rk"),
     )
+
+
+@query(
+    "q_skew_audit",
+    priority=30,
+    oracle="""
+    WITH kc AS (
+        SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS c
+        FROM orders GROUP BY o_custkey
+    ),
+    t AS (
+        SELECT CAST(sum(c) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(max(c) AS BIGINT) AS max_c
+        FROM kc
+    ),
+    top AS (SELECT k, c FROM kc ORDER BY c DESC, k LIMIT 1)
+    SELECT t.n_keys, t.max_c,
+           CAST((1000000 * t.max_c) // t.total AS BIGINT) AS top_share_ppm,
+           (SELECT k FROM top) AS top_key,
+           CAST((SELECT count(*) FROM kc
+                 WHERE length(bin(c)) = length(bin(t.max_c))) AS BIGINT)
+               AS n_keys_in_top_octave
+    FROM t
+    """,
+)
+def q_skew_audit(spark, sf_dir):
+    """B102: join-key skew audit — the operational report a pipeline runs
+    BEFORE choosing a join strategy on a key: distinct-key count, the
+    heaviest key and its corpus share in integer ppm, and how many keys
+    share the top frequency octave (one mega-key → salt exactly it, as
+    B75 does; a whole heavy octave → repartition or AQE skew-join). One
+    map-side-combined rollup over the key, a 3-column scalar aggregate, a
+    TakeOrdered(1) for the exemplar key, and an octave count using the
+    C51 bit-length trick — the audit costs one scan regardless of corpus
+    size, and the per-key frame it aggregates is exactly the shuffle the
+    real join would perform, so its skew IS the join's skew."""
+    kc = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # consumed 3x: totals, top-1, octave
+    )
+    t = kc.agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").cast("bigint").alias("max_c"),
+    )
+    top = kc.orderBy(F.col("c").desc(), F.col("k")).limit(1).select(
+        F.col("k").alias("top_key")
+    )
+    octave = kc.join(F.broadcast(t)).where(
+        F.length(F.expr("bin(c)")) == F.length(F.expr("bin(max_c)"))
+    ).agg(F.count(F.lit(1)).alias("n_keys_in_top_octave"))
+    return (
+        t.crossJoin(F.broadcast(top))
+        .crossJoin(F.broadcast(octave))
+        .select(
+            "n_keys",
+            "max_c",
+            F.expr("CAST((1000000 * max_c) div total AS BIGINT)").alias(
+                "top_share_ppm"
+            ),
+            "top_key",
+            "n_keys_in_top_octave",
+        )
+    )
