@@ -237,3 +237,59 @@ def test_embed_auto_blocking_is_exact_at_fixture_scale(spark):
         for r in embed_neardup_pairs(df, 0.9, block="exact").collect()
     )
     assert auto == exact
+
+
+def test_scd2_point_in_time_and_range_invariants(spark):
+    # C66: three invariants a warehouse relies on. (1) an "as of snapshot
+    # s" read of the compacted history returns EXACTLY each doc's hash in
+    # that snapshot; (2) version ranges tile [1, 3] with no gaps or
+    # overlaps; (3) version numbering is dense from 1.
+    from pyspark.sql import functions as F
+
+    from spark_kinesis_sql_asl_spark.llm.ingest import (
+        _SCD2_OPEN,
+        _SCD2_V1_MOD,
+        _SCD2_V3_MOD,
+    )
+    from spark_kinesis_sql_asl_spark.registry import all_queries
+    from spark_kinesis_sql_asl_spark.tables import table
+
+    hist = all_queries()["q_llm_scd2"](spark, SF_ORACLE).cache()
+    d = table(spark, SF_ORACLE, "documents")
+
+    def snap_hash(s):
+        text = F.col("text")
+        if s == 1:
+            text = F.when(
+                F.col("doc_id") % _SCD2_V1_MOD == 0,
+                F.concat(F.col("text"), F.lit(" [v1]")),
+            ).otherwise(F.col("text"))
+        if s == 3:
+            text = F.when(
+                F.col("doc_id") % _SCD2_V3_MOD == 0,
+                F.concat(F.col("text"), F.lit(" [v3]")),
+            ).otherwise(F.col("text"))
+        return d.select(
+            "doc_id", F.md5(F.coalesce(text, F.lit("")).cast("binary")).alias("h")
+        )
+
+    for s in (1, 2, 3):
+        asof = hist.where(
+            (F.col("valid_from") <= s) & (F.col("valid_to") >= s)
+        ).select("doc_id", "h")
+        diff = asof.exceptAll(snap_hash(s)).count() + snap_hash(s).exceptAll(
+            asof
+        ).count()
+        assert diff == 0, f"as-of snapshot {s} read diverges from snapshot"
+
+    rows = hist.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, vs in by_doc.items():
+        vs.sort(key=lambda r: r.valid_from)
+        assert [r.ver for r in vs] == list(range(1, len(vs) + 1)), doc
+        assert vs[0].valid_from == 1, doc
+        assert vs[-1].valid_to == _SCD2_OPEN, doc
+        for a, b in zip(vs, vs[1:]):
+            assert b.valid_from == a.valid_to + 1, f"gap/overlap in doc {doc}"
