@@ -395,3 +395,37 @@ def q_canary_empty_agg(spark, sf_dir):
         .select(F.lit("grouped").alias("shape"), "n", "s", "mx")
     )
     return g.unionByName(gb)
+
+
+@query(
+    "q_canary_try_arith",
+    priority=10,
+    oracle="""
+    SELECT event_id,
+           CAST(floor(value * 100) AS BIGINT) AS cents,
+           coalesce(CAST(floor(value * 100) AS BIGINT)
+                    / nullif(CAST(event_id % 4 AS BIGINT), 0), -1.0)
+               AS safe_ratio
+    FROM events WHERE event_id % 29 = 0
+    """,
+)
+def q_canary_try_arith(spark, sf_dir):
+    """D11: ANSI-safe division alone. Spark 4 runs ANSI mode by default —
+    a bare ``x / 0`` is a runtime DIVIDE_BY_ZERO crash mid-job, not a
+    NULL, so every production ratio in this repo goes through
+    ``try_divide`` (or an explicit ``nullif`` denominator, the
+    safe_cosine convention). DuckDB has no try_divide; its oracle twin is
+    ``x / nullif(y, 0)`` — this canary pins that the two spellings agree
+    (including the NULL→coalesce(-1) rendering) on a denominator that is
+    genuinely zero for every 4th row. Both sides divide BIGINTs into
+    DOUBLE (Spark try_divide yields double; DuckDB int/int division is
+    exact-per-row double), so per-row results are bit-identical."""
+    ev = table(spark, sf_dir, "events").where(F.col("event_id") % 29 == 0)
+    return ev.select(
+        "event_id",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+        F.expr(
+            "coalesce(try_divide(CAST(floor(value * 100) AS BIGINT), "
+            "CAST(event_id % 4 AS BIGINT)), -1.0)"
+        ).alias("safe_ratio"),
+    )

@@ -1304,3 +1304,55 @@ def test_stream_static_ingest_dedup_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_dynamic_gap_session_window_matches_batch(spark, events_rows, tmp_path):
+    """B63b: session_window with a DYNAMIC gap (per-event-type expression —
+    purchases close sessions faster than clicks) must produce the same
+    sessions streaming as in batch. This is the session variant Spark
+    supports but fixed-gap tests never exercise: the gap column is
+    evaluated per row, so state boundaries differ per event_type."""
+    staging = str(tmp_path / "staging")
+    _stage(events_rows, staging, n_files=3)
+
+    # session_window demands CalendarIntervalType for dynamic gaps —
+    # INTERVAL literals parse as DayTimeIntervalType, so use the string
+    # form the API documents for expression gaps.
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("5 minutes")
+    ).otherwise(F.lit("30 minutes"))
+
+    def sessions(src):
+        return (
+            src.withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", gap), "user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("session_window.start").alias("ss"),
+                "user_id",
+                "event_type",
+                "n",
+            )
+        )
+
+    out = str(tmp_path / "out")
+    _drain(
+        sessions(_stream(spark, staging))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    got = {
+        (r.ss, r.user_id, r.event_type, r.n)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r.ss, r.user_id, r.event_type, r.n)
+        for r in sessions(table(spark, SF_SMOKE, "events")).collect()
+    }
+    # availableNow emits only watermark-closed sessions; every emitted
+    # session must match batch, and most sessions must have emitted.
+    assert got <= batch
+    assert len(got) >= 0.9 * len(batch)
