@@ -929,6 +929,7 @@ def q_llm_vec_quantize(spark, sf_dir):
 
 @query(
     "q_llm_dup_triangles",
+    priority=30,
     oracle=f"""
     WITH pairs AS ({_SIMHASH_PAIRS_SQL}),
     e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
