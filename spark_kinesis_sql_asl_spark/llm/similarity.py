@@ -250,3 +250,93 @@ def q_llm_vec_ops(spark, sf_dir):
         .agg(F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"))
     )
     return per_label.join(centroid, "label")
+
+
+# --- C68: late-interaction (maxsim) retrieval --------------------------------
+
+_MAXSIM_TOKENS = 8  # token-vectors per doc (64-dim sliced into 8 x 8)
+_MAXSIM_DIM = 8
+_MAXSIM_TOPK = 3
+
+
+@query(
+    "q_llm_maxsim",
+    oracle=f"""
+    WITH tv AS (
+        SELECT vec_id,
+               list_transform(range(0, {_MAXSIM_TOKENS}),
+                   t -> (embedding::DOUBLE[])[t * {_MAXSIM_DIM} + 1 :
+                                              (t + 1) * {_MAXSIM_DIM}]) AS tvs
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, tvs AS qts FROM tv
+          WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round(list_sum(list_transform(q.qts,
+                   qt -> list_max(list_transform(c.tvs,
+                       dt -> list_sum(list_transform(range(1, {_MAXSIM_DIM} + 1),
+                           i -> qt[i] * dt[i])))))), 6) AS maxsim
+        FROM q JOIN tv c ON c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, maxsim, rn FROM (
+        SELECT query_id, neighbor_id, maxsim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY maxsim DESC, neighbor_id
+               ) AS rn
+        FROM scored
+    ) WHERE rn <= {_MAXSIM_TOPK}
+    """,
+)
+def q_llm_maxsim(spark, sf_dir):
+    """C68: late-interaction retrieval (the ColBERT scoring function,
+    Khattab & Zaharia SIGIR'20): each document is a BAG of token vectors,
+    and score(q, d) = sum over query tokens of the max dot product against
+    d's tokens — the multi-vector semantics single-vector cosine (C4)
+    cannot express (a doc matching ALL query terms in different places
+    beats one matching one term everywhere). Fixture token vectors are the
+    64-dim embedding sliced into {_MAXSIM_TOKENS}x{_MAXSIM_DIM} — the
+    slicing is synthetic, the scoring algebra is the real thing. Entirely
+    JVM higher-order folds (nested transform/aggregate — no Python, no
+    explode: candidates stay one ROW per (query, doc) pair with the token
+    loop inside the expression); scores rounded to 6 before ranking so
+    rank order is engine-identical; per-query top-{_MAXSIM_TOPK} gets
+    WindowGroupLimit. At 100 TB the query side broadcasts and candidates
+    come from an ANN prefilter (C5/C20) instead of the full cross join —
+    the scoring expression is unchanged, which is the point: rerank stages
+    swap candidate generators, not scorers."""
+    tv = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(sequence(0, {_MAXSIM_TOKENS - 1}), "
+            f"t -> slice(transform(embedding, x -> cast(x as double)), "
+            f"t * {_MAXSIM_DIM} + 1, {_MAXSIM_DIM}))"
+        ).alias("tvs"),
+    )
+    q = tv.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("tvs").alias("qts")
+    )
+    maxsim = F.round(
+        F.expr(
+            f"aggregate(qts, 0D, (acc, qt) -> acc + "
+            f"array_max(transform(tvs, dt -> "
+            f"aggregate(sequence(1, {_MAXSIM_DIM}), 0D, "
+            f"(a, i) -> a + element_at(qt, i) * element_at(dt, i)))))"
+        ),
+        6,
+    )
+    scored = (
+        tv.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            maxsim.alias("maxsim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _MAXSIM_TOPK)
+    )
