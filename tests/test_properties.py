@@ -222,3 +222,60 @@ def test_non_utc_session_timezone_is_repaired(spark, ddb):
         assert_matches_oracle(df, ddb, all_oracles()[name])
     finally:
         spark.conf.set(key, prev)
+
+
+# --- C65 winnowing guarantee (Schleimer et al. Theorem: any match of
+# length >= k + w - 1 shares at least one selected fingerprint) ----------
+
+_TEXT = st.text(alphabet="ab ", min_size=0, max_size=40)
+_SHARED = st.text(alphabet="xyz", min_size=11, max_size=20)  # >= k+w-1 = 11
+
+
+@given(prefix_a=_TEXT, prefix_b=_TEXT, shared=_SHARED)
+@_SETTINGS
+def test_winnowing_guarantee_shared_substring_shares_fingerprint(
+    spark, prefix_a, prefix_b, shared
+):
+    # Two documents embedding the SAME >= (k+w-1)-char substring at
+    # DIFFERENT offsets must select at least one common fingerprint —
+    # the theorem C65's shift-robustness claim rests on. The shared block
+    # uses a disjoint alphabet so no accidental k-gram match with the
+    # random prefixes can mask a failure of the guarantee.
+    from pyspark.sql import functions as F
+
+    from spark_kinesis_sql_asl_spark.llm.spans import _WIN_K, _WIN_W
+
+    docs = spark.createDataFrame(
+        [(0, prefix_a + shared), (1, prefix_b + shared)],
+        "doc_id bigint, text string",
+    )
+    n_hash = F.expr(
+        f"transform(sequence(1, length(coalesce(text, '')) - {_WIN_K} + 1), "
+        f"i -> cast(conv(substring(md5(substring(text, i, {_WIN_K})), 1, 15), "
+        f"16, 10) as bigint))"
+    )
+    fps = (
+        docs.where(
+            F.length(F.coalesce("text", F.lit(""))) >= _WIN_K + _WIN_W - 1
+        )
+        .select("doc_id", n_hash.alias("h"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, size(h) - {_WIN_W} + 1), "
+                        f"j -> array_min(slice(h, j, {_WIN_W})))"
+                    )
+                )
+            ).alias("fp"),
+        )
+    )
+    sel = {}
+    for r in fps.collect():
+        sel.setdefault(r.doc_id, set()).add(r.fp)
+    assert sel.get(0) and sel.get(1)
+    assert sel[0] & sel[1], (
+        f"winnowing guarantee violated: docs sharing {len(shared)} chars "
+        f"selected disjoint fingerprints"
+    )
