@@ -769,3 +769,68 @@ def q_skew_audit(spark, sf_dir):
             "n_keys_in_top_octave",
         )
     )
+
+
+_RFM_ASOF = "1998-12-31"  # fixed "today" for recency — reproducible
+
+
+@query(
+    "q_customer_rfm",
+    priority=35,  # round-4 window is full (49/50) — first driver row in r5
+    oracle=f"""
+    WITH base AS (
+        SELECT o_custkey AS ck,
+               CAST(date_diff('day', max(o_orderdate), DATE '{_RFM_ASOF}')
+                    AS BIGINT) AS rec_days,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT ck, rec_days, freq, monetary_cents,
+           CAST(ntile(5) OVER (ORDER BY rec_days ASC, ck) AS BIGINT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY freq DESC, ck) AS BIGINT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, ck) AS BIGINT)
+               AS m_score
+    FROM base
+    """,
+)
+def q_customer_rfm(spark, sf_dir):
+    """B103: RFM segmentation — recency (days since last order, against a
+    FIXED as-of date so the result is reproducible), frequency, monetary
+    (exact integer cents), each scored into quintiles. The classic
+    customer-value crosstab every warehouse ships. Recency/monetary stay
+    in exact integers (date_diff days, floor-cents) so quintile boundaries
+    cannot drift on float rounding, and every ntile ORDER BY carries the
+    ck tiebreak — bucket assignment is a total order, identical on any
+    partitioning and engine. Plan: one |customers|-group rollup off the
+    fact scan, then three ntile windows over the AGGREGATED frame
+    (|customers| rows, not |orders|). The windows are partitionless by
+    the operator's nature (global quintiles) — at 100 TB compute the 4
+    quintile cut points from approx/exact percentiles instead and join
+    them broadcast, as the docstringed alternative for B31 does; the
+    fixture-scale plan keeps the oracle-exact ntile form."""
+    o = table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.datediff(
+            F.lit(_RFM_ASOF).cast("date"), F.max("o_orderdate")
+        )
+        .cast("bigint")
+        .alias("rec_days"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    w_r = Window.orderBy(F.col("rec_days").asc(), F.col("ck"))
+    w_f = Window.orderBy(F.col("freq").desc(), F.col("ck"))
+    w_m = Window.orderBy(F.col("monetary_cents").desc(), F.col("ck"))
+    return base.select(
+        "ck",
+        "rec_days",
+        "freq",
+        "monetary_cents",
+        F.ntile(5).over(w_r).cast("bigint").alias("r_score"),
+        F.ntile(5).over(w_f).cast("bigint").alias("f_score"),
+        F.ntile(5).over(w_m).cast("bigint").alias("m_score"),
+    )
