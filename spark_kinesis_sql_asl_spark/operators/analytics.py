@@ -834,3 +834,82 @@ def q_customer_rfm(spark, sf_dir):
         F.ntile(5).over(w_f).cast("bigint").alias("f_score"),
         F.ntile(5).over(w_m).cast("bigint").alias("m_score"),
     )
+
+
+@query(
+    "q_events_mad_outliers",
+    priority=35,  # round-4 window full — first driver row in round 5
+    oracle="""
+    WITH c AS (
+        SELECT event_type, event_id,
+               CAST(floor(coalesce(value, 0) * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(cents, 0.5) AS med
+        FROM c GROUP BY event_type
+    ),
+    dev AS (
+        SELECT c.event_type, c.event_id, c.cents, m.med,
+               abs(c.cents - m.med) AS adev
+        FROM c JOIN med m ON c.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(max(d.med), 6) AS median_cents,
+           round(max(m.mad), 6) AS mad_cents,
+           CAST(count(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    """,
+)
+def q_events_mad_outliers(spark, sf_dir):
+    """B104: robust anomaly detection — median absolute deviation per
+    event_type, flagging |x - median| > 3·1.4826·MAD (the standard
+    normal-consistent robust z-score; mean/stddev versions break on the
+    very outliers they hunt). Inputs are exact integer cents; both
+    medians use linear-interpolation percentile (``percentile(x, 0.5)``
+    = DuckDB ``quantile_cont`` — the B31-pinned convention) and the two
+    reported medians round(…,6) at the boundary. Plan: two
+    |event_types|-row aggregate tables broadcast back onto the scan —
+    at 100 TB the exact median becomes approx_percentile or the C61s
+    streaming octave sketch, with this exact form as the verification
+    twin; the flag predicate fuses into the joined scan, so the whole
+    audit is two passes with no row-level shuffle."""
+    c = table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(floor(coalesce(value, 0) * 100) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    med = c.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("med")
+    )
+    dev = c.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "cents",
+        "med",
+        F.abs(F.col("cents") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("med"), 6).alias("median_cents"),
+            F.round(F.max("mad"), 6).alias("mad_cents"),
+            F.count(
+                F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1)
+            ).alias("n_outliers"),
+        )
+    )
