@@ -251,3 +251,81 @@ def streaming_quantile_octaves(event_stream, quantiles=(0.5, 0.9, 0.99)):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_quantile_octaves_tws(event_stream, quantiles=(0.5, 0.9, 0.99)):
+    """C61s on the MODERN arbitrary-state API: the same per-event_type
+    quantile-octave histogram as :func:`streaming_quantile_octaves`, but
+    as a ``transformWithStateInPandas`` ``StatefulProcessor`` (Spark 4's
+    successor to ``applyInPandasWithState`` — typed state handles, timer
+    support, RocksDB-only). Semantics are IDENTICAL by construction —
+    the harness test pins the two implementations equal on the same
+    stream — so this is the forward-migration path B68's docstring
+    promises: swap the operator surface, keep the fold.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) AND the
+    ``google.protobuf`` Python package (the TWS state protocol wire
+    format — NOT installed in this container, so the twin-equality test
+    skips here and runs where protobuf exists, like the env-gated
+    Kinesis suite). The legacy twin runs on any provider with no extra
+    deps, which is why it remains the default surface."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Proc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "qh", "cnts array<bigint>, n bigint, seq bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._st.exists():
+                cnts, n, seq = self._st.get()
+                cnts = list(cnts)
+            else:
+                cnts, n, seq = [0] * _QH_BINS, 0, 0
+            for pdf in rows:
+                for v in pdf["value"]:
+                    if v is None or (isinstance(v, float) and v != v):
+                        continue
+                    c = int(v * 100 // 1)
+                    o = c.bit_length() if c >= 1 else 0
+                    cnts[min(o, _QH_BINS - 1)] += 1
+                    n += 1
+            seq += 1
+            self._st.update((cnts, n, seq))
+
+            def q_oct(p: float) -> int:
+                if n == 0:
+                    return -1
+                want = max(1, -(-int(p * n * 1_000_000) // 1_000_000))
+                run = 0
+                for o, c in enumerate(cnts):
+                    run += c
+                    if run >= want:
+                        return o
+                return _QH_BINS - 1
+
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "n": [n],
+                    "p50_oct": [q_oct(quantiles[0])],
+                    "p90_oct": [q_oct(quantiles[1])],
+                    "p99_oct": [q_oct(quantiles[2])],
+                    "seq": [seq],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return event_stream.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=_Proc(),
+        outputStructType=_QH_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -1356,3 +1356,90 @@ def test_dynamic_gap_session_window_matches_batch(spark, events_rows, tmp_path):
     # session must match batch, and most sessions must have emitted.
     assert got <= batch
     assert len(got) >= 0.9 * len(batch)
+
+
+def test_transform_with_state_twin_matches_legacy(spark, tmp_path):
+    """C61s-tws: the transformWithStateInPandas implementation (Spark 4's
+    modern arbitrary-state API, RocksDB-backed typed state handles) must
+    produce EXACTLY the legacy applyInPandasWithState summaries on the
+    same micro-batched stream — the forward-migration guarantee: swap the
+    operator surface, keep the fold."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState's state protocol needs protobuf "
+        "(absent in this container)",
+    )
+    from spark_kinesis_sql_asl_spark.streaming.stateful import (
+        streaming_quantile_octaves,
+        streaming_quantile_octaves_tws,
+    )
+
+    ev = (
+        table(spark, SF_SMOKE, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    staging = str(tmp_path / "tws_stream")
+    os.makedirs(staging)
+    per = (len(ev) + 2) // 3
+    for i in range(3):
+        sl = ev[i * per : (i + 1) * per]
+        tbl = pa.table(
+            {
+                "event_type": pa.array([r.event_type for r in sl], pa.string()),
+                "value": pa.array([r.value for r in sl], pa.float64()),
+            }
+        )
+        f = os.path.join(staging, f"{i:04d}.parquet")
+        pq.write_table(tbl, f)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def final_summaries(op, qname, ckpt, provider=None):
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(key, None)
+        if provider:
+            spark.conf.set(key, provider)
+        try:
+            stream = (
+                spark.readStream.schema("event_type string, value double")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(staging)
+            )
+            _drain(
+                op(stream)
+                .writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("update")
+                .option("checkpointLocation", str(tmp_path / ckpt))
+                .trigger(availableNow=True)
+            )
+            return {
+                (r.event_type, r.n, r.p50_oct, r.p90_oct, r.p99_oct)
+                for r in spark.sql(
+                    f"""
+                    SELECT event_type, n, p50_oct, p90_oct, p99_oct FROM (
+                        SELECT *, row_number() OVER (
+                            PARTITION BY event_type ORDER BY seq DESC
+                        ) AS rn FROM {qname}
+                    ) WHERE rn = 1
+                    """
+                ).collect()
+            }
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    legacy = final_summaries(streaming_quantile_octaves, "qh_legacy", "ck_l")
+    tws = final_summaries(
+        streaming_quantile_octaves_tws,
+        "qh_tws",
+        "ck_t",
+        provider=(
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+    )
+    assert tws == legacy
+    assert legacy  # non-vacuous
