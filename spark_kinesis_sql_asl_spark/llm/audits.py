@@ -106,3 +106,76 @@ def q_llm_composition(spark, sf_dir):
     )
     aggs.append(F.count(F.lit(1)).alias("n_total"))
     return d.groupBy("src").agg(*aggs)
+
+
+# --- C69: column completeness / distinctness profile -------------------------
+
+
+@query(
+    "q_llm_profile",
+    priority=35,  # round-4 window full — first driver row in round 5
+    oracle="""
+    WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents)
+    SELECT 'text' AS col,
+           CAST(count(text) AS BIGINT) AS n_filled,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+           CAST((1000000 * count(text)) // greatest(1, max(t.total))
+                AS BIGINT) AS filled_ppm
+    FROM documents, t
+    UNION ALL
+    SELECT 'lang', CAST(count(lang) AS BIGINT),
+           CAST(count(DISTINCT lang) AS BIGINT),
+           CAST((1000000 * count(lang)) // greatest(1, max(t.total)) AS BIGINT)
+    FROM documents, t
+    UNION ALL
+    SELECT 'source', CAST(count(source) AS BIGINT),
+           CAST(count(DISTINCT source) AS BIGINT),
+           CAST((1000000 * count(source)) // greatest(1, max(t.total)) AS BIGINT)
+    FROM documents, t
+    UNION ALL
+    SELECT 'n_chars', CAST(count(n_chars) AS BIGINT),
+           CAST(count(DISTINCT n_chars) AS BIGINT),
+           CAST((1000000 * count(n_chars)) // greatest(1, max(t.total)) AS BIGINT)
+    FROM documents, t
+    """,
+)
+def q_llm_profile(spark, sf_dir):
+    """C69: column profile — completeness (non-NULL share in exact ppm)
+    and distinctness per column, the Deequ/profiler pass a pipeline runs
+    on every new table BEFORE writing constraints (C46's schema checks
+    and B100's assertions consume exactly these numbers). One aggregate
+    per column over a SHARED scan: Spark computes all four profiles in a
+    single pass (one Aggregate over count(col)/countDistinct per column,
+    then an explicit stack to rows); nothing but the 4-row profile ever
+    shuffles. At 100 TB distinctness swaps to approx_count_distinct
+    (B29's documented path) — completeness stays exact either way."""
+    d = table(spark, sf_dir, "documents")
+    agg = d.agg(
+        F.count(F.lit(1)).alias("total"),
+        *[
+            x
+            for c in ("text", "lang", "source", "n_chars")
+            for x in (
+                F.count(c).alias(f"f_{c}"),
+                F.countDistinct(c).alias(f"d_{c}"),
+            )
+        ],
+    )
+    stacked = agg.select(
+        F.expr(
+            "stack(4, "
+            + ", ".join(
+                f"'{c}', f_{c}, d_{c}" for c in ("text", "lang", "source", "n_chars")
+            )
+            + ") AS (col, n_filled, n_distinct)"
+        ),
+        "total",
+    )
+    return stacked.select(
+        "col",
+        "n_filled",
+        "n_distinct",
+        F.expr(
+            "CAST((1000000 * n_filled) div greatest(1, total) AS BIGINT)"
+        ).alias("filled_ppm"),
+    )
