@@ -177,3 +177,67 @@ def q_sort_nulls_first(spark, sf_dir):
     return ev.orderBy(
         F.col("et").asc_nulls_first(), F.col("event_id").asc()
     ).limit(_NULLSORT_LIMIT)
+
+
+@query(
+    "q_events_transitions",
+    priority=35,  # round-4 window full — first driver row in round 5
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts NULLS FIRST, event_id
+               ) AS next_type
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type AS src, next_type AS dst,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    outdeg AS (
+        SELECT src, CAST(sum(n) AS BIGINT) AS total FROM trans GROUP BY src
+    )
+    SELECT t.src, t.dst, t.n,
+           CAST((1000000 * t.n) // o.total AS BIGINT) AS p_ppm
+    FROM trans t JOIN outdeg o ON t.src = o.src
+    """,
+)
+def q_events_transitions(spark, sf_dir):
+    """B106: event-type transition matrix — first-order Markov estimation
+    over per-user event sequences: P(next | current) in exact integer
+    ppm. This is the sequence statistic behind journey analysis, anomaly
+    detection on behavioral logs (improbable transitions), and simulation
+    seeding — one level below B83's fixed funnel (every path, not one).
+    The successor comes from lead() over the SAME (user_id; ts, event_id)
+    ordering B93's sessionizer pins (NULLS FIRST explicit on both
+    engines), so the per-user shuffle is shared machinery; transition
+    counts partial-aggregate map-side into an |event_types|²-row matrix
+    and the row-normalization join touches only that matrix. At 100 TB
+    the window state is one lookahead row per user — flat memory — and
+    the matrix is KB-scale regardless of corpus."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_first(), F.col("event_id").asc()
+    )
+    seq = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    trans = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    outdeg = trans.groupBy("src").agg(
+        F.sum("n").cast("bigint").alias("total")
+    )
+    return trans.join(outdeg, "src").select(
+        "src",
+        "dst",
+        "n",
+        F.expr("CAST((1000000 * n) div total AS BIGINT)").alias("p_ppm"),
+    )
