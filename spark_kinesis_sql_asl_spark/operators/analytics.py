@@ -982,3 +982,67 @@ def q_benford_audit(spark, sf_dir):
             benford.alias("benford_ppm"),
         )
     )
+
+
+@query(
+    "q_pareto_deciles",
+    priority=35,  # round-4 window full — first driver row in round 5
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey AS pk,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM rev),
+    ranked AS (
+        SELECT pk, cents,
+               ntile(10) OVER (ORDER BY cents DESC, pk) AS decile
+        FROM rev
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           CAST((1000000 * sum(cents)) // max(t.total) AS BIGINT) AS share_ppm
+    FROM ranked, t
+    GROUP BY decile
+    """,
+)
+def q_pareto_deciles(spark, sf_dir):
+    """B107: Pareto concentration curve — parts ranked by revenue, cut
+    into deciles, each decile's share of total revenue in exact ppm (the
+    80/20 audit: a healthy catalog shows the top decile carrying most
+    revenue; a flat curve means the ranking dimension is meaningless).
+    Revenue stays in integer cents; decile assignment is ntile over the
+    AGGREGATED |parts| frame with a pk tiebreak (total order — engine-
+    and partitioning-independent). The ntile window is partitionless by
+    the statistic's nature but runs on the dimension-scale aggregate,
+    never the fact table — and at 100 TB the documented alternative is
+    rank-by-percentile cut points joined broadcast, the same note as
+    B103's quintiles. One fact shuffle (the pk rollup), one 1-row total
+    broadcast, a 10-row output."""
+    rev = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            F.sum(F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    t = rev.agg(F.sum("cents").cast("bigint").alias("total"))
+    w = Window.orderBy(F.col("cents").desc(), F.col("pk"))
+    ranked = rev.select(
+        "pk", "cents", F.ntile(10).over(w).cast("bigint").alias("decile")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(t))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("cents"),
+            F.expr(
+                "CAST((1000000 * sum(cents)) div max(total) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )
