@@ -179,3 +179,77 @@ def q_llm_profile(spark, sf_dir):
             "CAST((1000000 * n_filled) div greatest(1, total) AS BIGINT)"
         ).alias("filled_ppm"),
     )
+
+
+# --- C70: embedding distribution drift between snapshots ---------------------
+
+
+@query(
+    "q_llm_embed_drift",
+    priority=35,  # round-5 window
+    oracle="""
+    WITH halves AS (
+        SELECT vec_id % 2 AS half,
+               unnest(embedding::DOUBLE[]) AS val,
+               unnest(list_transform(embedding::DOUBLE[], (x, i) -> i - 1))
+                   AS dim
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT half, dim,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(val * 1000) AS BIGINT)) AS BIGINT) AS s_mil
+        FROM halves GROUP BY half, dim
+    )
+    SELECT a.dim,
+           a.s_mil AS s_mil_a, b.s_mil AS s_mil_b,
+           CAST(abs((1000 * a.s_mil) // a.n - (1000 * b.s_mil) // b.n)
+                AS BIGINT) AS mean_drift_micro
+    FROM stats a JOIN stats b ON a.dim = b.dim
+    WHERE a.half = 0 AND b.half = 1
+    """,
+)
+def q_llm_embed_drift(spark, sf_dir):
+    """C70: embedding-distribution drift — per-dimension mean shift
+    between two cohorts (here the deterministic vec_id parity carve; in
+    production, last week's snapshot vs this week's, via the C57 diff
+    machinery). This is the embedding-space twin of schema drift
+    monitoring: a retrained or silently-updated encoder shifts dimension
+    means long before downstream metrics move, and per-dim deltas
+    localize WHICH dimensions moved (C52's single-snapshot stats can't).
+    All integer arithmetic — milli-unit floors summed exactly, means as
+    integer division, drift in micro-units — so the report is
+    bit-identical on any engine or partitioning. Plan: one posexplode
+    rollup per cohort (shared scan), a 64-row join; at 100 TB the rollup
+    partial-aggregates scan-side and only (half, dim, sums) shuffle."""
+    h = table(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.expr("transform(embedding, x -> cast(x as double))"))
+        .alias("dim", "val"),
+    )
+    stats = h.groupBy("half", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(floor(val * 1000) AS BIGINT)"))
+        .cast("bigint")
+        .alias("s_mil"),
+    )
+    a = stats.where(F.col("half") == 0).select(
+        "dim", F.col("s_mil").alias("s_mil_a"), F.col("n").alias("n_a")
+    )
+    b = stats.where(F.col("half") == 1).select(
+        F.col("dim").alias("dim_b"),
+        F.col("s_mil").alias("s_mil_b"),
+        F.col("n").alias("n_b"),
+    )
+    return (
+        a.join(b, a.dim == b.dim_b)
+        .select(
+            "dim",
+            "s_mil_a",
+            "s_mil_b",
+            F.expr(
+                "CAST(abs((1000 * s_mil_a) div n_a - (1000 * s_mil_b) div n_b) "
+                "AS BIGINT)"
+            ).alias("mean_drift_micro"),
+        )
+    )

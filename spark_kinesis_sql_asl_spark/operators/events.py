@@ -241,3 +241,67 @@ def q_events_transitions(spark, sf_dir):
         "n",
         F.expr("CAST((1000000 * n) div total AS BIGINT)").alias("p_ppm"),
     )
+
+
+@query(
+    "q_events_dau_wau",
+    priority=35,  # round-5 window
+    oracle=f"""
+    WITH du AS (
+        SELECT DISTINCT epoch_us(ts) // {_DAY_US} AS day, user_id
+        FROM events WHERE ts IS NOT NULL
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day
+    ),
+    wau AS (
+        SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+        FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day
+    )
+    SELECT CAST(a.day AS BIGINT) AS day, a.dau, w.wau,
+           CAST((1000000 * a.dau) // w.wau AS BIGINT) AS stickiness_ppm
+    FROM dau a JOIN wau w ON a.day = w.day
+    """,
+)
+def q_events_dau_wau(spark, sf_dir):
+    """B108: DAU/WAU stickiness — daily active users, 7-day-trailing
+    weekly actives, and their ratio in exact ppm (the engagement metric
+    product analytics watches daily; WAU is EXACT rolling distinct, which
+    no window frame can express because count(DISTINCT) isn't a window
+    aggregate). Shape: events dedup to (day, user) pairs FIRST (the only
+    corpus-scale stage, map-side partial distinct), then the 7-day range
+    join runs |days| x |day-user-pairs| — day-bounded, so at 100 TB it is
+    a range join over a frame already thousands of times smaller than
+    the fact table, keyed to at most 7 candidate days per pair. Integer
+    epoch-day floors end-to-end (B94's convention)."""
+    du = (
+        table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select(
+            F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day"), "user_id"
+        )
+        .distinct()
+    )
+    days = du.select("day").distinct().select(F.col("day").alias("d"))
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        days.join(
+            du,
+            (F.col("day") >= F.col("d") - 6) & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day == wau.d)
+        .select(
+            F.col("day").cast("bigint").alias("day"),
+            "dau",
+            "wau",
+            F.expr("CAST((1000000 * dau) div wau AS BIGINT)").alias(
+                "stickiness_ppm"
+            ),
+        )
+    )
