@@ -989,3 +989,78 @@ def q_llm_dup_triangles(spark, sf_dir):
             ).alias("closure_ppm"),
         )
     )
+
+
+# --- C71: SimHash hamming-distance spectrum (threshold calibration) ----------
+
+# C13's candidate pipeline WITHOUT the final hamming threshold: the full
+# band-collision spectrum. Derived from the same SQL so the two can never
+# diverge; the threshold clause is the documented last WHERE.
+_SIMHASH_PAIRS_CAND_SQL = _SIMHASH_PAIRS_SQL.rsplit("WHERE", 1)[0]
+
+
+@query(
+    "q_llm_hamming_spectrum",
+    priority=35,  # round-5 window
+    oracle=f"""
+    WITH pairs AS ({_SIMHASH_PAIRS_CAND_SQL})
+    SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY hamming
+    """,
+)
+def q_llm_hamming_spectrum(spark, sf_dir):
+    """C71: hamming-distance spectrum over ALL band-collision candidates
+    (no threshold) — the calibration evidence behind C13's
+    MAX_HAMMING={_SIMHASH_MAX_HAMMING} cut: a healthy corpus shows a
+    bimodal spectrum (near-dup mass at low distances, a background hump
+    near {_SIMHASH_BITS}/2), and the valley between them IS the right
+    threshold. Tuning the cut without this histogram is guessing; C67's
+    closure audit then validates the chosen cut's cluster cohesion.
+    Reuses C13's banding machinery verbatim minus the final filter, so
+    the cost profile is identical to the dedup pass itself; output is a
+    <={_SIMHASH_BITS + 1}-row histogram."""
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tok_hashes = F.expr(
+        "transform(split(text, ' '), "
+        "tok -> cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint))"
+    )
+    simhash = sum(
+        F.when(
+            F.expr(
+                f"2 * aggregate(hs, CAST(0 AS BIGINT), "
+                f"(acc, h) -> acc + ((h >> {b}) & 1)) > size(hs)"
+            ),
+            F.lit(1 << b),
+        ).otherwise(F.lit(0))
+        for b in range(_SIMHASH_BITS)
+    ).cast("bigint")
+    sh = (
+        d.select("doc_id", "lang", tok_hashes.alias("hs"))
+        .select("doc_id", "lang", simhash.alias("simhash"))
+        .localCheckpoint(eager=True)
+    )
+    bands = sh.select(
+        "doc_id",
+        "lang",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(_SIMHASH_BANDS)])).alias(
+            "band"
+        ),
+    ).withColumn("bucket", F.expr("(simhash >> (band * 8)) & 255"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
