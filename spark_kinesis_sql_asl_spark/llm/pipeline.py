@@ -1064,3 +1064,91 @@ def q_llm_hamming_spectrum(spark, sf_dir):
         .distinct()
     )
     return cand.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# --- C72: banding bucket-size audit (candidate-volume prediction) ------------
+
+
+@query(
+    "q_llm_bucket_stats",
+    priority=35,  # round-5 window
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    h AS (SELECT doc_id, lang, {_DUCK_TOKHASH} AS h FROM toks),
+    bits AS (
+        SELECT doc_id, lang,
+               {", ".join(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(_SIMHASH_BITS))}
+        FROM h GROUP BY doc_id, lang
+    ),
+    sh AS (
+        SELECT doc_id, lang,
+               CAST({" + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS))} AS BIGINT) AS simhash
+        FROM bits
+    ),
+    bands AS (
+        SELECT doc_id, lang, unnest([0, 1, 2, 3]) AS band, simhash FROM sh
+    ),
+    buckets AS (
+        SELECT lang, band, (simhash >> (band * 8)) & 255 AS bucket,
+               CAST(count(*) AS BIGINT) AS sz
+        FROM bands GROUP BY 1, 2, 3
+    )
+    SELECT CAST(length(bin(sz)) AS BIGINT) AS sz_octave,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(sz) AS BIGINT) AS n_docs_banded,
+           CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS n_cand_pairs
+    FROM buckets GROUP BY 1
+    """,
+)
+def q_llm_bucket_stats(spark, sf_dir):
+    """C72: banding bucket-size audit — the candidate-volume predictor for
+    every LSH-family operator (C3/C5/C13/C15): bucket sizes binned into
+    octaves (C51's bin-length trick) with the implied pair count
+    Σ sz·(sz-1)/2 per octave. This number IS the band join's output size,
+    so the audit — one rollup over (lang, band, bucket), ~KB output —
+    predicts the dedup pass's cost BEFORE running it; a heavy top octave
+    means the banding is too coarse (widen buckets/bands, or salt the
+    hot bucket) and is exactly what blows up 'works at sf0.1' jobs at
+    100 TB. Reuses C13's fingerprint + banding verbatim upstream of the
+    audit rollup."""
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tok_hashes = F.expr(
+        "transform(split(text, ' '), "
+        "tok -> cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint))"
+    )
+    simhash = sum(
+        F.when(
+            F.expr(
+                f"2 * aggregate(hs, CAST(0 AS BIGINT), "
+                f"(acc, h) -> acc + ((h >> {b}) & 1)) > size(hs)"
+            ),
+            F.lit(1 << b),
+        ).otherwise(F.lit(0))
+        for b in range(_SIMHASH_BITS)
+    ).cast("bigint")
+    sh = d.select("doc_id", "lang", tok_hashes.alias("hs")).select(
+        "doc_id", "lang", simhash.alias("simhash")
+    )
+    buckets = (
+        sh.select(
+            "lang",
+            "simhash",
+            F.explode(
+                F.array(*[F.lit(b) for b in range(_SIMHASH_BANDS)])
+            ).alias("band"),
+        )
+        .withColumn("bucket", F.expr("(simhash >> (band * 8)) & 255"))
+        .groupBy("lang", "band", "bucket")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return buckets.groupBy(
+        F.length(F.expr("bin(sz)")).cast("bigint").alias("sz_octave")
+    ).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("sz").cast("bigint").alias("n_docs_banded"),
+        F.expr("CAST(sum(sz * (sz - 1) div 2) AS BIGINT)").alias(
+            "n_cand_pairs"
+        ),
+    )
