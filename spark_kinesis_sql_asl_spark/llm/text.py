@@ -283,3 +283,104 @@ def q_llm_link_extract(spark, sf_dir):
         F.count(F.lit(1)).alias("n_links"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+# --- C73: tokenizer fertility by language ------------------------------------
+
+
+@query(
+    "q_llm_fertility",
+    priority=35,  # round-5 window
+    oracle="""
+    WITH d AS (
+        SELECT lang,
+               len(string_split(coalesce(text, ''), ' ')) AS n_tok,
+               length(coalesce(text, '')) AS n_chr
+        FROM documents
+    )
+    SELECT lang,
+           CAST(sum(n_tok) AS BIGINT) AS toks,
+           CAST(sum(n_chr) AS BIGINT) AS chars,
+           CAST((1000 * sum(n_chr)) // greatest(1, sum(n_tok)) AS BIGINT)
+               AS chars_per_tok_milli,
+           CAST((1000000 * sum(n_tok)) // greatest(1, count(*)) AS BIGINT)
+               AS toks_per_doc_micro
+    FROM d GROUP BY lang
+    """,
+)
+def q_llm_fertility(spark, sf_dir):
+    """C73: tokenizer fertility by language — characters per token and
+    tokens per document, per lang, in exact integer milli/micro units.
+    This is the multilingual-equity audit a tokenizer build runs on C56's
+    output: a language whose fertility is 2-3x the corpus median pays
+    2-3x the context budget per sentence (the documented failing of
+    English-centric BPE vocabularies), and the mixture weights (C30/C47)
+    must compensate in TOKENS, not documents. One map-side-combined
+    rollup over scan-stage length expressions — |langs| rows out,
+    nothing else shuffles."""
+    d = table(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.split(F.coalesce("text", F.lit("")), " ")).alias("n_tok"),
+        F.length(F.coalesce("text", F.lit(""))).alias("n_chr"),
+    )
+    return d.groupBy("lang").agg(
+        F.sum("n_tok").cast("bigint").alias("toks"),
+        F.sum("n_chr").cast("bigint").alias("chars"),
+        F.expr(
+            "CAST((1000 * sum(n_chr)) div greatest(1, sum(n_tok)) AS BIGINT)"
+        ).alias("chars_per_tok_milli"),
+        F.expr(
+            "CAST((1000000 * sum(n_tok)) div greatest(1, count(1)) AS BIGINT)"
+        ).alias("toks_per_doc_micro"),
+    )
+
+
+# --- C74: corpus diversity (Gini-Simpson, exact integers) --------------------
+
+
+@query(
+    "q_llm_diversity",
+    priority=35,  # round-5 window
+    oracle="""
+    WITH c AS (
+        SELECT coalesce(source, '') AS src, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY src
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                 CAST(sum(n * n) AS BIGINT) AS sum_sq,
+                 CAST(count(*) AS BIGINT) AS n_groups
+          FROM c)
+    SELECT n_groups, total,
+           CAST((1000000 * (total * total - sum_sq)) // (total * total)
+                AS BIGINT) AS gini_simpson_ppm,
+           CAST((1000000 * sum_sq) // (total * total) AS BIGINT)
+               AS collision_ppm
+    FROM t
+    """,
+)
+def q_llm_diversity(spark, sf_dir):
+    """C74: corpus diversity — the Gini-Simpson index 1 - Σp² over source
+    shares, plus its complement (the collision/Herfindahl probability),
+    both in EXACT integer ppm: Σn² and N² are exact BIGINTs, so unlike a
+    Shannon entropy this diversity measure needs no log and can never
+    drift across engines or summation orders. This is the one-number
+    mixture-health gauge over C53's composition table: collision_ppm →
+    1e6 means one source dominates (C47 must rebalance), gini → 1 - 1/k
+    means a uniform k-way mix. One |sources|-row rollup + a 1-row
+    aggregate — nothing else moves at any scale."""
+    c = (
+        table(spark, sf_dir, "documents")
+        .groupBy(F.coalesce(F.col("source"), F.lit("")).alias("src"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return c.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n").cast("bigint").alias("total"),
+        F.expr(
+            "CAST((1000000 * (sum(n) * sum(n) - sum(n * n))) div "
+            "(sum(n) * sum(n)) AS BIGINT)"
+        ).alias("gini_simpson_ppm"),
+        F.expr(
+            "CAST((1000000 * sum(n * n)) div (sum(n) * sum(n)) AS BIGINT)"
+        ).alias("collision_ppm"),
+    )
