@@ -1152,3 +1152,64 @@ def q_llm_bucket_stats(spark, sf_dir):
             "n_cand_pairs"
         ),
     )
+
+
+# --- C75: near-dup precision audit -------------------------------------------
+
+
+@query(
+    "q_llm_dedup_precision",
+    priority=35,  # round-5 window
+    oracle=f"""
+    WITH pairs AS ({_SIMHASH_PAIRS_SQL}),
+    j AS (
+        SELECT p.hamming,
+               CAST(md5(coalesce(a.text, '')) = md5(coalesce(b.text, ''))
+                    AS BIGINT) AS is_exact
+        FROM pairs p
+        JOIN documents a ON p.doc_a = a.doc_id
+        JOIN documents b ON p.doc_b = b.doc_id
+    )
+    SELECT hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(is_exact) AS BIGINT) AS n_exact,
+           CAST((1000000 * sum(is_exact)) // count(*) AS BIGINT)
+               AS exact_ppm
+    FROM j GROUP BY hamming
+    """,
+)
+def q_llm_dedup_precision(spark, sf_dir):
+    """C75: near-dup precision audit — for each hamming distance in C13's
+    pair output, what fraction of pairs are EXACT duplicates (content
+    hashes equal), in integer ppm. This is the ground-truth-by-
+    construction precision curve: exact dups are verifiable without
+    labels, so exact_ppm at distance 0 near 1e6 (identical fingerprints
+    should be identical texts in a low-collision regime) and decaying
+    with distance is the expected shape — a flat curve means the
+    fingerprint is hashing noise, and the C71 spectrum + this curve
+    together pick the operating threshold. The doc-id joins fetch only
+    the md5 (computed scan-side; text never shuffles past the scan), and
+    the rollup is ≤{_SIMHASH_MAX_HAMMING + 1} rows."""
+    pairs = q_llm_dedup_simhash(spark, sf_dir)
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary"))
+    da = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("a_id"), h.alias("h_a")
+    )
+    db = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("b_id"), h.alias("h_b")
+    )
+    j = (
+        pairs.join(da, pairs.doc_a == da.a_id)
+        .join(db, pairs.doc_b == db.b_id)
+        .select(
+            "hamming",
+            (F.col("h_a") == F.col("h_b")).cast("bigint").alias("is_exact"),
+        )
+    )
+    return j.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("is_exact").cast("bigint").alias("n_exact"),
+        F.expr(
+            "CAST((1000000 * sum(is_exact)) div count(1) AS BIGINT)"
+        ).alias("exact_ppm"),
+    )

@@ -384,3 +384,46 @@ def q_llm_diversity(spark, sf_dir):
             "CAST((1000000 * sum(n * n)) div (sum(n) * sum(n)) AS BIGINT)"
         ).alias("collision_ppm"),
     )
+
+
+# --- C76: document-length profile by language --------------------------------
+
+
+@query(
+    "q_llm_length_profile",
+    priority=35,  # round-5 window
+    oracle="""
+    WITH d AS (
+        SELECT lang,
+               length(bin(greatest(1,
+                   len(string_split(coalesce(text, ''), ' '))))) AS octave
+        FROM documents
+    )
+    SELECT lang, CAST(octave AS BIGINT) AS octave,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM d GROUP BY lang, octave
+    """,
+)
+def q_llm_length_profile(spark, sf_dir):
+    """C76: document-length profile — per-language histogram of token
+    counts in octaves (C51's exact bit-length binning). This is the
+    packing/truncation budget planner: C29's pack size and any
+    max-sequence-length cutoff should be chosen off this table (how much
+    mass sits above the cutoff, per language — fertility-adjusted via
+    C73), and a shifted length profile between crawls is an early
+    corruption signal (truncated fetches collapse the high octaves).
+    One scan-stage length expression + a (lang, octave) rollup —
+    |langs| x ~20 rows out, map-side combined."""
+    d = table(spark, sf_dir, "documents").select(
+        "lang",
+        F.length(
+            F.expr(
+                "bin(greatest(1, size(split(coalesce(text, ''), ' '))))"
+            )
+        )
+        .cast("bigint")
+        .alias("octave"),
+    )
+    return d.groupBy("lang", "octave").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
