@@ -58,86 +58,120 @@ _MODULES = (
     "operators.sorts_sets",
 )
 
-# ROUND-4 ROTATION (computed from CORRECTNESS_r01..r03.json): promote the 20
-# queries that have never received a driver CORRECTNESS row to 20 so they land
-# inside the driver's ~50-entry sampling window; rotate every r3-passed
-# priority-0/20/30 query to 100 (their green rows stand). Canaries keep their
-# decorator priority 10 (not listed here). New round-4 queries use
-# decorator priority=30.
+# ROUND-5 ROTATION (computed from CORRECTNESS_r01..r04.json: 183 distinct
+# queries sampled, 0 red — so (a) "reds to 0" is empty this round): promote
+# the 13 queries that have never received a driver CORRECTNESS row to 20 so
+# they land inside the driver's ~50-entry sampling window; rotate every
+# ever-driver-passed query whose decorator priority is <100 back to 100
+# (their green rows stand). Canaries keep their decorator priority 10 (not
+# listed here). New round-5 queries use decorator priority=30.
 _PRIORITY_OVERRIDES: dict[str, int] = {
-    # (b) never driver-sampled → first driver row this round
+    # (b) never driver-sampled (the 13 priority-35 r4 tail additions) →
+    # first driver row this round
     **{
         n: 20
         for n in (
-            "q_llm_train_order",
-            "q_llm_shard_balance",
-            "q_llm_source_leak",
-            "q_llm_bitext_mine",
-            "q_llm_ingest_dedup",
-            "q_llm_mixture_sample",
-            "q_llm_corpus_build",
-            "q_llm_surprisal",
-            "q_llm_novelty",
-            "q_llm_repeated_chunks",
-            "q_llm_freq_spectrum",
-            "q_llm_bpe_pairs",
-            "q_llm_embed_dimstats",
-            "q_llm_composition",
-            "q_events_sessionize",
-            "q_events_cohort_retention",
-            "q_sort_nulls_first",
-            "q_llm_frame_sample",
-            "q_llm_decode_media",
-            "q_agg_listagg",
+            "q_benford_audit",
+            "q_customer_rfm",
+            "q_events_dau_wau",
+            "q_events_mad_outliers",
+            "q_events_transitions",
+            "q_llm_bucket_stats",
+            "q_llm_dedup_precision",
+            "q_llm_diversity",
+            "q_llm_embed_drift",
+            "q_llm_fertility",
+            "q_llm_length_profile",
+            "q_llm_profile",
+            "q_pareto_deciles",
         )
     },
-    # (c) r3-passed priority-0/20/30 rows rotate to the back
+    # (c) driver-green r1–r4 rows with decorator priority <100 rotate back
     **{
         n: 100
         for n in (
-            "q_llm_fingerprint",
-            "q_llm_sample_hash",
-            "q_llm_pack",
-            "q_llm_mixture",
-            "q_llm_repetition",
-            "q_llm_kmeans",
-            "q_llm_curate_e2e",
-            "q_sql_recursive_spine",
-            "q_win_time_range",
+            "q_agg_boolcond",
+            "q_agg_decimal",
             "q_agg_filter_clause",
-            "q_kinesis_decode_json",
-            "q_fn_datetime",
-            "q_kinesis_schema",
-            "q_kinesis_replay_window",
-            "q_kinesis_decode_csv",
-            "q_kinesis_shard_route",
-            "q_llm_tokenize",
-            "q_llm_tfidf",
-            "q_llm_corpus_stats",
-            "q_llm_chunk",
-            "q_llm_textscore",
-            "q_llm_multimodal",
+            "q_agg_listagg",
+            "q_agg_percentile_approx",
+            "q_basket_pairs",
+            "q_events_cohort_retention",
+            "q_events_sessionize",
             "q_fn_array",
-            "q_fn_explode",
-            "q_fn_posexplode",
-            "q_fn_map",
-            "q_fn_json",
-            "q_fn_struct",
-            "q_fn_hash",
             "q_fn_binary",
-            "q_fn_math",
+            "q_fn_bitwise",
             "q_fn_case",
             "q_fn_cast",
-            "q_fn_bitwise",
-            "q_agg_percentile_approx",
-            "q_llm_split_stratified",
-            "q_llm_sample_reservoir",
-            "q_llm_heavy_hitters",
+            "q_fn_datetime",
+            "q_fn_explode",
+            "q_fn_hash",
+            "q_fn_json",
+            "q_fn_map",
+            "q_fn_math",
+            "q_fn_posexplode",
+            "q_fn_struct",
+            "q_kinesis_decode_csv",
+            "q_kinesis_decode_json",
+            "q_kinesis_replay_window",
+            "q_kinesis_schema",
+            "q_kinesis_shard_route",
+            "q_llm_bitext_mine",
+            "q_llm_bpe_pairs",
+            "q_llm_bpe_train3",
+            "q_llm_chunk",
+            "q_llm_composition",
+            "q_llm_corpus_build",
+            "q_llm_corpus_diff",
+            "q_llm_corpus_stats",
+            "q_llm_curate_e2e",
+            "q_llm_decode_media",
             "q_llm_dedup_survivors",
+            "q_llm_dup_triangles",
+            "q_llm_embed_dimstats",
+            "q_llm_fingerprint",
+            "q_llm_frame_sample",
+            "q_llm_freq_spectrum",
+            "q_llm_hamming_spectrum",
+            "q_llm_heavy_hitters",
             "q_llm_heavy_hitters_sketch",
+            "q_llm_ingest_dedup",
+            "q_llm_ingest_jsonl",
+            "q_llm_kmeans",
             "q_llm_kmeans_mstep",
+            "q_llm_link_extract",
+            "q_llm_lm_score",
+            "q_llm_maxsim",
+            "q_llm_media_sniff",
+            "q_llm_mixture",
+            "q_llm_mixture_sample",
+            "q_llm_multimodal",
+            "q_llm_ngram_lm",
+            "q_llm_novelty",
+            "q_llm_pack",
             "q_llm_pq_encode",
             "q_llm_quality_calibrate",
+            "q_llm_quota_sample",
+            "q_llm_refresh_e2e",
+            "q_llm_repeated_chunks",
+            "q_llm_repetition",
+            "q_llm_sample_hash",
+            "q_llm_sample_reservoir",
+            "q_llm_scd2",
+            "q_llm_shard_balance",
+            "q_llm_source_leak",
+            "q_llm_split_stratified",
+            "q_llm_surprisal",
+            "q_llm_textscore",
+            "q_llm_tfidf",
+            "q_llm_tokenize",
+            "q_llm_train_order",
+            "q_llm_winnow",
+            "q_skew_audit",
+            "q_sort_nulls_first",
+            "q_sql_recursive_spine",
+            "q_ts_gapfill",
+            "q_win_time_range",
         )
     },
 }
