@@ -13,12 +13,15 @@ engines and partitionings (the driver-canon rule).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import table
 from .curation import _KMEANS_K, _Q_VEC_SQL_DUCK, _Q_VEC_SQL_SPARK
+from .iterative import scratch_dir
 
 # Shared DuckDB CTE: quantize + seed + assign (identical to C33's oracle,
 # re-stated here so each oracle stays self-contained for the driver).
@@ -196,5 +199,180 @@ def q_llm_pq_encode(spark, sf_dir):
             "subspace",
             F.col("seed_id").alias("code"),
             F.col("dist").cast("bigint").alias("dist"),
+        )
+    )
+
+
+# --- C33+C39 composed: the full Lloyd training loop --------------------------
+
+_TRAIN_ROUNDS = 3  # fixed so the oracle unrolls to a finite CTE chain
+
+_DIST_DUCK = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))"
+)
+
+
+def _duck_assign_cte(name: str, cents: str, keep_dist: bool = False) -> str:
+    """One unrolled E-step CTE: nearest centroid per vector (integer L2,
+    cell_id tiebreak), optionally carrying the winning distance."""
+    cols = "vec_id, cell_id" + (", dist" if keep_dist else "")
+    return f"""
+    {name} AS (
+        SELECT {cols} FROM (
+            SELECT vec_id, cell_id, dist,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
+            FROM (
+                SELECT q.vec_id, c.cell_id, {_DIST_DUCK} AS dist
+                FROM q CROSS JOIN {cents} c
+            )
+        ) WHERE rn = 1
+    )"""
+
+
+def _duck_mstep_cte(name: str, assign: str) -> str:
+    """One unrolled M-step CTE: per-cell truncating integer mean per dim,
+    reassembled into an ordered centroid list."""
+    return f"""
+    {name} AS (
+        SELECT cell_id, list(centroid ORDER BY dim) AS cv FROM (
+            SELECT a.cell_id, t.i AS dim,
+                   CAST(sum(q.qv[t.i + 1]) // count(*) AS BIGINT) AS centroid
+            FROM {assign} a JOIN q USING (vec_id), range(0, 64) t(i)
+            GROUP BY a.cell_id, t.i
+        ) GROUP BY cell_id
+    )"""
+
+
+_TRAIN_CTES = "".join(
+    _duck_assign_cte(f"a{r}", f"c{r - 1}") + "," + _duck_mstep_cte(f"c{r}", f"a{r}")
+    + ("," if r < _TRAIN_ROUNDS else "")
+    for r in range(1, _TRAIN_ROUNDS + 1)
+)
+
+
+def lloyd_estep(e, cents):
+    """One E-step: nearest-centroid assignment by integer squared-L2 on the
+    C24 grid (broadcast centroids, scan-stage fold, per-vector argmin)."""
+    dists = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "qv",
+        "cell_id",
+        F.expr(
+            "aggregate(sequence(1, 64), CAST(0 AS BIGINT), (acc, i) -> "
+            "acc + (element_at(qv, i) - element_at(cv, i)) * "
+            "(element_at(qv, i) - element_at(cv, i)))"
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cell_id")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell_id", "qv", "dist")
+    )
+
+
+def train_centroids(spark, sf_dir, rounds=_TRAIN_ROUNDS):
+    """Run ``rounds`` Lloyd iterations from the C33 seeds and return the
+    trained centroid table (cell_id, cv array<bigint>), each round's
+    centroids materialized to parquet (flat lineage, replayable state).
+    Shared by q_llm_kmeans_train and the trained-IVF recall gate in
+    tests/test_llm.py."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_Q_VEC_SQL_SPARK).alias("qv")
+    )
+    cents = e.where(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cell_id"), F.col("qv").alias("cv")
+    )
+    stage = scratch_dir(spark, "spark_kmeans_rounds")
+    for r in range(1, rounds + 1):
+        new_cents = (
+            lloyd_estep(e, cents)
+            .select("cell_id", F.posexplode("qv").alias("dim", "qval"))
+            .groupBy("cell_id", "dim")
+            .agg(
+                F.expr("CAST(sum(qval) div count(1) AS BIGINT)").alias(
+                    "centroid"
+                )
+            )
+            .groupBy("cell_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, centroid))),"
+                    " s -> s.centroid)"
+                ).alias("cv")
+            )
+        )
+        path = os.path.join(stage, f"cents_{r}")
+        new_cents.write.parquet(path)
+        cents = spark.read.parquet(path)
+    return cents
+
+
+@query(
+    "q_llm_kmeans_train",
+    priority=30,
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, {_Q_VEC_SQL_DUCK} AS qv FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cell_id, qv AS cv FROM q WHERE vec_id < {_KMEANS_K}),
+    {_TRAIN_CTES},
+    {_duck_assign_cte("final", f"c{_TRAIN_ROUNDS}", keep_dist=True)}
+    SELECT f.cell_id,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(f.dist) AS BIGINT) AS inertia,
+           CAST(max(cs.csum) AS BIGINT) AS centroid_sum
+    FROM final f JOIN (
+        SELECT cell_id, list_sum(cv) AS csum FROM c{_TRAIN_ROUNDS}
+    ) cs USING (cell_id)
+    GROUP BY f.cell_id
+    """,
+)
+def q_llm_kmeans_train(spark, sf_dir):
+    """C33+C39 composed (round-4 verdict item 3): {_TRAIN_ROUNDS} full Lloyd
+    iterations — E-step assign (C33's broadcast-centroid integer-L2 argmin)
+    then M-step centroid recompute (C39's per-(cell, dim) truncating
+    integer mean) — followed by a final assignment pass whose per-cell
+    population, inertia, and centroid checksum are the trained-index
+    acceptance report. Everything stays on the C24 int8 grid, so every
+    round's argmin and centroid is bit-identical across engines and
+    partitionings, and the fixed round count keeps the oracle a finite
+    unrolled CTE chain.
+
+    Scale shape (the C21 parquet-round pattern): each round's centroid
+    table (≤{_KMEANS_K}×64 integers) is MATERIALIZED TO PARQUET — lineage
+    stays flat across rounds, an executor loss replays from disk, and the
+    next E-step broadcasts a {_KMEANS_K}-row read instead of a growing
+    plan. The vectors themselves are re-read from the source scan each
+    round and never shuffle: per round it's broadcast-join + scan-stage
+    fold + a (cell, dim)-keyed rollup of small integers. At 100 TB that is
+    exactly how an IVF coarse quantizer is trained (sampled or full), and
+    tests/test_llm.py gates the payoff — IVF recall against the TRAINED
+    centroids beats the untrained-seed index of C20."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_Q_VEC_SQL_SPARK).alias("qv")
+    )
+    cents = train_centroids(spark, sf_dir)
+    csum = cents.select(
+        "cell_id",
+        F.expr("aggregate(cv, CAST(0 AS BIGINT), (a, x) -> a + x)").alias(
+            "csum"
+        ),
+    )
+    return (
+        lloyd_estep(e, cents)
+        .groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("dist").cast("bigint").alias("inertia"),
+        )
+        .join(F.broadcast(csum), "cell_id")
+        .select(
+            "cell_id",
+            "n_vecs",
+            "inertia",
+            F.col("csum").cast("bigint").alias("centroid_sum"),
         )
     )

@@ -293,3 +293,95 @@ def test_scd2_point_in_time_and_range_invariants(spark):
         assert vs[-1].valid_to == _SCD2_OPEN, doc
         for a, b in zip(vs, vs[1:]):
             assert b.valid_from == a.valid_to + 1, f"gap/overlap in doc {doc}"
+
+
+def test_trained_ivf_recall_vs_brute_force(spark):
+    """Round-5 (verdict item 3): an IVF index built on the TRAINED Lloyd
+    centroids (q_llm_kmeans_train's loop) must keep the brute-force top-k
+    recall of the untrained-seed C20 index — training moves cell
+    boundaries toward the data, so probing the same nprobe cells may only
+    tighten the candidate lists."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spark_kinesis_sql_asl_spark.llm.similarity import (
+        _N_QUERIES,
+        _TOPK,
+        as_double,
+        dot,
+        safe_cosine,
+        sq_norm,
+    )
+    from spark_kinesis_sql_asl_spark.llm.vectors import (
+        _Q_VEC_SQL_SPARK,
+        lloyd_estep,
+        train_centroids,
+    )
+    from spark_kinesis_sql_asl_spark.tables import table
+
+    nprobe = 4
+    cents = train_centroids(spark, SF_ORACLE)
+    emb = (
+        table(spark, SF_ORACLE, "embeddings")
+        .select(
+            "vec_id",
+            F.expr(_Q_VEC_SQL_SPARK).alias("qv"),
+            as_double("embedding").alias("e"),
+        )
+        .withColumn("nrm", F.sqrt(sq_norm(F.col("e"))))
+    )
+    assign = lloyd_estep(emb.select("vec_id", "qv"), cents).select(
+        "vec_id", F.col("cell_id").alias("cell")
+    )
+    # probe list: each query's nprobe nearest TRAINED centroids (same
+    # integer-L2 metric as assignment)
+    qdists = (
+        emb.where(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "qv")
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cell_id",
+            F.expr(
+                "aggregate(sequence(1, 64), CAST(0 AS BIGINT), (acc, i) -> "
+                "acc + (element_at(qv, i) - element_at(cv, i)) * "
+                "(element_at(qv, i) - element_at(cv, i)))"
+            ).alias("dist"),
+        )
+    )
+    wq = Window.partitionBy("vec_id").orderBy("dist", "cell_id")
+    probes = (
+        qdists.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("cell_id").alias("cell")
+        )
+    )
+    queries_e = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cand = (
+        emb.select("vec_id", "e", "nrm")
+        .join(assign, "vec_id")
+        .join(F.broadcast(probes.join(queries_e, "query_id")), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    cos = safe_cosine(dot(F.col("qe"), F.col("e")), F.col("qn"), F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    approx_df = (
+        cand.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TOPK)
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["q_llm_sim_topk"](spark, SF_ORACLE).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in approx_df.collect()}
+    assert exact
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"trained-IVF recall {recall:.3f} < 0.8"
