@@ -353,6 +353,132 @@ def q_llm_bpe_train3(spark, sf_dir):
     return spark.createDataFrame(rows, "rk bigint, merged string, cnt bigint")
 
 
+# --- C56b: batched top-M BPE merge selection ---------------------------------
+
+_BPE_BATCH_CAND = 16  # ranked candidate pool per pass
+_BPE_BATCH_M = 8  # merges accepted per pass
+
+
+def bpe_words(spark, sf_dir):
+    """The shared BPE word state: whitespace-split tokens of >=2 chars."""
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+            ).alias("w")
+        )
+        .where(F.length("w") >= 2)
+    )
+
+
+def bpe_batch_select(words, n_cand=_BPE_BATCH_CAND, m=_BPE_BATCH_M):
+    """Select up to ``m`` merges from ONE pair-count pass: rank the top
+    ``n_cand`` pairs (count desc, pair asc), then keep a pair only if it
+    shares NO character (symbol) with ANY higher-ranked candidate — the
+    prefix-independent batching rule. Merging a pair only perturbs counts
+    of pairs that share one of its symbols (the overlap consumes or
+    produces exactly those neighbours), so a char-disjoint accepted set
+    applied together is bit-identical to applying the same merges in
+    sequential single-merge rounds — the property tests/test_properties.py
+    pins. (Prefix-independence is deliberately conservative vs true greedy
+    — rejected candidates also block — because "no higher-RANKED conflict"
+    is a join predicate both engines evaluate identically, while greedy
+    "no higher-ACCEPTED conflict" is inherently sequential.)
+
+    Returns (sel_rk, pair, cnt, cand_rk). Plan: the candidate pool is a
+    TakeOrderedAndProject limit(n_cand) off the map-side-combined pair
+    counts — the corpus never sorts globally — and every later step
+    (self-anti-join, rank windows) touches only the ≤n_cand-row pool."""
+    counts = (
+        words.where(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), "
+                    "i -> substring(w, i, 2))"
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(
+        n_cand
+    )
+    w_rk = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+    cand = top.select(
+        "pair", "cnt", F.row_number().over(w_rk).cast("bigint").alias("cand_rk")
+    )
+    t, u = cand.alias("t"), cand.alias("u")
+    conflict = (F.col("u.cand_rk") < F.col("t.cand_rk")) & (
+        (F.instr(F.col("t.pair"), F.expr("substring(u.pair, 1, 1)")) > 0)
+        | (F.instr(F.col("t.pair"), F.expr("substring(u.pair, 2, 1)")) > 0)
+    )
+    acc = t.join(F.broadcast(u), conflict, "left_anti")
+    w_sel = Window.orderBy("cand_rk")
+    return (
+        acc.withColumn(
+            "sel_rk", F.row_number().over(w_sel).cast("bigint")
+        )
+        .where(F.col("sel_rk") <= m)
+        .select("sel_rk", "pair", "cnt", "cand_rk")
+    )
+
+
+@query(
+    "q_llm_bpe_batch",
+    priority=30,
+    oracle=f"""
+    WITH words AS (
+        SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w
+        FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, len(w)),
+                                     i -> substr(w, i, 2))) AS pair
+        FROM words WHERE len(w) >= 2
+    ),
+    cand AS (
+        SELECT pair, cnt,
+               row_number() OVER (ORDER BY cnt DESC, pair ASC) AS cand_rk
+        FROM (
+            SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+            FROM pairs GROUP BY pair
+            ORDER BY cnt DESC, pair ASC LIMIT {_BPE_BATCH_CAND}
+        )
+    ),
+    acc AS (
+        SELECT t.pair, t.cnt, t.cand_rk FROM cand t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM cand u
+            WHERE u.cand_rk < t.cand_rk
+              AND (strpos(t.pair, substr(u.pair, 1, 1)) > 0
+                   OR strpos(t.pair, substr(u.pair, 2, 1)) > 0)
+        )
+    )
+    SELECT sel_rk, pair, cnt, CAST(cand_rk AS BIGINT) AS cand_rk FROM (
+        SELECT pair, cnt, cand_rk,
+               row_number() OVER (ORDER BY cand_rk) AS sel_rk
+        FROM acc
+    ) WHERE sel_rk <= {_BPE_BATCH_M}
+    """,
+)
+def q_llm_bpe_batch(spark, sf_dir):
+    """C56b (round-4 verdict item 4, C56's docstringed next step): BATCHED
+    BPE merge learning — one corpus pass yields up to {_BPE_BATCH_M}
+    mutually char-disjoint merges instead of C56's one merge per pass,
+    cutting tokenizer-training passes for a V-merge vocab from V to
+    ~V/{_BPE_BATCH_M}. Candidates are the top {_BPE_BATCH_CAND} pairs;
+    acceptance is the prefix-independent rule (no shared symbol with any
+    higher-ranked candidate), whose batch-equals-sequential guarantee is
+    property-tested. At 100 TB the pass cost is C55's count shuffle; the
+    selection logic runs on a {_BPE_BATCH_CAND}-row broadcast pool, and the
+    re-segmentation pass (per-round parquet, C56's machinery) amortizes
+    over {_BPE_BATCH_M} merges at once."""
+    return bpe_batch_select(bpe_words(spark, sf_dir))
+
+
 # --- C59: bigram LM estimation ----------------------------------------------
 
 _LM_MIN_BIGRAM = 5  # report conditionals only for bigrams seen >= 5 times

@@ -279,3 +279,53 @@ def test_winnowing_guarantee_shared_substring_shares_fingerprint(
         f"winnowing guarantee violated: docs sharing {len(shared)} chars "
         f"selected disjoint fingerprints"
     )
+
+
+def test_bpe_batch_equals_sequential_when_disjoint(spark):
+    """C56b's guarantee: when the accepted batch is mutually char-disjoint
+    (which bpe_batch_select enforces by construction), applying the batch
+    in one pass learns exactly the merges that sequential single-merge
+    rounds (C56's loop) would learn, in the same order — because merging
+    a pair only perturbs counts of pairs sharing one of its symbols."""
+    from collections import Counter
+
+    from spark_kinesis_sql_asl_spark.llm.spans import bpe_batch_select
+
+    # corpus of 2-char words with char-disjoint pairs at distinct counts:
+    # each merge collapses its word to a single symbol, so no NEW pairs
+    # (placeholder-placeholder etc.) can form between rounds — the
+    # precondition under which batch and sequential must agree exactly
+    words = ["ab"] * 9 + ["cd"] * 7 + ["ef"] * 5 + ["gh"] * 3
+    wdf = spark.createDataFrame([(w,) for w in words], "w string")
+    m = 4
+    batch = [
+        (r.sel_rk, r.pair, r.cnt)
+        for r in bpe_batch_select(wdf, n_cand=8, m=m)
+        .orderBy("sel_rk")
+        .collect()
+    ]
+
+    # pure-Python sequential reference: m rounds of count-top1-merge
+    def pair_counts(ws):
+        c = Counter()
+        for w in ws:
+            for i in range(len(w) - 1):
+                c[w[i : i + 2]] += 1
+        return c
+
+    seq = []
+    ws = list(words)
+    placeholders = iter(chr(0xE100 + j) for j in range(m))
+    for _ in range(m):
+        c = pair_counts(ws)
+        if not c:
+            break
+        pair, cnt = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        seq.append((pair, cnt))
+        ph = next(placeholders)
+        ws = [w.replace(pair, ph) for w in ws]
+
+    # the batch's accepted set is char-disjoint by construction here
+    # (a/b, c/d, e/f, g/h never co-occur), so batch == sequential
+    assert [(p, c) for _, p, c in batch] == seq
+    assert [r[0] for r in batch] == list(range(1, len(batch) + 1))
