@@ -771,28 +771,24 @@ def q_skew_audit(spark, sf_dir):
     )
 
 
-def global_exact_ntile(df, n, sort_cols, out_name):
-    """Exact ``ntile(n) OVER (ORDER BY sort_cols)`` with NO single-partition
-    window — the 100 TB form of a global quantile score (round-4 verdict
-    item 2: q_customer_rfm / q_pareto_deciles ran 3 resp. 1 partitionless
-    ntile windows, i.e. the whole frame through ONE task).
+def global_rank(df, sort_cols, out_name="_rank", with_total=False):
+    """Exact 1-based gap-free global rank over a TOTAL order with NO
+    single-partition window.
 
-    Plan: (1) range-repartition on the total-order sort key (each task gets
-    a contiguous, bounded key range; range-partition ids are ordered by the
-    sort spec), (2) per-partition ``row_number`` — the window hash-partitions
-    on ``spark_partition_id()`` so every group is one bounded range slice,
-    never the whole frame, (3) per-partition row counts (a ≤#partitions-row
-    aggregate) turned into rank offsets via a broadcast triangular self-join
-    (no window at all, so the plan carries zero partitionless WindowExec),
-    (4) ntile's bucket arithmetic recomputed from the exact global rank:
-    with N rows and n buckets the first N%n buckets take ``N//n + 1`` rows —
-    pure integer expressions, bit-identical to the SQL ``ntile`` on any
-    engine and any partitioning because ``sort_cols`` must be a total order
-    (callers include a key tiebreak).
+    Plan: (1) range-repartition on the sort key (each task gets a
+    contiguous, bounded key range; range-partition ids are ordered by the
+    sort spec), (2) per-partition ``row_number`` — the window
+    hash-partitions on ``spark_partition_id()`` so every group is one
+    bounded range slice, never the whole frame, (3) per-partition row
+    counts (a ≤#partitions-row aggregate) turned into rank offsets via a
+    broadcast triangular self-join (no window at all, so the plan carries
+    zero partitionless WindowExec).
 
-    ``sort_cols`` are Column sort expressions (e.g. ``F.col("x").desc()``);
-    the same list drives the range partitioner and the row_number order.
-    Returns ``df`` plus a BIGINT ``out_name`` bucket column.
+    ``sort_cols`` are Column sort expressions (e.g. ``F.col("x").desc()``)
+    forming a total order (callers include a key tiebreak); the same list
+    drives the range partitioner and the row_number order. Returns ``df``
+    plus a BIGINT ``out_name`` column (and, when ``with_total``, a
+    ``_total`` row-count column for rank arithmetic).
     """
     part = df.repartitionByRange(*sort_cols).withColumn(
         "_pid", F.spark_partition_id()
@@ -806,12 +802,30 @@ def global_exact_ntile(df, n, sort_cols, out_name):
         .groupBy(F.col("a._pid").alias("_pid"), F.col("a._cnt").alias("_cnt"))
         .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off"))
     )
-    total = counts.agg(F.sum("_cnt").cast("bigint").alias("_total"))
     ranked = (
         rn.join(F.broadcast(offs.select("_pid", "_off")), "_pid")
-        .crossJoin(F.broadcast(total))
-        .withColumn("_rank", (F.col("_rn") + F.col("_off")).cast("bigint"))
+        .withColumn(out_name, (F.col("_rn") + F.col("_off")).cast("bigint"))
+        .drop("_pid", "_rn", "_off")
     )
+    if with_total:
+        total = counts.agg(F.sum("_cnt").cast("bigint").alias("_total"))
+        ranked = ranked.crossJoin(F.broadcast(total))
+    return ranked
+
+
+def global_exact_ntile(df, n, sort_cols, out_name):
+    """Exact ``ntile(n) OVER (ORDER BY sort_cols)`` with NO single-partition
+    window — the 100 TB form of a global quantile score (round-4 verdict
+    item 2: q_customer_rfm / q_pareto_deciles ran 3 resp. 1 partitionless
+    ntile windows, i.e. the whole frame through ONE task).
+
+    Builds on :func:`global_rank`, then recomputes ntile's bucket
+    arithmetic from the exact global rank: with N rows and n buckets the
+    first N%n buckets take ``N//n + 1`` rows — pure integer expressions,
+    bit-identical to the SQL ``ntile`` on any engine and any partitioning.
+    Returns ``df`` plus a BIGINT ``out_name`` bucket column.
+    """
+    ranked = global_rank(df, sort_cols, "_rank", with_total=True)
     # ntile(n): q = N div n, rem = N mod n; the first rem buckets hold q+1
     # rows (ranks 1.._cut), the rest hold q. CASE guards the q=0 branch
     # (N < n) so the DIV by _q is never evaluated there (ANSI-safe).
@@ -824,7 +838,7 @@ def global_exact_ntile(df, n, sort_cols, out_name):
         .withColumn("_rem", F.expr(f"_total % {n}"))
         .withColumn("_cut", F.expr("_rem * (_q + 1)"))
         .withColumn(out_name, bucket)
-        .drop("_pid", "_rn", "_off", "_total", "_rank", "_q", "_rem", "_cut")
+        .drop("_total", "_rank", "_q", "_rem", "_cut")
     )
 
 

@@ -23,23 +23,32 @@ from ..tables import table
     """,
 )
 def q_sort_multi(spark, sf_dir):
-    """Multi-key sort materialized via a global row_number. Scale note: an
-    empty partitionBy funnels everything to one task — acceptable only for
-    verification output; production global sorts use orderBy (range
-    partitioned) without materializing a rank."""
+    """Multi-key sort materialized via an exact global rank. Round-5: the
+    rank comes from :func:`..operators.analytics.global_rank` (range-
+    repartition on the sort key + per-range-partition row_number +
+    broadcast offsets) instead of a partitionless row_number window, so
+    the production plan range-partitions the sort exactly like a global
+    ``orderBy`` while still materializing the order as a column the
+    driver's order-insensitive hash can check. Explicit null ordering:
+    Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST — pin both so
+    NULL-bearing keys sort identically."""
+    from .analytics import global_rank
+
     c = table(spark, sf_dir, "customer")
-    # Explicit null ordering: Spark ASC defaults NULLS FIRST, DuckDB
-    # NULLS LAST — pin both so NULL-bearing keys sort identically.
-    w = Window.orderBy(
-        F.col("c_acctbal").desc_nulls_last(),
-        F.col("c_mktsegment").asc_nulls_last(),
-        F.col("c_custkey").asc(),
+    ranked = global_rank(
+        c.select("c_custkey", "c_mktsegment", "c_acctbal"),
+        [
+            F.col("c_acctbal").desc_nulls_last(),
+            F.col("c_mktsegment").asc_nulls_last(),
+            F.col("c_custkey").asc(),
+        ],
+        "rn",
     )
-    return c.select(
+    return ranked.select(
         "c_custkey",
         "c_mktsegment",
         F.round("c_acctbal", 2).alias("bal"),
-        F.row_number().over(w).alias("rn"),
+        F.col("rn").cast("int").alias("rn"),
     )
 
 

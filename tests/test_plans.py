@@ -363,10 +363,13 @@ def test_rfm_and_pareto_no_partitionless_window(spark):
     # ntile function must not appear at all.
     import re
 
-    for name in ("q_customer_rfm", "q_pareto_deciles"):
+    for name in ("q_customer_rfm", "q_pareto_deciles", "q_sort_multi"):
         df = QUERIES[name](spark, SF_ORACLE)
         plan = formatted_plan(df)
         assert "ntile" not in plan, name
+        # the rank must ride a range-partitioned exchange (the distributed
+        # global sort), not a single-partition funnel
+        assert "rangepartitioning" in plan.lower(), name
         specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
         assert specs, f"{name}: expected row_number windows in plan"
         for spec in specs:
