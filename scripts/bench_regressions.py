@@ -33,8 +33,24 @@ def main() -> int:
     if old_path is None:
         print("no BENCH_DETAIL_r*.json snapshot to diff against")
         return 1
-    old = json.load(open(old_path))["queries"]
-    new = json.load(open(new_path))["queries"]
+
+    def _load_queries(path: str) -> dict | None:
+        try:
+            with open(path) as f:
+                return json.load(f)["queries"]
+        except FileNotFoundError:
+            print(f"{path} not found — run the full `python bench.py` first")
+        except (KeyError, json.JSONDecodeError):
+            print(
+                f"{path} has no 'queries' map — an isolation-only bench run "
+                "doesn't write it; run the full `python bench.py` first"
+            )
+        return None
+
+    old = _load_queries(old_path)
+    new = _load_queries(new_path)
+    if old is None or new is None:
+        return 1
 
     regressions, improvements = [], []
     for name in sorted(set(old) & set(new)):
