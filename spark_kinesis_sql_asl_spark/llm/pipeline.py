@@ -46,8 +46,11 @@ _DUCK_TOKHASH = "('0x' || substr(md5(tok), 1, 15))::BIGINT"
 
 
 # The SimHash pair pipeline as composable oracle SQL (CTE body) — reused by
-# the clustering oracle below.
-_SIMHASH_PAIRS_SQL = f"""
+# the clustering (C21), spectrum (C71), and precision (C75) oracles. The
+# hamming-threshold clause is appended explicitly below (never derived by
+# string surgery on the final query), so the thresholded and candidate
+# variants share one body by construction.
+_SIMHASH_PAIRS_BODY = f"""
     WITH toks AS (
         SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
     ),
@@ -74,37 +77,37 @@ _SIMHASH_PAIRS_SQL = f"""
          AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
-    FROM cand
-    WHERE bit_count(xor(ha, hb)) <= {_SIMHASH_MAX_HAMMING}
-"""
+    FROM cand"""
+
+# All band-collision candidates (C71's spectrum input) vs the thresholded
+# near-dup pairs (C13/C21/C75).
+_SIMHASH_PAIRS_CAND_SQL = _SIMHASH_PAIRS_BODY
+_SIMHASH_PAIRS_SQL = (
+    _SIMHASH_PAIRS_BODY
+    + f"\n    WHERE bit_count(xor(ha, hb)) <= {_SIMHASH_MAX_HAMMING}\n"
+)
 
 
-@query("q_llm_dedup_simhash", oracle=_SIMHASH_PAIRS_SQL)
-def q_llm_dedup_simhash(spark, sf_dir):
-    """C13: SimHash near-dup (Charikar 2002, as used by Manku et al. WWW'07
-    for web-crawl dedup). Each doc folds to one {_SIMHASH_BITS}-bit
-    fingerprint in a single groupBy (token-frequency-weighted bit votes);
-    near-dups = pairs within Hamming distance {_SIMHASH_MAX_HAMMING}, found
-    by exact-match banding (a pair within distance d < bands must agree on
-    >=1 band — pigeonhole, no n² scan). At 100 TB the fingerprint table is
-    32 bits/doc and the band join is 4 shuffle keys/doc.
+def simhash_fingerprints(spark, sf_dir, checkpoint=True):
+    """C13's scan-stage SimHash fingerprint table (doc_id, lang, simhash)
+    — the single Spark-side definition shared by the dedup pass (C13),
+    the hamming spectrum (C71), and the bucket audit (C72), so a
+    fingerprint tweak can never desync the calibration audits from the
+    pass they calibrate.
 
-    The fingerprint is computed ENTIRELY in the scan stage (round-3
-    rewrite): higher-order array functions fold each doc's token-hash array
-    into 32 majority-vote bits per row — no explode (a ~25x row inflation)
-    and no 32-column groupBy shuffle. A bit is set iff strictly more token
-    occurrences vote 1 than -1 (``2*n_set > n_tokens`` — identical to the
-    oracle's ``sum(+/-1) > 0``). NULL-text docs are filtered to match the
-    oracle, where ``unnest(NULL)`` simply emits no rows."""
+    Per-bit majority via allocation-free integer folds: aggregate() adds
+    ((h >> b) & 1) straight into a BIGINT accumulator (a filter()-based
+    form allocating an array per bit per row measured ~2x slower at
+    sf0.1). A bit is set iff strictly more token occurrences vote 1 than
+    -1 (``2*n_set > n_tokens`` — identical to the oracle's
+    ``sum(+/-1) > 0``). NULL-text docs are filtered to match the oracle,
+    where ``unnest(NULL)`` emits no rows. ``checkpoint`` barriers the
+    3-column table before self-joins that would otherwise recompute the
+    md5 + 32-bit fold per side (measured ~2x whole-query cost)."""
     d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     tok_hashes = F.expr(
-        "transform(split(text, ' '), "
-        "tok -> cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint))"
+        f"transform(split(text, ' '), tok -> {_SPARK_TOKHASH})"
     )
-    # Per-bit majority via allocation-free integer folds: aggregate() adds
-    # ((h >> b) & 1) straight into a BIGINT accumulator. The earlier
-    # filter()-based form allocated a fresh array per bit per row (32
-    # allocations/doc) and measured ~2x slower at sf0.1.
     simhash = sum(
         F.when(
             F.expr(
@@ -115,23 +118,30 @@ def q_llm_dedup_simhash(spark, sf_dir):
         ).otherwise(F.lit(0))
         for b in range(_SIMHASH_BITS)
     ).cast("bigint")
-    # Barrier the 3-column fingerprint table before the band self-join:
-    # without it Spark recomputes the md5 + 32-bit fold for BOTH join sides
-    # (measured ~2x the whole query at sf0.1). Same localCheckpoint
-    # pattern as prefix_filtered_jaccard — the table is ~12 bytes/doc, so
-    # the barrier is negligible next to the fold it saves.
-    sh = (
-        d.select("doc_id", "lang", tok_hashes.alias("hs"))
-        .select("doc_id", "lang", simhash.alias("simhash"))
-        .localCheckpoint(eager=True)
+    sh = d.select("doc_id", "lang", tok_hashes.alias("hs")).select(
+        "doc_id", "lang", simhash.alias("simhash")
     )
-    bands = sh.select(
+    return sh.localCheckpoint(eager=True) if checkpoint else sh
+
+
+def simhash_bands(sh):
+    """Band-explode a fingerprint table: one row per (doc, band) with the
+    band's 8-bit bucket — the {_SIMHASH_BANDS} shuffle keys/doc the LSH
+    join collides on."""
+    return sh.select(
         "doc_id",
         "lang",
         "simhash",
-        F.explode(F.array(*[F.lit(b) for b in range(_SIMHASH_BANDS)])).alias("band"),
+        F.explode(
+            F.array(*[F.lit(b) for b in range(_SIMHASH_BANDS)])
+        ).alias("band"),
     ).withColumn("bucket", F.expr("(simhash >> (band * 8)) & 255"))
-    cand = (
+
+
+def simhash_candidates(bands):
+    """Ordered band-collision candidate pairs (doc_a < doc_b) with both
+    fingerprints — the pre-threshold, pre-distinct LSH join output."""
+    return (
         bands.alias("a")
         .join(
             bands.alias("b"),
@@ -146,6 +156,27 @@ def q_llm_dedup_simhash(spark, sf_dir):
             F.col("a.simhash").alias("ha"),
             F.col("b.simhash").alias("hb"),
         )
+    )
+
+
+@query("q_llm_dedup_simhash", oracle=_SIMHASH_PAIRS_SQL)
+def q_llm_dedup_simhash(spark, sf_dir):
+    """C13: SimHash near-dup (Charikar 2002, as used by Manku et al. WWW'07
+    for web-crawl dedup). Each doc folds to one {_SIMHASH_BITS}-bit
+    fingerprint in a single groupBy (token-frequency-weighted bit votes);
+    near-dups = pairs within Hamming distance {_SIMHASH_MAX_HAMMING}, found
+    by exact-match banding (a pair within distance d < bands must agree on
+    >=1 band — pigeonhole, no n² scan). At 100 TB the fingerprint table is
+    32 bits/doc and the band join is 4 shuffle keys/doc.
+
+    The fingerprint fold, banding, and candidate join live in the shared
+    :func:`simhash_fingerprints` / :func:`simhash_bands` /
+    :func:`simhash_candidates` helpers (scan-stage higher-order folds, no
+    explode of tokens, checkpointed before the self-join) — also consumed
+    by the C71 spectrum and C72 bucket audits, so the calibration queries
+    can never drift from this pass."""
+    cand = simhash_candidates(
+        simhash_bands(simhash_fingerprints(spark, sf_dir))
     )
     hamming = F.expr("bit_count(ha ^ hb)")
     # Hamming filter BEFORE the multi-band dedup: bit_count is a pure
@@ -993,11 +1024,6 @@ def q_llm_dup_triangles(spark, sf_dir):
 
 # --- C71: SimHash hamming-distance spectrum (threshold calibration) ----------
 
-# C13's candidate pipeline WITHOUT the final hamming threshold: the full
-# band-collision spectrum. Derived from the same SQL so the two can never
-# diverge; the threshold clause is the documented last WHERE.
-_SIMHASH_PAIRS_CAND_SQL = _SIMHASH_PAIRS_SQL.rsplit("WHERE", 1)[0]
-
 
 @query(
     "q_llm_hamming_spectrum",
@@ -1016,50 +1042,17 @@ def q_llm_hamming_spectrum(spark, sf_dir):
     near {_SIMHASH_BITS}/2), and the valley between them IS the right
     threshold. Tuning the cut without this histogram is guessing; C67's
     closure audit then validates the chosen cut's cluster cohesion.
-    Reuses C13's banding machinery verbatim minus the final filter, so
+    Reuses C13's machinery (:func:`simhash_fingerprints` /
+    :func:`simhash_bands` / :func:`simhash_candidates` — the same code
+    objects, not a copy) minus the final filter, so
     the cost profile is identical to the dedup pass itself; output is a
     <={_SIMHASH_BITS + 1}-row histogram."""
-    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    tok_hashes = F.expr(
-        "transform(split(text, ' '), "
-        "tok -> cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint))"
-    )
-    simhash = sum(
-        F.when(
-            F.expr(
-                f"2 * aggregate(hs, CAST(0 AS BIGINT), "
-                f"(acc, h) -> acc + ((h >> {b}) & 1)) > size(hs)"
-            ),
-            F.lit(1 << b),
-        ).otherwise(F.lit(0))
-        for b in range(_SIMHASH_BITS)
-    ).cast("bigint")
-    sh = (
-        d.select("doc_id", "lang", tok_hashes.alias("hs"))
-        .select("doc_id", "lang", simhash.alias("simhash"))
-        .localCheckpoint(eager=True)
-    )
-    bands = sh.select(
-        "doc_id",
-        "lang",
-        "simhash",
-        F.explode(F.array(*[F.lit(b) for b in range(_SIMHASH_BANDS)])).alias(
-            "band"
-        ),
-    ).withColumn("bucket", F.expr("(simhash >> (band * 8)) & 255"))
     cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        simhash_candidates(
+            simhash_bands(simhash_fingerprints(spark, sf_dir))
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+            "doc_a", "doc_b", F.expr("bit_count(ha ^ hb)").alias("hamming")
         )
         .distinct()
     )
@@ -1111,35 +1104,12 @@ def q_llm_bucket_stats(spark, sf_dir):
     predicts the dedup pass's cost BEFORE running it; a heavy top octave
     means the banding is too coarse (widen buckets/bands, or salt the
     hot bucket) and is exactly what blows up 'works at sf0.1' jobs at
-    100 TB. Reuses C13's fingerprint + banding verbatim upstream of the
-    audit rollup."""
-    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    tok_hashes = F.expr(
-        "transform(split(text, ' '), "
-        "tok -> cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint))"
-    )
-    simhash = sum(
-        F.when(
-            F.expr(
-                f"2 * aggregate(hs, CAST(0 AS BIGINT), "
-                f"(acc, h) -> acc + ((h >> {b}) & 1)) > size(hs)"
-            ),
-            F.lit(1 << b),
-        ).otherwise(F.lit(0))
-        for b in range(_SIMHASH_BITS)
-    ).cast("bigint")
-    sh = d.select("doc_id", "lang", tok_hashes.alias("hs")).select(
-        "doc_id", "lang", simhash.alias("simhash")
-    )
+    100 TB. Reuses C13's :func:`simhash_fingerprints` +
+    :func:`simhash_bands` (the same code objects, not a copy; no
+    checkpoint — the single rollup reads the fingerprints once) upstream
+    of the audit rollup."""
     buckets = (
-        sh.select(
-            "lang",
-            "simhash",
-            F.explode(
-                F.array(*[F.lit(b) for b in range(_SIMHASH_BANDS)])
-            ).alias("band"),
-        )
-        .withColumn("bucket", F.expr("(simhash >> (band * 8)) & 255"))
+        simhash_bands(simhash_fingerprints(spark, sf_dir, checkpoint=False))
         .groupBy("lang", "band", "bucket")
         .agg(F.count(F.lit(1)).alias("sz"))
     )

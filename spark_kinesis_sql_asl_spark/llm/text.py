@@ -349,13 +349,17 @@ def q_llm_fertility(spark, sf_dir):
     t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
                  CAST(sum(n * n) AS BIGINT) AS sum_sq,
                  CAST(count(*) AS BIGINT) AS n_groups
-          FROM c)
+          FROM c),
+    d AS (SELECT n_groups, total, sum_sq,
+                 total * total - sum_sq AS diff FROM t)
     SELECT n_groups, total,
-           CAST((1000000 * (total * total - sum_sq)) // (total * total)
+           CAST(((1000000 * (diff // total)
+                  + (1000000 * (diff % total)) // total) // total)
                 AS BIGINT) AS gini_simpson_ppm,
-           CAST((1000000 * sum_sq) // (total * total) AS BIGINT)
-               AS collision_ppm
-    FROM t
+           CAST(((1000000 * (sum_sq // total)
+                  + (1000000 * (sum_sq % total)) // total) // total)
+                AS BIGINT) AS collision_ppm
+    FROM d
     """,
 )
 def q_llm_diversity(spark, sf_dir):
@@ -363,25 +367,41 @@ def q_llm_diversity(spark, sf_dir):
     shares, plus its complement (the collision/Herfindahl probability),
     both in EXACT integer ppm: Σn² and N² are exact BIGINTs, so unlike a
     Shannon entropy this diversity measure needs no log and can never
-    drift across engines or summation orders. This is the one-number
-    mixture-health gauge over C53's composition table: collision_ppm →
-    1e6 means one source dominates (C47 must rebalance), gini → 1 - 1/k
-    means a uniform k-way mix. One |sources|-row rollup + a 1-row
-    aggregate — nothing else moves at any scale."""
+    drift across engines or summation orders. The ppm division is the
+    exact two-step form floor((1e6·(x div T) + (1e6·(x mod T)) div T) / T)
+    — identical to floor(1e6·x / T²) for every x ≤ T² (no multiple of T
+    can fall strictly between A and A+1), but never materializing 1e6·T²:
+    the arithmetic stays inside BIGINT up to total ≈ 3.0e9 documents
+    (where T² itself saturates), not the ~3.0e6 the naive form allowed —
+    beyond that, Spark's ANSI mode raises rather than silently widening
+    (DuckDB would promote to HUGEINT; the bound keeps both engines in the
+    same domain). This is the one-number mixture-health gauge over C53's
+    composition table: collision_ppm → 1e6 means one source dominates
+    (C47 must rebalance), gini → 1 - 1/k means a uniform k-way mix. One
+    |sources|-row rollup + a 1-row aggregate — nothing else moves at any
+    scale."""
     c = (
         table(spark, sf_dir, "documents")
         .groupBy(F.coalesce(F.col("source"), F.lit("")).alias("src"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return c.agg(
+    t = c.agg(
         F.count(F.lit(1)).alias("n_groups"),
         F.sum("n").cast("bigint").alias("total"),
+        F.sum(F.expr("n * n")).cast("bigint").alias("sum_sq"),
+    ).withColumn("diff", F.expr("total * total - sum_sq"))
+    return t.select(
+        "n_groups",
+        "total",
         F.expr(
-            "CAST((1000000 * (sum(n) * sum(n) - sum(n * n))) div "
-            "(sum(n) * sum(n)) AS BIGINT)"
+            "CAST(((1000000 * (diff div total)"
+            " + (1000000 * (diff % total)) div total) div total)"
+            " AS BIGINT)"
         ).alias("gini_simpson_ppm"),
         F.expr(
-            "CAST((1000000 * sum(n * n)) div (sum(n) * sum(n)) AS BIGINT)"
+            "CAST(((1000000 * (sum_sq div total)"
+            " + (1000000 * (sum_sq % total)) div total) div total)"
+            " AS BIGINT)"
         ).alias("collision_ppm"),
     )
 

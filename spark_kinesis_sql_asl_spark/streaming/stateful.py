@@ -191,10 +191,15 @@ def streaming_quantile_octaves(event_stream, quantiles=(0.5, 0.9, 0.99)):
     The estimate is EXACT AT OCTAVE GRANULARITY, deterministically: the
     reported p-quantile octave is precisely the octave containing the
     ceil(p*N)-th smallest value seen so far (discrete order-statistic
-    definition), because octave binning is monotone in the value. That is
-    the honest contract — factor-of-2 relative value error, zero rank
-    error at bin edges — and the harness test pins it against an exact
-    batch computation over the same rows. Unlike a sampled sketch it is
+    definition), because octave binning is (weakly) monotone in the
+    value: bin 0 is the half-open range (-inf, 1] cents — ALL
+    non-positive and sub-cent values collapse there — and bin b>=1 holds
+    cents of bit length b. That is the honest contract — zero rank error
+    at bin edges always; the factor-of-2 RELATIVE value error applies
+    only to values >= 1 cent (inside bin 0 the relative error is
+    unbounded, so feed magnitudes, not signed deltas, if value precision
+    below 1 cent matters) — and the harness test pins it against an
+    exact batch computation over the same rows. Unlike a sampled sketch it is
     also MERGE-EXACT: histograms add, so shard-salted keys can fold
     downstream without widening the bound.
 
