@@ -216,6 +216,102 @@ def q_llm_bigram_topk(spark, sf_dir):
     return top.select("bigram", "cnt", F.row_number().over(w).alias("rn"))
 
 
+# --- C80: PMI-style collocation lift ------------------------------------------
+
+_PMI_TOP_K = 20
+
+
+@query(
+    "q_llm_pmi_bigrams",
+    priority=30,
+    oracle=f"""
+    WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+    uni AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT unnest(w) AS tok FROM w
+        ) GROUP BY tok
+    ),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i + 1])) AS bigram
+        FROM w WHERE len(w) >= 2
+    ),
+    top AS (
+        SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+        FROM bg GROUP BY bigram
+        ORDER BY cnt DESC, bigram LIMIT {_PMI_TOP_K}
+    )
+    SELECT t.bigram, t.cnt, x.c AS c_left, y.c AS c_right,
+           CAST((1000000 * t.cnt) //
+                greatest(1, (x.c * y.c) // n.n_tok) AS BIGINT) AS lift_ppm
+    FROM top t
+    JOIN uni x ON x.tok = string_split(t.bigram, ' ')[1]
+    JOIN uni y ON y.tok = string_split(t.bigram, ' ')[2]
+    CROSS JOIN n
+    """,
+)
+def q_llm_pmi_bigrams(spark, sf_dir):
+    """C80: collocation strength for the top-{_PMI_TOP_K} bigrams — the
+    observed/expected lift behind PMI, in EXACT integer ppm: expected
+    co-occurrence under unigram independence is floor(c_x*c_y / N) and
+    lift_ppm = floor(1e6*c_xy / max(1, expected)) — no log, no float, so
+    the ranking can never drift across engines (report log(lift) offline
+    if PMI units are wanted). High lift = genuine collocation (merge
+    candidate / phrase); lift near 1e6 = independence (a top bigram that
+    is merely two frequent words). Domain: exact while c_x*c_y fits
+    BIGINT (~3e9 occurrences of a single type — beyond any real vocab's
+    head at 100 TB after C37 heavy-hitter capping). Plan: unigram and
+    bigram counts are map-side-combined scan rollups; the top-k is
+    TakeOrderedAndProject; the two unigram lookups join the {_PMI_TOP_K}-row
+    frame BROADCAST against the vocab-scale counts, and the 1-row total
+    rides a crossJoin broadcast."""
+    d = table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("w")
+    )
+    uni = (
+        d.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = uni.agg(F.sum("c").cast("bigint").alias("n_tok"))
+    bigrams = d.where(F.size("w") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    top = (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram"))
+        .limit(_PMI_TOP_K)
+        .withColumn("tok_l", F.expr("split(bigram, ' ')[0]"))
+        .withColumn("tok_r", F.expr("split(bigram, ' ')[1]"))
+    )
+    x = uni.select(F.col("tok").alias("tok_l"), F.col("c").alias("c_left"))
+    y = uni.select(F.col("tok").alias("tok_r"), F.col("c").alias("c_right"))
+    # broadcast the tiny top-k side: the vocab-scale unigram frame streams
+    # past it without shuffling on the token key
+    joined = (
+        x.join(F.broadcast(top), "tok_l")
+        .join(F.broadcast(y.join(F.broadcast(top.select("tok_r").distinct()), "tok_r")), "tok_r")
+        .crossJoin(F.broadcast(n))
+    )
+    return joined.select(
+        "bigram",
+        "cnt",
+        "c_left",
+        "c_right",
+        F.expr(
+            "CAST((1000000 * cnt) div "
+            "greatest(1, (c_left * c_right) div n_tok) AS BIGINT)"
+        ).alias("lift_ppm"),
+    )
+
+
 _PACK_TOKENS = 2048
 
 # Shared whitespace-token-count expression, used by C29/C30/C31/C34.

@@ -385,3 +385,74 @@ def q_llm_dedup_minhash(spark, sf_dir):
             (agree / float(_MINHASH_K)).alias("est_jaccard"),
         )
     )
+
+
+# --- C79: shared-prefix (boilerplate header) detection ------------------------
+
+_PREFIX_TOKENS = 8
+_PREFIX_TAIL_OFFSET = 200_000  # synthetic prefix-sharers, disjoint from C1's
+
+
+@query(
+    "q_llm_prefix_dup",
+    priority=30,
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_PREFIX_TAIL_OFFSET} AS doc_id, lang,
+               array_to_string(string_split(text, ' ')[1:{_PREFIX_TOKENS}], ' ')
+                   || ' synthetic tail ' || CAST(doc_id AS VARCHAR) AS text
+        FROM documents WHERE doc_id % 9 = 0
+    ),
+    p AS (
+        SELECT doc_id, lang,
+               md5(array_to_string(
+                   string_split(coalesce(text, ''), ' ')[1:{_PREFIX_TOKENS}],
+                   ' ')) AS prefix_hash
+        FROM corpus
+    )
+    SELECT prefix_hash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           min(doc_id) AS exemplar_doc
+    FROM p GROUP BY prefix_hash HAVING count(*) > 1
+    """,
+)
+def q_llm_prefix_dup(spark, sf_dir):
+    """C79: shared-prefix detection — groups of documents whose first
+    {_PREFIX_TOKENS} tokens are identical: the boilerplate-header /
+    template detector (site chrome, license banners, scraped nav bars)
+    that exact dedup (C1) misses because the tails differ and near-dup
+    passes (C2/C13) only catch when the whole doc is similar. The fixture
+    corpus has no natural prefix-sharers, so (the C1 injection
+    convention) every 9th doc spawns a synthetic partner keeping only its
+    prefix + a distinct tail — the operator under test is the grouping.
+    At 100 TB: the prefix hash is computed in the scan stage from the
+    first {_PREFIX_TOKENS} tokens only (never the whole text), the
+    shuffle carries (hash, lang, id) triples, and the HAVING keeps only
+    colliding groups — the same (hash, id)-only discipline as C1."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    prefix = (
+        "array_join(slice(split(coalesce(text, ''), ' '), 1, "
+        f"{_PREFIX_TOKENS}), ' ')"
+    )
+    synth = d.where(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + _PREFIX_TAIL_OFFSET).alias("doc_id"),
+        "lang",
+        F.expr(
+            f"concat(array_join(slice(split(text, ' '), 1, {_PREFIX_TOKENS}),"
+            f" ' '), ' synthetic tail ', CAST(doc_id AS STRING))"
+        ).alias("text"),
+    )
+    return (
+        d.unionByName(synth)
+        .select("doc_id", "lang", F.expr(f"md5({prefix})").alias("prefix_hash"))
+        .groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.min("doc_id").alias("exemplar_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+    )

@@ -7,6 +7,7 @@ hash aggregate on (key, token).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -446,4 +447,88 @@ def q_llm_length_profile(spark, sf_dir):
     )
     return d.groupBy("lang", "octave").agg(
         F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# --- C81: vocabulary coverage curve ------------------------------------------
+
+_VOCAB_KS = (100, 1000, 10000)
+
+
+@query(
+    "q_llm_vocab_coverage",
+    priority=30,
+    oracle=f"""
+    WITH uni AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT unnest(string_split(coalesce(text, ''), ' ')) AS tok
+            FROM documents
+        ) GROUP BY tok
+    ),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok,
+                 CAST(count(*) AS BIGINT) AS n_types FROM uni),
+    top AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rk
+        FROM (SELECT tok, c FROM uni ORDER BY c DESC, tok
+              LIMIT {max(_VOCAB_KS)})
+    )
+    SELECT k, n_types,
+           CAST(sum(CASE WHEN rk <= k THEN c ELSE 0 END) AS BIGINT) AS mass,
+           CAST((1000000 * sum(CASE WHEN rk <= k THEN c ELSE 0 END))
+                // max(n.n_tok) AS BIGINT) AS covered_ppm
+    FROM top CROSS JOIN n CROSS JOIN (
+        SELECT unnest([{", ".join(str(k) for k in _VOCAB_KS)}]) AS k
+    )
+    GROUP BY k, n_types
+    """,
+)
+def q_llm_vocab_coverage(spark, sf_dir):
+    """C81: vocabulary coverage curve — for k in {_VOCAB_KS}, the share of
+    total token mass covered by the k most frequent types, in exact
+    integer ppm. This is THE tokenizer/vocab-size design table (how much
+    of the corpus a k-entry word vocab explains; the complement is the
+    OOV rate a fallback byte/char level must absorb) and, read over time,
+    a drift alarm (a crawl whose head coverage jumps is template-flooded
+    — cross-check C31 repetition and C37 heavy hitters). Plan: type
+    counts are one map-side-combined rollup; the head is
+    TakeOrderedAndProject limit({max(_VOCAB_KS)}) so the vocab-scale
+    counts frame never sorts globally; the rank window runs on the
+    ≤{max(_VOCAB_KS)}-row head (constant-bounded, partitionless by
+    design); totals ride 1-row broadcasts. Exact while 1e6·N_tok fits
+    BIGINT (N ≤ ~9e12 tokens — beyond that, pre-divide N into ppm units
+    once, same two-step trick as C74)."""
+    uni = (
+        table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = uni.agg(
+        F.sum("c").cast("bigint").alias("n_tok"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    kmax = max(_VOCAB_KS)
+    head = uni.orderBy(F.col("c").desc(), F.col("tok")).limit(kmax)
+    w = Window.orderBy(F.col("c").desc(), F.col("tok"))
+    ranked = head.select("c", F.row_number().over(w).alias("rk"))
+    ks = F.explode(
+        F.array(*[F.lit(k) for k in _VOCAB_KS])
+    ).alias("k")
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select("c", "rk", "n_tok", "n_types", ks)
+        .groupBy("k", "n_types")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("k"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("mass"),
+            F.expr(
+                "CAST((1000000 * sum(CASE WHEN rk <= k THEN c ELSE 0 END)) "
+                "div max(n_tok) AS BIGINT)"
+            ).alias("covered_ppm"),
+        )
     )

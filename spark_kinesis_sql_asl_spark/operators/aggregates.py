@@ -9,6 +9,7 @@ rows.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -501,4 +502,46 @@ def q_agg_boolcond(spark, sf_dir):
         F.expr("bool_or(l_tax > l_discount)").alias(
             "any_tax_over_discount"
         ),
+    )
+
+
+@query(
+    "q_agg_mode",
+    priority=30,
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt FROM (
+        SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+               row_number() OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY count(*) DESC, o_orderpriority) AS rn
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ) WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark, sf_dir):
+    """B109: deterministic per-group MODE — the most frequent
+    o_orderpriority per o_orderstatus, ties broken lexicographically.
+    Built as count-then-rank rather than the engines' native ``mode()``
+    because both Spark and DuckDB document arbitrary tie-breaking there —
+    the explicit (count desc, value asc) row_number is a total order, so
+    the answer is identical on any engine and any partitioning. Plan: one
+    (status, priority)-keyed rollup with map-side partial counts, then a
+    row_number window over |priorities|-sized groups (5 rows per status)
+    — nothing bigger than the distinct-combination frame ever moves,
+    same shape at 100 TB."""
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "cnt",
+        )
     )
