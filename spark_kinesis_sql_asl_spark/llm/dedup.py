@@ -456,3 +456,148 @@ def q_llm_prefix_dup(spark, sf_dir):
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+# --- C82: asymmetric containment near-dup (doc-in-doc) ------------------------
+
+_CONTAIN_TAU = 0.95
+_CONTAIN_TRUNC_TOKENS = 30
+_CONTAIN_TRUNC_OFFSET = 300_000  # synthetic truncated copies (C1 convention)
+
+
+@query(
+    "q_llm_dedup_containment",
+    priority=30,
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_CONTAIN_TRUNC_OFFSET} AS doc_id, lang,
+               array_to_string(
+                   string_split(text, ' ')[1:{_CONTAIN_TRUNC_TOKENS}], ' ')
+                   AS text
+        FROM documents WHERE doc_id % 11 = 0
+    ),
+    z AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split(coalesce(text, ''), ' ')) AS ts,
+               len(list_distinct(string_split(coalesce(text, ''), ' ')))
+                   AS sz
+        FROM corpus
+    )
+    SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+           round(len(list_intersect(a.ts, b.ts)) * 1.0 / a.sz, 6)
+               AS containment
+    FROM z a JOIN z b
+      ON a.lang = b.lang
+     AND (a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id))
+     AND b.sz >= CAST(ceil({_CONTAIN_TAU} * a.sz) AS BIGINT)
+    WHERE len(list_intersect(a.ts, b.ts)) * 1.0 / a.sz >= {_CONTAIN_TAU}
+    """,
+)
+def q_llm_dedup_containment(spark, sf_dir):
+    """C82: asymmetric CONTAINMENT near-dup — pairs where the smaller
+    document's token set is >= {_CONTAIN_TAU} contained in the larger's
+    (|A∩B| / |A|): the doc-in-doc detector (truncated re-crawls, quoted
+    articles, excerpt pages) that symmetric Jaccard (C2) structurally
+    misses — a 30-token excerpt of a 120-token doc has Jaccard ~0.25 but
+    containment 1.0. The fixture corpus gains a truncated copy of every
+    11th doc (the C1 injection convention; first {_CONTAIN_TRUNC_TOKENS}
+    tokens, so its distinct-token set is a true subset).
+
+    Blocking is the ASYMMETRIC prefix filter (the containment variant of
+    PPJoin, Xiao et al. WWW 2008): fix the global (df asc, tok asc) total
+    order; if C(A→B) >= τ then A must share one of its first
+    sz_a - ceil(τ·sz_a) + 1 order-ranked tokens with B — so only A-side
+    PREFIX tokens join the FULL B-side inverted index (no symmetric
+    prefix exists: B may be arbitrarily large). Candidates then pass the
+    size filter (sz_b >= ceil(τ·sz_a)) and the positional filter
+    (min(sz_a - pos_a, sz_b - pos_b) + 1 >= ceil(τ·sz_a), valid because
+    the first shared token's row must satisfy it), and are verified
+    exactly with array_intersect. At 100 TB the inverted index is the
+    cost (every token occurrence once, like the df pass C2 already pays);
+    candidates scale with token-level collisions, never n² — the same
+    discipline as every other pairwise operator in this package."""
+    tau = _CONTAIN_TAU
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    synth = d.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + _CONTAIN_TRUNC_OFFSET).alias("doc_id"),
+        "lang",
+        F.expr(
+            f"array_join(slice(split(text, ' '), 1, "
+            f"{_CONTAIN_TRUNC_TOKENS}), ' ')"
+        ).alias("text"),
+    )
+    docs = (
+        d.unionByName(synth)
+        .select(
+            "doc_id",
+            "lang",
+            F.array_distinct(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+            ).alias("ts"),
+        )
+        .withColumn("sz", F.size("ts"))
+        .localCheckpoint(eager=True)  # consumed by index + both verify joins
+    )
+    toks = docs.select("doc_id", "lang", "sz", F.explode("ts").alias("tok"))
+    dfreq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("df"))
+    pos_w = W.partitionBy("doc_id").orderBy("df", "tok")
+    indexed = toks.join(dfreq, ["lang", "tok"]).withColumn(
+        "pos", F.row_number().over(pos_w)
+    )
+    # A side: prefix only; B side: full inverted index
+    a_prefix = indexed.where(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(tau) * F.col("sz")) + 1
+    )
+    overlap_ub = (
+        F.least(
+            F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+        )
+        + 1
+    )
+    need = F.ceil(F.lit(tau) * F.col("a.sz"))
+    cand = (
+        a_prefix.alias("a")
+        .join(
+            indexed.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (
+                (F.col("a.sz") < F.col("b.sz"))
+                | (
+                    (F.col("a.sz") == F.col("b.sz"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id"))
+                )
+            )
+            & (F.col("b.sz") >= need)
+            & (overlap_ub >= need),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_small"),
+            F.col("b.doc_id").alias("doc_big"),
+        )
+        .distinct()
+    )
+    da = docs.select(
+        F.col("doc_id").alias("doc_small"),
+        F.col("ts").alias("ta"),
+        F.col("sz").alias("sa"),
+    )
+    db = docs.select(
+        F.col("doc_id").alias("doc_big"), F.col("ts").alias("tb")
+    )
+    scored = (
+        cand.join(da, "doc_small")
+        .join(db, "doc_big")
+        .select(
+            "doc_small",
+            "doc_big",
+            "sa",
+            F.size(F.array_intersect("ta", "tb")).alias("i"),
+        )
+    )
+    containment = F.col("i") * 1.0 / F.col("sa")
+    return scored.where(containment >= tau).select(
+        "doc_small", "doc_big", F.round(containment, 6).alias("containment")
+    )
