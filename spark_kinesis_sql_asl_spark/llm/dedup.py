@@ -484,26 +484,39 @@ _CONTAIN_TRUNC_OFFSET = 300_000  # synthetic truncated copies (C1 convention)
                len(list_distinct(string_split(coalesce(text, ''), ' ')))
                    AS sz
         FROM corpus
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+               round(len(list_intersect(a.ts, b.ts)) * 1.0 / a.sz, 6)
+                   AS containment
+        FROM z a JOIN z b
+          ON a.lang = b.lang
+         AND (a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id))
+         AND b.sz >= CAST(ceil({_CONTAIN_TAU} * a.sz) AS BIGINT)
+        WHERE len(list_intersect(a.ts, b.ts)) * 1.0 / a.sz
+              >= {_CONTAIN_TAU}
     )
-    SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
-           round(len(list_intersect(a.ts, b.ts)) * 1.0 / a.sz, 6)
-               AS containment
-    FROM z a JOIN z b
-      ON a.lang = b.lang
-     AND (a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id))
-     AND b.sz >= CAST(ceil({_CONTAIN_TAU} * a.sz) AS BIGINT)
-    WHERE len(list_intersect(a.ts, b.ts)) * 1.0 / a.sz >= {_CONTAIN_TAU}
+    SELECT doc_small, doc_big, containment
+    FROM pairs
+    QUALIFY row_number() OVER (
+        PARTITION BY doc_small ORDER BY containment DESC, doc_big ASC) = 1
     """,
 )
 def q_llm_dedup_containment(spark, sf_dir):
-    """C82: asymmetric CONTAINMENT near-dup — pairs where the smaller
-    document's token set is >= {_CONTAIN_TAU} contained in the larger's
-    (|A∩B| / |A|): the doc-in-doc detector (truncated re-crawls, quoted
+    """C82: asymmetric CONTAINMENT near-dup — for each document, its best
+    CONTAINER: the larger doc whose token set covers >= {_CONTAIN_TAU} of
+    the smaller's (|A∩B| / |A|, max-containment winner, doc_big-asc
+    tie-broken). The doc-in-doc detector (truncated re-crawls, quoted
     articles, excerpt pages) that symmetric Jaccard (C2) structurally
     misses — a 30-token excerpt of a 120-token doc has Jaccard ~0.25 but
     containment 1.0. The fixture corpus gains a truncated copy of every
     11th doc (the C1 injection convention; first {_CONTAIN_TRUNC_TOKENS}
-    tokens, so its distinct-token set is a true subset).
+    tokens, so its distinct-token set is a true subset). Output is top-1
+    per doc_small — the actionable canonical-container assignment (who
+    survives, who is dropped), and, unlike the all-pairs form, bounded at
+    n rows on template-dense corpora where τ=0.95 pairs are Θ(n²)
+    (measured sf0.1: 1.18M qualifying pairs from 5k docs — a result no
+    100 TB pipeline should materialize).
 
     Blocking is the ASYMMETRIC prefix filter (the containment variant of
     PPJoin, Xiao et al. WWW 2008): fix the global (df asc, tok asc) total
@@ -514,10 +527,15 @@ def q_llm_dedup_containment(spark, sf_dir):
     size filter (sz_b >= ceil(τ·sz_a)) and the positional filter
     (min(sz_a - pos_a, sz_b - pos_b) + 1 >= ceil(τ·sz_a), valid because
     the first shared token's row must satisfy it), and are verified
-    exactly with array_intersect. At 100 TB the inverted index is the
-    cost (every token occurrence once, like the df pass C2 already pays);
-    candidates scale with token-level collisions, never n² — the same
-    discipline as every other pairwise operator in this package."""
+    exactly with array_intersect. No candidate ``distinct()``: the
+    row_number top-1 absorbs duplicate candidates (dup factor <= prefix
+    length, ~2), saving a multi-million-row shuffle. The inverted index
+    is localCheckpointed — it feeds both join sides, and uncached it
+    re-runs the df-join + position window once per consumer. At 100 TB
+    the index is the cost (every token occurrence once, like the df pass
+    C2 already pays); candidates scale with token-level collisions,
+    never n² — the same discipline as every other pairwise operator in
+    this package."""
     tau = _CONTAIN_TAU
     d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     synth = d.where(F.col("doc_id") % 11 == 0).select(
@@ -543,13 +561,22 @@ def q_llm_dedup_containment(spark, sf_dir):
     toks = docs.select("doc_id", "lang", "sz", F.explode("ts").alias("tok"))
     dfreq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("df"))
     pos_w = W.partitionBy("doc_id").orderBy("df", "tok")
-    indexed = toks.join(dfreq, ["lang", "tok"]).withColumn(
-        "pos", F.row_number().over(pos_w)
+    indexed = (
+        toks.join(dfreq, ["lang", "tok"])
+        .withColumn("pos", F.row_number().over(pos_w))
+        .localCheckpoint(eager=True)  # feeds BOTH sides of the cand join
     )
-    # A side: prefix only; B side: full inverted index
+    # A side: prefix only; B side: full inverted index. The explicit
+    # repartition matters: the checkpointed index is tiny enough that AQE
+    # coalesces it to ONE partition, and the entire candidate fan-out +
+    # array-verify chain downstream is broadcast joins (no exchange), so
+    # without it the millions of candidate rows all flow through a single
+    # task (measured sf0.1: 26 s serial vs ~2 s spread). Spreading the
+    # ~2-token-per-doc prefix side is the cheap place to buy parallelism.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     a_prefix = indexed.where(
         F.col("pos") <= F.col("sz") - F.ceil(F.lit(tau) * F.col("sz")) + 1
-    )
+    ).repartition(n_part)
     overlap_ub = (
         F.least(
             F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
@@ -577,7 +604,6 @@ def q_llm_dedup_containment(spark, sf_dir):
             F.col("a.doc_id").alias("doc_small"),
             F.col("b.doc_id").alias("doc_big"),
         )
-        .distinct()
     )
     da = docs.select(
         F.col("doc_id").alias("doc_small"),
@@ -598,6 +624,17 @@ def q_llm_dedup_containment(spark, sf_dir):
         )
     )
     containment = F.col("i") * 1.0 / F.col("sa")
-    return scored.where(containment >= tau).select(
-        "doc_small", "doc_big", F.round(containment, 6).alias("containment")
+    best_w = W.partitionBy("doc_small").orderBy(
+        F.col("containment").desc(), F.col("doc_big").asc()
+    )
+    return (
+        scored.where(containment >= tau)
+        .select(
+            "doc_small",
+            "doc_big",
+            F.round(containment, 6).alias("containment"),
+        )
+        .withColumn("_rn", F.row_number().over(best_w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
     )
