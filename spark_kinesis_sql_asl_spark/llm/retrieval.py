@@ -1,0 +1,237 @@
+"""Retrieval scoring operators (SURVEY.md §2 C83-C84): BM25 lexical
+ranking over `documents` and reciprocal-rank fusion over `embeddings` —
+the hybrid-search layer a curation pipeline uses to mine / triage corpora
+(query-focused subset extraction, contamination triage, eval-set mining),
+composing with C27's inverted index (lexical side) and C4's cosine top-k
+(dense side).
+
+Robertson & Walker / Robertson-Sparck-Jones BM25 (TREC-3, 1994) and
+Cormack, Clarke & Buettcher reciprocal-rank fusion (SIGIR 2009) — public
+formulas, implemented Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+from ..operators.analytics import global_rank
+from .similarity import as_double, dot, safe_cosine, sq_norm
+
+# Fixed query: one rare discriminative term + two common ones (fixture
+# dfs at sf0.01: dup≈25, spark≈385, join≈394 of 500 docs) so idf spread
+# is real and the rare term dominates, as BM25 intends.
+_BM25_TERMS = ("dup", "spark", "join")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+def _bm25_oracle() -> str:
+    t1, t2, t3 = _BM25_TERMS
+    per_term = " + ".join(
+        f"""(CASE WHEN tf{i} > 0 THEN
+             ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0)
+             * (tf{i} * ({_BM25_K1} + 1.0))
+             / (tf{i} + {_BM25_K1}
+                * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+           ELSE 0.0 END)"""
+        for i in (1, 2, 3)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(coalesce(text, ''), ' ') AS w
+        FROM documents
+    ),
+    d AS (
+        SELECT doc_id, len(w) AS dl,
+               len(list_filter(w, x -> x = '{t1}')) AS tf1,
+               len(list_filter(w, x -> x = '{t2}')) AS tf2,
+               len(list_filter(w, x -> x = '{t3}')) AS tf3
+        FROM toks
+    ),
+    stats AS (
+        SELECT count(*) AS n,
+               sum(dl) * 1.0 / count(*) AS avgdl,
+               sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+               sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+               sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+        FROM d
+    )
+    SELECT doc_id, tf1, tf2, tf3,
+           round({per_term}, 6) AS bm25
+    FROM d CROSS JOIN stats
+    WHERE tf1 + tf2 + tf3 > 0
+    ORDER BY {per_term} DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """
+
+
+@query("q_llm_bm25", priority=30, oracle=_bm25_oracle())
+def q_llm_bm25(spark, sf_dir):
+    """C83: BM25 top-{_BM25_TOPK} for a fixed 3-term query — the lexical
+    ranking half of hybrid retrieval (k1={_BM25_K1}, b={_BM25_B}, the
+    ln(1 + (N-df+0.5)/(df+0.5)) idf that keeps scores positive).
+
+    Determinism discipline: the per-term scores are SUMMED AS A FIXED
+    EXPRESSION (s1 + s2 + s3), never as an aggregate over exploded term
+    rows — a float sum over a groupBy has engine-chosen addend order, a
+    fixed expression tree is bit-identical IEEE given identical integer
+    inputs (tf, dl, df, N; the lone libm call, ln, is the B50/C8-proven
+    convention). Ranking uses the unrounded score with a doc_id tiebreak
+    (the C4 convention).
+
+    Plan: tf and dl are scan-stage array expressions (no token explode at
+    all — term filters beat building a posting join for a 3-term query);
+    the (N, avgdl, df1..3) scalars are ONE aggregate row broadcast via
+    crossJoin; top-k is orderBy+limit = TakeOrderedAndProject, no global
+    window. At 100 TB: one corpus scan + a 1-row broadcast — embarrassingly
+    parallel; for ad-hoc many-term queries you'd flip to the C27 inverted
+    index instead of per-term scan expressions."""
+    t1, t2, t3 = _BM25_TERMS
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("w")
+    )
+    d = docs.select(
+        "doc_id",
+        F.size("w").alias("dl"),
+        *[
+            F.size(F.expr(f"filter(w, x -> x = '{t}')")).alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS, 1)
+        ],
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"df{i}")
+            for i in (1, 2, 3)
+        ],
+    )
+    k1, b = _BM25_K1, _BM25_B
+
+    def term_score(i: int):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log((F.col("n") - df + 0.5) / (df + 0.5) + 1.0)
+        s = (
+            idf
+            * (tf * (k1 + 1.0))
+            / (tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+        )
+        return F.when(tf > 0, s).otherwise(F.lit(0.0))
+
+    score = term_score(1) + term_score(2) + term_score(3)
+    return (
+        d.crossJoin(F.broadcast(stats))
+        .where(F.col("tf1") + F.col("tf2") + F.col("tf3") > 0)
+        .select("doc_id", "tf1", "tf2", "tf3", score.alias("_s"))
+        .orderBy(F.col("_s").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+        .select(
+            "doc_id", "tf1", "tf2", "tf3", F.round("_s", 6).alias("bm25")
+        )
+    )
+
+
+_RRF_K = 60
+_RRF_TOPK = 20
+_RRF_QUERY_ID = 0
+
+
+@query(
+    "q_llm_rrf_fusion",
+    priority=30,
+    oracle=f"""
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS qe FROM embeddings
+        WHERE vec_id = {_RRF_QUERY_ID}
+    ),
+    scored AS (
+        SELECT vec_id,
+               coalesce(list_dot_product(qe, ce) / nullif(
+                   sqrt(list_sum(list_transform(qe, x -> x * x))) *
+                   sqrt(list_sum(list_transform(ce, x -> x * x))), 0), 0)
+                   AS cos,
+               list_dot_product(qe, ce) AS dp
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings
+              WHERE vec_id <> {_RRF_QUERY_ID})
+             CROSS JOIN q
+    ),
+    ranked AS (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY cos DESC, vec_id) AS r_cos,
+               row_number() OVER (ORDER BY dp DESC, vec_id) AS r_dot
+        FROM scored
+    )
+    SELECT vec_id, r_cos, r_dot,
+           round(1.0 / ({_RRF_K} + r_cos) + 1.0 / ({_RRF_K} + r_dot), 6)
+               AS rrf
+    FROM ranked
+    ORDER BY 1.0 / ({_RRF_K} + r_cos) + 1.0 / ({_RRF_K} + r_dot) DESC,
+             vec_id
+    LIMIT {_RRF_TOPK}
+    """,
+)
+def q_llm_rrf_fusion(spark, sf_dir):
+    """C84: reciprocal-rank fusion (RRF, k={_RRF_K}) of two rankers over
+    the same query vector — cosine (normalized) and raw dot product
+    (magnitude-sensitive): the standard way hybrid search merges
+    incomparable score scales by USING ONLY RANKS, and the fusion step
+    every BM25+dense stack (C83 + C4) needs.
+
+    rrf(d) = Σ_r 1/(k + rank_r(d)) — ranks are exact integers from total
+    orders (metric desc, vec_id), so the two divisions and one addition
+    are deterministic IEEE in a fixed expression order; rounding only at
+    the output boundary (the C4 convention).
+
+    Plan: the query vector is a 1-row broadcast; per-vector metrics are
+    scan-stage higher-order-function folds; BOTH full-list ranks come from
+    :func:`global_rank` (range-repartition + per-slice row_number + offset
+    join) so the plan carries no single-partition WindowExec even though
+    the ranking is global; the fused top-k is orderBy+limit =
+    TakeOrderedAndProject. At 100 TB you'd feed it the C20/C77 ANN
+    shortlists instead of the full corpus — the fusion shape is
+    unchanged."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("ce")
+    )
+    q = (
+        emb.where(F.col("vec_id") == _RRF_QUERY_ID)
+        .select(
+            F.col("ce").alias("qe"),
+            F.sqrt(sq_norm(F.col("ce"))).alias("qn"),
+        )
+    )
+    scored = (
+        emb.where(F.col("vec_id") != _RRF_QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            safe_cosine(
+                dot(F.col("qe"), F.col("ce")),
+                F.col("qn"),
+                F.sqrt(sq_norm(F.col("ce"))),
+            ).alias("cos"),
+            dot(F.col("qe"), F.col("ce")).alias("dp"),
+        )
+    )
+    r1 = global_rank(
+        scored.select("vec_id", "cos"),
+        [F.col("cos").desc(), F.col("vec_id").asc()],
+        out_name="r_cos",
+    ).select("vec_id", "r_cos")
+    r2 = global_rank(
+        scored.select("vec_id", "dp"),
+        [F.col("dp").desc(), F.col("vec_id").asc()],
+        out_name="r_dot",
+    ).select("vec_id", "r_dot")
+    rrf = 1.0 / (_RRF_K + F.col("r_cos")) + 1.0 / (_RRF_K + F.col("r_dot"))
+    return (
+        r1.join(r2, "vec_id")
+        .select("vec_id", "r_cos", "r_dot", rrf.alias("_f"))
+        .orderBy(F.col("_f").desc(), "vec_id")
+        .limit(_RRF_TOPK)
+        .select("vec_id", "r_cos", "r_dot", F.round("_f", 6).alias("rrf"))
+    )

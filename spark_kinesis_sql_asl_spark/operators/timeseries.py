@@ -1,0 +1,228 @@
+"""Hypertable-style time-series operators over `events` (SURVEY.md §2
+B110-B112) — the TimescaleDB/kdb-shaped surface a metrics pipeline runs on
+top of the B99 gap-fill rollup: OHLC candles, time-weighted averages, and
+the forward as-of join (conversion lag).
+
+Conventions shared with operators/events.py and q_ts_gapfill: exact
+integer arithmetic end-to-end (floor-cents, epoch-µs, integer `div`
+bucketing — never float-divide-then-cast), deterministic total orders
+with event_id tie-breaks, and one shuffle per operator (windows and
+aggregates ride the same (key) partitioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "q_ts_ohlc",
+    priority=30,
+    oracle=f"""
+    WITH t AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // {_HOUR_US} AS BIGINT) AS h,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               ts, event_id
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    w AS (
+        SELECT event_type, h, cents,
+               first_value(cents) OVER (
+                   PARTITION BY event_type, h ORDER BY ts, event_id
+               ) AS open_c,
+               first_value(cents) OVER (
+                   PARTITION BY event_type, h ORDER BY ts DESC, event_id DESC
+               ) AS close_c
+        FROM t
+    )
+    SELECT event_type, h AS hour_epoch,
+           CAST(min(open_c) AS BIGINT) AS open_cents,
+           CAST(max(cents) AS BIGINT) AS high_cents,
+           CAST(min(cents) AS BIGINT) AS low_cents,
+           CAST(min(close_c) AS BIGINT) AS close_cents,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS volume_cents
+    FROM w GROUP BY 1, 2
+    """,
+)
+def q_ts_ohlc(spark, sf_dir):
+    """B110: OHLC candlestick rollup — per (event_type, hour): the first
+    (open) and last (close) value in (ts, event_id) order plus high / low /
+    count / volume. The financial-downsample staple; `first/last in bucket`
+    is exactly what a naive groupBy cannot express (no ordered aggregate
+    without a deterministic tie-break — B33's min_by needs a total order
+    too). Values as floor-cents BIGINTs, bucket index as epoch-µs integer
+    `div` (the B99 rule: a double quotient can land 1 ulp under the hour
+    boundary and bucket-shift on one engine only).
+
+    Plan: one exchange on (event_type, h) serves both first_value windows
+    (same partition keys, two sort orders) AND the final groupBy — open_c /
+    close_c are constant within the group, so min() collapses them without
+    re-shuffling. At 100 TB: |buckets| = |types| × |hours| ≪ |events|; with
+    a date-partitioned hypertable layout the scan prunes to the queried
+    range and the rollup is the only corpus-scale stage."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    t = ev.select(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("h"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        "ts",
+        "event_id",
+    )
+    asc = Window.partitionBy("event_type", "h").orderBy("ts", "event_id")
+    desc = Window.partitionBy("event_type", "h").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    w = t.select(
+        "event_type",
+        "h",
+        "cents",
+        F.first("cents").over(asc).alias("open_c"),
+        F.first("cents").over(desc).alias("close_c"),
+    )
+    return w.groupBy("event_type", F.col("h").alias("hour_epoch")).agg(
+        F.min("open_c").cast("bigint").alias("open_cents"),
+        F.max("cents").cast("bigint").alias("high_cents"),
+        F.min("cents").cast("bigint").alias("low_cents"),
+        F.min("close_c").cast("bigint").alias("close_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").cast("bigint").alias("volume_cents"),
+    )
+
+
+@query(
+    "q_ts_time_weighted",
+    priority=30,
+    oracle="""
+    WITH t AS (
+        SELECT event_type,
+               epoch_us(ts) AS us,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               event_id
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    seg AS (
+        SELECT event_type, cents,
+               lead(us) OVER (
+                   PARTITION BY event_type ORDER BY us, event_id
+               ) - us AS w_us
+        FROM t
+    )
+    SELECT event_type,
+           CAST(count(w_us) AS BIGINT) AS n_segments,
+           CAST(sum(w_us) AS BIGINT) AS total_us,
+           round(sum(cents * w_us) * 1.0 / sum(w_us), 6) AS twa_cents
+    FROM seg WHERE w_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_ts_time_weighted(spark, sf_dir):
+    """B111: time-weighted average per event_type — TimescaleDB
+    `time_weight('LOCF', ...)` semantics: each observation holds until the
+    next one, so its weight is the epoch-µs gap to the successor (the last
+    point carries no weight; zero-gap simultaneous events contribute
+    nothing, exactly as LOCF dictates). The honest mean for irregularly
+    sampled series, where the arithmetic mean over-weights bursts.
+
+    Exactness: weights are BIGINT µs deltas from one lead() pass, values
+    are floor-cents; Σ cents·w_us stays in BIGINT (fixture bound: max
+    cents 5.6e4 × total span 2.6e12 µs ≈ 1.5e17 ≪ 2^63; the product
+    saturates only past a ~16-year span at these magnitudes — re-derive
+    before pointing it at longer retention). The single float op is the
+    final Σ/Σ division of two exact BIGINTs: deterministic IEEE, round(6).
+    Plan: one shuffle on event_type for the lead() window, aggregate rides
+    the same partitioning — |types| output rows."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    t = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    seg = t.select(
+        "event_type",
+        "cents",
+        (F.lead("us").over(w) - F.col("us")).alias("w_us"),
+    ).where(F.col("w_us").isNotNull())
+    return seg.groupBy("event_type").agg(
+        F.count("w_us").alias("n_segments"),
+        F.sum("w_us").cast("bigint").alias("total_us"),
+        F.round(
+            F.sum(F.col("cents") * F.col("w_us")) * 1.0 / F.sum("w_us"), 6
+        ).alias("twa_cents"),
+    )
+
+
+@query(
+    "q_join_asof_forward",
+    priority=30,
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type = 'purchase' THEN ts END AS purchase_ts,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT event_id, user_id, ts, next_purchase_ts
+    FROM (
+        SELECT *,
+               min(purchase_ts) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, is_p, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS next_purchase_ts
+        FROM tagged
+    )
+    WHERE event_type = 'click'
+    """,
+)
+def q_join_asof_forward(spark, sf_dir):
+    """B112: FORWARD as-of join — for each click, the earliest purchase
+    at-or-after it by the same user: the conversion-lag primitive, and the
+    mirror of B19's backward form (joins.py q_join_asof). Spark has no
+    native ASOF JOIN in either direction; the scalable idiom is one window
+    pass over a (user_id) shuffle — O(n log n) per key at 100 TB where a
+    ts-range join degenerates.
+
+    Clicks sort BEFORE purchases at equal ts (is_p tiebreak), so with a
+    CURRENT ROW → FOLLOWING frame an exactly-simultaneous purchase counts
+    as "at-or-after" in both engines — the symmetric convention to B19,
+    where the simultaneous click counts as "prior"."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias(
+            "purchase_ts"
+        ),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(0)
+        .alias("is_p"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        tagged.withColumn("next_purchase_ts", F.min("purchase_ts").over(w))
+        .where(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts", "next_purchase_ts")
+    )

@@ -40,8 +40,10 @@ _MODULES = (
     "llm.spans",
     "llm.audits",
     "operators.events",
+    "operators.timeseries",
     "operators.analytics",
     "llm.similarity",
+    "llm.retrieval",
     "functions.udfs",
     "streaming.windows",
     "sources.kinesis_queries",

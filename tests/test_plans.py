@@ -378,3 +378,38 @@ def test_rfm_and_pareto_no_partitionless_window(spark):
             assert "_pid" in spec.split(",")[0], (
                 f"{name}: partitionless window spec: {spec[:120]}"
             )
+
+
+def test_ohlc_single_exchange_serves_windows_and_agg(spark):
+    # B110: both first_value windows and the final groupBy share the
+    # (event_type, hour) keys — exactly one data Exchange in the plan
+    # (the windows' hashpartitioning, reused by the aggregate).
+    import re
+
+    plan = formatted_plan(QUERIES["q_ts_ohlc"](spark, SF_ORACLE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:2000]
+
+
+def test_bm25_take_ordered_one_row_broadcast(spark):
+    # C83: corpus stats ride as a 1-row broadcast (BroadcastNestedLoopJoin
+    # for the crossJoin) and the top-k is TakeOrderedAndProject — no
+    # global sort, no partitionless window.
+    plan = formatted_plan(QUERIES["q_llm_bm25"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoop" in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_rrf_ranks_are_range_partitioned_takeordered_fusion(spark):
+    # C84: both global rank lists come from global_rank (range-partitioned
+    # row_number over _pid slices, never a partitionless window) and the
+    # fused top-k is TakeOrderedAndProject.
+    import re
+
+    plan = formatted_plan(QUERIES["q_llm_rrf_fusion"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" in plan.lower()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected row_number windows from global_rank"
+    for spec in specs:
+        assert "_pid" in spec.split(",")[0], spec[:120]
