@@ -376,3 +376,102 @@ def q_llm_kmeans_train(spark, sf_dir):
             F.col("csum").cast("bigint").alias("centroid_sum"),
         )
     )
+
+
+_OUT_TOPK = 10
+
+
+@query(
+    "q_llm_semantic_outliers",
+    priority=30,
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, label, {_Q_VEC_SQL_DUCK} AS qv FROM embeddings
+    ),
+    dims AS (
+        SELECT label, t.i AS dim, qv[t.i + 1] AS qval
+        FROM q, range(0, 64) t(i)
+    ),
+    cent AS (
+        SELECT label,
+               list(CAST(s AS BIGINT) ORDER BY dim) AS sums
+        FROM (SELECT label, dim, sum(qval) AS s
+              FROM dims GROUP BY label, dim)
+        GROUP BY label
+    ),
+    nn AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY label),
+    scored AS (
+        SELECT q.vec_id, q.label,
+               list_sum(list_transform(range(1, 65),
+                   i -> (n * qv[i] - sums[i]) * (n * qv[i] - sums[i])))
+                   AS dist_n2
+        FROM q JOIN cent USING (label) JOIN nn USING (label)
+    )
+    SELECT vec_id, label, CAST(dist_n2 AS BIGINT) AS dist_n2, rn
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY label ORDER BY dist_n2 DESC, vec_id) AS rn
+        FROM scored
+    )
+    WHERE rn <= {_OUT_TOPK}
+    """,
+)
+def q_llm_semantic_outliers(spark, sf_dir):
+    """C85: per-label embedding outliers — the top-{_OUT_TOPK} vectors
+    farthest from their own label's centroid: the mislabeled/junk-sample
+    detector a curation pass runs after clustering (a doc whose embedding
+    sits far from its class mean is a labeling error, an encoding
+    artifact, or genuinely out-of-distribution — all three are what you
+    pull for review before training).
+
+    Exactness on the C24 integer grid: the centroid is NEVER materialized
+    as floats — distance to the mean is scaled by n² so everything stays
+    BIGINT: dist_n2 = Σ_d (n·qv_d − Σ_d')², identical to n²·‖qv − μ‖²
+    with μ = Σ/n. No float aggregation order anywhere (the C39 rule:
+    engine-chosen addend order makes float sums unreproducible; integer
+    sums commute exactly).
+
+    Plan: per-(label, dim) integer sums via posexplode + two-phase agg
+    (64·|vectors| small-int shuffle rows, map-side partials), rolled into
+    |labels| centroid rows that broadcast back onto the scan for a
+    per-vector fold; top-k per label is a WindowGroupLimit rank. At
+    100 TB: one corpus-scale shuffle (the dim rollup), everything else
+    broadcast or scan-stage."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr(_Q_VEC_SQL_SPARK).alias("qv")
+    )
+    dims = e.select("label", F.posexplode("qv").alias("dim", "qval"))
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(F.sum("qval").alias("s"))
+        .groupBy("label")
+        .agg(
+            F.expr("array_sort(collect_list(struct(dim, s)))").alias("_ds"),
+        )
+        .select(
+            "label",
+            F.expr("transform(_ds, x -> CAST(x.s AS BIGINT))").alias("sums"),
+        )
+    )
+    n_per_label = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        e.join(F.broadcast(cent), "label")
+        .join(F.broadcast(n_per_label), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.expr(
+                "aggregate(sequence(1, 64), CAST(0 AS BIGINT), (acc, i) -> "
+                "acc + (n * element_at(qv, i) - element_at(sums, i)) * "
+                "(n * element_at(qv, i) - element_at(sums, i)))"
+            ).alias("dist_n2"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("dist_n2").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _OUT_TOPK)
+        .select("vec_id", "label", "dist_n2", "rn")
+    )

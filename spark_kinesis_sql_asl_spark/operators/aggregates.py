@@ -545,3 +545,81 @@ def q_agg_mode(spark, sf_dir):
             "cnt",
         )
     )
+
+
+@query(
+    "q_agg_weighted_median",
+    priority=30,
+    oracle="""
+    WITH d AS (
+        SELECT lang, doc_id,
+               len(string_split(coalesce(text, ''), ' ')) AS toks,
+               CAST(n_chars AS BIGINT) AS w
+        FROM documents
+    ),
+    c AS (
+        SELECT lang, doc_id, toks, w,
+               sum(w) OVER (
+                   PARTITION BY lang ORDER BY toks, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cumw,
+               sum(w) OVER (PARTITION BY lang) AS totw
+        FROM d
+    )
+    SELECT lang,
+           toks AS wmedian_toks,
+           CAST(totw AS BIGINT) AS total_weight
+    FROM c
+    WHERE cumw * 2 >= totw
+    QUALIFY row_number() OVER (
+        PARTITION BY lang ORDER BY toks, doc_id) = 1
+    """,
+)
+def q_agg_weighted_median(spark, sf_dir):
+    """B116: WEIGHTED median — per language, the token count at which
+    half the total char mass (n_chars-weighted) is reached: the "median
+    document a BYTE lives in", which on skewed corpora sits far from the
+    count-median (half the documents can be short while most bytes live
+    in long ones — the packing/truncation planner needs the byte view).
+    Neither engine has a weighted-median aggregate; the distributed form
+    is a cumulative-weight window over the (toks, doc_id) total order,
+    then the FIRST row where 2·cumw >= total — the lower weighted median,
+    exact in BIGINTs with no interpolation to drift.
+
+    Plan: one exchange on lang serves the cumulative window, the per-lang
+    total, and the row_number pick (same partition key; WindowGroupLimit
+    caps the rank scan). At 100 TB this is the textbook one-pass
+    distributed weighted-quantile shape — no sort of the full corpus,
+    only per-lang ordered scans."""
+    d = table(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias(
+            "toks"
+        ),
+        F.col("n_chars").cast("bigint").alias("w"),
+    )
+    cum = (
+        Window.partitionBy("lang")
+        .orderBy("toks", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("lang")
+    c = d.select(
+        "lang",
+        "doc_id",
+        "toks",
+        F.sum("w").over(cum).alias("cumw"),
+        F.sum("w").over(tot).alias("totw"),
+    )
+    pick = Window.partitionBy("lang").orderBy("toks", "doc_id")
+    return (
+        c.where(F.col("cumw") * 2 >= F.col("totw"))
+        .withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+        .select(
+            "lang",
+            F.col("toks").alias("wmedian_toks"),
+            F.col("totw").cast("bigint").alias("total_weight"),
+        )
+    )

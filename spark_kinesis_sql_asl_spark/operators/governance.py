@@ -1,0 +1,100 @@
+"""Privacy-governance audits (SURVEY.md §2 B114-B115) over `customer` —
+the release-gate checks a training-data pipeline runs before shipping a
+table that contains people: k-anonymity (Sweeney, IJUFKS 2002) and
+l-diversity (Machanavajjhala et al., ICDE 2006 — "l-diversity: privacy
+beyond k-anonymity") over a quasi-identifier partition.
+
+Both are single groupBy rollups — embarrassingly parallel at 100 TB, and
+the exact shape de-identification tooling runs as a full-table scan. The
+account-balance bucket is derived in exact integers (floor-cents then
+integer div), never by float-divide-then-cast (the B99 rule: a double
+quotient 1 ulp under the bucket edge would shift a person's bucket on
+one engine only — here that would silently change which groups violate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+_KANON_K = 5
+# floor-cents div 100000 == $1000-wide buckets, exact for negatives too
+_BAL_BUCKET_SQL = "CAST(floor(c_acctbal * 100) AS BIGINT) div 100000"
+_BAL_BUCKET_DUCK = "CAST(floor(c_acctbal * 100) AS BIGINT) // 100000"
+
+
+@query(
+    "q_privacy_kanon",
+    priority=30,
+    oracle=f"""
+    SELECT c_nationkey, c_mktsegment,
+           {_BAL_BUCKET_DUCK} AS bal_bucket,
+           CAST(count(*) AS BIGINT) AS group_size
+    FROM customer
+    GROUP BY 1, 2, 3
+    HAVING count(*) < {_KANON_K}
+    """,
+)
+def q_privacy_kanon(spark, sf_dir):
+    """B114: k-anonymity audit (k={_KANON_K}) — every quasi-identifier
+    group (nation, market segment, $1000 balance bucket) smaller than k is
+    a re-identification risk: an attacker who knows those three public-ish
+    attributes pins the row to <k candidates. The output IS the violation
+    list a release gate blocks on (empty result = table passes).
+
+    One groupBy over the QI tuple with map-side partial counts; HAVING
+    prunes post-aggregate. At 100 TB: |groups| is bounded by the QI-domain
+    product, not row count, so the rollup output always fits; the scan is
+    the only corpus-scale stage. Generalization loops (coarsen buckets
+    until the audit passes) re-run this exact query with a wider div."""
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr(_BAL_BUCKET_SQL).alias("bal_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .where(F.col("group_size") < _KANON_K)
+    )
+
+
+_LDIV_L = 3
+
+
+@query(
+    "q_privacy_ldiversity",
+    priority=30,
+    oracle=f"""
+    SELECT c_nationkey,
+           {_BAL_BUCKET_DUCK} AS bal_bucket,
+           CAST(count(*) AS BIGINT) AS group_size,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct
+    FROM customer
+    GROUP BY 1, 2
+    HAVING count(DISTINCT c_mktsegment) < {_LDIV_L}
+    """,
+)
+def q_privacy_ldiversity(spark, sf_dir):
+    """B115: l-diversity audit (l={_LDIV_L}) — k-anonymity's known gap: a
+    QI group can be large yet expose its members anyway when the SENSITIVE
+    attribute (here: market segment) is near-constant inside it (the
+    homogeneity attack). Flags every (nation, balance-bucket) group with
+    fewer than l distinct sensitive values, with its size and its actual
+    diversity. Distinct-count inside groupBy is Spark's two-phase
+    partial-distinct aggregation — no extra shuffle beyond the QI keys. At
+    100 TB the same bound as B114 applies: output scales with the QI
+    domain, never the row count."""
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            "c_nationkey", F.expr(_BAL_BUCKET_SQL).alias("bal_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct("c_mktsegment").alias("l_distinct"),
+        )
+        .where(F.col("l_distinct") < _LDIV_L)
+    )

@@ -226,3 +226,104 @@ def q_join_asof_forward(spark, sf_dir):
         .where(F.col("event_type") == "click")
         .select("event_id", "user_id", "ts", "next_purchase_ts")
     )
+
+
+_SLOPE_FRAME = 24  # rolling OLS over the trailing 24 observations
+
+
+@query(
+    "q_win_rolling_slope",
+    priority=30,
+    oracle=f"""
+    WITH t AS (
+        SELECT event_type, event_id,
+               epoch_us(ts) AS us,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    rel AS (
+        SELECT event_type, event_id, cents,
+               (us - first_value(us) OVER (
+                   PARTITION BY event_type ORDER BY us, event_id
+               )) // 1000000 AS x
+        FROM t
+    ),
+    s AS (
+        SELECT event_type, event_id,
+               CAST(count(*) OVER w AS BIGINT) AS n,
+               CAST(sum(x) OVER w AS BIGINT) AS sx,
+               CAST(sum(cents) OVER w AS BIGINT) AS sy,
+               CAST(sum(x * cents) OVER w AS BIGINT) AS sxy,
+               CAST(sum(x * x) OVER w AS BIGINT) AS sxx
+        FROM rel
+        WINDOW w AS (
+            PARTITION BY event_type ORDER BY x, event_id
+            ROWS BETWEEN {_SLOPE_FRAME - 1} PRECEDING AND CURRENT ROW
+        )
+    )
+    SELECT event_type, event_id, n,
+           round((n * sxy - sx * sy) * 1.0
+                 / nullif(n * sxx - sx * sx, 0), 6) AS slope
+    FROM s WHERE n = {_SLOPE_FRAME}
+    """,
+)
+def q_win_rolling_slope(spark, sf_dir):
+    """B113: rolling OLS slope — the trend detector: per event_type, the
+    least-squares slope (cents per second) over the trailing
+    {_SLOPE_FRAME} observations, slope = (nΣxy − ΣxΣy)/(nΣxx − (Σx)²).
+    Every windowed sum is EXACT BIGINT: x is integer seconds relative to
+    the series start (a first_value window — absolute epoch-µs squared
+    would overflow; relative seconds keep nΣxx ≲ 4e15 at the fixture's
+    30-day span, re-derive past ~5-year spans), y is floor-cents. The
+    single float op is the final division of two exact BIGINTs —
+    deterministic IEEE, round(6), nullif for the all-x-equal degenerate
+    frame. Partial frames (n < {_SLOPE_FRAME}) are suppressed: their
+    slopes are noise and their exclusion is the cross-engine-stable rule.
+
+    Plan: ONE exchange on event_type serves the first_value window, the
+    five frame sums (same partition + order ⇒ one sort, shared frame
+    buffer), and the filter. At 100 TB the frame is O(1) state per row —
+    window sliding-sum, not recompute-per-row."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    t = ev.select(
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    base = Window.partitionBy("event_type").orderBy("us", "event_id")
+    rel = t.select(
+        "event_type",
+        "event_id",
+        "cents",
+        F.expr(
+            "(us - first(us) OVER (PARTITION BY event_type "
+            "ORDER BY us, event_id)) div 1000000"
+        ).alias("x"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("x", "event_id")
+        .rowsBetween(-(_SLOPE_FRAME - 1), Window.currentRow)
+    )
+    s = rel.select(
+        "event_type",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("cents").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("cents")).over(w).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * 1.0
+        / F.nullif(
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0)
+        )
+    )
+    return s.where(F.col("n") == _SLOPE_FRAME).select(
+        "event_type", "event_id", "n", F.round(slope, 6).alias("slope")
+    )

@@ -41,6 +41,7 @@ _MODULES = (
     "llm.audits",
     "operators.events",
     "operators.timeseries",
+    "operators.governance",
     "operators.analytics",
     "llm.similarity",
     "llm.retrieval",
