@@ -235,3 +235,249 @@ def q_llm_rrf_fusion(spark, sf_dir):
         .limit(_RRF_TOPK)
         .select("vec_id", "r_cos", "r_dot", F.round("_f", 6).alias("rrf"))
     )
+
+
+_HN_TOPK = 5
+_HN_QUERIES = 5  # vec_id < 5 are query vectors (the C4 convention)
+
+
+@query(
+    "q_llm_hard_negatives",
+    priority=30,
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS qlabel,
+               embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < {_HN_QUERIES}
+    ),
+    c AS (
+        SELECT vec_id AS neg_id, label AS nlabel,
+               embedding::DOUBLE[] AS ce
+        FROM embeddings
+    ),
+    sims AS (
+        SELECT query_id, neg_id,
+               coalesce(list_dot_product(qe, ce) / nullif(
+                   sqrt(list_sum(list_transform(qe, x -> x * x))) *
+                   sqrt(list_sum(list_transform(ce, x -> x * x))), 0), 0)
+                   AS cos
+        FROM q JOIN c ON qlabel <> nlabel
+    )
+    SELECT query_id, neg_id, round(cos, 6) AS cosine, rn
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neg_id) AS rn
+        FROM sims
+    )
+    WHERE rn <= {_HN_TOPK}
+    """,
+)
+def q_llm_hard_negatives(spark, sf_dir):
+    """C86: hard-negative mining — per query vector, the top-{_HN_TOPK}
+    most-similar vectors with a DIFFERENT label: the contrastive-training
+    staple (triplet / InfoNCE batches live or die on negatives that are
+    hard, i.e. near the anchor yet wrong-class). Same exact-cosine and
+    rank discipline as C4; the only semantic delta is the label-mismatch
+    join predicate, which is precisely what makes the result a training
+    batch rather than a neighbor list.
+
+    Plan: queries broadcast (≤{_HN_QUERIES} rows), candidate side streams
+    partition-local with norms precomputed scan-side, per-query top-k is a
+    WindowGroupLimit rank. At 100 TB you'd mine from the C20/C77 IVF
+    shortlist per query instead of the full corpus — the label-filter +
+    rank shape is unchanged."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("e")
+    )
+    withn = emb.withColumn("nrm", F.sqrt(sq_norm(F.col("e"))))
+    q = withn.where(F.col("vec_id") < _HN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = withn.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("nlabel"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = safe_cosine(dot(F.col("qe"), F.col("ce")), F.col("qn"), F.col("cn"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neg_id")
+    )
+    return (
+        c.join(F.broadcast(q), F.col("qlabel") != F.col("nlabel"))
+        .select("query_id", "neg_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _HN_TOPK)
+        .select(
+            "query_id", "neg_id", F.round("cos", 6).alias("cosine"), "rn"
+        )
+    )
+
+
+_MMR_CAND = 20
+_MMR_STEPS = 5
+_MMR_QUERY_ID = 0
+
+
+def _mmr_oracle() -> str:
+    from .curation import _Q_VEC_SQL_DUCK
+
+    steps = []
+    for k in range(2, _MMR_STEPS + 1):
+        sel = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(1, k)
+        )
+        steps.append(f"""
+    r{k} AS (
+        SELECT c.vec_id, c.qdot, max(p.pdot) AS max_sel
+        FROM cand c JOIN ps p ON p.va = c.vec_id
+        WHERE p.vb IN ({sel}) AND c.vec_id NOT IN ({sel})
+        GROUP BY c.vec_id, c.qdot
+    ),
+    s{k} AS (
+        SELECT vec_id, qdot, max_sel, qdot - max_sel AS mmr,
+               CAST({k} AS BIGINT) AS step
+        FROM r{k} ORDER BY qdot - max_sel DESC, vec_id LIMIT 1
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT step, vec_id, qdot, max_sel, mmr FROM s{j}"
+        for j in range(1, _MMR_STEPS + 1)
+    )
+    return f"""
+    WITH q AS (
+        SELECT {_Q_VEC_SQL_DUCK} AS qv FROM embeddings
+        WHERE vec_id = {_MMR_QUERY_ID}
+    ),
+    c0 AS (
+        SELECT vec_id, {_Q_VEC_SQL_DUCK} AS cv FROM embeddings
+        WHERE vec_id <> {_MMR_QUERY_ID}
+    ),
+    qd AS (
+        SELECT vec_id, cv,
+               CAST(list_sum(list_transform(range(1, 65),
+                   i -> qv[i] * cv[i])) AS BIGINT) AS qdot
+        FROM c0 CROSS JOIN q
+    ),
+    cand AS (SELECT * FROM qd ORDER BY qdot DESC, vec_id LIMIT {_MMR_CAND}),
+    ps AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               CAST(list_sum(list_transform(range(1, 65),
+                   i -> a.cv[i] * b.cv[i])) AS BIGINT) AS pdot
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    s1 AS (
+        SELECT vec_id, qdot, CAST(NULL AS BIGINT) AS max_sel,
+               qdot AS mmr, CAST(1 AS BIGINT) AS step
+        FROM cand ORDER BY qdot DESC, vec_id LIMIT 1
+    ),{",".join(steps)}
+    {union}
+    """
+
+
+@query("q_llm_mmr_select", priority=30, oracle=_mmr_oracle())
+def q_llm_mmr_select(spark, sf_dir):
+    """C87: Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    SIGIR 1998) — greedily pick {_MMR_STEPS} of the top-{_MMR_CAND}
+    candidates, each step taking argmax of relevance − max-similarity-to-
+    already-selected (λ=0.5, so the two terms weigh equally and the
+    ×2-scaled score stays INTEGER). The diversity re-ranker: dedup at
+    selection time for eval-set construction, few-shot pools, and
+    retrieval-augmented batches where five near-identical neighbors are
+    worth one.
+
+    Exactness: every similarity is an INTEGER dot product on the C24
+    quantized grid — greedy argmax chains are maximally drift-sensitive
+    (one flipped comparison rewrites the whole tail), so no float may
+    enter the ordering; ties break on vec_id. The greedy loop is
+    structurally sequential ({_MMR_STEPS} fixed rounds — the C56/C77
+    unrolled-iteration pattern, DuckDB-expressible as chained CTEs).
+
+    Plan: candidate pool via TakeOrdered over scan-stage folds; the
+    {_MMR_CAND}×{_MMR_CAND} pairwise matrix and every greedy round are
+    constant-size (localCheckpointed once, joined per round) — corpus
+    scale touches ONLY the initial relevance scan; at 100 TB the pool
+    would come from the C20 IVF shortlist and the loop cost is unchanged."""
+    from .curation import _Q_VEC_SQL_SPARK
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = (
+        emb.where(F.col("vec_id") == _MMR_QUERY_ID)
+        .select(F.expr(_Q_VEC_SQL_SPARK).alias("qv"))
+    )
+    c0 = emb.where(F.col("vec_id") != _MMR_QUERY_ID).select(
+        "vec_id", F.expr(_Q_VEC_SQL_SPARK).alias("cv")
+    )
+    qdot = F.expr(
+        "aggregate(sequence(1, 64), CAST(0 AS BIGINT), (acc, i) -> "
+        "acc + element_at(qv, i) * element_at(cv, i))"
+    )
+    cand = (
+        c0.crossJoin(F.broadcast(q))
+        .select("vec_id", "cv", qdot.alias("qdot"))
+        .orderBy(F.col("qdot").desc(), "vec_id")
+        .limit(_MMR_CAND)
+        .localCheckpoint(eager=True)  # constant 20 rows, reused every round
+    )
+    pdot = F.expr(
+        "aggregate(sequence(1, 64), CAST(0 AS BIGINT), (acc, i) -> "
+        "acc + element_at(acv, i) * element_at(bcv, i))"
+    )
+    ps = (
+        cand.select(F.col("vec_id").alias("va"), F.col("cv").alias("acv"))
+        .join(
+            cand.select(
+                F.col("vec_id").alias("vb"), F.col("cv").alias("bcv")
+            ),
+            F.col("va") != F.col("vb"),
+        )
+        .select("va", "vb", pdot.alias("pdot"))
+        .localCheckpoint(eager=True)  # 20x19 integer sims
+    )
+    pool = cand.select("vec_id", "qdot")
+    s1 = (
+        pool.orderBy(F.col("qdot").desc(), "vec_id")
+        .limit(1)
+        .select(
+            "vec_id",
+            "qdot",
+            F.lit(None).cast("bigint").alias("max_sel"),
+            F.col("qdot").alias("mmr"),
+            F.lit(1).cast("bigint").alias("step"),
+        )
+    )
+    steps = [s1]
+    selected = s1.select("vec_id")
+    for k in range(2, _MMR_STEPS + 1):
+        rem = pool.join(selected, "vec_id", "left_anti")
+        maxsel = (
+            ps.join(
+                F.broadcast(selected.select(F.col("vec_id").alias("vb"))),
+                "vb",
+            )
+            .groupBy(F.col("va").alias("vec_id"))
+            .agg(F.max("pdot").alias("max_sel"))
+        )
+        sk = (
+            rem.join(maxsel, "vec_id")
+            .select(
+                "vec_id",
+                "qdot",
+                "max_sel",
+                (F.col("qdot") - F.col("max_sel")).alias("mmr"),
+            )
+            .orderBy(F.col("mmr").desc(), "vec_id")
+            .limit(1)
+            .withColumn("step", F.lit(k).cast("bigint"))
+            .localCheckpoint(eager=True)  # pin the pick; keep lineage flat
+        )
+        steps.append(sk)
+        selected = selected.unionByName(sk.select("vec_id"))
+    out = steps[0]
+    for sk in steps[1:]:
+        out = out.unionByName(sk)
+    return out.select("step", "vec_id", "qdot", "max_sel", "mmr")

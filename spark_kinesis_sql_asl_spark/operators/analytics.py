@@ -1126,3 +1126,73 @@ def q_pareto_deciles(spark, sf_dir):
             ).alias("share_ppm"),
         )
     )
+
+
+@query(
+    "q_agg_gini",
+    priority=30,
+    oracle="""
+    WITH x AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, o_custkey) AS i
+        FROM x
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               sum(CAST(i AS HUGEINT) * cents) AS iwx
+        FROM r
+    )
+    SELECT n, total_cents,
+           round((2.0 * CAST(iwx AS DOUBLE)
+                  - (n + 1.0) * CAST(total_cents AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(total_cents AS DOUBLE)),
+                 6) AS gini
+    FROM s
+    """,
+)
+def q_agg_gini(spark, sf_dir):
+    """B118: Gini coefficient of customer spend — THE inequality /
+    concentration summary (0 = uniform, →1 = one whale), the one-number
+    companion to B107's Pareto decile curve, computed from the
+    rank-weighted identity G = (2Σi·x_i − (n+1)Σx) / (nΣx) over
+    ascending-sorted exact floor-cents totals.
+
+    Determinism: ranks come from a (cents, custkey) total order; Σi·x_i
+    aggregates in wide exact integers (DECIMAL(38,0) Spark / HUGEINT
+    DuckDB — rank×cents overflows int64 once n·max_cents passes ~9e18,
+    which a 100 TB customer base genuinely reaches), and exact sums are
+    addend-order-free. The final expression is fixed-shape double math on
+    three exact scalars, round(6).
+
+    Plan: per-customer rollup shuffle, then :func:`global_rank` (range-
+    partitioned — no single-partition window even though the rank is
+    global), then a 1-row aggregate. At 100 TB: two shuffles and a scalar."""
+    x = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    r = global_rank(
+        x, [F.col("cents").asc(), F.col("o_custkey").asc()], out_name="i"
+    )
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(F.col("i").cast("decimal(25,0)") * F.col("cents")).alias("iwx"),
+    )
+    gini = (
+        2.0 * F.col("iwx").cast("double")
+        - (F.col("n") + 1.0) * F.col("total_cents").cast("double")
+    ) / (F.col("n").cast("double") * F.col("total_cents").cast("double"))
+    return s.select("n", "total_cents", F.round(gini, 6).alias("gini"))

@@ -98,3 +98,70 @@ def q_privacy_ldiversity(spark, sf_dir):
         )
         .where(F.col("l_distinct") < _LDIV_L)
     )
+
+
+_CONTRIB_CAP = 3  # max events one user may contribute per (day, type)
+
+
+@query(
+    "q_privacy_bounded_contrib",
+    priority=30,
+    oracle=f"""
+    WITH ranked AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               user_id,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type,
+                                CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                   ORDER BY ts, event_id
+               ) AS rn
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    )
+    SELECT event_type, day,
+           CAST(count(*) AS BIGINT) AS capped_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM ranked WHERE rn <= {_CONTRIB_CAP}
+    GROUP BY event_type, day
+    """,
+)
+def q_privacy_bounded_contrib(spark, sf_dir):
+    """B117: bounded-contribution aggregation — per (event_type, day)
+    counts where each user contributes AT MOST {_CONTRIB_CAP} events
+    (earliest-first, (ts, event_id)-deterministic): the sensitivity-
+    bounding preprocessing every differentially-private release needs
+    (noise calibrates to max per-user influence, so without the cap one
+    hyperactive user makes the whole count's sensitivity unbounded), and
+    an anti-spam-normalized metric in its own right. The cap step is
+    deterministic and exact — DP noise, if added, belongs downstream at
+    release time, never inside the engine.
+
+    Plan: one shuffle on (user, type, day) for the capping window
+    (WindowGroupLimit prunes each group to {_CONTRIB_CAP} rows before the
+    rank filter), then the (type, day) rollup with a partial-distinct on
+    user_id. At 100 TB per-user-day groups are tiny by construction, so
+    the window state is O(cap); no skew risk — a hot user caps out."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    t = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        "user_id",
+        "ts",
+        "event_id",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type", "day").orderBy(
+        "ts", "event_id"
+    )
+    return (
+        t.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _CONTRIB_CAP)
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("capped_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -120,7 +120,8 @@ def q_ts_ohlc(spark, sf_dir):
     SELECT event_type,
            CAST(count(w_us) AS BIGINT) AS n_segments,
            CAST(sum(w_us) AS BIGINT) AS total_us,
-           round(sum(cents * w_us) * 1.0 / sum(w_us), 6) AS twa_cents
+           round(CAST(sum(CAST(cents AS HUGEINT) * w_us) AS DOUBLE)
+                 / CAST(sum(w_us) AS DOUBLE), 6) AS twa_cents
     FROM seg WHERE w_us IS NOT NULL
     GROUP BY event_type
     """,
@@ -134,11 +135,14 @@ def q_ts_time_weighted(spark, sf_dir):
     sampled series, where the arithmetic mean over-weights bursts.
 
     Exactness: weights are BIGINT µs deltas from one lead() pass, values
-    are floor-cents; Σ cents·w_us stays in BIGINT (fixture bound: max
-    cents 5.6e4 × total span 2.6e12 µs ≈ 1.5e17 ≪ 2^63; the product
-    saturates only past a ~16-year span at these magnitudes — re-derive
-    before pointing it at longer retention). The single float op is the
-    final Σ/Σ division of two exact BIGINTs: deterministic IEEE, round(6).
+    are floor-cents, and Σ cents·w_us aggregates in WIDE EXACT integers —
+    DECIMAL(38,0) on Spark, HUGEINT on DuckDB — because the product
+    overflows int64 at hostile-but-legal magnitudes (1e6-valued events ×
+    a month span ≈ 2.5e20; the adversarial driver-canon fixture exercises
+    exactly this, and ANSI Spark rightly refuses to wrap). Exact decimal
+    and int128 sums are order-independent, so partial aggregation cannot
+    drift; the single float op is the final cast-to-double Σ/Σ division
+    (both engines take nearest-double of the SAME exact integer), round(6).
     Plan: one shuffle on event_type for the lead() window, aggregate rides
     the same partitioning — |types| output rows."""
     ev = table(spark, sf_dir, "events").where(
@@ -160,7 +164,10 @@ def q_ts_time_weighted(spark, sf_dir):
         F.count("w_us").alias("n_segments"),
         F.sum("w_us").cast("bigint").alias("total_us"),
         F.round(
-            F.sum(F.col("cents") * F.col("w_us")) * 1.0 / F.sum("w_us"), 6
+            F.sum(F.col("cents").cast("decimal(25,0)") * F.col("w_us"))
+            .cast("double")
+            / F.sum("w_us").cast("double"),
+            6,
         ).alias("twa_cents"),
     )
 
