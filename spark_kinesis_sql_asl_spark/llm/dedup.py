@@ -638,3 +638,91 @@ def q_llm_dedup_containment(spark, sf_dir):
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+# --- C88: normalization-equivalent dedup (case / whitespace variants) --------
+
+_NORM_CASE_OFFSET = 400_000
+_NORM_WS_OFFSET = 500_000
+
+
+@query(
+    "q_llm_dedup_normalized",
+    priority=30,
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_NORM_CASE_OFFSET}, upper(text)
+        FROM documents WHERE doc_id % 13 = 0
+        UNION ALL
+        SELECT doc_id + {_NORM_WS_OFFSET},
+               '  ' || replace(text, ' ', '   ') || ' '
+        FROM documents WHERE doc_id % 13 = 0
+    ),
+    n AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(
+                   lower(coalesce(text, '')), ' +', ' ', 'g'))) AS nh,
+               coalesce(text, '') AS raw
+        FROM corpus
+    )
+    SELECT nh AS norm_hash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT raw) AS BIGINT) AS n_raw_variants,
+           min(doc_id) AS exemplar_doc
+    FROM n GROUP BY nh HAVING count(*) > 1
+    """,
+)
+def q_llm_dedup_normalized(spark, sf_dir):
+    """C88: normalization-equivalent dedup — documents identical after
+    casefold + whitespace collapse + trim: the canonicalization rung
+    BETWEEN exact dedup (C1, raw-byte hash — misses a re-crawl that only
+    changed case or spacing) and near-dup (C2/C13 — overkill for
+    byte-cosmetic variants, and their thresholds can even miss them when
+    docs are short). Every real crawl pipeline runs this normalize-then-
+    hash pass first; n_raw_variants > 1 distinguishes true cosmetic
+    variants from raw duplicates that C1 already catches. The fixture is
+    single-case single-spaced, so (the C1 injection convention) every
+    13th doc spawns an UPPER() twin and a whitespace-mangled twin — the
+    operator under test is the normalize+group.
+
+    Engine parity: lower/upper/trim are exact on the ASCII fixture;
+    multi-space collapse is `regexp_replace(..., ' +', ' ')` (the 'g'
+    flag spelled per dialect — Spark replaces all matches by default,
+    DuckDB needs it explicit). At 100 TB: the normalized hash is computed
+    in the scan stage, the shuffle carries (hash, id) pairs only — the C1
+    discipline; text never rides an exchange."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    case_v = d.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + _NORM_CASE_OFFSET).alias("doc_id"),
+        F.upper("text").alias("text"),
+    )
+    ws_v = d.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + _NORM_WS_OFFSET).alias("doc_id"),
+        F.concat(
+            F.lit("  "),
+            F.regexp_replace("text", " ", "   "),
+            F.lit(" "),
+        ).alias("text"),
+    )
+    corpus = d.unionByName(case_v).unionByName(ws_v)
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col("text"), F.lit(""))), " +", " "
+        )
+    )
+    return (
+        corpus.select(
+            "doc_id",
+            F.md5(norm.cast("binary")).alias("norm_hash"),
+            F.coalesce(F.col("text"), F.lit("")).alias("raw"),
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("raw").alias("n_raw_variants"),
+            F.min("doc_id").alias("exemplar_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+    )

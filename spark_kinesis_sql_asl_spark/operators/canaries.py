@@ -429,3 +429,34 @@ def q_canary_try_arith(spark, sf_dir):
             "CAST(event_id % 4 AS BIGINT)), -1.0)"
         ).alias("safe_ratio"),
     )
+
+
+@query(
+    "q_canary_nullable_bigint",
+    priority=10,
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0
+                THEN CAST(floor(o_totalprice * 100) AS BIGINT)
+           END AS maybe_cents
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+)
+def q_canary_nullable_bigint(spark, sf_dir):
+    """D12: a BIGINT column that is NULL on some rows — the shape C87's
+    max_sel introduced. Both engines' pandas bridges promote a nullable
+    int64 column to float64 (NaN has no int), so the driver compares
+    float-rendered values built from EXACT integers on both sides; this
+    canary pins that promotion round-trips identically (same 2^53-safe
+    magnitudes, same NULL markers) with no production logic attached."""
+    return (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 3 == 0,
+                F.floor(F.col("o_totalprice") * 100).cast("bigint"),
+            ).alias("maybe_cents"),
+        )
+    )

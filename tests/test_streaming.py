@@ -1443,3 +1443,88 @@ def test_transform_with_state_twin_matches_legacy(spark, tmp_path):
     )
     assert tws == legacy
     assert legacy  # non-vacuous
+
+
+# --- B110 streaming twin: tumbling-window OHLC ---------------------------
+
+
+def test_streaming_ohlc_equals_batch(spark, events_rows, tmp_path):
+    """B110's streaming twin: hourly OHLC as a watermarked tumbling-window
+    aggregate. first/last-in-bucket ride min_by/max_by over the
+    (ts, event_id) struct — a deterministic total order, the same rule the
+    batch operator pins with first_value windows — so the availableNow
+    replay must equal the batch rollup exactly."""
+    staging = str(tmp_path / "staging")
+    _stage(events_rows, staging, n_files=3)
+
+    def ohlc(src):
+        f = src.where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        cents = F.floor(F.col("value") * 100).cast("bigint")
+        key = F.struct("ts", "event_id")
+        return (
+            f.select("event_type", "ts", "event_id", cents.alias("cents"))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(
+                F.min_by("cents", key).alias("open_cents"),
+                F.max("cents").alias("high_cents"),
+                F.min("cents").alias("low_cents"),
+                F.max_by("cents", key).alias("close_cents"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("cents").cast("bigint").alias("volume_cents"),
+            )
+            .select(
+                F.col("window.start").alias("h"),
+                "event_type",
+                "open_cents",
+                "high_cents",
+                "low_cents",
+                "close_cents",
+                "n_events",
+                "volume_cents",
+            )
+        )
+
+    _drain(
+        ohlc(_stream(spark, staging))
+        .writeStream.format("memory")
+        .queryName("stream_ohlc")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    got = {
+        (r.h, r.event_type): tuple(r)[2:]
+        for r in spark.table("stream_ohlc").collect()
+    }
+    expect = {
+        (r.h, r.event_type): tuple(r)[2:]
+        for r in ohlc(table(spark, SF_SMOKE, "events")).collect()
+    }
+    assert got == expect
+    # and the struct-ordered min_by/max_by convention must agree with the
+    # batch operator's first_value-window convention on the same buckets
+    from spark_kinesis_sql_asl_spark.operators.timeseries import q_ts_ohlc
+
+    batch = {
+        (r.event_type, r.hour_epoch): (
+            r.open_cents,
+            r.high_cents,
+            r.low_cents,
+            r.close_cents,
+            r.n_events,
+            r.volume_cents,
+        )
+        for r in q_ts_ohlc(spark, SF_SMOKE).collect()
+    }
+    import datetime as dt
+
+    stream_keyed = {
+        (
+            t,
+            int(h.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+            // 3_600_000_000,
+        ): v
+        for (h, t), v in got.items()
+    }
+    assert stream_keyed == batch
