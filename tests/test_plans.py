@@ -413,3 +413,45 @@ def test_rrf_ranks_are_range_partitioned_takeordered_fusion(spark):
     assert specs, "expected row_number windows from global_rank"
     for spec in specs:
         assert "_pid" in spec.split(",")[0], spec[:120]
+
+
+def test_weighted_median_single_exchange(spark):
+    # B116: cumulative window, per-lang total and rank pick all share the
+    # lang partitioning — exactly one data Exchange, and the rank<=1
+    # filter pushes into WindowGroupLimit.
+    import re
+
+    plan = formatted_plan(QUERIES["q_agg_weighted_median"](spark, SF_ORACLE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:2000]
+    assert "WindowGroupLimit" in plan
+
+
+def test_bounded_contrib_caps_via_window_group_limit(spark):
+    # B117: the per-(user, type, day) cap must prune groups to K rows
+    # before the rank filter (WindowGroupLimit), so window state is O(cap).
+    plan = formatted_plan(
+        QUERIES["q_privacy_bounded_contrib"](spark, SF_ORACLE)
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_gini_rank_is_range_partitioned(spark):
+    # B118: the global rank must ride global_rank's range partitioning,
+    # never a partitionless window.
+    import re
+
+    plan = formatted_plan(QUERIES["q_agg_gini"](spark, SF_ORACLE))
+    assert "rangepartitioning" in plan.lower()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    for spec in specs:
+        assert "_pid" in spec.split(",")[0], spec[:120]
+
+
+def test_rolling_slope_single_exchange_all_windows(spark):
+    # B113: the relative-x window and all five frame sums share the
+    # event_type partitioning — one data Exchange total.
+    import re
+
+    plan = formatted_plan(QUERIES["q_win_rolling_slope"](spark, SF_ORACLE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:2000]
