@@ -475,3 +475,72 @@ def q_llm_semantic_outliers(spark, sf_dir):
         .where(F.col("rn") <= _OUT_TOPK)
         .select("vec_id", "label", "dist_n2", "rn")
     )
+
+
+_MARGIN_BOTTOMK = 20
+
+
+@query(
+    "q_llm_margin_sample",
+    priority=30,
+    oracle=f"""
+    WITH {_ASSIGN_CTES_DUCK}
+    SELECT vec_id,
+           CAST(min(CASE WHEN rn = 1 THEN seed_id END) AS BIGINT)
+               AS cell_1,
+           CAST(min(CASE WHEN rn = 1 THEN dist END) AS BIGINT) AS d1,
+           CAST(min(CASE WHEN rn = 2 THEN dist END) AS BIGINT) AS d2,
+           CAST(min(CASE WHEN rn = 2 THEN dist END)
+                - min(CASE WHEN rn = 1 THEN dist END) AS BIGINT) AS margin
+    FROM assign WHERE rn <= 2
+    GROUP BY vec_id
+    ORDER BY margin, vec_id
+    LIMIT {_MARGIN_BOTTOMK}
+    """,
+)
+def q_llm_margin_sample(spark, sf_dir):
+    """C89: uncertainty-margin sampling — the {_MARGIN_BOTTOMK} vectors
+    whose nearest and second-nearest cluster centroids are closest in
+    distance (smallest d2 − d1): the active-learning selection rule
+    (margin sampling, Scheffer et al. 2001) over the C33 assignment. A
+    tiny margin means the vector sits on a cluster boundary — exactly the
+    samples worth human labels, a quality-score audit, or exclusion from
+    prototype-based auto-labeling; the complement of C85 (which pulls
+    far-from-centroid outliers, this pulls between-centroid ambiguity).
+
+    Exactness: squared-L2 distances on the C24 integer grid are BIGINT,
+    so margins are exact integer differences — no float rank can flip the
+    bottom-k. The top-2 per vector come from the same (dist, seed_id)
+    argmin window C33 pins, kept to rn <= 2 (WindowGroupLimit); the
+    final bottom-k is orderBy+limit = TakeOrderedAndProject, no global
+    window. Plan: broadcast seeds, scan-stage distance folds, one
+    per-vector window — the E-step plan plus a conditional pivot."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_Q_VEC_SQL_SPARK).alias("qv")
+    )
+    from .curation import _KMEANS_K
+
+    seeds = e.where(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("seed_id"), F.col("qv").alias("sv")
+    )
+    dists = e.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "seed_id",
+        F.expr(
+            "aggregate(sequence(1, 64), CAST(0 AS BIGINT), (acc, i) -> "
+            "acc + (element_at(qv, i) - element_at(sv, i)) * "
+            "(element_at(qv, i) - element_at(sv, i)))"
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "seed_id")
+    top2 = dists.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 2
+    )
+    pick = lambda r, c: F.min(F.when(F.col("rn") == r, F.col(c)))
+    agg = top2.groupBy("vec_id").agg(
+        pick(1, "seed_id").cast("bigint").alias("cell_1"),
+        pick(1, "dist").cast("bigint").alias("d1"),
+        pick(2, "dist").cast("bigint").alias("d2"),
+        (pick(2, "dist") - pick(1, "dist")).cast("bigint").alias("margin"),
+    )
+    return agg.orderBy("margin", "vec_id").limit(_MARGIN_BOTTOMK)
