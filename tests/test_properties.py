@@ -329,3 +329,141 @@ def test_bpe_batch_equals_sequential_when_disjoint(spark):
     # (a/b, c/d, e/f, g/h never co-occur), so batch == sequential
     assert [(p, c) for _, p, c in batch] == seq
     assert [r[0] for r in batch] == list(range(1, len(batch) + 1))
+
+
+def test_weighted_median_reduces_to_plain_median_on_unit_weights(spark):
+    """B116 law: with every weight equal, the weighted median is the plain
+    lower median of the token counts — computed here as a pure-Python
+    reference over the real fixture, per language."""
+    from .conftest import SF_ORACLE
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias(
+            "toks"
+        ),
+    ).collect()
+    by_lang: dict[str, list[int]] = {}
+    for r in sorted(toks, key=lambda r: (r.toks, r.doc_id)):
+        by_lang.setdefault(r.lang, []).append(r.toks)
+    expect = {
+        lang: xs[(len(xs) + 1) // 2 - 1] for lang, xs in by_lang.items()
+    }
+
+    from pyspark.sql import Window
+
+    d = docs.select(
+        "lang",
+        "doc_id",
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias(
+            "toks"
+        ),
+        F.lit(1).alias("w"),
+    )
+    cum = (
+        Window.partitionBy("lang")
+        .orderBy("toks", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        r.lang: r.toks
+        for r in d.select(
+            "lang",
+            "toks",
+            "doc_id",
+            F.sum("w").over(cum).alias("cumw"),
+            F.sum("w").over(Window.partitionBy("lang")).alias("totw"),
+        )
+        .where(F.col("cumw") * 2 >= F.col("totw"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy("toks", "doc_id")
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .collect()
+    }
+    assert got == expect
+
+
+def test_gini_bounds_and_uniform_zero(spark):
+    """B118 laws: 0 <= G < 1 on the fixture, and G == 0 exactly on a
+    perfectly uniform synthetic distribution."""
+    from spark_kinesis_sql_asl_spark.registry import all_queries
+    from .conftest import SF_ORACLE
+
+    row = all_queries()["q_agg_gini"](spark, SF_ORACLE).collect()[0]
+    assert 0.0 <= row.gini < 1.0
+
+    from spark_kinesis_sql_asl_spark.operators.analytics import global_rank
+
+    uniform = spark.createDataFrame(
+        [(i, 100) for i in range(50)], "o_custkey int, cents long"
+    )
+    r = global_rank(
+        uniform, [F.col("cents").asc(), F.col("o_custkey").asc()], out_name="i"
+    )
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("tot"),
+        F.sum(F.col("i") * F.col("cents")).alias("iwx"),
+    ).collect()[0]
+    g = (2.0 * s.iwx - (s.n + 1.0) * s.tot) / (s.n * s.tot)
+    assert abs(g) < 1e-12
+
+
+def test_mmr_first_pick_is_relevance_argmax_and_picks_distinct(spark):
+    """C87 laws: step 1 is the plain relevance argmax (no diversity term
+    yet), all 5 picks are distinct, and every later step's mmr equals
+    qdot − max_sel exactly (max_sel may be NEGATIVE on gaussian
+    embeddings, in which case the "penalty" legitimately raises the
+    score — anti-similar picks are maximally diverse)."""
+    from spark_kinesis_sql_asl_spark.registry import all_queries
+    from .conftest import SF_ORACLE
+
+    rows = sorted(
+        all_queries()["q_llm_mmr_select"](spark, SF_ORACLE).collect(),
+        key=lambda r: r.step,
+    )
+    assert [r.step for r in rows] == [1, 2, 3, 4, 5]
+    assert len({r.vec_id for r in rows}) == 5
+    assert rows[0].max_sel is None and rows[0].mmr == rows[0].qdot
+    assert all(r.mmr == r.qdot - r.max_sel for r in rows[1:])
+
+
+def test_containment_pairs_are_supersets_at_tau_1(spark):
+    """C82 law: every reported pair with containment == 1.0 must satisfy
+    set-inclusion exactly (checked in Python on the reconstructed corpus) —
+    the prefix/size/positional filters may prune, never corrupt."""
+    from spark_kinesis_sql_asl_spark.registry import all_queries
+    from spark_kinesis_sql_asl_spark.llm.dedup import (
+        _CONTAIN_TRUNC_OFFSET,
+        _CONTAIN_TRUNC_TOKENS,
+    )
+    from .conftest import SF_SMOKE
+
+    docs = {
+        r.doc_id: set((r.text or "").split(" "))
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    }
+    trunc = {
+        r.doc_id
+        + _CONTAIN_TRUNC_OFFSET: set(
+            (r.text or "").split(" ")[:_CONTAIN_TRUNC_TOKENS]
+        )
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .where(F.col("doc_id") % 11 == 0)
+        .collect()
+    }
+    corpus = {**docs, **trunc}
+    rows = all_queries()["q_llm_dedup_containment"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        if abs(r.containment - 1.0) < 1e-9:
+            assert corpus[r.doc_small] <= corpus[r.doc_big], (
+                r.doc_small,
+                r.doc_big,
+            )
