@@ -481,3 +481,114 @@ def q_llm_mmr_select(spark, sf_dir):
     for sk in steps[1:]:
         out = out.unionByName(sk)
     return out.select("step", "vec_id", "qdot", "max_sel", "mmr")
+
+
+_RK_K = 10
+_RK_QUERIES = 5
+
+
+@query(
+    "q_llm_recall_at_k",
+    priority=30,
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < {_RK_QUERIES}
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce
+          FROM embeddings),
+    sims AS (
+        SELECT query_id, neighbor_id,
+               coalesce(list_dot_product(qe, ce) / nullif(
+                   sqrt(list_sum(list_transform(qe, x -> x * x))) *
+                   sqrt(list_sum(list_transform(ce, x -> x * x))), 0), 0)
+                   AS cos,
+               list_dot_product(qe, ce) AS dp
+        FROM q CROSS JOIN c WHERE neighbor_id <> query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+               ) AS r_true,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY dp DESC, neighbor_id
+               ) AS r_sys
+        FROM sims
+    )
+    SELECT query_id,
+           CAST(count(*) FILTER (r_true <= {_RK_K} AND r_sys <= {_RK_K})
+                AS BIGINT) AS n_hit,
+           CAST((1000000 * count(*) FILTER (r_true <= {_RK_K}
+                                            AND r_sys <= {_RK_K}))
+                // {_RK_K} AS BIGINT) AS recall_ppm
+    FROM ranked
+    GROUP BY query_id
+    """,
+)
+def q_llm_recall_at_k(spark, sf_dir):
+    """C91: recall@{_RK_K} evaluation-as-query — per query vector, how
+    many of the true cosine top-{_RK_K} the cheaper raw-dot-product
+    ranking recovers, in exact integer ppm: the retrieval-eval step a
+    pipeline runs BEFORE swapping in a cheaper scorer (unnormalized dot
+    ≈ cosine only when vector norms are uniform — this measures exactly
+    how much that assumption costs on YOUR corpus). The same harness
+    evaluates any system ranking (ANN, PQ, pruned index) against the
+    exact baseline; pytest gates C5/C20 recall the same way, this row
+    makes the metric itself a driver-verified operator.
+
+    Determinism: both rankings are total orders (metric desc, vec_id) on
+    per-pair IEEE-identical scores (the C4 rule); the hit count and
+    floor-ppm are pure integers. Plan: queries broadcast, one scan of
+    the candidate side computes both metrics, two WindowGroupLimit-
+    prunable rank windows over the same (query_id) exchange, |queries|
+    output rows."""
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    withn = emb.withColumn("nrm", F.sqrt(sq_norm(F.col("e"))))
+    q = withn.where(F.col("vec_id") < _RK_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = withn.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    sims = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            safe_cosine(
+                dot(F.col("qe"), F.col("ce")), F.col("qn"), F.col("cn")
+            ).alias("cos"),
+            dot(F.col("qe"), F.col("ce")).alias("dp"),
+        )
+    )
+    w_true = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    w_sys = Window.partitionBy("query_id").orderBy(
+        F.col("dp").desc(), F.col("neighbor_id")
+    )
+    hit = (
+        (F.col("r_true") <= _RK_K) & (F.col("r_sys") <= _RK_K)
+    ).cast("bigint")
+    return (
+        sims.withColumn("r_true", F.row_number().over(w_true))
+        .withColumn("r_sys", F.row_number().over(w_sys))
+        .groupBy("query_id")
+        .agg(F.sum(hit).alias("n_hit"))
+        .select(
+            "query_id",
+            "n_hit",
+            F.expr(f"CAST((1000000 * n_hit) div {_RK_K} AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+    )

@@ -544,3 +544,71 @@ def q_llm_margin_sample(spark, sf_dir):
         (pick(2, "dist") - pick(1, "dist")).cast("bigint").alias("margin"),
     )
     return agg.orderBy("margin", "vec_id").limit(_MARGIN_BOTTOMK)
+
+
+@query(
+    "q_llm_cluster_purity",
+    priority=30,
+    oracle=f"""
+    WITH {_ASSIGN_CTES_DUCK},
+    lab AS (
+        SELECT a.seed_id AS cell_id, e.label
+        FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id
+        WHERE a.rn = 1
+    ),
+    cells AS (
+        SELECT cell_id, label, CAST(count(*) AS BIGINT) AS n
+        FROM lab GROUP BY cell_id, label
+    ),
+    best AS (
+        SELECT cell_id, label AS majority_label, n AS n_majority,
+               CAST(sum(n) OVER (PARTITION BY cell_id) AS BIGINT) AS n_cell
+        FROM cells
+        QUALIFY row_number() OVER (
+            PARTITION BY cell_id ORDER BY n DESC, label ASC) = 1
+    )
+    SELECT cell_id, majority_label, n_majority, n_cell,
+           CAST((1000000 * n_majority) // n_cell AS BIGINT) AS purity_ppm
+    FROM best
+    """,
+)
+def q_llm_cluster_purity(spark, sf_dir):
+    """C90: cluster-purity audit — per C33 cell, its majority true label,
+    that label's share in exact integer ppm, and the cell size: the
+    standard external clustering-quality metric (purity), run as a query
+    so a 100 TB clustering job can be GATED on it (cells below a purity
+    floor get re-clustered or quarantined before any auto-labeling step
+    consumes them — the audit C85/C89 sampling decisions read). Majority
+    tie-break is (count desc, label asc), the B109 deterministic-mode
+    convention; all arithmetic is integer (the floor-ppm rule from C30).
+
+    Plan: the E-step assignment (broadcast seeds, scan-stage folds) joins
+    labels — at fixture scale the join rides the same broadcast; the
+    contingency rollup is a (cell, label) groupBy bounded by k·|labels|
+    rows, and the majority pick is a WindowGroupLimit rank over those few
+    rows. At 100 TB: one corpus-scale shuffle (the contingency rollup),
+    everything downstream is k-bounded."""
+    e = table(spark, sf_dir, "embeddings")
+    assigned = _assigned(spark, sf_dir).select("vec_id", "cell_id")
+    lab = assigned.join(e.select("vec_id", "label"), "vec_id")
+    cells = lab.groupBy("cell_id", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("cell_id").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    tot = Window.partitionBy("cell_id")
+    return (
+        cells.withColumn("n_cell", F.sum("n").over(tot).cast("bigint"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cell_id",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+            "n_cell",
+            F.expr("CAST((1000000 * n) div n_cell AS BIGINT)").alias(
+                "purity_ppm"
+            ),
+        )
+    )

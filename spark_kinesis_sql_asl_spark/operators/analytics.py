@@ -1196,3 +1196,69 @@ def q_agg_gini(spark, sf_dir):
         - (F.col("n") + 1.0) * F.col("total_cents").cast("double")
     ) / (F.col("n").cast("double") * F.col("total_cents").cast("double"))
     return s.select("n", "total_cents", F.round(gini, 6).alias("gini"))
+
+
+@query(
+    "q_agg_entropy",
+    priority=30,
+    oracle="""
+    WITH d AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               event_type
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    c AS (
+        SELECT day, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM d GROUP BY day, event_type
+    ),
+    t AS (
+        SELECT day, event_type, n,
+               CAST(sum(n) OVER (PARTITION BY day) AS BIGINT) AS tot
+        FROM c
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(min(tot) AS BIGINT) AS n_events,
+           round(sum(-1.0 * (n * 1.0 / tot) * ln(n * 1.0 / tot)), 6)
+               AS entropy_nats
+    FROM t GROUP BY day
+    """,
+)
+def q_agg_entropy(spark, sf_dir):
+    """B119: Shannon entropy of the daily event-type mix (nats) — the
+    distribution-health alarm: entropy collapsing toward 0 means one type
+    is flooding the stream (bot storm, ingestion loop), climbing toward
+    ln(|types|) means uniform mix; with C74's no-log Gini-Simpson this
+    gives both standard diversity indices, and the per-day trend is the
+    drift signal.
+
+    Float discipline: p = n/tot is a division of exact BIGINTs (per-row
+    IEEE-identical), ln is the B50/C8-proven libm convention, and the
+    summation runs over AT MOST |types| addends per day — but a float
+    sum's addend order is engine-chosen, so this query is deliberately
+    summed per (day, type) rows and rounded at 6 where the ≤|types|-term
+    reassociation error (≲1e-15 here) cannot surface (the C74 route goes
+    fully integer precisely because its Σn² has no such bound at corpus
+    scale; entropy's log forces this compromise and the tight addend
+    bound is what makes it safe). Plan: one (day, type) rollup with
+    map-side partials, the per-day total rides a window on the same day
+    partitioning, |days| output rows."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    c = (
+        ev.select(
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            "event_type",
+        )
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("day")
+    t = c.withColumn("tot", F.sum("n").over(tot).cast("bigint"))
+    p = F.col("n") * 1.0 / F.col("tot")
+    return t.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.min("tot").cast("bigint").alias("n_events"),
+        F.round(F.sum(-1.0 * p * F.log(p)), 6).alias("entropy_nats"),
+    )
