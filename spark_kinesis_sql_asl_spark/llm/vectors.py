@@ -612,3 +612,93 @@ def q_llm_cluster_purity(spark, sf_dir):
             ),
         )
     )
+
+
+_KNN_K = 5
+_KNN_UNLABELED_MOD = 20  # every 20th vector is "unlabeled" (SF-invariant)
+
+
+@query(
+    "q_llm_knn_label_vote",
+    priority=35,
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, label, {_Q_VEC_SQL_DUCK} AS qv FROM embeddings
+    ),
+    un AS (SELECT vec_id, qv FROM q WHERE vec_id % {_KNN_UNLABELED_MOD} = 0),
+    lab AS (SELECT vec_id, label, qv FROM q
+            WHERE vec_id % {_KNN_UNLABELED_MOD} <> 0),
+    dists AS (
+        SELECT un.vec_id, lab.label, lab.vec_id AS nbr,
+               list_sum(list_transform(range(1, 65),
+                   i -> (un.qv[i] - lab.qv[i]) * (un.qv[i] - lab.qv[i])))
+                   AS dist
+        FROM un CROSS JOIN lab
+    ),
+    knn AS (
+        SELECT vec_id, label
+        FROM (
+            SELECT vec_id, label, dist, nbr,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dist, nbr) AS rn
+            FROM dists
+        ) WHERE rn <= {_KNN_K}
+    ),
+    votes AS (
+        SELECT vec_id, label, CAST(count(*) AS BIGINT) AS n_votes
+        FROM knn GROUP BY vec_id, label
+    )
+    SELECT vec_id, label AS voted_label, n_votes
+    FROM votes
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY n_votes DESC, label ASC) = 1
+    """,
+)
+def q_llm_knn_label_vote(spark, sf_dir):
+    """C92: k-NN auto-labeling — for each "unlabeled" vector (every
+    {_KNN_UNLABELED_MOD}th by id — SF-invariant, so the driver's sf0.01
+    slice exercises it too), the majority label
+    of its {_KNN_K} nearest labeled neighbors: the prototype of every
+    label-propagation / weak-supervision pass that extends a small
+    labeled seed over a 100 TB corpus. Neighbor order is exact integer
+    squared-L2 on the C24 grid with an id tie-break; the vote is the
+    B109 deterministic-majority convention (count desc, label asc).
+
+    Plan: the labeled side would be the IVF-indexed side at scale (probe
+    the C20/C77 cells instead of CROSS JOIN — the fixture-scale exact
+    form keeps the oracle checkable); per-query top-k is WindowGroupLimit,
+    the vote is a tiny (query, label) rollup + rank."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr(_Q_VEC_SQL_SPARK).alias("qv")
+    )
+    un = e.where(F.col("vec_id") % _KNN_UNLABELED_MOD == 0).select(
+        "vec_id", F.col("qv").alias("uq")
+    )
+    lab = e.where(F.col("vec_id") % _KNN_UNLABELED_MOD != 0).select(
+        F.col("vec_id").alias("nbr"), "label", F.col("qv").alias("lq")
+    )
+    dists = lab.join(F.broadcast(un)).select(
+        "vec_id",
+        "label",
+        "nbr",
+        F.expr(
+            "aggregate(sequence(1, 64), CAST(0 AS BIGINT), (acc, i) -> "
+            "acc + (element_at(uq, i) - element_at(lq, i)) * "
+            "(element_at(uq, i) - element_at(lq, i)))"
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "nbr")
+    knn = dists.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= _KNN_K
+    )
+    votes = knn.groupBy("vec_id", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    vw = Window.partitionBy("vec_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("vrn", F.row_number().over(vw))
+        .where(F.col("vrn") == 1)
+        .select("vec_id", F.col("label").alias("voted_label"), "n_votes")
+    )

@@ -623,3 +623,71 @@ def q_agg_weighted_median(spark, sf_dir):
             F.col("totw").cast("bigint").alias("total_weight"),
         )
     )
+
+
+@query(
+    "q_agg_winsorized_mean",
+    priority=35,
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    b AS (
+        SELECT event_type,
+               CAST(ceil(quantile_cont(cents, 0.05)) AS BIGINT) AS lo,
+               CAST(floor(quantile_cont(cents, 0.95)) AS BIGINT) AS hi
+        FROM c GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(least(greatest(cents, lo), hi)) AS BIGINT)
+               AS winsor_sum_cents,
+           round(CAST(sum(least(greatest(cents, lo), hi)) AS DOUBLE)
+                 / count(*), 6) AS winsor_mean_cents
+    FROM c JOIN b ON c.event_type = b.event_type
+    GROUP BY c.event_type
+    """,
+)
+def q_agg_winsorized_mean(spark, sf_dir):
+    """B121: winsorized mean — per event_type, the mean after clamping
+    values into [p05, p95]: the robust central-tendency metric that
+    survives the fat-tailed / bot-spiked value distributions raw means
+    drown in (MAD outliers, B104, FLAGS the tail; winsorizing BOUNDS its
+    influence on the summary statistic).
+
+    Exactness: the clamp bounds are the B31 interpolated percentiles
+    INTEGERIZED (ceil of p05, floor of p95 — any consistent rule works,
+    this one only ever narrows) so every clamped value is BIGINT and the
+    sum is exact — no float aggregation order anywhere; the single float
+    op is the final Σ/n division, round(6). Plan: two passes over the
+    (type, cents) pairs — one percentile rollup (|types| rows, broadcast
+    back), one clamped sum — both riding the same event_type shuffle key.
+    At 100 TB swap the exact percentile for approx_percentile (the B29b
+    trade-off) and the shape is unchanged."""
+    c = (
+        table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    b = c.groupBy("event_type").agg(
+        F.ceil(F.percentile("cents", 0.05)).cast("bigint").alias("lo"),
+        F.floor(F.percentile("cents", 0.95)).cast("bigint").alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    return (
+        c.join(F.broadcast(b), "event_type")
+        .select("event_type", clamped.alias("w"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("w").cast("bigint").alias("winsor_sum_cents"),
+            F.round(
+                F.sum("w").cast("double") / F.count(F.lit(1)), 6
+            ).alias("winsor_mean_cents"),
+        )
+    )

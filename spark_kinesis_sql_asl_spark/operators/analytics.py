@@ -1262,3 +1262,84 @@ def q_agg_entropy(spark, sf_dir):
         F.min("tot").cast("bigint").alias("n_events"),
         F.round(F.sum(-1.0 * p * F.log(p)), 6).alias("entropy_nats"),
     )
+
+
+_SHIFT_SPLIT_DAY = 15  # first half vs second half of the fixture month
+
+
+@query(
+    "q_events_chisq_shift",
+    priority=35,
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type,
+               CASE WHEN CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                         % 31 < {_SHIFT_SPLIT_DAY}
+                    THEN 0 ELSE 1 END AS half
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    c AS (
+        SELECT event_type,
+               CAST(count(*) FILTER (half = 0) AS BIGINT) AS n0,
+               CAST(count(*) FILTER (half = 1) AS BIGINT) AS n1
+        FROM d GROUP BY event_type
+    ),
+    tot AS (
+        SELECT CAST(sum(n0) AS BIGINT) AS t0,
+               CAST(sum(n1) AS BIGINT) AS t1
+        FROM c
+    ),
+    t AS (SELECT event_type, n0, n1, t0, t1 FROM c CROSS JOIN tot)
+    SELECT event_type, n0, n1,
+           round(
+             (CAST(n0 AS DOUBLE) / t0 - CAST(n1 AS DOUBLE) / t1)
+             * (CAST(n0 AS DOUBLE) / t0 - CAST(n1 AS DOUBLE) / t1)
+             / ((CAST(n0 AS DOUBLE) / t0 + CAST(n1 AS DOUBLE) / t1)
+                / 2.0), 6) AS chisq_term
+    FROM t
+    """,
+)
+def q_events_chisq_shift(spark, sf_dir):
+    """B120: distribution-shift test statistic — per event type, the
+    chi-square-style term ((p0 − p1)² / p̄) between the first- and
+    second-half event-type mixes of the window: the drift detector run
+    between two crawls / two ingestion windows before concluding "same
+    pipeline, same data" (C57 diffs CONTENT; this tests the SHAPE of the
+    mix). Per-type terms are emitted un-summed so the hot type is
+    attributable — summing (× N/2) gives the aggregate statistic, but the
+    per-type view is what an on-call actually reads.
+
+    Float discipline: each term is a FIXED expression over four exact
+    BIGINTs (n0, n1, t0, t1) — per-row IEEE-identical, no float
+    aggregation at all (the C83 rule), round(6) at the boundary. Plan:
+    one (type) rollup with conditional counts, totals via a 1-row
+    aggregate broadcast back (the C83 crossJoin rule — no partitionless
+    window, even over a ≤|types|-row frame), |types| output rows."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d = ev.select(
+        "event_type",
+        F.when(
+            F.expr("(unix_micros(ts) div 86400000000) % 31")
+            < _SHIFT_SPLIT_DAY,
+            0,
+        )
+        .otherwise(1)
+        .alias("half"),
+    )
+    c = d.groupBy("event_type").agg(
+        F.sum((F.col("half") == 0).cast("bigint")).alias("n0"),
+        F.sum((F.col("half") == 1).cast("bigint")).alias("n1"),
+    )
+    tot = c.agg(
+        F.sum("n0").cast("bigint").alias("t0"),
+        F.sum("n1").cast("bigint").alias("t1"),
+    )
+    t = c.crossJoin(F.broadcast(tot))
+    p0 = F.col("n0").cast("double") / F.col("t0")
+    p1 = F.col("n1").cast("double") / F.col("t1")
+    term = (p0 - p1) * (p0 - p1) / ((p0 + p1) / 2.0)
+    return t.select(
+        "event_type", "n0", "n1", F.round(term, 6).alias("chisq_term")
+    )
