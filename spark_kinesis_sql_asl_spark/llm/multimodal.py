@@ -337,3 +337,67 @@ def q_llm_media_sniff(spark, sf_dir):
         header, F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
     )
     return sniff_modality(d.select("doc_id", payload.alias("payload")))
+
+
+_MEDIA_DUP_OFFSET = 600_000
+
+
+@query(
+    "q_llm_media_dedup",
+    priority=35,
+    oracle=f"""
+    WITH bundle AS (
+        -- DuckDB md5() takes VARCHAR, not BLOB; hashing the string hashes
+        -- the same UTF-8 bytes Spark's md5(encode(text)) sees
+        SELECT d.doc_id, d.text AS payload_s,
+               octet_length(encode(d.text)) AS nb
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    corpus AS (
+        SELECT doc_id, payload_s, nb FROM bundle
+        UNION ALL
+        SELECT doc_id + {_MEDIA_DUP_OFFSET}, payload_s, nb
+        FROM bundle WHERE doc_id % 12 = 0
+    )
+    SELECT md5(payload_s) AS media_hash,
+           CAST(nb AS BIGINT) AS n_bytes,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           min(doc_id) AS canonical_id
+    FROM corpus
+    GROUP BY md5(payload_s), nb
+    HAVING count(*) > 1
+    """,
+)
+def q_llm_media_dedup(spark, sf_dir):
+    """C93: binary-payload exact dedup — C1's discipline applied to the
+    multimodal BINARY column: group identical media payloads by content
+    hash (+ byte length as a free sanity key), keep the min-id canonical
+    copy. This is the FIRST dedup pass every image/audio corpus runs
+    (identical bytes re-crawled under different URLs dwarf perceptual
+    dups in practice) and it needs NO codec — exactly why it is real
+    here while decode stays stubbed (SURVEY §1.3). Every 12th bundle
+    gains an injected byte-identical copy (the C1 convention).
+
+    At 100 TB: the hash is computed in the scan stage next to the bytes;
+    the shuffle carries (hash, n_bytes, id) — the multi-megabyte payload
+    NEVER rides an exchange (the C1/C38 text-never-shuffles rule, which
+    matters 1000× more when a "row" is a 4K video keyframe). Perceptual
+    near-dup (pHash) slots behind the same group-by once codecs exist."""
+    b = bundle(spark, sf_dir).select("doc_id", "payload")
+    dups = b.where(F.col("doc_id") % 12 == 0).select(
+        (F.col("doc_id") + _MEDIA_DUP_OFFSET).alias("doc_id"), "payload"
+    )
+    corpus = b.unionByName(dups)
+    return (
+        corpus.select(
+            "doc_id",
+            F.md5("payload").alias("media_hash"),
+            F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        )
+        .groupBy("media_hash", "n_bytes")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .where(F.col("n_copies") > 1)
+    )

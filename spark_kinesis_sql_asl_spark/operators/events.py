@@ -305,3 +305,51 @@ def q_events_dau_wau(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "q_events_hourly_profile",
+    priority=35,
+    oracle="""
+    WITH t AS (
+        SELECT event_type,
+               CAST(hour(ts) AS BIGINT) AS hod,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    )
+    SELECT event_type, hod,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents_floor
+    FROM t GROUP BY event_type, hod
+    """,
+)
+def q_events_hourly_profile(spark, sf_dir):
+    """B122: hour-of-day seasonality profile — per (event_type, hour-of-
+    day): count, exact cents sum, floor-mean. The "seasonal template"
+    every anomaly baseline subtracts before flagging (B104's MAD outliers
+    fire on absolute deviation; real traffic deviates by HOUR, so the
+    profile is the reference curve) and the capacity-planning histogram.
+    hour() on a UTC-pinned session is deterministic (the session factory
+    pins spark.sql.session.timeZone=UTC — same extraction both engines);
+    arithmetic is the floor-cents / integer-div discipline.
+
+    Plan: one (type, hod) rollup with map-side partials — |types|×24
+    output rows, embarrassingly parallel at any scale; with the
+    date-partitioned hypertable layout (DESIGN-100TB §1) the scan prunes
+    to the profiled range."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    t = ev.select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("hod"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return t.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.expr("CAST(sum(cents) div count(1) AS BIGINT)").alias(
+            "mean_cents_floor"
+        ),
+    )
