@@ -177,3 +177,43 @@ def q_win_first_last(spark, sf_dir):
         F.first("o_orderkey").over(w).alias("top_key"),
         F.last("o_orderkey").over(w).alias("bottom_key"),
     )
+
+
+@query(
+    "q_win_nth_value",
+    priority=35,
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           nth_value(o_orderkey, 3) OVER w AS third_key,
+           CAST(nth_value(o_totalprice, 3) OVER w AS DOUBLE) AS third_price
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def q_win_nth_value(spark, sf_dir):
+    """B123: nth_value — the "bronze medal" window primitive (3rd-highest
+    order per priority class, broadcast onto every row): the remaining
+    ordered-access window function B39's first/last pair does not cover.
+    Same discipline as B39: the FULL explicit frame (the default frame
+    ends at CURRENT ROW, making nth_value NULL until 3 rows have passed —
+    identically in both engines, but the full-frame semantics is the one
+    a reader means), and a (price desc, key) total order so the 3rd row
+    is the same row everywhere. NULL in groups with fewer than 3 rows on
+    both engines."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
+        F.nth_value("o_totalprice", 3).over(w).cast("double").alias(
+            "third_price"
+        ),
+    )

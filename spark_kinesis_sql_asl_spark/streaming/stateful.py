@@ -334,3 +334,61 @@ def streaming_quantile_octaves_tws(event_stream, quantiles=(0.5, 0.9, 0.99)):
         outputMode="Update",
         timeMode="None",
     )
+
+
+_BC_OUT_SCHEMA = (
+    "user_id bigint, event_type string, day bigint, "
+    "capped_n bigint, total_n bigint, seq bigint"
+)
+_BC_STATE_SCHEMA = "capped bigint, total bigint, seq bigint"
+
+
+def streaming_bounded_contrib(event_stream, cap: int = 3):
+    """B117-stream: bounded-contribution counting as keyed streaming state
+    — per (user, event_type, day), a counter that saturates at ``cap``:
+    the streaming form of the DP sensitivity-bounding preprocessor, where
+    the cap decision must be made ONLINE (once a release pipeline has
+    already emitted a user's capped rows it cannot retroactively uncap).
+    State is two BIGINTs per key — constant regardless of how hyperactive
+    the user is, which is the entire point: a bot firing 10^9 events costs
+    the same state as a user firing 4. ``total_n`` rides along so the
+    capped/raw ratio (how much the cap bit) is observable per key.
+
+    Count-parity with the batch operator (q_privacy_bounded_contrib) is
+    exact: the batch form keeps the EARLIEST ``cap`` rows per key, the
+    stream form counts arrivals saturating at ``cap`` — same per-key
+    counts, hence identical (type, day) rollups (pinned by the harness
+    test). Same legacy ``applyInPandasWithState`` surface as the MG
+    sketch above (B68 documents the API-adaptive story)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            capped, total, seq = state.get
+        else:
+            capped, total, seq = 0, 0, 0
+        for pdf in pdfs:
+            n = len(pdf)
+            total += n
+            capped = min(cap, capped + n)
+        seq += 1
+        state.update((capped, total, seq))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "day": [key[2]],
+                "capped_n": [capped],
+                "total_n": [total],
+                "seq": [seq],
+            }
+        )
+
+    keyed = event_stream.groupBy("user_id", "event_type", "day")
+    return keyed.applyInPandasWithState(
+        fold,
+        outputStructType=_BC_OUT_SCHEMA,
+        stateStructType=_BC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

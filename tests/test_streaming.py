@@ -1528,3 +1528,68 @@ def test_streaming_ohlc_equals_batch(spark, events_rows, tmp_path):
         for (h, t), v in got.items()
     }
     assert stream_keyed == batch
+
+
+# --- B117 streaming twin: bounded contribution ---------------------------
+
+
+def test_streaming_bounded_contrib_equals_batch(spark, events_rows, tmp_path):
+    """The online cap must produce the same (type, day) rollup as the
+    batch earliest-rows cap: per-key counts saturate identically, and
+    capped_n <= cap always."""
+    from pyspark.sql.window import Window
+
+    from spark_kinesis_sql_asl_spark.streaming.stateful import (
+        streaming_bounded_contrib,
+    )
+    from spark_kinesis_sql_asl_spark.registry import all_queries
+
+    staging = str(tmp_path / "staging")
+    _stage(events_rows, staging, n_files=3)
+
+    src = (
+        _stream(spark, staging)
+        .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+    )
+    _drain(
+        streaming_bounded_contrib(src, cap=3)
+        .writeStream.format("memory")
+        .queryName("stream_bc")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    # update mode re-emits keys per batch: keep the final (max-seq) row
+    final = (
+        spark.table("stream_bc")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "event_type", "day").orderBy(
+                    F.col("seq").desc()
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+    )
+    rows = final.collect()
+    assert rows and all(r.capped_n <= 3 for r in rows)
+    assert all(r.capped_n == min(3, r.total_n) for r in rows)
+    got = {
+        (r.event_type, r.day): r.n
+        for r in final.groupBy("event_type", "day")
+        .agg(F.sum("capped_n").alias("n"))
+        .collect()
+    }
+    expect = {
+        (r.event_type, r.day): r.capped_events
+        for r in all_queries()["q_privacy_bounded_contrib"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == expect
