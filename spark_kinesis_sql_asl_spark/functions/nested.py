@@ -159,3 +159,41 @@ def q_fn_struct(spark, sf_dir):
         s.getField("bal").alias("bal"),
         named.getField("seg").alias("seg"),
     )
+
+
+@query(
+    "q_fn_variant",
+    priority=35,
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract(props, '$.missing') IS NOT NULL
+                AS BOOLEAN) AS has_missing,
+           CAST(props IS NOT NULL AND json_valid(props)
+                AS BOOLEAN) AS is_parsable
+    FROM events
+    WHERE event_id % 7 = 0
+    """,
+)
+def q_fn_variant(spark, sf_dir):
+    """B124: the Spark 4 VARIANT type — semi-structured props parsed ONCE
+    into the binary variant encoding, then path-accessed with
+    variant_get: the modern replacement for per-access get_json_object
+    re-parsing (the classic telemetry-pipeline hot-path tax; variant
+    decode is ~an order cheaper than JSON text parsing at the 100 TB
+    scan stage, and variant columns push down into Parquet shredding in
+    newer writers). try_parse_json maps malformed/NULL props to NULL
+    instead of an ANSI crash — the B71/D11 safe-ingest convention.
+    DuckDB has no VARIANT; its JSON accessors are the semantic oracle
+    (same values, engine-specific encodings never surface — only
+    extracted typed columns cross the boundary)."""
+    ev = table(spark, sf_dir, "events").where(F.col("event_id") % 7 == 0)
+    v = ev.select("event_id", F.try_parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+        F.expr(
+            "try_variant_get(v, '$.missing') IS NOT NULL"
+        ).alias("has_missing"),
+        F.col("v").isNotNull().alias("is_parsable"),
+    )
