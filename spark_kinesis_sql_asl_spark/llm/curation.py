@@ -680,3 +680,135 @@ def q_llm_curate_e2e(spark, sf_dir):
             "CAST((1000000 * sum(n_distinct)) div sum(n_tok) AS BIGINT)"
         ).alias("pooled_distinct_ppm"),
     )
+
+
+_COV_POOL = 30
+_COV_STEPS = 5
+
+
+def _coverage_oracle() -> str:
+    steps = []
+    for k in range(2, _COV_STEPS + 1):
+        prev = ", ".join(f"s{j}" for j in range(1, k))
+        sel = " UNION ALL ".join(
+            f"SELECT doc_id FROM s{j}" for j in range(1, k)
+        )
+        cov_terms = " , ".join(
+            f"(SELECT ts FROM pool WHERE doc_id = (SELECT doc_id FROM s{j}))"
+            for j in range(1, k)
+        )
+        steps.append(f"""
+    cov{k} AS (
+        SELECT list_distinct(flatten([{cov_terms}])) AS cov
+    ),
+    s{k} AS (
+        SELECT p.doc_id,
+               CAST(len(list_filter(p.ts,
+                    x -> NOT list_contains(c.cov, x))) AS BIGINT) AS gain,
+               CAST({k} AS BIGINT) AS step
+        FROM pool p CROSS JOIN cov{k} c
+        WHERE p.doc_id NOT IN ({sel})
+        ORDER BY gain DESC, p.doc_id LIMIT 1
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT step, doc_id, gain FROM s{j}"
+        for j in range(1, _COV_STEPS + 1)
+    )
+    return f"""
+    WITH z AS (
+        SELECT doc_id,
+               list_distinct(string_split(coalesce(text, ''), ' ')) AS ts
+        FROM documents
+    ),
+    pool AS (
+        SELECT doc_id, ts FROM z
+        ORDER BY len(ts) DESC, doc_id LIMIT {_COV_POOL}
+    ),
+    s1 AS (
+        SELECT doc_id, CAST(len(ts) AS BIGINT) AS gain,
+               CAST(1 AS BIGINT) AS step
+        FROM pool ORDER BY len(ts) DESC, doc_id LIMIT 1
+    ),{",".join(steps)}
+    {union}
+    """
+
+
+@query(
+    "q_llm_submodular_coverage", priority=35, oracle=_coverage_oracle()
+)
+def q_llm_submodular_coverage(spark, sf_dir):
+    """C94: greedy submodular max-coverage selection — pick {_COV_STEPS}
+    documents from the {_COV_POOL}-doc candidate pool (largest distinct-
+    token sets) so each pick maximizes NEWLY-covered tokens given what is
+    already covered: the facility-location/coverage objective behind
+    coverage-based data selection (choose the subset that spans the most
+    vocabulary/phenomena per token budget — a different selection
+    principle from C87's relevance-diversity and C58's quotas). The
+    greedy algorithm is the canonical (1−1/e)-approximation for monotone
+    submodular objectives (Nemhauser et al., 1978).
+
+    Exactness: marginal gains are integer set-difference sizes
+    (array_except on distinct-token arrays) with (gain desc, doc_id)
+    tie-breaks — greedy chains cannot tolerate drift (the C87 rule).
+    Plan: the pool is a corpus-scale TakeOrdered (scan-stage token-set
+    fold, {_COV_POOL}-row result, localCheckpointed); each of the
+    {_COV_STEPS} rounds is constant-size (pool × 1-row covered-set
+    broadcast). At 100 TB only the pool selection touches the corpus —
+    the loop cost is independent of corpus size; a lazier-greedy /
+    distributed-greedy (one pass per machine, merge) swaps in above
+    pool sizes that no longer fit one task."""
+    z = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        ).alias("ts"),
+    )
+    pool = (
+        z.withColumn("sz", F.size("ts"))
+        .orderBy(F.col("sz").desc(), "doc_id")
+        .limit(_COV_POOL)
+        .localCheckpoint(eager=True)
+    )
+    s1 = (
+        pool.orderBy(F.col("sz").desc(), "doc_id")
+        .limit(1)
+        .select(
+            F.lit(1).cast("bigint").alias("step"),
+            "doc_id",
+            F.col("sz").cast("bigint").alias("gain"),
+        )
+    )
+    steps = [s1]
+    selected = s1.select("doc_id")
+    covered = (
+        pool.join(s1.select("doc_id"), "doc_id")
+        .select(F.col("ts").alias("cov"))
+        .localCheckpoint(eager=True)
+    )
+    for k in range(2, _COV_STEPS + 1):
+        rem = pool.join(selected, "doc_id", "left_anti")
+        gain = F.size(F.array_except("ts", "cov")).cast("bigint")
+        sk = (
+            rem.crossJoin(F.broadcast(covered))
+            .select("doc_id", "ts", gain.alias("gain"))
+            .orderBy(F.col("gain").desc(), "doc_id")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        covered = (
+            sk.crossJoin(F.broadcast(covered))
+            .select(
+                F.array_distinct(F.concat("cov", "ts")).alias("cov")
+            )
+            .localCheckpoint(eager=True)
+        )
+        steps.append(
+            sk.select(
+                F.lit(k).cast("bigint").alias("step"), "doc_id", "gain"
+            )
+        )
+        selected = selected.unionByName(sk.select("doc_id"))
+    out = steps[0]
+    for sdf in steps[1:]:
+        out = out.unionByName(sdf)
+    return out

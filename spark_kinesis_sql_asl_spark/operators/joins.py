@@ -350,3 +350,83 @@ def q_join_salted(spark, sf_dir):
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+_ASOF_TOL_US = 86_400_000_000  # 1-day tolerance
+
+
+@query(
+    "q_join_asof_tolerance",
+    priority=35,
+    oracle=f"""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type = 'click' THEN ts END AS click_ts,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ),
+    carried AS (
+        SELECT event_id, user_id, ts, event_type,
+               max(click_ts) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, is_p, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS last_click_ts
+        FROM tagged
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN epoch_us(ts) - epoch_us(last_click_ts)
+                     <= {_ASOF_TOL_US}
+                THEN last_click_ts END AS attributed_click_ts
+    FROM carried
+    WHERE event_type = 'purchase'
+    """,
+)
+def q_join_asof_tolerance(spark, sf_dir):
+    """B125: as-of join WITH TOLERANCE — B19's backward as-of, but the
+    match NULLs out when the latest prior click is more than 1 day old:
+    `pandas.merge_asof(tolerance=...)` / kdb `wj` semantics, and the form
+    attribution logic actually ships (a purchase 3 weeks after the last
+    click is organic, not click-attributed — unbounded as-of silently
+    over-attributes). Same single window pass over one user_id shuffle
+    (the tolerance is a scan-side CASE on the carried value — zero extra
+    plan cost over B19), same is_p tie-break so an exactly-simultaneous
+    click attributes in both engines; the age test is exact integer
+    epoch-µs."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias(
+            "click_ts"
+        ),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(0)
+        .alias("is_p"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn("last_click_ts", F.max("click_ts").over(w))
+    fresh = (
+        F.expr("unix_micros(ts) - unix_micros(last_click_ts)")
+        <= _ASOF_TOL_US
+    )
+    return (
+        carried.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(fresh, F.col("last_click_ts")).alias(
+                "attributed_click_ts"
+            ),
+        )
+    )
