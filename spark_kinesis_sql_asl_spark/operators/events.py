@@ -353,3 +353,113 @@ def q_events_hourly_profile(spark, sf_dir):
             "mean_cents_floor"
         ),
     )
+
+
+_MARKOV_STEPS = 3
+
+
+def _markov_oracle() -> str:
+    prs = []
+    for k in range(1, _MARKOV_STEPS + 1):
+        prs.append(f"""
+    pr{k} AS (
+        SELECT t.dst AS v,
+               CAST(sum((p.p * t.n) // o.total) AS BIGINT) AS p
+        FROM pr{k - 1} p
+        JOIN trans t ON t.src = p.v
+        JOIN outdeg o ON o.src = p.v
+        GROUP BY t.dst
+    )""")
+    return f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts NULLS FIRST, event_id
+               ) AS next_type
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type AS src, next_type AS dst,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq
+        WHERE next_type IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    outdeg AS (
+        SELECT src, CAST(sum(n) AS BIGINT) AS total FROM trans GROUP BY src
+    ),
+    pr0 AS (
+        SELECT src AS v,
+               CAST(1000000 // (SELECT count(*) FROM outdeg) AS BIGINT) AS p
+        FROM outdeg
+    ),{",".join(prs)}
+    SELECT v AS event_type, p AS pr{_MARKOV_STEPS}_ppm FROM pr{_MARKOV_STEPS}
+    """
+
+
+@query(
+    "q_events_markov_stationary", priority=35, oracle=_markov_oracle()
+)
+def q_events_markov_stationary(spark, sf_dir):
+    """B126: stationary-distribution estimate — {_MARKOV_STEPS} power-
+    iteration steps of the B106 transition matrix from a uniform start:
+    where user behavior CONVERGES (the long-run share of each event
+    type), vs B106's one-step conditional view; the 3-step unroll is the
+    C77/C87 fixed-iteration pattern, and the difference pr3 − pr0 is the
+    behavioral-drift direction.
+
+    Exactness: all mass in integer ppm; each step floors per (source →
+    dest) term — floor((p_u · n_uv) / total_u), then an exact integer
+    sum — so engines cannot diverge and partial aggregation cannot
+    reorder anything that matters (sum of integers commutes). Flooring
+    leaks ≤|edges| ppm of mass per step — an audit quantity, not an
+    error (documented over a conservation property in the test suite).
+
+    Plan: one corpus-scale pass builds the ≤|types|²-row matrix (the
+    B106 machinery verbatim); every iteration is a join among KB-scale
+    frames — iteration cost independent of corpus size, the same shape
+    a full PageRank would run with per-round parquet staging (C21) once
+    the node set outgrows a broadcast."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_first(), "event_id"
+    )
+    ev = table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    trans = (
+        seq.where(
+            F.col("next_type").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .groupBy(
+            F.col("event_type").alias("src"),
+            F.col("next_type").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    outdeg = trans.groupBy("src").agg(
+        F.sum("n").cast("bigint").alias("total")
+    )
+    base = trans.join(outdeg, "src").localCheckpoint(eager=True)
+    n_nodes = base.select("src").distinct().count()
+    pr = base.select("src").distinct().select(
+        F.col("src").alias("v"),
+        F.lit(1_000_000 // n_nodes).cast("bigint").alias("p"),
+    )
+    for _ in range(_MARKOV_STEPS):
+        pr = (
+            base.join(pr, base.src == pr.v)
+            .select(
+                F.col("dst"),
+                F.expr("CAST((p * n) div total AS BIGINT)").alias("term"),
+            )
+            .groupBy(F.col("dst").alias("_v"))
+            .agg(F.sum("term").cast("bigint").alias("p"))
+            .select(F.col("_v").alias("v"), "p")
+        )
+    return pr.select(
+        F.col("v").alias("event_type"),
+        F.col("p").alias(f"pr{_MARKOV_STEPS}_ppm"),
+    )
