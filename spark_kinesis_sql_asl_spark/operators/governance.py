@@ -165,3 +165,101 @@ def q_privacy_bounded_contrib(spark, sf_dir):
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+_TCLOSE_TV_MAX_PPM = 300_000  # flag groups farther than 0.30 TV distance
+
+
+@query(
+    "q_privacy_tcloseness",
+    priority=35,
+    oracle=f"""
+    WITH g AS (
+        SELECT c_nationkey,
+               {_BAL_BUCKET_DUCK} AS bal_bucket,
+               c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_gs
+        FROM customer GROUP BY 1, 2, 3
+    ),
+    gt AS (
+        SELECT c_nationkey, bal_bucket,
+               CAST(sum(n_gs) AS BIGINT) AS n_g
+        FROM g GROUP BY 1, 2
+    ),
+    st AS (
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_s
+        FROM customer GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+    dom AS (
+        SELECT gt.c_nationkey, gt.bal_bucket, gt.n_g,
+               st.c_mktsegment, st.n_s
+        FROM gt CROSS JOIN st
+    ),
+    terms AS (
+        SELECT d.c_nationkey, d.bal_bucket,
+               abs((1000000 * coalesce(g.n_gs, 0)) // d.n_g
+                   - (1000000 * d.n_s) // tot.n) AS d_ppm
+        FROM dom d
+        CROSS JOIN tot
+        LEFT JOIN g ON g.c_nationkey = d.c_nationkey
+                   AND g.bal_bucket = d.bal_bucket
+                   AND g.c_mktsegment = d.c_mktsegment
+    )
+    SELECT c_nationkey, bal_bucket,
+           CAST(sum(d_ppm) // 2 AS BIGINT) AS tv_ppm
+    FROM terms
+    GROUP BY 1, 2
+    HAVING sum(d_ppm) // 2 > {_TCLOSE_TV_MAX_PPM}
+    """,
+)
+def q_privacy_tcloseness(spark, sf_dir):
+    """B127: t-closeness audit (total-variation form) — the third rung of
+    the privacy triad (B114 k-anonymity: groups big enough; B115
+    l-diversity: sensitive values varied enough; this: the group's
+    sensitive DISTRIBUTION close enough to the global one). l-diversity
+    passes a group with 3 segments at 98/1/1% — an attacker still learns
+    the segment with near-certainty; TV distance ½Σ|p_g − p| catches it.
+    Flags (nation, bucket) groups farther than {_TCLOSE_TV_MAX_PPM} ppm.
+    (Classic t-closeness uses EMD; market segments are unordered, where
+    EMD over the trivial metric IS total variation — so this is the
+    paper's own specialization, not an approximation.)
+
+    Exactness: shares are floor-ppm integers from exact counts, and the
+    TV sum runs over the FULL group × segment domain (groups cross-joined
+    with the global segment list, absent cells coalesced to 0) — a group
+    missing a segment owes the full |0 − p_s| term, which present-cells-
+    only summation would halve for the most-skewed groups. Integer sum
+    over exactly |segments| terms per group — no float anywhere. Plan:
+    three rollups sharing the customer scan (QI-domain-bounded outputs),
+    one broadcast total, a QI-keyed term sum over the domain frame. At
+    100 TB: scan-bound, like its two siblings."""
+    c = table(spark, sf_dir, "customer")
+    g = c.groupBy(
+        "c_nationkey",
+        F.expr(_BAL_BUCKET_SQL).alias("bal_bucket"),
+        "c_mktsegment",
+    ).agg(F.count(F.lit(1)).alias("n_gs"))
+    gt = g.groupBy("c_nationkey", "bal_bucket").agg(
+        F.sum("n_gs").cast("bigint").alias("n_g")
+    )
+    st = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = c.agg(F.count(F.lit(1)).alias("n"))
+    dom = gt.crossJoin(F.broadcast(st))
+    terms = (
+        dom.join(g, ["c_nationkey", "bal_bucket", "c_mktsegment"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c_nationkey",
+            "bal_bucket",
+            F.abs(
+                F.expr("(1000000 * coalesce(n_gs, 0)) div n_g")
+                - F.expr("(1000000 * n_s) div n")
+            ).alias("d_ppm"),
+        )
+    )
+    return (
+        terms.groupBy("c_nationkey", "bal_bucket")
+        .agg(F.expr("CAST(sum(d_ppm) div 2 AS BIGINT)").alias("tv_ppm"))
+        .where(F.col("tv_ppm") > _TCLOSE_TV_MAX_PPM)
+    )
