@@ -532,3 +532,108 @@ def q_llm_vocab_coverage(spark, sf_dir):
             ).alias("covered_ppm"),
         )
     )
+
+
+_RAKE_STOPS = ("the", "a")
+_RAKE_TOPK = 20
+
+
+@query(
+    "q_llm_rake_keywords",
+    priority=35,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(w) AS tok,
+               unnest(range(1, len(w) + 1)) AS pos
+        FROM (
+            SELECT doc_id,
+                   string_split(coalesce(text, ''), ' ') AS w
+            FROM documents
+        )
+    ),
+    seg AS (
+        SELECT doc_id, tok, pos,
+               sum(CASE WHEN tok IN {_RAKE_STOPS} THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS seg_id,
+               tok IN {_RAKE_STOPS} AS is_stop
+        FROM toks
+    ),
+    phrases AS (
+        SELECT doc_id, seg_id,
+               CAST(count(*) AS BIGINT) AS plen
+        FROM seg WHERE NOT is_stop
+        GROUP BY doc_id, seg_id
+    ),
+    scored AS (
+        SELECT s.tok,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(p.plen) AS BIGINT) AS degree
+        FROM seg s
+        JOIN phrases p ON s.doc_id = p.doc_id AND s.seg_id = p.seg_id
+        WHERE NOT s.is_stop
+        GROUP BY s.tok
+    )
+    SELECT tok, freq, degree,
+           CAST((1000000 * degree) // freq AS BIGINT) AS rake_ppm
+    FROM scored
+    ORDER BY (1000000 * degree) // freq DESC, tok
+    LIMIT {_RAKE_TOPK}
+    """,
+)
+def q_llm_rake_keywords(spark, sf_dir):
+    """C95: RAKE keyword scoring (Rose et al., 2010 — Rapid Automatic
+    Keyword Extraction): segment each document into candidate phrases at
+    stopword boundaries, then score every content token by
+    degree/frequency — tokens that live in LONG phrases score high
+    (multi-word concept members), tokens that appear alone score low —
+    the classic unsupervised keyword extractor, and the corpus-level
+    keyword table a domain-tagging pass starts from. Stoplist is the
+    fixture's function words {_RAKE_STOPS}; top-{_RAKE_TOPK} by exact
+    floor-ppm score with a token tiebreak.
+
+    Determinism: phrase segmentation is a running stopword count over
+    the (doc, position) order — position comes from posexplode, exact on
+    both engines; degree/freq/score are pure integers. Plan: scan-stage
+    explode; segmentation rides ONE (doc_id) window; phrase lengths and
+    token scores are two rollups whose keys (doc, seg) and (tok) carry
+    integer-only rows; top-k is TakeOrdered. At 100 TB the token rollup
+    is vocab-bounded — same envelope as C8's TF-IDF."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+            ).alias("pos", "tok"),
+        )
+    )
+    is_stop = F.col("tok").isin(*_RAKE_STOPS)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seg = toks.select(
+        "doc_id",
+        "tok",
+        F.sum(is_stop.cast("int")).over(w).alias("seg_id"),
+        is_stop.alias("is_stop"),
+    )
+    content = seg.where(~F.col("is_stop"))
+    phrases = content.groupBy("doc_id", "seg_id").agg(
+        F.count(F.lit(1)).alias("plen")
+    )
+    scored = (
+        content.join(phrases, ["doc_id", "seg_id"])
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").cast("bigint").alias("degree"),
+        )
+    )
+    rake = F.expr("(1000000 * degree) div freq")
+    return (
+        scored.select("tok", "freq", "degree", rake.alias("_r"))
+        .orderBy(F.col("_r").desc(), "tok")
+        .limit(_RAKE_TOPK)
+        .select(
+            "tok", "freq", "degree", F.col("_r").cast("bigint").alias("rake_ppm")
+        )
+    )
