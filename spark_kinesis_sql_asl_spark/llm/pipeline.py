@@ -1183,3 +1183,52 @@ def q_llm_dedup_precision(spark, sf_dir):
             "CAST((1000000 * sum(is_exact)) div count(1) AS BIGINT)"
         ).alias("exact_ppm"),
     )
+
+
+# --- C96: language-ID confusion matrix (evaluates C16) -----------------------
+
+from ..registry import _ORACLES as _REGISTERED_ORACLES  # noqa: E402
+
+
+@query(
+    "q_llm_langid_confusion",
+    priority=35,
+    # Wrap C16's REGISTERED oracle verbatim as a CTE (the round-4 ADVICE
+    # rule: derive, never duplicate — a C16 lexicon change cannot desync
+    # this audit from the classifier it evaluates).
+    oracle=f"""
+    WITH perdoc AS ({_REGISTERED_ORACLES["q_llm_langid"]})
+    SELECT actual_lang, pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST((1000000 * count(*)) // (
+               sum(count(*)) OVER (PARTITION BY actual_lang)
+           ) AS BIGINT) AS share_of_actual_ppm
+    FROM perdoc
+    GROUP BY actual_lang, pred_lang
+    """,
+)
+def q_llm_langid_confusion(spark, sf_dir):
+    """C96: language-ID confusion matrix — the C16 classifier evaluated
+    as a query: per (actual, predicted) cell, the doc count and its
+    floor-ppm share of the actual language's row (row-normalized recall
+    view; the diagonal is per-language recall, off-diagonal hot cells say
+    WHICH languages the marker lexicon confuses — the information an
+    "accuracy: 0.7" scalar hides, and what decides where to spend lexicon
+    effort before running C16 over 100 TB). Composes C16 VERBATIM — the
+    Spark side calls the registered q_llm_langid, the oracle wraps C16's
+    registered SQL as a CTE, so classifier and audit cannot drift apart.
+
+    Plan: C16's plan (broadcast lexicon, per-doc argmax) plus ONE
+    |langs|²-bounded rollup; the share window rides the tiny matrix."""
+    perdoc = q_llm_langid(spark, sf_dir)
+    return (
+        perdoc.groupBy("actual_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "share_of_actual_ppm",
+            F.expr(
+                "CAST((1000000 * n_docs) div "
+                "(sum(n_docs) OVER (PARTITION BY actual_lang)) AS BIGINT)"
+            ),
+        )
+    )

@@ -430,3 +430,100 @@ def q_join_asof_tolerance(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "q_join_asof_nearest",
+    priority=35,
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type = 'click' THEN ts END AS click_ts,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ),
+    carried AS (
+        SELECT event_id, user_id, ts, event_type,
+               max(click_ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, is_p, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS prev_click_ts,
+               min(click_ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, is_p, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS next_click_ts
+        FROM tagged
+    )
+    SELECT event_id, user_id, ts,
+           CASE
+             WHEN prev_click_ts IS NULL THEN next_click_ts
+             WHEN next_click_ts IS NULL THEN prev_click_ts
+             WHEN epoch_us(ts) - epoch_us(prev_click_ts)
+                  <= epoch_us(next_click_ts) - epoch_us(ts)
+             THEN prev_click_ts
+             ELSE next_click_ts
+           END AS nearest_click_ts
+    FROM carried
+    WHERE event_type = 'purchase'
+    """,
+)
+def q_join_asof_nearest(spark, sf_dir):
+    """B128: NEAREST as-of join — for each purchase, the click closest in
+    time in EITHER direction (pandas merge_asof direction='nearest'),
+    completing the as-of trio with B19 (backward) and B112 (forward).
+    Both candidates come from the SAME window pass — one backward max
+    and one forward min over one (user_id; ts, is_p, event_id) sort, so
+    the plan still carries exactly one exchange and one sort — and the
+    tie (equidistant click before and after) resolves BACKWARD, pandas'
+    documented rule, via <= on exact epoch-µs distances. The is_p
+    tiebreak keeps an exactly-simultaneous click on the backward side in
+    both engines (distance 0 wins either way, but which COLUMN carries
+    it must match for the CASE to pick identically)."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias(
+            "click_ts"
+        ),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(0)
+        .alias("is_p"),
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.max("click_ts").over(back).alias("prev_click_ts"),
+        F.min("click_ts").over(fwd).alias("next_click_ts"),
+    )
+    d_prev = F.expr("unix_micros(ts) - unix_micros(prev_click_ts)")
+    d_next = F.expr("unix_micros(next_click_ts) - unix_micros(ts)")
+    nearest = (
+        F.when(F.col("prev_click_ts").isNull(), F.col("next_click_ts"))
+        .when(F.col("next_click_ts").isNull(), F.col("prev_click_ts"))
+        .when(d_prev <= d_next, F.col("prev_click_ts"))
+        .otherwise(F.col("next_click_ts"))
+    )
+    return (
+        carried.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id", "ts", nearest.alias("nearest_click_ts")
+        )
+    )
