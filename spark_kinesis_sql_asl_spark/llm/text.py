@@ -637,3 +637,85 @@ def q_llm_rake_keywords(spark, sf_dir):
             "tok", "freq", "degree", F.col("_r").cast("bigint").alias("rake_ppm")
         )
     )
+
+
+_CHAR_ALPHA = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+@query(
+    "q_llm_char_entropy",
+    priority=35,
+    oracle=f"""
+    WITH counts AS (
+        SELECT doc_id,
+               list_transform(
+                   string_split('{_CHAR_ALPHA}', ''),
+                   c -> CAST(len(coalesce(text, ''))
+                        - len(replace(coalesce(text, ''), c, ''))
+                        AS BIGINT)
+               ) AS cnts
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    t AS (
+        SELECT doc_id, cnts,
+               CAST(list_sum(cnts) AS BIGINT) AS total
+        FROM counts
+    )
+    SELECT doc_id, total AS n_counted,
+           round(CASE WHEN total = 0 THEN 0.0 ELSE list_sum(
+               list_transform(cnts, c -> CASE WHEN c > 0
+                   THEN -1.0 * (CAST(c AS DOUBLE) / total)
+                        * ln(CAST(c AS DOUBLE) / total)
+                   ELSE 0.0 END)) END, 6) AS entropy_nats
+    FROM t
+    """,
+)
+def q_llm_char_entropy(spark, sf_dir):
+    """C97: per-document character entropy — the gibberish/encoding-junk
+    detector at the character level (near-zero entropy = one repeated
+    character, i.e. padding or a broken extractor; near-uniform entropy
+    over the alphabet = random bytes masquerading as text; natural
+    language sits in a recognizable band) — the character-granularity
+    companion to C17's token-level quality features, and a filter rule
+    real crawl pipelines apply before tokenization.
+
+    Determinism: per-class counts are exact integers from the
+    length-minus-replace identity (no explode at all); entropy is a
+    SEQUENTIAL FOLD over the FIXED 37-class alphabet order — Spark's
+    aggregate() and DuckDB's list_sum(list_transform(...)) both reduce
+    the list left-to-right (the driver-green C4 dot-product precedent),
+    so the float addend order is pinned, and ln rides the B50
+    convention, round(6). The %5 slice keeps the driver row bounded.
+
+    Plan: scan-stage expressions only — zero shuffles, embarrassingly
+    parallel at any scale; the 37 replace() passes per doc are the cost
+    (O(37·len)), the explode-free trade C51 also makes."""
+    alpha = list(_CHAR_ALPHA)
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    cnts = F.array(
+        *[
+            (
+                F.length(txt) - F.length(F.replace(txt, F.lit(c)))
+            ).cast("bigint")
+            for c in alpha
+        ]
+    )
+    t = d.select(
+        "doc_id",
+        cnts.alias("cnts"),
+    ).withColumn(
+        "total", F.expr("aggregate(cnts, CAST(0 AS BIGINT), (a, c) -> a + c)")
+    )
+    ent = F.expr(
+        "aggregate(cnts, CAST(0.0 AS DOUBLE), (a, c) -> a + "
+        "IF(c > 0, -1.0 * (CAST(c AS DOUBLE) / total) "
+        "* ln(CAST(c AS DOUBLE) / total), CAST(0.0 AS DOUBLE)))"
+    )
+    return t.select(
+        "doc_id",
+        F.col("total").alias("n_counted"),
+        F.round(
+            F.when(F.col("total") == 0, F.lit(0.0)).otherwise(ent), 6
+        ).alias("entropy_nats"),
+    )

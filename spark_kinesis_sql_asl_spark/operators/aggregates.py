@@ -691,3 +691,108 @@ def q_agg_winsorized_mean(spark, sf_dir):
             ).alias("winsor_mean_cents"),
         )
     )
+
+
+@query(
+    "q_agg_skew_kurtosis",
+    priority=35,
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s4
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    m AS (
+        SELECT l_returnflag, n,
+               CAST(s1 AS DOUBLE) / n AS mu,
+               CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                 AS m2,
+               CAST(s3 AS DOUBLE) / n
+                 - 3.0 * (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s2 AS DOUBLE) / n)
+                 + 2.0 * (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s1 AS DOUBLE) / n) AS m3,
+               CAST(s4 AS DOUBLE) / n
+                 - 4.0 * (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s3 AS DOUBLE) / n)
+                 + 6.0 * (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s2 AS DOUBLE) / n)
+                 - 3.0 * (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s1 AS DOUBLE) / n) AS m4
+        FROM s
+    )
+    SELECT l_returnflag, n,
+           round(mu, 6) AS mean_qty,
+           round(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)), 6) AS skew_g1,
+           round(m4 / (m2 * m2) - 3.0, 6) AS exkurt_g2
+    FROM m
+    """,
+)
+def q_agg_skew_kurtosis(spark, sf_dir):
+    """B129: skewness + excess kurtosis — the 3rd/4th-moment shape
+    summary B30's stddev/corr bundle stops short of (fat tails and
+    asymmetry are what decide between mean- and median-based downstream
+    rules — B104/B121 exist because these moments say so). NOT the
+    built-ins: Spark's skewness/kurtosis are population g-statistics
+    while DuckDB's are bias-corrected sample G-statistics — same names,
+    DIFFERENT formulas, a guaranteed cross-engine hash failure. Instead:
+    integer power sums Σq..Σq⁴ (exact BIGINTs — l_quantity is a small
+    integer, Σq⁴ ≲ 4e12 at sf0.1) feed the population-moment identities
+    in ONE FIXED float expression per output — deterministic IEEE on
+    identical exact inputs, g1 = m3/m2^{3/2} (spelled sqrt·sqrt·sqrt so
+    no pow() libm call), g2 = m4/m2² − 3, round(6).
+
+    Plan: one groupBy with five integer partial aggregates — moment
+    sketches merge exactly across partitions by construction, the same
+    reason C39 keeps centroids integer. At 100 TB this IS how you
+    compute higher moments: never the two-pass central-moment form."""
+    q = F.col("l_quantity").cast("bigint")
+    s = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(q).cast("bigint").alias("s1"),
+            F.sum(q * q).cast("bigint").alias("s2"),
+            F.sum(q * q * q).cast("bigint").alias("s3"),
+            F.sum(q * q * q * q).cast("bigint").alias("s4"),
+        )
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n - mu * mu
+    m3 = (
+        F.col("s3").cast("double") / n
+        - 3.0 * mu * (F.col("s2").cast("double") / n)
+        + 2.0 * mu * mu * mu
+    )
+    m4 = (
+        F.col("s4").cast("double") / n
+        - 4.0 * mu * (F.col("s3").cast("double") / n)
+        + 6.0 * mu * mu * (F.col("s2").cast("double") / n)
+        - 3.0 * mu * mu * mu * mu
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(mu, 6).alias("mean_qty"),
+        F.round(m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2)), 6).alias(
+            "skew_g1"
+        ),
+        F.round(m4 / (m2 * m2) - 3.0, 6).alias("exkurt_g2"),
+    )

@@ -463,3 +463,101 @@ def q_events_markov_stationary(spark, sf_dir):
         F.col("v").alias("event_type"),
         F.col("p").alias(f"pr{_MARKOV_STEPS}_ppm"),
     )
+
+
+_CONV_WINDOW_US = 86_400_000_000  # attribute conversions within 1 day
+
+
+@query(
+    "q_events_conversion_rate",
+    priority=35,
+    oracle=f"""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type = 'purchase' THEN ts END AS purchase_ts,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ),
+    clicks AS (
+        SELECT event_id, ts,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS click_day,
+               min(purchase_ts) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, is_p, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS next_purchase_ts
+        FROM tagged
+        QUALIFY event_type = 'click'
+    )
+    SELECT click_day,
+           CAST(count(*) AS BIGINT) AS n_clicks,
+           CAST(count(*) FILTER (
+               next_purchase_ts IS NOT NULL
+               AND epoch_us(next_purchase_ts) - epoch_us(ts)
+                   <= {_CONV_WINDOW_US}) AS BIGINT) AS n_converted,
+           CAST((1000000 * count(*) FILTER (
+               next_purchase_ts IS NOT NULL
+               AND epoch_us(next_purchase_ts) - epoch_us(ts)
+                   <= {_CONV_WINDOW_US})) // count(*) AS BIGINT)
+               AS conv_ppm
+    FROM clicks
+    GROUP BY click_day
+    """,
+)
+def q_events_conversion_rate(spark, sf_dir):
+    """B130: daily conversion rate — per click-day, the share of clicks
+    followed by a purchase from the same user within 1 day, in exact
+    floor-ppm: the composition B112 (forward as-of) and B125 (tolerance)
+    exist to serve, rolled into the business metric itself — the
+    A/B-readout / funnel-health number, with the attribution window
+    making it honest (an unbounded "ever converted" rate only ever goes
+    up). Same single (user_id) window pass as B112; the 1-day test is a
+    scan-side exact epoch-µs comparison; the rollup is |days| rows."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias(
+            "purchase_ts"
+        ),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(0)
+        .alias("is_p"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    clicks = (
+        tagged.withColumn(
+            "next_purchase_ts", F.min("purchase_ts").over(w)
+        )
+        .where(F.col("event_type") == "click")
+        .select(
+            F.expr("unix_micros(ts) div 86400000000").alias("click_day"),
+            (
+                F.col("next_purchase_ts").isNotNull()
+                & (
+                    F.expr(
+                        "unix_micros(next_purchase_ts) - unix_micros(ts)"
+                    )
+                    <= _CONV_WINDOW_US
+                )
+            )
+            .cast("bigint")
+            .alias("converted"),
+        )
+    )
+    return clicks.groupBy("click_day").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.expr(
+            "CAST((1000000 * sum(converted)) div count(1) AS BIGINT)"
+        ).alias("conv_ppm"),
+    )
