@@ -719,3 +719,158 @@ def q_llm_char_entropy(spark, sf_dir):
             F.when(F.col("total") == 0, F.lit(0.0)).otherwise(ent), 6
         ).alias("entropy_nats"),
     )
+
+
+_ZIPF_TOPK = 100
+
+
+@query(
+    "q_llm_zipf_fit",
+    priority=35,
+    oracle=f"""
+    WITH vocab AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS tok
+              FROM documents)
+        GROUP BY tok
+    ),
+    top AS (
+        SELECT tok, n,
+               row_number() OVER (ORDER BY n DESC, tok) AS r
+        FROM vocab
+        QUALIFY row_number() OVER (ORDER BY n DESC, tok) <= {_ZIPF_TOPK}
+    ),
+    packed AS (
+        SELECT list(n ORDER BY r) AS ns,
+               CAST(count(*) AS BIGINT) AS k
+        FROM top
+    ),
+    sums AS (
+        SELECT k,
+               list_sum(list_transform(range(1, k + 1),
+                   i -> ln(CAST(i AS DOUBLE)))) AS sx,
+               list_sum(list_transform(range(1, k + 1),
+                   i -> ln(CAST(ns[i] AS DOUBLE)))) AS sy,
+               list_sum(list_transform(range(1, k + 1),
+                   i -> ln(CAST(i AS DOUBLE)) * ln(CAST(i AS DOUBLE))))
+                   AS sxx,
+               list_sum(list_transform(range(1, k + 1),
+                   i -> ln(CAST(i AS DOUBLE)) * ln(CAST(ns[i] AS DOUBLE))))
+                   AS sxy
+        FROM packed
+    )
+    SELECT k AS n_ranks,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+               AS zipf_slope
+    FROM sums
+    """,
+)
+def q_llm_zipf_fit(spark, sf_dir):
+    """C98: Zipf-law exponent — OLS slope of ln(count) on ln(rank) over
+    the top-{_ZIPF_TOPK} token ranks: natural corpora sit near −1;
+    template-flooded corpora flatten toward 0 (a few tokens dominate
+    uniformly), boilerplate-stripped fragments steepen — THE one-number
+    vocabulary-health fit over C51's spectrum, read alongside C81's
+    coverage curve before tokenizer training.
+
+    Determinism: the ranked counts are PACKED into one ordered array
+    (list/collect_list sorted by rank) and all four OLS sums run as
+    SEQUENTIAL FOLDS over that array — the C97 rule: never a float sum
+    over unordered rows; ln per the B50 convention; the final slope is
+    one fixed expression, round(6). Plan: the vocab rollup is the only
+    corpus-scale stage; top-k is rank-limited (WindowGroupLimit; global
+    window bounded to the ≤vocab aggregate, the C28 shape); everything
+    after runs on a 1-row {_ZIPF_TOPK}-element frame."""
+    toks = table(spark, sf_dir, "documents").select(
+        F.explode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        ).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    top = (
+        vocab.orderBy(F.col("n").desc(), "tok")
+        .limit(_ZIPF_TOPK)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), "tok")
+            ),
+        )
+    )
+    packed = top.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(r, n))), x -> x.n)"
+        ).alias("ns"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    sums = packed.select(
+        "k",
+        F.expr(
+            "aggregate(sequence(1, CAST(k AS INT)), CAST(0.0 AS DOUBLE), "
+            "(a, i) -> a + ln(CAST(i AS DOUBLE)))"
+        ).alias("sx"),
+        F.expr(
+            "aggregate(sequence(1, CAST(k AS INT)), CAST(0.0 AS DOUBLE), "
+            "(a, i) -> a + ln(CAST(element_at(ns, i) AS DOUBLE)))"
+        ).alias("sy"),
+        F.expr(
+            "aggregate(sequence(1, CAST(k AS INT)), CAST(0.0 AS DOUBLE), "
+            "(a, i) -> a + ln(CAST(i AS DOUBLE)) * ln(CAST(i AS DOUBLE)))"
+        ).alias("sxx"),
+        F.expr(
+            "aggregate(sequence(1, CAST(k AS INT)), CAST(0.0 AS DOUBLE), "
+            "(a, i) -> a + ln(CAST(i AS DOUBLE)) "
+            "* ln(CAST(element_at(ns, i) AS DOUBLE)))"
+        ).alias("sxy"),
+    )
+    slope = (
+        F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return sums.select(
+        F.col("k").alias("n_ranks"), F.round(slope, 6).alias("zipf_slope")
+    )
+
+
+@query(
+    "q_llm_hapax_rate",
+    priority=35,
+    oracle="""
+    WITH vocab AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS tok
+              FROM documents)
+        GROUP BY tok
+    )
+    SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(count(*) FILTER (n = 1) AS BIGINT) AS n_hapax,
+           CAST(count(*) FILTER (n = 2) AS BIGINT) AS n_dis,
+           CAST((1000000 * count(*) FILTER (n = 1)) // count(*)
+                AS BIGINT) AS hapax_ppm
+    FROM vocab
+    """,
+)
+def q_llm_hapax_rate(spark, sf_dir):
+    """C99: hapax-legomena rate — the share of vocabulary types occurring
+    exactly once (plus the dis legomena count, the Good-Turing inputs
+    C51's spectrum holds in full): on natural corpora hapax sit near
+    40-60% of types and the rate FALLING over crawl rounds is the
+    canonical template-flood / dedup-failure alarm (new "documents"
+    stop bringing new words); it is also the n1 term every Good-Turing
+    unseen-mass estimate (C59's LM smoothing family) starts from. Exact
+    integers end-to-end, floor-ppm rate. Plan: one vocab rollup (the C8
+    shuffle), a 1-row conditional aggregate — nothing else."""
+    toks = table(spark, sf_dir, "documents").select(
+        F.explode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        ).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    return vocab.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum((F.col("n") == 1).cast("bigint")).alias("n_hapax"),
+        F.sum((F.col("n") == 2).cast("bigint")).alias("n_dis"),
+        F.expr(
+            "CAST((1000000 * sum(CAST(n = 1 AS BIGINT))) div count(1) "
+            "AS BIGINT)"
+        ).alias("hapax_ppm"),
+    )
