@@ -61,46 +61,84 @@ _MODULES = (
     "operators.sorts_sets",
 )
 
-# ROUND-5 ROTATION (computed from CORRECTNESS_r01..r04.json: 183 distinct
-# queries sampled, 0 red — so (a) "reds to 0" is empty this round): promote
-# the 13 queries that have never received a driver CORRECTNESS row to 20 so
-# they land inside the driver's ~50-entry sampling window; rotate every
-# ever-driver-passed query whose decorator priority is <100 back to 100
-# (their green rows stand). Canaries keep their decorator priority 10 (not
-# listed here). New round-5 queries use decorator priority=30.
+# ROUND-6 ROTATION (computed from CORRECTNESS_r01..r05.json: 222 distinct
+# queries sampled across rounds 1-5, zero FAIL/ERR rows — so (a) "reds to 0"
+# is empty again this round): promote the 20 queries that have never
+# received a driver CORRECTNESS row (the 19 priority-35 round-5 tail
+# additions plus q_agg_weighted_median, decorator p30, which rounds 4-5
+# never sampled) to 20 so they land inside the driver's ~50-entry sampling
+# window; pin every ever-driver-sampled query at 100 (their green rows
+# stand — this includes both prior rounds' rotations and the 38 round-5
+# greens whose decorator priorities are <100). Canaries keep their
+# decorator priority 10 (not listed here). New round-6 queries use
+# decorator priority=30. With 12 canaries + 20 promotions = 32 pinned-low
+# slots, up to 18 new p30 queries fit before the window overflows;
+# tests/test_registry_rotation.py asserts the final window composition.
 _PRIORITY_OVERRIDES: dict[str, int] = {
-    # (b) never driver-sampled (the 13 priority-35 r4 tail additions) →
-    # first driver row this round
+    # (b) never driver-sampled -> first driver row this round
     **{
         n: 20
         for n in (
-            "q_benford_audit",
-            "q_customer_rfm",
-            "q_events_dau_wau",
-            "q_events_mad_outliers",
-            "q_events_transitions",
-            "q_llm_bucket_stats",
-            "q_llm_dedup_precision",
-            "q_llm_diversity",
-            "q_llm_embed_drift",
-            "q_llm_fertility",
-            "q_llm_length_profile",
-            "q_llm_profile",
-            "q_pareto_deciles",
+            "q_agg_skew_kurtosis",
+            "q_agg_weighted_median",
+            "q_agg_winsorized_mean",
+            "q_events_chisq_shift",
+            "q_events_conversion_rate",
+            "q_events_hourly_profile",
+            "q_events_markov_stationary",
+            "q_fn_variant",
+            "q_join_asof_nearest",
+            "q_join_asof_tolerance",
+            "q_llm_char_entropy",
+            "q_llm_hapax_rate",
+            "q_llm_knn_label_vote",
+            "q_llm_langid_confusion",
+            "q_llm_media_dedup",
+            "q_llm_rake_keywords",
+            "q_llm_submodular_coverage",
+            "q_llm_zipf_fit",
+            "q_privacy_tcloseness",
+            "q_win_nth_value",
         )
     },
-    # (c) driver-green r1–r4 rows with decorator priority <100 rotate back
+    # (c) every query with a driver-green row rotates to / stays at 100
     **{
         n: 100
         for n in (
+            "q_agg_approx_distinct",
+            "q_agg_argmax",
             "q_agg_boolcond",
+            "q_agg_collect",
+            "q_agg_cube",
             "q_agg_decimal",
+            "q_agg_distinct",
+            "q_agg_entropy",
             "q_agg_filter_clause",
+            "q_agg_gini",
+            "q_agg_global",
+            "q_agg_group",
+            "q_agg_grouping_sets",
+            "q_agg_having",
+            "q_agg_histogram",
             "q_agg_listagg",
+            "q_agg_mode",
+            "q_agg_multi_distinct",
+            "q_agg_percentile",
             "q_agg_percentile_approx",
+            "q_agg_rollup",
+            "q_agg_stats",
             "q_basket_pairs",
+            "q_benford_audit",
+            "q_customer_rfm",
             "q_events_cohort_retention",
+            "q_events_dau_wau",
+            "q_events_funnel",
+            "q_events_mad_outliers",
             "q_events_sessionize",
+            "q_events_transitions",
+            "q_filter_compound",
+            "q_filter_like",
+            "q_filter_null",
             "q_fn_array",
             "q_fn_binary",
             "q_fn_bitwise",
@@ -113,67 +151,169 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_fn_map",
             "q_fn_math",
             "q_fn_posexplode",
+            "q_fn_regex",
+            "q_fn_split",
+            "q_fn_string",
             "q_fn_struct",
+            "q_join_anti",
+            "q_join_asof",
+            "q_join_asof_forward",
+            "q_join_broadcast",
+            "q_join_cross",
+            "q_join_full",
+            "q_join_inner",
+            "q_join_interval",
+            "q_join_left",
+            "q_join_multiway",
+            "q_join_null_safe",
+            "q_join_right",
+            "q_join_salted",
+            "q_join_semi",
+            "q_join_theta",
             "q_kinesis_decode_csv",
             "q_kinesis_decode_json",
             "q_kinesis_replay_window",
             "q_kinesis_schema",
             "q_kinesis_shard_route",
+            "q_lateral_topn",
+            "q_llm_bigram_topk",
             "q_llm_bitext_mine",
+            "q_llm_bm25",
+            "q_llm_bpe_batch",
             "q_llm_bpe_pairs",
             "q_llm_bpe_train3",
+            "q_llm_bucket_stats",
             "q_llm_chunk",
+            "q_llm_cluster_purity",
             "q_llm_composition",
             "q_llm_corpus_build",
             "q_llm_corpus_diff",
             "q_llm_corpus_stats",
             "q_llm_curate_e2e",
             "q_llm_decode_media",
+            "q_llm_decontaminate",
+            "q_llm_dedup_cluster",
+            "q_llm_dedup_containment",
+            "q_llm_dedup_editdist",
+            "q_llm_dedup_embed",
+            "q_llm_dedup_exact",
+            "q_llm_dedup_jaccard",
+            "q_llm_dedup_minhash",
+            "q_llm_dedup_ngram",
+            "q_llm_dedup_normalized",
+            "q_llm_dedup_precision",
+            "q_llm_dedup_simhash",
             "q_llm_dedup_survivors",
+            "q_llm_diversity",
             "q_llm_dup_triangles",
             "q_llm_embed_dimstats",
+            "q_llm_embed_drift",
+            "q_llm_fertility",
             "q_llm_fingerprint",
             "q_llm_frame_sample",
             "q_llm_freq_spectrum",
             "q_llm_hamming_spectrum",
+            "q_llm_hard_negatives",
             "q_llm_heavy_hitters",
             "q_llm_heavy_hitters_sketch",
             "q_llm_ingest_dedup",
             "q_llm_ingest_jsonl",
+            "q_llm_inverted_index",
             "q_llm_kmeans",
             "q_llm_kmeans_mstep",
+            "q_llm_kmeans_train",
+            "q_llm_langid",
+            "q_llm_length_profile",
             "q_llm_link_extract",
             "q_llm_lm_score",
+            "q_llm_margin_sample",
             "q_llm_maxsim",
             "q_llm_media_sniff",
             "q_llm_mixture",
             "q_llm_mixture_sample",
+            "q_llm_mmr_select",
             "q_llm_multimodal",
             "q_llm_ngram_lm",
             "q_llm_novelty",
             "q_llm_pack",
+            "q_llm_pii_scrub",
+            "q_llm_pmi_bigrams",
             "q_llm_pq_encode",
+            "q_llm_prefix_dup",
+            "q_llm_profile",
+            "q_llm_quality",
             "q_llm_quality_calibrate",
             "q_llm_quota_sample",
+            "q_llm_random_proj",
+            "q_llm_recall_at_k",
             "q_llm_refresh_e2e",
             "q_llm_repeated_chunks",
             "q_llm_repetition",
+            "q_llm_rrf_fusion",
             "q_llm_sample_hash",
             "q_llm_sample_reservoir",
             "q_llm_scd2",
+            "q_llm_semantic_outliers",
             "q_llm_shard_balance",
+            "q_llm_sim_ivf",
+            "q_llm_sim_lsh",
+            "q_llm_sim_topk",
             "q_llm_source_leak",
             "q_llm_split_stratified",
             "q_llm_surprisal",
             "q_llm_textscore",
             "q_llm_tfidf",
+            "q_llm_tokcount",
             "q_llm_tokenize",
             "q_llm_train_order",
+            "q_llm_vec_ops",
+            "q_llm_vec_quantize",
+            "q_llm_vocab_coverage",
             "q_llm_winnow",
+            "q_pareto_deciles",
+            "q_pivot",
+            "q_privacy_bounded_contrib",
+            "q_privacy_kanon",
+            "q_privacy_ldiversity",
+            "q_project_arith",
+            "q_scan_full",
+            "q_scan_pruned",
+            "q_scan_pushdown",
+            "q_set_except",
+            "q_set_except_all",
+            "q_set_intersect",
+            "q_set_intersect_all",
+            "q_set_union_all",
+            "q_set_union_distinct",
             "q_skew_audit",
+            "q_sort_multi",
             "q_sort_nulls_first",
             "q_sql_recursive_spine",
+            "q_stream_dedup_keys",
+            "q_stream_session",
+            "q_stream_sliding",
+            "q_stream_tumbling",
+            "q_subquery_correlated_scalar",
+            "q_subquery_exists",
+            "q_subquery_scalar",
+            "q_topk",
+            "q_topk_per_group",
             "q_ts_gapfill",
+            "q_ts_ohlc",
+            "q_ts_time_weighted",
+            "q_udaf_grouped",
+            "q_udf_pandas",
+            "q_udf_scalar",
+            "q_udtf_expand",
+            "q_unpivot",
+            "q_win_distribution",
+            "q_win_first_last",
+            "q_win_lag_lead",
+            "q_win_ntile",
+            "q_win_range_frame",
+            "q_win_rank",
+            "q_win_rolling_slope",
+            "q_win_running",
             "q_win_time_range",
         )
     },
@@ -200,11 +340,13 @@ def query(
     Per-round rotation lives in ``_PRIORITY_OVERRIDES`` below, which takes
     precedence over the decorator value — decorators keep the priority at
     time of authorship, the override map is the one place each round's
-    rotation is applied. ROUND-5 ROTATION PLAN (read CORRECTNESS_r04.json
-    first): (a) any r4 FAIL/ERR rows get override 0; (b) queries that have
-    STILL never received a driver row move to override 20; (c) r4-passed
-    override-20/priority-30 queries rotate to override 100. Canaries stay
-    at 10 permanently.
+    rotation is applied. ROTATION PLAN each round (read the latest
+    CORRECTNESS_r{N}.json first): (a) any FAIL/ERR rows get override 0;
+    (b) queries that have STILL never received a driver row move to
+    override 20; (c) every query with a driver-green row is pinned at
+    override 100 (explicitly, so a <100 decorator priority can never leak
+    it back into the window). Canaries stay at 10 permanently.
+    tests/test_registry_rotation.py asserts the resulting window.
     """
 
     def deco(fn: QueryFn) -> QueryFn:
