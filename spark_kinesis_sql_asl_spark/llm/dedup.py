@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..registry import query
-from ..tables import table
+from ..tables import parallel_table, table
 
 # The fixture corpus has no exact duplicate texts (FIXTURES.md, verified);
 # C1 injects copies of every 10th doc so the detector has real work.
@@ -198,8 +198,15 @@ def prefix_filtered_jaccard(
         dfreq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("df"))
         # global total order = (df asc, tok asc); prefix = rarest tokens first
         pos = W.partitionBy("doc_id").orderBy("df", "tok")
+        # Explicit doc_id exchange ahead of the rank window: the window
+        # requires exactly this hash partitioning, so no shuffle is added —
+        # but the user-specified partition count pins it against AQE
+        # coalescing the ~1M-token-row stage down to a handful of tasks
+        # (measured 8 of 32 cores busy at sf0.1).
+        par = toks.sparkSession.sparkContext.defaultParallelism
         prefix = (
             toks.join(dfreq, ["lang", "tok"])
+            .repartition(par, "doc_id")
             .withColumn("pos", F.row_number().over(pos))
             .join(docs.select("doc_id", "sz"), "doc_id")
             .where(F.col("pos") <= F.col("sz") - F.ceil(F.lit(tau) * F.col("sz")) + 1)
@@ -234,6 +241,15 @@ def prefix_filtered_jaccard(
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        # The distinct's output is tiny in BYTES (two BIGINTs/pair) so AQE
+        # coalesces it to one partition — but each candidate still costs an
+        # O(|tokset|) array_intersect in the verify stage, serializing the
+        # most expensive per-row work onto one core (measured 3.2 s
+        # single-task at sf0.1). Re-spread by doc_a: the shuffle moves only
+        # id pairs, never token arrays, at any scale.
+        .repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, "doc_a"
+        )
     )
     # exact verification on the (small) candidate set
     da = docs.select(
@@ -304,7 +320,7 @@ def q_llm_dedup_jaccard(spark, sf_dir):
     self-joined (rare tokens → tiny posting lists), then candidates are
     verified exactly with array_intersect on the full token sets.
     """
-    d = table(spark, sf_dir, "documents")
+    d = parallel_table(spark, sf_dir, "documents")
     docs = d.select(
         "doc_id",
         "lang",
@@ -326,7 +342,7 @@ def q_llm_dedup_minhash(spark, sf_dir):
     one for bands, one self-join on (band, band_hash) — pair blow-up is
     bounded by real collisions. tests/test_llm.py asserts recall ≥ 0.9
     against C2's exact pairs at τ=0.8."""
-    d = table(spark, sf_dir, "documents")
+    d = parallel_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
@@ -537,7 +553,7 @@ def q_llm_dedup_containment(spark, sf_dir):
     never n² — the same discipline as every other pairwise operator in
     this package."""
     tau = _CONTAIN_TAU
-    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = parallel_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     synth = d.where(F.col("doc_id") % 11 == 0).select(
         (F.col("doc_id") + _CONTAIN_TRUNC_OFFSET).alias("doc_id"),
         "lang",

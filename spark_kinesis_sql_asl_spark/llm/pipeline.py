@@ -21,7 +21,7 @@ from pyspark.sql import Observation, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import table
+from ..tables import parallel_table, table
 from .dedup import prefix_filtered_jaccard
 from .iterative import scratch_dir
 from .similarity import (
@@ -104,7 +104,9 @@ def simhash_fingerprints(spark, sf_dir, checkpoint=True):
     where ``unnest(NULL)`` emits no rows. ``checkpoint`` barriers the
     3-column table before self-joins that would otherwise recompute the
     md5 + 32-bit fold per side (measured ~2x whole-query cost)."""
-    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    d = parallel_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     tok_hashes = F.expr(
         f"transform(split(text, ' '), tok -> {_SPARK_TOKHASH})"
     )
@@ -238,7 +240,9 @@ def q_llm_dedup_ngram(spark, sf_dir):
     The real hot spot was the verify stage (6.3 s of 13.7 s profiled):
     ``hash_tokens=True`` moves prefix keys + verify intersects to the
     BIGINT domain, which is also the smaller-shuffle choice at 100 TB."""
-    d = table(spark, sf_dir, "documents").where(F.length("text") >= _NGRAM_N)
+    d = parallel_table(spark, sf_dir, "documents").where(
+        F.length("text") >= _NGRAM_N
+    )
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.length("text") - (_NGRAM_N - 1)),
@@ -348,7 +352,7 @@ def q_llm_dedup_embed(spark, sf_dir):
     block is bounded — which is what the fixture (and the oracle) sees —
     and label x LSH-band buckets (C5's banding) feeding the same exact
     cosine verify once any block outgrows the quadratic-safe cap."""
-    e = table(spark, sf_dir, "embeddings").select(
+    e = parallel_table(spark, sf_dir, "embeddings", key="vec_id").select(
         "vec_id", "label", as_double("embedding").alias("v")
     )
     return embed_neardup_pairs(e, _EMBED_TAU, block="auto")

@@ -17,7 +17,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import table
+from ..tables import parallel_table, table
 from .iterative import scratch_dir
 
 _SPAN_W = 32  # chunk width (chars), non-overlapping
@@ -296,7 +296,7 @@ def q_llm_bpe_train3(spark, sf_dir):
     pass to amortize, which this shape extends to directly (take top-M
     non-conflicting merges from the same TakeOrdered)."""
     words = (
-        table(spark, sf_dir, "documents")
+        parallel_table(spark, sf_dir, "documents")
         .select(
             F.explode(
                 F.split(F.coalesce(F.col("text"), F.lit("")), " ")
@@ -362,7 +362,7 @@ _BPE_BATCH_M = 8  # merges accepted per pass
 def bpe_words(spark, sf_dir):
     """The shared BPE word state: whitespace-split tokens of >=2 chars."""
     return (
-        table(spark, sf_dir, "documents")
+        parallel_table(spark, sf_dir, "documents")
         .select(
             F.explode(
                 F.split(F.coalesce(F.col("text"), F.lit("")), " ")
@@ -708,7 +708,7 @@ def q_llm_winnow(spark, sf_dir):
         f"16, 10) as bigint))"
     )
     hs = (
-        table(spark, sf_dir, "documents")
+        parallel_table(spark, sf_dir, "documents")
         .where(F.length(F.coalesce("text", F.lit(""))) >= _WIN_K + _WIN_W - 1)
         .select("doc_id", n_hash.alias("h"))
     )

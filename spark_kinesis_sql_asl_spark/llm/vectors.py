@@ -19,7 +19,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import table
+from ..tables import parallel_table, table
 from .curation import _KMEANS_K, _Q_VEC_SQL_DUCK, _Q_VEC_SQL_SPARK
 from .iterative import scratch_dir
 
@@ -47,7 +47,7 @@ _ASSIGN_CTES_DUCK = f"""
 def _assigned(spark, sf_dir):
     """Shared Spark assignment frame: (vec_id, cell_id, qv) at rn=1 —
     the C33 E-step re-expressed as a reusable building block."""
-    e = table(spark, sf_dir, "embeddings").select(
+    e = parallel_table(spark, sf_dir, "embeddings", key="vec_id").select(
         "vec_id", F.expr(_Q_VEC_SQL_SPARK).alias("qv")
     )
     seeds = e.where(F.col("vec_id") < _KMEANS_K).select(
@@ -159,7 +159,7 @@ def q_llm_pq_encode(spark, sf_dir):
     (×{_PQ_SUBSPACES}); the per-(vector, subspace) argmin is a window over
     {_KMEANS_K}-row groups. At 100 TB: identical shape — no shuffle
     touches the raw vectors, and the encode is embarrassingly parallel."""
-    e = table(spark, sf_dir, "embeddings").select(
+    e = parallel_table(spark, sf_dir, "embeddings", key="vec_id").select(
         "vec_id", F.expr(_Q_VEC_SQL_SPARK).alias("qv")
     )
     seeds = e.where(F.col("vec_id") < _KMEANS_K).select(
@@ -279,7 +279,7 @@ def train_centroids(spark, sf_dir, rounds=_TRAIN_ROUNDS):
     centroids materialized to parquet (flat lineage, replayable state).
     Shared by q_llm_kmeans_train and the trained-IVF recall gate in
     tests/test_llm.py."""
-    e = table(spark, sf_dir, "embeddings").select(
+    e = parallel_table(spark, sf_dir, "embeddings", key="vec_id").select(
         "vec_id", F.expr(_Q_VEC_SQL_SPARK).alias("qv")
     )
     cents = e.where(F.col("vec_id") < _KMEANS_K).select(
@@ -351,7 +351,7 @@ def q_llm_kmeans_train(spark, sf_dir):
     exactly how an IVF coarse quantizer is trained (sampled or full), and
     tests/test_llm.py gates the payoff — IVF recall against the TRAINED
     centroids beats the untrained-seed index of C20."""
-    e = table(spark, sf_dir, "embeddings").select(
+    e = parallel_table(spark, sf_dir, "embeddings", key="vec_id").select(
         "vec_id", F.expr(_Q_VEC_SQL_SPARK).alias("qv")
     )
     cents = train_centroids(spark, sf_dir)
@@ -668,7 +668,7 @@ def q_llm_knn_label_vote(spark, sf_dir):
     the C20/C77 cells instead of CROSS JOIN — the fixture-scale exact
     form keeps the oracle checkable); per-query top-k is WindowGroupLimit,
     the vote is a tiny (query, label) rollup + rank."""
-    e = table(spark, sf_dir, "embeddings").select(
+    e = parallel_table(spark, sf_dir, "embeddings", key="vec_id").select(
         "vec_id", "label", F.expr(_Q_VEC_SQL_SPARK).alias("qv")
     )
     un = e.where(F.col("vec_id") % _KNN_UNLABELED_MOD == 0).select(

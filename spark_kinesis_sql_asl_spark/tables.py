@@ -71,6 +71,32 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parallel_table(
+    spark: SparkSession, sf_dir: str, name: str, key: str = "doc_id"
+) -> DataFrame:
+    """:func:`table` plus a parallelism floor for CPU-heavy scan stages.
+
+    Parquet scans parallelize by row-group split, and the small fixture
+    files are a single row group — so every expression pipelined onto the
+    scan (shingling, hashing, vector math) and every localCheckpoint taken
+    from it runs as ONE task, serializing the 32-core session (measured:
+    q_llm_dedup_ngram spent 3.4 s single-task tokenizing at sf0.1).
+
+    Rule: exchange by ``key`` to the session's default parallelism ONLY
+    when the scan produces fewer splits than cores. At 100 TB a documents
+    scan has thousands of natural splits, the condition is false, and no
+    shuffle is added — this helper can never become the scale-killer
+    "repartition the corpus" anti-pattern; it only repairs the degenerate
+    small-file case. The explicit numPartitions pins the exchange against
+    AQE coalescing (tiny inputs would otherwise collapse back to 1).
+    """
+    df = table(spark, sf_dir, name)
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        df = df.repartition(p, key)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
