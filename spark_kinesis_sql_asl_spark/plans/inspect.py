@@ -39,6 +39,43 @@ def read_schemas(df: DataFrame) -> list[str]:
     return re.findall(r"ReadSchema: (struct<[^\n]*)", formatted_plan(df))
 
 
+def unbounded_partitionless_windows(df: DataFrame) -> list[str]:
+    """Partitionless Window nodes NOT fed by a row limit — the scale smell.
+
+    A window with an empty partitionSpec moves every input row to one task.
+    That is fine (and warning-noise only) when the input is a
+    ``TakeOrderedAndProject``/``limit(K)`` head of bounded K; at any other
+    spot it is a 100 TB single-task sort. Walks the optimized logical plan
+    and returns a description of each partitionless Window whose subtree
+    contains no GlobalLimit, so tests can assert the list is empty — which
+    also means the benign ``WindowExec: No Partition Defined`` bench
+    warnings can never mask a real one (round-5 verdict item).
+    """
+
+    def walk(node):
+        yield node
+        kids = node.children()
+        for i in range(kids.length()):
+            yield from walk(kids.apply(i))
+
+    def subtree_has_limit(node) -> bool:
+        return any(
+            n.getClass().getSimpleName() in ("GlobalLimit", "LocalLimit")
+            for n in walk(node)
+        )
+
+    root = df._jdf.queryExecution().optimizedPlan()  # noqa: SLF001
+    bad = []
+    for node in walk(root):
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+            and not subtree_has_limit(node)
+        ):
+            bad.append(node.simpleString(120))
+    return bad
+
+
 def count_nodes(df: DataFrame, node: str) -> int:
     """Occurrences of a physical node name (e.g. 'Exchange',
     'BroadcastHashJoin', 'SortMergeJoin') in the formatted plan's tree."""
