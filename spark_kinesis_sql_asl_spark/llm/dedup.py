@@ -481,6 +481,93 @@ _CONTAIN_TRUNC_TOKENS = 30
 _CONTAIN_TRUNC_OFFSET = 300_000  # synthetic truncated copies (C1 convention)
 
 
+def _containment_docs(spark, sf_dir):
+    """Shared C82/C82s corpus state: (doc_id, lang, ts, sz), checkpointed.
+
+    The corpus is documents plus a truncated copy of every 11th doc (the C1
+    injection convention; first {_CONTAIN_TRUNC_TOKENS} tokens, a true
+    token-subset)."""
+    d = parallel_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    synth = d.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + _CONTAIN_TRUNC_OFFSET).alias("doc_id"),
+        "lang",
+        F.expr(
+            f"array_join(slice(split(text, ' '), 1, "
+            f"{_CONTAIN_TRUNC_TOKENS}), ' ')"
+        ).alias("text"),
+    )
+    return (
+        d.unionByName(synth)
+        .select(
+            "doc_id",
+            "lang",
+            F.array_distinct(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+            ).alias("ts"),
+        )
+        .withColumn("sz", F.size("ts"))
+        .localCheckpoint(eager=True)  # consumed by index + verify/estimate
+    )
+
+
+def _containment_candidates(spark, docs, tau):
+    """Shared C82/C82s candidate stage: the ASYMMETRIC prefix filter (the
+    containment variant of PPJoin, Xiao et al. WWW 2008) — see the C82
+    docstring for the blocking argument. EXACT recall: every pair with
+    C(A->B) >= tau survives. Returns (doc_small, doc_big) WITHOUT a
+    distinct — consumers' top-1 windows absorb the <=prefix-length dup
+    factor, saving a multi-million-row shuffle."""
+    toks = docs.select("doc_id", "lang", "sz", F.explode("ts").alias("tok"))
+    dfreq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("df"))
+    pos_w = W.partitionBy("doc_id").orderBy("df", "tok")
+    indexed = (
+        toks.join(dfreq, ["lang", "tok"])
+        .withColumn("pos", F.row_number().over(pos_w))
+        .localCheckpoint(eager=True)  # feeds BOTH sides of the cand join
+    )
+    # A side: prefix only; B side: full inverted index. The explicit
+    # repartition matters: the checkpointed index is tiny enough that AQE
+    # coalesces it to ONE partition, and the entire candidate fan-out +
+    # verify chain downstream is broadcast joins (no exchange), so
+    # without it the millions of candidate rows all flow through a single
+    # task (measured sf0.1: 26 s serial vs ~2 s spread). Spreading the
+    # ~2-token-per-doc prefix side is the cheap place to buy parallelism.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a_prefix = indexed.where(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(tau) * F.col("sz")) + 1
+    ).repartition(n_part)
+    overlap_ub = (
+        F.least(
+            F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+        )
+        + 1
+    )
+    need = F.ceil(F.lit(tau) * F.col("a.sz"))
+    return (
+        a_prefix.alias("a")
+        .join(
+            indexed.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (
+                (F.col("a.sz") < F.col("b.sz"))
+                | (
+                    (F.col("a.sz") == F.col("b.sz"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id"))
+                )
+            )
+            & (F.col("b.sz") >= need)
+            & (overlap_ub >= need),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_small"),
+            F.col("b.doc_id").alias("doc_big"),
+        )
+    )
+
+
 @query(
     "q_llm_dedup_containment",
     priority=30,
@@ -552,6 +639,9 @@ def q_llm_dedup_containment(spark, sf_dir):
     C2 already pays); candidates scale with token-level collisions,
     never n² — the same discipline as every other pairwise operator in
     this package."""
+    tau = _CONTAIN_TAU
+    docs = _containment_docs(spark, sf_dir)
+    cand = _containment_candidates(spark, docs, tau)
     tau = _CONTAIN_TAU
     d = parallel_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     synth = d.where(F.col("doc_id") % 11 == 0).select(
@@ -653,6 +743,118 @@ def q_llm_dedup_containment(spark, sf_dir):
         .withColumn("_rn", F.row_number().over(best_w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
+    )
+
+
+# --- C82s: containment-MinHash scale rung (rows-only, like C3 beside C2) -----
+
+_CLSH_K = 24  # signature positions; binomial agree-count sets the estimate
+
+
+@query("q_llm_dedup_containment_lsh", priority=30)  # rows-only: hash-seeded
+def q_llm_dedup_containment_lsh(spark, sf_dir):
+    """C82s: the signature scale rung beside C82's exact containment pass
+    (completing the C3-beside-C2 ladder for the asymmetric case). Same
+    corpus, same candidates — the EXACT-recall A-side prefix filter shared
+    via :func:`_containment_candidates` — but verification is a
+    {_CLSH_K}-position MinHash AGREEMENT estimate instead of the exact
+    array_intersect: containment is recovered from the Jaccard estimate
+    J_hat = agree/K and the exact sizes via C = J*(sa+sb)/((1+J)*sa).
+
+    Why this is the template-heavy-corpus path: C82's verify joins ship
+    the FULL token array of both sides to every candidate pair — at sf0.1
+    that is 1.18M qualifying pairs x ~200-element arrays, and on a 100 TB
+    near-self-identical crawl the verify bytes dwarf the index. Here the
+    per-doc payload is {_CLSH_K} BIGINTs regardless of document size, the
+    signatures are scan-stage array folds over the checkpointed token sets
+    (array_min over transform — no explode, no extra shuffle), and the
+    estimate is a flat-column codegen sum. A pure band-1 positional
+    LSH candidate join (the symmetric-C3 shape) was built and measured
+    first: on this corpus each signature position has ~12 distinct minima,
+    posting lists reach 4210 of 5455 docs, and the join degenerates to
+    430M probe pairs (~31 s at sf0.1) — the prefix filter's rare-token
+    posting lists are the right candidate generator even for the sketch
+    rung, exactly as LSH Ensemble (Zhu et al., VLDB 2016) partitions to
+    keep posting lists bounded.
+
+    Rows-only by design (hash-seeded estimate, no SQL oracle);
+    tests/test_llm.py gates recall >= 0.9 of C82's exact doc_small
+    coverage at sf0.01. Recall loss comes ONLY from estimate noise
+    (binomial agree-count under-shooting the 0.8 cut), never from
+    candidate generation."""
+    tau = _CONTAIN_TAU
+    docs = _containment_docs(spark, sf_dir)
+    cand = _containment_candidates(spark, docs, tau)
+    def _seeded(i):
+        # single-parameter lambda on purpose: F.transform treats a
+        # TWO-parameter callable as (element, array_index) and would feed
+        # the array position where the seed belongs
+        return lambda t: F.xxhash64(t, F.lit(i))
+
+    sigs = docs.select(
+        "doc_id",
+        "sz",
+        *[
+            F.array_min(F.transform("ts", _seeded(i))).alias(f"h{i}")
+            for i in range(_CLSH_K)
+        ],
+    ).localCheckpoint(eager=True)  # scan-stage folds; feeds both pair sides
+    agree = sum(
+        F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+        for i in range(_CLSH_K)
+    )
+    # Explicit broadcast: localCheckpoint drops the size statistics, so the
+    # optimizer would sort-merge 4.85M candidate rows against a 5k-row sig
+    # table (twice). One sig row per doc broadcasts at any corpus size a
+    # single executor can hold its shard of; at true 100 TB scale this
+    # becomes a bucketed join on doc id — same shape, no candidate shuffle.
+    sa = F.broadcast(sigs.alias("sa"))
+    sb = F.broadcast(sigs.alias("sb"))
+    j_hat = F.col("agree") / float(_CLSH_K)
+    c_hat = F.least(
+        F.lit(1.0),
+        j_hat
+        * (F.col("sz_a") + F.col("sz_b"))
+        / ((1.0 + j_hat) * F.col("sz_a")),
+    )
+    # Top-1 container per doc_small via max_by, not a rank window: the
+    # estimate keeps ~4M rows at sf0.1 (the 0.8 cut is looser than exact
+    # tau by design), and max_by partial-aggregates map-side — duplicate
+    # candidates from the no-distinct prefix stage are absorbed for free,
+    # where a window would first shuffle-sort every surviving row.
+    # Tie-break (est desc, doc_big asc) rides the packed struct: bitwise
+    # NOT of doc_big makes "doc_big asc" the max.
+    return (
+        cand.join(sa, F.col("doc_small") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_big") == F.col("sb.doc_id"))
+        .select(
+            "doc_small",
+            "doc_big",
+            F.col("sa.sz").alias("sz_a"),
+            F.col("sb.sz").alias("sz_b"),
+            agree.alias("agree"),
+        )
+        .select(
+            "doc_small",
+            "doc_big",
+            F.round(c_hat, 6).alias("est_containment"),
+        )
+        .where(F.col("est_containment") >= 0.8)
+        .groupBy("doc_small")
+        .agg(
+            F.max_by(
+                F.struct("doc_big", "est_containment"),
+                F.struct(
+                    F.col("est_containment").alias("e"),
+                    F.bitwise_not(F.col("doc_big")).alias("nb"),
+                ),
+            ).alias("best")
+        )
+        .select(
+            "doc_small",
+            F.col("best.doc_big").alias("doc_big"),
+            F.col("best.est_containment").alias("est_containment"),
+        )
     )
 
 

@@ -439,3 +439,27 @@ def test_containment_catches_truncations_jaccard_misses(spark):
     missing = expect - set(got)
     assert not missing, f"truncated copies not caught: {sorted(missing)[:5]}"
     assert all(abs(got[k] - 1.0) < 1e-9 for k in expect)
+
+
+def test_containment_lsh_recall_vs_exact(spark):
+    # C82s: the sketch rung must recover >=90% of C82's exact doc_small
+    # coverage (which docs have a container) — recall loss may come only
+    # from estimate noise, never candidates (the prefix filter is shared
+    # and exact-recall).
+    exact = {
+        r["doc_small"]
+        for r in QUERIES["q_llm_dedup_containment"](spark, SF_ORACLE).collect()
+    }
+    approx = {
+        r["doc_small"]
+        for r in QUERIES["q_llm_dedup_containment_lsh"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"containment-LSH recall {recall:.3f} < 0.9"
+    # and the estimate never invents smalls outside the size-filtered
+    # candidate universe: every flagged small must qualify somewhere in
+    # the exact candidate space (loose sanity: flagged set not wildly
+    # larger than exact's)
+    assert len(approx) <= len(exact) * 1.2

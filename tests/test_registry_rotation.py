@@ -137,4 +137,8 @@ def test_every_ever_green_query_pinned_at_100():
 # Queries first registered in round 6 (decorator priority=30): they have no
 # CORRECTNESS row yet by construction, so the never-sampled recomputation
 # excludes them. Keep this in sync as round-6 operators land.
-ROUND6_NEW_THIS_ROUND: frozenset[str] = frozenset()
+ROUND6_NEW_THIS_ROUND: frozenset[str] = frozenset(
+    {
+        "q_llm_dedup_containment_lsh",
+    }
+)
