@@ -1,0 +1,298 @@
+"""Streaming twins for the time-series family (B111-B113).
+
+Round-5 verdict item 4: B110 (OHLC) got its streaming parity twin in round
+4; this module adds the remaining three as keyed arbitrary-stateful
+operators, each with a batch-parity test in tests/test_streaming.py under
+the staging-dir availableNow replay harness (SURVEY.md §5.2.3).
+
+All three use the legacy ``applyInPandasWithState`` surface (no extra
+runtime dependency — streaming/stateful.py B68 documents the API-adaptive
+story; the semantics port 1:1 to ``transformWithStateInPandas`` typed
+state).
+
+Ordering contract: these folds assume per-key batches arrive in event-time
+order (the replay harness stages files in global (ts, event_id) order, and
+a Kinesis shard delivers per-partition-key order). Rows are re-sorted
+WITHIN each micro-batch; cross-batch reordering beyond the documented
+tie-handling is out of scope — a production deployment would front these
+with a watermarked buffer stage, which changes latency, not the fold.
+
+State sizes (the 100 TB argument):
+- time-weighted LOCF: O(1) per event_type — last observation + exact sums.
+- forward as-of:      O(pending clicks) per user — clicks are held ONLY
+  until the next purchase arrives, then flushed; a TTL timer would bound
+  abandoned sessions in production.
+- rolling slope:      O(frame) per event_type — a 24-row ring buffer plus
+  the series origin; constant regardless of stream length.
+
+Exactness: every accumulator is integer (epoch-µs gaps, floor-cents,
+relative seconds); Python ints are arbitrary-precision so Σ cents·w_us
+cannot overflow mid-stream. Sums that may exceed int64 cross the state /
+output boundary as STRINGS (decimal-free, Arrow-safe) and are parsed back
+to int — the streaming analog of the batch operator's decimal(25,0)
+accumulators.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+# --- B111 twin: time-weighted average (LOCF) ---------------------------------
+
+_TW_OUT_SCHEMA = (
+    "event_type string, n_segments bigint, total_us bigint, "
+    "sum_cw string, seq bigint"
+)
+_TW_STATE_SCHEMA = (
+    "last_us bigint, last_cents bigint, n_seg bigint, total_us bigint, "
+    "sum_cw string, seq bigint"
+)
+
+
+def streaming_time_weighted(event_stream):
+    """B111-stream: TimescaleDB ``time_weight('LOCF')`` as keyed state.
+
+    Each observation holds until the next one arrives, so closing a
+    segment needs exactly the LAST observation — (last_us, last_cents) —
+    plus the running exact sums. Per micro-batch, rows are folded in
+    (us, event_id) order, the held observation closes its segment against
+    the batch's first row, and the batch's last row becomes the held one.
+    Emits the running (n_segments, total_us, sum_cw) per key per batch;
+    the LAST emission per key (max seq) equals the batch operator's
+    aggregate exactly — zero-gap simultaneous events contribute 0 weight
+    in both forms.
+
+    Input columns: event_type, us (epoch µs), cents, event_id.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            last_us, last_cents, n_seg, total_us, sum_cw_s, seq = state.get
+            sum_cw = int(sum_cw_s)
+            have_last = True
+        else:
+            last_us = last_cents = n_seg = total_us = 0
+            sum_cw = 0
+            seq = 0
+            have_last = False
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["us", "event_id"])
+            for us, cents in zip(pdf["us"], pdf["cents"]):
+                us = int(us)
+                cents = int(cents)
+                if have_last:
+                    w = us - last_us
+                    n_seg += 1
+                    total_us += w
+                    sum_cw += last_cents * w
+                last_us, last_cents, have_last = us, cents, True
+        seq += 1
+        state.update((last_us, last_cents, n_seg, total_us, str(sum_cw), seq))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_segments": [n_seg],
+                "total_us": [total_us],
+                "sum_cw": [str(sum_cw)],
+                "seq": [seq],
+            }
+        )
+
+    return event_stream.groupBy("event_type").applyInPandasWithState(
+        fold,
+        outputStructType=_TW_OUT_SCHEMA,
+        stateStructType=_TW_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- B112 twin: forward as-of (click -> next purchase) ------------------------
+
+_FA_OUT_SCHEMA = (
+    "event_id bigint, user_id bigint, us bigint, purchase_us bigint, "
+    "seq bigint"
+)
+_FA_STATE_SCHEMA = (
+    "pend_ids array<bigint>, pend_us array<bigint>, last_purchase_us bigint, "
+    "seq bigint"
+)
+
+
+def streaming_forward_asof(event_stream):
+    """B112-stream: forward as-of as pend-and-flush keyed state.
+
+    The batch form needs a look-AHEAD (min purchase_ts over the following
+    frame); streaming inverts it into a look-BACK: clicks wait in per-user
+    state, each arriving purchase flushes every pending click at-or-before
+    it. The at-or-after tie (a purchase exactly simultaneous with a click
+    matches it — B112's is_p ordering) is honored in both directions:
+    within a batch rows fold in (ts, is_p, event_id) order so the click is
+    seen first, and across batches ``last_purchase_us`` lets a click that
+    arrives AFTER its exactly-simultaneous purchase still match.
+
+    Unmatched clicks are re-emitted each batch with NULL purchase_us, so
+    the memory-sink dedup (max seq per event_id) converges to the batch
+    result: matched rows carry their purchase, never-matched rows end NULL
+    — same as the batch operator's NULL next_purchase_ts.
+
+    Input columns: user_id, us (epoch µs), event_id, is_p (1=purchase).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            pend_ids, pend_us, last_purchase_us, seq = state.get
+            pend = [(int(u), int(i)) for u, i in zip(pend_us, pend_ids)]
+            last_purchase_us = int(last_purchase_us)
+        else:
+            pend = []
+            last_purchase_us = -1
+            seq = 0
+        out_ids, out_us, out_match = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["us", "is_p", "event_id"])
+            for us, eid, is_p in zip(pdf["us"], pdf["event_id"], pdf["is_p"]):
+                us, eid = int(us), int(eid)
+                if is_p:
+                    for c_us, c_id in pend:
+                        out_ids.append(c_id)
+                        out_us.append(c_us)
+                        out_match.append(us)
+                    pend = []
+                    last_purchase_us = us
+                else:
+                    if us == last_purchase_us:
+                        # tie across batches: the simultaneous purchase
+                        # already arrived — at-or-after says it matches
+                        out_ids.append(eid)
+                        out_us.append(us)
+                        out_match.append(us)
+                    else:
+                        pend.append((us, eid))
+        seq += 1
+        for c_us, c_id in pend:  # still waiting: current answer is NULL
+            out_ids.append(c_id)
+            out_us.append(c_us)
+            out_match.append(None)
+        state.update(
+            (
+                [i for _, i in pend],
+                [u for u, _ in pend],
+                last_purchase_us,
+                seq,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "event_id": pd.Series(out_ids, dtype="int64"),
+                "user_id": pd.Series([key[0]] * len(out_ids), dtype="int64"),
+                "us": pd.Series(out_us, dtype="int64"),
+                "purchase_us": pd.Series(out_match, dtype="Int64"),
+                "seq": pd.Series([seq] * len(out_ids), dtype="int64"),
+            }
+        )
+
+    return event_stream.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=_FA_OUT_SCHEMA,
+        stateStructType=_FA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- B113 twin: rolling OLS slope ---------------------------------------------
+
+_RS_FRAME = 24  # must match operators/timeseries._SLOPE_FRAME
+
+_RS_OUT_SCHEMA = (
+    "event_type string, event_id bigint, n bigint, "
+    "slope_num bigint, slope_den bigint"
+)
+_RS_STATE_SCHEMA = (
+    "first_us bigint, xs array<bigint>, cs array<bigint>, seq bigint"
+)
+
+
+def streaming_rolling_slope(event_stream):
+    """B113-stream: trailing-{_RS_FRAME} OLS slope as a keyed ring buffer.
+
+    State per event_type: the series origin (first_us, fixing the relative
+    integer-seconds x axis across batches) and the last {_RS_FRAME}
+    (x, cents) points. Each arriving row appends to the ring and, once the
+    frame is full, emits the EXACT integer numerator/denominator
+    n·Σxy − Σx·Σy / n·Σxx − (Σx)² — the float division and round(6) stay
+    OUT of the stream (the parity test performs them identically on both
+    sides), so cross-engine float-rounding can never drift the state.
+    Rows fold in (x, event_id) order within a batch — B113's window order.
+
+    Input columns: event_type, us (epoch µs), cents, event_id.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            first_us, xs, cs, seq = state.get
+            first_us = int(first_us)
+            ring = [(int(x), int(c)) for x, c in zip(xs, cs)]
+        else:
+            first_us = None
+            ring = []
+            seq = 0
+        out = {"event_id": [], "n": [], "num": [], "den": []}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["us", "event_id"])
+            rows = [
+                (int(us), int(eid), int(cents))
+                for us, eid, cents in zip(
+                    pdf["us"], pdf["event_id"], pdf["cents"]
+                )
+            ]
+            if first_us is None and rows:
+                first_us = rows[0][0]
+            rows = sorted(
+                ((us - first_us) // 1_000_000, eid, cents)
+                for us, eid, cents in rows
+            )
+            for x, eid, cents in rows:
+                ring.append((x, cents))
+                if len(ring) > _RS_FRAME:
+                    ring.pop(0)
+                if len(ring) == _RS_FRAME:
+                    n = _RS_FRAME
+                    sx = sum(x_ for x_, _ in ring)
+                    sy = sum(c_ for _, c_ in ring)
+                    sxy = sum(x_ * c_ for x_, c_ in ring)
+                    sxx = sum(x_ * x_ for x_, _ in ring)
+                    out["event_id"].append(eid)
+                    out["n"].append(n)
+                    out["num"].append(n * sxy - sx * sy)
+                    out["den"].append(n * sxx - sx * sx)
+        seq += 1
+        state.update(
+            (
+                first_us if first_us is not None else -1,
+                [x for x, _ in ring],
+                [c for _, c in ring],
+                seq,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(out["event_id"]),
+                "event_id": pd.Series(out["event_id"], dtype="int64"),
+                "n": pd.Series(out["n"], dtype="int64"),
+                "slope_num": pd.Series(out["num"], dtype="int64"),
+                "slope_den": pd.Series(out["den"], dtype="int64"),
+            }
+        )
+
+    return event_stream.groupBy("event_type").applyInPandasWithState(
+        fold,
+        outputStructType=_RS_OUT_SCHEMA,
+        stateStructType=_RS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1593,3 +1593,180 @@ def test_streaming_bounded_contrib_equals_batch(spark, events_rows, tmp_path):
         ).collect()
     }
     assert got == expect
+
+
+# --- B111-B113 streaming twins (round-6: verdict r5 item 4) ---------------
+
+
+def _dedup_last_by_seq(spark, qname, key_cols, val_cols):
+    """Memory-sink update-mode streams append every emission; the final
+    answer per key is the max-seq row (the established octave pattern)."""
+    keys = ", ".join(key_cols)
+    vals = ", ".join(val_cols)
+    return {
+        tuple(r[k] for k in key_cols): tuple(r[v] for v in val_cols)
+        for r in spark.sql(
+            f"""
+            SELECT {keys}, {vals} FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY {keys} ORDER BY seq DESC
+                ) AS rn FROM {qname}
+            ) WHERE rn = 1
+            """
+        ).collect()
+    }
+
+
+def test_streaming_time_weighted_equals_batch(spark, events_rows, tmp_path):
+    """B111's streaming twin: LOCF time-weighted average as O(1) keyed
+    state. The final per-type emission must carry exactly the batch
+    operator's (n_segments, total_us) and reproduce twa_cents to 1e-6."""
+    from spark_kinesis_sql_asl_spark.operators.timeseries import (
+        q_ts_time_weighted,
+    )
+    from spark_kinesis_sql_asl_spark.streaming.timeseries import (
+        streaming_time_weighted,
+    )
+
+    staging = str(tmp_path / "staging")
+    _stage(events_rows, staging, n_files=3)
+
+    def prep(src):
+        f = src.where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        return f.select(
+            "event_type",
+            F.expr("unix_micros(ts)").alias("us"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+            "event_id",
+        )
+
+    _drain(
+        streaming_time_weighted(prep(_stream(spark, staging)))
+        .writeStream.format("memory")
+        .queryName("stream_twa")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    got = _dedup_last_by_seq(
+        spark,
+        "stream_twa",
+        ["event_type"],
+        ["n_segments", "total_us", "sum_cw"],
+    )
+    expect = {
+        r["event_type"]: r for r in q_ts_time_weighted(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == {(k,) for k in expect}
+    for (et,), (n_seg, total_us, sum_cw) in got.items():
+        b = expect[et]
+        assert n_seg == b["n_segments"], et
+        assert total_us == b["total_us"], et
+        twa = int(sum_cw) / total_us
+        assert abs(twa - b["twa_cents"]) <= 1e-6, (et, twa, b["twa_cents"])
+
+
+def test_streaming_forward_asof_equals_batch(spark, events_rows, tmp_path):
+    """B112's streaming twin: pend-and-flush per-user state. After the
+    availableNow replay, the last emission per click must equal the batch
+    forward as-of row — including NULL for never-matched clicks."""
+    from spark_kinesis_sql_asl_spark.operators.timeseries import (
+        q_join_asof_forward,
+    )
+    from spark_kinesis_sql_asl_spark.streaming.timeseries import (
+        streaming_forward_asof,
+    )
+
+    staging = str(tmp_path / "staging")
+    _stage(events_rows, staging, n_files=3)
+
+    def prep(src):
+        f = src.where(F.col("event_type").isin("click", "purchase"))
+        return f.select(
+            "user_id",
+            F.expr("unix_micros(ts)").alias("us"),
+            "event_id",
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+            .otherwise(0)
+            .alias("is_p"),
+        )
+
+    _drain(
+        streaming_forward_asof(prep(_stream(spark, staging)))
+        .writeStream.format("memory")
+        .queryName("stream_fasof")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    got = _dedup_last_by_seq(
+        spark, "stream_fasof", ["event_id"], ["user_id", "us", "purchase_us"]
+    )
+    expect = {
+        (r["event_id"],): (
+            r["user_id"],
+            int(r["ts"].replace(tzinfo=__import__("datetime").timezone.utc)
+                .timestamp() * 1_000_000),
+            None
+            if r["next_purchase_ts"] is None
+            else int(
+                r["next_purchase_ts"]
+                .replace(tzinfo=__import__("datetime").timezone.utc)
+                .timestamp()
+                * 1_000_000
+            ),
+        )
+        for r in q_join_asof_forward(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert any(v[2] is not None for v in got.values())  # non-vacuous match
+    assert any(v[2] is None for v in got.values())  # and a real NULL tail
+
+
+def test_streaming_rolling_slope_equals_batch(spark, events_rows, tmp_path):
+    """B113's streaming twin: 24-row ring-buffer OLS. Exact integer
+    num/den per (event_type, event_id) must reproduce the batch slope to
+    1e-9 after the identical float division."""
+    from spark_kinesis_sql_asl_spark.operators.timeseries import (
+        q_win_rolling_slope,
+    )
+    from spark_kinesis_sql_asl_spark.streaming.timeseries import (
+        streaming_rolling_slope,
+    )
+
+    staging = str(tmp_path / "staging")
+    _stage(events_rows, staging, n_files=3)
+
+    def prep(src):
+        f = src.where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        return f.select(
+            "event_type",
+            F.expr("unix_micros(ts)").alias("us"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+            "event_id",
+        )
+
+    _drain(
+        streaming_rolling_slope(prep(_stream(spark, staging)))
+        .writeStream.format("memory")
+        .queryName("stream_slope")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    got = {
+        (r.event_type, r.event_id): (r.n, r.slope_num, r.slope_den)
+        for r in spark.table("stream_slope").collect()
+    }
+    expect = {
+        (r["event_type"], r["event_id"]): r
+        for r in q_win_rolling_slope(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(expect)
+    for k, (n, num, den) in got.items():
+        b = expect[k]
+        assert n == b["n"], k
+        if den == 0:
+            assert b["slope"] is None, k
+        else:
+            assert abs(num / den - b["slope"]) <= 1e-6, (k, num / den, b["slope"])
