@@ -401,3 +401,154 @@ def q_llm_media_dedup(spark, sf_dir):
         )
         .where(F.col("n_copies") > 1)
     )
+
+
+# --- C93p: perceptual-hash near-dup rung behind C93 ---------------------------
+
+_PHASH_GRID = 48  # grid cells = fingerprint bits (bit 47 < sign bit, safe)
+_PHASH_BANDS = 4  # 4 x 12-bit bands: Hamming <= 3 => >=1 band agrees
+_PHASH_MAX_HAMMING = 3
+_PHASH_DUP_OFFSET = 700_000  # injected perturbed copies (C1 convention)
+
+_PHASH_PAIRS_SQL = f"""
+WITH base AS (
+    SELECT d.doc_id, d.text
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE length(d.text) >= {_PHASH_GRID}
+),
+corpus AS (
+    SELECT doc_id, text FROM base
+    UNION ALL
+    SELECT doc_id + {_PHASH_DUP_OFFSET},
+           substr(text, 1, 24) || '~' || substr(text, 26)
+    FROM base WHERE doc_id % 13 = 0
+),
+g AS (
+    SELECT doc_id,
+           list_transform(generate_series(1, {_PHASH_GRID}),
+                          i -> unicode(substr(text, i, 1))) AS cp
+    FROM corpus
+),
+h AS (
+    SELECT doc_id,
+           list_sum(list_transform(generate_series(1, {_PHASH_GRID}),
+               i -> CASE WHEN cp[i] > (list_sum(cp) // {_PHASH_GRID})
+                         THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS ph
+    FROM g
+),
+bands AS (
+    SELECT doc_id, ph, u.b,
+           (ph >> (u.b * {_PHASH_GRID // _PHASH_BANDS})) & {(1 << (_PHASH_GRID // _PHASH_BANDS)) - 1} AS bv
+    FROM h, (SELECT unnest(range({_PHASH_BANDS})) AS b) u
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+FROM bands a JOIN bands b
+  ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ph, b.ph)) <= {_PHASH_MAX_HAMMING}
+"""
+
+
+@query("q_llm_media_phash", priority=30, oracle=_PHASH_PAIRS_SQL)
+def q_llm_media_phash(spark, sf_dir):
+    """C93p: PERCEPTUAL near-dup for media — the rung VERDICT r5 placed
+    behind C93's exact byte-hash pass. Mechanism is the production aHash
+    pipeline end to end: decode the payload, reduce to a fixed
+    {_PHASH_GRID}-cell grid, fingerprint = one bit per cell (cell value
+    above the grid mean), near-dups = fingerprints within Hamming
+    {_PHASH_MAX_HAMMING} found by exact-match banding ({_PHASH_BANDS}
+    bands x {_PHASH_GRID // _PHASH_BANDS} bits — pigeonhole: distance <
+    bands forces a shared band; the C13 SimHash discipline). Every 13th
+    bundle gains a ONE-CELL-perturbed copy (substr splice at cell 25) —
+    the re-encoded / slightly-edited duplicate byte-hash C93 structurally
+    misses.
+
+    Decode is the documented deterministic stand-in (no PIL/ffmpeg in this
+    container, SURVEY §1.3): the "grid" is the first {_PHASH_GRID} Unicode
+    codepoints of the UTF-8-decoded payload, computed in an Arrow-batched
+    ``mapInPandas`` — the EXACT stage a real pHash occupies; swapping in
+    PIL changes only ``_grid_bits`` (8x8 downsample + DCT/mean over luma)
+    and nothing about the banding join. The stand-in is pinned bit-for-bit
+    by the DuckDB oracle (the C11c contract-verification pattern), so this
+    rung gets FULL hash-level CORRECTNESS coverage, not rows-only.
+
+    At 100 TB: fingerprints are 6 bytes/asset computed beside the decode;
+    the band join shuffles {_PHASH_BANDS} (band, 12-bit) keys per asset —
+    payload bytes never ride an exchange (the C93 rule); candidates are
+    real collisions only, and the Hamming filter runs BEFORE the distinct
+    so only true near-dups shuffle into the dedup."""
+    grid = _PHASH_GRID
+    bits_per_band = grid // _PHASH_BANDS
+
+    b = bundle(spark, sf_dir).select("doc_id", "payload")
+
+    def _grid_bits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # STUB decode: real impl = PIL.Image.open(BytesIO(b)) -> 8x8 luma
+        # grid. Stand-in grid = first {grid} codepoints of the decoded text.
+        def phash_of(cps: list[int]) -> int:
+            m = sum(cps) // grid
+            ph = 0
+            for i, c in enumerate(cps):
+                if c > m:
+                    ph |= 1 << i
+            return ph
+
+        for pdf in batches:
+            ids, phs = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                text = bytes(payload).decode("utf-8")
+                if len(text) < grid:
+                    continue
+                cps = [ord(c) for c in text[:grid]]
+                ids.append(int(doc_id))
+                phs.append(phash_of(cps))
+                if doc_id % 13 == 0:  # injected perceptual near-dup
+                    edited = text[:24] + "~" + text[25:]
+                    ids.append(int(doc_id) + _PHASH_DUP_OFFSET)
+                    phs.append(phash_of([ord(c) for c in edited[:grid]]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "ph": pd.Series(phs, dtype="int64"),
+                }
+            )
+
+    sigs = b.mapInPandas(_grid_bits, schema="doc_id BIGINT, ph BIGINT")
+    bands = sigs.select(
+        "doc_id",
+        "ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("b"),
+                        (
+                            F.shiftright("ph", i * bits_per_band)
+                            % (1 << bits_per_band)
+                        ).alias("bv"),
+                    )
+                    for i in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "ph", "bb.b", "bb.bv")
+    hamming = F.expr("bit_count(ha ^ hb)")
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ph").alias("ha"),
+            F.col("b.ph").alias("hb"),
+        )
+        .withColumn("hamming", hamming.cast("bigint"))
+        .where(F.col("hamming") <= _PHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+    )

@@ -140,5 +140,6 @@ def test_every_ever_green_query_pinned_at_100():
 ROUND6_NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
         "q_llm_dedup_containment_lsh",
+        "q_llm_media_phash",
     }
 )
