@@ -251,7 +251,14 @@ def q_llm_dedup_ngram(spark, sf_dir):
     )
     docs = d.select("doc_id", "lang", grams.alias("tokset"))
     return prefix_filtered_jaccard(
-        docs, _NGRAM_TAU, order="auto", reuse=True, hash_tokens=True
+        docs,
+        _NGRAM_TAU,
+        order="auto",
+        reuse=True,
+        hash_tokens=True,
+        # the probe decision is a property of (corpus, char-5-gram): pay it
+        # once per process, not once per query run (VERDICT r5 item 4)
+        order_cache_key=f"{sf_dir}:char{_NGRAM_N}gram",
     )
 
 
