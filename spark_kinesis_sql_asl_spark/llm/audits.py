@@ -253,3 +253,102 @@ def q_llm_embed_drift(spark, sf_dir):
             ).alias("mean_drift_micro"),
         )
     )
+
+
+# --- C100: population-stability-index drift (metadata-side) -------------------
+
+_PSI_HALF_MOD = 2  # snapshot split: doc_id parity (A = even, B = odd)
+
+
+@query(
+    "q_llm_psi_drift",
+    priority=30,
+    oracle="""
+    WITH b AS (
+        SELECT source,
+               CAST(length(bin(greatest(n_chars, 1))) AS BIGINT) AS octave,
+               CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b
+        FROM documents
+        GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT source,
+               CAST(sum(n_a) AS BIGINT) AS tot_a,
+               CAST(sum(n_b) AS BIGINT) AS tot_b,
+               CAST(count(*) AS BIGINT) AS k,
+               list(n_a ORDER BY octave) AS as_,
+               list(n_b ORDER BY octave) AS bs_
+        FROM b GROUP BY source
+    )
+    SELECT source, tot_a AS n_a, tot_b AS n_b,
+           round(list_sum(list_transform(range(1, k + 1), i ->
+               (CAST(as_[i] + 1 AS DOUBLE) / (tot_a + k)
+                - CAST(bs_[i] + 1 AS DOUBLE) / (tot_b + k))
+               * ln((CAST(as_[i] + 1 AS DOUBLE) / (tot_a + k))
+                    / (CAST(bs_[i] + 1 AS DOUBLE) / (tot_b + k)))
+           )), 6) AS psi
+    FROM t
+    """,
+)
+def q_llm_psi_drift(spark, sf_dir):
+    """C100: Population Stability Index of the document-length
+    distribution between two corpus snapshots, per source — the standard
+    "did this feed change under me" alarm (PSI < 0.1 stable, > 0.25
+    shifted) a refresh pipeline reads BEFORE re-training decisions; the
+    metadata-side complement of C70's embedding drift. Snapshots are the
+    doc_id-parity halves (the fixture's stand-in for crawl N vs N+1);
+    buckets are exact length octaves (the C51 bin-length trick — no float
+    log at bucket boundaries). PSI = Σ (p_i − q_i)·ln(p_i/q_i) with
+    add-one (Laplace) smoothing so a bucket present in only one snapshot
+    contributes a finite, defined term instead of ln(0).
+
+    Determinism: bucket counts are exact integers; the per-source octave
+    vectors are PACKED into octave-ordered arrays and the float PSI sum
+    runs as a sequential fold over them (the C97/C98 rule — never a float
+    sum over unordered rows), one fixed expression, round(6). Plan: one
+    (source, octave) rollup — map-side combined, output bounded by
+    |sources|·|octaves| — then a |sources|-row fold; at 100 TB the rollup
+    is the only corpus-scale stage."""
+    d = table(spark, sf_dir, "documents")
+    b = (
+        d.select(
+            "source",
+            F.length(F.expr("bin(greatest(n_chars, 1))"))
+            .cast("bigint")
+            .alias("octave"),
+            (F.col("doc_id") % 2 == 0).cast("bigint").alias("in_a"),
+        )
+        .groupBy("source", "octave")
+        .agg(
+            F.sum("in_a").cast("bigint").alias("n_a"),
+            F.sum(1 - F.col("in_a")).cast("bigint").alias("n_b"),
+        )
+    )
+    t = b.groupBy("source").agg(
+        F.sum("n_a").cast("bigint").alias("tot_a"),
+        F.sum("n_b").cast("bigint").alias("tot_b"),
+        F.count(F.lit(1)).alias("k"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(octave, n_a))), x -> x.n_a)"
+        ).alias("as_"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(octave, n_b))), x -> x.n_b)"
+        ).alias("bs_"),
+    )
+    psi = F.expr(
+        "aggregate(sequence(1, CAST(k AS INT)), CAST(0.0 AS DOUBLE), "
+        "(acc, i) -> acc + "
+        "(CAST(element_at(as_, i) + 1 AS DOUBLE) / (tot_a + k) "
+        " - CAST(element_at(bs_, i) + 1 AS DOUBLE) / (tot_b + k)) "
+        "* ln((CAST(element_at(as_, i) + 1 AS DOUBLE) / (tot_a + k)) "
+        "     / (CAST(element_at(bs_, i) + 1 AS DOUBLE) / (tot_b + k))))"
+    )
+    return t.select(
+        "source",
+        F.col("tot_a").alias("n_a"),
+        F.col("tot_b").alias("n_b"),
+        F.round(psi, 6).alias("psi"),
+    )

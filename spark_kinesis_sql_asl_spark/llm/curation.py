@@ -812,3 +812,67 @@ def q_llm_submodular_coverage(spark, sf_dir):
     for sdf in steps[1:]:
         out = out.unionByName(sdf)
     return out
+
+
+# --- C102: context-length padding-waste audit ---------------------------------
+
+_PAD_CTX_SIZES = (128, 512, 2048)
+
+
+@query(
+    "q_llm_pad_waste",
+    priority=30,
+    oracle=f"""
+    WITH d AS (
+        SELECT lang, {_NTOK_DUCK} AS ntok FROM documents
+    ),
+    x AS (
+        SELECT lang, ntok, c.ctx,
+               ((ntok + c.ctx - 1) // c.ctx) * c.ctx AS padded
+        FROM d, (SELECT unnest([{", ".join(str(c) for c in _PAD_CTX_SIZES)}])
+                 AS ctx) c
+    )
+    SELECT lang, CAST(ctx AS BIGINT) AS ctx,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS total_tok,
+           CAST(sum(padded - ntok) AS BIGINT) AS waste_tok,
+           CAST((1000000 * sum(padded - ntok)) // sum(padded) AS BIGINT)
+               AS waste_ppm
+    FROM x GROUP BY 1, 2
+    """,
+)
+def q_llm_pad_waste(spark, sf_dir):
+    """C102: context-window padding-waste audit — for each candidate
+    context length, the token share burned on pad if every document is
+    padded to a context multiple (the no-packing baseline). Read next to
+    C29's packing output, this is the number that justifies (or kills) a
+    packing stage: waste_ppm at ctx=2048 on a short-doc corpus routinely
+    exceeds 50% — i.e. half the training FLOPs on pad tokens — while
+    ctx=128 under-utilizes attention. Per (lang, ctx): docs, real tokens,
+    pad tokens, floor-ppm waste share; all exact integers
+    (padded = ceil-div·ctx as ((n+c-1) div c)·c — no float ceil).
+
+    Plan: token counts are a scan-stage expression; the ctx expansion is a
+    {len(_PAD_CTX_SIZES)}-element literal explode (constant fan-out); one
+    (lang, ctx) rollup with map-side partial sums — bounded output,
+    single corpus-scale pass at any SF."""
+    ctx_arr = F.array(*[F.lit(c) for c in _PAD_CTX_SIZES])
+    d = table(spark, sf_dir, "documents").select(
+        "lang", F.expr(_NTOK_SPARK).cast("bigint").alias("ntok")
+    )
+    x = d.select("lang", "ntok", F.explode(ctx_arr).alias("ctx")).withColumn(
+        # integer ceil-div — a double quotient is exact at fixture
+        # magnitudes but div keeps it exact at ANY ntok
+        "padded",
+        F.expr("((ntok + ctx - 1) div ctx) * ctx"),
+    )
+    return x.groupBy("lang", F.col("ctx").cast("bigint").alias("ctx")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("total_tok"),
+        F.sum(F.col("padded") - F.col("ntok")).cast("bigint").alias(
+            "waste_tok"
+        ),
+        F.expr(
+            "CAST((1000000 * sum(padded - ntok)) div sum(padded) AS BIGINT)"
+        ).alias("waste_ppm"),
+    )

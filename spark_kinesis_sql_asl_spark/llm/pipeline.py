@@ -1243,3 +1243,202 @@ def q_llm_langid_confusion(spark, sf_dir):
             ),
         )
     )
+
+
+# --- C101: Gopher-style rule-based quality filter -----------------------------
+
+_GOPHER_STOPLIST = ("the", "a", "of", "to", "and", "in")
+_GOPHER_MIN_WORDS = 10
+_GOPHER_MAX_WORDS = 1_000
+_GOPHER_MIN_MWL = 2  # mean word length bounds, enforced as exact integer
+_GOPHER_MAX_MWL = 12  # inequalities (min*nw <= chars <= max*nw) — no division
+_GOPHER_MIN_STOPWORDS = 2  # distinct stopwords required
+_GOPHER_SHORT_FRAC = 5  # 1-char tokens must be < 1/5 of all tokens
+
+_GOPHER_STOP_SQL = "['" + "', '".join(_GOPHER_STOPLIST) + "']"
+
+
+@query(
+    "q_llm_gopher_rules",
+    priority=30,
+    oracle=f"""
+    WITH d AS (
+        SELECT lang,
+               string_split(coalesce(text, ''), ' ') AS toks,
+               length(replace(coalesce(text, ''), ' ', '')) AS nch
+        FROM documents
+    ),
+    r AS (
+        SELECT lang,
+               CASE WHEN len(toks) < {_GOPHER_MIN_WORDS}
+                      OR len(toks) > {_GOPHER_MAX_WORDS}
+                    THEN 1 ELSE 0 END AS f_nw,
+               CASE WHEN NOT ({_GOPHER_MIN_MWL} * len(toks) <= nch
+                              AND nch <= {_GOPHER_MAX_MWL} * len(toks))
+                    THEN 1 ELSE 0 END AS f_mwl,
+               CASE WHEN len(list_intersect(list_distinct(toks),
+                                            {_GOPHER_STOP_SQL}))
+                      < {_GOPHER_MIN_STOPWORDS}
+                    THEN 1 ELSE 0 END AS f_stop,
+               CASE WHEN {_GOPHER_SHORT_FRAC}
+                      * len(list_filter(toks, t -> length(t) <= 1))
+                      >= len(toks)
+                    THEN 1 ELSE 0 END AS f_short
+        FROM d
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(f_nw) AS BIGINT) AS fail_word_count,
+           CAST(sum(f_mwl) AS BIGINT) AS fail_mean_word_len,
+           CAST(sum(f_stop) AS BIGINT) AS fail_stopwords,
+           CAST(sum(f_short) AS BIGINT) AS fail_short_tokens,
+           CAST(sum(CASE WHEN f_nw + f_mwl + f_stop + f_short = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS pass_n,
+           CAST((1000000 * sum(CASE WHEN f_nw + f_mwl + f_stop + f_short = 0
+                                    THEN 1 ELSE 0 END)) // count(*)
+                AS BIGINT) AS pass_ppm
+    FROM r GROUP BY lang
+    """,
+)
+def q_llm_gopher_rules(spark, sf_dir):
+    """C101: Gopher-style rule-based quality gate (Rae et al. 2021 §A.1.1,
+    as re-used by RefinedWeb/Dolma) — the NAMED-RULE rejection breakdown a
+    curation run reports, complementing C12/C17's scalar scores: per lang,
+    how many documents each rule rejects and the floor-ppm pass rate.
+    Rules (adapted to the fixture's whitespace corpus): word count in
+    [{_GOPHER_MIN_WORDS}, {_GOPHER_MAX_WORDS}]; mean word length in
+    [{_GOPHER_MIN_MWL}, {_GOPHER_MAX_MWL}] enforced as the exact integer
+    cross-inequality min·nw ≤ chars ≤ max·nw (never a float division at a
+    rule boundary); at least {_GOPHER_MIN_STOPWORDS} distinct stopwords
+    from a fixed {len(_GOPHER_STOPLIST)}-word list (the coherence proxy);
+    and 1-char tokens under 1/{_GOPHER_SHORT_FRAC} of all tokens (the
+    fragment/OCR-noise proxy). Per-rule failure counts are what let an
+    operator TUNE a gate — a pass/fail bit alone can't say which rule is
+    doing the rejecting.
+
+    Plan: every rule is a scan-stage array expression over the split
+    tokens (no explode — list_filter/list_intersect run inside codegen on
+    the row); the only shuffle is the |langs|-row rollup with map-side
+    partial sums. At 100 TB this is the cheapest possible shape: one pass,
+    integer flags, bounded output."""
+    stop_arr = "array(" + ", ".join(f"'{s}'" for s in _GOPHER_STOPLIST) + ")"
+    d = table(spark, sf_dir, "documents").select(
+        "lang",
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("toks"),
+        F.length(
+            F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), " ", "")
+        ).alias("nch"),
+    )
+    nw = F.size("toks")
+    f_nw = (
+        (nw < _GOPHER_MIN_WORDS) | (nw > _GOPHER_MAX_WORDS)
+    ).cast("int")
+    f_mwl = (
+        ~(
+            (F.lit(_GOPHER_MIN_MWL) * nw <= F.col("nch"))
+            & (F.col("nch") <= F.lit(_GOPHER_MAX_MWL) * nw)
+        )
+    ).cast("int")
+    f_stop = (
+        F.size(F.array_intersect(F.array_distinct("toks"), F.expr(stop_arr)))
+        < _GOPHER_MIN_STOPWORDS
+    ).cast("int")
+    f_short = (
+        F.lit(_GOPHER_SHORT_FRAC)
+        * F.size(F.filter("toks", lambda t: F.length(t) <= 1))
+        >= nw
+    ).cast("int")
+    r = d.select(
+        "lang",
+        f_nw.alias("f_nw"),
+        f_mwl.alias("f_mwl"),
+        f_stop.alias("f_stop"),
+        f_short.alias("f_short"),
+    )
+    passed = (
+        F.col("f_nw") + F.col("f_mwl") + F.col("f_stop") + F.col("f_short")
+        == 0
+    ).cast("int")
+    return (
+        r.withColumn("p", passed)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("f_nw").cast("bigint").alias("fail_word_count"),
+            F.sum("f_mwl").cast("bigint").alias("fail_mean_word_len"),
+            F.sum("f_stop").cast("bigint").alias("fail_stopwords"),
+            F.sum("f_short").cast("bigint").alias("fail_short_tokens"),
+            F.sum("p").cast("bigint").alias("pass_n"),
+            F.expr("CAST((1000000 * sum(p)) div count(1) AS BIGINT)").alias(
+                "pass_ppm"
+            ),
+        )
+    )
+
+
+# --- C103: near-dup graph degree spectrum --------------------------------------
+
+
+@query(
+    "q_llm_dup_degree",
+    priority=30,
+    # Wrap C13's REGISTERED oracle verbatim (the C96 derive rule): a
+    # SimHash banding change cannot desync this audit from the pair
+    # generator it profiles.
+    oracle=f"""
+    WITH pairs AS ({_REGISTERED_ORACLES["q_llm_dedup_simhash"]}),
+    deg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+        FROM (
+            SELECT doc_a AS doc_id FROM pairs
+            UNION ALL
+            SELECT doc_b AS doc_id FROM pairs
+        )
+        GROUP BY doc_id
+    )
+    SELECT CAST(length(bin(degree)) AS BIGINT) AS degree_octave,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(degree) AS BIGINT) AS min_degree,
+           CAST(max(degree) AS BIGINT) AS max_degree
+    FROM deg GROUP BY 1
+    """,
+)
+def q_llm_dup_degree(spark, sf_dir):
+    """C103: degree spectrum of the near-dup graph — per document, how
+    many near-dup partners (C13 SimHash pairs, both directions), binned
+    into exact octaves (the C51 bin-length trick). The hairball detector
+    read BETWEEN pair generation and C21's connected components: a heavy
+    top octave means a template family is about to collapse into one
+    giant component (min-label propagation rounds grow with component
+    diameter, and a star of 10^6 spokes makes the canonical-survivor
+    choice meaningless), so the fix — tighten the Hamming cut or band
+    width — happens before the CC job burns a cluster-day. Complements
+    C72 (bucket sizes predict JOIN cost; this profiles the RESULT graph)
+    and C67 (triangle closure measures quality; this measures shape).
+
+    Derivation discipline: the pairs frame IS the registered C13 query,
+    called directly; the oracle wraps C13's registered SQL as a CTE. Plan:
+    one union + (doc) rollup over the pair list (map-side combined), then
+    a bounded octave rollup — both output-bounded, nothing corpus-scale
+    beyond what C13 already does."""
+    pairs = q_llm_dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.select(
+            F.length(F.expr("bin(degree)")).cast("bigint").alias(
+                "degree_octave"
+            ),
+            "degree",
+        )
+        .groupBy("degree_octave")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("degree").cast("bigint").alias("min_degree"),
+            F.max("degree").cast("bigint").alias("max_degree"),
+        )
+    )

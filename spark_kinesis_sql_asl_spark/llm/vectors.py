@@ -702,3 +702,124 @@ def q_llm_knn_label_vote(spark, sf_dir):
         .where(F.col("vrn") == 1)
         .select("vec_id", F.col("label").alias("voted_label"), "n_votes")
     )
+
+
+# --- C40a: PQ asymmetric-distance (ADC) top-k --------------------------------
+
+_ADC_QUERY_MOD = 251  # query set: vec_id % 251 == 0 (2 at sf0.01, 20 at sf0.1)
+_ADC_K = 10
+
+from ..registry import _ORACLES as _REG_ORACLES  # noqa: E402
+
+
+@query(
+    "q_llm_pq_adc_topk",
+    priority=30,
+    # Wrap C40's REGISTERED oracle verbatim as the codes CTE (the C96
+    # derive-never-duplicate rule): a codebook/encoding change cannot
+    # desync this query stage from the index it searches.
+    oracle=f"""
+    WITH codes AS ({_REG_ORACLES["q_llm_pq_encode"]}),
+    q AS (
+        SELECT vec_id, {_Q_VEC_SQL_DUCK} AS qv FROM embeddings
+    ),
+    queries AS (
+        SELECT vec_id AS query_id, qv FROM q
+        WHERE vec_id % {_ADC_QUERY_MOD} = 0
+    ),
+    seeds AS (
+        SELECT vec_id AS seed_id, qv AS sv FROM q WHERE vec_id < {_KMEANS_K}
+    ),
+    lut AS (
+        SELECT queries.query_id, t.i AS subspace, s.seed_id AS code,
+               list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}),
+                   j -> (queries.qv[t.i * {_PQ_SUBDIM} + j]
+                         - s.sv[t.i * {_PQ_SUBDIM} + j])
+                      * (queries.qv[t.i * {_PQ_SUBDIM} + j]
+                         - s.sv[t.i * {_PQ_SUBDIM} + j]))) AS d
+        FROM queries CROSS JOIN seeds s
+             CROSS JOIN range(0, {_PQ_SUBSPACES}) t(i)
+    ),
+    adc AS (
+        SELECT l.query_id, c.vec_id,
+               CAST(sum(l.d) AS BIGINT) AS adc_dist
+        FROM codes c JOIN lut l
+          ON c.subspace = l.subspace AND c.code = l.code
+        GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, adc_dist, rk FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist, vec_id
+        ) AS BIGINT) AS rk
+        FROM adc
+    ) WHERE rk <= {_ADC_K}
+    """,
+)
+def q_llm_pq_adc_topk(spark, sf_dir):
+    """C40a: PQ ASYMMETRIC-distance top-k (ADC, Jégou et al. PAMI 2011
+    §III.B) — the query stage that makes C40's compressed codes a working
+    index. Per query vector, build a {_PQ_SUBSPACES}×{_KMEANS_K} lookup
+    table of EXACT squared-L2 sub-distances between the raw query
+    subvector and every sub-codeword (asymmetric: the query is never
+    quantized — the precision advantage over symmetric SDC), then score
+    each database vector as the sum of {_PQ_SUBSPACES} table lookups on
+    its stored codes and keep the top {_ADC_K}.
+
+    Derivation discipline: the codes frame IS the registered C40 query
+    (called directly) and the oracle wraps C40's registered SQL as a CTE —
+    encode and search can never drift apart. All distances are integer
+    squared-L2 on the C24 grid (argmin/rank can never flip on a float
+    ulp); ties break on vec_id.
+
+    Plan: the LUT is |queries|·{_KMEANS_K}·{_PQ_SUBSPACES} rows —
+    broadcast; codes join the LUT map-side, the (query, vec) rollup is the
+    one corpus-scale shuffle (map-side-combined integer sums), and the
+    per-query top-{_ADC_K} is a WindowGroupLimit rank. At 100 TB with an
+    IVF front (C20/C77), codes are scanned per probed cell and this exact
+    shape scores them — ADC is the standard IVF-PQ inner loop."""
+    codes = q_llm_pq_encode(spark, sf_dir).select("vec_id", "subspace", "code")
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_Q_VEC_SQL_SPARK).alias("qv")
+    )
+    queries = e.where(F.col("vec_id") % _ADC_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "qv"
+    )
+    seeds = e.where(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("seed_id"), F.col("qv").alias("sv")
+    )
+    lut = (
+        queries.crossJoin(seeds)
+        .select(
+            "query_id",
+            F.col("seed_id").alias("code"),
+            "qv",
+            "sv",
+            F.explode(F.sequence(F.lit(0), F.lit(_PQ_SUBSPACES - 1))).alias(
+                "subspace"
+            ),
+        )
+        .select(
+            "query_id",
+            "code",
+            "subspace",
+            F.expr(
+                f"aggregate(sequence(1, {_PQ_SUBDIM}), CAST(0 AS BIGINT), "
+                f"(acc, j) -> acc + "
+                f"(element_at(qv, subspace * {_PQ_SUBDIM} + j) - "
+                f" element_at(sv, subspace * {_PQ_SUBDIM} + j)) * "
+                f"(element_at(qv, subspace * {_PQ_SUBDIM} + j) - "
+                f" element_at(sv, subspace * {_PQ_SUBDIM} + j)))"
+            ).alias("d"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").cast("bigint").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        adc.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= _ADC_K)
+        .select("query_id", "vec_id", "adc_dist", "rk")
+    )

@@ -141,5 +141,10 @@ ROUND6_NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
         "q_llm_dedup_containment_lsh",
         "q_llm_media_phash",
+        "q_llm_pq_adc_topk",
+        "q_llm_psi_drift",
+        "q_llm_gopher_rules",
+        "q_llm_pad_waste",
+        "q_llm_dup_degree",
     }
 )
