@@ -534,21 +534,30 @@ def _containment_docs(spark, sf_dir):
     )
 
 
-def _containment_candidates(spark, docs, tau):
+def _containment_index(docs):
+    """Checkpointed inverted index (doc_id, lang, sz, tok, pos) with the
+    global (df asc, tok asc) position rank — the expensive shared stage,
+    feeding both sides of the candidate join."""
+    toks = docs.select("doc_id", "lang", "sz", F.explode("ts").alias("tok"))
+    dfreq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("df"))
+    pos_w = W.partitionBy("doc_id").orderBy("df", "tok")
+    return (
+        toks.join(dfreq, ["lang", "tok"])
+        .withColumn("pos", F.row_number().over(pos_w))
+        .localCheckpoint(eager=True)  # feeds BOTH sides of the cand join
+    )
+
+
+def _containment_candidates(spark, indexed, tau):
     """Shared C82/C82s candidate stage: the ASYMMETRIC prefix filter (the
     containment variant of PPJoin, Xiao et al. WWW 2008) — see the C82
     docstring for the blocking argument. EXACT recall: every pair with
     C(A->B) >= tau survives. Returns (doc_small, doc_big) WITHOUT a
     distinct — consumers' top-1 windows absorb the <=prefix-length dup
-    factor, saving a multi-million-row shuffle."""
-    toks = docs.select("doc_id", "lang", "sz", F.explode("ts").alias("tok"))
-    dfreq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("df"))
-    pos_w = W.partitionBy("doc_id").orderBy("df", "tok")
-    indexed = (
-        toks.join(dfreq, ["lang", "tok"])
-        .withColumn("pos", F.row_number().over(pos_w))
-        .localCheckpoint(eager=True)  # feeds BOTH sides of the cand join
-    )
+    factor, saving a multi-million-row shuffle. LAZY on purpose: the join
+    re-executes per consumer (~1 s at sf0.1) — cheaper than checkpointing
+    the multi-million-row pair list once (measured: materializing the
+    pairs cost more than the single join it saved)."""
     # A side: prefix only; B side: full inverted index. The explicit
     # repartition matters: the checkpointed index is tiny enough that AQE
     # coalesces it to ONE partition, and the entire candidate fan-out +
@@ -588,6 +597,28 @@ def _containment_candidates(spark, docs, tau):
             F.col("b.doc_id").alias("doc_big"),
         )
     )
+
+
+# C82/C82s shared state memoized per (session, corpus) for the life of
+# the process — the C21 labels-cache precedent: a pipeline running both
+# the exact pass and its sketch rung over one corpus materializes the
+# token sets and the inverted index ONCE. The candidate join itself stays
+# lazy (see _containment_candidates). Keyed by applicationId so a cached
+# frame can never outlive its session.
+_CONTAINMENT_STATE: dict[tuple[str, str], tuple] = {}
+
+
+def _containment_state(spark, sf_dir):
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    hit = _CONTAINMENT_STATE.get(key)
+    if hit is not None:
+        return hit
+    docs = _containment_docs(spark, sf_dir)
+    indexed = _containment_index(docs)
+    _CONTAINMENT_STATE[key] = (docs, indexed)
+    return docs, indexed
 
 
 @query(
@@ -662,8 +693,8 @@ def q_llm_dedup_containment(spark, sf_dir):
     never n² — the same discipline as every other pairwise operator in
     this package."""
     tau = _CONTAIN_TAU
-    docs = _containment_docs(spark, sf_dir)
-    cand = _containment_candidates(spark, docs, tau)
+    docs, indexed = _containment_state(spark, sf_dir)
+    cand = _containment_candidates(spark, indexed, tau)
     tau = _CONTAIN_TAU
     d = parallel_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     synth = d.where(F.col("doc_id") % 11 == 0).select(
@@ -805,8 +836,8 @@ def q_llm_dedup_containment_lsh(spark, sf_dir):
     (binomial agree-count under-shooting the 0.8 cut), never from
     candidate generation."""
     tau = _CONTAIN_TAU
-    docs = _containment_docs(spark, sf_dir)
-    cand = _containment_candidates(spark, docs, tau)
+    docs, indexed = _containment_state(spark, sf_dir)
+    cand = _containment_candidates(spark, indexed, tau)
     def _seeded(i):
         # single-parameter lambda on purpose: F.transform treats a
         # TWO-parameter callable as (element, array_index) and would feed
