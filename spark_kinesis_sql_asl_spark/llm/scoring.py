@@ -160,3 +160,256 @@ def q_llm_novelty(spark, sf_dir):
             ).alias("rare_ppm"),
         )
     )
+
+
+# --- C105: quality-score AUC against a trusted reference set ------------------
+
+# "Trusted reference" sources, the role Wikipedia/books play in DSIR-style
+# and fastText-classifier curation setups: docs from these sources are the
+# positives the quality signal should rank above the rest.
+_TRUSTED_SOURCES = ("src0", "src1", "src2", "src3")
+
+# The ranked quality signal: stopword share in floor ppm (C17's core
+# feature). Higher = more natural prose under the fixture's lexicon.
+_AUC_SCORE_SQL = (
+    "CAST((1000000 * len(list_filter(string_split(coalesce(text, ''), ' '), "
+    "t -> t IN ('a', 'the')))) // "
+    "greatest(1, len(string_split(coalesce(text, ''), ' '))) AS BIGINT)"
+)
+
+
+@query(
+    "q_llm_quality_auc",
+    priority=30,
+    oracle=f"""
+    WITH feat AS (
+        SELECT lang,
+               {_AUC_SCORE_SQL} AS score,
+               CASE WHEN source IN {_TRUSTED_SOURCES!r} THEN 1 ELSE 0 END
+                   AS pos
+        FROM documents
+    ),
+    g AS (
+        SELECT lang, score,
+               CAST(sum(pos) AS BIGINT) AS np,
+               CAST(sum(1 - pos) AS BIGINT) AS nn
+        FROM feat GROUP BY lang, score
+    ),
+    c AS (
+        SELECT lang, np, nn,
+               CAST(coalesce(sum(nn) OVER (
+                   PARTITION BY lang ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cb
+        FROM g
+    )
+    SELECT lang,
+           CAST(sum(np) AS BIGINT) AS n_pos,
+           CAST(sum(nn) AS BIGINT) AS n_neg,
+           CAST((1000000 * sum(np * (2 * cb + nn)))
+                // (2 * sum(np) * sum(nn)) AS BIGINT) AS auc_ppm
+    FROM c GROUP BY lang
+    HAVING sum(np) > 0 AND sum(nn) > 0
+    """,
+)
+def q_llm_quality_auc(spark, sf_dir):
+    """C105: exact Mann-Whitney AUC of the C17 quality signal against a
+    trusted-source reference, per language — the evaluation every
+    quality-filter deployment needs before its threshold means anything
+    (does the score actually rank reference-like docs above the crawl?).
+    Positives are docs from {_TRUSTED_SOURCES}; the score is the stopword
+    share in floor ppm. AUC = P(score_pos > score_neg) + P(tie)/2 computed
+    EXACTLY from grouped rank-sums: group by (lang, score), order groups by
+    score, U*2 = sum over groups of np*(2*cum_neg_below + nn) — all BIGINT,
+    ties handled by construction, no float ranks anywhere (the C97 rule
+    applied to AUC).
+
+    Scale: one scan-stage feature projection, one (lang, score) rollup —
+    the cumulative window runs over the AGGREGATED frame, bounded by
+    |langs| x 1e6 distinct ppm scores regardless of corpus size, and the
+    final per-lang reduce is |langs| rows. Nothing after the first rollup
+    sees corpus-scale data."""
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("a", "the")))
+    score = F.expr(
+        "CAST((1000000 * n_stop) div greatest(1, n_tok) AS BIGINT)"
+    )
+    feat = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            "source",
+            n_stop.alias("n_stop"),
+            F.size(toks).alias("n_tok"),
+        )
+        .select(
+            "lang",
+            score.alias("score"),
+            F.col("source")
+            .isin(*_TRUSTED_SOURCES)
+            .cast("int")
+            .alias("pos"),
+        )
+    )
+    g = feat.groupBy("lang", "score").agg(
+        F.sum("pos").cast("bigint").alias("np"),
+        F.sum(1 - F.col("pos")).cast("bigint").alias("nn"),
+    )
+    from pyspark.sql import Window
+
+    cum = (
+        Window.partitionBy("lang")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = g.select(
+        "lang",
+        "np",
+        "nn",
+        F.coalesce(F.sum("nn").over(cum), F.lit(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    return (
+        c.groupBy("lang")
+        .agg(
+            F.sum("np").cast("bigint").alias("n_pos"),
+            F.sum("nn").cast("bigint").alias("n_neg"),
+            F.expr(
+                "CAST((1000000 * sum(np * (2 * cb + nn))) div "
+                "(2 * sum(np) * sum(nn)) AS BIGINT)"
+            ).alias("auc_ppm"),
+        )
+        .where((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+    )
+
+
+# --- C106: DSIR-style hashed-bigram importance weights (octave-quantized) ----
+
+_DSIR_BUCKETS = 512
+# portable 60-bit hash of the joined bigram, bucketed
+_DSIR_SPARK_BUCKET = (
+    "pmod(cast(conv(substring(md5(bg), 1, 15), 16, 10) as bigint), "
+    f"{_DSIR_BUCKETS})"
+)
+_DSIR_DUCK_BUCKET = (
+    f"(('0x' || substr(md5(bg), 1, 15))::BIGINT % {_DSIR_BUCKETS} "
+    f"+ {_DSIR_BUCKETS}) % {_DSIR_BUCKETS}"
+)
+
+
+@query(
+    "q_llm_dsir_weight",
+    priority=30,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(coalesce(text, ''), ' ') AS ts
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(ts)),
+                      i -> ts[i] || ' ' || ts[i + 1])) AS bg
+        FROM toks WHERE len(ts) >= 2
+    ),
+    f AS (SELECT doc_id, source, {_DSIR_DUCK_BUCKET} AS b FROM bg),
+    tgt AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS c FROM f
+        WHERE source IN {_TRUSTED_SOURCES!r} GROUP BY b
+    ),
+    src AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY b),
+    tot AS (
+        SELECT (SELECT sum(c) FROM tgt) AS nt, (SELECT sum(c) FROM src) AS ns
+    ),
+    r AS (
+        SELECT src.b,
+               CAST(length(bin((1000000 * (coalesce(tgt.c, 0) + 1))
+                        // (nt + {_DSIR_BUCKETS})))
+                    - length(bin((1000000 * (src.c + 1))
+                        // (ns + {_DSIR_BUCKETS}))) AS BIGINT) AS oct_diff
+        FROM src LEFT JOIN tgt USING (b), tot
+    )
+    SELECT f.doc_id,
+           CAST(count(*) AS BIGINT) AS n_feat,
+           CAST(sum(oct_diff) AS BIGINT) AS logw_oct,
+           sum(oct_diff) >= 0 AS keep
+    FROM f JOIN r USING (b)
+    GROUP BY f.doc_id
+    """,
+)
+def q_llm_dsir_weight(spark, sf_dir):
+    """C106: Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023) re-expressed relationally: per-document importance weight
+    log(p_target/p_source) under two hashed-bigram bag models — target =
+    the {_TRUSTED_SOURCES} reference slice, source = the whole corpus.
+    Features are word bigrams hashed into {_DSIR_BUCKETS} buckets with the
+    portable md5 60-bit prefix; both models use add-one smoothing.
+
+    The log-ratio is OCTAVE-QUANTIZED: each bucket contributes
+    floor(log2(ppm_target)) - floor(log2(ppm_source)) via the
+    ``length(bin(n))`` identity (the C48 surprisal rule), so the per-doc
+    weight is an exact BIGINT sum — order-independent, no libm ``ln``
+    whose last ulp differs between engines. The real system's float
+    log-ratio changes only the bucket-score expression.
+
+    Scale: the bucket tables are {_DSIR_BUCKETS} rows by construction —
+    broadcast to the feature stream no matter how large the corpus — and
+    the per-doc rollup partial-aggregates map-side. One corpus-scale
+    explode, one broadcast join, one reduce; importance RESAMPLING
+    downstream is C36's reservoir / C25's hash gate keyed on logw_oct."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split(F.coalesce("text", F.lit("")), " ").alias("ts")
+    )
+    bg = (
+        d.where(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1), "
+                    "i -> concat(element_at(ts, i), ' ', "
+                    "element_at(ts, i + 1)))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "source", F.expr(_DSIR_SPARK_BUCKET).alias("b"))
+    )
+    tgt = (
+        bg.where(F.col("source").isin(*_TRUSTED_SOURCES))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    src = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
+    # bucket score table: <=512 rows, the totals ride a cross join of two
+    # 1-row aggregates — broadcast everywhere
+    nt = tgt.agg(F.sum("ct").alias("nt"))
+    ns = src.agg(F.sum("cs").alias("ns"))
+    r = (
+        src.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "b",
+            F.expr(
+                f"CAST(length(bin((1000000 * (coalesce(ct, 0) + 1)) div "
+                f"(nt + {_DSIR_BUCKETS}))) - "
+                f"length(bin((1000000 * (cs + 1)) div "
+                f"(ns + {_DSIR_BUCKETS}))) AS BIGINT)"
+            ).alias("oct_diff"),
+        )
+    )
+    return (
+        bg.join(F.broadcast(r), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feat"),
+            F.sum("oct_diff").cast("bigint").alias("logw_oct"),
+        )
+        .select(
+            "doc_id",
+            "n_feat",
+            "logw_oct",
+            (F.col("logw_oct") >= 0).alias("keep"),
+        )
+    )

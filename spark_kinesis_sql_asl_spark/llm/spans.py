@@ -738,3 +738,104 @@ def q_llm_winnow(spark, sf_dir):
     return top.select(
         "fp", "n_docs", "n_occ", F.row_number().over(w).alias("rk")
     )
+
+
+# --- C104: per-document boilerplate-span density (dup-span ratio) -------------
+
+_DSR_DROP_PPM = 300_000  # drop a doc once >=30% of its chunks are shared
+
+
+@query(
+    "q_llm_dup_span_ratio",
+    priority=30,
+    oracle=f"""
+    WITH ch AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(substr(text, s, {_SPAN_W})), 1, 15))::BIGINT
+                   AS h
+        FROM (SELECT doc_id, lang, text,
+                     unnest(range(1, CAST(len(text) AS INTEGER) + 1,
+                                  {_SPAN_W})) AS s
+              FROM documents)
+        WHERE len(substr(text, s, {_SPAN_W})) = {_SPAN_W}
+    ),
+    rep AS (
+        SELECT h, count(DISTINCT doc_id) AS n_docs FROM ch GROUP BY h
+    )
+    SELECT doc_id, lang,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN n_docs >= {_SPAN_MIN_DOCS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler,
+           CAST((1000000 * sum(CASE WHEN n_docs >= {_SPAN_MIN_DOCS}
+                                    THEN 1 ELSE 0 END)) // count(*)
+                AS BIGINT) AS boiler_ppm,
+           (1000000 * sum(CASE WHEN n_docs >= {_SPAN_MIN_DOCS}
+                               THEN 1 ELSE 0 END)) // count(*)
+               >= {_DSR_DROP_PPM} AS flag_drop
+    FROM ch JOIN rep USING (h)
+    GROUP BY doc_id, lang
+    """,
+)
+def q_llm_dup_span_ratio(spark, sf_dir):
+    """C104: per-document boilerplate DENSITY — the document-level readout
+    of C50's corpus-level repeated-chunk mining (the RefinedWeb / CCNet
+    line-dedup decision flipped to doc granularity: a doc whose spans are
+    mostly shared with other docs is template chrome even when its exact
+    hash and near-dup fingerprints are unique). Chunks are the same
+    {_SPAN_W}-char non-overlapping windows as C50; a chunk is *boiler* if
+    it occurs in >= {_SPAN_MIN_DOCS} distinct docs; each doc reports its
+    chunk count, boiler count, floor-ppm boiler share, and the drop
+    verdict at {_DSR_DROP_PPM} ppm.
+
+    Scale: the chunk string never rides an exchange — both the frequency
+    rollup and the join back to chunk occurrences key on the portable
+    60-bit md5 prefix (`conv(substr(md5(..)))`, the C65/C19 idiom), so
+    the two shuffles carry (8-byte hash, ids) regardless of span width.
+    The per-doc rollup partial-aggregates map-side. Everything is exact
+    integers (floor ppm), no floats anywhere."""
+    ch = (
+        parallel_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            "text",
+            F.explode(
+                F.expr(
+                    f"sequence(1, greatest(1, CAST(length(text) AS INT)), "
+                    f"{_SPAN_W})"
+                )
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.substring("text", F.col("s"), _SPAN_W).alias("chunk"),
+        )
+        .where(F.length("chunk") == _SPAN_W)
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                "cast(conv(substring(md5(chunk), 1, 15), 16, 10) as bigint)"
+            ).alias("h"),
+        )
+    )
+    rep = ch.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
+    boiler = (F.col("n_docs") >= _SPAN_MIN_DOCS).cast("bigint")
+    per_doc = (
+        ch.join(rep, "h")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(boiler).alias("n_boiler"),
+        )
+    )
+    ppm = F.expr("CAST((1000000 * n_boiler) div n_chunks AS BIGINT)")
+    return per_doc.select(
+        "doc_id",
+        "lang",
+        "n_chunks",
+        F.col("n_boiler").cast("bigint").alias("n_boiler"),
+        ppm.alias("boiler_ppm"),
+        (ppm >= _DSR_DROP_PPM).alias("flag_drop"),
+    )

@@ -146,5 +146,8 @@ ROUND6_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_llm_gopher_rules",
         "q_llm_pad_waste",
         "q_llm_dup_degree",
+        "q_llm_dup_span_ratio",
+        "q_llm_quality_auc",
+        "q_llm_dsir_weight",
     }
 )

@@ -178,3 +178,85 @@ def test_composition_rows_sum_to_total(spark):
             + r["n_other"]
         )
         assert parts == r["n_total"], r["src"]
+
+
+# --- round-6 additions: C104 dup-span ratio, C105 AUC, C106 DSIR --------------
+
+
+def test_dup_span_ratio_bounds(spark):
+    """boiler count never exceeds chunk count; ppm in [0, 1e6]; the drop
+    verdict agrees with the ppm threshold row by row."""
+    rows = QUERIES["q_llm_dup_span_ratio"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_boiler <= r.n_chunks
+        assert 0 <= r.boiler_ppm <= 1_000_000
+        assert r.flag_drop == (r.boiler_ppm >= 300_000)
+
+
+def test_dup_span_ratio_detects_full_duplicates(spark):
+    """Exact duplicate texts (the fixture's C1 dup pairs) must score
+    1e6 ppm — every chunk of a duplicated doc is by definition shared."""
+    import pyspark.sql.functions as F
+
+    from spark_kinesis_sql_asl_spark.tables import table
+
+    d = table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    dup_ids = {
+        r.doc_id
+        for r in d.join(
+            d.groupBy("text").agg(F.count("*").alias("c")).where("c > 1"),
+            "text",
+        ).collect()
+        if r.text is not None and len(r.text) >= 32
+    }
+    if not dup_ids:  # fixture has no exact dups at this SF
+        return
+    ppm = {
+        r.doc_id: r.boiler_ppm
+        for r in QUERIES["q_llm_dup_span_ratio"](spark, SF_ORACLE).collect()
+    }
+    for i in dup_ids:
+        assert ppm.get(i) == 1_000_000, f"doc {i}: {ppm.get(i)}"
+
+
+def test_quality_auc_range_and_population(spark):
+    """AUC ppm must sit in [0, 1e6] and each lang row must account for
+    every doc of that language (pos + neg = lang total)."""
+    import pyspark.sql.functions as F
+
+    from spark_kinesis_sql_asl_spark.tables import table
+
+    rows = QUERIES["q_llm_quality_auc"](spark, SF_ORACLE).collect()
+    assert rows
+    totals = {
+        r.lang: r.c
+        for r in table(spark, SF_ORACLE, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    for r in rows:
+        assert 0 <= r.auc_ppm <= 1_000_000
+        assert r.n_pos + r.n_neg == totals[r.lang]
+
+
+def test_dsir_weight_trusted_docs_skew_positive(spark):
+    """Docs from the trusted slice must average a higher octave weight
+    than the rest — the defining property of an importance weight (the
+    target slice is, by construction, more target-like)."""
+    import pyspark.sql.functions as F
+
+    from spark_kinesis_sql_asl_spark.llm.scoring import _TRUSTED_SOURCES
+    from spark_kinesis_sql_asl_spark.tables import table
+
+    w = QUERIES["q_llm_dsir_weight"](spark, SF_ORACLE)
+    src = table(spark, SF_ORACLE, "documents").select("doc_id", "source")
+    j = w.join(src, "doc_id").select(
+        F.col("source").isin(*_TRUSTED_SOURCES).alias("t"), "logw_oct"
+    )
+    means = {
+        r.t: r.m
+        for r in j.groupBy("t").agg(F.avg("logw_oct").alias("m")).collect()
+    }
+    assert means[True] > means[False], means
