@@ -352,3 +352,107 @@ def q_llm_psi_drift(spark, sf_dir):
         F.col("tot_b").alias("n_b"),
         F.round(psi, 6).alias("psi"),
     )
+
+
+# --- C107: per-source curation rollup (the "which feeds to drop" table) -------
+
+
+@query(
+    "q_llm_domain_quality",
+    priority=30,
+    oracle="""
+    WITH feats AS (
+        SELECT source,
+               md5(coalesce(text, '')) AS h,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('a', 'the'))) AS n_stop,
+               len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+               n_chars
+        FROM documents
+    ),
+    dup AS (
+        SELECT h, count(*) AS c FROM feats GROUP BY h
+    ),
+    f AS (
+        SELECT source, n_tok, n_stop,
+               (n_tok BETWEEN 10 AND 200
+                AND n_stop * 1.0 / n_tok < 0.3
+                AND n_punct * 1.0 / nullif(n_chars, 0) < 0.1) AS keep,
+               dup.c > 1 AS is_dup
+        FROM feats JOIN dup USING (h)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST((1000000 * sum(n_stop)) // sum(n_tok) AS BIGINT)
+               AS stop_ppm,
+           CAST((1000000 * sum(CASE WHEN keep THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS keep_ppm,
+           CAST((1000000 * sum(CASE WHEN is_dup THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS dup_ppm
+    FROM f GROUP BY source
+    """,
+)
+def q_llm_domain_quality(spark, sf_dir):
+    """C107: the per-source curation table — the aggregate every feed-level
+    keep/drop/reweight decision is actually made from (C53 gives the
+    source x lang mixture; this gives the source x QUALITY posture):
+    per source, doc and token counts, the corpus-exact stopword share
+    (floor ppm of the SUM ratio, not a mean of per-doc ratios — robust to
+    short docs), the C17 keep-verdict share, and the exact-duplicate share
+    (md5 content hash occurring more than once corpus-wide — cross-source
+    dups count against BOTH sources, the honest accounting for syndicated
+    content).
+
+    Scale: one scan computes all features including the content hash
+    (text never leaves the scan stage — the C1 discipline); the dup
+    rollup and the join back both key on the 16-byte md5; the final
+    reduce is |sources| rows with map-side partial aggregation. Two
+    narrow shuffles total, independent of document size."""
+    toks = F.split("text", " ")
+    feats = table(spark, sf_dir, "documents").select(
+        "source",
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias(
+            "h"
+        ),
+        F.size(toks).alias("n_tok"),
+        F.size(F.filter(toks, lambda t: t.isin("a", "the"))).alias(
+            "n_stop"
+        ),
+        F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).alias(
+            "n_punct"
+        ),
+        "n_chars",
+    )
+    dup = feats.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    keep = (
+        F.col("n_tok").between(10, 200)
+        & (F.col("n_stop") * 1.0 / F.col("n_tok") < 0.3)
+        & (
+            F.col("n_punct") * 1.0 / F.nullif(F.col("n_chars"), F.lit(0))
+            < 0.1
+        )
+    )
+    f = feats.join(dup, "h").select(
+        "source",
+        "n_tok",
+        "n_stop",
+        keep.alias("keep"),
+        (F.col("c") > 1).alias("is_dup"),
+    )
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.expr(
+            "CAST((1000000 * sum(n_stop)) div sum(n_tok) AS BIGINT)"
+        ).alias("stop_ppm"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN keep THEN 1 ELSE 0 END)) "
+            "div count(1) AS BIGINT)"
+        ).alias("keep_ppm"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN is_dup THEN 1 ELSE 0 END)) "
+            "div count(1) AS BIGINT)"
+        ).alias("dup_ppm"),
+    )

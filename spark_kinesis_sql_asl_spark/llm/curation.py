@@ -876,3 +876,180 @@ def q_llm_pad_waste(spark, sf_dir):
             "CAST((1000000 * sum(padded - ntok)) div sum(padded) AS BIGINT)"
         ).alias("waste_ppm"),
     )
+
+
+# --- C109: token-budget allocation by water-filling ---------------------------
+
+_BUDGET_EPOCH_CAP = 4  # no source repeats more than 4 epochs
+_BUDGET_DENOM = 2  # train budget = half the corpus token count
+
+
+@query(
+    "q_llm_token_budget",
+    priority=30,
+    oracle=f"""
+    WITH f AS (
+        SELECT source,
+               len(string_split(coalesce(text, ''), ' ')) AS n_tok,
+               len(list_filter(string_split(coalesce(text, ''), ' '),
+                   t -> t IN ('a', 'the'))) AS n_stop
+        FROM documents
+    ),
+    s AS (
+        SELECT source,
+               CAST(sum(n_tok) AS BIGINT) AS c,
+               CAST(CASE WHEN len(source) <= 4 THEN sum(n_tok) // 4
+                    ELSE {_BUDGET_EPOCH_CAP} * sum(n_tok) END AS BIGINT)
+                   AS k,
+               CAST(1 + (1000000 * sum(n_stop)) // sum(n_tok) AS BIGINT)
+                   AS w
+        FROM f GROUP BY source
+    ),
+    packed AS (
+        SELECT list(struct_pack(src := source, c := c, k := k, w := w)
+                    ORDER BY k * 1.0 / w, source) AS arr,
+               CAST(count(*) AS BIGINT) AS ns,
+               CAST(sum(c) // {_BUDGET_DENOM} AS BIGINT) AS b,
+               CAST(sum(w) AS BIGINT) AS wt
+        FROM s
+    ),
+    tstar AS (
+        SELECT arr, ns, b, wt,
+               coalesce(list_max(list_transform(range(1, ns + 1), p ->
+                   CASE WHEN struct_extract(arr[p], 'k')
+                             * (wt - list_sum(list_transform(range(1, p + 1),
+                                 i -> struct_extract(arr[i], 'w'))))
+                          <= (b - list_sum(list_transform(range(1, p + 1),
+                                 i -> struct_extract(arr[i], 'k'))))
+                             * struct_extract(arr[p], 'w')
+                        THEN p ELSE 0 END)), 0) AS t
+        FROM packed
+    ),
+    fin AS (
+        SELECT arr, ns, b, wt, t,
+               CASE WHEN t = 0 THEN 0
+                    ELSE list_sum(list_transform(range(1, t + 1),
+                        i -> struct_extract(arr[i], 'k'))) END AS kt,
+               CASE WHEN t = 0 THEN 0
+                    ELSE list_sum(list_transform(range(1, t + 1),
+                        i -> struct_extract(arr[i], 'w'))) END AS wsat
+        FROM tstar
+    ),
+    rows_ AS (
+        SELECT unnest(range(1, ns + 1)) AS p, arr, b, wt, t, kt, wsat
+        FROM fin
+    )
+    SELECT struct_extract(arr[p], 'src') AS source,
+           struct_extract(arr[p], 'c') AS n_tokens,
+           struct_extract(arr[p], 'k') AS cap,
+           struct_extract(arr[p], 'w') AS weight,
+           CAST(CASE WHEN p <= t THEN struct_extract(arr[p], 'k')
+                ELSE ((b - kt) * struct_extract(arr[p], 'w'))
+                     // (wt - wsat) END AS BIGINT) AS allocation,
+           p <= t AS saturated
+    FROM rows_
+    """,
+)
+def q_llm_token_budget(spark, sf_dir):
+    """C109: the mixture question every training run ends on — given a
+    token budget B = corpus/{_BUDGET_DENOM}, a per-source repeat cap
+    ({_BUDGET_EPOCH_CAP} epochs for fresh feeds; 1/4 epoch for the stale
+    single-digit sources already consumed by a previous run — the cap is a
+    POLICY input and deliberately non-uniform so the waterline actually
+    binds), and a per-source quality weight, how many tokens does each
+    source contribute? Solved by exact WATER-FILLING:
+    allocation_s = min(cap_s, lambda * w_s) with lambda set so the
+    allocations sum to B. Sources sorted by cap/weight; the saturated set
+    is the longest prefix where cap_p * W_rest <= (B - K_p) * w_p — the
+    cross-multiplied integer form, so the waterline is found with NO float
+    comparison (the float ratio is used only as a sort key, a single
+    per-row division). Unsaturated sources get floor((B - K_t) * w_s /
+    W_rest); floor rounding leaves at most |sources| tokens of B unspent.
+
+    Scale: the per-source rollup is the only corpus-scale stage; the
+    solver runs on ONE packed row of |sources| structs via index-driven
+    sequential folds (the C98 idiom — O(|sources|^2) integer ops on the
+    driver-side-sized frame, no window, no iteration). At 100 TB express
+    token counts in millions before the cross-multiplications so
+    (B - K) * w stays inside BIGINT."""
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    f = table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(toks).alias("n_tok"),
+        F.size(F.filter(toks, lambda t: t.isin("a", "the"))).alias(
+            "n_stop"
+        ),
+    )
+    s = f.groupBy("source").agg(
+        F.sum("n_tok").cast("bigint").alias("c"),
+        F.expr(
+            "CAST(CASE WHEN length(source) <= 4 THEN sum(n_tok) div 4 "
+            f"ELSE {_BUDGET_EPOCH_CAP} * sum(n_tok) END AS BIGINT)"
+        ).alias("k"),
+        F.expr(
+            "CAST(1 + (1000000 * sum(n_stop)) div sum(n_tok) AS BIGINT)"
+        ).alias("w"),
+    )
+    packed = s.agg(
+        F.expr(
+            "array_sort(collect_list(struct("
+            "k * 1.0 / w AS rd, source AS src, c, k, w)))"
+        ).alias("arr"),
+        F.count(F.lit(1)).alias("ns"),
+        F.expr(
+            f"CAST(sum(c) div {_BUDGET_DENOM} AS BIGINT)"
+        ).alias("b"),
+        F.sum("w").cast("bigint").alias("wt"),
+    )
+    tstar = packed.select(
+        "arr",
+        "ns",
+        "b",
+        "wt",
+        F.expr(
+            "coalesce(array_max(transform(sequence(1, CAST(ns AS INT)), "
+            "p -> CASE WHEN element_at(arr, p).k * "
+            "(wt - aggregate(sequence(1, p), CAST(0 AS BIGINT), "
+            "(a, i) -> a + element_at(arr, i).w)) "
+            "<= (b - aggregate(sequence(1, p), CAST(0 AS BIGINT), "
+            "(a, i) -> a + element_at(arr, i).k)) * element_at(arr, p).w "
+            "THEN p ELSE 0 END)), 0)"
+        ).alias("t"),
+    )
+    fin = tstar.select(
+        "arr",
+        "ns",
+        "b",
+        "wt",
+        "t",
+        F.expr(
+            "IF(t = 0, CAST(0 AS BIGINT), "
+            "aggregate(sequence(1, CAST(t AS INT)), CAST(0 AS BIGINT), "
+            "(a, i) -> a + element_at(arr, i).k))"
+        ).alias("kt"),
+        F.expr(
+            "IF(t = 0, CAST(0 AS BIGINT), "
+            "aggregate(sequence(1, CAST(t AS INT)), CAST(0 AS BIGINT), "
+            "(a, i) -> a + element_at(arr, i).w))"
+        ).alias("wsat"),
+    )
+    rows = fin.select(
+        F.explode(F.expr("sequence(1, CAST(ns AS INT))")).alias("p"),
+        "arr",
+        "b",
+        "wt",
+        "t",
+        "kt",
+        "wsat",
+    )
+    return rows.select(
+        F.expr("element_at(arr, p).src").alias("source"),
+        F.expr("element_at(arr, p).c").alias("n_tokens"),
+        F.expr("element_at(arr, p).k").alias("cap"),
+        F.expr("element_at(arr, p).w").alias("weight"),
+        F.expr(
+            "CAST(IF(p <= t, element_at(arr, p).k, "
+            "((b - kt) * element_at(arr, p).w) div (wt - wsat)) AS BIGINT)"
+        ).alias("allocation"),
+        (F.col("p") <= F.col("t")).alias("saturated"),
+    )

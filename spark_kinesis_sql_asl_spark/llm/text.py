@@ -874,3 +874,168 @@ def q_llm_hapax_rate(spark, sf_dir):
             "AS BIGINT)"
         ).alias("hapax_ppm"),
     )
+
+
+# --- C108: Heaps'-law vocabulary-growth fit -----------------------------------
+
+_HEAPS_STEPS = 10
+
+
+@query(
+    "q_llm_heaps_fit",
+    priority=30,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id % {_HEAPS_STEPS} AS m,
+               unnest(string_split(coalesce(text, ''), ' ')) AS tok
+        FROM documents
+    ),
+    t AS (SELECT m, tok FROM toks WHERE tok <> ''),
+    types AS (SELECT tok, min(m) AS m FROM t GROUP BY tok),
+    vhist AS (SELECT m, count(*) AS cnt FROM types GROUP BY m),
+    nhist AS (SELECT m, count(*) AS cnt FROM t GROUP BY m),
+    chk AS (SELECT unnest(range(1, {_HEAPS_STEPS} + 1)) AS c),
+    pts AS (
+        SELECT c,
+               (SELECT CAST(sum(CASE WHEN v.m < c THEN v.cnt ELSE 0 END)
+                            AS BIGINT) FROM vhist v) AS v,
+               (SELECT CAST(sum(CASE WHEN n.m < c THEN n.cnt ELSE 0 END)
+                            AS BIGINT) FROM nhist n) AS n
+        FROM chk
+    ),
+    packed AS (
+        SELECT list(n ORDER BY c) AS ns, list(v ORDER BY c) AS vs,
+               CAST(count(*) AS BIGINT) AS k,
+               max(n) AS total_tokens, max(v) AS vocab
+        FROM pts WHERE n > 0 AND v > 0
+    ),
+    sums AS (
+        SELECT k, total_tokens, vocab,
+               list_sum(list_transform(range(1, k + 1),
+                   i -> ln(CAST(ns[i] AS DOUBLE)))) AS sx,
+               list_sum(list_transform(range(1, k + 1),
+                   i -> ln(CAST(vs[i] AS DOUBLE)))) AS sy,
+               list_sum(list_transform(range(1, k + 1),
+                   i -> ln(CAST(ns[i] AS DOUBLE))
+                        * ln(CAST(ns[i] AS DOUBLE)))) AS sxx,
+               list_sum(list_transform(range(1, k + 1),
+                   i -> ln(CAST(ns[i] AS DOUBLE))
+                        * ln(CAST(vs[i] AS DOUBLE)))) AS sxy
+        FROM packed
+    )
+    SELECT k AS n_points, total_tokens, vocab,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+               AS heaps_beta
+    FROM sums
+    """,
+)
+def q_llm_heaps_fit(spark, sf_dir):
+    """C108: Heaps'-law exponent — OLS slope of ln(vocab) on ln(tokens)
+    over {_HEAPS_STEPS} NESTED corpus prefixes: V(N) ~ K*N^beta, natural
+    text near beta ~ 0.5; a flat curve (tiny beta) means the corpus stopped
+    contributing new vocabulary (template flood / crawl loop), a steep one
+    means encoding junk is minting fake types — C98's Zipf slope measures
+    frequency SHAPE, this measures vocabulary GROWTH, and together they
+    bracket tokenizer-training corpus health.
+
+    The cumulative-distinct trick: prefixes are doc_id %% {_HEAPS_STEPS}
+    residue classes (S_c = docs with residue < c, properly nested), and
+    V_c needs no per-prefix recompute — each token TYPE records the
+    minimum residue at which it first appears (one corpus-scale rollup),
+    then V_c is a 10-row conditional sum over the residue histogram.
+    N_c likewise from the per-residue token counts. Determinism: the
+    {_HEAPS_STEPS} (N, V) points are packed into ordered arrays and the
+    four OLS sums run as sequential folds (the C98 idiom — float addend
+    order pinned); everything before the fold is exact BIGINT.
+
+    Scale: ONE corpus-scale shuffle (the type rollup, map-side combined);
+    the histograms are {_HEAPS_STEPS} rows, the fit runs on one row."""
+    t = (
+        table(spark, sf_dir, "documents")
+        .select(
+            (F.col("doc_id") % _HEAPS_STEPS).alias("m"),
+            F.explode(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+            ).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    types = t.groupBy("tok").agg(F.min("m").alias("m"))
+    vhist = types.groupBy("m").agg(F.count(F.lit(1)).alias("cnt"))
+    nhist = t.groupBy("m").agg(F.count(F.lit(1)).alias("cnt"))
+    chk = spark.range(1, _HEAPS_STEPS + 1).select(
+        F.col("id").cast("bigint").alias("c")
+    )
+    # 10 x <=10-row cross joins: both histograms are bounded by the step
+    # count, broadcast by construction
+    pts = (
+        chk.crossJoin(
+            F.broadcast(
+                vhist.agg(
+                    F.collect_list(F.struct("m", "cnt")).alias("ve")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                nhist.agg(
+                    F.collect_list(F.struct("m", "cnt")).alias("ne")
+                )
+            )
+        )
+        .select(
+            "c",
+            F.expr(
+                "aggregate(ve, CAST(0 AS BIGINT), "
+                "(a, e) -> a + IF(e.m < c, e.cnt, CAST(0 AS BIGINT)))"
+            ).alias("v"),
+            F.expr(
+                "aggregate(ne, CAST(0 AS BIGINT), "
+                "(a, e) -> a + IF(e.m < c, e.cnt, CAST(0 AS BIGINT)))"
+            ).alias("n"),
+        )
+        .where((F.col("n") > 0) & (F.col("v") > 0))
+    )
+    packed = pts.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(c, n))), x -> x.n)"
+        ).alias("ns"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(c, v))), x -> x.v)"
+        ).alias("vs"),
+        F.count(F.lit(1)).alias("k"),
+        F.max("n").alias("total_tokens"),
+        F.max("v").alias("vocab"),
+    )
+    sums = packed.select(
+        "k",
+        "total_tokens",
+        "vocab",
+        F.expr(
+            "aggregate(sequence(1, CAST(k AS INT)), CAST(0.0 AS DOUBLE), "
+            "(a, i) -> a + ln(CAST(element_at(ns, i) AS DOUBLE)))"
+        ).alias("sx"),
+        F.expr(
+            "aggregate(sequence(1, CAST(k AS INT)), CAST(0.0 AS DOUBLE), "
+            "(a, i) -> a + ln(CAST(element_at(vs, i) AS DOUBLE)))"
+        ).alias("sy"),
+        F.expr(
+            "aggregate(sequence(1, CAST(k AS INT)), CAST(0.0 AS DOUBLE), "
+            "(a, i) -> a + ln(CAST(element_at(ns, i) AS DOUBLE)) "
+            "* ln(CAST(element_at(ns, i) AS DOUBLE)))"
+        ).alias("sxx"),
+        F.expr(
+            "aggregate(sequence(1, CAST(k AS INT)), CAST(0.0 AS DOUBLE), "
+            "(a, i) -> a + ln(CAST(element_at(ns, i) AS DOUBLE)) "
+            "* ln(CAST(element_at(vs, i) AS DOUBLE)))"
+        ).alias("sxy"),
+    )
+    slope = (
+        F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return sums.select(
+        F.col("k").alias("n_points"),
+        "total_tokens",
+        "vocab",
+        F.round(slope, 6).alias("heaps_beta"),
+    )

@@ -334,3 +334,154 @@ def q_win_rolling_slope(spark, sf_dir):
     return s.where(F.col("n") == _SLOPE_FRAME).select(
         "event_type", "event_id", "n", F.round(slope, 6).alias("slope")
     )
+
+
+# --- B131: CUSUM change-point detection over daily revenue --------------------
+
+# slack = mu/20 (5% of the mean daily revenue): CUSUM accumulates only
+# sustained exceedance above mean+slack, the standard one-sided form.
+_CUSUM_SLACK_DIV = 20
+# alarm once the accumulated exceedance tops 5x the mean daily revenue
+_CUSUM_ALARM_MULT = 5
+
+
+@query(
+    "q_cusum_changepoint",
+    priority=30,
+    oracle=f"""
+    WITH daily AS (
+        SELECT n.n_name,
+               date_trunc('day', o.o_orderdate) AS day,
+               CAST(sum(CAST(round(100 * o.o_totalprice) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, date_trunc('day', o.o_orderdate)
+    ),
+    g AS (
+        SELECT n_name,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(cents) // count(*) AS BIGINT) AS mu,
+               list(struct_pack(s := CAST(0 AS BIGINT),
+                                best := CAST(0 AS BIGINT),
+                                bd := CAST(NULL AS TIMESTAMP),
+                                x := cents, d := day)
+                    ORDER BY day) AS arr
+        FROM daily GROUP BY n_name
+    ),
+    folded AS (
+        SELECT n_name, n_days, mu,
+               list_reduce(
+                   list_prepend(struct_pack(
+                       s := CAST(0 AS BIGINT), best := CAST(0 AS BIGINT),
+                       bd := CAST(NULL AS TIMESTAMP),
+                       x := CAST(0 AS BIGINT),
+                       d := CAST(NULL AS TIMESTAMP)), arr),
+                   (a, e) -> struct_pack(
+                       s := greatest(CAST(0 AS BIGINT),
+                            struct_extract(a, 's') + struct_extract(e, 'x')
+                            - mu - mu // {_CUSUM_SLACK_DIV}),
+                       best := CASE WHEN greatest(CAST(0 AS BIGINT),
+                                struct_extract(a, 's')
+                                + struct_extract(e, 'x')
+                                - mu - mu // {_CUSUM_SLACK_DIV})
+                                > struct_extract(a, 'best')
+                           THEN greatest(CAST(0 AS BIGINT),
+                                struct_extract(a, 's')
+                                + struct_extract(e, 'x')
+                                - mu - mu // {_CUSUM_SLACK_DIV})
+                           ELSE struct_extract(a, 'best') END,
+                       bd := CASE WHEN greatest(CAST(0 AS BIGINT),
+                                struct_extract(a, 's')
+                                + struct_extract(e, 'x')
+                                - mu - mu // {_CUSUM_SLACK_DIV})
+                                > struct_extract(a, 'best')
+                           THEN struct_extract(e, 'd')
+                           ELSE struct_extract(a, 'bd') END,
+                       x := CAST(0 AS BIGINT),
+                       d := CAST(NULL AS TIMESTAMP))) AS st
+        FROM g
+    )
+    SELECT n_name, n_days, mu AS mu_cents,
+           struct_extract(st, 'best') AS max_cusum_cents,
+           struct_extract(st, 'bd') AS alarm_day,
+           struct_extract(st, 'best') > {_CUSUM_ALARM_MULT} * mu AS alarm
+    FROM folded
+    """,
+)
+def q_cusum_changepoint(spark, sf_dir):
+    """B131: one-sided CUSUM change-point detection (Page 1954) over daily
+    order revenue per nation — the sequential drift alarm that catches a
+    sustained level shift long before a per-day MAD outlier test (B104)
+    fires: S_t = max(0, S_(t-1) + x_t - mu - slack), alarm when the peak
+    exceeds {_CUSUM_ALARM_MULT}x the mean day. Reports the peak statistic
+    and the FIRST day it was attained (strict-> keeps the earliest).
+
+    Exactness: revenue in floor-cents BIGINT end-to-end (the D2/D8
+    canary rule); mu and the 5% slack are integer floor divisions; the
+    recurrence is inherently sequential so it runs as a FOLD over the
+    day-ordered packed array (the C97/C98 ordering rule, struct state) —
+    never a float or a window whose addend order the planner may permute.
+
+    Scale: the daily rollup is the only order-scale stage (map-side
+    combined, one shuffle on (nation, day)); the fold state per nation is
+    one struct over an array bounded by the CALENDAR (~2.4k days), not by
+    row count — the same bounded-by-days argument as B99/B110. nation
+    and customer dims broadcast."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("day", "o_orderdate").alias("day"),
+        F.expr(
+            "CAST(round(100 * o_totalprice) AS BIGINT)"
+        ).alias("cents"),
+    )
+    c = F.broadcast(
+        table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    n = F.broadcast(
+        table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "day")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    g = daily.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("CAST(sum(cents) div count(1) AS BIGINT)").alias("mu"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, cents))), "
+            "e -> named_struct('x', e.cents, 'd', e.day))"
+        ).alias("arr"),
+    )
+    step = (
+        f"greatest(CAST(0 AS BIGINT), a.s + e.x - mu - "
+        f"mu div {_CUSUM_SLACK_DIV})"
+    )
+    folded = g.select(
+        "n_name",
+        "n_days",
+        "mu",
+        F.expr(
+            "aggregate(arr, "
+            "named_struct('s', CAST(0 AS BIGINT), "
+            "'best', CAST(0 AS BIGINT), "
+            "'bd', CAST(NULL AS TIMESTAMP)), "
+            f"(a, e) -> named_struct("
+            f"'s', {step}, "
+            f"'best', IF({step} > a.best, {step}, a.best), "
+            f"'bd', IF({step} > a.best, e.d, a.bd)))"
+        ).alias("st"),
+    )
+    return folded.select(
+        "n_name",
+        "n_days",
+        F.col("mu").alias("mu_cents"),
+        F.col("st.best").alias("max_cusum_cents"),
+        F.col("st.bd").alias("alarm_day"),
+        (F.col("st.best") > _CUSUM_ALARM_MULT * F.col("mu")).alias(
+            "alarm"
+        ),
+    )
