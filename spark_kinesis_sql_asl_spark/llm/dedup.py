@@ -695,75 +695,6 @@ def q_llm_dedup_containment(spark, sf_dir):
     tau = _CONTAIN_TAU
     docs, indexed = _containment_state(spark, sf_dir)
     cand = _containment_candidates(spark, indexed, tau)
-    tau = _CONTAIN_TAU
-    d = parallel_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    synth = d.where(F.col("doc_id") % 11 == 0).select(
-        (F.col("doc_id") + _CONTAIN_TRUNC_OFFSET).alias("doc_id"),
-        "lang",
-        F.expr(
-            f"array_join(slice(split(text, ' '), 1, "
-            f"{_CONTAIN_TRUNC_TOKENS}), ' ')"
-        ).alias("text"),
-    )
-    docs = (
-        d.unionByName(synth)
-        .select(
-            "doc_id",
-            "lang",
-            F.array_distinct(
-                F.split(F.coalesce(F.col("text"), F.lit("")), " ")
-            ).alias("ts"),
-        )
-        .withColumn("sz", F.size("ts"))
-        .localCheckpoint(eager=True)  # consumed by index + both verify joins
-    )
-    toks = docs.select("doc_id", "lang", "sz", F.explode("ts").alias("tok"))
-    dfreq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("df"))
-    pos_w = W.partitionBy("doc_id").orderBy("df", "tok")
-    indexed = (
-        toks.join(dfreq, ["lang", "tok"])
-        .withColumn("pos", F.row_number().over(pos_w))
-        .localCheckpoint(eager=True)  # feeds BOTH sides of the cand join
-    )
-    # A side: prefix only; B side: full inverted index. The explicit
-    # repartition matters: the checkpointed index is tiny enough that AQE
-    # coalesces it to ONE partition, and the entire candidate fan-out +
-    # array-verify chain downstream is broadcast joins (no exchange), so
-    # without it the millions of candidate rows all flow through a single
-    # task (measured sf0.1: 26 s serial vs ~2 s spread). Spreading the
-    # ~2-token-per-doc prefix side is the cheap place to buy parallelism.
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    a_prefix = indexed.where(
-        F.col("pos") <= F.col("sz") - F.ceil(F.lit(tau) * F.col("sz")) + 1
-    ).repartition(n_part)
-    overlap_ub = (
-        F.least(
-            F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
-        )
-        + 1
-    )
-    need = F.ceil(F.lit(tau) * F.col("a.sz"))
-    cand = (
-        a_prefix.alias("a")
-        .join(
-            indexed.alias("b"),
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (
-                (F.col("a.sz") < F.col("b.sz"))
-                | (
-                    (F.col("a.sz") == F.col("b.sz"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id"))
-                )
-            )
-            & (F.col("b.sz") >= need)
-            & (overlap_ub >= need),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_small"),
-            F.col("b.doc_id").alias("doc_big"),
-        )
-    )
     da = docs.select(
         F.col("doc_id").alias("doc_small"),
         F.col("ts").alias("ta"),

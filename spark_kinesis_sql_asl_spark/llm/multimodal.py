@@ -414,7 +414,7 @@ _PHASH_PAIRS_SQL = f"""
 WITH base AS (
     SELECT d.doc_id, d.text
     FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-    WHERE length(d.text) >= {_PHASH_GRID}
+    WHERE d.text IS NOT NULL AND length(d.text) >= {_PHASH_GRID}
 ),
 corpus AS (
     SELECT doc_id, text FROM base
@@ -496,7 +496,14 @@ def q_llm_media_phash(spark, sf_dir):
         for pdf in batches:
             ids, phs = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                text = bytes(payload).decode("utf-8")
+                if payload is None:
+                    continue  # corrupt/absent asset: quarantine, don't abort
+                try:
+                    text = bytes(payload).decode("utf-8")
+                except (TypeError, ValueError):
+                    # undecodable bytes (real media is non-UTF-8): skip the
+                    # row — a 100 TB ingest must never die on one bad asset.
+                    continue
                 if len(text) < grid:
                     continue
                 cps = [ord(c) for c in text[:grid]]

@@ -362,52 +362,42 @@ _CUSUM_ALARM_MULT = 5
     g AS (
         SELECT n_name,
                CAST(count(*) AS BIGINT) AS n_days,
-               CAST(sum(cents) // count(*) AS BIGINT) AS mu,
-               list(struct_pack(s := CAST(0 AS BIGINT),
-                                best := CAST(0 AS BIGINT),
-                                bd := CAST(NULL AS TIMESTAMP),
-                                x := cents, d := day)
-                    ORDER BY day) AS arr
+               CAST(sum(cents) // count(*) AS BIGINT) AS mu
         FROM daily GROUP BY n_name
     ),
-    folded AS (
-        SELECT n_name, n_days, mu,
-               list_reduce(
-                   list_prepend(struct_pack(
-                       s := CAST(0 AS BIGINT), best := CAST(0 AS BIGINT),
-                       bd := CAST(NULL AS TIMESTAMP),
-                       x := CAST(0 AS BIGINT),
-                       d := CAST(NULL AS TIMESTAMP)), arr),
-                   (a, e) -> struct_pack(
-                       s := greatest(CAST(0 AS BIGINT),
-                            struct_extract(a, 's') + struct_extract(e, 'x')
-                            - mu - mu // {_CUSUM_SLACK_DIV}),
-                       best := CASE WHEN greatest(CAST(0 AS BIGINT),
-                                struct_extract(a, 's')
-                                + struct_extract(e, 'x')
-                                - mu - mu // {_CUSUM_SLACK_DIV})
-                                > struct_extract(a, 'best')
-                           THEN greatest(CAST(0 AS BIGINT),
-                                struct_extract(a, 's')
-                                + struct_extract(e, 'x')
-                                - mu - mu // {_CUSUM_SLACK_DIV})
-                           ELSE struct_extract(a, 'best') END,
-                       bd := CASE WHEN greatest(CAST(0 AS BIGINT),
-                                struct_extract(a, 's')
-                                + struct_extract(e, 'x')
-                                - mu - mu // {_CUSUM_SLACK_DIV})
-                                > struct_extract(a, 'best')
-                           THEN struct_extract(e, 'd')
-                           ELSE struct_extract(a, 'bd') END,
-                       x := CAST(0 AS BIGINT),
-                       d := CAST(NULL AS TIMESTAMP))) AS st
-        FROM g
+    -- One-sided CUSUM via the prefix-sum identity (no fold needed):
+    -- with d_t = x_t - mu - slack and P_t = sum_(i<=t) d_i,
+    --   S_t = P_t - min(0, min_(j<=t) P_j)
+    -- (P_0 = 0 supplies the clamp-at-zero of the recurrence).
+    pref AS (
+        SELECT d.n_name, d.day, g.n_days, g.mu,
+               CAST(sum(d.cents - g.mu - g.mu // {_CUSUM_SLACK_DIV})
+                    OVER (PARTITION BY d.n_name ORDER BY d.day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS p
+        FROM daily d
+        JOIN g ON d.n_name IS NOT DISTINCT FROM g.n_name
+    ),
+    s AS (
+        SELECT n_name, day, n_days, mu,
+               p - least(CAST(0 AS BIGINT),
+                         min(p) OVER (PARTITION BY n_name ORDER BY day
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)) AS s_t
+        FROM pref
+    ),
+    fin AS (
+        SELECT *, max(s_t) OVER (PARTITION BY n_name) AS best
+        FROM s
     )
     SELECT n_name, n_days, mu AS mu_cents,
-           struct_extract(st, 'best') AS max_cusum_cents,
-           struct_extract(st, 'bd') AS alarm_day,
-           struct_extract(st, 'best') > {_CUSUM_ALARM_MULT} * mu AS alarm
-    FROM folded
+           best AS max_cusum_cents,
+           CASE WHEN best > 0
+                THEN min(CASE WHEN s_t = best THEN day END)
+                ELSE CAST(NULL AS TIMESTAMP) END AS alarm_day,
+           best > {_CUSUM_ALARM_MULT} * mu AS alarm
+    FROM fin
+    GROUP BY n_name, n_days, mu, best
     """,
 )
 def q_cusum_changepoint(spark, sf_dir):

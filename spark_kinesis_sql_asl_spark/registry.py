@@ -61,47 +61,22 @@ _MODULES = (
     "operators.sorts_sets",
 )
 
-# ROUND-6 ROTATION (computed from CORRECTNESS_r01..r05.json: 222 distinct
-# queries sampled across rounds 1-5, zero FAIL/ERR rows — so (a) "reds to 0"
-# is empty again this round): promote the 20 queries that have never
-# received a driver CORRECTNESS row (the 19 priority-35 round-5 tail
-# additions plus q_agg_weighted_median, decorator p30, which rounds 4-5
-# never sampled) to 20 so they land inside the driver's ~50-entry sampling
-# window; pin every ever-driver-sampled query at 100 (their green rows
-# stand — this includes both prior rounds' rotations and the 38 round-5
-# greens whose decorator priorities are <100). Canaries keep their
-# decorator priority 10 (not listed here). New round-6 queries use
-# decorator priority=30. With 12 canaries + 20 promotions = 32 pinned-low
-# slots, up to 18 new p30 queries fit before the window overflows;
-# tests/test_registry_rotation.py asserts the final window composition.
+# ROUND-7 ROTATION (computed from CORRECTNESS_r01..r06.json: all 256
+# registered queries now have a driver row, so (b) "never-sampled -> 20"
+# is EMPTY for the first time). (a) reds to 0: exactly one — 
+# q_cusum_changepoint (r6 hash mismatch; judge root-caused it to a DuckDB
+# list_reduce oracle bug, oracle rewritten this round via the prefix-sum
+# identity) re-enters the window at 0 for its green row. (c) every other
+# ever-sampled query pins at 100 (rows-only "no_oracle" rows count as
+# sampled-clean, not red). Canaries keep decorator priority 10 (not
+# listed). New round-7 queries use decorator priority=30; 12 canaries +
+# 1 re-check = 13 pinned-low slots, so up to 37 new p30 queries fit in
+# the ~50-slot window; tests/test_registry_rotation.py asserts the
+# composition.
 _PRIORITY_OVERRIDES: dict[str, int] = {
-    # (b) never driver-sampled -> first driver row this round
-    **{
-        n: 20
-        for n in (
-            "q_agg_skew_kurtosis",
-            "q_agg_weighted_median",
-            "q_agg_winsorized_mean",
-            "q_events_chisq_shift",
-            "q_events_conversion_rate",
-            "q_events_hourly_profile",
-            "q_events_markov_stationary",
-            "q_fn_variant",
-            "q_join_asof_nearest",
-            "q_join_asof_tolerance",
-            "q_llm_char_entropy",
-            "q_llm_hapax_rate",
-            "q_llm_knn_label_vote",
-            "q_llm_langid_confusion",
-            "q_llm_media_dedup",
-            "q_llm_rake_keywords",
-            "q_llm_submodular_coverage",
-            "q_llm_zipf_fit",
-            "q_privacy_tcloseness",
-            "q_win_nth_value",
-        )
-    },
-    # (c) every query with a driver-green row rotates to / stays at 100
+    # (a) driver-red in r6 -> re-check first this round
+    "q_cusum_changepoint": 0,
+    # (c) every other ever-driver-sampled query pins at 100
     **{
         n: 100
         for n in (
@@ -126,14 +101,21 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_agg_percentile",
             "q_agg_percentile_approx",
             "q_agg_rollup",
+            "q_agg_skew_kurtosis",
             "q_agg_stats",
+            "q_agg_weighted_median",
+            "q_agg_winsorized_mean",
             "q_basket_pairs",
             "q_benford_audit",
             "q_customer_rfm",
+            "q_events_chisq_shift",
             "q_events_cohort_retention",
+            "q_events_conversion_rate",
             "q_events_dau_wau",
             "q_events_funnel",
+            "q_events_hourly_profile",
             "q_events_mad_outliers",
+            "q_events_markov_stationary",
             "q_events_sessionize",
             "q_events_transitions",
             "q_filter_compound",
@@ -155,9 +137,12 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_fn_split",
             "q_fn_string",
             "q_fn_struct",
+            "q_fn_variant",
             "q_join_anti",
             "q_join_asof",
             "q_join_asof_forward",
+            "q_join_asof_nearest",
+            "q_join_asof_tolerance",
             "q_join_broadcast",
             "q_join_cross",
             "q_join_full",
@@ -183,6 +168,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_bpe_pairs",
             "q_llm_bpe_train3",
             "q_llm_bucket_stats",
+            "q_llm_char_entropy",
             "q_llm_chunk",
             "q_llm_cluster_purity",
             "q_llm_composition",
@@ -194,6 +180,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_decontaminate",
             "q_llm_dedup_cluster",
             "q_llm_dedup_containment",
+            "q_llm_dedup_containment_lsh",
             "q_llm_dedup_editdist",
             "q_llm_dedup_embed",
             "q_llm_dedup_exact",
@@ -205,6 +192,10 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_dedup_simhash",
             "q_llm_dedup_survivors",
             "q_llm_diversity",
+            "q_llm_domain_quality",
+            "q_llm_dsir_weight",
+            "q_llm_dup_degree",
+            "q_llm_dup_span_ratio",
             "q_llm_dup_triangles",
             "q_llm_embed_dimstats",
             "q_llm_embed_drift",
@@ -212,8 +203,11 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_fingerprint",
             "q_llm_frame_sample",
             "q_llm_freq_spectrum",
+            "q_llm_gopher_rules",
             "q_llm_hamming_spectrum",
+            "q_llm_hapax_rate",
             "q_llm_hard_negatives",
+            "q_llm_heaps_fit",
             "q_llm_heavy_hitters",
             "q_llm_heavy_hitters_sketch",
             "q_llm_ingest_dedup",
@@ -222,12 +216,16 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_kmeans",
             "q_llm_kmeans_mstep",
             "q_llm_kmeans_train",
+            "q_llm_knn_label_vote",
             "q_llm_langid",
+            "q_llm_langid_confusion",
             "q_llm_length_profile",
             "q_llm_link_extract",
             "q_llm_lm_score",
             "q_llm_margin_sample",
             "q_llm_maxsim",
+            "q_llm_media_dedup",
+            "q_llm_media_phash",
             "q_llm_media_sniff",
             "q_llm_mixture",
             "q_llm_mixture_sample",
@@ -236,14 +234,19 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_ngram_lm",
             "q_llm_novelty",
             "q_llm_pack",
+            "q_llm_pad_waste",
             "q_llm_pii_scrub",
             "q_llm_pmi_bigrams",
+            "q_llm_pq_adc_topk",
             "q_llm_pq_encode",
             "q_llm_prefix_dup",
             "q_llm_profile",
+            "q_llm_psi_drift",
             "q_llm_quality",
+            "q_llm_quality_auc",
             "q_llm_quality_calibrate",
             "q_llm_quota_sample",
+            "q_llm_rake_keywords",
             "q_llm_random_proj",
             "q_llm_recall_at_k",
             "q_llm_refresh_e2e",
@@ -260,21 +263,25 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_sim_topk",
             "q_llm_source_leak",
             "q_llm_split_stratified",
+            "q_llm_submodular_coverage",
             "q_llm_surprisal",
             "q_llm_textscore",
             "q_llm_tfidf",
             "q_llm_tokcount",
+            "q_llm_token_budget",
             "q_llm_tokenize",
             "q_llm_train_order",
             "q_llm_vec_ops",
             "q_llm_vec_quantize",
             "q_llm_vocab_coverage",
             "q_llm_winnow",
+            "q_llm_zipf_fit",
             "q_pareto_deciles",
             "q_pivot",
             "q_privacy_bounded_contrib",
             "q_privacy_kanon",
             "q_privacy_ldiversity",
+            "q_privacy_tcloseness",
             "q_project_arith",
             "q_scan_full",
             "q_scan_pruned",
@@ -309,6 +316,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_win_distribution",
             "q_win_first_last",
             "q_win_lag_lead",
+            "q_win_nth_value",
             "q_win_ntile",
             "q_win_range_frame",
             "q_win_rank",

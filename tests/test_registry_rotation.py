@@ -1,17 +1,22 @@
-"""Round-6 rotation window assertions (VERDICT r5 item #6).
+"""Round-7 rotation window assertions (VERDICT r6 item #1/#5).
 
 The driver samples roughly the first 50 entries of the priority-ordered
-registry for CORRECTNESS_r{N}.json. Rounds 4-5 proved that a query can sit
-"local-oracle green" for multiple rounds without ever receiving the hard
-driver signal, and that the rotation must be *recomputed* (not guessed)
-each round. These tests pin the round-6 window composition so a priority
-tie, a decorator edit, or an over-enthusiastic batch of new p30 queries
-can never silently push one of the 20 never-driver-sampled queries out of
-the window.
+registry for CORRECTNESS_r{N}.json. Rounds 4-6 proved the rotation must be
+*recomputed* (not guessed) each round from the committed CORRECTNESS
+artifacts. Round 7 is the first round where the never-sampled set is EMPTY
+(all 256 registered queries received a driver row by r6), so the window is:
+
+  slot 0          q_cusum_changepoint (override 0 — the one r6 driver RED;
+                  its DuckDB oracle was rewritten this round, the Spark
+                  side is judge-proven correct, and it must re-enter the
+                  window for its green row)
+  slots 1..12     the 12 canaries (decorator priority 10)
+  slots 13..~49   new round-7 queries (decorator priority=30)
 
 If you add new queries this round: decorator ``priority=30`` keeps them
-inside the window *after* the 20 promotions; the budget test below fails
-the moment the low-priority population exceeds the 50-slot window.
+inside the window; add their names to ROUND7_NEW_THIS_ROUND below; the
+budget test fails the moment the low-priority population exceeds the
+50-slot window.
 """
 
 from __future__ import annotations
@@ -25,35 +30,15 @@ from spark_kinesis_sql_asl_spark import registry
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The 20 queries that had never received a driver CORRECTNESS row after
-# round 5 (computed from CORRECTNESS_r01..r05.json: 222 distinct sampled
-# names vs 242 registered). 19 are the priority-35 round-5 tail; the 20th
-# is q_agg_weighted_median (decorator p30, added round 5 but never
-# sampled) — named explicitly per VERDICT r5 "What's wrong" #3.
-ROUND6_PROMOTIONS = frozenset(
-    {
-        "q_agg_skew_kurtosis",
-        "q_agg_weighted_median",
-        "q_agg_winsorized_mean",
-        "q_events_chisq_shift",
-        "q_events_conversion_rate",
-        "q_events_hourly_profile",
-        "q_events_markov_stationary",
-        "q_fn_variant",
-        "q_join_asof_nearest",
-        "q_join_asof_tolerance",
-        "q_llm_char_entropy",
-        "q_llm_hapax_rate",
-        "q_llm_knn_label_vote",
-        "q_llm_langid_confusion",
-        "q_llm_media_dedup",
-        "q_llm_rake_keywords",
-        "q_llm_submodular_coverage",
-        "q_llm_zipf_fit",
-        "q_privacy_tcloseness",
-        "q_win_nth_value",
-    }
-)
+# (a) the r6 driver REDs: rows+schema matched, hash didn't — judge
+# root-caused to a DuckDB 1.0.0 list_reduce outer-reference bug in the
+# ORACLE (engine side correct); oracle rewritten via the prefix-sum /
+# running-min CUSUM identity this round. Re-checked first.
+ROUND7_RECHECK = frozenset({"q_cusum_changepoint"})
+
+# Queries first registered in round 7 (decorator priority=30): they have no
+# CORRECTNESS row yet by construction. Keep in sync as operators land.
+ROUND7_NEW_THIS_ROUND: frozenset[str] = frozenset()
 
 DRIVER_WINDOW = 50
 
@@ -67,47 +52,64 @@ def _priority(name: str) -> int:
     return registry._PRIORITY[name][0]
 
 
-def test_promotion_set_matches_correctness_history():
-    """The promotion list IS the never-sampled set — recomputed, not copied.
-
-    Recomputes (registered queries) - (union of CORRECTNESS_r01..r05 keys)
-    from the committed artifacts and asserts it equals ROUND6_PROMOTIONS,
-    so the hand-maintained constant above can never drift from history.
-    """
-    registry.load_all()
+def _sampled_through(last_round: int) -> set[str]:
     sampled: set[str] = set()
-    for r in range(1, 6):
-        path = os.path.join(REPO, f"CORRECTNESS_r0{r}.json")
+    for r in range(1, last_round + 1):
+        path = os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json")
         if not os.path.exists(path):  # pragma: no cover - driver artifact
             pytest.skip(f"missing {path}")
         with open(path) as f:
             sampled |= set(json.load(f))
-    never = set(registry._QUERIES) - sampled - ROUND6_NEW_THIS_ROUND
-    assert never == ROUND6_PROMOTIONS
+    return sampled
 
 
-def test_canaries_occupy_the_first_twelve_slots():
+def test_never_sampled_set_is_empty_after_r6():
+    """The r6 rotation closed the sampling debt: every query registered
+    through round 6 has a CORRECTNESS row. Recomputed, not copied."""
+    registry.load_all()
+    never = (
+        set(registry._QUERIES) - _sampled_through(6) - ROUND7_NEW_THIS_ROUND
+    )
+    assert never == set(), f"never-sampled after r6: {sorted(never)}"
+
+
+def test_recheck_set_matches_correctness_history():
+    """The re-check list IS the set of non-green oracled rows, recomputed
+    from the artifacts (rows-only ``no_oracle`` rows are sampled-clean,
+    not red — their gates are the recall/error-bound pytest assertions)."""
+    latest: dict[str, dict] = {}
+    for r in range(1, 7):
+        path = os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json")
+        with open(path) as f:
+            latest.update(json.load(f))
+    reds = {
+        n
+        for n, row in latest.items()
+        if row.get("err") not in (None, "no_oracle")
+        or (
+            row.get("hash_match") is not None
+            and not (
+                row["rows_match"] and row["schema_match"] and row["hash_match"]
+            )
+        )
+    }
+    assert reds == ROUND7_RECHECK
+
+
+def test_recheck_heads_the_window_then_canaries():
     names = _ordered()
-    head = names[:12]
+    assert names[0] == "q_cusum_changepoint"
+    assert _priority(names[0]) == 0
+    head = names[1:13]
     assert all(n.startswith("q_canary_") for n in head), head
     assert all(_priority(n) == 10 for n in head)
-
-
-def test_all_twenty_promotions_inside_the_driver_window():
-    names = _ordered()
-    window = set(names[:DRIVER_WINDOW])
-    missing = ROUND6_PROMOTIONS - window
-    assert not missing, f"promotions pushed out of the window: {sorted(missing)}"
-    # and they sit at override 20, immediately after the canaries
-    assert all(_priority(n) == 20 for n in ROUND6_PROMOTIONS)
-    assert set(names[12:32]) == ROUND6_PROMOTIONS
 
 
 def test_window_budget_not_overflowed_by_new_queries():
     """Every entry with priority <=30 must fit in the 50-slot window.
 
-    12 canaries + 20 promotions = 32 reserved slots; at most 18 new p30
-    queries fit. Registering a 19th would push something out silently —
+    1 re-check + 12 canaries = 13 reserved slots; at most 37 new p30
+    queries fit. Registering a 38th would push something out silently —
     this test makes it loud instead.
     """
     registry.load_all()
@@ -120,34 +122,34 @@ def test_window_budget_not_overflowed_by_new_queries():
     assert set(low) <= set(names[:DRIVER_WINDOW])
 
 
+def test_new_this_round_constant_is_exact():
+    """ROUND7_NEW_THIS_ROUND == (registered queries without any driver
+    row) — the r6 lesson (ADVICE r6 #1): the constant must be updated with
+    EVERY new @query, or the recomputation tests above drift."""
+    registry.load_all()
+    unsampled = set(registry._QUERIES) - _sampled_through(6)
+    assert unsampled == ROUND7_NEW_THIS_ROUND
+
+
+def test_new_queries_land_inside_the_window():
+    registry.load_all()
+    for n in sorted(ROUND7_NEW_THIS_ROUND):
+        assert n in registry._QUERIES, f"{n} listed but not registered"
+        assert _priority(n) == 30, f"{n}: expected decorator p30"
+    names = _ordered()
+    window = set(names[:DRIVER_WINDOW])
+    missing = ROUND7_NEW_THIS_ROUND - window
+    assert not missing, f"new queries outside the window: {sorted(missing)}"
+
+
 def test_every_ever_green_query_pinned_at_100():
     """A <100 decorator priority must never leak a driver-green query back
-    into the window at the expense of a never-sampled one."""
-    sampled: set[str] = set()
-    for r in range(1, 6):
-        path = os.path.join(REPO, f"CORRECTNESS_r0{r}.json")
-        with open(path) as f:
-            sampled |= set(json.load(f))
+    into the window at the expense of an unsampled one. Exceptions: the
+    canaries (always 10) and the re-check set (0 this round)."""
     registry.load_all()
-    for n in sorted(sampled & set(registry._QUERIES)):
+    for n in sorted(_sampled_through(6) & set(registry._QUERIES)):
         p = _priority(n)
-        assert p in (10, 100), f"{n}: ever-sampled but priority {p}"
-
-
-# Queries first registered in round 6 (decorator priority=30): they have no
-# CORRECTNESS row yet by construction, so the never-sampled recomputation
-# excludes them. Keep this in sync as round-6 operators land.
-ROUND6_NEW_THIS_ROUND: frozenset[str] = frozenset(
-    {
-        "q_llm_dedup_containment_lsh",
-        "q_llm_media_phash",
-        "q_llm_pq_adc_topk",
-        "q_llm_psi_drift",
-        "q_llm_gopher_rules",
-        "q_llm_pad_waste",
-        "q_llm_dup_degree",
-        "q_llm_dup_span_ratio",
-        "q_llm_quality_auc",
-        "q_llm_dsir_weight",
-    }
-)
+        if n in ROUND7_RECHECK:
+            assert p == 0, f"{n}: red must re-enter at 0, got {p}"
+        else:
+            assert p in (10, 100), f"{n}: ever-sampled but priority {p}"
