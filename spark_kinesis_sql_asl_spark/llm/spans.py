@@ -839,3 +839,168 @@ def q_llm_dup_span_ratio(spark, sf_dir):
         ppm.alias("boiler_ppm"),
         (ppm >= _DSR_DROP_PPM).alias("flag_drop"),
     )
+
+
+# --- C110: exact substring dedup (variable-position long shared spans) -------
+
+_SSD_K = 8  # tokens per shingle (overlapping, every position)
+_SSD_MIN_SPAN = 40  # report shared spans of >= this many tokens
+_SSD_MIN_RUN = _SSD_MIN_SPAN - _SSD_K + 1  # consecutive-shingle run length
+_SSD_DF_CAP = 32  # stoplist: shingles in more docs than this are template
+_SSD_OFFSET = 800_000  # injected excerpt docs (C1 convention)
+_SSD_EXC_START = 6  # excerpt start token (1-based) — variable-position span
+_SSD_EXC_LEN = 48  # excerpt tokens (>= _SSD_MIN_SPAN)
+_SSD_MIN_TOKS = _SSD_EXC_START + _SSD_EXC_LEN + 2  # donor length floor
+
+
+@query(
+    "q_llm_substring_dup",
+    priority=30,
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               string_split(coalesce(text, ''), ' ') AS ts
+        FROM documents
+    ),
+    corpus AS (
+        SELECT doc_id, ts FROM base
+        UNION ALL
+        SELECT doc_id + {_SSD_OFFSET},
+               list_slice(ts, {_SSD_EXC_START},
+                          {_SSD_EXC_START + _SSD_EXC_LEN - 1})
+        FROM base
+        WHERE doc_id % 5 = 0 AND len(ts) >= {_SSD_MIN_TOKS}
+    ),
+    sh AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               ('0x' || substr(md5(array_to_string(
+                    list_slice(ts, pos, pos + {_SSD_K - 1}), ' ')),
+                    1, 15))::BIGINT AS h
+        FROM (SELECT doc_id, ts,
+                     unnest(range(1, CAST(len(ts) AS INTEGER)
+                                     - {_SSD_K} + 2)) AS pos
+              FROM corpus WHERE len(ts) >= {_SSD_K})
+    ),
+    keep AS (
+        SELECT h FROM sh GROUP BY h
+        HAVING count(DISTINCT doc_id) BETWEEN 2 AND {_SSD_DF_CAP}
+    ),
+    m AS (SELECT sh.doc_id, sh.pos, sh.h FROM sh JOIN keep USING (h)),
+    hits AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos - b.pos AS diag, a.pos AS pos_a
+        FROM m a JOIN m b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+        SELECT doc_a, doc_b, diag,
+               pos_a - row_number() OVER (
+                   PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+        FROM hits
+    ),
+    spans AS (
+        SELECT doc_a, doc_b,
+               CAST(count(*) + {_SSD_K} - 1 AS BIGINT) AS span_tokens
+        FROM runs GROUP BY doc_a, doc_b, diag, grp
+        HAVING count(*) >= {_SSD_MIN_RUN}
+    )
+    SELECT doc_a, doc_b,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(max(span_tokens) AS BIGINT) AS max_span_tokens,
+           CAST(sum(span_tokens) AS BIGINT) AS total_dup_tokens
+    FROM spans GROUP BY doc_a, doc_b
+    """,
+)
+def q_llm_substring_dup(spark, sf_dir):
+    """C110: EXACT substring dedup — variable-position long shared spans
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better": the ExactSubstr criterion, >=N-token verbatim overlap at ANY
+    offset in either doc). Completes the span ladder: C50/C104 see only
+    fixed non-overlapping 32-char chunks, so a copied paragraph that
+    starts mid-chunk slips both; here every {_SSD_K}-token shingle at
+    every position is hashed, and a shared span of L tokens appears as a
+    run of L-{_SSD_K}+1 consecutive matching shingles on one DIAGONAL
+    (pos_a - pos_b constant) — the gapless local-alignment identity, so
+    run detection is the classic islands trick (pos - row_number), no
+    per-row iteration anywhere. The fixture corpus gains a
+    {_SSD_EXC_LEN}-token excerpt of every 5th long doc starting at token
+    {_SSD_EXC_START} (C1 injection convention) — a true variable-position
+    overlap (diag != 0) that doc-level and fixed-chunk dedup both miss.
+    Output: per ordered pair, the qualifying span count, longest span and
+    total duplicated tokens (>= {_SSD_MIN_SPAN} tokens each).
+
+    Scale: shingle strings never ride an exchange — the df rollup, the
+    stoplist filter and the pair join all key on the portable 60-bit md5
+    prefix (C104 idiom; 8-byte keys). Candidate volume is sum(df^2) over
+    shingles with 2 <= df <= {_SSD_DF_CAP}: the cap is the PPJoin-style
+    stoplist — super-frequent shingles are template chrome (C50's
+    territory) and would otherwise quadratically blow up the join at
+    100 TB; dropping them is deterministic and mirrored exactly in the
+    oracle. Run grouping shuffles (doc_a, doc_b, diag, pos) — four
+    BIGINTs/hit. The suffix-array construction of the paper is replaced
+    by the shingle-diagonal formulation precisely because it is
+    shuffle-native: no global sort, no cross-partition suffix order."""
+    base = parallel_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("ts"),
+    )
+    synth = base.where(
+        (F.col("doc_id") % 5 == 0) & (F.size("ts") >= _SSD_MIN_TOKS)
+    ).select(
+        (F.col("doc_id") + _SSD_OFFSET).alias("doc_id"),
+        F.slice("ts", _SSD_EXC_START, _SSD_EXC_LEN).alias("ts"),
+    )
+    corpus = base.unionByName(synth)
+    sh = (
+        corpus.where(F.size("ts") >= _SSD_K)
+        .select(
+            "doc_id",
+            "ts",
+            F.explode(
+                F.expr(f"sequence(1, size(ts) - {_SSD_K} + 1)")
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.expr(
+                f"cast(conv(substring(md5(array_join("
+                f"slice(ts, pos, {_SSD_K}), ' ')), 1, 15), 16, 10) "
+                f"as bigint)"
+            ).alias("h"),
+        )
+    )
+    keep = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= _SSD_DF_CAP))
+        .select("h")
+    )
+    m = sh.join(keep, "h")
+    hits = (
+        m.alias("a")
+        .join(
+            m.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+            F.col("a.pos").alias("pos_a"),
+        )
+    )
+    run_w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    spans = (
+        hits.withColumn(
+            "grp", F.col("pos_a") - F.row_number().over(run_w)
+        )
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg((F.count(F.lit(1)) + _SSD_K - 1).alias("span_tokens"))
+        .where(F.col("span_tokens") >= _SSD_MIN_SPAN)
+    )
+    return spans.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.max("span_tokens").cast("bigint").alias("max_span_tokens"),
+        F.sum("span_tokens").cast("bigint").alias("total_dup_tokens"),
+    )

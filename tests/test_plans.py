@@ -491,3 +491,14 @@ def test_no_query_has_an_unbounded_partitionless_window(spark):
         if bad:
             offenders[name] = [b[:160] for b in bad]
     assert not offenders, offenders
+
+
+def test_substring_dup_exchanges_carry_only_hash_keys(spark):
+    # C110: every Exchange in the substring-dup plan must key on the 60-bit
+    # shingle hash / (doc, diag) BIGINTs — the ts token array (and any
+    # shingle string) must never ride a shuffle.
+    df = QUERIES["q_llm_substring_dup"](spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    for seg in plan.split("Exchange")[1:]:
+        line = seg.split("\n")[0]
+        assert "ts#" not in line, line

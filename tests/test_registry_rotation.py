@@ -38,7 +38,11 @@ ROUND7_RECHECK = frozenset({"q_cusum_changepoint"})
 
 # Queries first registered in round 7 (decorator priority=30): they have no
 # CORRECTNESS row yet by construction. Keep in sync as operators land.
-ROUND7_NEW_THIS_ROUND: frozenset[str] = frozenset()
+ROUND7_NEW_THIS_ROUND: frozenset[str] = frozenset(
+    {
+        "q_llm_substring_dup",
+    }
+)
 
 DRIVER_WINDOW = 50
 
