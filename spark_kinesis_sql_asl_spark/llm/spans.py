@@ -939,6 +939,17 @@ def q_llm_substring_dup(spark, sf_dir):
     BIGINTs/hit. The suffix-array construction of the paper is replaced
     by the shingle-diagonal formulation precisely because it is
     shuffle-native: no global sort, no cross-partition suffix order."""
+    spans = _ssd_spans(_ssd_corpus(spark, sf_dir))
+    return spans.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.max("span_tokens").cast("bigint").alias("max_span_tokens"),
+        F.sum("span_tokens").cast("bigint").alias("total_dup_tokens"),
+    )
+
+
+def _ssd_corpus(spark, sf_dir):
+    """Shared C110/C111 corpus: documents tokenized + the injected
+    variable-position excerpt of every 5th long doc (C1 convention)."""
     base = parallel_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("ts"),
@@ -949,7 +960,16 @@ def q_llm_substring_dup(spark, sf_dir):
         (F.col("doc_id") + _SSD_OFFSET).alias("doc_id"),
         F.slice("ts", _SSD_EXC_START, _SSD_EXC_LEN).alias("ts"),
     )
-    corpus = base.unionByName(synth)
+    return base.unionByName(synth)
+
+
+def _ssd_spans(corpus):
+    """Shared C110/C111 qualifying-span frame: one row per maximal
+    diagonal run of >= {_SSD_MIN_RUN} matching shingles, with the run's
+    token interval in BOTH docs ([a_start, a_end] and the diag-shifted
+    b twin). Lazy on purpose — each consumer's plan fuses the chain; the
+    heavy stages (shingle rollup, pair join) shuffle 8-byte hashes and
+    BIGINT positions only."""
     sh = (
         corpus.where(F.size("ts") >= _SSD_K)
         .select(
@@ -991,16 +1011,281 @@ def q_llm_substring_dup(spark, sf_dir):
         )
     )
     run_w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
-    spans = (
-        hits.withColumn(
-            "grp", F.col("pos_a") - F.row_number().over(run_w)
-        )
+    return (
+        hits.withColumn("grp", F.col("pos_a") - F.row_number().over(run_w))
         .groupBy("doc_a", "doc_b", "diag", "grp")
-        .agg((F.count(F.lit(1)) + _SSD_K - 1).alias("span_tokens"))
+        .agg(
+            (F.count(F.lit(1)) + _SSD_K - 1).alias("span_tokens"),
+            F.min("pos_a").alias("a_start"),
+            (F.max("pos_a") + _SSD_K - 1).alias("a_end"),
+        )
         .where(F.col("span_tokens") >= _SSD_MIN_SPAN)
     )
-    return spans.groupBy("doc_a", "doc_b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
-        F.max("span_tokens").cast("bigint").alias("max_span_tokens"),
-        F.sum("span_tokens").cast("bigint").alias("total_dup_tokens"),
+
+
+# --- C111: duplicated-span coverage (the Lee et al. "fraction removed") ------
+
+_SCOV_HALF_PPM = 500_000  # flag docs that are half verbatim-duplicated
+
+_SSD_CTES = f"""
+    WITH base AS (
+        SELECT doc_id,
+               string_split(coalesce(text, ''), ' ') AS ts
+        FROM documents
+    ),
+    corpus AS (
+        SELECT doc_id, ts FROM base
+        UNION ALL
+        SELECT doc_id + {_SSD_OFFSET},
+               list_slice(ts, {_SSD_EXC_START},
+                          {_SSD_EXC_START + _SSD_EXC_LEN - 1})
+        FROM base
+        WHERE doc_id % 5 = 0 AND len(ts) >= {_SSD_MIN_TOKS}
+    ),
+    sh AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               ('0x' || substr(md5(array_to_string(
+                    list_slice(ts, pos, pos + {_SSD_K - 1}), ' ')),
+                    1, 15))::BIGINT AS h
+        FROM (SELECT doc_id, ts,
+                     unnest(range(1, CAST(len(ts) AS INTEGER)
+                                     - {_SSD_K} + 2)) AS pos
+              FROM corpus WHERE len(ts) >= {_SSD_K})
+    ),
+    keep AS (
+        SELECT h FROM sh GROUP BY h
+        HAVING count(DISTINCT doc_id) BETWEEN 2 AND {_SSD_DF_CAP}
+    ),
+    m AS (SELECT sh.doc_id, sh.pos, sh.h FROM sh JOIN keep USING (h)),
+    hits AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos - b.pos AS diag, a.pos AS pos_a
+        FROM m a JOIN m b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+        SELECT doc_a, doc_b, diag, pos_a,
+               pos_a - row_number() OVER (
+                   PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+        FROM hits
+    ),
+    spans AS (
+        SELECT doc_a, doc_b, diag,
+               CAST(count(*) + {_SSD_K} - 1 AS BIGINT) AS span_tokens,
+               min(pos_a) AS a_start,
+               max(pos_a) + {_SSD_K} - 1 AS a_end
+        FROM runs GROUP BY doc_a, doc_b, diag, grp
+        HAVING count(*) >= {_SSD_MIN_RUN}
+    )
+"""
+
+
+@query(
+    "q_llm_span_coverage",
+    priority=30,
+    oracle=_SSD_CTES
+    + f""",
+    iv AS (
+        SELECT doc_a AS doc_id, a_start AS s, a_end AS e FROM spans
+        UNION ALL
+        SELECT doc_b, a_start - diag, a_end - diag FROM spans
+    ),
+    sw AS (
+        SELECT doc_id, s, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pmax
+        FROM iv
+    ),
+    isl AS (
+        SELECT doc_id, s, e,
+               sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS island
+        FROM sw
+    ),
+    cov AS (
+        SELECT doc_id, island,
+               CAST(max(e) - min(s) + 1 AS BIGINT) AS covered
+        FROM isl GROUP BY doc_id, island
+    ),
+    tot AS (
+        SELECT doc_id, CAST(sum(covered) AS BIGINT) AS dup_tokens
+        FROM cov GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(c.ts) AS BIGINT) AS n_toks, t.dup_tokens,
+           CAST((1000000 * t.dup_tokens) // len(c.ts) AS BIGINT)
+               AS coverage_ppm,
+           (1000000 * t.dup_tokens) // len(c.ts) >= {_SCOV_HALF_PPM}
+               AS flag_half_dup
+    FROM tot t JOIN corpus c USING (doc_id)
+    """,
+)
+def q_llm_span_coverage(spark, sf_dir):
+    """C111: per-document DUPLICATED-SPAN COVERAGE — the Lee et al. 2022
+    "fraction of tokens removed by ExactSubstr" statistic, per doc: the
+    share of each document covered by the UNION of its >= {_SSD_MIN_SPAN}
+    -token verbatim overlaps (C110's spans, both sides of every pair).
+    The decision readout of the span ladder: C110 says WHO overlaps, this
+    says HOW MUCH of each doc is someone else's text — the keep/trim/drop
+    signal (flag at {_SCOV_HALF_PPM} ppm = half the doc is verbatim
+    elsewhere). Overlapping spans must not double-count, so the interval
+    union runs as the classic sweep: sort intervals, running max-end over
+    the PRECEDING frame opens a new island when s jumps past it, island
+    lengths sum exactly — no per-row iteration, deterministic under ties
+    (equal-s rows can never open an island regardless of tie order).
+
+    Scale: inherits C110's hash-only shuffle discipline; the sweep
+    shuffles (doc_id, s, e) BIGINT triples bounded by span count, not
+    corpus size; per-doc state in the window is one running BIGINT."""
+    spans = _ssd_spans(_ssd_corpus(spark, sf_dir))
+    iv = spans.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("a_start").alias("s"),
+        F.col("a_end").alias("e"),
+    ).unionByName(
+        spans.select(
+            F.col("doc_b").alias("doc_id"),
+            (F.col("a_start") - F.col("diag")).alias("s"),
+            (F.col("a_end") - F.col("diag")).alias("e"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pmax = F.max("e").over(w_prev)
+    opens = F.when(
+        pmax.isNull() | (F.col("s") > pmax), F.lit(1)
+    ).otherwise(F.lit(0))
+    cov = (
+        iv.withColumn("island", F.sum(opens).over(w_run))
+        .groupBy("doc_id", "island")
+        .agg((F.max("e") - F.min("s") + 1).alias("covered"))
+    )
+    tot = cov.groupBy("doc_id").agg(
+        F.sum("covered").cast("bigint").alias("dup_tokens")
+    )
+    ntoks = _ssd_corpus(spark, sf_dir).select(
+        "doc_id", F.size("ts").cast("bigint").alias("n_toks")
+    )
+    ppm = F.expr("(1000000 * dup_tokens) div n_toks")
+    return tot.join(ntoks, "doc_id").select(
+        "doc_id",
+        "n_toks",
+        "dup_tokens",
+        ppm.cast("bigint").alias("coverage_ppm"),
+        (ppm >= _SCOV_HALF_PPM).alias("flag_half_dup"),
+    )
+
+
+# --- C112: line-level dedup yield (CCNet/RefinedWeb removal accounting) ------
+
+_LINE_W = 12  # tokens per "line" (deterministic stand-in for \n splits)
+_LINE_KEY_BASE = 100_000  # occurrence key = doc_id * base + start pos
+
+
+@query(
+    "q_llm_paragraph_dedup",
+    priority=30,
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               string_split(coalesce(text, ''), ' ') AS ts
+        FROM documents
+    ),
+    ch AS (
+        SELECT doc_id, lang,
+               CAST(doc_id * {_LINE_KEY_BASE} + s AS BIGINT) AS k,
+               ('0x' || substr(md5(array_to_string(
+                    list_slice(ts, s, s + {_LINE_W - 1}), ' ')),
+                    1, 15))::BIGINT AS h
+        FROM (SELECT doc_id, lang, ts,
+                     unnest(range(1, CAST(len(ts) AS INTEGER) + 1,
+                                  {_LINE_W})) AS s
+              FROM t)
+        WHERE len(list_slice(ts, s, s + {_LINE_W - 1})) = {_LINE_W}
+    ),
+    firsts AS (SELECT h, min(k) AS first_k FROM ch GROUP BY h)
+    SELECT doc_id, lang,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN k <> first_k THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           CAST((1000000 * sum(CASE WHEN k <> first_k THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS removed_ppm
+    FROM ch JOIN firsts USING (h)
+    GROUP BY doc_id, lang
+    """,
+)
+def q_llm_paragraph_dedup(spark, sf_dir):
+    """C112: LINE-level exact dedup with REMOVAL accounting — the CCNet /
+    RefinedWeb line-dedup pass (Wenzek et al. 2020): every occurrence of a
+    repeated line EXCEPT the globally first is removed, and each doc
+    reports how much of it survives. Distinct from C104 (which only
+    measures shared-chunk density): this is the mutation ledger — per doc,
+    how many lines the pass deletes — so removal totals reconcile exactly
+    across the corpus (sum(n_removed) = occurrences - distinct lines).
+    "Lines" are non-overlapping {_LINE_W}-token segments — the
+    deterministic stand-in for newline splits (fixture text is
+    single-line); swapping in split-on-newline changes one expression.
+    First-occurrence is the smallest (doc_id, position) occurrence key
+    (doc_id*{_LINE_KEY_BASE}+pos BIGINT) — total order, engine-invariant.
+
+    Scale: the line string never rides an exchange — the first-occurrence
+    rollup and the join back both key on the 60-bit md5 prefix (C104
+    idiom), shuffling (8-byte hash, BIGINT key) pairs; the per-doc rollup
+    partial-aggregates map-side. min(k) is a single-pass map-side-combine
+    aggregate — no window over corpus-scale data anywhere."""
+    t = parallel_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("ts"),
+    )
+    ch = (
+        t.select(
+            "doc_id",
+            "lang",
+            "ts",
+            F.explode(
+                F.expr(f"sequence(1, greatest(1, size(ts)), {_LINE_W})")
+            ).alias("s"),
+        )
+        .where(F.size(F.slice("ts", F.col("s"), _LINE_W)) == _LINE_W)
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("doc_id") * _LINE_KEY_BASE + F.col("s"))
+            .cast("bigint")
+            .alias("k"),
+            F.expr(
+                f"cast(conv(substring(md5(array_join("
+                f"slice(ts, s, {_LINE_W}), ' ')), 1, 15), 16, 10) "
+                f"as bigint)"
+            ).alias("h"),
+        )
+    )
+    firsts = ch.groupBy("h").agg(F.min("k").alias("first_k"))
+    removed = (F.col("k") != F.col("first_k")).cast("bigint")
+    per_doc = (
+        ch.join(firsts, "h")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(removed).alias("n_removed"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "lang",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_removed").cast("bigint").alias("n_removed"),
+        F.expr("CAST((1000000 * n_removed) div n_lines AS BIGINT)").alias(
+            "removed_ppm"
+        ),
     )

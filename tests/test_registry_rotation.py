@@ -41,6 +41,8 @@ ROUND7_RECHECK = frozenset({"q_cusum_changepoint"})
 ROUND7_NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
         "q_llm_substring_dup",
+        "q_llm_span_coverage",
+        "q_llm_paragraph_dedup",
     }
 )
 
