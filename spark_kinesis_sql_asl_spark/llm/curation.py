@@ -13,7 +13,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import table
+from ..tables import parallel_table, table
 
 # md5-prefix sampling: substr(md5(text),1,2) < '1a' keeps 26/256 ~ 10.2%.
 _SAMPLE_BOUND = "1a"
@@ -1052,4 +1052,80 @@ def q_llm_token_budget(spark, sf_dir):
             "((b - kt) * element_at(arr, p).w) div (wt - wsat)) AS BIGINT)"
         ).alias("allocation"),
         (F.col("p") <= F.col("t")).alias("saturated"),
+    )
+
+
+# --- C115: quality-proportional rejection sampling ---------------------------
+
+
+@query(
+    "q_llm_rejection_sample",
+    priority=30,
+    oracle="""
+    WITH feat AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+                   AS n_tok,
+               CAST((1000000 * len(list_distinct(
+                        string_split(coalesce(text, ''), ' '))))
+                    // len(string_split(coalesce(text, ''), ' '))
+                    AS BIGINT) AS q_ppm,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   ::BIGINT % 1000000 AS u_ppm
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN u_ppm < q_ppm THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST((1000000 * sum(CASE WHEN u_ppm < q_ppm THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS accept_ppm,
+           CAST(sum(CASE WHEN u_ppm < q_ppm THEN n_tok ELSE 0 END)
+                AS BIGINT) AS kept_tokens
+    FROM feat GROUP BY source
+    """,
+)
+def q_llm_rejection_sample(spark, sf_dir):
+    """C115: quality-PROPORTIONAL subsampling by deterministic rejection —
+    each doc is kept with probability equal to its quality score (the C31
+    distinct-token ppm), decided by comparing the score against a
+    hash-derived uniform (60-bit md5 of the doc_id, mod 1e6 — the C25
+    hash-gate idiom). The soft alternative to a hard quality threshold
+    (C17-style cutoffs): low-quality docs are downsampled in proportion
+    instead of cliff-dropped, which preserves distribution tails — the
+    standard trick behind quality-weighted corpus mixes. Deterministic:
+    the same doc makes the same decision on every engine, executor and
+    re-run, so the sample is reproducible and the oracle can check it
+    exactly. Per-source acceptance report + kept token mass.
+
+    Scale: the keep decision is a scan-stage predicate on each row (two
+    md5s, integer compare) — no shuffle until the |sources|-row rollup,
+    which partial-aggregates map-side. Nothing but (source, BIGINTs)
+    rides the exchange."""
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    q_ppm = F.expr(
+        "CAST((1000000 * size(array_distinct(split(coalesce(text, ''), "
+        "' ')))) div size(split(coalesce(text, ''), ' ')) AS BIGINT)"
+    )
+    u_ppm = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) "
+        "as bigint) % 1000000"
+    )
+    feat = parallel_table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        q_ppm.alias("q_ppm"),
+        u_ppm.alias("u_ppm"),
+    )
+    kept = (F.col("u_ppm") < F.col("q_ppm")).cast("bigint")
+    return feat.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(kept).cast("bigint").alias("n_kept"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN u_ppm < q_ppm THEN 1 ELSE 0 "
+            "END)) div count(1) AS BIGINT)"
+        ).alias("accept_ppm"),
+        F.sum(F.when(kept == 1, F.col("n_tok")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("kept_tokens"),
     )

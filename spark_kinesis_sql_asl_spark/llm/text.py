@@ -11,7 +11,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import table
+from ..tables import parallel_table, table
 
 _STOPWORDS = ("a", "the")
 
@@ -1038,4 +1038,235 @@ def q_llm_heaps_fit(spark, sf_dir):
         "total_tokens",
         "vocab",
         F.round(slope, 6).alias("heaps_beta"),
+    )
+
+
+# --- C113: template mining (shared head+tail frames) -------------------------
+
+_TMPL_AFFIX = 6  # tokens of shared prefix/suffix that define a template
+_TMPL_MIN_TOKS = 16  # donor/doc length floor (affixes must not overlap)
+_TMPL_MIN_DOCS = 3  # cluster size to call it a template
+_TMPL_OFFSET = 900_000  # injected form-letter fills (C1 convention)
+_TMPL_COPIES = 3  # synthetic fills per every-8th donor
+
+
+@query(
+    "q_llm_template_mine",
+    priority=30,
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               string_split(coalesce(text, ''), ' ') AS ts
+        FROM documents
+        WHERE len(string_split(coalesce(text, ''), ' '))
+              >= {_TMPL_MIN_TOKS}
+    ),
+    corpus AS (
+        SELECT doc_id, source, ts FROM base
+        UNION ALL
+        SELECT {_TMPL_OFFSET} + doc_id * 10 + j, source,
+               list_concat(
+                   list_slice(ts, 1, {_TMPL_AFFIX}),
+                   list_concat(
+                       ['fill', CAST(doc_id * 10 + j AS VARCHAR)],
+                       list_slice(ts, len(ts) - {_TMPL_AFFIX} + 1,
+                                  len(ts))))
+        FROM base, (SELECT unnest(range(1, {_TMPL_COPIES + 1})) AS j)
+        WHERE doc_id % 8 = 0
+    ),
+    k AS (
+        SELECT doc_id, source, CAST(len(ts) AS BIGINT) AS n_toks,
+               ('0x' || substr(md5(array_to_string(
+                    list_slice(ts, 1, {_TMPL_AFFIX}), ' ')),
+                    1, 15))::BIGINT AS head_h,
+               ('0x' || substr(md5(array_to_string(
+                    list_slice(ts, len(ts) - {_TMPL_AFFIX} + 1, len(ts)),
+                    ' ')), 1, 15))::BIGINT AS tail_h
+        FROM corpus
+    )
+    SELECT head_h, tail_h,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(min(doc_id) AS BIGINT) AS exemplar_id,
+           CAST(sum(n_toks - 2 * {_TMPL_AFFIX}) // count(*) AS BIGINT)
+               AS avg_fill_tokens
+    FROM k GROUP BY head_h, tail_h
+    HAVING count(*) >= {_TMPL_MIN_DOCS}
+    """,
+)
+def q_llm_template_mine(spark, sf_dir):
+    """C113: TEMPLATE mining — clusters of documents sharing their first
+    {_TMPL_AFFIX} and last {_TMPL_AFFIX} tokens (form letters, generated
+    product pages, boilerplate wrappers with a varying middle). The
+    generated-text detector that every span operator misses by design:
+    the shared affixes can be SHORTER than any C110 span or C104 chunk,
+    and the middles are genuinely different text, so near-dup scores stay
+    low while the corpus quietly fills with one template. Clusters key on
+    (head-hash, tail-hash); report size, source spread, the smallest
+    exemplar id, and the average fill length (floor). The fixture corpus
+    gains {_TMPL_COPIES} synthetic fills of every 8th long doc (head +
+    'fill <id>' + tail, C1 injection convention) so the operator's target
+    exists at every SF; cluster membership includes the donor itself.
+
+    Scale: ONE corpus scan computes both affix hashes beside the read —
+    no token explode at all; the single shuffle is the (head_h, tail_h)
+    rollup carrying two 8-byte hashes + BIGINTs per doc (text never rides
+    the exchange); count/min/sum partial-aggregate map-side. Output is
+    bounded by template count, not corpus size."""
+    base = parallel_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("ts"),
+    ).where(F.size("ts") >= _TMPL_MIN_TOKS)
+    fills = base.where(F.col("doc_id") % 8 == 0).crossJoin(
+        F.broadcast(
+            base.sparkSession.range(1, _TMPL_COPIES + 1).select(
+                F.col("id").alias("j")
+            )
+        )
+    ).select(
+        (F.lit(_TMPL_OFFSET) + F.col("doc_id") * 10 + F.col("j")).alias(
+            "doc_id"
+        ),
+        "source",
+        F.expr(
+            f"concat(slice(ts, 1, {_TMPL_AFFIX}), "
+            f"array('fill', cast(doc_id * 10 + j as string)), "
+            f"slice(ts, size(ts) - {_TMPL_AFFIX} + 1, {_TMPL_AFFIX}))"
+        ).alias("ts"),
+    )
+    corpus = base.unionByName(fills)
+    h = lambda e: F.expr(
+        f"cast(conv(substring(md5({e}), 1, 15), 16, 10) as bigint)"
+    )
+    k = corpus.select(
+        "doc_id",
+        "source",
+        F.size("ts").cast("bigint").alias("n_toks"),
+        h(f"array_join(slice(ts, 1, {_TMPL_AFFIX}), ' ')").alias("head_h"),
+        h(
+            f"array_join(slice(ts, size(ts) - {_TMPL_AFFIX} + 1, "
+            f"{_TMPL_AFFIX}), ' ')"
+        ).alias("tail_h"),
+    )
+    return (
+        k.groupBy("head_h", "tail_h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").cast("bigint").alias("exemplar_id"),
+            F.expr(
+                f"CAST(sum(n_toks - {2 * _TMPL_AFFIX}) div count(1) "
+                f"AS BIGINT)"
+            ).alias("avg_fill_tokens"),
+        )
+        .where(F.col("n_docs") >= _TMPL_MIN_DOCS)
+    )
+
+
+# --- C114: n-gram novelty decay (corpus saturation curve) --------------------
+
+_NOV_N = 8  # gram width (tokens), overlapping — the C110 shingle width
+
+
+@query(
+    "q_llm_ngram_novelty_decay",
+    priority=30,
+    oracle=f"""
+    WITH g AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(array_to_string(
+                    list_slice(ts, pos, pos + {_NOV_N - 1}), ' ')),
+                    1, 15))::BIGINT AS h
+        FROM (SELECT doc_id, ts,
+                     unnest(range(1, CAST(len(ts) AS INTEGER)
+                                     - {_NOV_N} + 2)) AS pos
+              FROM (SELECT doc_id,
+                           string_split(coalesce(text, ''), ' ') AS ts
+                    FROM documents)
+              WHERE len(ts) >= {_NOV_N})
+    ),
+    firsts AS (SELECT h, min(doc_id) AS first_doc FROM g GROUP BY h),
+    per_doc AS (
+        SELECT g.doc_id,
+               count(*) AS n_grams,
+               sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                   AS n_novel
+        FROM g JOIN firsts f USING (h)
+        GROUP BY g.doc_id
+    )
+    SELECT CAST(length(bin(doc_id + 1)) AS BIGINT) AS octave,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_grams) AS BIGINT) AS n_grams,
+           CAST(sum(n_novel) AS BIGINT) AS n_novel,
+           CAST((1000000 * sum(n_novel)) // sum(n_grams) AS BIGINT)
+               AS novelty_ppm
+    FROM per_doc
+    GROUP BY length(bin(doc_id + 1))
+    """,
+)
+def q_llm_ngram_novelty_decay(spark, sf_dir):
+    """C114: corpus SATURATION curve — the fraction of each ingestion
+    octave's distinct {_NOV_N}-grams never seen in any earlier document
+    (doc_id = ingestion order, octaves = doubling windows via the
+    `length(bin())` identity, C48/C51). The diminishing-returns readout
+    data acquisition is planned from: when novelty_ppm flattens, new data
+    from this stream buys repetition, not coverage (the C108 Heaps fit is
+    the parametric twin; this is the raw curve it fits). First-occurrence
+    attribution is exact min(doc_id) per gram — the same accounting as
+    C112's line ledger, one level down.
+
+    Scale: gram strings reduce to 60-bit hashes at the scan; the distinct
+    and the min(doc_id) rollup shuffle (8-byte hash, BIGINT) pairs and
+    both partial-aggregate map-side; per-doc and per-octave rollups are
+    downstream of corpus-scale data. ~10 output rows."""
+    g = (
+        parallel_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("ts"),
+        )
+        .where(F.size("ts") >= _NOV_N)
+        .select(
+            "doc_id",
+            "ts",
+            F.explode(
+                F.expr(f"sequence(1, size(ts) - {_NOV_N} + 1)")
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"cast(conv(substring(md5(array_join("
+                f"slice(ts, pos, {_NOV_N}), ' ')), 1, 15), 16, 10) "
+                f"as bigint)"
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    firsts = g.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        g.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("bigint")
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.groupBy(
+            F.length(F.bin(F.col("doc_id") + 1)).cast("bigint").alias(
+                "octave"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_grams").cast("bigint").alias("n_grams"),
+            F.sum("n_novel").cast("bigint").alias("n_novel"),
+            F.expr(
+                "CAST((1000000 * sum(n_novel)) div sum(n_grams) AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
     )

@@ -43,6 +43,9 @@ ROUND7_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_llm_substring_dup",
         "q_llm_span_coverage",
         "q_llm_paragraph_dedup",
+        "q_llm_template_mine",
+        "q_llm_ngram_novelty_decay",
+        "q_llm_rejection_sample",
     }
 )
 
