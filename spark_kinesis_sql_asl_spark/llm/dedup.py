@@ -137,6 +137,7 @@ def prefix_filtered_jaccard(
     hash_tokens: bool = False,
     auto_vocab_max: int = _AUTO_DF_VOCAB_MAX,
     order_cache_key: str | None = None,
+    return_scored: bool = False,
 ):
     """Exact set-similarity self-join (Jaccard >= tau) via PPJoin-style
     prefix filtering (Xiao et al., WWW 2008).
@@ -301,6 +302,11 @@ def prefix_filtered_jaccard(
         # filter and the output expression (2x measured). Materializing the
         # scored pairs (small: ids + 3 ints) forces single evaluation.
         scored = scored.localCheckpoint(eager=True)
+    if return_scored:
+        # raw (doc_a, doc_b, sa, sb, i) for consumers that sweep MULTIPLE
+        # thresholds >= tau with exact integer compares (C116): recall is
+        # complete for any tau' >= tau by PPJoin exactness at tau.
+        return scored
     jac = F.col("i") * 1.0 / (F.col("sa") + F.col("sb") - F.col("i"))
     return (
         scored.where(jac >= tau)
@@ -927,4 +933,137 @@ def q_llm_dedup_normalized(spark, sf_dir):
             F.min("doc_id").alias("exemplar_doc"),
         )
         .where(F.col("n_docs") > 1)
+    )
+
+
+# --- C116: dedup yield curve (threshold sweep over C2's exact pairs) ---------
+
+_YC_PCTS = (80, 85, 90, 95)  # Jaccard thresholds (percent) swept
+
+
+@query(
+    "q_llm_dedup_yield_curve",
+    priority=30,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM toks a
+        JOIN toks b ON a.tok = b.tok AND a.lang = b.lang
+                   AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b, i, sa.sz AS sa, sb.sz AS sb
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE 100 * i >= {int(_JACCARD_TAU * 100)} * (sa.sz + sb.sz - i)
+    ),
+    t AS (SELECT CAST(unnest([{", ".join(str(p) for p in _YC_PCTS)}])
+                      AS BIGINT) AS tau_pct),
+    qual AS (
+        SELECT t.tau_pct, p.doc_a, p.doc_b, p.sb
+        FROM pairs p JOIN t ON 100 * p.i >= t.tau_pct * (p.sa + p.sb - p.i)
+    ),
+    pa AS (SELECT tau_pct, CAST(count(*) AS BIGINT) AS n_pairs
+           FROM qual GROUP BY tau_pct),
+    da AS (
+        SELECT tau_pct, CAST(count(*) AS BIGINT) AS n_dropped,
+               CAST(sum(sb) AS BIGINT) AS tokens_dropped
+        FROM (SELECT DISTINCT tau_pct, doc_b, sb FROM qual)
+        GROUP BY tau_pct
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT t.tau_pct,
+           coalesce(pa.n_pairs, 0) AS n_pairs,
+           coalesce(da.n_dropped, 0) AS n_dropped,
+           coalesce(da.tokens_dropped, 0) AS tokens_dropped,
+           CAST((1000000 * coalesce(da.n_dropped, 0)) // tot.n_docs
+                AS BIGINT) AS drop_ppm
+    FROM t LEFT JOIN pa USING (tau_pct) LEFT JOIN da USING (tau_pct), tot
+    """,
+)
+def q_llm_dedup_yield_curve(spark, sf_dir):
+    """C116: the dedup YIELD CURVE — how many pairs, docs and tokens each
+    Jaccard threshold in {_YC_PCTS} would remove, from ONE pass of C2's
+    exact PPJoin pair machinery at the loosest threshold. The
+    tau-selection readout every dedup deployment needs (pick tau where
+    the curve's knee sits) — without it the threshold is folklore. Drop
+    rule is the deterministic keep-smallest-id convention (doc_b of a
+    qualifying pair is dropped — C1's canonical-survivor rule); thresholds
+    compare EXACTLY via cross-multiplication (100*i >= pct*(union)), so
+    no float boundary can flip a pair between engines. Zero-yield
+    thresholds still report (LEFT JOIN from the threshold spine).
+
+    Scale: one candidate generation + one exact verify at tau=0.8 serves
+    ALL thresholds (monotonicity: pairs at pct >= 80 are a subset — PPJoin
+    recall at the loosest tau is complete for every tighter one); the
+    sweep itself is a broadcast of a 4-row threshold spine against the
+    (ids, 3 BIGINTs) pair list — no second corpus pass, no extra shuffle
+    beyond the ~|pairs| rollups."""
+    d = parallel_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(F.split("text", " ")).alias("tokset"),
+    )
+    scored = prefix_filtered_jaccard(
+        docs, _JACCARD_TAU, reuse=True, return_scored=True
+    ).where(
+        100 * F.col("i")
+        >= int(_JACCARD_TAU * 100) * (F.col("sa") + F.col("sb") - F.col("i"))
+    )
+    def _spine():
+        return F.broadcast(
+            spark.range(1)
+            .select(
+                F.explode(F.array(*[F.lit(p) for p in _YC_PCTS])).alias("p")
+            )
+            .select(F.col("p").cast("bigint").alias("tau_pct"))
+        )
+
+    qual = scored.join(
+        _spine(),
+        100 * F.col("i")
+        >= F.col("tau_pct") * (F.col("sa") + F.col("sb") - F.col("i")),
+    ).select("tau_pct", "doc_a", "doc_b", "sb")
+    pa = qual.groupBy("tau_pct").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    da = (
+        qual.select("tau_pct", "doc_b", "sb")
+        .distinct()
+        .groupBy("tau_pct")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dropped"),
+            F.sum("sb").cast("bigint").alias("tokens_dropped"),
+        )
+    )
+    tot = F.broadcast(
+        d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    return (
+        _spine().join(pa, "tau_pct", "left")
+        .join(da, "tau_pct", "left")
+        .crossJoin(tot)
+        .select(
+            "tau_pct",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_dropped", F.lit(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.coalesce("tokens_dropped", F.lit(0))
+            .cast("bigint")
+            .alias("tokens_dropped"),
+            F.expr(
+                "CAST((1000000 * coalesce(n_dropped, 0)) div n_docs "
+                "AS BIGINT)"
+            ).alias("drop_ppm"),
+        )
     )

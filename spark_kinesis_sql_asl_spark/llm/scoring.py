@@ -417,3 +417,133 @@ def q_llm_dsir_weight(spark, sf_dir):
             (F.col("logw_oct") >= 0).alias("keep"),
         )
     )
+
+
+# --- C117: isotonic quality calibration (window-free exact PAVA) -------------
+
+_ISO_BUCKET_PPM = 50_000  # score-bucket width: 21 buckets over [0, 1e6]
+
+
+@query(
+    "q_llm_quality_isotonic",
+    priority=30,
+    oracle=f"""
+    WITH feat AS (
+        SELECT (1000000 * len(list_filter(
+                    string_split(coalesce(text, ''), ' '),
+                    t -> t IN ('a', 'the')))
+                // len(string_split(coalesce(text, ''), ' ')))
+                // {_ISO_BUCKET_PPM} AS bucket,
+               CASE WHEN source IN {_TRUSTED_SOURCES!r} THEN 1 ELSE 0 END
+                   AS pos
+        FROM documents
+    ),
+    b AS (
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS p
+        FROM feat GROUP BY bucket
+    ),
+    jk AS (
+        SELECT j.bucket AS jb, k.bucket AS kb,
+               CAST((1000000 * sum(m.p)) // sum(m.n) AS BIGINT) AS v
+        FROM b j JOIN b k ON j.bucket <= k.bucket
+        JOIN b m ON m.bucket BETWEEN j.bucket AND k.bucket
+        GROUP BY j.bucket, k.bucket
+    ),
+    inner_min AS (
+        SELECT i.bucket, jk.jb, min(jk.v) AS mn
+        FROM b i JOIN jk ON jk.jb <= i.bucket AND jk.kb >= i.bucket
+        GROUP BY i.bucket, jk.jb
+    ),
+    iso AS (
+        SELECT bucket, CAST(max(mn) AS BIGINT) AS iso_ppm
+        FROM inner_min GROUP BY bucket
+    )
+    SELECT b.bucket, b.n AS n_docs, b.p AS n_trusted,
+           CAST((1000000 * b.p) // b.n AS BIGINT) AS raw_ppm,
+           iso.iso_ppm
+    FROM b JOIN iso USING (bucket)
+    """,
+)
+def q_llm_quality_isotonic(spark, sf_dir):
+    """C117: ISOTONIC calibration of the quality signal — fit the best
+    monotone-non-decreasing map from score bucket to P(trusted), the
+    standard way a raw quality score becomes a usable keep-probability
+    (C105 measures whether the score ranks well; this converts it into
+    calibrated probabilities a C115-style sampler can consume). The fit
+    is exact PAVA via the min-max identity iso_i = max_(j<=i) min_(k>=i)
+    mean(y[j..k]) evaluated on the {1_000_000 // _ISO_BUCKET_PPM + 1}
+    score buckets, with bucket-range means floor-quantized to ppm BIGINTs
+    before the lattice (1-ppm resolution; every comparison is integer —
+    no float can flip an engine). Raw vs isotonic ppm per bucket is the
+    direct readout of where the score inverts (raw dips that the fit
+    flattens are exactly the score's miscalibrated regions).
+
+    Scale & the r6 window rule: the corpus-scale work is ONE scan-stage
+    rollup to <=21 (bucket, n, p) rows; the whole min-max lattice is
+    triangle joins on that tiny frame (<=21^3 rows, all broadcast) —
+    deliberately WINDOW-FREE, so no partitionless window node exists for
+    the blanket plan test to flag, at any corpus size."""
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("a", "the")))
+    bucket = F.expr(
+        f"CAST(((1000000 * n_stop) div n_tok) div {_ISO_BUCKET_PPM} "
+        f"AS BIGINT)"
+    )
+    feat = (
+        table(spark, sf_dir, "documents")
+        .select(
+            n_stop.alias("n_stop"),
+            F.size(toks).alias("n_tok"),
+            F.coalesce(
+                F.col("source").isin(*_TRUSTED_SOURCES), F.lit(False)
+            )
+            .cast("int")
+            .alias("pos"),
+        )
+        .select(bucket.alias("bucket"), "pos")
+    )
+    b = F.broadcast(
+        feat.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("p"),
+        )
+    )
+    jk = (
+        b.select(F.col("bucket").alias("jb"))
+        .join(b.select(F.col("bucket").alias("kb")), F.col("jb") <= F.col("kb"))
+        .join(
+            b.select(
+                F.col("bucket").alias("mb"),
+                F.col("n").alias("mn_"),
+                F.col("p").alias("mp_"),
+            ),
+            (F.col("mb") >= F.col("jb")) & (F.col("mb") <= F.col("kb")),
+        )
+        .groupBy("jb", "kb")
+        .agg(
+            F.expr("CAST((1000000 * sum(mp_)) div sum(mn_) AS BIGINT)").alias(
+                "v"
+            )
+        )
+    )
+    inner_min = (
+        b.select(F.col("bucket"))
+        .join(
+            jk,
+            (F.col("jb") <= F.col("bucket")) & (F.col("kb") >= F.col("bucket")),
+        )
+        .groupBy("bucket", "jb")
+        .agg(F.min("v").alias("mn"))
+    )
+    iso = inner_min.groupBy("bucket").agg(
+        F.max("mn").cast("bigint").alias("iso_ppm")
+    )
+    return b.join(iso, "bucket").select(
+        "bucket",
+        F.col("n").alias("n_docs"),
+        F.col("p").alias("n_trusted"),
+        F.expr("CAST((1000000 * p) div n AS BIGINT)").alias("raw_ppm"),
+        "iso_ppm",
+    )

@@ -796,3 +796,96 @@ def q_agg_skew_kurtosis(spark, sf_dir):
         ),
         F.round(m4 / (m2 * m2) - 3.0, 6).alias("exkurt_g2"),
     )
+
+
+# --- B133: Herfindahl-Hirschman concentration index --------------------------
+
+
+@query(
+    "q_agg_hhi",
+    priority=30,
+    oracle="""
+    WITH rev AS (
+        SELECT r.r_name, s.s_suppkey,
+               CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE l.l_extendedprice IS NOT NULL
+        GROUP BY r.r_name, s.s_suppkey
+    ),
+    tot AS (
+        SELECT r_name, CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM rev GROUP BY r_name
+    ),
+    sh AS (
+        SELECT rev.r_name,
+               (10000 * rev.cents) // tot.total_cents AS bps
+        FROM rev JOIN tot ON rev.r_name IS NOT DISTINCT FROM tot.r_name
+    )
+    SELECT r_name,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(max(bps) AS BIGINT) AS top_share_bps,
+           CAST(sum(bps * bps) AS BIGINT) AS hhi
+    FROM sh GROUP BY r_name
+    """,
+)
+def q_agg_hhi(spark, sf_dir):
+    """B133: Herfindahl-Hirschman INDEX of supplier revenue concentration
+    per region — the antitrust/market-structure statistic (sum of squared
+    market shares; 10000-scale convention: >2500 = highly concentrated)
+    that complements the B118 Gini (inequality of a distribution) with the
+    concentration-of-power readout procurement and risk teams act on.
+    Shares are exact basis points via integer floor division of floor-cent
+    revenues (the D2 canary rule), so hhi = sum(bps^2) is a pure BIGINT —
+    no float share can drift an engine; max(bps) doubles as the top-1
+    dominance readout.
+
+    Plan/scale: ONE lineitem-scale shuffle (the (region, supplier)
+    rollup with map-side partial sums); supplier/nation/region dims all
+    broadcast; the totals join and both downstream rollups run on the
+    |suppliers|-row frame. NULL-safe region join so an unmapped region
+    group survives adversarial fixtures."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_extendedprice").isNotNull())
+        .select(
+            "l_suppkey",
+            F.floor(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    s = F.broadcast(
+        table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    n = F.broadcast(
+        table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    )
+    r = F.broadcast(
+        table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    )
+    rev = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "s_suppkey")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    tot = rev.groupBy("r_name").agg(
+        F.sum("cents").cast("bigint").alias("total_cents")
+    ).withColumnRenamed("r_name", "t_r_name")
+    sh = rev.join(
+        F.broadcast(tot),
+        F.col("r_name").eqNullSafe(F.col("t_r_name")),
+    ).select(
+        "r_name",
+        F.expr("(10000 * cents) div total_cents").alias("bps"),
+    )
+    return sh.groupBy("r_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.max("bps").cast("bigint").alias("top_share_bps"),
+        F.sum(F.col("bps") * F.col("bps")).cast("bigint").alias("hhi"),
+    )

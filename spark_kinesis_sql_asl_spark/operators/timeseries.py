@@ -475,3 +475,147 @@ def q_cusum_changepoint(spark, sf_dir):
             "alarm"
         ),
     )
+
+
+# --- B132: integer EWMA fast/slow crossover --------------------------------
+
+# EWMA smoothing as exact integer recurrences (alpha = 1/4 and 1/16):
+# E_t = E_(t-1) + (x_t - E_(t-1)) div a. Spark `div` and DuckDB `//` both
+# truncate toward zero on negatives (pinned by the D7 canary), so the two
+# engines walk identical integer trajectories.
+_EWMA_FAST_DIV = 4
+_EWMA_SLOW_DIV = 16
+
+
+@query(
+    "q_ts_ewma_cross",
+    priority=30,
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT n.n_name,
+               date_trunc('day', o.o_orderdate) AS day,
+               CAST(sum(CAST(round(100 * o.o_totalprice) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate IS NOT NULL AND o.o_totalprice IS NOT NULL
+        GROUP BY n.n_name, date_trunc('day', o.o_orderdate)
+    ),
+    idx AS (
+        SELECT n_name, day, cents,
+               CAST(row_number() OVER (
+                   PARTITION BY n_name ORDER BY day) AS BIGINT) AS rn
+        FROM daily
+    ),
+    rec AS (
+        SELECT n_name, rn, cents AS f, cents AS s,
+               CAST(0 AS BIGINT) AS ncross,
+               CAST(NULL AS TIMESTAMP) AS fc
+        FROM idx WHERE rn = 1
+        UNION ALL
+        SELECT i.n_name, i.rn,
+               r.f + (i.cents - r.f) // {_EWMA_FAST_DIV},
+               r.s + (i.cents - r.s) // {_EWMA_SLOW_DIV},
+               r.ncross + CASE WHEN
+                   r.f + (i.cents - r.f) // {_EWMA_FAST_DIV}
+                     > r.s + (i.cents - r.s) // {_EWMA_SLOW_DIV}
+                   AND r.f <= r.s THEN 1 ELSE 0 END,
+               coalesce(r.fc, CASE WHEN
+                   r.f + (i.cents - r.f) // {_EWMA_FAST_DIV}
+                     > r.s + (i.cents - r.s) // {_EWMA_SLOW_DIV}
+                   AND r.f <= r.s THEN i.day END)
+        FROM rec r JOIN idx i
+          ON i.n_name IS NOT DISTINCT FROM r.n_name AND i.rn = r.rn + 1
+    ),
+    last AS (
+        SELECT r.n_name, r.rn, r.f, r.s, r.ncross, r.fc
+        FROM rec r
+        JOIN (SELECT n_name, max(rn) AS mx FROM rec GROUP BY n_name) m
+          ON r.n_name IS NOT DISTINCT FROM m.n_name AND r.rn = m.mx
+    )
+    SELECT n_name, rn AS n_days, f AS fast_cents, s AS slow_cents,
+           ncross AS n_cross_up, fc AS first_cross_day
+    FROM last
+    """,
+)
+def q_ts_ewma_cross(spark, sf_dir):
+    """B132: EWMA fast/slow CROSSOVER detection over daily order revenue
+    per nation — the trend-turn signal (fast EWMA alpha=1/{_EWMA_FAST_DIV}
+    crossing above slow alpha=1/{_EWMA_SLOW_DIV}) that complements B131's
+    CUSUM level-shift alarm: CUSUM fires on sustained exceedance of a
+    FIXED baseline, the crossover fires when the recent trend overtakes
+    the long-run trend, baseline-free. Both EWMAs run as exact integer
+    recurrences (truncating div — the D7 canary pins that Spark `div` and
+    DuckDB `//` agree on negatives), so the trajectories are bit-identical
+    on every engine — no float smoothing constant anywhere. Reports final
+    fast/slow levels, the up-cross count and the first up-cross day.
+
+    Scale: identical shape to B131 — the daily rollup is the only
+    order-scale stage (one shuffle, dims broadcast); the fold state per
+    nation is 5 BIGINTs over a calendar-bounded array (~2.4k days). The
+    oracle walks the same recurrence via a recursive CTE (per-nation
+    row_number spine) — NOT list_reduce, whose outer-reference handling
+    DuckDB 1.0.0 gets wrong (the r6 cusum lesson)."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .select(
+            "o_custkey",
+            F.date_trunc("day", "o_orderdate").alias("day"),
+            F.expr("CAST(round(100 * o_totalprice) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+    )
+    c = F.broadcast(
+        table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    n = F.broadcast(
+        table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "day")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    g = daily.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, cents))), "
+            "e -> named_struct('x', e.cents, 'd', e.day))"
+        ).alias("arr"),
+    )
+    nf = f"a.f + (e.x - a.f) div {_EWMA_FAST_DIV}"
+    ns = f"a.s + (e.x - a.s) div {_EWMA_SLOW_DIV}"
+    crossed = f"({nf} > {ns} AND a.f <= a.s)"
+    folded = g.select(
+        "n_name",
+        "n_days",
+        F.expr(
+            "aggregate(arr, "
+            "named_struct('f', CAST(NULL AS BIGINT), "
+            "'s', CAST(NULL AS BIGINT), "
+            "'ncross', CAST(0 AS BIGINT), "
+            "'fc', CAST(NULL AS TIMESTAMP)), "
+            "(a, e) -> IF(a.f IS NULL, "
+            "named_struct('f', e.x, 's', e.x, "
+            "'ncross', CAST(0 AS BIGINT), 'fc', CAST(NULL AS TIMESTAMP)), "
+            f"named_struct('f', {nf}, 's', {ns}, "
+            f"'ncross', a.ncross + IF({crossed}, 1, 0), "
+            f"'fc', coalesce(a.fc, IF({crossed}, e.d, "
+            "CAST(NULL AS TIMESTAMP))))))"
+        ).alias("st"),
+    )
+    return folded.select(
+        "n_name",
+        "n_days",
+        F.col("st.f").alias("fast_cents"),
+        F.col("st.s").alias("slow_cents"),
+        F.col("st.ncross").alias("n_cross_up"),
+        F.col("st.fc").alias("first_cross_day"),
+    )

@@ -217,3 +217,91 @@ def q_win_nth_value(spark, sf_dir):
             "third_price"
         ),
     )
+
+
+# --- B134: month-over-month growth (lag window, exact basis points) ----------
+
+
+@query(
+    "q_win_mom_growth",
+    priority=30,
+    oracle="""
+    WITH monthly AS (
+        SELECT n.n_name,
+               CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP)
+                   AS month,
+               CAST(sum(CAST(round(100 * o.o_totalprice) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate IS NOT NULL AND o.o_totalprice IS NOT NULL
+        GROUP BY n.n_name, date_trunc('month', o.o_orderdate)
+    ),
+    lagged AS (
+        SELECT n_name, month, rev_cents,
+               lag(rev_cents) OVER (
+                   PARTITION BY n_name ORDER BY month) AS prev_cents
+        FROM monthly
+    )
+    SELECT n_name, month, rev_cents, prev_cents,
+           CASE WHEN prev_cents > 0
+                THEN ((rev_cents - prev_cents) * 10000) // prev_cents
+                END AS growth_bps
+    FROM lagged
+    """,
+)
+def q_win_mom_growth(spark, sf_dir):
+    """B134: month-over-month revenue growth per nation in exact basis
+    points — the period-over-period KPI every revenue dashboard leads
+    with, as a lag() window over the monthly rollup. Growth is integer
+    cross-multiplied ((delta * 10000) div prev — truncating div, the D7
+    canary class, since deltas go negative) so no engine's float division
+    can flip a boundary month; the first month and zero-revenue months
+    report NULL growth rather than a fabricated number (guard mirrors the
+    D11 try_divide rule).
+
+    Plan/scale: the orders-scale rollup is the only big shuffle (dims
+    broadcast, map-side partial sums); the lag window rides a
+    (nation)-partitioned exchange over the |nations|x|months| frame —
+    bounded by the calendar, never by row count."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .select(
+            "o_custkey",
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            F.expr("CAST(round(100 * o_totalprice) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+    )
+    c = F.broadcast(
+        table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    n = F.broadcast(
+        table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "month")
+        .agg(F.sum("cents").cast("bigint").alias("rev_cents"))
+    )
+    w = Window.partitionBy("n_name").orderBy("month")
+    lagged = monthly.withColumn(
+        "prev_cents", F.lag("rev_cents").over(w)
+    )
+    return lagged.select(
+        "n_name",
+        "month",
+        "rev_cents",
+        "prev_cents",
+        F.when(
+            F.col("prev_cents") > 0,
+            F.expr("((rev_cents - prev_cents) * 10000) div prev_cents"),
+        ).alias("growth_bps"),
+    )

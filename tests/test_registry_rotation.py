@@ -46,6 +46,11 @@ ROUND7_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_llm_template_mine",
         "q_llm_ngram_novelty_decay",
         "q_llm_rejection_sample",
+        "q_llm_dedup_yield_curve",
+        "q_llm_quality_isotonic",
+        "q_ts_ewma_cross",
+        "q_agg_hhi",
+        "q_win_mom_growth",
     }
 )
 
