@@ -1067,3 +1067,103 @@ def q_llm_dedup_yield_curve(spark, sf_dir):
             ).alias("drop_ppm"),
         )
     )
+
+
+# --- C118: dup-graph centrality (inverse-neighbor-degree authority) ----------
+
+
+@query(
+    "q_llm_dup_centrality",
+    priority=30,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM toks a
+        JOIN toks b ON a.tok = b.tok AND a.lang = b.lang
+                   AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE 100 * i >= {int(_JACCARD_TAU * 100)} * (sa.sz + sb.sz - i)
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (
+        SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
+        FROM edges GROUP BY src
+    )
+    SELECT e.src AS doc_id,
+           CAST(any_value(d_self.deg) AS BIGINT) AS deg,
+           CAST(sum(1000 // d_nbr.deg) AS BIGINT) AS nbr_score_milli
+    FROM edges e
+    JOIN deg d_self ON e.src = d_self.doc_id
+    JOIN deg d_nbr ON e.dst = d_nbr.doc_id
+    GROUP BY e.src
+    """,
+)
+def q_llm_dup_centrality(spark, sf_dir):
+    """C118: dup-graph CENTRALITY — for each document in the C2 near-dup
+    graph, the degree-discounted neighbor mass sum(1/deg(j)) over its
+    neighbors j (exact floor-milli integers). The triage score between
+    C103's raw degree spectrum and full PageRank: a doc tied to many
+    EXCLUSIVE partners (their only dup) is the true template source and
+    scores ~deg x 1000; a doc inside one big clique scores ~1000 no
+    matter the clique size, because its neighbors' mass is split across
+    the clique — exactly the distinction a cleanup queue ranks by (kill
+    the hub first, not clique members). One step of degree-normalized
+    propagation = the first PageRank iteration, in pure BIGINTs; further
+    iterations would go through the C21-style parquet loop if ever needed.
+
+    Scale: reuses C2's exact PPJoin machinery (hash-keyed candidate
+    generation, array verify), then everything is (id, id) edges: the
+    degree rollup and the two degree joins shuffle BIGINT pairs bounded
+    by edge count. any_value(deg) is exact (deg constant per group)."""
+    d = parallel_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(F.split("text", " ")).alias("tokset"),
+    )
+    pairs = prefix_filtered_jaccard(docs, _JACCARD_TAU, reuse=True).select(
+        "doc_a", "doc_b"
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+        )
+    )
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    ).withColumnRenamed("src", "doc_id")
+    d_self = deg.select(
+        F.col("doc_id").alias("src"), F.col("deg").alias("self_deg")
+    )
+    d_nbr = deg.select(
+        F.col("doc_id").alias("dst"), F.col("deg").alias("nbr_deg")
+    )
+    return (
+        edges.join(d_self, "src")
+        .join(d_nbr, "dst")
+        .groupBy(F.col("src").alias("doc_id"))
+        .agg(
+            F.first("self_deg").cast("bigint").alias("deg"),
+            F.sum(F.expr("1000 div nbr_deg")).cast("bigint").alias(
+                "nbr_score_milli"
+            ),
+        )
+    )

@@ -296,3 +296,84 @@ def streaming_rolling_slope(event_stream):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- B131 twin: one-sided CUSUM change-point ---------------------------------
+
+_CUSUM_OUT_SCHEMA = (
+    "n_name string, n_days bigint, mu_cents bigint, max_cusum_cents bigint, "
+    "alarm_day_us bigint, alarm boolean, seq bigint"
+)
+_CUSUM_STATE_SCHEMA = "days array<bigint>, cents array<bigint>, seq bigint"
+
+
+def streaming_cusum(order_stream, slack_div: int = 20, alarm_mult: int = 5):
+    """B131-stream: one-sided CUSUM with a self-estimated baseline as
+    keyed state. The batch statistic depends on mu over the WHOLE series,
+    so a constant-state online form cannot equal it; the honest streaming
+    twin keeps the per-nation daily series itself — state bounded by the
+    CALENDAR (~2.4k (day, cents) pairs regardless of order volume, the
+    exact bound the batch fold rides) — accumulates arriving orders into
+    it, and re-derives (mu, slack, the fold) per micro-batch. Every
+    emission is the batch answer for the data seen so far; the final one
+    equals q_cusum_changepoint exactly (integer mu/slack divisions, the
+    same max(0, s + x - mu - slack) recurrence, first-attain day kept).
+
+    Input columns: n_name, day_us (epoch µs of the truncated day),
+    cents (order total in floor cents).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            days, cents, seq = state.get
+            acc = dict(zip((int(d) for d in days), (int(c) for c in cents)))
+        else:
+            acc = {}
+            seq = 0
+        for pdf in pdfs:
+            for day_us, c in zip(pdf["day_us"], pdf["cents"]):
+                d = int(day_us)
+                acc[d] = acc.get(d, 0) + int(c)
+        seq += 1
+        days_sorted = sorted(acc)
+        state.update(
+            (days_sorted, [acc[d] for d in days_sorted], seq)
+        )
+        n = len(days_sorted)
+        total = sum(acc.values())
+        mu = _trunc_div(total, n)
+        slack = _trunc_div(mu, slack_div)
+        s = best = 0
+        best_day = None
+        for d in days_sorted:
+            s = max(0, s + acc[d] - mu - slack)
+            if s > best:
+                best, best_day = s, d
+        yield pd.DataFrame(
+            {
+                "n_name": [key[0]],
+                "n_days": [n],
+                "mu_cents": [mu],
+                "max_cusum_cents": [best],
+                "alarm_day_us": pd.array([best_day], dtype="Int64"),
+                "alarm": [best > alarm_mult * mu],
+                "seq": [seq],
+            }
+        )
+
+    return order_stream.groupBy("n_name").applyInPandasWithState(
+        fold,
+        outputStructType=_CUSUM_OUT_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — Spark's `div` (and DuckDB's
+    `//`), NOT Python's floor `//`; the D7 canary class. mu and slack are
+    non-negative in practice but the twin must not drift on hostile input."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q

@@ -51,6 +51,7 @@ ROUND7_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_ts_ewma_cross",
         "q_agg_hhi",
         "q_win_mom_growth",
+        "q_llm_dup_centrality",
     }
 )
 

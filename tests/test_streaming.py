@@ -1770,3 +1770,106 @@ def test_streaming_rolling_slope_equals_batch(spark, events_rows, tmp_path):
             assert b["slope"] is None, k
         else:
             assert abs(num / den - b["slope"]) <= 1e-6, (k, num / den, b["slope"])
+
+
+# --- B131s: streaming CUSUM parity -------------------------------------------
+
+
+def _stage_order_days(spark, out_dir: str, n_files: int):
+    """Stage the pre-joined (n_name, day_us, cents) order stream the CUSUM
+    twin consumes — nation already resolved, day already truncated, the
+    same prepared-columns convention as the other twins' prep()."""
+    rows = (
+        table(spark, SF_SMOKE, "orders")
+        .where(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .join(
+            table(spark, SF_SMOKE, "customer").select(
+                "c_custkey", "c_nationkey"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            table(spark, SF_SMOKE, "nation").select(
+                "n_nationkey", "n_name"
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            F.expr(
+                "unix_micros(date_trunc('day', o_orderdate))"
+            ).alias("day_us"),
+            F.expr("CAST(round(100 * o_totalprice) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .collect()
+    )
+    rows.sort(key=lambda r: (r.day_us, r.n_name or ""))
+    os.makedirs(out_dir, exist_ok=True)
+    per = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        sl = rows[i * per : (i + 1) * per]
+        tbl = pa.table(
+            {
+                "n_name": pa.array([r.n_name for r in sl], pa.string()),
+                "day_us": pa.array([r.day_us for r in sl], pa.int64()),
+                "cents": pa.array([r.cents for r in sl], pa.int64()),
+            }
+        )
+        f = os.path.join(out_dir, f"{i:04d}.parquet")
+        pq.write_table(tbl, f)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
+def test_streaming_cusum_equals_batch(spark, tmp_path):
+    """B131's streaming twin: the final per-nation emission must equal
+    q_cusum_changepoint (n_days, mu, peak, first-attain day, alarm) —
+    including nations whose peak is 0 (NULL alarm day)."""
+    from spark_kinesis_sql_asl_spark.operators.timeseries import (
+        q_cusum_changepoint,
+    )
+    from spark_kinesis_sql_asl_spark.streaming.timeseries import (
+        streaming_cusum,
+    )
+
+    staging = str(tmp_path / "staging")
+    _stage_order_days(spark, staging, n_files=4)
+    sch = "n_name string, day_us bigint, cents bigint"
+    src = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    _drain(
+        streaming_cusum(src)
+        .writeStream.format("memory")
+        .queryName("stream_cusum")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    got = _dedup_last_by_seq(
+        spark,
+        "stream_cusum",
+        ["n_name"],
+        ["n_days", "mu_cents", "max_cusum_cents", "alarm_day_us", "alarm"],
+    )
+    expect = {
+        r["n_name"]: (
+            r["n_days"],
+            r["mu_cents"],
+            r["max_cusum_cents"],
+            None
+            if r["alarm_day"] is None
+            else int(r["alarm_day"].timestamp() * 1_000_000),
+            r["alarm"],
+        )
+        for r in q_cusum_changepoint(spark, SF_SMOKE).collect()
+    }
+    assert {k[0] for k in got} == set(expect)
+    for (name,), vals in got.items():
+        assert vals == expect[name], (name, vals, expect[name])
