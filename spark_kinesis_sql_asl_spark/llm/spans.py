@@ -1084,10 +1084,17 @@ _SSD_CTES = f"""
     priority=30,
     oracle=_SSD_CTES
     + f""",
+    -- DISTINCT is load-bearing: duplicate (s, e) intervals make the
+    -- (s, e) sort order non-total, and the pmax and island windows sort
+    -- INDEPENDENTLY -- tied rows may swap between the two evaluations,
+    -- carrying an opens-island flag to the wrong position and splitting
+    -- one island into two (observed on both engines before the fix).
     iv AS (
-        SELECT doc_a AS doc_id, a_start AS s, a_end AS e FROM spans
-        UNION ALL
-        SELECT doc_b, a_start - diag, a_end - diag FROM spans
+        SELECT DISTINCT doc_id, s, e FROM (
+            SELECT doc_a AS doc_id, a_start AS s, a_end AS e FROM spans
+            UNION ALL
+            SELECT doc_b, a_start - diag, a_end - diag FROM spans
+        )
     ),
     sw AS (
         SELECT doc_id, s, e,
@@ -1139,6 +1146,14 @@ def q_llm_span_coverage(spark, sf_dir):
     shuffles (doc_id, s, e) BIGINT triples bounded by span count, not
     corpus size; per-doc state in the window is one running BIGINT."""
     spans = _ssd_spans(_ssd_corpus(spark, sf_dir))
+    # .distinct() is load-bearing, not an optimization: with duplicate
+    # (s, e) intervals the per-doc (s, e) sort is not a total order, and
+    # the pmax window and the island window each sort their OWN copy of
+    # the input -- tied rows can swap between the two evaluations, so the
+    # opens-island flag computed under one order lands at the wrong
+    # position under the other and a single island splits (observed
+    # intermittently on both engines). Distinct intervals make (s, e)
+    # unique per doc, hence both sorts identical.
     iv = spans.select(
         F.col("doc_a").alias("doc_id"),
         F.col("a_start").alias("s"),
@@ -1149,7 +1164,7 @@ def q_llm_span_coverage(spark, sf_dir):
             (F.col("a_start") - F.col("diag")).alias("s"),
             (F.col("a_end") - F.col("diag")).alias("e"),
         )
-    )
+    ).distinct()
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("s", "e")
