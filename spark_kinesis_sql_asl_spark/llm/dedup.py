@@ -1167,3 +1167,157 @@ def q_llm_dup_centrality(spark, sf_dir):
             ),
         )
     )
+
+
+# --- C119: Bloom-filter membership audit (the dedup-probe primitive) ---------
+
+_BLOOM_M = 1024  # bits (sized so fixture-scale load yields a visible FPR)
+_BLOOM_K = 2  # probes per key (double hashing)
+
+# The k slot indices of key h under double hashing: slot_i = (h1 + i*h2)
+# mod m with h1 = h mod m, h2 = 1 + (h div m) mod (m-1) — pure integer
+# arithmetic, identical on both engines (h is a non-negative 60-bit value,
+# so truncating and flooring division agree). A key's k slots may collide
+# with each other (m is not prime); membership therefore compares against
+# the key's DISTINCT slot count, not k.
+_BLOOM_H1 = f"(h % {_BLOOM_M})"
+_BLOOM_H2 = f"(1 + (h // {_BLOOM_M}) % {_BLOOM_M - 1})"
+_BLOOM_SLOTS_DUCK = ", ".join(
+    f"({_BLOOM_H1} + {i} * {_BLOOM_H2}) % {_BLOOM_M}"
+    for i in range(_BLOOM_K)
+)
+_BLOOM_SLOTS_SPARK = ", ".join(
+    f"((h % {_BLOOM_M}) + {i} * (1 + (h div {_BLOOM_M}) % {_BLOOM_M - 1})) "
+    f"% {_BLOOM_M}"
+    for i in range(_BLOOM_K)
+)
+
+
+@query(
+    "q_llm_bloom_fpr",
+    priority=30,
+    oracle=f"""
+    WITH keys AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(coalesce(text, '')), 1, 15))::BIGINT AS h
+        FROM documents
+    ),
+    ins AS (SELECT DISTINCT h FROM keys WHERE doc_id % 2 = 0),
+    bits AS (
+        SELECT DISTINCT unnest([{_BLOOM_SLOTS_DUCK}]) AS slot FROM ins
+    ),
+    probes AS (
+        SELECT doc_id, h FROM keys
+        WHERE doc_id % 2 = 1 AND h NOT IN (SELECT h FROM ins)
+    ),
+    pslots AS (
+        SELECT DISTINCT doc_id,
+               unnest([{_BLOOM_SLOTS_DUCK}]) AS slot
+        FROM probes
+    ),
+    judged AS (
+        SELECT p.doc_id,
+               count(*) AS n_slots,
+               count(b.slot) AS n_set
+        FROM pslots p LEFT JOIN bits b ON p.slot = b.slot
+        GROUP BY p.doc_id
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_probes,
+               CAST(sum(CASE WHEN n_set = n_slots THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_false_pos
+        FROM judged
+    )
+    SELECT CAST({_BLOOM_M} AS BIGINT) AS m_bits,
+           CAST({_BLOOM_K} AS BIGINT) AS k_hashes,
+           (SELECT CAST(count(*) AS BIGINT) FROM ins) AS n_inserted,
+           (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+           n_probes, n_false_pos,
+           CAST((1000000 * n_false_pos) // greatest(1, n_probes)
+                AS BIGINT) AS fpr_ppm
+    FROM agg
+    """,
+)
+def q_llm_bloom_fpr(spark, sf_dir):
+    """C119: BLOOM-FILTER membership audit — build an {_BLOOM_M}-bit,
+    {_BLOOM_K}-probe Bloom filter over half the corpus's content hashes
+    (even doc_ids), probe it with the other half's true negatives, and
+    report the measured false-positive rate plus the filter's load
+    (bits set). The sizing rehearsal for the 100 TB incremental-ingest
+    path: C46 probes a batch against the corpus's EXACT hash set — at
+    scale that set lives behind exactly this structure (RocksDB/
+    Parquet-bloom, state-store filters), and m/k must be chosen from a
+    measured FPR-vs-load curve, not folklore. Fully deterministic: slots
+    come from double hashing on the 60-bit md5 prefix in pure integer
+    arithmetic (non-negative h, so truncating and flooring div agree),
+    and the oracle replays the identical filter bit-for-bit. A key's
+    slots may self-collide (m is not prime), so membership compares
+    matched slots against the key's DISTINCT slot count.
+
+    Scale: the filter is |m| DISTINCT slot rows (16 KiB of bits in a real
+    deployment — here a relational bit-set); build and probe are
+    hash-only shuffles bounded by k x |keys|; the probe verdict is one
+    LEFT-JOIN rollup per key. Text never leaves the scan (md5 beside the
+    read, the C1 rule)."""
+    keys = parallel_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "cast(conv(substring(md5(coalesce(text, '')), 1, 15), 16, 10) "
+            "as bigint)"
+        ).alias("h"),
+    )
+    ins = keys.where(F.col("doc_id") % 2 == 0).select("h").distinct()
+    bits = (
+        ins.select(
+            F.explode(F.expr(f"array({_BLOOM_SLOTS_SPARK})")).alias("slot")
+        )
+        .distinct()
+    )
+    probes = (
+        keys.where(F.col("doc_id") % 2 == 1)
+        .join(ins.withColumnRenamed("h", "h_ins"),
+              F.col("h") == F.col("h_ins"), "left_anti")
+    )
+    pslots = (
+        probes.select(
+            "doc_id",
+            F.explode(F.expr(f"array({_BLOOM_SLOTS_SPARK})")).alias("slot"),
+        )
+        .distinct()
+    )
+    judged = (
+        pslots.join(
+            bits.withColumnRenamed("slot", "b_slot"),
+            F.col("slot") == F.col("b_slot"),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_slots"),
+            F.count("b_slot").alias("n_set"),
+        )
+    )
+    agg = judged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum(
+            (F.col("n_set") == F.col("n_slots")).cast("bigint")
+        ).cast("bigint").alias("n_false_pos"),
+    )
+    n_ins = ins.agg(F.count(F.lit(1)).cast("bigint").alias("n_inserted"))
+    n_bits = bits.agg(F.count(F.lit(1)).cast("bigint").alias("n_bits_set"))
+    return (
+        agg.crossJoin(F.broadcast(n_ins))
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            F.lit(_BLOOM_M).cast("bigint").alias("m_bits"),
+            F.lit(_BLOOM_K).cast("bigint").alias("k_hashes"),
+            "n_inserted",
+            "n_bits_set",
+            "n_probes",
+            "n_false_pos",
+            F.expr(
+                "CAST((1000000 * n_false_pos) div greatest(1, n_probes) "
+                "AS BIGINT)"
+            ).alias("fpr_ppm"),
+        )
+    )

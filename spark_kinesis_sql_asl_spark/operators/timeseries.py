@@ -619,3 +619,117 @@ def q_ts_ewma_cross(spark, sf_dir):
         F.col("st.ncross").alias("n_cross_up"),
         F.col("st.fc").alias("first_cross_day"),
     )
+
+
+# --- B135: concurrent-interval backlog (open orders in flight) ---------------
+
+
+@query(
+    "q_ts_backlog",
+    priority=30,
+    oracle="""
+    WITH opens AS (
+        SELECT o_orderpriority AS pri,
+               CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+               CAST(1 AS BIGINT) AS delta,
+               o_orderkey
+        FROM orders WHERE o_orderdate IS NOT NULL
+    ),
+    closes AS (
+        SELECT o.o_orderpriority AS pri,
+               CAST(date_trunc('day', max(l.l_shipdate))
+                    + INTERVAL 1 DAY AS TIMESTAMP) AS day,
+               CAST(-1 AS BIGINT) AS delta,
+               o.o_orderkey
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+        GROUP BY o.o_orderpriority, o.o_orderkey
+    ),
+    deltas AS (
+        SELECT pri, day, CAST(sum(delta) AS BIGINT) AS net
+        FROM (SELECT pri, day, delta FROM opens
+              UNION ALL SELECT pri, day, delta FROM closes)
+        GROUP BY pri, day
+    ),
+    run AS (
+        SELECT pri, day, net,
+               CAST(sum(net) OVER (
+                   PARTITION BY pri ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS backlog
+        FROM deltas
+    )
+    SELECT pri, CAST(date_trunc('month', day) AS TIMESTAMP) AS month,
+           CAST(max(backlog) AS BIGINT) AS peak_backlog,
+           CAST(max_by(backlog, day) AS BIGINT) AS eom_backlog
+    FROM run GROUP BY pri, date_trunc('month', day)
+    """,
+)
+def q_ts_backlog(spark, sf_dir):
+    """B135: CONCURRENT-INTERVAL counting — how many orders are in flight
+    (placed, not yet fully shipped) per priority class over time, as the
+    classic +1/-1 delta sweep: +1 at the order day, -1 the day AFTER its
+    last lineitem ships, cumulative sum over the day-ordered per-priority
+    frame, rolled up to monthly peak and end-of-month levels. The
+    capacity-planning staple (simultaneous sessions / open tickets /
+    WIP inventory) that naive day-grouping cannot express because an
+    order spans MANY days. Deterministic: after the (pri, day) rollup,
+    days are unique per priority, so the running-sum order is total (the
+    C111 lesson); eom via max_by(backlog, day) with unique days is exact
+    on both engines.
+
+    Scale: the per-order close rollup (one shuffle on orderkey, map-side
+    max) and the (pri, day) delta rollup are the only lineitem/order-scale
+    stages; the running sum rides a |priorities|-way partition over a
+    calendar-bounded frame (~5x2.4k rows). The one-day close offset makes
+    the backlog inclusive of the ship day itself."""
+    opens = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
+        .select(
+            F.col("o_orderpriority").alias("pri"),
+            F.date_trunc("day", "o_orderdate").alias("day"),
+            F.lit(1).cast("bigint").alias("delta"),
+        )
+    )
+    closes = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
+        .select("o_orderkey", F.col("o_orderpriority").alias("pri"))
+        .join(
+            table(spark, sf_dir, "lineitem")
+            .where(F.col("l_shipdate").isNotNull())
+            .select("l_orderkey", "l_shipdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("pri", "o_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            "pri",
+            F.expr(
+                "date_trunc('day', last_ship) + INTERVAL 1 DAY"
+            ).alias("day"),
+            F.lit(-1).cast("bigint").alias("delta"),
+        )
+    )
+    deltas = (
+        opens.unionByName(closes)
+        .groupBy("pri", "day")
+        .agg(F.sum("delta").cast("bigint").alias("net"))
+    )
+    w = (
+        Window.partitionBy("pri")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = deltas.withColumn(
+        "backlog", F.sum("net").over(w).cast("bigint")
+    )
+    return run.groupBy(
+        "pri", F.date_trunc("month", "day").alias("month")
+    ).agg(
+        F.max("backlog").cast("bigint").alias("peak_backlog"),
+        F.expr("CAST(max_by(backlog, day) AS BIGINT)").alias(
+            "eom_backlog"
+        ),
+    )

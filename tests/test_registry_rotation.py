@@ -52,6 +52,8 @@ ROUND7_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_agg_hhi",
         "q_win_mom_growth",
         "q_llm_dup_centrality",
+        "q_ts_backlog",
+        "q_llm_bloom_fpr",
     }
 )
 
