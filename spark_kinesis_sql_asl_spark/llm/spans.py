@@ -939,7 +939,7 @@ def q_llm_substring_dup(spark, sf_dir):
     BIGINTs/hit. The suffix-array construction of the paper is replaced
     by the shingle-diagonal formulation precisely because it is
     shuffle-native: no global sort, no cross-partition suffix order."""
-    spans = _ssd_spans(_ssd_corpus(spark, sf_dir))
+    spans = _ssd_spans_cached(spark, sf_dir)
     return spans.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_spans"),
         F.max("span_tokens").cast("bigint").alias("max_span_tokens"),
@@ -1021,6 +1021,28 @@ def _ssd_spans(corpus):
         )
         .where(F.col("span_tokens") >= _SSD_MIN_SPAN)
     )
+
+
+# C110/C111 shared state: the qualifying-span frame memoized per
+# (session, corpus) -- the C82/C2 precedent. The spans frame is tiny
+# (one row per >=40-token overlap), so the eager localCheckpoint costs
+# little and spares the second consumer the shingle rollup + pair join.
+_SSD_SPANS_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _ssd_spans_cached(spark, sf_dir):
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    hit = _SSD_SPANS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    spans = _ssd_spans(_ssd_corpus(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+    _SSD_SPANS_CACHE[key] = spans
+    return spans
+
 
 
 # --- C111: duplicated-span coverage (the Lee et al. "fraction removed") ------
@@ -1145,7 +1167,7 @@ def q_llm_span_coverage(spark, sf_dir):
     Scale: inherits C110's hash-only shuffle discipline; the sweep
     shuffles (doc_id, s, e) BIGINT triples bounded by span count, not
     corpus size; per-doc state in the window is one running BIGINT."""
-    spans = _ssd_spans(_ssd_corpus(spark, sf_dir))
+    spans = _ssd_spans_cached(spark, sf_dir)
     # .distinct() is load-bearing, not an optimization: with duplicate
     # (s, e) intervals the per-doc (s, e) sort is not a total order, and
     # the pmax window and the island window each sort their OWN copy of
