@@ -502,3 +502,40 @@ def test_substring_dup_exchanges_carry_only_hash_keys(spark):
     for seg in plan.split("Exchange")[1:]:
         line = seg.split("\n")[0]
         assert "ts#" not in line, line
+
+
+def test_line_dedup_and_template_exchanges_hash_only(spark):
+    # C112/C113: line/affix strings must reduce to 60-bit hashes before
+    # any Exchange — neither the token array nor a chunk string may ride
+    # a shuffle.
+    for name in ("q_llm_paragraph_dedup", "q_llm_template_mine"):
+        plan = formatted_plan(QUERIES[name](spark, SF_ORACLE))
+        for seg in plan.split("Exchange")[1:]:
+            line = seg.split("\n")[0]
+            assert "ts#" not in line, (name, line)
+            assert "text#" not in line, (name, line)
+
+
+def test_bloom_fpr_exchanges_carry_no_text(spark):
+    # C119: md5 beside the scan; build/probe shuffles are (hash|slot) only.
+    plan = formatted_plan(QUERIES["q_llm_bloom_fpr"](spark, SF_ORACLE))
+    for seg in plan.split("Exchange")[1:]:
+        assert "text#" not in seg.split("\n")[0]
+
+
+def test_hhi_broadcasts_all_dims_single_data_shuffle(spark):
+    # B133: supplier/nation/region broadcast; the lineitem-scale rollup is
+    # the only large exchange (plus the tiny totals/result exchanges).
+    import re
+
+    plan = formatted_plan(QUERIES["q_agg_hhi"](spark, SF_ORACLE))
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 3, plan[:2000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_mom_growth_single_exchange_serves_window_and_agg(spark):
+    # B134: the monthly rollup's (n_name, month) exchange feeds the lag
+    # window via one (n_name) re-exchange at most; dims broadcast.
+    plan = formatted_plan(QUERIES["q_win_mom_growth"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
