@@ -36,6 +36,10 @@ _QUADRATIC_PRONE = [
     "q_llm_dedup_editdist",
     "q_llm_bitext_mine",  # label-blocked pairwise (round 3) — same risk class
     "q_llm_dedup_embed",  # label-blocked pairwise w/ auto LSH crossover (r4)
+    # round 7: diagonal shingle-run pair join — sum(df^2) candidate risk,
+    # df-capped; first touch per (session, sf) builds the memoized span
+    # cache, so the measured time is the honest build+consume cost.
+    "q_llm_substring_dup",
 ]
 
 
