@@ -1442,3 +1442,167 @@ def q_llm_dup_degree(spark, sf_dir):
             F.max("degree").cast("bigint").alias("max_degree"),
         )
     )
+
+
+# --- C121: curation funnel accounting ----------------------------------------
+
+# Stage thresholds (deliberately simple scan-stage predicates; C101 holds
+# the full Gopher rule set — this operator is about the FUNNEL bookkeeping,
+# attribution of each drop to its FIRST failing stage).
+_FUNNEL_MIN_WORDS = 15
+_FUNNEL_MAX_WORDS = 5_000
+_FUNNEL_MIN_STOP_PPM = 10_000
+
+_FUNNEL_STAGES = ("length", "quality", "langid", "dedup")
+
+
+@query(
+    "q_llm_filter_funnel",
+    priority=30,
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, lang,
+               len(string_split(coalesce(text, ''), ' ')) AS nw,
+               (1000000 * len(list_filter(
+                    string_split(coalesce(text, ''), ' '),
+                    t -> t IN ('a', 'the'))))
+                   // len(string_split(coalesce(text, ''), ' '))
+                   AS stop_ppm,
+               md5(coalesce(text, '')) AS h
+        FROM documents
+    ),
+    firsts AS (SELECT h, min(doc_id) AS keeper FROM feat GROUP BY h),
+    ff AS (
+        SELECT CASE
+            WHEN f.nw < {_FUNNEL_MIN_WORDS}
+              OR f.nw > {_FUNNEL_MAX_WORDS} THEN 1
+            WHEN f.stop_ppm < {_FUNNEL_MIN_STOP_PPM} THEN 2
+            WHEN f.lang IS NULL THEN 3
+            WHEN f.doc_id <> fo.keeper THEN 4
+            ELSE 99 END AS fail_stage
+        FROM feat f JOIN firsts fo USING (h)
+    ),
+    drops AS (
+        SELECT fail_stage, CAST(count(*) AS BIGINT) AS n
+        FROM ff WHERE fail_stage <> 99 GROUP BY fail_stage
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM ff),
+    spine AS (
+        SELECT * FROM (VALUES
+            (CAST(1 AS BIGINT), 'length'), (CAST(2 AS BIGINT), 'quality'),
+            (CAST(3 AS BIGINT), 'langid'), (CAST(4 AS BIGINT), 'dedup'))
+            AS t(stage_idx, stage)
+    ),
+    enter AS (
+        SELECT s.stage_idx, s.stage,
+               coalesce((SELECT sum(d.n) FROM drops d
+                         WHERE d.fail_stage < s.stage_idx), 0) AS dropped_before
+        FROM spine s
+    )
+    SELECT e.stage_idx, e.stage,
+           CAST(t.total - e.dropped_before AS BIGINT) AS n_enter,
+           CAST(coalesce(d.n, 0) AS BIGINT) AS n_drop,
+           CAST(t.total - e.dropped_before - coalesce(d.n, 0) AS BIGINT)
+               AS n_exit
+    FROM enter e
+    LEFT JOIN drops d ON d.fail_stage = e.stage_idx
+    CROSS JOIN tot t
+    """,
+)
+def q_llm_filter_funnel(spark, sf_dir):
+    """C121: curation FUNNEL accounting — the stage-by-stage drop ledger
+    ({" -> ".join(_FUNNEL_STAGES)}) every production pipeline publishes
+    next to its output corpus: who enters each gate, who it drops, who
+    survives. The bookkeeping contract is first-failure ATTRIBUTION (a
+    doc failing length AND quality charges only length), which is what
+    makes stage counts reconcile: n_exit(i) = n_enter(i+1) and the final
+    exit equals the corpus a C54-style build would emit. Individual
+    signals deliberately reuse existing primitives (word-count bounds,
+    the C17 stopword ppm, NULL langid, C1's keep-smallest-id exact
+    dedup) — the operator's value is the FUNNEL algebra over them, the
+    readout which single gate to retune when yield collapses.
+
+    Scale: every stage bit is computed beside the scan except dedup's
+    first-occurrence join — one (hash) rollup + one hash equi-join (the
+    C1 shuffle shape). The funnel algebra runs on a 4-row spine against
+    a |stages|-row drop table — broadcast-trivial at any corpus size."""
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("a", "the")))
+    feat = parallel_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("nw"),
+        F.expr(
+            "(1000000 * size(filter(split(coalesce(text, ''), ' '), "
+            "t -> t IN ('a', 'the')))) div "
+            "size(split(coalesce(text, ''), ' '))"
+        ).alias("stop_ppm"),
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias(
+            "h"
+        ),
+    )
+    firsts = feat.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    ff = feat.join(firsts, "h").select(
+        F.when(
+            (F.col("nw") < _FUNNEL_MIN_WORDS)
+            | (F.col("nw") > _FUNNEL_MAX_WORDS),
+            F.lit(1),
+        )
+        .when(F.col("stop_ppm") < _FUNNEL_MIN_STOP_PPM, F.lit(2))
+        .when(F.col("lang").isNull(), F.lit(3))
+        .when(F.col("doc_id") != F.col("keeper"), F.lit(4))
+        .otherwise(F.lit(99))
+        .cast("bigint")
+        .alias("fail_stage")
+    )
+    drops = (
+        ff.where(F.col("fail_stage") != 99)
+        .groupBy("fail_stage")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = F.broadcast(
+        ff.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    )
+    spine = F.broadcast(
+        spark.createDataFrame(
+            list(enumerate(_FUNNEL_STAGES, start=1)),
+            schema="stage_idx long, stage string",
+        )
+    )
+    before = (
+        spine.alias("s")
+        .join(
+            drops.alias("d"),
+            F.col("d.fail_stage") < F.col("s.stage_idx"),
+            "left",
+        )
+        .groupBy("s.stage_idx", "s.stage")
+        .agg(
+            F.coalesce(F.sum("d.n"), F.lit(0))
+            .cast("bigint")
+            .alias("dropped_before")
+        )
+    )
+    return (
+        before.join(
+            drops.withColumnRenamed("fail_stage", "stage_idx"),
+            "stage_idx",
+            "left",
+        )
+        .crossJoin(tot)
+        .select(
+            "stage_idx",
+            "stage",
+            (F.col("total") - F.col("dropped_before"))
+            .cast("bigint")
+            .alias("n_enter"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_drop"),
+            (
+                F.col("total")
+                - F.col("dropped_before")
+                - F.coalesce("n", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_exit"),
+        )
+    )

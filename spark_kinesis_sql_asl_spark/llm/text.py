@@ -1270,3 +1270,98 @@ def q_llm_ngram_novelty_decay(spark, sf_dir):
             ).alias("novelty_ppm"),
         )
     )
+
+
+# --- C120: keyword-stuffing detector (top-token share) -----------------------
+
+_STUFF_FLAG_PPM = 200_000  # flag docs whose top token is >20% of all tokens
+
+
+@query(
+    "q_llm_keyword_stuffing",
+    priority=30,
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               unnest(string_split(coalesce(text, ''), ' ')) AS tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS cnt
+        FROM t WHERE tok <> '' GROUP BY doc_id, lang, tok
+    ),
+    tot AS (
+        SELECT doc_id, lang,
+               CAST(sum(cnt) AS BIGINT) AS n_tok,
+               CAST(max(cnt) AS BIGINT) AS top_cnt
+        FROM c GROUP BY doc_id, lang
+    )
+    SELECT tot.doc_id, tot.lang,
+           min(c.tok) AS top_tok,
+           tot.top_cnt, tot.n_tok,
+           CAST((1000000 * tot.top_cnt) // tot.n_tok AS BIGINT)
+               AS top_share_ppm,
+           (1000000 * tot.top_cnt) // tot.n_tok >= {_STUFF_FLAG_PPM}
+               AS flag_stuffed
+    FROM tot JOIN c
+      ON c.doc_id = tot.doc_id AND c.cnt = tot.top_cnt
+    GROUP BY tot.doc_id, tot.lang, tot.top_cnt, tot.n_tok
+    """,
+)
+def q_llm_keyword_stuffing(spark, sf_dir):
+    """C120: KEYWORD-STUFFING detector — each document's most frequent
+    token and its share of all tokens (floor ppm), flagged above
+    {_STUFF_FLAG_PPM} ppm. The SEO-spam/generated-filler signal the
+    adjacent detectors structurally miss: C31's distinct-token ratio dips
+    only when MANY tokens repeat, C101's Gopher rules check short tokens
+    and stopwords, but a doc that is 30% one keyword sails through both —
+    and is exactly what keyword-stuffed spam looks like. Tie-break is
+    deterministic: among tokens at the max count, the lexicographically
+    smallest is reported (min over the equality join — the same rule on
+    both engines, no arg_max tie lottery).
+
+    Scale: the (doc, tok) rollup partial-aggregates map-side (the C7
+    explode discipline — explode is partition-local, only (doc, tok,
+    cnt) rows shuffle); per-doc max and the tie-break join run on the
+    rolled-up frame. No window anywhere."""
+    t = (
+        parallel_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+            ).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    c = t.groupBy("doc_id", "lang", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = c.groupBy("doc_id", "lang").agg(
+        F.sum("cnt").cast("bigint").alias("n_tok"),
+        F.max("cnt").cast("bigint").alias("top_cnt"),
+    )
+    share = F.expr("(1000000 * top_cnt) div n_tok")
+    return (
+        tot.join(
+            c.select(
+                F.col("doc_id").alias("c_doc"),
+                F.col("tok"),
+                F.col("cnt"),
+            ),
+            (F.col("doc_id") == F.col("c_doc"))
+            & (F.col("cnt") == F.col("top_cnt")),
+        )
+        .groupBy("doc_id", "lang", "top_cnt", "n_tok")
+        .agg(F.min("tok").alias("top_tok"))
+        .select(
+            "doc_id",
+            "lang",
+            "top_tok",
+            "top_cnt",
+            "n_tok",
+            share.cast("bigint").alias("top_share_ppm"),
+            (share >= _STUFF_FLAG_PPM).alias("flag_stuffed"),
+        )
+    )

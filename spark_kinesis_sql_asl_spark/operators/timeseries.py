@@ -733,3 +733,73 @@ def q_ts_backlog(spark, sf_dir):
             "eom_backlog"
         ),
     )
+
+
+# --- B136: inter-arrival gap spectrum ---------------------------------------
+
+
+@query(
+    "q_events_inter_arrival",
+    priority=30,
+    oracle="""
+    WITH t AS (
+        SELECT event_type, epoch_us(ts) AS us, event_id
+        FROM events WHERE ts IS NOT NULL
+    ),
+    gaps AS (
+        SELECT event_type,
+               us - lag(us) OVER (
+                   PARTITION BY event_type ORDER BY us, event_id
+               ) AS gap_us
+        FROM t
+    ),
+    oct AS (
+        SELECT event_type,
+               CAST(CASE WHEN gap_us = 0 THEN 0
+                         ELSE length(bin(gap_us)) END AS BIGINT) AS octave
+        FROM gaps WHERE gap_us IS NOT NULL
+    )
+    SELECT event_type, octave,
+           CAST(count(*) AS BIGINT) AS n_gaps
+    FROM oct GROUP BY event_type, octave
+    """,
+)
+def q_events_inter_arrival(spark, sf_dir):
+    """B136: inter-arrival GAP SPECTRUM per event_type — the distribution
+    of µs gaps between consecutive events in exact power-of-two octaves
+    (floor(log2(gap))+1 via the length(bin()) identity, C48/C51; octave 0
+    = simultaneous). The burstiness fingerprint stream-capacity planning
+    reads: a Poissonian type shows one broad mode, a bursty type splits
+    into an intra-burst spike and an inter-burst tail — and the octave
+    histogram is the exact input a B137-style burst detector would
+    threshold on. Deterministic: lag runs over the (us, event_id) total
+    order (the B110/B111 tie-break convention), octaves are pure integer
+    bit-lengths — no float log, no quantile estimate.
+
+    Plan/scale: one shuffle on event_type for the lag window; the octave
+    rollup rides the same partitioning (map-side combine), output is
+    |types| x ~60 rows. With a date-partitioned hypertable the scan
+    prunes to the queried range; per-partition windows never see more
+    than their slice."""
+    t = (
+        table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts)").alias("us"),
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    gaps = t.select(
+        "event_type",
+        (F.col("us") - F.lag("us").over(w)).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    octave = F.when(F.col("gap_us") == 0, F.lit(0)).otherwise(
+        F.length(F.bin("gap_us"))
+    )
+    return (
+        gaps.select("event_type", octave.cast("bigint").alias("octave"))
+        .groupBy("event_type", "octave")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+    )

@@ -54,6 +54,9 @@ ROUND7_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_llm_dup_centrality",
         "q_ts_backlog",
         "q_llm_bloom_fpr",
+        "q_events_inter_arrival",
+        "q_llm_keyword_stuffing",
+        "q_llm_filter_funnel",
     }
 )
 
