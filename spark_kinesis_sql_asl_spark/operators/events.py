@@ -561,3 +561,111 @@ def q_events_conversion_rate(spark, sf_dir):
             "CAST((1000000 * sum(converted)) div count(1) AS BIGINT)"
         ).alias("conv_ppm"),
     )
+
+
+# --- B137: burst-episode detection ------------------------------------------
+
+_BURST_RATE_MULT = 2  # a burst hour runs at >= 2x the type's average rate
+_BURST_BUCKET_US = 3_600_000_000  # hourly buckets
+
+
+@query(
+    "q_events_burst_episodes",
+    priority=30,
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // {_BURST_BUCKET_US} AS BIGINT)
+                   AS hour_idx,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY event_type,
+                 CAST(epoch_us(ts) // {_BURST_BUCKET_US} AS BIGINT)
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(sum(cnt) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_hours
+        FROM hourly GROUP BY event_type
+    ),
+    bursts AS (
+        SELECT h.event_type, h.hour_idx, h.cnt
+        FROM hourly h JOIN tot t
+          ON h.event_type IS NOT DISTINCT FROM t.event_type
+        WHERE h.cnt * t.n_hours >= {_BURST_RATE_MULT} * t.total
+    ),
+    isl AS (
+        SELECT event_type, hour_idx, cnt,
+               hour_idx - row_number() OVER (
+                   PARTITION BY event_type ORDER BY hour_idx) AS grp
+        FROM bursts
+    )
+    SELECT event_type,
+           CAST(min(hour_idx) AS BIGINT) AS start_hour,
+           CAST(max(hour_idx) AS BIGINT) AS end_hour,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(max(cnt) AS BIGINT) AS peak_cnt,
+           CAST(sum(cnt) AS BIGINT) AS burst_events
+    FROM isl GROUP BY event_type, grp
+    """,
+)
+def q_events_burst_episodes(spark, sf_dir):
+    """B137: BURST-EPISODE detection — maximal runs of consecutive clock
+    hours where an event type runs at >= {_BURST_RATE_MULT}x its own
+    average hourly rate, reported as episodes (start/end/peak/volume).
+    The incident-shaped readout (attack windows, crawler storms, flash
+    sales) that B136's gap spectrum summarizes only in aggregate and a
+    per-bucket outlier test (B104) fragments into disconnected points —
+    the EPISODE is the unit an on-call runbook reasons about. The rate
+    test is exact integer cross-multiplication (cnt * n_hours >= mult *
+    total — no float average at the threshold boundary; n_hours counts
+    OBSERVED hours, so sparse types self-normalize); episode grouping is
+    the islands trick on the integer hour index (unique per type, so the
+    row_number order is total — the C111 lesson).
+
+    Plan/scale: ONE events-scale shuffle (the (type, hour) rollup,
+    map-side combined); totals broadcast back; the islands window rides a
+    |types|-way partition over burst hours only — a frame bounded by the
+    calendar, not by event volume."""
+    hourly = (
+        table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {_BURST_BUCKET_US}").alias(
+                "hour_idx"
+            ),
+        )
+        .groupBy("event_type", "hour_idx")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = (
+        hourly.groupBy("event_type")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("total"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hours_t"),
+        )
+        .withColumnRenamed("event_type", "t_type")
+    )
+    bursts = hourly.join(
+        F.broadcast(tot),
+        F.col("event_type").eqNullSafe(F.col("t_type")),
+    ).where(
+        F.col("cnt") * F.col("n_hours_t")
+        >= _BURST_RATE_MULT * F.col("total")
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_idx")
+    isl = bursts.withColumn(
+        "grp", F.col("hour_idx") - F.row_number().over(w)
+    )
+    return (
+        isl.groupBy("event_type", "grp")
+        .agg(
+            F.min("hour_idx").cast("bigint").alias("start_hour"),
+            F.max("hour_idx").cast("bigint").alias("end_hour"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.max("cnt").cast("bigint").alias("peak_cnt"),
+            F.sum("cnt").cast("bigint").alias("burst_events"),
+        )
+        .drop("grp")
+    )

@@ -57,6 +57,7 @@ ROUND7_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_events_inter_arrival",
         "q_llm_keyword_stuffing",
         "q_llm_filter_funnel",
+        "q_events_burst_episodes",
     }
 )
 
