@@ -263,3 +263,76 @@ def q_privacy_tcloseness(spark, sf_dir):
         .agg(F.expr("CAST(sum(d_ppm) div 2 AS BIGINT)").alias("tv_ppm"))
         .where(F.col("tv_ppm") > _TCLOSE_TV_MAX_PPM)
     )
+
+
+# --- B138: small-cell suppression --------------------------------------------
+
+_SUPP_MIN_CELL = 5  # cells below this count are suppressed (primary)
+
+
+@query(
+    "q_privacy_cell_suppression",
+    priority=30,
+    oracle=f"""
+    WITH cells AS (
+        SELECT n.n_name, c.c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(CAST(floor(c.c_acctbal * 100) AS BIGINT))
+                    AS BIGINT) AS balance_cents
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, c.c_mktsegment
+    )
+    SELECT n_name, c_mktsegment,
+           CASE WHEN n_customers >= {_SUPP_MIN_CELL}
+                THEN n_customers END AS n_customers,
+           CASE WHEN n_customers >= {_SUPP_MIN_CELL}
+                THEN balance_cents END AS balance_cents,
+           n_customers < {_SUPP_MIN_CELL} AS suppressed
+    FROM cells
+    """,
+)
+def q_privacy_cell_suppression(spark, sf_dir):
+    """B138: SMALL-CELL suppression — the statistical-disclosure-control
+    release rule every census/health publication applies before a table
+    leaves the building: any (nation, segment) cell with fewer than
+    {_SUPP_MIN_CELL} contributors has BOTH its count and its value sum
+    withheld (NULL, not zero — zero is a disclosure), with a per-cell
+    suppression flag so the release documents its own redactions. The
+    publication-side complement to the B114-B117/B127 anonymity family:
+    k-anon/l-diversity/t-closeness test the MICRODATA, suppression
+    protects the AGGREGATE release. Exact floor-cents sums (D2 rule);
+    the flag stays queryable so a reviewer can audit suppression density
+    without seeing the withheld values.
+
+    Plan/scale: one customer-scale rollup (map-side combined, nation dim
+    broadcast); the suppression CASE is a projection over the
+    |nations|x|segments| cell frame. Secondary (complementary)
+    suppression — hiding additional cells so a suppressed one cannot be
+    reconstructed from margins — is an integer-programming step that
+    belongs in a driver-side solver over this operator's output, not in
+    the scan."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    n = F.broadcast(
+        table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    cells = (
+        c.join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("balance_cents"),
+        )
+    )
+    ok = F.col("n_customers") >= _SUPP_MIN_CELL
+    return cells.select(
+        "n_name",
+        "c_mktsegment",
+        F.when(ok, F.col("n_customers")).alias("n_customers"),
+        F.when(ok, F.col("balance_cents")).alias("balance_cents"),
+        (~ok).alias("suppressed"),
+    )

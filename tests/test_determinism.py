@@ -1,0 +1,29 @@
+"""Round-7 determinism stress: every query new this round runs TWICE in
+one session and must produce byte-identical canonical output.
+
+Motivated by the C111 island-split bug: two window evaluations over a
+non-total sort order let tied rows swap between them, so a query could be
+driver-green on one run and wrong on the next — the nastiest failure class
+because every single-run gate (oracle tests, driver canon, bench) can pass
+on the lucky draw. A double-run hash check at sf0.001 is cheap and turns
+"flaky wrong" into "red now".
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_kinesis_sql_asl_spark.registry import all_queries
+
+from .driver_canon import canon_hash, spark_to_pandas
+from .test_registry_rotation import ROUND7_NEW_THIS_ROUND
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name", sorted(ROUND7_NEW_THIS_ROUND))
+def test_double_run_is_identical(spark, name):
+    q = all_queries()[name]
+    h1 = canon_hash(spark_to_pandas(q(spark, SF)))
+    h2 = canon_hash(spark_to_pandas(q(spark, SF)))
+    assert h1 == h2, f"{name}: nondeterministic output across two runs"
