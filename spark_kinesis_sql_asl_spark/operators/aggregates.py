@@ -889,3 +889,106 @@ def q_agg_hhi(spark, sf_dir):
         F.max("bps").cast("bigint").alias("top_share_bps"),
         F.sum(F.col("bps") * F.col("bps")).cast("bigint").alias("hhi"),
     )
+
+
+# --- B139: bivariate statistics (corr / regression) --------------------------
+
+
+@query(
+    "q_agg_bivariate",
+    priority=30,
+    oracle="""
+    WITH t AS (
+        SELECT l_returnflag,
+               CAST(round(l_quantity) AS BIGINT) AS q,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS p
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    m AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(q AS HUGEINT)) AS HUGEINT) AS sq,
+               CAST(sum(CAST(p AS HUGEINT)) AS HUGEINT) AS sp,
+               CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sqq,
+               CAST(sum(CAST(p AS HUGEINT) * p) AS HUGEINT) AS spp,
+               CAST(sum(CAST(q AS HUGEINT) * p) AS HUGEINT) AS sqp
+        FROM t GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+                  - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                         - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                           - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))),
+                 6) AS corr_qp,
+           round((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+                  - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                    - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)),
+                 6) AS slope_cents_per_unit,
+           round((CAST(sp AS DOUBLE)
+                  - CAST(sq AS DOUBLE)
+                    * ((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+                        - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                          - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))))
+                 / CAST(n AS DOUBLE), 6) AS intercept_cents
+    FROM m
+    """,
+)
+def q_agg_bivariate(spark, sf_dir):
+    """B139: bivariate statistics — Pearson correlation plus OLS slope and
+    intercept of price-vs-quantity per returnflag, from EXACT integer
+    moment sums. The built-ins are the same trap B129 documents for
+    skew/kurtosis: Spark's corr/regr_* and DuckDB's aggregate internally
+    in streaming floats whose partial-aggregation order differs per
+    engine and per partitioning, so the last digits are not reproducible.
+    Here every moment (n, Σq, Σp, Σq², Σp², Σqp) accumulates in wide
+    exact integers (DECIMAL(38,0) on Spark, HUGEINT on DuckDB —
+    order-independent, partial-aggregation-safe), and the ONLY float ops
+    are the final fixed expressions over those six scalars — both engines
+    take nearest-double of identical integers, round(6).
+
+    Plan/scale: one map-side-combined rollup over lineitem; output is
+    |returnflag| rows. The moment-sums-then-one-expression shape is the
+    pattern for ANY exact second-order statistic at 100 TB."""
+    t = (
+        table(spark, sf_dir, "lineitem")
+        .where(
+            F.col("l_quantity").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+        )
+        .select(
+            "l_returnflag",
+            F.round("l_quantity").cast("bigint").alias("q"),
+            F.floor(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("p"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    m = t.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec("q")).alias("sq"),
+        F.sum(dec("p")).alias("sp"),
+        F.sum(dec("q") * F.col("q")).alias("sqq"),
+        F.sum(dec("p") * F.col("p")).alias("spp"),
+        F.sum(dec("q") * F.col("p")).alias("sqp"),
+    )
+    n, sq, sp = [F.col(c).cast("double") for c in ("n", "sq", "sp")]
+    sqq, spp, sqp = [
+        F.col(c).cast("double") for c in ("sqq", "spp", "sqp")
+    ]
+    cov_n = n * sqp - sq * sp
+    var_q = n * sqq - sq * sq
+    var_p = n * spp - sp * sp
+    slope = cov_n / var_q
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(cov_n / F.sqrt(var_q * var_p), 6).alias("corr_qp"),
+        F.round(slope, 6).alias("slope_cents_per_unit"),
+        F.round((sp - sq * slope) / n, 6).alias("intercept_cents"),
+    )

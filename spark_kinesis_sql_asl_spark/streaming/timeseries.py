@@ -377,3 +377,74 @@ def _trunc_div(a: int, b: int) -> int:
     non-negative in practice but the twin must not drift on hostile input."""
     q = abs(a) // abs(b)
     return q if (a >= 0) == (b >= 0) else -q
+
+
+# --- B137 twin: burst-episode detection --------------------------------------
+
+_BURST_OUT_SCHEMA = (
+    "event_type string, start_hour bigint, end_hour bigint, n_hours bigint, "
+    "peak_cnt bigint, burst_events bigint, seq bigint"
+)
+_BURST_STATE_SCHEMA = "hours array<bigint>, counts array<bigint>, seq bigint"
+
+
+def streaming_burst_episodes(
+    event_stream, rate_mult: int = 2, bucket_us: int = 3_600_000_000
+):
+    """B137-stream: burst episodes as keyed state. Like the CUSUM twin,
+    the statistic depends on the WHOLE series (the type's own average
+    hourly rate), so the honest state is the per-type hourly count map —
+    bounded by the calendar, not by event volume — re-thresholded and
+    re-grouped per micro-batch. Emissions are the full episode set for
+    data seen so far (episodes can merge as gaps fill in, so consumers
+    keep only the max-seq batch per type, not max-seq per episode).
+
+    Input columns: event_type, us (epoch µs)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            hours, counts, seq = state.get
+            acc = dict(
+                zip((int(h) for h in hours), (int(c) for c in counts))
+            )
+        else:
+            acc = {}
+            seq = 0
+        for pdf in pdfs:
+            for us in pdf["us"]:
+                h = int(us) // bucket_us
+                acc[h] = acc.get(h, 0) + 1
+        seq += 1
+        hs = sorted(acc)
+        state.update((hs, [acc[h] for h in hs], seq))
+        total = sum(acc.values())
+        n_hours = len(hs)
+        bursts = [h for h in hs if acc[h] * n_hours >= rate_mult * total]
+        rows = {
+            "event_type": [], "start_hour": [], "end_hour": [],
+            "n_hours": [], "peak_cnt": [], "burst_events": [], "seq": [],
+        }
+        i = 0
+        while i < len(bursts):
+            j = i
+            while j + 1 < len(bursts) and bursts[j + 1] == bursts[j] + 1:
+                j += 1
+            ep = bursts[i : j + 1]
+            rows["event_type"].append(key[0])
+            rows["start_hour"].append(ep[0])
+            rows["end_hour"].append(ep[-1])
+            rows["n_hours"].append(len(ep))
+            rows["peak_cnt"].append(max(acc[h] for h in ep))
+            rows["burst_events"].append(sum(acc[h] for h in ep))
+            rows["seq"].append(seq)
+            i = j + 1
+        yield pd.DataFrame(rows)
+
+    return event_stream.groupBy("event_type").applyInPandasWithState(
+        fold,
+        outputStructType=_BURST_OUT_SCHEMA,
+        stateStructType=_BURST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -59,6 +59,7 @@ ROUND7_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_llm_filter_funnel",
         "q_events_burst_episodes",
         "q_privacy_cell_suppression",
+        "q_agg_bivariate",
     }
 )
 

@@ -1873,3 +1873,58 @@ def test_streaming_cusum_equals_batch(spark, tmp_path):
     assert {k[0] for k in got} == set(expect)
     for (name,), vals in got.items():
         assert vals == expect[name], (name, vals, expect[name])
+
+
+# --- B137s: streaming burst-episode parity -----------------------------------
+
+
+def test_streaming_burst_episodes_equals_batch(spark, events_rows, tmp_path):
+    """B137's streaming twin: the max-seq batch's episode set per type must
+    equal q_events_burst_episodes exactly (episodes merge as gaps fill, so
+    the comparison takes the final SET per type, not per-episode rows)."""
+    from spark_kinesis_sql_asl_spark.operators.events import (
+        q_events_burst_episodes,
+    )
+    from spark_kinesis_sql_asl_spark.streaming.timeseries import (
+        streaming_burst_episodes,
+    )
+
+    staging = str(tmp_path / "staging")
+    _stage(events_rows, staging, n_files=4)
+
+    def prep(src):
+        return src.where(F.col("ts").isNotNull()).select(
+            "event_type", F.expr("unix_micros(ts)").alias("us")
+        )
+
+    _drain(
+        streaming_burst_episodes(prep(_stream(spark, staging)))
+        .writeStream.format("memory")
+        .queryName("stream_bursts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    got_rows = spark.sql(
+        """
+        SELECT event_type, start_hour, end_hour, n_hours, peak_cnt,
+               burst_events
+        FROM (
+            SELECT *, max(seq) OVER (PARTITION BY event_type) AS mx
+            FROM stream_bursts
+        ) WHERE seq = mx
+        """
+    ).collect()
+    got = {
+        (r["event_type"], r["start_hour"]): (
+            r["end_hour"], r["n_hours"], r["peak_cnt"], r["burst_events"]
+        )
+        for r in got_rows
+    }
+    expect = {
+        (r["event_type"], r["start_hour"]): (
+            r["end_hour"], r["n_hours"], r["peak_cnt"], r["burst_events"]
+        )
+        for r in q_events_burst_episodes(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
