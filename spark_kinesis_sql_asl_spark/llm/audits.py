@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import table
+from ..tables import parallel_table, table
 from .curation import _Q_VEC_SQL_DUCK, _Q_VEC_SQL_SPARK
 
 
@@ -455,4 +455,129 @@ def q_llm_domain_quality(spark, sf_dir):
             "CAST((1000000 * sum(CASE WHEN is_dup THEN 1 ELSE 0 END)) "
             "div count(1) AS BIGINT)"
         ).alias("dup_ppm"),
+    )
+
+
+# --- C122: corpus data card (one-row datasheet) ------------------------------
+
+
+@query(
+    "q_llm_data_card",
+    priority=30,
+    oracle="""
+    WITH feat AS (
+        SELECT doc_id, lang, source,
+               coalesce(text, '') AS text,
+               len(string_split(coalesce(text, ''), ' ')) AS n_tok,
+               md5(coalesce(text, '')) AS h
+        FROM documents
+    ),
+    dup AS (
+        SELECT CAST(coalesce(sum(cnt - 1), 0) AS BIGINT) AS n_dup_docs
+        FROM (SELECT h, count(*) AS cnt FROM feat GROUP BY h)
+        WHERE cnt > 1
+    ),
+    top_lang AS (
+        SELECT lang FROM feat WHERE lang IS NOT NULL
+        GROUP BY lang ORDER BY count(*) DESC, lang ASC LIMIT 1
+    ),
+    top_source AS (
+        SELECT source FROM feat WHERE source IS NOT NULL
+        GROUP BY source ORDER BY count(*) DESC, source ASC LIMIT 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST((1000000 * (SELECT n_dup_docs FROM dup)) // count(*)
+                AS BIGINT) AS exact_dup_ppm,
+           CAST((1000000 * sum(CASE WHEN text = '' THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS empty_ppm,
+           (SELECT lang FROM top_lang) AS top_lang,
+           (SELECT source FROM top_source) AS top_source
+    FROM feat
+    """,
+)
+def q_llm_data_card(spark, sf_dir):
+    """C122: the corpus DATA CARD — the one-row datasheet ("Datasheets
+    for Datasets", Gebru et al. 2021) a corpus release leads with: doc /
+    lang / source counts, token and char mass, exact-duplicate ppm
+    (occurrences minus firsts, the C112 ledger identity at doc grain),
+    empty-doc ppm, and the dominant lang/source (count-desc,
+    lexicographic tie-break — no arg_max lottery). Every number is a
+    recomposition of signals other operators expose in full; the card is
+    the contract that they reconcile into ONE summary a reviewer can
+    diff between corpus versions at a glance.
+
+    Scale: one scan-stage feature projection; the only corpus-scale
+    shuffles are the hash rollup (8-byte keys, the C1 rule) and the
+    lang/source top-1s, which are TakeOrderedAndProject over |langs|- and
+    |sources|-row aggregates. Output: exactly one row."""
+    feat = parallel_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias(
+            "n_tok"
+        ),
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias(
+            "h"
+        ),
+    )
+    dup = F.broadcast(
+        feat.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_docs")
+        )
+    )
+    top_lang = F.broadcast(
+        feat.where(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("lang").asc())
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"))
+    )
+    top_source = F.broadcast(
+        feat.where(F.col("source").isNotNull())
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("source").asc())
+        .limit(1)
+        .select(F.col("source").alias("top_source"))
+    )
+    base = feat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.sum((F.col("text") == "").cast("bigint"))
+        .cast("bigint")
+        .alias("n_empty"),
+    )
+    return (
+        base.crossJoin(dup)
+        .crossJoin(top_lang)
+        .crossJoin(top_source)
+        .select(
+            "n_docs",
+            "n_langs",
+            "n_sources",
+            "total_tokens",
+            "total_chars",
+            F.expr(
+                "CAST((1000000 * n_dup_docs) div n_docs AS BIGINT)"
+            ).alias("exact_dup_ppm"),
+            F.expr("CAST((1000000 * n_empty) div n_docs AS BIGINT)").alias(
+                "empty_ppm"
+            ),
+            "top_lang",
+            "top_source",
+        )
     )

@@ -60,6 +60,7 @@ ROUND7_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_events_burst_episodes",
         "q_privacy_cell_suppression",
         "q_agg_bivariate",
+        "q_llm_data_card",
     }
 )
 
