@@ -200,3 +200,122 @@ def q_kinesis_shard_route(spark, sf_dir):
             F.countDistinct("user_id").alias("n_keys"),
         )
     )
+
+
+# --- A13: resharding plan (UpdateShardCount / split-merge planning) ----------
+
+_RESHARD_N = 16  # modeled open shards = one md5 hex digit of the ring
+# split when a shard carries >= 3/2 the mean load (cross-multiplied as
+# 2 * n * N >= 3 * total — no float mean at the decision boundary)
+_RESHARD_HOT_NUM = 3
+_RESHARD_HOT_DEN = 2
+_RESHARD_COLD_DIV = 2  # merge a pair when BOTH carry <= 1/2 the mean
+
+
+@query(
+    "q_kinesis_reshard_plan",
+    priority=30,
+    oracle=f"""
+    WITH routed AS (
+        SELECT (instr('0123456789abcdef',
+                      substr(md5(CAST(user_id AS VARCHAR)), 32, 1)) - 1)
+                   % {_RESHARD_N} AS shard
+        FROM events
+    ),
+    counts AS (
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_records
+        FROM routed GROUP BY shard
+    ),
+    tot AS (SELECT CAST(sum(n_records) AS BIGINT) AS total FROM counts),
+    partnered AS (
+        SELECT c.shard, c.n_records,
+               p.n_records AS partner_records, t.total
+        FROM counts c
+        JOIN counts p ON p.shard = c.shard + 1 - 2 * (c.shard % 2)
+        CROSS JOIN tot t
+    )
+    SELECT shard, n_records,
+           CAST((1000000 * n_records) // total AS BIGINT) AS share_ppm,
+           CASE
+               WHEN {_RESHARD_HOT_DEN} * n_records * {_RESHARD_N}
+                    >= {_RESHARD_HOT_NUM} * total THEN 'split'
+               WHEN n_records * {_RESHARD_N} * {_RESHARD_COLD_DIV} <= total
+                AND partner_records * {_RESHARD_N} * {_RESHARD_COLD_DIV}
+                    <= total THEN 'merge'
+               ELSE 'keep' END AS action
+    FROM partnered
+    """,
+)
+def q_kinesis_reshard_plan(spark, sf_dir):
+    """A13: RESHARDING plan — the split/merge decision table a Kinesis
+    operator feeds to SplitShard/MergeShards (or UpdateShardCount): per
+    modeled shard of a {_RESHARD_N}-shard stream (the A5 md5-ring rule,
+    one hex digit of the ring), its record load, traffic share and the
+    planned action. Rules are the standard capacity ones, exact integer
+    cross-multiplied (no float mean at a decision boundary): SPLIT a
+    shard at >= {_RESHARD_HOT_NUM}/{_RESHARD_HOT_DEN}x the mean load; MERGE a hash-range-
+    ADJACENT pair (2i, 2i+1 — the only pairs MergeShards accepts) when
+    BOTH run at <= 1/{_RESHARD_COLD_DIV} the mean. Partner lookup is the
+    arithmetic involution shard + 1 - 2*(shard % 2), so the plan is
+    engine-pure SQL — no driver-side loop, and the same query audits a
+    real stream's enhanced-monitoring output unchanged.
+
+    Scale: one events-scale rollup to {_RESHARD_N} rows (map-side
+    combined); the partner join and total broadcast run on the
+    {_RESHARD_N}-row frame. The routing expression is the A5-pinned
+    md5-ring digit, so plan rows reconcile with q_kinesis_shard_route."""
+    ev = table(spark, sf_dir, "events")
+    digit = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(F.encode(F.col("user_id").cast("string"), "UTF-8")),
+                32,
+                1,
+            ),
+        )
+        - 1
+    )
+    counts = (
+        ev.select((digit % _RESHARD_N).cast("bigint").alias("shard"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_records"))
+    )
+    tot = F.broadcast(
+        counts.agg(F.sum("n_records").cast("bigint").alias("total"))
+    )
+    partner = counts.select(
+        F.col("shard").alias("p_shard"),
+        F.col("n_records").alias("partner_records"),
+    )
+    partnered = (
+        counts.join(
+            F.broadcast(partner),
+            F.col("p_shard")
+            == F.col("shard") + 1 - 2 * (F.col("shard") % 2),
+        )
+        .crossJoin(tot)
+    )
+    hot = (
+        _RESHARD_HOT_DEN * F.col("n_records") * _RESHARD_N
+        >= _RESHARD_HOT_NUM * F.col("total")
+    )
+    cold = (
+        F.col("n_records") * _RESHARD_N * _RESHARD_COLD_DIV
+        <= F.col("total")
+    ) & (
+        F.col("partner_records") * _RESHARD_N * _RESHARD_COLD_DIV
+        <= F.col("total")
+    )
+    return partnered.select(
+        "shard",
+        "n_records",
+        F.expr("CAST((1000000 * n_records) div total AS BIGINT)").alias(
+            "share_ppm"
+        ),
+        F.when(hot, F.lit("split"))
+        .when(cold, F.lit("merge"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+    )

@@ -61,6 +61,7 @@ ROUND7_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_privacy_cell_suppression",
         "q_agg_bivariate",
         "q_llm_data_card",
+        "q_kinesis_reshard_plan",
     }
 )
 
