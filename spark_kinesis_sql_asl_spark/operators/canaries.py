@@ -460,3 +460,33 @@ def q_canary_nullable_bigint(spark, sf_dir):
             ).alias("maybe_cents"),
         )
     )
+
+
+@query(
+    "q_canary_month_trunc",
+    priority=10,
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+)
+def q_canary_month_trunc(spark, sf_dir):
+    """D13: date_trunc RESULT-TYPE divergence (round 7, found by B134):
+    DuckDB's date_trunc('month'/'year', ...) returns DATE while Spark
+    always returns TIMESTAMP — equal instants, different dtypes at the
+    driver's pandas boundary. Every month-grain rollup (B134's MoM frame,
+    any calendar report) must therefore CAST the oracle side to
+    TIMESTAMP; this canary pins the pattern in isolation ('day'
+    granularity rides along as the already-TIMESTAMP control) so a
+    future hash-red on a monthly query localizes instantly."""
+    return (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            F.date_trunc("day", "o_orderdate").alias("day"),
+        )
+    )

@@ -10,7 +10,8 @@ artifacts. Round 7 is the first round where the never-sampled set is EMPTY
                   its DuckDB oracle was rewritten this round, the Spark
                   side is judge-proven correct, and it must re-enter the
                   window for its green row)
-  slots 1..12     the 12 canaries (decorator priority 10)
+  slots 1..13     the canaries (decorator priority 10; 13 after D13
+                  landed this round)
   slots 13..~49   new round-7 queries (decorator priority=30)
 
 If you add new queries this round: decorator ``priority=30`` keeps them
@@ -62,6 +63,7 @@ ROUND7_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_agg_bivariate",
         "q_llm_data_card",
         "q_kinesis_reshard_plan",
+        "q_canary_month_trunc",
     }
 )
 
@@ -125,7 +127,7 @@ def test_recheck_heads_the_window_then_canaries():
     names = _ordered()
     assert names[0] == "q_cusum_changepoint"
     assert _priority(names[0]) == 0
-    head = names[1:13]
+    head = names[1:14]
     assert all(n.startswith("q_canary_") for n in head), head
     assert all(_priority(n) == 10 for n in head)
 
@@ -133,7 +135,7 @@ def test_recheck_heads_the_window_then_canaries():
 def test_window_budget_not_overflowed_by_new_queries():
     """Every entry with priority <=30 must fit in the 50-slot window.
 
-    1 re-check + 12 canaries = 13 reserved slots; at most 37 new p30
+    1 re-check + 13 canaries = 14 reserved slots; at most 36 new p30
     queries fit. Registering a 38th would push something out silently —
     this test makes it loud instead.
     """
@@ -160,7 +162,8 @@ def test_new_queries_land_inside_the_window():
     registry.load_all()
     for n in sorted(ROUND7_NEW_THIS_ROUND):
         assert n in registry._QUERIES, f"{n} listed but not registered"
-        assert _priority(n) == 30, f"{n}: expected decorator p30"
+        expected = 10 if n.startswith("q_canary_") else 30
+        assert _priority(n) == expected, f"{n}: expected p{expected}"
     names = _ordered()
     window = set(names[:DRIVER_WINDOW])
     missing = ROUND7_NEW_THIS_ROUND - window
