@@ -581,3 +581,76 @@ def q_llm_data_card(spark, sf_dir):
             "top_source",
         )
     )
+
+
+# --- C123: quality x length confound matrix ----------------------------------
+
+_QLM_Q_BUCKET_PPM = 100_000  # 11 stopword-share buckets over [0, 1e6]
+
+
+@query(
+    "q_llm_quality_len_matrix",
+    priority=30,
+    oracle=f"""
+    WITH feat AS (
+        SELECT CAST(length(bin(len(string_split(coalesce(text, ''), ' '))))
+                    AS BIGINT) AS len_octave,
+               ((1000000 * len(list_filter(
+                     string_split(coalesce(text, ''), ' '),
+                     t -> t IN ('a', 'the'))))
+                 // len(string_split(coalesce(text, ''), ' ')))
+                 // {_QLM_Q_BUCKET_PPM} AS q_bucket,
+               CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
+                    THEN 1 ELSE 0 END AS pos
+        FROM documents
+    )
+    SELECT len_octave, CAST(q_bucket AS BIGINT) AS q_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(pos) AS BIGINT) AS n_trusted,
+           CAST((1000000 * sum(pos)) // count(*) AS BIGINT)
+               AS trusted_ppm
+    FROM feat GROUP BY len_octave, q_bucket
+    """,
+)
+def q_llm_quality_len_matrix(spark, sf_dir):
+    """C123: the quality x length CONFOUND matrix — trusted-source rate
+    cross-tabulated by document length octave AND quality-score bucket.
+    The diagnostic that protects a curation run from the classic trap:
+    a "quality" classifier that is secretly a length detector (C105's
+    AUC and C117's calibration both marginalize over length, so they
+    cannot see it). If trusted_ppm varies across q_buckets WITHIN each
+    len_octave, the score carries real signal; if it is flat within rows
+    and varies only across octaves, the score is a length proxy and the
+    C115/C117 consumers are selecting on length — the audit that decides
+    whether to length-stratify the filter. Length buckets are exact
+    bit-length octaves (C51 identity), quality buckets fixed
+    {_QLM_Q_BUCKET_PPM}-ppm widths of the C105 stopword signal, NULL
+    sources count untrusted (the C105 r6 lesson).
+
+    Scale: everything is computed beside the scan; ONE map-side-combined
+    rollup to <=|octaves| x 11 cells. No joins, no windows."""
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    feat = parallel_table(spark, sf_dir, "documents").select(
+        F.length(F.bin(F.size(toks))).cast("bigint").alias("len_octave"),
+        F.expr(
+            f"((1000000 * size(filter(split(coalesce(text, ''), ' '), "
+            f"t -> t IN ('a', 'the')))) div "
+            f"size(split(coalesce(text, ''), ' '))) div "
+            f"{_QLM_Q_BUCKET_PPM}"
+        )
+        .cast("bigint")
+        .alias("q_bucket"),
+        F.coalesce(
+            F.col("source").isin("src0", "src1", "src2", "src3"),
+            F.lit(False),
+        )
+        .cast("int")
+        .alias("pos"),
+    )
+    return feat.groupBy("len_octave", "q_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("pos").cast("bigint").alias("n_trusted"),
+        F.expr(
+            "CAST((1000000 * sum(pos)) div count(1) AS BIGINT)"
+        ).alias("trusted_ppm"),
+    )

@@ -164,14 +164,17 @@ def test_bloom_no_false_negatives(ins, probes):
     pre_a=st.integers(0, 6),
     pre_b=st.integers(0, 6),
     span_len=st.integers(8, 30),
-    data=st.data(),
+    base=st.integers(10**6, 2 * 10**6),
+    stride=st.integers(1, 97),
 )
 @_SETTINGS
-def test_diagonal_run_recovers_planted_span(pre_a, pre_b, span_len, data):
-    # plant a shared span inside two otherwise-disjoint docs; token ids
-    # drawn from disjoint huge ranges so chance collisions are impossible
+def test_diagonal_run_recovers_planted_span(pre_a, pre_b, span_len, base, stride):
+    # plant a shared span of DISTINCT tokens inside two otherwise-disjoint
+    # docs (a span with internal repeats is self-similar and legitimately
+    # matches on several diagonals — C110 reports each such run; the
+    # single-diagonal identity below holds only for repeat-free spans)
     k = 8
-    span = [data.draw(st.integers(10**6, 2 * 10**6)) for _ in range(span_len)]
+    span = [base + i * stride for i in range(span_len)]
     doc_a = [-(i + 1) for i in range(pre_a)] + span + [-100 - i for i in range(3)]
     doc_b = [-(1000 + i) for i in range(pre_b)] + span + [-2000 - i for i in range(3)]
 

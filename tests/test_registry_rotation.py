@@ -64,6 +64,7 @@ ROUND7_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_llm_data_card",
         "q_kinesis_reshard_plan",
         "q_canary_month_trunc",
+        "q_llm_quality_len_matrix",
     }
 )
 
