@@ -1343,3 +1343,99 @@ def q_events_chisq_shift(spark, sf_dir):
     return t.select(
         "event_type", "n0", "n1", F.round(term, 6).alias("chisq_term")
     )
+
+
+# --- B141: customer tier migration matrix ------------------------------------
+
+_TIER_SPLIT_DATE = "1996-07-01"  # timeline midpoint: period 1 < split <= 2
+_TIER_N = 5  # revenue quintiles per period
+
+
+@query(
+    "q_customer_tier_migration",
+    priority=30,
+    oracle=f"""
+    WITH spend AS (
+        SELECT o_custkey AS cust,
+               CASE WHEN o_orderdate < TIMESTAMP '{_TIER_SPLIT_DATE}'
+                    THEN 1 ELSE 2 END AS period,
+               CAST(sum(CAST(round(100 * o_totalprice) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT cust, period, cents,
+               CAST(ntile({_TIER_N}) OVER (
+                   PARTITION BY period ORDER BY cents, cust
+               ) AS BIGINT) AS tier
+        FROM spend
+    ),
+    both_p AS (
+        SELECT a.cust, a.tier AS tier_p1, b.tier AS tier_p2
+        FROM ranked a JOIN ranked b
+          ON a.cust = b.cust AND a.period = 1 AND b.period = 2
+    )
+    SELECT tier_p1, tier_p2,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM both_p GROUP BY tier_p1, tier_p2
+    """,
+)
+def q_customer_tier_migration(spark, sf_dir):
+    """B141: customer TIER-MIGRATION matrix — each customer's revenue
+    quintile in the first half of the timeline vs the second, as the
+    {_TIER_N}x{_TIER_N} transition matrix (who climbed, who churned
+    toward the bottom tier, how sticky the top is). The longitudinal
+    readout B103's single-snapshot RFM cannot express — retention teams
+    act on the MOVEMENT, not the level. Tiers are exact quintiles with a
+    full (cents, cust) tie-break, computed per period via
+    global_exact_ntile (range-partitioned global rank + integer bucket
+    arithmetic — NO partitionless ntile window, the round-4 rule; the
+    oracle's ntile is bit-identical to that arithmetic by construction).
+    Customers active in only one period drop from the matrix (they are
+    B94 cohort-retention's subject, not migration's).
+
+    Plan/scale: one orders-scale rollup, then two period-partitioned
+    global sorts over the |customers|-row frame and a cust equi-join;
+    output is at most {_TIER_N}² rows."""
+    spend = (
+        table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.when(
+                F.col("o_orderdate") < F.lit(_TIER_SPLIT_DATE).cast(
+                    "timestamp"
+                ),
+                F.lit(1),
+            )
+            .otherwise(F.lit(2))
+            .alias("period"),
+            F.expr("CAST(round(100 * o_totalprice) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("cust", "period")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    p1 = global_exact_ntile(
+        spend.where(F.col("period") == 1),
+        _TIER_N,
+        ["cents", "cust"],
+        "tier_p1",
+    ).select("cust", "tier_p1")
+    p2 = global_exact_ntile(
+        spend.where(F.col("period") == 2),
+        _TIER_N,
+        ["cents", "cust"],
+        "tier_p2",
+    ).select("cust", "tier_p2")
+    return (
+        p1.join(p2, "cust")
+        .groupBy("tier_p1", "tier_p2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )

@@ -305,3 +305,95 @@ def q_win_mom_growth(spark, sf_dir):
             F.expr("((rev_cents - prev_cents) * 10000) div prev_cents"),
         ).alias("growth_bps"),
     )
+
+
+# --- B140: running distinct count (first-occurrence flag + running sum) ------
+
+
+@query(
+    "q_win_running_distinct",
+    priority=30,
+    oracle="""
+    WITH li AS (
+        SELECT o.o_custkey AS cust, l.l_partkey AS part,
+               o.o_orderdate AS odate, o.o_orderkey AS okey
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderdate IS NOT NULL AND o.o_custkey % 50 = 0
+    ),
+    flagged AS (
+        SELECT cust, odate, okey,
+               CASE WHEN row_number() OVER (
+                   PARTITION BY cust, part ORDER BY odate, okey) = 1
+               THEN 1 ELSE 0 END AS first_time
+        FROM li
+    ),
+    per_order AS (
+        SELECT cust, odate, okey,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(first_time) AS BIGINT) AS n_new
+        FROM flagged GROUP BY cust, odate, okey
+    )
+    SELECT cust, odate, okey, n_items, n_new,
+           CAST(sum(n_new) OVER (
+               PARTITION BY cust ORDER BY odate, okey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS distinct_parts_to_date
+    FROM per_order
+    """,
+)
+def q_win_running_distinct(spark, sf_dir):
+    """B140: RUNNING DISTINCT count — per customer, the cumulative number
+    of distinct parts ever ordered, as of each order. The
+    assortment-expansion / new-vs-repeat analytic that a naive
+    count(DISTINCT) OVER cannot express (no engine supports windowed
+    distinct aggregation) — the portable identity is first-occurrence
+    FLAGGING (row_number = 1 over (cust, part) in arrival order) followed
+    by a running SUM of flags, the same ledger algebra as C112's
+    first-line accounting. Both windows ride TOTAL orders ((odate, okey)
+    per (cust, part); (odate, okey) per cust after the per-order rollup —
+    okey unique), so the result is deterministic under any partitioning
+    (the C111 lesson). The cust % 50 slice keeps fixture output bounded
+    without changing the shape.
+
+    Plan/scale: one (cust, part) window + one per-order rollup + one
+    cust window — all three share cust-hash locality, and the per-order
+    frame is |orders|-scale, not |lineitem|-scale, when the running sum
+    runs. At 100 TB the flag window is the one lineitem-scale sort."""
+    li = (
+        table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate").isNotNull()
+            & (F.col("o_custkey") % 50 == 0)
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(
+            table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_partkey"
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_partkey").alias("part"),
+            F.col("o_orderdate").alias("odate"),
+            F.col("o_orderkey").alias("okey"),
+        )
+    )
+    first_w = Window.partitionBy("cust", "part").orderBy("odate", "okey")
+    flagged = li.withColumn(
+        "first_time",
+        (F.row_number().over(first_w) == 1).cast("bigint"),
+    )
+    per_order = flagged.groupBy("cust", "odate", "okey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("first_time").cast("bigint").alias("n_new"),
+    )
+    run_w = (
+        Window.partitionBy("cust")
+        .orderBy("odate", "okey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_order.withColumn(
+        "distinct_parts_to_date",
+        F.sum("n_new").over(run_w).cast("bigint"),
+    )

@@ -65,6 +65,8 @@ ROUND7_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_kinesis_reshard_plan",
         "q_canary_month_trunc",
         "q_llm_quality_len_matrix",
+        "q_win_running_distinct",
+        "q_customer_tier_migration",
     }
 )
 
