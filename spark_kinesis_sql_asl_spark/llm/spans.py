@@ -1326,3 +1326,96 @@ def q_llm_paragraph_dedup(spark, sf_dir):
             "removed_ppm"
         ),
     )
+
+
+# --- C124: shingle document-frequency audit (the C110 stoplist justifier) ----
+
+
+@query(
+    "q_llm_shingle_df_audit",
+    priority=35,
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               string_split(coalesce(text, ''), ' ') AS ts
+        FROM documents
+    ),
+    corpus AS (
+        SELECT doc_id, ts FROM base
+        UNION ALL
+        SELECT doc_id + {_SSD_OFFSET},
+               list_slice(ts, {_SSD_EXC_START},
+                          {_SSD_EXC_START + _SSD_EXC_LEN - 1})
+        FROM base
+        WHERE doc_id % 5 = 0 AND len(ts) >= {_SSD_MIN_TOKS}
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(array_to_string(
+                    list_slice(ts, pos, pos + {_SSD_K - 1}), ' ')),
+                    1, 15))::BIGINT AS h
+        FROM (SELECT doc_id, ts,
+                     unnest(range(1, CAST(len(ts) AS INTEGER)
+                                     - {_SSD_K} + 2)) AS pos
+              FROM corpus WHERE len(ts) >= {_SSD_K})
+    ),
+    df AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY h)
+    SELECT CAST(length(bin(df)) AS BIGINT) AS df_octave,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(df * df) AS BIGINT) AS pair_mass,
+           min(df >= 2 AND df <= {_SSD_DF_CAP}) AS joinable
+    FROM df GROUP BY length(bin(df))
+    """,
+)
+def q_llm_shingle_df_audit(spark, sf_dir):
+    """C124: the document-frequency SPECTRUM of C110's shingles, with the
+    candidate-pair mass sum(df^2) each octave would contribute to the
+    diagonal join — the measurement that JUSTIFIES (or re-tunes) the
+    df <= {_SSD_DF_CAP} stoplist before a corpus-scale run, instead of
+    discovering a quadratic blow-up mid-job (the C72 bucket-audit
+    discipline applied to exact substring dedup). Per df octave (C51
+    bit-length identity): shingle count, total pair mass, and whether
+    the octave is inside the joinable band (df in [2, {_SSD_DF_CAP}] for
+    every df in the octave — octaves are df-contiguous, so min() over
+    the flag is exact). Reading: pair_mass concentrated in non-joinable
+    high octaves = the cap is earning its keep; heavy mass just UNDER
+    the cap = tighten it before the 100 TB run.
+
+    Scale: per-doc DISTINCT shingles -> one (hash) df rollup -> ~60-row
+    octave rollup; 8-byte keys only, the C110 shuffle discipline. This
+    audit costs ONE of the passes the join it plans would cost."""
+    sh = (
+        _ssd_corpus(spark, sf_dir)
+        .where(F.size("ts") >= _SSD_K)
+        .select(
+            "doc_id",
+            "ts",
+            F.explode(
+                F.expr(f"sequence(1, size(ts) - {_SSD_K} + 1)")
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"cast(conv(substring(md5(array_join("
+                f"slice(ts, pos, {_SSD_K}), ' ')), 1, 15), 16, 10) "
+                f"as bigint)"
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    df = sh.groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    return (
+        df.groupBy(
+            F.length(F.bin("df")).cast("bigint").alias("df_octave")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.col("df") * F.col("df"))
+            .cast("bigint")
+            .alias("pair_mass"),
+            F.min(
+                (F.col("df") >= 2) & (F.col("df") <= _SSD_DF_CAP)
+            ).alias("joinable"),
+        )
+    )

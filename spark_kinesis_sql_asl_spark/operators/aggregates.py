@@ -992,3 +992,140 @@ def q_agg_bivariate(spark, sf_dir):
         F.round(slope, 6).alias("slope_cents_per_unit"),
         F.round((sp - sq * slope) / n, 6).alias("intercept_cents"),
     )
+
+
+# --- B142: Welch two-sample t statistic (exact moment sums) ------------------
+
+_WELCH_SPLIT_DATE = "1996-07-01"  # same timeline midpoint as B141
+
+
+@query(
+    "q_agg_welch_t",
+    priority=35,
+    oracle=f"""
+    WITH t AS (
+        SELECT n.n_name,
+               CASE WHEN o.o_orderdate < TIMESTAMP '{_WELCH_SPLIT_DATE}'
+                    THEN 1 ELSE 2 END AS period,
+               CAST(round(100 * o.o_totalprice) AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate IS NOT NULL AND o.o_totalprice IS NOT NULL
+    ),
+    m AS (
+        SELECT n_name, period,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS s1,
+               CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS s2
+        FROM t GROUP BY n_name, period
+    ),
+    wide AS (
+        SELECT a.n_name,
+               a.n AS n1, a.s1 AS a1, a.s2 AS a2,
+               b.n AS n2, b.s1 AS b1, b.s2 AS b2
+        FROM m a JOIN m b
+          ON a.n_name IS NOT DISTINCT FROM b.n_name
+         AND a.period = 1 AND b.period = 2
+        WHERE a.n > 1 AND b.n > 1
+    )
+    SELECT n_name, n1, n2,
+           round((CAST(b1 AS DOUBLE) / CAST(n2 AS DOUBLE)
+                  - CAST(a1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                 / sqrt(
+                     ((CAST(a2 AS DOUBLE)
+                       - CAST(a1 AS DOUBLE) * CAST(a1 AS DOUBLE)
+                         / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1))
+                       / CAST(n1 AS DOUBLE)
+                     + ((CAST(b2 AS DOUBLE)
+                         - CAST(b1 AS DOUBLE) * CAST(b1 AS DOUBLE)
+                           / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1))
+                       / CAST(n2 AS DOUBLE)),
+                 6) AS welch_t
+    FROM wide
+    """,
+)
+def q_agg_welch_t(spark, sf_dir):
+    """B142: Welch two-sample t statistic — did mean order value per
+    nation CHANGE between the two timeline halves, with unequal-variance
+    (Welch 1947) pooling? The parametric mean-shift test beside B120's
+    categorical chi-square and B131's sequential CUSUM: chi-square sees
+    composition, CUSUM sees when, Welch quantifies how many standard
+    errors the level moved. The B139 discipline: per-(nation, period)
+    moments (n, Σx, Σx²) accumulate in wide exact integers (HUGEINT /
+    DECIMAL(38,0) — order-independent, partial-aggregation-safe), and
+    the t statistic is ONE fixed float expression over six exact scalars,
+    round(6). Groups with n <= 1 drop (variance undefined) on both
+    engines identically.
+
+    Plan/scale: one orders-scale rollup (dims broadcast, map-side
+    combine) to |nations|x2 rows; the period self-join and the t
+    expression run on that tiny frame. NULL-safe nation join."""
+    t = (
+        table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .select(
+            "o_custkey",
+            F.when(
+                F.col("o_orderdate")
+                < F.lit(_WELCH_SPLIT_DATE).cast("timestamp"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(2))
+            .alias("period"),
+            F.expr("CAST(round(100 * o_totalprice) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_nationkey"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    dec = F.col("cents").cast("decimal(38,0)")
+    m = t.groupBy("n_name", "period").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec).alias("s1"),
+        F.sum(dec * F.col("cents")).alias("s2"),
+    )
+    a = m.where((F.col("period") == 1) & (F.col("n") > 1)).select(
+        F.col("n_name").alias("a_name"),
+        F.col("n").alias("n1"),
+        F.col("s1").alias("a1"),
+        F.col("s2").alias("a2"),
+    )
+    b = m.where((F.col("period") == 2) & (F.col("n") > 1)).select(
+        F.col("n_name").alias("b_name"),
+        F.col("n").alias("n2"),
+        F.col("s1").alias("b1"),
+        F.col("s2").alias("b2"),
+    )
+    wide = a.join(b, F.col("a_name").eqNullSafe(F.col("b_name")))
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    a1, a2 = F.col("a1").cast("double"), F.col("a2").cast("double")
+    b1, b2 = F.col("b1").cast("double"), F.col("b2").cast("double")
+    var1 = (a2 - a1 * a1 / n1) / (n1 - 1)
+    var2 = (b2 - b1 * b1 / n2) / (n2 - 1)
+    return wide.select(
+        F.col("a_name").alias("n_name"),
+        "n1",
+        "n2",
+        F.round(
+            (b1 / n2 - a1 / n1) / F.sqrt(var1 / n1 + var2 / n2), 6
+        ).alias("welch_t"),
+    )
