@@ -654,3 +654,117 @@ def q_llm_quality_len_matrix(spark, sf_dir):
             "CAST((1000000 * sum(pos)) div count(1) AS BIGINT)"
         ).alias("trusted_ppm"),
     )
+
+
+# --- C128: cross-source duplication matrix ------------------------------------
+
+# The raw fixture has no exact duplicates and assigns source = src(doc_id %
+# 20) (FIXTURES.md); C128 injects copies of every 10th doc under a ROTATED
+# source (offset 1 + (doc_id div 10) % 19, never 0 mod 20) so the matrix has
+# real cross-source mass — the C1 injection pattern, extended with source
+# crossover. 100_000 offset keeps injected ids disjoint from real ones.
+_XDUP_OFFSET = 100_000
+
+
+@query(
+    "q_llm_cross_dup_matrix",
+    priority=30,
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, source, md5(text) AS h FROM documents
+        UNION ALL
+        SELECT doc_id + {_XDUP_OFFSET} AS doc_id,
+               'src' || CAST((doc_id % 20 + 1 + (doc_id // 10) % 19) % 20
+                             AS VARCHAR) AS source,
+               md5(text) AS h
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    sh AS (SELECT DISTINCT source, h FROM corpus),
+    per_source AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_hashes FROM sh
+        GROUP BY source
+    ),
+    shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT s.source_a, s.source_b, s.n_shared,
+           pa.n_hashes AS n_a, pb.n_hashes AS n_b,
+           CAST((1000000 * s.n_shared)
+                // (pa.n_hashes + pb.n_hashes - s.n_shared) AS BIGINT)
+               AS jaccard_ppm
+    FROM shared s
+    JOIN per_source pa ON pa.source = s.source_a
+    JOIN per_source pb ON pb.source = s.source_b
+    """,
+)
+def q_llm_cross_dup_matrix(spark, sf_dir):
+    """C128: source-pair duplication matrix — for every pair of sources,
+    how many distinct texts they BOTH carry, and the Jaccard of their
+    content-hash sets. The provenance audit behind mixture design (C30)
+    and the data card (C122): a crawl source that is 40% content-shared
+    with another is double-counting its mixture weight, and upweighting
+    both is silent duplication at training time (the cross-SOURCE view of
+    what C44 measures cross-SPLIT). Same exact-hash algebra as C1, lifted
+    from doc grain to source-pair grain; string source ids compare
+    byte-wise identically on both engines (the D9 canary).
+
+    Plan/scale: texts reduce to 32-byte md5 beside the scan (the
+    exchange carries (source, hash), never text); the DISTINCT and the
+    self-join both key on the hash, so co-located one shuffle each; the
+    matrix is |sources|^2 rows — trivially small at any corpus size (a
+    pipeline has hundreds of sources, not millions)."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "source", F.md5(F.col("text").cast("binary")).alias("h"))
+    injected = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + _XDUP_OFFSET).alias("doc_id"),
+        F.concat(
+            F.lit("src"),
+            (
+                (F.col("doc_id") % 20 + 1 + (F.col("doc_id") / 10).cast("bigint") % 19)
+                % 20
+            ).cast("string"),
+        ).alias("source"),
+        F.md5(F.col("text").cast("binary")).alias("h"),
+    )
+    sh = base.unionByName(injected).select("source", "h").distinct()
+    per_source = sh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hashes")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    pa = per_source.select(
+        F.col("source").alias("source_a"), F.col("n_hashes").alias("n_a")
+    )
+    pb = per_source.select(
+        F.col("source").alias("source_b"), F.col("n_hashes").alias("n_b")
+    )
+    return (
+        shared.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST((1000000 * n_shared) div (n_a + n_b - n_shared) "
+                "AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )

@@ -18,7 +18,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import table
+from ..tables import parallel_table, table
 from .curation import _NTOK_DUCK, _NTOK_SPARK
 from .similarity import as_double, dot, safe_cosine, sq_norm
 
@@ -730,4 +730,145 @@ def q_llm_scd2(spark, sf_dir):
         .cast("bigint")
         .alias("valid_to"),
         "h",
+    )
+
+
+# --- C126: incremental NEAR-dup ingest (the C46 gap) --------------------------
+
+# MinHash geometry shared with C3 (llm/dedup.py): 16 signatures, 4 bands of
+# 4 rows — collides w.h.p. above Jaccard ~0.7. The estimate threshold for
+# calling a band-hit a near-dup: >= 8/16 agreeing rows (est >= 0.5), chosen
+# below the banding's design point so the probe over-reports rather than
+# under-reports; the exact verify on the survivors is C2's job downstream.
+_NEARDUP_K = 16
+_NEARDUP_BANDS = 4
+_NEARDUP_MIN_AGREE = 8
+
+
+def ingest_neardup_flags(spark, sf_dir):
+    """Per-batch-doc novelty flags: (doc_id, lang, is_exact, is_near).
+
+    The delta-vs-corpus MinHash band probe: signatures for all docs in one
+    pass, bands for both sides, then a probe join whose LEFT side is the
+    batch only — candidate cost is |delta| x bands x bucket-collisions,
+    never |corpus|^2 (VERDICT r7 item 3: C46's exact-hash screen lets a
+    re-crawl with one changed byte sail through; this catches it). Used by
+    q_llm_ingest_neardup and the recall gate in tests/test_llm.py."""
+    d = parallel_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary"))
+    is_batch = F.col("doc_id") % _BATCH_MOD == 0
+    sigs = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.xxhash64("tok", F.lit(i))).alias(f"h{i}")
+                for i in range(_NEARDUP_K)
+            ]
+        )
+    )
+    rows_per_band = _NEARDUP_K // _NEARDUP_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"h{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(_NEARDUP_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    ids = d.select("doc_id", "lang", h.alias("h"), is_batch.alias("in_batch"))
+    probe = bands.join(
+        ids.select("doc_id", "in_batch"), "doc_id"
+    )
+    cand = (
+        probe.where("in_batch")
+        .select(F.col("doc_id").alias("bd"), "band", "bucket")
+        .join(
+            probe.where(~F.col("in_batch")).select(
+                F.col("doc_id").alias("cd"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .select("bd", "cd")
+        .distinct()
+    )
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    agree = sum(
+        F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+        for i in range(_NEARDUP_K)
+    )
+    near_docs = (
+        cand.join(sa, F.col("bd") == F.col("sa.doc_id"))
+        .join(sb, F.col("cd") == F.col("sb.doc_id"))
+        .where(agree >= _NEARDUP_MIN_AGREE)
+        .select(F.col("bd").alias("doc_id"))
+        .distinct()
+        .withColumn("near_hit", F.lit(1))
+    )
+    corpus_hashes = (
+        ids.where(~F.col("in_batch")).select("h").distinct()
+        .withColumn("exact_hit", F.lit(1))
+    )
+    return (
+        ids.where("in_batch")
+        .join(corpus_hashes, "h", "left")
+        .join(near_docs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("exact_hit"), F.lit(0)).alias("is_exact"),
+            F.when(
+                F.coalesce(F.col("exact_hit"), F.lit(0)) == 0,
+                F.coalesce(F.col("near_hit"), F.lit(0)),
+            )
+            .otherwise(0)
+            .alias("is_near"),
+        )
+    )
+
+
+@query("q_llm_ingest_neardup", priority=30)  # rows-only: hash-seeded sketch
+def q_llm_ingest_neardup(spark, sf_dir):
+    """C126: incremental NEAR-dup ingest funnel — per language, how much
+    of a freshly-arrived batch is exact-duplicate, near-duplicate, or
+    genuinely novel against the existing corpus. Completes C46 (exact
+    hashes only): the fixture corpus is template-dense, so most "novel by
+    hash" batch docs are actually near-dups of existing content — the
+    re-crawl-with-one-changed-byte failure mode. The probe is C3's
+    MinHash banding with the PROBE side restricted to the delta: cost is
+    |delta| x bands on the probe, and the corpus band index is built once
+    (at 100 TB: a persistent bucketed table the pipeline maintains
+    incrementally, exactly like its exact-hash sibling). Rows-only by
+    design (xxhash64-seeded signatures have no SQL oracle); the recall
+    gate vs exact cross-split tau=0.8 Jaccard pairs (>=0.9 doc-level) and
+    the band-math parity with C3 live in tests/test_llm.py."""
+    flags = ingest_neardup_flags(spark, sf_dir)
+    return flags.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum("is_exact").cast("bigint").alias("n_exact_dup"),
+        F.sum("is_near").cast("bigint").alias("n_near_dup"),
+        (F.count(F.lit(1)) - F.sum("is_exact") - F.sum("is_near"))
+        .cast("bigint")
+        .alias("n_novel"),
+        F.expr(
+            "CAST((1000000 * (count(1) - sum(is_exact) - sum(is_near))) "
+            "div count(1) AS BIGINT)"
+        ).alias("novel_ppm"),
     )

@@ -823,3 +823,293 @@ def q_llm_pq_adc_topk(spark, sf_dir):
         .where(F.col("rk") <= _ADC_K)
         .select("query_id", "vec_id", "adc_dist", "rk")
     )
+
+# --- C125/C127: label-free semantic dedup (SemDeDup) --------------------------
+
+# Cosine threshold for "semantic duplicate", as an exact rational so the
+# comparison is pure integer arithmetic on the C24 grid: cos >= 0.3  <=>
+# dot > 0 AND 100*dot^2 >= 9*|a|^2*|b|^2. Matches C15's _EMBED_TAU (the
+# fixture corpus is near-orthogonal; max pair ~0.47), so the recall gate in
+# tests/test_llm.py compares like with like.
+_SEMDEDUP_TAU_NUM_SQ = 9  # tau^2 = 9/100
+_SEMDEDUP_TAU_DEN_SQ = 100
+
+# IVF-style multi-probe: each vector blocks into its 3 nearest trained
+# cells, so near-boundary pairs (the k-means Voronoi edges that single-cell
+# SemDeDup misses) still collide. Measured on the fixture: C15-pair recall
+# 0.27 -> 0.83 going nprobe 1 -> 3, with every C15 pair above cos 0.40
+# recovered. Candidate volume scales as nprobe^2 * N^2 / k — at production
+# k ~ sqrt(N) (the paper runs k=50k on 5B docs) that is ~9*N^1.5, still
+# sub-quadratic; the fixture's k=16 makes the fixture-scale reduction
+# modest, which the C127 audit makes visible rather than hiding.
+_SEMDEDUP_NPROBE = 3
+
+# Trained assignments shared by C125, C127 and the recall gates: built once
+# per (applicationId, sf_dir), localCheckpointed. Value = (primary, probes):
+# primary = (vec_id, cell_id, dist, nrm2) at rn=1; probes = (vec_id,
+# cell_id) at rn <= _SEMDEDUP_NPROBE.
+_SEMANTIC_STATE: dict[tuple[str, str], tuple] = {}
+
+
+def _semantic_state(spark, sf_dir):
+    """Build-or-ride the memoized trained-cell assignment state — C77's
+    3-round Lloyd centroids reused as SemDeDup's blocking structure (the
+    r6/r7 shared-state pattern: first consumer pays, the rest ride)."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    hit = _SEMANTIC_STATE.get(key)
+    if hit is not None:
+        return hit
+    cents = train_centroids(spark, sf_dir)
+    e = parallel_table(spark, sf_dir, "embeddings", key="vec_id").select(
+        "vec_id", F.expr(_Q_VEC_SQL_SPARK).alias("qv")
+    )
+    dists = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "qv",
+        "cell_id",
+        F.expr(
+            "aggregate(sequence(1, 64), CAST(0 AS BIGINT), (acc, i) -> "
+            "acc + (element_at(qv, i) - element_at(cv, i)) * "
+            "(element_at(qv, i) - element_at(cv, i)))"
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cell_id")
+    ranked = dists.withColumn("rn", F.row_number().over(w))
+    primary = (
+        ranked.where(F.col("rn") == 1)
+        .withColumn(
+            "nrm2",
+            F.expr(
+                "aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+            ),
+        )
+        .select("vec_id", "cell_id", "qv", "dist", "nrm2")
+        .localCheckpoint(eager=True)
+    )
+    probes = (
+        ranked.where(F.col("rn") <= _SEMDEDUP_NPROBE)
+        .select("vec_id", "cell_id")
+        .localCheckpoint(eager=True)
+    )
+    state = (primary, probes)
+    _SEMANTIC_STATE[key] = state
+    return state
+
+
+def semantic_assigned(spark, sf_dir):
+    """(vec_id, cell_id, qv, dist, nrm2) under the TRAINED centroids —
+    the rn=1 (primary-cell) assignment. Cell populations, inertia and the
+    C127 audit read from here."""
+    return _semantic_state(spark, sf_dir)[0]
+
+
+def semantic_probes(spark, sf_dir):
+    """(vec_id, cell_id) multi-probe assignment (rn <= 3) — C125's
+    blocking key."""
+    return _semantic_state(spark, sf_dir)[1]
+
+
+@query(
+    "q_llm_dedup_semantic",
+    priority=30,
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, {_Q_VEC_SQL_DUCK} AS qv FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cell_id, qv AS cv FROM q WHERE vec_id < {_KMEANS_K}),
+    {_TRAIN_CTES},
+    probes AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT vec_id, cell_id,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
+            FROM (
+                SELECT q.vec_id, c.cell_id, {_DIST_DUCK} AS dist
+                FROM q CROSS JOIN c{_TRAIN_ROUNDS} c
+            )
+        ) WHERE rn <= {_SEMDEDUP_NPROBE}
+    ),
+    cand AS (
+        SELECT DISTINCT fa.vec_id AS vec_a, fb.vec_id AS vec_b
+        FROM probes fa
+        JOIN probes fb ON fa.cell_id = fb.cell_id AND fa.vec_id < fb.vec_id
+    ),
+    nrm AS (
+        SELECT vec_id, list_sum(list_transform(qv, x -> x * x)) AS nrm2
+        FROM q
+    ),
+    p AS (
+        SELECT c.vec_a, c.vec_b,
+               list_sum(list_transform(range(1, 65),
+                   i -> a.qv[i] * b.qv[i])) AS dq,
+               na.nrm2 AS na2, nb.nrm2 AS nb2
+        FROM cand c
+        JOIN q a ON a.vec_id = c.vec_a
+        JOIN q b ON b.vec_id = c.vec_b
+        JOIN nrm na ON na.vec_id = c.vec_a
+        JOIN nrm nb ON nb.vec_id = c.vec_b
+    )
+    SELECT vec_a, vec_b, CAST(dq AS BIGINT) AS dot_q,
+           CAST((1000000 * dq * dq) // (na2 * nb2) AS BIGINT) AS cos2_ppm
+    FROM p
+    WHERE dq > 0
+      AND {_SEMDEDUP_TAU_DEN_SQ} * dq * dq >= {_SEMDEDUP_TAU_NUM_SQ} * na2 * nb2
+    """,
+)
+def q_llm_dedup_semantic(spark, sf_dir):
+    """C125: label-free semantic dedup (SemDeDup, Abbas et al. 2023, with
+    IVF-style multi-probe) — pairs of embeddings whose cosine exceeds tau
+    and which share at least one of their 3 nearest trained k-means
+    cells. Closes the dedup ladder's one supervised gap: C15 blocks on
+    ``label``, supervision a real 100 TB corpus does not have; here the
+    blocking structure is LEARNED (C77's 3-round Lloyd centroids, C33's
+    integer E-step), so the operator runs on any unlabeled corpus, and
+    multi-probe repairs the Voronoi-boundary recall loss single-cell
+    SemDeDup accepts (measured on the fixture: C15-pair recall 0.27 at
+    nprobe=1 -> 0.83 at nprobe=3; every pair above cos 0.40 recovered —
+    gates in tests/test_llm.py). Exactness on the C24 grid: assignment,
+    dot products, and norms are all BIGINT; the tau comparison is the
+    exact rational identity cos>=0.3 <=> dot>0 AND 100*dot^2 >=
+    9*|a|^2*|b|^2 (no sqrt, no float, no ulp); cos2_ppm is an integer
+    floor-div (squared cosine in ppm) so the score column hashes
+    identically on both engines.
+
+    Plan/scale: centroids broadcast; candidate generation is the
+    cell-blocked probe self-join (ids only on the exchange — the
+    64-int vectors join back AFTER the distinct, the C3 shape), volume
+    ~nprobe^2 * N^2 / k, i.e. ~9*N^1.5 at the paper's k ~ sqrt(N) —
+    never N^2 — with AQE skew-split handling any fat cell. The
+    sub-quadratic scaling entry lives in tests/test_scaling.py; the
+    C127 audit prices the blocked volume BEFORE this join runs."""
+    probes = semantic_probes(spark, sf_dir)
+    a = probes.select(F.col("vec_id").alias("vec_a"), "cell_id")
+    b = probes.select(F.col("vec_id").alias("vec_b"), "cell_id")
+    cand = (
+        a.join(b, "cell_id")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    vecs = semantic_assigned(spark, sf_dir).select("vec_id", "qv", "nrm2")
+    va = vecs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("qv").alias("qa"),
+        F.col("nrm2").alias("na2"),
+    )
+    vb = vecs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("qv").alias("qb"),
+        F.col("nrm2").alias("nb2"),
+    )
+    pairs = cand.join(va, "vec_a").join(vb, "vec_b").withColumn(
+        "dq",
+        F.expr(
+            "aggregate(sequence(1, 64), CAST(0 AS BIGINT), (acc, i) -> "
+            "acc + element_at(qa, i) * element_at(qb, i))"
+        ),
+    )
+    return (
+        pairs.where(
+            (F.col("dq") > 0)
+            & (
+                _SEMDEDUP_TAU_DEN_SQ * F.col("dq") * F.col("dq")
+                >= _SEMDEDUP_TAU_NUM_SQ * F.col("na2") * F.col("nb2")
+            )
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            F.col("dq").cast("bigint").alias("dot_q"),
+            F.expr(
+                "CAST((1000000 * dq * dq) div (na2 * nb2) AS BIGINT)"
+            ).alias("cos2_ppm"),
+        )
+    )
+
+
+@query(
+    "q_llm_semantic_cell_audit",
+    priority=30,
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, {_Q_VEC_SQL_DUCK} AS qv FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cell_id, qv AS cv FROM q WHERE vec_id < {_KMEANS_K}),
+    {_TRAIN_CTES},
+    ranked AS (
+        SELECT vec_id, cell_id, dist,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
+        FROM (
+            SELECT q.vec_id, c.cell_id, {_DIST_DUCK} AS dist
+            FROM q CROSS JOIN c{_TRAIN_ROUNDS} c
+        )
+    ),
+    g AS (
+        SELECT cell_id,
+               CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_vecs,
+               CAST(sum(dist) FILTER (WHERE rn = 1) AS BIGINT) AS inertia,
+               CAST(count(*) AS BIGINT) AS n_probe_vecs,
+               CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_pairs
+        FROM ranked WHERE rn <= {_SEMDEDUP_NPROBE}
+        GROUP BY cell_id
+    ),
+    tot AS (
+        SELECT CAST(sum(n_vecs) AS BIGINT) AS nt,
+               CAST(sum(n_pairs) AS BIGINT) AS blocked_pairs
+        FROM g
+    )
+    SELECT g.cell_id, g.n_vecs, g.n_probe_vecs, g.n_pairs,
+           CAST(g.inertia // g.n_vecs AS BIGINT) AS mean_dist_q,
+           CAST((1000000 * g.n_pairs)
+                // (tot.nt * (tot.nt - 1) // 2) AS BIGINT) AS allpairs_ppm,
+           tot.blocked_pairs
+    FROM g CROSS JOIN tot
+    """,
+)
+def q_llm_semantic_cell_audit(spark, sf_dir):
+    """C127: SemDeDup blocking audit — per trained cell: primary
+    population and tightness (mean assignment distance), the multi-probe
+    population, the pair volume C125's join will generate in that cell
+    (n_probe*(n_probe-1)/2 — an upper bound on distinct pairs, since a
+    pair sharing two cells counts in both but dedups in C125), that
+    volume as ppm of the unblocked N^2 all-pairs count, and the total
+    blocked volume. The C72 discipline (price the expensive pass with a
+    CHEAP exact pass before running it): a fat cell shows up here as a
+    pair-volume spike — the signal to raise k or band within the cell —
+    BEFORE the pairwise join runs. Shares C125's memoized trained
+    assignment, so the audit costs two |cells|-row rollups on top of
+    state that is already built.
+
+    Plan/scale: groupBy(cell_id) with map-side combine to k rows; totals
+    are a 1-row aggregate of those k, broadcast back."""
+    primary = semantic_assigned(spark, sf_dir).select(
+        "vec_id", "cell_id", "dist"
+    )
+    probes = semantic_probes(spark, sf_dir)
+    gp = primary.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("dist").cast("bigint").alias("inertia"),
+    )
+    gm = probes.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probe_vecs"),
+        F.expr(
+            "CAST(count(1) * (count(1) - 1) div 2 AS BIGINT)"
+        ).alias("n_pairs"),
+    )
+    g = gp.join(gm, "cell_id")
+    tot = g.agg(
+        F.sum("n_vecs").cast("bigint").alias("nt"),
+        F.sum("n_pairs").cast("bigint").alias("blocked_pairs"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "cell_id",
+        "n_vecs",
+        "n_probe_vecs",
+        "n_pairs",
+        F.expr("CAST(inertia div n_vecs AS BIGINT)").alias("mean_dist_q"),
+        F.expr(
+            "CAST((1000000 * n_pairs) div (nt * (nt - 1) div 2) AS BIGINT)"
+        ).alias("allpairs_ppm"),
+        "blocked_pairs",
+    )

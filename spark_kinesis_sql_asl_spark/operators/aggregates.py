@@ -1129,3 +1129,117 @@ def q_agg_welch_t(spark, sf_dir):
             (b1 / n2 - a1 / n1) / F.sqrt(var1 / n1 + var2 / n2), 6
         ).alias("welch_t"),
     )
+
+
+@query(
+    "q_agg_theil",
+    priority=30,
+    oracle="""
+    WITH t AS (
+        SELECT o_orderpriority AS grp,
+               CAST(round(100 * o_totalprice) AS BIGINT) AS cents,
+               CAST(round(1000000 * ln(round(100 * o_totalprice))) AS BIGINT)
+                   AS ln_q
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+    ),
+    g AS (
+        SELECT grp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS s1,
+               CAST(sum(CAST(cents AS HUGEINT) * ln_q) AS HUGEINT) AS sxlnx_q
+        FROM t GROUP BY grp
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nt,
+               CAST(sum(s1) AS HUGEINT) AS st,
+               CAST(sum(sxlnx_q) AS HUGEINT) AS sxlnx_t
+        FROM g
+    )
+    SELECT g.grp, g.n, CAST(g.s1 AS BIGINT) AS sum_cents,
+           CAST((1000000 * g.s1) // tot.st AS BIGINT) AS share_ppm,
+           round(CAST(g.sxlnx_q AS DOUBLE) / 1000000.0 / CAST(g.s1 AS DOUBLE)
+                 - ln(CAST(g.s1 AS DOUBLE) / CAST(g.n AS DOUBLE)), 6)
+               AS theil_within,
+           round(CAST(g.s1 AS DOUBLE) / CAST(tot.st AS DOUBLE)
+                 * ln((CAST(g.s1 AS DOUBLE) / CAST(g.n AS DOUBLE))
+                      / (CAST(tot.st AS DOUBLE) / CAST(tot.nt AS DOUBLE))), 6)
+               AS between_term,
+           round(CAST(tot.sxlnx_t AS DOUBLE) / 1000000.0
+                     / CAST(tot.st AS DOUBLE)
+                 - ln(CAST(tot.st AS DOUBLE) / CAST(tot.nt AS DOUBLE)), 6)
+               AS theil_total
+    FROM g CROSS JOIN tot
+    """,
+)
+def q_agg_theil(spark, sf_dir):
+    """B143: Theil-T inequality index with within/between decomposition —
+    how concentrated is order revenue, and how much of that concentration
+    is *explained by* order priority vs internal to each priority class?
+    The inequality-accounting companion to B118's Gini: Gini ranks, Theil
+    decomposes additively (T_total = T_between + sum share_g * T_g), which
+    is what a mixture audit actually consumes.
+
+    The B142 float discipline, adapted for the one genuinely
+    transcendental term: ln(cents) is quantized PER ROW to integer
+    micro-nats (round(1e6*ln(c)) — the nearest round boundary sits ~1e6
+    ulps away from any double ln result, so both engines quantize
+    identically), and every aggregate (n, sum cents, sum cents*ln_q) is
+    then an exact wide-integer sum — order-independent under partial
+    aggregation, no float ever enters a SUM. Each output statistic is ONE
+    fixed float expression over those exact scalars, round(6), via the
+    identity T_g = (sum c ln c)/S_g - ln(S_g/n_g) (unit-invariant:
+    working in cents shifts both terms by ln(100), which cancels).
+
+    Plan/scale: one orders-scale groupBy to |priorities| rows with
+    map-side combine; the totals row is a 1-row aggregate of that tiny
+    frame, cross-joined back broadcast-style. At 100 TB: a single
+    shuffle of 5 rows' moments."""
+    t = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") > 0))
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.expr("CAST(round(100 * o_totalprice) AS BIGINT)").alias("cents"),
+            F.expr(
+                "CAST(round(1000000 * ln(round(100 * o_totalprice))) AS BIGINT)"
+            ).alias("ln_q"),
+        )
+    )
+    dec = F.col("cents").cast("decimal(38,0)")
+    g = t.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec).alias("s1"),
+        F.sum(dec * F.col("ln_q")).alias("sxlnx_q"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("s1").cast("decimal(38,0)").alias("st"),
+        F.sum("sxlnx_q").cast("decimal(38,0)").alias("sxlnx_t"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    s1d = F.col("s1").cast("double")
+    std = F.col("st").cast("double")
+    nd = F.col("n").cast("double")
+    ntd = F.col("nt").cast("double")
+    return j.select(
+        "grp",
+        "n",
+        F.col("s1").cast("bigint").alias("sum_cents"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * s1) div st AS BIGINT)"
+        ).alias("share_ppm"),
+        F.round(
+            F.col("sxlnx_q").cast("double") / 1000000.0 / s1d
+            - F.log(s1d / nd),
+            6,
+        ).alias("theil_within"),
+        F.round(s1d / std * F.log((s1d / nd) / (std / ntd)), 6).alias(
+            "between_term"
+        ),
+        F.round(
+            F.col("sxlnx_t").cast("double") / 1000000.0 / std
+            - F.log(std / ntd),
+            6,
+        ).alias("theil_total"),
+    )

@@ -813,6 +813,50 @@ def global_rank(df, sort_cols, out_name="_rank", with_total=False):
     return ranked
 
 
+def global_running_sums(df, sort_cols, sums):
+    """Exact global running sums over a TOTAL order with NO
+    single-partition window — the prefix-sum sibling of :func:`global_rank`
+    (same three-step plan: range-repartition on the sort key, per-range
+    cumulative window partitioned on ``spark_partition_id()``, then
+    per-partition totals turned into additive offsets via a broadcast
+    triangular self-join). ``sums`` maps output column name -> input
+    column name; each output is the cumulative sum of its input in
+    ``sort_cols`` order, BIGINT. Used by the ECDF family (B144): at 100 TB
+    every task cumulates one bounded key range and the offset table is
+    |partitions| rows."""
+    part = df.repartitionByRange(*sort_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = part
+    for out, col in sums.items():
+        run = run.withColumn(out, F.sum(col).over(w))
+    counts = part.groupBy("_pid").agg(
+        *[F.sum(col).alias(f"_t_{out}") for out, col in sums.items()]
+    )
+    a, b = counts.alias("a"), counts.alias("b")
+    offs = (
+        a.join(F.broadcast(b), F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"b._t_{out}"), F.lit(0)).alias(f"_o_{out}")
+                for out in sums
+            ]
+        )
+    )
+    joined = run.join(F.broadcast(offs), "_pid")
+    for out in sums:
+        joined = joined.withColumn(
+            out, (F.col(out) + F.col(f"_o_{out}")).cast("bigint")
+        )
+    return joined.drop("_pid", *[f"_o_{out}" for out in sums])
+
+
 def global_exact_ntile(df, n, sort_cols, out_name):
     """Exact ``ntile(n) OVER (ORDER BY sort_cols)`` with NO single-partition
     window — the 100 TB form of a global quantile score (round-4 verdict

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import table
+from .analytics import global_running_sums
 
 # Session gap: 30 minutes, expressed in integer microseconds so the
 # comparison is exact on both engines.
@@ -668,4 +669,119 @@ def q_events_burst_episodes(spark, sf_dir):
             F.sum("cnt").cast("bigint").alias("burst_events"),
         )
         .drop("grp")
+    )
+
+
+_KS_TYPE_A = "click"
+_KS_TYPE_B = "purchase"
+
+
+@query(
+    "q_events_ks_test",
+    priority=30,
+    oracle=f"""
+    WITH s AS (
+        SELECT value,
+               CASE WHEN event_type = '{_KS_TYPE_A}' THEN 1 ELSE 0 END AS is_a,
+               CASE WHEN event_type = '{_KS_TYPE_B}' THEN 1 ELSE 0 END AS is_b
+        FROM events
+        WHERE event_type IN ('{_KS_TYPE_A}', '{_KS_TYPE_B}')
+          AND value IS NOT NULL
+    ),
+    v AS (
+        SELECT value,
+               CAST(sum(is_a) AS BIGINT) AS na_here,
+               CAST(sum(is_b) AS BIGINT) AS nb_here
+        FROM s GROUP BY value
+    ),
+    cum AS (
+        SELECT value,
+               sum(na_here) OVER w AS ca,
+               sum(nb_here) OVER w AS cb
+        FROM v WINDOW w AS (ORDER BY value
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    tot AS (
+        SELECT CAST(sum(na_here) AS BIGINT) AS n_a,
+               CAST(sum(nb_here) AS BIGINT) AS n_b
+        FROM v
+    ),
+    gaps AS (
+        SELECT c.value, t.n_a, t.n_b,
+               abs(c.ca * t.n_b - c.cb * t.n_a) AS gap
+        FROM cum c CROSS JOIN tot t
+    )
+    SELECT n_a, n_b,
+           CAST(max(gap) AS BIGINT) AS ks_num,
+           CAST((1000000 * max(gap)) // (n_a * n_b) AS BIGINT) AS ks_ppm,
+           min(value) FILTER (
+               WHERE gap = (SELECT max(gap) FROM gaps)) AS at_value
+    FROM gaps GROUP BY n_a, n_b
+    """,
+)
+def q_events_ks_test(spark, sf_dir):
+    """B144: two-sample Kolmogorov-Smirnov statistic — the largest gap
+    between the empirical CDFs of '{_KS_TYPE_A}' and '{_KS_TYPE_B}' event
+    values. The distribution-shape companion to B142 (mean shift) and
+    B120 (categorical composition): KS sees ANY distributional change,
+    parameter-free. Kept exact the B139 way: D = max|F_a - F_b| is
+    computed as integer cross-products max|c_a*n_b - c_b*n_a| over the
+    pooled DISTINCT values (ties collapse identically on both engines
+    because the ECDF steps are grouped by value BEFORE the cumulative
+    window — and distinct values are a total order, the C111 rule), with
+    ks_ppm an integer floor-div. at_value reports the smallest value
+    attaining the max (deterministic tie-break); it is a raw fixture
+    double, never arithmetic output.
+
+    Plan/scale: one events-scale groupBy(value) with map-side combine,
+    then the B104/B118 distributed-prefix-sum shape via
+    :func:`global_running_sums` — range-repartition on value, per-range
+    cumulative windows, broadcast offset join — so NO single-partition
+    window exists even though the ECDF is global. The window input is
+    |distinct values|, not |events| (if value cardinality ever approached
+    event cardinality the ECDF would be pre-bucketed first, the B82
+    histogram pattern); the final frame is ONE row."""
+    s = (
+        table(spark, sf_dir, "events")
+        .where(
+            F.col("event_type").isin(_KS_TYPE_A, _KS_TYPE_B)
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "value",
+            F.when(F.col("event_type") == _KS_TYPE_A, 1).otherwise(0).alias("is_a"),
+            F.when(F.col("event_type") == _KS_TYPE_B, 1).otherwise(0).alias("is_b"),
+        )
+    )
+    v = s.groupBy("value").agg(
+        F.sum("is_a").cast("bigint").alias("na_here"),
+        F.sum("is_b").cast("bigint").alias("nb_here"),
+    )
+    cum = global_running_sums(
+        v, [F.col("value").asc()], {"ca": "na_here", "cb": "nb_here"}
+    ).select("value", "ca", "cb")
+    tot = v.agg(
+        F.sum("na_here").cast("bigint").alias("n_a"),
+        F.sum("nb_here").cast("bigint").alias("n_b"),
+    )
+    gaps = cum.crossJoin(F.broadcast(tot)).select(
+        "value",
+        "n_a",
+        "n_b",
+        F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")).alias(
+            "gap"
+        ),
+    )
+    mx = gaps.groupBy("n_a", "n_b").agg(
+        F.max("gap").cast("bigint").alias("ks_num"),
+        F.expr("CAST((1000000 * max(gap)) div (n_a * n_b) AS BIGINT)").alias(
+            "ks_ppm"
+        ),
+    )
+    return (
+        gaps.join(F.broadcast(mx), ["n_a", "n_b"])
+        .where(F.col("gap") == F.col("ks_num"))
+        .groupBy("n_a", "n_b", "ks_num", "ks_ppm")
+        .agg(F.min("value").alias("at_value"))
+        .select("n_a", "n_b", "ks_num", "ks_ppm", "at_value")
     )

@@ -803,3 +803,80 @@ def q_events_inter_arrival(spark, sf_dir):
         .groupBy("event_type", "octave")
         .agg(F.count(F.lit(1)).alias("n_gaps"))
     )
+
+
+@query(
+    "q_ts_seasonality",
+    priority=30,
+    oracle="""
+    WITH o AS (
+        SELECT dayofweek(o_orderdate) AS dow,
+               CAST(round(100 * o_totalprice) AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    g AS (
+        SELECT dow,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS s1
+        FROM o GROUP BY dow
+    ),
+    tot AS (
+        SELECT CAST(sum(n_orders) AS BIGINT) AS nt,
+               CAST(sum(s1) AS HUGEINT) AS st
+        FROM g
+    )
+    SELECT g.dow, g.n_orders,
+           CAST(g.s1 AS BIGINT) AS sum_cents,
+           CAST(g.s1 // g.n_orders AS BIGINT) AS mean_cents,
+           round((CAST(g.s1 AS DOUBLE) / CAST(g.n_orders AS DOUBLE))
+                 / (CAST(tot.st AS DOUBLE) / CAST(tot.nt AS DOUBLE)), 6)
+               AS seasonal_index
+    FROM g CROSS JOIN tot
+    """,
+)
+def q_ts_seasonality(spark, sf_dir):
+    """B146: day-of-week seasonal index — mean order value per weekday
+    relative to the overall mean, the multiplicative seasonal profile a
+    forecast pipeline divides out before trend fitting (and the calendar
+    sibling of B122's hourly profile, which profiles COUNTS; this
+    profiles LEVELS). Cross-engine day-numbering is pinned to DuckDB's
+    ``dayofweek`` convention (0 = Sunday .. 6 = Saturday; Spark's
+    ``dayofweek`` is 1-based, so the Spark side subtracts 1 — the D13
+    class of calendar-function divergence, resolved in code rather than
+    discovered by the driver). Moments accumulate exactly (BIGINT cents,
+    wide-integer sums); mean_cents is an integer floor-div and the index
+    is ONE fixed float expression over four exact scalars, round(6) —
+    the B142 discipline.
+
+    Plan/scale: one orders-scale groupBy to 7 rows with map-side
+    combine; totals are a 1-row aggregate of those 7, broadcast back."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+        )
+        .select(
+            (F.dayofweek("o_orderdate") - 1).alias("dow"),
+            F.expr("CAST(round(100 * o_totalprice) AS BIGINT)").alias("cents"),
+        )
+    )
+    g = o.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s1"),
+    )
+    tot = g.agg(
+        F.sum("n_orders").cast("bigint").alias("nt"),
+        F.sum("s1").cast("decimal(38,0)").alias("st"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n_orders",
+        F.col("s1").cast("bigint").alias("sum_cents"),
+        F.expr("CAST(s1 div n_orders AS BIGINT)").alias("mean_cents"),
+        F.round(
+            (F.col("s1").cast("double") / F.col("n_orders").cast("double"))
+            / (F.col("st").cast("double") / F.col("nt").cast("double")),
+            6,
+        ).alias("seasonal_index"),
+    )

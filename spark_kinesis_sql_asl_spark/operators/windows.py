@@ -397,3 +397,91 @@ def q_win_running_distinct(spark, sf_dir):
         "distinct_parts_to_date",
         F.sum("n_new").over(run_w).cast("bigint"),
     )
+
+
+@query(
+    "q_win_streaks",
+    priority=30,
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey AS cust, o_orderdate AS odate,
+               o_orderkey AS okey, o_totalprice AS price
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    flagged AS (
+        SELECT cust, odate, okey, price,
+               CASE WHEN lag(price) OVER w IS NOT NULL
+                         AND price > lag(price) OVER w
+                    THEN 0 ELSE 1 END AS new_run
+        FROM o WINDOW w AS (PARTITION BY cust ORDER BY odate, okey)
+    ),
+    runs AS (
+        SELECT cust,
+               sum(new_run) OVER (
+                   PARTITION BY cust ORDER BY odate, okey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS run_id
+        FROM flagged
+    ),
+    sized AS (
+        SELECT cust, run_id, CAST(count(*) AS BIGINT) AS run_len
+        FROM runs GROUP BY cust, run_id
+    )
+    SELECT cust,
+           CAST(sum(run_len) AS BIGINT) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(max(run_len) AS BIGINT) AS longest_run
+    FROM sized GROUP BY cust
+    """,
+)
+def q_win_streaks(spark, sf_dir):
+    """B145: gaps-and-islands streak mining — per customer, the longest
+    run of strictly increasing order values in order-date order. The
+    classic islands identity (B93's lag-flag + running-sum, applied to a
+    VALUE comparison instead of a time gap): flag each order that does
+    not extend the increasing run, cumulative-sum the flags into island
+    ids, size the islands. Both windows ride the TOTAL order
+    (odate, okey) within each customer (the C111 determinism rule), and
+    the price comparison is raw fixture doubles — compared, never
+    aggregated — so no float arithmetic crosses the engine boundary.
+
+    Plan/scale: one shuffle on cust feeds the lag window, the running
+    sum, and both rollups (same partitioning key — exchange reuse); the
+    per-key window state is one lag value + one running counter, flat
+    memory at any corpus size."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+        )
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_orderdate").alias("odate"),
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    order = [F.col("odate").asc(), F.col("okey").asc()]
+    w_lag = Window.partitionBy("cust").orderBy(*order)
+    w_run = (
+        Window.partitionBy("cust")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.lag("price").over(w_lag)
+    flagged = o.withColumn(
+        "new_run",
+        F.when(prev.isNotNull() & (F.col("price") > prev), 0).otherwise(1),
+    )
+    runs = flagged.select(
+        "cust", F.sum("new_run").over(w_run).alias("run_id")
+    )
+    sized = runs.groupBy("cust", "run_id").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return sized.groupBy("cust").agg(
+        F.sum("run_len").cast("bigint").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("run_len").cast("bigint").alias("longest_run"),
+    )

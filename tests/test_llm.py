@@ -463,3 +463,209 @@ def test_containment_lsh_recall_vs_exact(spark):
     # the exact candidate space (loose sanity: flagged set not wildly
     # larger than exact's)
     assert len(approx) <= len(exact) * 1.2
+
+
+# --- C125/C127: SemDeDup (label-free semantic dedup) --------------------------
+
+
+def _grid_truth_pairs(spark, tau_num_sq, tau_den_sq):
+    """Brute-force ALL-pairs cosine threshold on the C24 integer grid —
+    the unblocked ground truth C125's cell blocking is measured against
+    (125k pairs at sf0.01; test-only, never a registered query)."""
+    from pyspark.sql import functions as F
+
+    from spark_kinesis_sql_asl_spark.llm.curation import _Q_VEC_SQL_SPARK
+    from spark_kinesis_sql_asl_spark.tables import table
+
+    e = table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id",
+        F.expr(_Q_VEC_SQL_SPARK).alias("qv"),
+        F.expr(
+            "aggregate(transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            " * 64.0) AS BIGINT)), CAST(0 AS BIGINT),"
+            " (acc, v) -> acc + v * v)"
+        ).alias("nrm2"),
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("qv").alias("qa"),
+        F.col("nrm2").alias("na2"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("qv").alias("qb"),
+        F.col("nrm2").alias("nb2"),
+    )
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "dq",
+            F.expr(
+                "aggregate(sequence(1, 64), CAST(0 AS BIGINT), (acc, i) -> "
+                "acc + element_at(qa, i) * element_at(qb, i))"
+            ),
+        )
+        .where(
+            (F.col("dq") > 0)
+            & (
+                tau_den_sq * F.col("dq") * F.col("dq")
+                >= tau_num_sq * F.col("na2") * F.col("nb2")
+            )
+        )
+    )
+    return {(r.vec_a, r.vec_b) for r in pairs.select("vec_a", "vec_b").collect()}
+
+
+def test_semantic_dedup_exact_within_blocks_and_full_recall_on_strong_pairs(
+    spark,
+):
+    """SemDeDup's contract: within-cell pairs are EXACT (precision 1.0 vs
+    the unblocked grid truth), and every STRONG pair (cos >= 0.5 — the
+    regime semantic dedup actually prunes; the paper dedups at eps ~0.05,
+    i.e. cos ~0.95) lands in one cell. Weak pairs (tau=0.3, barely above
+    the fixture's near-orthogonal noise floor) may straddle cells — that
+    loss is the blocking trade recorded by the floor assertion."""
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in QUERIES["q_llm_dedup_semantic"](spark, SF_ORACLE)
+        .select("vec_a", "vec_b")
+        .collect()
+    }
+    truth_tau = _grid_truth_pairs(spark, 9, 100)  # cos >= 0.3
+    assert got <= truth_tau, (
+        f"false positives: {sorted(got - truth_tau)[:5]}"
+    )
+    strong = _grid_truth_pairs(spark, 1, 4)  # cos >= 0.5
+    assert strong, "fixture lost its strong semantic duplicates"
+    assert strong <= got, (
+        f"strong pairs missed by cell blocking: {sorted(strong - got)[:5]}"
+    )
+    recall = len(got) / len(truth_tau)
+    assert recall >= 0.5, (
+        f"weak-pair recall {recall:.3f} below the measured nprobe=3 floor"
+    )
+
+
+def test_semantic_dedup_covers_label_blocked_pairs(spark):
+    """VERDICT r7 item 2's gate: vs C15 (label-blocked, double-precision
+    cosine), the UNSUPERVISED multi-probe cell blocking must recover every
+    C15 pair above cos 0.40 and >= 0.8 of all C15 pairs — labels were the
+    crutch, trained cells replace them (measured: 0.83 at nprobe=3; a
+    regression to single-probe shows up here as 0.27)."""
+    sem = {
+        (r.vec_a, r.vec_b)
+        for r in QUERIES["q_llm_dedup_semantic"](spark, SF_ORACLE)
+        .select("vec_a", "vec_b")
+        .collect()
+    }
+    emb = QUERIES["q_llm_dedup_embed"](spark, SF_ORACLE).collect()
+    all_pairs = {(r.vec_a, r.vec_b) for r in emb}
+    strong = {(r.vec_a, r.vec_b) for r in emb if r.cosine >= 0.40}
+    assert strong, "fixture lost its stronger within-label duplicates"
+    missed = strong - sem
+    assert not missed, f"label-blocked pairs >=0.40 missed: {sorted(missed)}"
+    recall = len(all_pairs & sem) / len(all_pairs)
+    assert recall >= 0.8, f"C15-pair recall {recall:.3f} < 0.8"
+
+
+def test_semantic_cell_audit_predicts_actual_candidate_volume(spark):
+    """C127's per-cell volumes must match the blocking state C125's join
+    actually runs on, and blocking must stay below all-pairs even at the
+    fixture's tiny k=16 with nprobe=3 (at production k ~ sqrt(N) the
+    reduction is ~k/nprobe^2; the audit exists to price that BEFORE the
+    join runs)."""
+    audit = {
+        r.cell_id: r
+        for r in QUERIES["q_llm_semantic_cell_audit"](spark, SF_ORACLE).collect()
+    }
+    from spark_kinesis_sql_asl_spark.llm.vectors import (
+        semantic_assigned,
+        semantic_probes,
+    )
+
+    sizes = {
+        r.cell_id: r["count"]
+        for r in semantic_assigned(spark, SF_ORACLE)
+        .groupBy("cell_id")
+        .count()
+        .collect()
+    }
+    probe_sizes = {
+        r.cell_id: r["count"]
+        for r in semantic_probes(spark, SF_ORACLE)
+        .groupBy("cell_id")
+        .count()
+        .collect()
+    }
+    assert set(audit) == set(probe_sizes)
+    for cell, row in audit.items():
+        assert row.n_vecs == sizes.get(cell, 0)
+        assert row.n_probe_vecs == probe_sizes[cell]
+        assert row.n_pairs == probe_sizes[cell] * (probe_sizes[cell] - 1) // 2
+    n_total = sum(sizes.values())
+    blocked = sum(r.n_pairs for r in audit.values())
+    allpairs = n_total * (n_total - 1) // 2
+    assert next(iter(audit.values())).blocked_pairs == blocked
+    assert blocked < allpairs, (blocked, allpairs)
+    # and the audit's bound really bounds C125's distinct candidate set
+    n_emitted = QUERIES["q_llm_dedup_semantic"](spark, SF_ORACLE).count()
+    assert n_emitted <= blocked
+
+
+# --- C126: incremental NEAR-dup ingest ----------------------------------------
+
+
+def test_ingest_neardup_recall_vs_exact_cross_split_jaccard(spark):
+    """Doc-level recall gate: every batch doc with an exact tau>=0.8
+    Jaccard partner in the corpus must be flagged near-dup (or exact-dup)
+    by the band probe. Ground truth via DuckDB list_intersect — the same
+    token-set Jaccard C2 defines, restricted to cross-split pairs."""
+    import duckdb
+
+    from spark_kinesis_sql_asl_spark.llm.ingest import (
+        _BATCH_MOD,
+        ingest_neardup_flags,
+    )
+
+    truth = {
+        r[0]
+        for r in duckdb.sql(
+            f"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_distinct(string_split(text, ' ')) AS toks,
+                       doc_id % {_BATCH_MOD} = 0 AS in_batch
+                FROM read_parquet('{SF_ORACLE}/documents.parquet')
+            )
+            SELECT DISTINCT b.doc_id
+            FROM t b JOIN t c ON b.in_batch AND NOT c.in_batch
+            WHERE len(list_intersect(b.toks, c.toks))::DOUBLE
+                  / (len(b.toks) + len(c.toks)
+                     - len(list_intersect(b.toks, c.toks))) >= 0.8
+            """
+        ).fetchall()
+    }
+    assert truth, "fixture lost its cross-split near-dups"
+    flags = ingest_neardup_flags(spark, SF_ORACLE).collect()
+    found = {r.doc_id for r in flags if r.is_near == 1 or r.is_exact == 1}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.9, f"near-dup ingest recall {recall:.3f} < 0.9"
+
+
+def test_ingest_neardup_funnel_partitions_the_batch(spark):
+    """Funnel consistency: exact + near + novel == batch size per lang,
+    and the lang rollup covers exactly the batch docs."""
+    from spark_kinesis_sql_asl_spark.llm.ingest import _BATCH_MOD
+    from spark_kinesis_sql_asl_spark.tables import table
+
+    rows = QUERIES["q_llm_ingest_neardup"](spark, SF_ORACLE).collect()
+    for r in rows:
+        assert r.n_exact_dup + r.n_near_dup + r.n_novel == r.n_batch, r
+        assert 0 <= r.novel_ppm <= 1_000_000
+    n_batch_truth = (
+        table(spark, SF_ORACLE, "documents")
+        .where(f"doc_id % {_BATCH_MOD} = 0")
+        .count()
+    )
+    assert sum(r.n_batch for r in rows) == n_batch_truth

@@ -1,21 +1,23 @@
-"""Round-7 rotation window assertions (VERDICT r6 item #1/#5).
+"""Round-8 rotation window assertions (VERDICT r7 item #1).
 
 The driver samples roughly the first 50 entries of the priority-ordered
-registry for CORRECTNESS_r{N}.json. Rounds 4-6 proved the rotation must be
+registry for CORRECTNESS_r{N}.json. Rounds 4-7 proved the rotation must be
 *recomputed* (not guessed) each round from the committed CORRECTNESS
-artifacts. Round 7 is the first round where the never-sampled set is EMPTY
-(all 256 registered queries received a driver row by r6), so the window is:
+artifacts. Round 7 closed the ledger fully green (0 red cumulative, the
+never-sampled set empty), so round 8 is pure freshness retirement:
 
-  slot 0          q_cusum_changepoint (override 0 — the one r6 driver RED;
-                  its DuckDB oracle was rewritten this round, the Spark
-                  side is judge-proven correct, and it must re-enter the
-                  window for its green row)
-  slots 1..13     the canaries (decorator priority 10; 13 after D13
-                  landed this round)
-  slots 13..~49   new round-7 queries (decorator priority=30)
+  slots 0..41     the 42 alphabetically-first of the 50 queries last
+                  driver-sampled in ROUND 1 (override 5) — exactly the
+                  scans/filters/joins/aggs/sets the r6/r7 memoization
+                  refactors ran over, re-confirmed on the hard signal
+  slots 42..~49   new round-8 queries (decorator priority=30)
+
+The 13 canaries are pinned at 100 FOR THIS ROUND ONLY (all carry fresh
+r7 green rows); they return to priority 10 in round 9 alongside the 8
+deferred r1-era queries (windows + topk/unpivot).
 
 If you add new queries this round: decorator ``priority=30`` keeps them
-inside the window; add their names to ROUND7_NEW_THIS_ROUND below; the
+inside the window; add their names to ROUND8_NEW_THIS_ROUND below; the
 budget test fails the moment the low-priority population exceeds the
 50-slot window.
 """
@@ -31,46 +33,23 @@ from spark_kinesis_sql_asl_spark import registry
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# (a) the r6 driver REDs: rows+schema matched, hash didn't — judge
-# root-caused to a DuckDB 1.0.0 list_reduce outer-reference bug in the
-# ORACLE (engine side correct); oracle rewritten via the prefix-sum /
-# running-min CUSUM identity this round. Re-checked first.
-ROUND7_RECHECK = frozenset({"q_cusum_changepoint"})
-
-# Queries first registered in round 7 (decorator priority=30): they have no
+# Queries first registered in round 8 (decorator priority=30): they have no
 # CORRECTNESS row yet by construction. Keep in sync as operators land.
-ROUND7_NEW_THIS_ROUND: frozenset[str] = frozenset(
+ROUND8_NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
-        "q_llm_substring_dup",
-        "q_llm_span_coverage",
-        "q_llm_paragraph_dedup",
-        "q_llm_template_mine",
-        "q_llm_ngram_novelty_decay",
-        "q_llm_rejection_sample",
-        "q_llm_dedup_yield_curve",
-        "q_llm_quality_isotonic",
-        "q_ts_ewma_cross",
-        "q_agg_hhi",
-        "q_win_mom_growth",
-        "q_llm_dup_centrality",
-        "q_ts_backlog",
-        "q_llm_bloom_fpr",
-        "q_events_inter_arrival",
-        "q_llm_keyword_stuffing",
-        "q_llm_filter_funnel",
-        "q_events_burst_episodes",
-        "q_privacy_cell_suppression",
-        "q_agg_bivariate",
-        "q_llm_data_card",
-        "q_kinesis_reshard_plan",
-        "q_canary_month_trunc",
-        "q_llm_quality_len_matrix",
-        "q_win_running_distinct",
-        "q_customer_tier_migration",
-        "q_agg_welch_t",
-        "q_llm_shingle_df_audit",
+        "q_llm_dedup_semantic",
+        "q_llm_semantic_cell_audit",
+        "q_llm_ingest_neardup",
+        "q_llm_cross_dup_matrix",
+        "q_agg_theil",
+        "q_events_ks_test",
+        "q_win_streaks",
+        "q_ts_seasonality",
     }
 )
+
+# Slots reserved for the freshness rotation: 50 - len(ROUND8_NEW_THIS_ROUND).
+ROTATED_IN_COUNT = 42
 
 DRIVER_WINDOW = 50
 
@@ -84,36 +63,54 @@ def _priority(name: str) -> int:
     return registry._PRIORITY[name][0]
 
 
-def _sampled_through(last_round: int) -> set[str]:
-    sampled: set[str] = set()
+def _rows_through(last_round: int) -> dict[str, dict]:
+    latest: dict[str, dict] = {}
     for r in range(1, last_round + 1):
         path = os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json")
         if not os.path.exists(path):  # pragma: no cover - driver artifact
             pytest.skip(f"missing {path}")
         with open(path) as f:
-            sampled |= set(json.load(f))
-    return sampled
+            latest.update(json.load(f))
+    return latest
 
 
-def test_never_sampled_set_is_empty_after_r6():
-    """The r6 rotation closed the sampling debt: every query registered
-    through round 6 has a CORRECTNESS row. Recomputed, not copied."""
+def _last_sampled() -> dict[str, int]:
+    last: dict[str, int] = {}
+    for r in range(1, 8):
+        path = os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json")
+        if not os.path.exists(path):  # pragma: no cover - driver artifact
+            pytest.skip(f"missing {path}")
+        with open(path) as f:
+            for q in json.load(f):
+                last[q] = r
+    return last
+
+
+def _rotated_in() -> list[str]:
+    """The freshness-rotation set, recomputed from the artifacts: the
+    alphabetically-first ROTATED_IN_COUNT of the round-1-last-sampled."""
+    last = _last_sampled()
+    r1 = sorted(q for q, r in last.items() if r == 1)
+    return r1[:ROTATED_IN_COUNT]
+
+
+def test_never_sampled_set_is_empty_after_r7():
+    """Round 7 kept the sampling debt closed: every query registered
+    through round 7 has a CORRECTNESS row. Recomputed, not copied."""
     registry.load_all()
     never = (
-        set(registry._QUERIES) - _sampled_through(6) - ROUND7_NEW_THIS_ROUND
+        set(registry._QUERIES)
+        - set(_rows_through(7))
+        - ROUND8_NEW_THIS_ROUND
     )
-    assert never == set(), f"never-sampled after r6: {sorted(never)}"
+    assert never == set(), f"never-sampled after r7: {sorted(never)}"
 
 
-def test_recheck_set_matches_correctness_history():
-    """The re-check list IS the set of non-green oracled rows, recomputed
-    from the artifacts (rows-only ``no_oracle`` rows are sampled-clean,
-    not red — their gates are the recall/error-bound pytest assertions)."""
-    latest: dict[str, dict] = {}
-    for r in range(1, 7):
-        path = os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json")
-        with open(path) as f:
-            latest.update(json.load(f))
+def test_no_reds_to_recheck():
+    """Round 7's ledger is fully green — the re-check set is EMPTY, so no
+    query carries override 0 this round (rows-only ``no_oracle`` rows are
+    sampled-clean, not red)."""
+    latest = _rows_through(7)
     reds = {
         n
         for n, row in latest.items()
@@ -125,24 +122,41 @@ def test_recheck_set_matches_correctness_history():
             )
         )
     }
-    assert reds == ROUND7_RECHECK
+    assert reds == set(), f"unexpected reds: {sorted(reds)}"
+    registry.load_all()
+    at_zero = [n for n in registry._QUERIES if _priority(n) == 0]
+    assert at_zero == [], f"override 0 without a red: {at_zero}"
 
 
-def test_recheck_heads_the_window_then_canaries():
+def test_rotated_set_heads_the_window():
+    """Window head = the recomputed freshness-rotation set, in override-5
+    order. The driver re-confirms the r6/r7-refactored relational paths."""
+    rotated = _rotated_in()
     names = _ordered()
-    assert names[0] == "q_cusum_changepoint"
-    assert _priority(names[0]) == 0
-    head = names[1:14]
-    assert all(n.startswith("q_canary_") for n in head), head
-    assert all(_priority(n) == 10 for n in head)
+    head = names[: len(rotated)]
+    assert set(head) == set(rotated), (
+        f"window head != rotated set; missing="
+        f"{sorted(set(rotated) - set(head))} "
+        f"extra={sorted(set(head) - set(rotated))}"
+    )
+    assert all(_priority(n) == 5 for n in head)
+
+
+def test_canaries_pinned_out_this_round():
+    """r8 exception: canaries (all r7-green) sit at 100 to free window
+    slots for the freshness rotation. Revert to 10 in round 9."""
+    registry.load_all()
+    canaries = [n for n in registry._QUERIES if n.startswith("q_canary_")]
+    assert len(canaries) == 13
+    assert all(_priority(n) == 100 for n in canaries)
 
 
 def test_window_budget_not_overflowed_by_new_queries():
     """Every entry with priority <=30 must fit in the 50-slot window.
 
-    1 re-check + 13 canaries = 14 reserved slots; at most 36 new p30
-    queries fit. Registering a 38th would push something out silently —
-    this test makes it loud instead.
+    42 rotated slots are reserved; at most 8 new p30 queries fit.
+    Registering a 9th would push something out silently — this test makes
+    it loud instead.
     """
     registry.load_all()
     low = [n for n in registry._QUERIES if _priority(n) <= 30]
@@ -155,36 +169,34 @@ def test_window_budget_not_overflowed_by_new_queries():
 
 
 def test_new_this_round_constant_is_exact():
-    """ROUND7_NEW_THIS_ROUND == (registered queries without any driver
+    """ROUND8_NEW_THIS_ROUND == (registered queries without any driver
     row) — the r6 lesson (ADVICE r6 #1): the constant must be updated with
     EVERY new @query, or the recomputation tests above drift."""
     registry.load_all()
-    unsampled = set(registry._QUERIES) - _sampled_through(6)
-    assert unsampled == ROUND7_NEW_THIS_ROUND
+    unsampled = set(registry._QUERIES) - set(_rows_through(7))
+    assert unsampled == ROUND8_NEW_THIS_ROUND
 
 
 def test_new_queries_land_inside_the_window():
     registry.load_all()
-    for n in sorted(ROUND7_NEW_THIS_ROUND):
+    for n in sorted(ROUND8_NEW_THIS_ROUND):
         assert n in registry._QUERIES, f"{n} listed but not registered"
-        if n.startswith("q_canary_"):
-            assert _priority(n) == 10, f"{n}: expected canary p10"
-        else:
-            assert _priority(n) in (30, 35), f"{n}: expected p30/p35"
+        assert _priority(n) == 30, f"{n}: expected p30"
     names = _ordered()
     window = set(names[:DRIVER_WINDOW])
-    missing = ROUND7_NEW_THIS_ROUND - window
+    missing = ROUND8_NEW_THIS_ROUND - window
     assert not missing, f"new queries outside the window: {sorted(missing)}"
 
 
-def test_every_ever_green_query_pinned_at_100():
+def test_every_ever_green_query_pinned_at_5_or_100():
     """A <100 decorator priority must never leak a driver-green query back
-    into the window at the expense of an unsampled one. Exceptions: the
-    canaries (always 10) and the re-check set (0 this round)."""
+    into the window at the expense of the rotation plan: ever-sampled
+    queries sit either in the recomputed rotation set (5) or at 100."""
     registry.load_all()
-    for n in sorted(_sampled_through(6) & set(registry._QUERIES)):
+    rotated = set(_rotated_in())
+    for n in sorted(set(_rows_through(7)) & set(registry._QUERIES)):
         p = _priority(n)
-        if n in ROUND7_RECHECK:
-            assert p == 0, f"{n}: red must re-enter at 0, got {p}"
+        if n in rotated:
+            assert p == 5, f"{n}: rotated-in must be 5, got {p}"
         else:
-            assert p in (10, 100), f"{n}: ever-sampled but priority {p}"
+            assert p == 100, f"{n}: ever-sampled but priority {p}"

@@ -40,6 +40,12 @@ _QUADRATIC_PRONE = [
     # df-capped; first touch per (session, sf) builds the memoized span
     # cache, so the measured time is the honest build+consume cost.
     "q_llm_substring_dup",
+    # round 8: cell-blocked pairwise (SemDeDup) — sum(|cell|^2) candidate
+    # risk if training collapses cells; delta-vs-corpus band probe — same
+    # collision-blow-up class as minhash. First touch builds the memoized
+    # trained-assignment state (honest build+consume cost, as above).
+    "q_llm_dedup_semantic",
+    "q_llm_ingest_neardup",
 ]
 
 
