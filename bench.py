@@ -56,6 +56,33 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
+
+    # Shared-state attribution (round-7 verdict what's-wrong #1): several
+    # families memoize cross-query state per (applicationId, sf_dir) —
+    # PPJoin scored pairs (C2/C116), the containment index (C82/C82s), the
+    # substring-dup span cache (C110/C111), the CC label parquet (C21/C38),
+    # and the trained-centroid/probe state (C77/C125/C127). Whichever family
+    # member ran first used to be booked the WHOLE build cost, so its
+    # per-query ledger entry was ~2-3x its steady-state time and the
+    # regression gate compared noise. Pre-warm each family once here and
+    # record the build as its own visible `_shared_build_*` row: the cost
+    # still counts toward the suite total, the per-query rows now measure
+    # steady-state, and a build-cost regression shows up under its own name.
+    _FAMILY_WARMUP = (
+        "q_llm_dedup_jaccard",
+        "q_llm_dedup_containment",
+        "q_llm_substring_dup",
+        "q_llm_dedup_cluster",
+        "q_llm_dedup_semantic",
+    )
+    for name in _FAMILY_WARMUP:
+        if name not in queries:
+            continue
+        try:
+            timings[f"_shared_build_{name}"] = run_one(name)
+        except Exception as exc:  # noqa: BLE001 - the timed pass re-reports
+            failures[f"_shared_build_{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+
     for name in sorted(queries):
         try:
             timings[name] = run_one(name)

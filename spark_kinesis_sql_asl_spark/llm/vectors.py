@@ -273,12 +273,25 @@ def lloyd_estep(e, cents):
     )
 
 
+# Trained centroids memo (round 8): q_llm_kmeans_train, the trained-IVF
+# recall gate AND the C125/C127 SemDeDup state all start from the same
+# 3-round training — pay it once per (applicationId, sf_dir). The memo
+# holds the parquet-backed final-round frame, so consumers re-read files,
+# never recompute the loop.
+_TRAINED_CENTROIDS: dict[tuple[str, str, int], object] = {}
+
+
 def train_centroids(spark, sf_dir, rounds=_TRAIN_ROUNDS):
     """Run ``rounds`` Lloyd iterations from the C33 seeds and return the
     trained centroid table (cell_id, cv array<bigint>), each round's
     centroids materialized to parquet (flat lineage, replayable state).
-    Shared by q_llm_kmeans_train and the trained-IVF recall gate in
-    tests/test_llm.py."""
+    Shared by q_llm_kmeans_train, the trained-IVF recall gate in
+    tests/test_llm.py, and the C125/C127 semantic-dedup state; memoized
+    per (applicationId, sf_dir, rounds)."""
+    memo_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), rounds)
+    hit = _TRAINED_CENTROIDS.get(memo_key)
+    if hit is not None:
+        return hit
     e = parallel_table(spark, sf_dir, "embeddings", key="vec_id").select(
         "vec_id", F.expr(_Q_VEC_SQL_SPARK).alias("qv")
     )
@@ -307,6 +320,7 @@ def train_centroids(spark, sf_dir, rounds=_TRAIN_ROUNDS):
         path = os.path.join(stage, f"cents_{r}")
         new_cents.write.parquet(path)
         cents = spark.read.parquet(path)
+    _TRAINED_CENTROIDS[memo_key] = cents
     return cents
 
 

@@ -392,3 +392,56 @@ def streaming_bounded_contrib(event_stream, cap: int = 3):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_RD_OUT_SCHEMA = "cust bigint, distinct_parts_to_date bigint, seq bigint"
+_RD_STATE_SCHEMA = "n_distinct bigint, seq bigint"
+
+
+def streaming_running_distinct(lineitem_stream):
+    """B140-stream: running DISTINCT count as streaming state — per
+    customer, the cumulative number of distinct parts ever ordered,
+    maintained online. The batch identity (B140: first-occurrence flag +
+    running sum, operators/windows.py:345) maps 1:1 onto streaming
+    primitives: ``dropDuplicates(["cust", "part"])`` IS the
+    first-occurrence flag (Spark keeps the dedup key set in managed,
+    RocksDB-capable state and emits only first arrivals), and the keyed
+    counter below IS the running sum — one BIGINT per customer, so the
+    per-key state this operator ADDS is constant; the part-key set lives
+    in the dedup operator's state store, exactly where a 10^9-part
+    keyspace belongs (off-heap, partitioned by key).
+
+    Count-parity with the batch operator is exact when events arrive in
+    order-date order (the replay harness's guarantee): after the final
+    micro-batch each customer's ``distinct_parts_to_date`` equals the
+    LAST row of B140's per-customer ledger (pinned, with restart
+    recovery, in tests/test_streaming.py). Same legacy
+    ``applyInPandasWithState`` surface as the MG sketch above (B68
+    documents the API-adaptive story)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            n, seq = state.get
+        else:
+            n, seq = 0, 0
+        for pdf in pdfs:
+            n += len(pdf)  # every surviving row is a first (cust, part)
+        seq += 1
+        state.update((n, seq))
+        yield pd.DataFrame(
+            {
+                "cust": [key[0]],
+                "distinct_parts_to_date": [n],
+                "seq": [seq],
+            }
+        )
+
+    firsts = lineitem_stream.dropDuplicates(["cust", "part"])
+    return firsts.groupBy("cust").applyInPandasWithState(
+        fold,
+        outputStructType=_RD_OUT_SCHEMA,
+        stateStructType=_RD_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

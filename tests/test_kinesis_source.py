@@ -329,3 +329,130 @@ def test_kinesis_stream_feeds_curation_gate(registered, tmp_path):
         .collect()
     }
     assert got == want
+
+
+# --- A13→A5 loop closed: execute a planned SPLIT in the replay harness ------
+
+
+def test_reshard_plan_split_executed_no_loss_no_dup(
+    registered, events_rows, tmp_path
+):
+    """Round-8 (VERDICT r7 item 7): the A13 plan made OPERATIONAL. Tranche
+    1 arrives deliberately skewed onto shard 0 of a 2-shard stream; the
+    A13 integer decision rule — computed with engine-pure SQL over the
+    CONSUMED output, exactly as it would audit enhanced monitoring — must
+    say 'split' for shard 0 and 'keep' for shard 1. The split is then
+    executed the way Kinesis executes SplitShard: the parent stops
+    receiving, two child shard dirs appear mid-stream, and the parent's
+    hash range divides between them (md5-ring mod 4 refines mod 2).
+    Restarting from the SAME checkpoint must discover both children from
+    their TRIM_HORIZON and deliver everything exactly once, with every
+    partition key's post-split records landing in exactly the child that
+    owns its refined hash range."""
+    import hashlib
+
+    spark = registered
+    root = str(tmp_path / "staging")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def route(uid, n):
+        return int(hashlib.md5(str(uid).encode()).hexdigest(), 16) % n
+
+    # tranche 1: every shard-0 key plus a thin slice of shard-1 keys →
+    # shard 0 carries far above 3/2x the mean (the A13 hot rule).
+    shard0 = [r for r in events_rows if route(r.user_id, 2) == 0]
+    shard1 = [r for r in events_rows if route(r.user_id, 2) == 1]
+    t1 = shard0[:300] + shard1[:60]
+    write_staging(events_to_dicts(t1), root, n_shards=2, n_chunks=3)
+    reader = spark.readStream.format("kinesislike").option("path", root).load()
+    _run_available_now(spark, reader, out, ckpt)
+    consumed = spark.read.parquet(out)
+    assert consumed.count() == len(t1)
+
+    # A13's decision table over the consumed stream (N=2 open shards):
+    # split at >= 3/2x mean load, integer cross-multiplied.
+    consumed.createOrReplaceTempView("consumed_t1")
+    plan = {
+        r.shard: r.action
+        for r in spark.sql(
+            """
+            WITH routed AS (
+                SELECT (instr('0123456789abcdef',
+                              substr(md5(partitionKey), 32, 1)) - 1) % 2
+                           AS shard
+                FROM consumed_t1
+            ),
+            counts AS (
+                SELECT shard, count(*) AS n_records FROM routed GROUP BY shard
+            ),
+            tot AS (SELECT sum(n_records) AS total FROM counts)
+            SELECT shard,
+                   CASE WHEN 2 * n_records * 2 >= 3 * total THEN 'split'
+                        ELSE 'keep' END AS action
+            FROM counts CROSS JOIN tot
+            """
+        ).collect()
+    }
+    assert plan == {0: "split", 1: "keep"}, plan
+
+    # EXECUTE the split: parent shard-0 closes (receives nothing more);
+    # children shard-2/shard-3 take the refined ranges md5%4==0 / ==2.
+    # shard-1 keeps receiving. Per-band seq_start keeps (pk, seq) globally
+    # unique so the no-dup check below is meaningful.
+    t2_all = shard0[300:380] + shard1[60:120]
+    child_a = [r for r in t2_all if route(r.user_id, 4) == 0]
+    child_b = [r for r in t2_all if route(r.user_id, 4) == 2]
+    keep_1 = [r for r in t2_all if route(r.user_id, 2) == 1]
+    assert child_a and child_b and keep_1, "fixture keys missed a range"
+    write_staging(
+        events_to_dicts(keep_1), root, n_shards=2, n_chunks=2,
+        start_chunk=3, seq_start=1_000_000,
+    )
+    # write_staging routed keep_1 keys to shard-1 only; shard-0 got empty
+    # chunk files — remove them so the parent is genuinely CLOSED.
+    import glob as _glob
+
+    for f in _glob.glob(os.path.join(root, "events", "shard-0", "0000000[34]*")):
+        os.remove(f)
+    for name, rows_, seq0 in (
+        ("shard-2", child_a, 2_000_000),
+        ("shard-3", child_b, 3_000_000),
+    ):
+        write_staging(
+            events_to_dicts(rows_), root, stream="_scratch", n_shards=1,
+            n_chunks=2, seq_start=seq0,
+        )
+        os.rename(
+            os.path.join(root, "_scratch", "shard-0"),
+            os.path.join(root, "events", name),
+        )
+        os.rmdir(os.path.join(root, "_scratch"))
+
+    reader2 = spark.readStream.format("kinesislike").option("path", root).load()
+    _run_available_now(spark, reader2, out, ckpt)
+    final = spark.read.parquet(out)
+
+    # no loss, no dup across the reshard
+    assert final.count() == len(t1) + len(t2_all)
+    assert (
+        final.select("partitionKey", "sequenceNumber").distinct().count()
+        == final.count()
+    )
+
+    # routing invariant: every tranche-2 record sits in the seq band of
+    # exactly the shard that owns its key's refined hash range.
+    t2 = final.where("sequenceNumber >= '00000000000001000000'").collect()
+    assert len(t2) == len(t2_all)
+    for r in t2:
+        band = int(r.sequenceNumber) // 1_000_000
+        uid = int(r.partitionKey)
+        if route(uid, 2) == 1:
+            assert band == 1, (uid, band)
+        elif route(uid, 4) == 0:
+            assert band == 2, (uid, band)
+        else:
+            assert route(uid, 4) == 2 and band == 3, (uid, band)
+    # parent closed: tranche 2 contributed nothing to shard-0's band
+    bands = {int(r.sequenceNumber) // 1_000_000 for r in t2}
+    assert bands == {1, 2, 3}

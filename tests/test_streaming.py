@@ -1928,3 +1928,161 @@ def test_streaming_burst_episodes_equals_batch(spark, events_rows, tmp_path):
         for r in q_events_burst_episodes(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+# --- B140s: running-distinct streaming twin (round 8) --------------------
+
+
+def _running_distinct_fixture(spark):
+    """The B140 input slice (cust % 50 == 0 orders x lineitem) as
+    time-ordered (cust, part, odate_us, okey) rows, plus the batch
+    operator's final per-customer ledger row as ground truth."""
+    from spark_kinesis_sql_asl_spark.registry import all_queries
+
+    li = (
+        table(spark, SF_SMOKE, "orders")
+        .where("o_orderdate IS NOT NULL AND o_custkey % 50 = 0")
+        .join(
+            table(spark, SF_SMOKE, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_partkey").alias("part"),
+            F.unix_micros("o_orderdate").alias("odate_us"),
+            F.col("o_orderkey").alias("okey"),
+        )
+        .collect()
+    )
+    batch = all_queries()["q_win_running_distinct"](spark, SF_SMOKE).collect()
+    final = {}
+    for r in sorted(batch, key=lambda r: (r.cust, r.odate, r.okey)):
+        final[r.cust] = r.distinct_parts_to_date
+    return li, final
+
+
+def _stage_lineitems(rows, out_dir: str, n_files: int, start_index: int = 0):
+    """Slice rows into n_files arrival files named from start_index on —
+    restart tests append NEW files (the file source tracks consumed paths
+    by name; rewriting an already-consumed name silently drops rows)."""
+    os.makedirs(out_dir, exist_ok=True)
+    rows = sorted(rows, key=lambda r: (r.odate_us, r.okey, r.part))
+    per = (len(rows) + n_files - 1) // n_files
+    for j in range(n_files):
+        i = start_index + j
+        sl = rows[j * per : (j + 1) * per]
+        tbl = pa.table(
+            {
+                "cust": pa.array([r.cust for r in sl], pa.int64()),
+                "part": pa.array([r.part for r in sl], pa.int64()),
+                "odate_us": pa.array([r.odate_us for r in sl], pa.int64()),
+                "okey": pa.array([r.okey for r in sl], pa.int64()),
+            }
+        )
+        f = os.path.join(out_dir, f"{i:04d}.parquet")
+        pq.write_table(tbl, f)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
+_LI_SCHEMA = "cust bigint, part bigint, odate_us bigint, okey bigint"
+
+
+def test_streaming_running_distinct_equals_batch(spark, tmp_path):
+    """B140s parity: after draining the ordered replay, each customer's
+    last-emitted distinct_parts_to_date equals the batch ledger's final
+    row — dropDuplicates-as-first-occurrence-flag is exactly B140's
+    row_number()=1 flag when arrivals follow (odate, okey) order."""
+    from spark_kinesis_sql_asl_spark.sources.sink import parquet_stream_writer
+    from spark_kinesis_sql_asl_spark.streaming.stateful import (
+        streaming_running_distinct,
+    )
+
+    li, final = _running_distinct_fixture(spark)
+    assert final, "batch slice is empty — fixture drift"
+    staging = str(tmp_path / "rd_stream")
+    _stage_lineitems(li, staging, n_files=4)
+    out = str(tmp_path / "rd_out")
+    stream = (
+        spark.readStream.schema(_LI_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    _drain(
+        streaming_running_distinct(stream)
+        .writeStream.foreachBatch(parquet_stream_writer(out))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rd"))
+        .trigger(availableNow=True)
+    )
+    sink = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    sink.createOrReplaceTempView("rd_sink")
+    got = {
+        r.cust: r.distinct_parts_to_date
+        for r in spark.sql(
+            """
+            SELECT cust, distinct_parts_to_date FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY cust ORDER BY seq DESC
+                ) AS rn FROM rd_sink
+            ) WHERE rn = 1
+            """
+        ).collect()
+    }
+    assert got == final
+
+
+def test_streaming_running_distinct_state_survives_restart(spark, tmp_path):
+    """B140s recovery: BOTH state stores (the dropDuplicates key set AND
+    the keyed counter) must resume from the checkpoint — key-set loss
+    would double-count re-seen parts after restart, counter loss would
+    reset to zero."""
+    from spark_kinesis_sql_asl_spark.sources.sink import parquet_stream_writer
+    from spark_kinesis_sql_asl_spark.streaming.stateful import (
+        streaming_running_distinct,
+    )
+
+    li, final = _running_distinct_fixture(spark)
+    rows = sorted(li, key=lambda r: (r.odate_us, r.okey, r.part))
+    staging = str(tmp_path / "rdr_stream")
+    out = str(tmp_path / "rdr_out")
+
+    def run():
+        stream = (
+            spark.readStream.schema(_LI_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staging)
+        )
+        _drain(
+            streaming_running_distinct(stream)
+            .writeStream.foreachBatch(parquet_stream_writer(out))
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_rdr"))
+            .trigger(availableNow=True)
+        )
+
+    # first half arrives (files 0-1), run, then the second half PLUS a
+    # full repeat of the first half as NEW files (2-5), run again: the
+    # restored dedup key set must suppress the repeats (loss would
+    # overcount) and the restored counter must carry forward (loss would
+    # undercount).
+    half = len(rows) // 2
+    _stage_lineitems(rows[:half], staging, n_files=2)
+    run()
+    _stage_lineitems(rows[half:] + rows[:half], staging, n_files=4,
+                     start_index=2)
+    run()
+    sink = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    sink.createOrReplaceTempView("rdr_sink")
+    got = {
+        r.cust: r.distinct_parts_to_date
+        for r in spark.sql(
+            """
+            SELECT cust, distinct_parts_to_date FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY cust ORDER BY seq DESC
+                ) AS rn FROM rdr_sink
+            ) WHERE rn = 1
+            """
+        ).collect()
+    }
+    assert got == final
