@@ -864,6 +864,64 @@ _SEMDEDUP_NPROBE = 3
 # cell_id) at rn <= _SEMDEDUP_NPROBE.
 _SEMANTIC_STATE: dict[tuple[str, str], tuple] = {}
 
+# Shared DuckDB CTE chain for the SemDeDup family (C125/C129/C130): train
+# (the C77 unrolled chain), rank cells per vector, multi-probe, candidate
+# pairs, norms, scored pairs, thresholded semantic-dup pairs. Each oracle
+# stays self-contained for the driver by prepending this block.
+_SEM_CTES = f"""
+    q AS (
+        SELECT vec_id, {{qvec}} AS qv FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cell_id, qv AS cv FROM q WHERE vec_id < {{k}}),
+    {{train}},
+    ranked AS (
+        SELECT vec_id, cell_id,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
+        FROM (
+            SELECT q.vec_id, c.cell_id, {{dist}} AS dist
+            FROM q CROSS JOIN c{{r}} c
+        )
+    ),
+    probes AS (SELECT vec_id, cell_id FROM ranked WHERE rn <= {{nprobe}}),
+    prim AS (SELECT vec_id, cell_id FROM ranked WHERE rn = 1),
+    cand AS (
+        SELECT DISTINCT fa.vec_id AS vec_a, fb.vec_id AS vec_b
+        FROM probes fa
+        JOIN probes fb ON fa.cell_id = fb.cell_id AND fa.vec_id < fb.vec_id
+    ),
+    nrm AS (
+        SELECT vec_id, list_sum(list_transform(qv, x -> x * x)) AS nrm2
+        FROM q
+    ),
+    p AS (
+        SELECT c.vec_a, c.vec_b,
+               list_sum(list_transform(range(1, 65),
+                   i -> a.qv[i] * b.qv[i])) AS dq,
+               na.nrm2 AS na2, nb.nrm2 AS nb2
+        FROM cand c
+        JOIN q a ON a.vec_id = c.vec_a
+        JOIN q b ON b.vec_id = c.vec_b
+        JOIN nrm na ON na.vec_id = c.vec_a
+        JOIN nrm nb ON nb.vec_id = c.vec_b
+    ),
+    sem AS (
+        SELECT vec_a, vec_b, CAST(dq AS BIGINT) AS dot_q,
+               CAST((1000000 * dq * dq) // (na2 * nb2) AS BIGINT) AS cos2_ppm
+        FROM p
+        WHERE dq > 0 AND {{dsq}} * dq * dq >= {{nsq}} * na2 * nb2
+    )
+""".format(
+    qvec=_Q_VEC_SQL_DUCK,
+    k=_KMEANS_K,
+    train=_TRAIN_CTES,
+    dist=_DIST_DUCK,
+    r=_TRAIN_ROUNDS,
+    nprobe=_SEMDEDUP_NPROBE,
+    dsq=_SEMDEDUP_TAU_DEN_SQ,
+    nsq=_SEMDEDUP_TAU_NUM_SQ,
+)
+
 
 def _semantic_state(spark, sf_dir):
     """Build-or-ride the memoized trained-cell assignment state — C77's
@@ -905,9 +963,59 @@ def _semantic_state(spark, sf_dir):
         .select("vec_id", "cell_id")
         .localCheckpoint(eager=True)
     )
-    state = (primary, probes)
+    a = probes.select(F.col("vec_id").alias("vec_a"), "cell_id")
+    b = probes.select(F.col("vec_id").alias("vec_b"), "cell_id")
+    cand = (
+        a.join(b, "cell_id")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    vecs = primary.select("vec_id", "qv", "nrm2")
+    va = vecs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("qv").alias("qa"),
+        F.col("nrm2").alias("na2"),
+    )
+    vb = vecs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("qv").alias("qb"),
+        F.col("nrm2").alias("nb2"),
+    )
+    scored = cand.join(va, "vec_a").join(vb, "vec_b").withColumn(
+        "dq",
+        F.expr(
+            "aggregate(sequence(1, 64), CAST(0 AS BIGINT), (acc, i) -> "
+            "acc + element_at(qa, i) * element_at(qb, i))"
+        ),
+    )
+    sem_pairs = (
+        scored.where(
+            (F.col("dq") > 0)
+            & (
+                _SEMDEDUP_TAU_DEN_SQ * F.col("dq") * F.col("dq")
+                >= _SEMDEDUP_TAU_NUM_SQ * F.col("na2") * F.col("nb2")
+            )
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            F.col("dq").cast("bigint").alias("dot_q"),
+            F.expr(
+                "CAST((1000000 * dq * dq) div (na2 * nb2) AS BIGINT)"
+            ).alias("cos2_ppm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    state = (primary, probes, sem_pairs)
     _SEMANTIC_STATE[key] = state
     return state
+
+
+def semantic_pairs(spark, sf_dir):
+    """The thresholded semantic-dup pair frame (vec_a, vec_b, dot_q,
+    cos2_ppm) — C125's result, memoized so C129/C130 ride it."""
+    return _semantic_state(spark, sf_dir)[2]
 
 
 def semantic_assigned(spark, sf_dir):
@@ -927,47 +1035,8 @@ def semantic_probes(spark, sf_dir):
     "q_llm_dedup_semantic",
     priority=30,
     oracle=f"""
-    WITH q AS (
-        SELECT vec_id, {_Q_VEC_SQL_DUCK} AS qv FROM embeddings
-    ),
-    c0 AS (SELECT vec_id AS cell_id, qv AS cv FROM q WHERE vec_id < {_KMEANS_K}),
-    {_TRAIN_CTES},
-    probes AS (
-        SELECT vec_id, cell_id FROM (
-            SELECT vec_id, cell_id,
-                   row_number() OVER (
-                       PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
-            FROM (
-                SELECT q.vec_id, c.cell_id, {_DIST_DUCK} AS dist
-                FROM q CROSS JOIN c{_TRAIN_ROUNDS} c
-            )
-        ) WHERE rn <= {_SEMDEDUP_NPROBE}
-    ),
-    cand AS (
-        SELECT DISTINCT fa.vec_id AS vec_a, fb.vec_id AS vec_b
-        FROM probes fa
-        JOIN probes fb ON fa.cell_id = fb.cell_id AND fa.vec_id < fb.vec_id
-    ),
-    nrm AS (
-        SELECT vec_id, list_sum(list_transform(qv, x -> x * x)) AS nrm2
-        FROM q
-    ),
-    p AS (
-        SELECT c.vec_a, c.vec_b,
-               list_sum(list_transform(range(1, 65),
-                   i -> a.qv[i] * b.qv[i])) AS dq,
-               na.nrm2 AS na2, nb.nrm2 AS nb2
-        FROM cand c
-        JOIN q a ON a.vec_id = c.vec_a
-        JOIN q b ON b.vec_id = c.vec_b
-        JOIN nrm na ON na.vec_id = c.vec_a
-        JOIN nrm nb ON nb.vec_id = c.vec_b
-    )
-    SELECT vec_a, vec_b, CAST(dq AS BIGINT) AS dot_q,
-           CAST((1000000 * dq * dq) // (na2 * nb2) AS BIGINT) AS cos2_ppm
-    FROM p
-    WHERE dq > 0
-      AND {_SEMDEDUP_TAU_DEN_SQ} * dq * dq >= {_SEMDEDUP_TAU_NUM_SQ} * na2 * nb2
+    WITH {_SEM_CTES}
+    SELECT vec_a, vec_b, dot_q, cos2_ppm FROM sem
     """,
 )
 def q_llm_dedup_semantic(spark, sf_dir):
@@ -994,51 +1063,10 @@ def q_llm_dedup_semantic(spark, sf_dir):
     ~nprobe^2 * N^2 / k, i.e. ~9*N^1.5 at the paper's k ~ sqrt(N) —
     never N^2 — with AQE skew-split handling any fat cell. The
     sub-quadratic scaling entry lives in tests/test_scaling.py; the
-    C127 audit prices the blocked volume BEFORE this join runs."""
-    probes = semantic_probes(spark, sf_dir)
-    a = probes.select(F.col("vec_id").alias("vec_a"), "cell_id")
-    b = probes.select(F.col("vec_id").alias("vec_b"), "cell_id")
-    cand = (
-        a.join(b, "cell_id")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
-    vecs = semantic_assigned(spark, sf_dir).select("vec_id", "qv", "nrm2")
-    va = vecs.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("qv").alias("qa"),
-        F.col("nrm2").alias("na2"),
-    )
-    vb = vecs.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("qv").alias("qb"),
-        F.col("nrm2").alias("nb2"),
-    )
-    pairs = cand.join(va, "vec_a").join(vb, "vec_b").withColumn(
-        "dq",
-        F.expr(
-            "aggregate(sequence(1, 64), CAST(0 AS BIGINT), (acc, i) -> "
-            "acc + element_at(qa, i) * element_at(qb, i))"
-        ),
-    )
-    return (
-        pairs.where(
-            (F.col("dq") > 0)
-            & (
-                _SEMDEDUP_TAU_DEN_SQ * F.col("dq") * F.col("dq")
-                >= _SEMDEDUP_TAU_NUM_SQ * F.col("na2") * F.col("nb2")
-            )
-        )
-        .select(
-            "vec_a",
-            "vec_b",
-            F.col("dq").cast("bigint").alias("dot_q"),
-            F.expr(
-                "CAST((1000000 * dq * dq) div (na2 * nb2) AS BIGINT)"
-            ).alias("cos2_ppm"),
-        )
-    )
+    C127 audit prices the blocked volume BEFORE this join runs. Pair
+    state is memoized per (session, sf): C129's survivor ledger and
+    C130's yield curve ride the same checkpoint."""
+    return semantic_pairs(spark, sf_dir)
 
 
 @query(
@@ -1127,3 +1155,128 @@ def q_llm_semantic_cell_audit(spark, sf_dir):
         ).alias("allpairs_ppm"),
         "blocked_pairs",
     )
+
+
+@query(
+    "q_llm_semantic_survivors",
+    priority=35,  # round-8 window full — driver row in r9
+    oracle=f"""
+    WITH {_SEM_CTES},
+    dropped AS (SELECT DISTINCT vec_b AS vec_id FROM sem)
+    SELECT pr.cell_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+           CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_survivors,
+           CAST((1000000 * count(d.vec_id)) // count(*) AS BIGINT)
+               AS drop_ppm
+    FROM prim pr LEFT JOIN dropped d ON pr.vec_id = d.vec_id
+    GROUP BY pr.cell_id
+    """,
+)
+def q_llm_semantic_survivors(spark, sf_dir):
+    """C129: the SemDeDup KEEP decision — per primary cell, how many
+    vectors survive pair-dominance pruning (drop every vector that is
+    the GREATER member of any semantic-dup pair, keep the rest). This is
+    the epsilon-ball keep-one rule the SemDeDup paper applies inside each
+    cluster, made deterministic by the id order (canonical member = the
+    smallest id, C1's min() convention); it is deliberately NOT C38's
+    connected-component rule — per-pair dominance is the form an online
+    pruner can apply without a transitive-closure pass, and for the
+    tight epsilon-balls semantic dedup targets the two rules coincide
+    (every member pairs with the canonical one). Rides C125's memoized
+    pair state; the ledger itself is one |cells|-row rollup.
+
+    Plan/scale: the dropped set is a DISTINCT over pair ids (hash-only
+    exchange), the survivor count a broadcast-left-join + groupBy on the
+    |N|-row primary assignment — linear everywhere."""
+    prim = semantic_assigned(spark, sf_dir).select("vec_id", "cell_id")
+    dropped = (
+        semantic_pairs(spark, sf_dir)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        prim.join(F.broadcast(dropped), "vec_id", "left")
+        .groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count("hit").cast("bigint").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("hit"))
+            .cast("bigint")
+            .alias("n_survivors"),
+            F.expr(
+                "CAST((1000000 * count(hit)) div count(1) AS BIGINT)"
+            ).alias("drop_ppm"),
+        )
+    )
+
+
+# Yield-curve thresholds: tau^2 in ppm. cos2_ppm >= floor(tau^2 * 1e6) is
+# EXACT for these taus (each tau^2*1e6 is an integer, and floor(x) >= k
+# <=> x >= k for integer k), so the curve needs no re-scoring pass.
+_SEM_YIELD_BANDS = (
+    (30, 90_000),
+    (35, 122_500),
+    (40, 160_000),
+    (45, 202_500),
+    (50, 250_000),
+)
+
+
+@query(
+    "q_llm_semantic_yield",
+    priority=35,  # round-8 window full — driver row in r9
+    oracle=f"""
+    WITH {_SEM_CTES},
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM q),
+    bands(tau_pct, tau2_ppm) AS (VALUES
+        {", ".join(f"({p}, {t})" for p, t in _SEM_YIELD_BANDS)}
+    )
+    SELECT b.tau_pct,
+           CAST(count(s.vec_a) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT s.vec_b) AS BIGINT) AS n_dropped,
+           CAST(n.n_vecs - count(DISTINCT s.vec_b) AS BIGINT) AS n_retained,
+           CAST((1000000 * (n.n_vecs - count(DISTINCT s.vec_b)))
+                // n.n_vecs AS BIGINT) AS retained_ppm
+    FROM bands b
+    CROSS JOIN n
+    LEFT JOIN sem s ON s.cos2_ppm >= b.tau2_ppm
+    GROUP BY b.tau_pct, n.n_vecs
+    """,
+)
+def q_llm_semantic_yield(spark, sf_dir):
+    """C130: semantic-dedup yield curve — corpus retention as a function
+    of tau, read from ONE loosest-tau pass (C116's discipline applied to
+    the semantic rung): because cos2_ppm is an exact integer floor and
+    every band's tau^2*1e6 is an integer, re-thresholding the memoized
+    pair frame is EXACT — no re-scoring, no float boundary. The curve is
+    what a data engineer reads before choosing tau: how much corpus each
+    tightening step costs (n_retained under the C129 dominance rule).
+
+    Plan/scale: |bands| x |pairs| band join on an already-blocked pair
+    frame, then a per-band distinct — bounded by the loosest pass's
+    volume, which C127 priced in advance."""
+    pairs = semantic_pairs(spark, sf_dir)
+    n = semantic_assigned(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    bands = spark.createDataFrame(
+        list(_SEM_YIELD_BANDS), "tau_pct int, tau2_ppm bigint"
+    )
+    joined = (
+        F.broadcast(bands)
+        .crossJoin(F.broadcast(n))
+        .join(pairs, F.col("cos2_ppm") >= F.col("tau2_ppm"), "left")
+    )
+    return joined.groupBy("tau_pct", "n_vecs").agg(
+        F.count("vec_a").cast("bigint").alias("n_pairs"),
+        F.countDistinct("vec_b").cast("bigint").alias("n_dropped"),
+        (F.col("n_vecs") - F.countDistinct("vec_b"))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.expr(
+            "CAST((1000000 * (n_vecs - count(DISTINCT vec_b))) "
+            "div n_vecs AS BIGINT)"
+        ).alias("retained_ppm"),
+    ).drop("n_vecs")

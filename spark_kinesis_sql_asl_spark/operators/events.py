@@ -785,3 +785,125 @@ def q_events_ks_test(spark, sf_dir):
         .agg(F.min("value").alias("at_value"))
         .select("n_a", "n_b", "ks_num", "ks_ppm", "at_value")
     )
+
+
+@query(
+    "q_events_mannwhitney",
+    priority=35,  # round-8 window full (42 rotated + 8 new) — driver row in r9
+    oracle=f"""
+    WITH s AS (
+        SELECT value,
+               CASE WHEN event_type = '{_KS_TYPE_A}' THEN 1 ELSE 0 END AS is_a,
+               CASE WHEN event_type = '{_KS_TYPE_B}' THEN 1 ELSE 0 END AS is_b
+        FROM events
+        WHERE event_type IN ('{_KS_TYPE_A}', '{_KS_TYPE_B}')
+          AND value IS NOT NULL
+    ),
+    v AS (
+        SELECT value,
+               CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(is_a) AS BIGINT) AS na_here
+        FROM s GROUP BY value
+    ),
+    cum AS (
+        SELECT value, m, na_here,
+               sum(m) OVER (ORDER BY value
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_m
+        FROM v
+    ),
+    agg AS (
+        SELECT CAST(sum(na_here) AS BIGINT) AS n_a,
+               CAST(sum(m) - sum(na_here) AS BIGINT) AS n_b,
+               CAST(sum(m) AS BIGINT) AS n,
+               CAST(sum(na_here * (2 * cum_m - m + 1)) AS BIGINT) AS r2_a,
+               CAST(sum(m * m * m - m) AS BIGINT) AS tie_cubes
+        FROM cum
+    )
+    SELECT n_a, n_b,
+           CAST(2 * n_a * n_b + n_a * (n_a + 1) - r2_a AS BIGINT) AS u2_a,
+           round((CAST(2 * n_a * n_b + n_a * (n_a + 1) - r2_a AS DOUBLE) / 2.0
+                  - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+                 / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                        * (CAST(n + 1 AS DOUBLE)
+                           - CAST(tie_cubes AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))),
+                 6) AS z_score
+    FROM agg
+    """,
+)
+def q_events_mannwhitney(spark, sf_dir):
+    """B147: Mann-Whitney U (Wilcoxon rank-sum) — the nonparametric
+    location test beside B142 (parametric means) and B144 (full-shape
+    KS): does '{_KS_TYPE_A}' stochastically dominate '{_KS_TYPE_B}'?
+    Exactness discipline: ranks never materialize per row — the
+    tie-averaged rank of a value group is the rational (2*cum_m - m +
+    1)/2, so TWICE the rank sum (r2_a) is a pure integer aggregate over
+    the per-value rollup, as is the tie-correction term sum(m^3 - m);
+    2*U_a is then an integer identity and the normal-approximation
+    z-score (with tie-corrected variance) is ONE fixed float expression
+    over five exact scalars, round(6) — the B142/B143 pattern. The
+    cumulative pooled count rides :func:`global_running_sums` (B144's
+    range-partitioned prefix sum), so no partitionless window exists.
+
+    Plan/scale: one events-scale groupBy(value) with map-side combine,
+    one distributed prefix sum over |distinct values|, one 1-row
+    aggregate. Identical shape to B144 — the two tests share a scan in
+    a real pipeline."""
+    s = (
+        table(spark, sf_dir, "events")
+        .where(
+            F.col("event_type").isin(_KS_TYPE_A, _KS_TYPE_B)
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "value",
+            F.when(F.col("event_type") == _KS_TYPE_A, 1).otherwise(0).alias("is_a"),
+        )
+    )
+    v = s.groupBy("value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("is_a").cast("bigint").alias("na_here"),
+    )
+    cum = global_running_sums(v, [F.col("value").asc()], {"cum_m": "m"})
+    agg = cum.agg(
+        F.sum("na_here").cast("bigint").alias("n_a"),
+        (F.sum("m") - F.sum("na_here")).cast("bigint").alias("n_b"),
+        F.sum("m").cast("bigint").alias("n"),
+        F.sum(
+            F.col("na_here") * (2 * F.col("cum_m") - F.col("m") + 1)
+        )
+        .cast("bigint")
+        .alias("r2_a"),
+        F.sum(
+            F.col("m") * F.col("m") * F.col("m") - F.col("m")
+        )
+        .cast("bigint")
+        .alias("tie_cubes"),
+    )
+    u2 = (
+        2 * F.col("n_a") * F.col("n_b")
+        + F.col("n_a") * (F.col("n_a") + 1)
+        - F.col("r2_a")
+    ).cast("bigint")
+    nad = F.col("n_a").cast("double")
+    nbd = F.col("n_b").cast("double")
+    nd = F.col("n").cast("double")
+    return agg.select(
+        "n_a",
+        "n_b",
+        u2.alias("u2_a"),
+        F.round(
+            (u2.cast("double") / 2.0 - nad * nbd / 2.0)
+            / F.sqrt(
+                nad
+                * nbd
+                / 12.0
+                * (
+                    (nd + 1)
+                    - F.col("tie_cubes").cast("double") / (nd * (nd - 1))
+                )
+            ),
+            6,
+        ).alias("z_score"),
+    )

@@ -527,3 +527,95 @@ def q_join_asof_nearest(spark, sf_dir):
             "event_id", "user_id", "ts", nearest.alias("nearest_click_ts")
         )
     )
+
+
+# --- B148: bucketed co-located join (round 8) --------------------------------
+
+# One-time-per-(session, sf) bucketed table registration. At 100 TB this is
+# the persistent layout decision a warehouse makes ONCE at write time —
+# both fact tables bucketed+sorted on the join key — so every subsequent
+# join on that key is exchange-free on both sides. The fixture twin
+# registers external parquet tables (explicit scratch LOCATION, nothing
+# under a warehouse dir the driver may not own) in the session catalog.
+_BUCKETED_READY: dict[tuple[str, str], tuple[str, str]] = {}
+_BUCKETS = 8
+
+
+def bucketed_orders_customer(spark, sf_dir):
+    """Register (once) and return the names of bucketed twins of orders
+    and customer, both CLUSTERED BY custkey INTO 8 BUCKETS and sorted
+    within buckets — the co-location contract q_join_bucketed relies on."""
+    import hashlib
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    hit = _BUCKETED_READY.get(key)
+    if hit is not None:
+        return hit
+    from ..llm.iterative import scratch_dir
+
+    tag = hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    o_name, c_name = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
+    stage = scratch_dir(spark, "bucketed_join")
+    specs = (
+        (o_name, table(spark, sf_dir, "orders"), "o_custkey"),
+        (c_name, table(spark, sf_dir, "customer"), "c_custkey"),
+    )
+    for name, df, key_col in specs:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.format("parquet")
+            .bucketBy(_BUCKETS, key_col)
+            .sortBy(key_col)
+            .option("path", _os.path.join(stage, name))
+            .saveAsTable(name)
+        )
+    _BUCKETED_READY[key] = (o_name, c_name)
+    return o_name, c_name
+
+
+@query(
+    "q_join_bucketed",
+    priority=35,  # round-8 window full (42 rotated + 8 new) — driver row in r9
+    oracle="""
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(100 * o.o_totalprice) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def q_join_bucketed(spark, sf_dir):
+    """B148: co-located fact-to-fact join via BUCKETING — the layout-level
+    answer to the shuffle that B9's plain inner join pays. Both sides are
+    bucketed (CLUSTERED BY custkey INTO 8 BUCKETS, sorted within buckets)
+    at write time, so the SortMergeJoin reads bucket i against bucket i
+    with NO Exchange and NO Sort on either side — at 100 TB this converts
+    the single biggest network event of a fact-fact join into a purely
+    local merge, paid once at layout time and amortized over every query
+    on that key (the same decision behind Hive bucketing / Iceberg
+    bucket partition transforms). tests/test_plans.py pins the contract:
+    the only Exchange in this plan is the tiny nationkey rollup's.
+    Results are identical to the unbucketed join (the oracle runs on the
+    raw tables) — bucketing is a physical property, never semantic."""
+    o_name, c_name = bucketed_orders_customer(spark, sf_dir)
+    o = spark.table(o_name).select("o_custkey", "o_totalprice")
+    c = spark.table(c_name).select("c_custkey", "c_nationkey")
+    # hint("merge"): at fixture scale Catalyst would broadcast the small
+    # side, hiding the layout contract this operator demonstrates; at
+    # 100 TB both sides are fact-scale and SMJ is what the planner picks
+    # anyway. With the bucket+sort layout the SMJ needs no Exchange and
+    # no Sort on either side (pinned in tests/test_plans.py).
+    return (
+        o.join(c.hint("merge"), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.expr("CAST(round(100 * o_totalprice) AS BIGINT)")
+            )
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+    )

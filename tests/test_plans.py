@@ -539,3 +539,17 @@ def test_mom_growth_single_exchange_serves_window_and_agg(spark):
     plan = formatted_plan(QUERIES["q_win_mom_growth"](spark, SF_ORACLE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    # B148: the layout contract — both scans bucketed on the join key, the
+    # forced SortMergeJoin takes NO Exchange on either side; the only
+    # Exchange in the whole plan is the |nations|-row rollup's. (Sorts may
+    # remain: Spark trusts bucket sort order only at one-file-per-bucket,
+    # and local sorts are cheap; the shuffle is the contract.)
+    import re
+
+    plan = formatted_plan(QUERIES["q_join_bucketed"](spark, SF_ORACLE))
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2, plan[:1500]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1

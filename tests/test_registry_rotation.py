@@ -37,6 +37,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # CORRECTNESS row yet by construction. Keep in sync as operators land.
 ROUND8_NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
+        # in-window (priority 30) — first driver look this round
         "q_llm_dedup_semantic",
         "q_llm_semantic_cell_audit",
         "q_llm_ingest_neardup",
@@ -45,6 +46,13 @@ ROUND8_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_events_ks_test",
         "q_win_streaks",
         "q_ts_seasonality",
+        # rotation tail (priority 35, the B142/C124 precedent): the window
+        # is full at 42 rotated + 8 new, so these take their first driver
+        # row in round 9
+        "q_events_mannwhitney",
+        "q_join_bucketed",
+        "q_llm_semantic_survivors",
+        "q_llm_semantic_yield",
     }
 )
 
@@ -181,11 +189,17 @@ def test_new_queries_land_inside_the_window():
     registry.load_all()
     for n in sorted(ROUND8_NEW_THIS_ROUND):
         assert n in registry._QUERIES, f"{n} listed but not registered"
-        assert _priority(n) == 30, f"{n}: expected p30"
+        assert _priority(n) in (30, 35), f"{n}: expected p30/p35"
     names = _ordered()
     window = set(names[:DRIVER_WINDOW])
-    missing = ROUND8_NEW_THIS_ROUND - window
-    assert not missing, f"new queries outside the window: {sorted(missing)}"
+    in_window = {n for n in ROUND8_NEW_THIS_ROUND if _priority(n) == 30}
+    missing = in_window - window
+    assert not missing, f"p30 queries outside the window: {sorted(missing)}"
+    # the p35 tail sits directly AFTER the window, ahead of every pinned
+    # 100 — first in line for the round-9 rotation
+    tail = {n for n in ROUND8_NEW_THIS_ROUND if _priority(n) == 35}
+    after = set(names[DRIVER_WINDOW : DRIVER_WINDOW + len(tail)])
+    assert tail == after, (sorted(tail), sorted(after))
 
 
 def test_every_ever_green_query_pinned_at_5_or_100():
