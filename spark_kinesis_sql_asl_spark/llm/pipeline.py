@@ -652,6 +652,75 @@ _CC_MAX_ITERS = 20
 _CC_LABELS_CACHE: dict[str, str] = {}
 
 
+def min_label_components(spark, pairs, prefix="spark_cc_rounds"):
+    """Connected components over an undirected pair list (doc_a, doc_b)
+    by iterative min-label propagation — C21's loop, extracted (round 8)
+    so other pair families (C131's semantic clusters) reuse it. Returns
+    (labels_df, final_parquet_path): labels = (doc_id, cluster_id =
+    component-min id), materialized to parquet each round (reliable
+    store + flat lineage), convergence observed on the write job itself
+    (no extra driver actions). Only docs that appear in an edge are
+    labeled; callers account for singletons from their own totals."""
+    stage = scratch_dir(spark, prefix)
+    edges_path = os.path.join(stage, "edges")
+    pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).write.parquet(edges_path)
+    edges = spark.read.parquet(edges_path)
+
+    # Round 1 fused into initialization: starting from label(v) = v, one
+    # propagation round yields exactly min(v, neighbors(v)) — a single
+    # groupBy over the edge list, no union with an identity-label table.
+    labels_path = os.path.join(stage, "labels_1")
+    (
+        edges.groupBy("doc_a")
+        .agg(F.min("doc_b").alias("mn"))
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.least("doc_a", "mn").alias("cluster_id"),
+        )
+        .write.parquet(labels_path)
+    )
+    labels = spark.read.parquet(labels_path)
+    out_final = labels_path
+
+    for it in range(1, _CC_MAX_ITERS):
+        neighbor_labels = edges.join(labels, edges.doc_a == labels.doc_id).select(
+            F.col("doc_b").alias("doc_id"),
+            "cluster_id",
+            F.lit(False).alias("own"),
+        )
+        # Tag each doc's incumbent label so the same min-groupBy yields both
+        # the new label and the label it started the round with: labels only
+        # ever decrease, so changed == (new < incumbent).
+        new_labels = (
+            labels.select("doc_id", "cluster_id", F.lit(True).alias("own"))
+            .unionByName(neighbor_labels)
+            .groupBy("doc_id")
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                F.min(F.when(F.col("own"), F.col("cluster_id"))).alias("incumbent"),
+            )
+        )
+        obs = Observation()
+        out_path = os.path.join(stage, f"labels_{it + 1}")
+        (
+            new_labels.observe(
+                obs,
+                F.sum(
+                    (F.col("cluster_id") < F.col("incumbent")).cast("long")
+                ).alias("n_changed"),
+            )
+            .select("doc_id", "cluster_id")
+            .write.parquet(out_path)
+        )
+        labels = spark.read.parquet(out_path)
+        out_final = out_path
+        if not obs.get["n_changed"]:
+            break
+    return labels, out_final
+
+
 @query(
     "q_llm_dedup_cluster",
     oracle=f"""
@@ -714,62 +783,7 @@ def q_llm_dedup_cluster(spark, sf_dir):
             F.count(F.lit(1)).over(w).alias("cluster_size"),
         )
     pairs = q_llm_dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
-    stage = scratch_dir(spark, "spark_cc_rounds")
-    edges_path = os.path.join(stage, "edges")
-    pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).write.parquet(edges_path)
-    edges = spark.read.parquet(edges_path)
-
-    # Round 1 fused into initialization: starting from label(v) = v, one
-    # propagation round yields exactly min(v, neighbors(v)) — a single
-    # groupBy over the edge list, no union with an identity-label table.
-    labels_path = os.path.join(stage, "labels_1")
-    (
-        edges.groupBy("doc_a")
-        .agg(F.min("doc_b").alias("mn"))
-        .select(
-            F.col("doc_a").alias("doc_id"),
-            F.least("doc_a", "mn").alias("cluster_id"),
-        )
-        .write.parquet(labels_path)
-    )
-    labels = spark.read.parquet(labels_path)
-
-    for it in range(1, _CC_MAX_ITERS):
-        neighbor_labels = edges.join(labels, edges.doc_a == labels.doc_id).select(
-            F.col("doc_b").alias("doc_id"),
-            "cluster_id",
-            F.lit(False).alias("own"),
-        )
-        # Tag each doc's incumbent label so the same min-groupBy yields both
-        # the new label and the label it started the round with: labels only
-        # ever decrease, so changed == (new < incumbent).
-        new_labels = (
-            labels.select("doc_id", "cluster_id", F.lit(True).alias("own"))
-            .unionByName(neighbor_labels)
-            .groupBy("doc_id")
-            .agg(
-                F.min("cluster_id").alias("cluster_id"),
-                F.min(F.when(F.col("own"), F.col("cluster_id"))).alias("incumbent"),
-            )
-        )
-        obs = Observation()
-        out_path = os.path.join(stage, f"labels_{it + 1}")
-        (
-            new_labels.observe(
-                obs,
-                F.sum(
-                    (F.col("cluster_id") < F.col("incumbent")).cast("long")
-                ).alias("n_changed"),
-            )
-            .select("doc_id", "cluster_id")
-            .write.parquet(out_path)
-        )
-        labels = spark.read.parquet(out_path)
-        out_final = out_path
-        if not obs.get["n_changed"]:
-            break
+    labels, out_final = min_label_components(spark, pairs)
     _CC_LABELS_CACHE[key] = out_final
     w = Window.partitionBy("cluster_id")
     return labels.select(

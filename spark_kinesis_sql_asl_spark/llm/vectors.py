@@ -1280,3 +1280,87 @@ def q_llm_semantic_yield(spark, sf_dir):
             "div n_vecs AS BIGINT)"
         ).alias("retained_ppm"),
     ).drop("n_vecs")
+
+
+@query(
+    "q_llm_semantic_clusters",
+    priority=35,  # round-8 window full — driver row in r9
+    oracle=f"""
+    WITH RECURSIVE {_SEM_CTES},
+    edges AS (
+        SELECT vec_a AS a, vec_b AS b FROM sem
+        UNION ALL
+        SELECT vec_b, vec_a FROM sem
+    ),
+    cc(vec_id, root) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, c.root FROM cc c JOIN edges e ON e.a = c.vec_id
+        WHERE c.root < e.b
+    ),
+    labeled AS (
+        SELECT vec_id, min(root) AS cluster_id FROM cc GROUP BY vec_id
+    ),
+    sizes AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM labeled GROUP BY cluster_id
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM q),
+    ln AS (SELECT CAST(count(*) AS BIGINT) AS n_labeled FROM labeled)
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_vecs_in
+    FROM sizes GROUP BY cluster_size
+    UNION ALL
+    SELECT 1, n.n_vecs - ln.n_labeled, n.n_vecs - ln.n_labeled
+    FROM n CROSS JOIN ln
+    """,
+)
+def q_llm_semantic_clusters(spark, sf_dir):
+    """C131: semantic duplicate CLUSTERS — connected components over
+    C125's pair graph (C21's checkpointed min-label propagation, via the
+    extracted :func:`min_label_components`), rolled up to a cluster-size
+    histogram with singletons accounted from the corpus total. The
+    transitive view beside C129's per-pair dominance ledger: dominance
+    tells you what an online pruner drops, components tell you how much
+    of that is ONE semantic equivalence class (the SemDeDup paper's
+    dedup unit) — comparing n_clusters here with C129's survivor count
+    measures how far greedy pruning over-drops on chain-shaped graphs.
+
+    Plan/scale: the propagation loop is per-round one edge join + one
+    min-groupBy with labels materialized to parquet (flat lineage,
+    executor-loss-safe — DESIGN-100TB.md §4); converges in O(component
+    diameter) rounds. Edges are id pairs only; the histogram is a
+    |clusters|-row rollup."""
+    from .pipeline import min_label_components
+
+    pairs = semantic_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels, _ = min_label_components(spark, pairs, prefix="spark_semcc_rounds")
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_vecs_in"),
+    )
+    n = semantic_assigned(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    ln = labels.agg(F.count(F.lit(1)).cast("bigint").alias("n_labeled"))
+    singletons = (
+        n.crossJoin(F.broadcast(ln))
+        .select(
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            (F.col("n_vecs") - F.col("n_labeled"))
+            .cast("bigint")
+            .alias("n_clusters"),
+            (F.col("n_vecs") - F.col("n_labeled"))
+            .cast("bigint")
+            .alias("n_vecs_in"),
+        )
+    )
+    return hist.unionByName(singletons)

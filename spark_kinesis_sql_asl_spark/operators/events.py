@@ -907,3 +907,165 @@ def q_events_mannwhitney(spark, sf_dir):
             6,
         ).alias("z_score"),
     )
+
+
+_KM_START = "signup"
+_KM_EVENT = "purchase"
+
+
+@query(
+    "q_events_survival",
+    priority=35,  # round-8 window full — driver row in r9
+    oracle=f"""
+    WITH starts AS (
+        SELECT user_id, min(epoch_us(ts)) AS t0
+        FROM events WHERE event_type = '{_KM_START}'
+        GROUP BY user_id
+    ),
+    ev AS (
+        SELECT s.user_id, s.t0,
+               min(epoch_us(e.ts)) FILTER (
+                   WHERE e.event_type = '{_KM_EVENT}'
+                     AND epoch_us(e.ts) >= s.t0) AS tp,
+               max(epoch_us(e.ts)) AS tlast
+        FROM starts s JOIN events e ON e.user_id = s.user_id
+        GROUP BY s.user_id, s.t0
+    ),
+    durations AS (
+        SELECT user_id,
+               CASE WHEN tp IS NOT NULL
+                    THEN (tp - t0) // {_DAY_US}
+                    ELSE (tlast - t0) // {_DAY_US} END AS dur,
+               CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS observed
+        FROM ev
+    ),
+    steps AS (
+        SELECT dur,
+               CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(observed) AS BIGINT) AS n_events
+        FROM durations GROUP BY dur
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM durations),
+    cum AS (
+        SELECT dur, m, n_events,
+               sum(m) OVER (ORDER BY dur
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_m
+        FROM steps
+    ),
+    hazard AS (
+        SELECT c.dur, c.m, c.n_events,
+               t.n_users - (c.cum_m - c.m) AS n_at_risk,
+               CASE WHEN c.n_events = 0 THEN 0
+                    WHEN c.n_events = t.n_users - (c.cum_m - c.m) THEN NULL
+                    ELSE CAST(round(1000000 * ln(
+                        1.0 - CAST(c.n_events AS DOUBLE)
+                            / CAST(t.n_users - (c.cum_m - c.m) AS DOUBLE)))
+                        AS BIGINT) END AS ln_q
+        FROM cum c CROSS JOIN tot t
+    )
+    SELECT dur AS duration_day,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           n_events,
+           CAST(m - n_events AS BIGINT) AS n_censored,
+           CASE WHEN count(ln_q) OVER w < count(*) OVER w THEN 0.0
+                ELSE round(exp(CAST(sum(ln_q) OVER w AS DOUBLE)
+                               / 1000000.0), 6) END AS survival
+    FROM hazard
+    WINDOW w AS (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_events_survival(spark, sf_dir):
+    """B149: Kaplan-Meier survival curve — time from first '{_KM_START}'
+    to first subsequent '{_KM_EVENT}' per user, right-censored at the
+    user's last observed event. The product-limit estimator S(d) =
+    prod(1 - d_i/n_i) opens the survival/churn family (nothing in
+    B93-B148 models censoring). Cross-engine exactness for a cumulative
+    PRODUCT of rationals — the hardest float shape yet — via the B143
+    log-quantization identity: each step's ln(1 - d/n) is ONE float
+    expression over two exact integers, quantized to integer micro-nats
+    per STEP (boundaries ~1e6 ulps away), so the cumulative sum is pure
+    BIGINT and S is one exp() over an exact integer, round(6). A step
+    that exhausts the risk set (d_i = n_i) sends ln to -inf: both
+    engines emit survival 0 from that step on via an explicit NULL
+    sentinel + count guard, never an inf crossing the bridge.
+
+    Plan/scale: two user-keyed rollups (starts, first-event/censor
+    fold), one |distinct durations| rollup, then the B144 distributed
+    prefix-sum shape (:func:`global_running_sums` twice — user counts
+    and quantized hazards) — no partitionless window, no per-row state.
+    At 100 TB the curve's window input is |distinct durations| (~1e4
+    days at day grain), not |users|."""
+    e_us = F.unix_micros("ts")
+    ev = table(spark, sf_dir, "events")
+    starts = (
+        ev.where(F.col("event_type") == _KM_START)
+        .groupBy("user_id")
+        .agg(F.min(e_us).alias("t0"))
+    )
+    folded = (
+        ev.join(starts, "user_id")
+        .groupBy("user_id", "t0")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == _KM_EVENT)
+                    & (e_us >= F.col("t0")),
+                    e_us,
+                )
+            ).alias("tp"),
+            F.max(e_us).alias("tlast"),
+        )
+    )
+    durations = folded.select(
+        F.when(
+            F.col("tp").isNotNull(),
+            F.expr(f"(tp - t0) div {_DAY_US}"),
+        )
+        .otherwise(F.expr(f"(tlast - t0) div {_DAY_US}"))
+        .alias("dur"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("observed"),
+    )
+    steps = durations.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("observed").cast("bigint").alias("n_events"),
+    )
+    tot = steps.agg(F.sum("m").cast("bigint").alias("n_users"))
+    cum = global_running_sums(steps, [F.col("dur").asc()], {"cum_m": "m"})
+    at_risk = F.col("n_users") - (F.col("cum_m") - F.col("m"))
+    hazard = cum.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "m",
+        "n_events",
+        at_risk.cast("bigint").alias("n_at_risk"),
+        F.when(F.col("n_events") == 0, F.lit(0).cast("bigint"))
+        .when(F.col("n_events") == at_risk, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.expr(
+                "CAST(round(1000000 * ln(1.0 - CAST(n_events AS DOUBLE) "
+                "/ CAST(n_at_risk AS DOUBLE))) AS BIGINT)"
+            )
+        )
+        .alias("ln_q"),
+    )
+    # cumulative quantized log-hazard + a cumulative NULL detector: once
+    # any step exhausted the risk set, survival is 0 forever after.
+    cum2 = global_running_sums(
+        hazard.withColumn(
+            "is_null", F.when(F.col("ln_q").isNull(), 1).otherwise(0)
+        ).withColumn("ln_q0", F.coalesce(F.col("ln_q"), F.lit(0))),
+        [F.col("dur").asc()],
+        {"cum_lnq": "ln_q0", "cum_null": "is_null"},
+    )
+    return cum2.select(
+        F.col("dur").alias("duration_day"),
+        "n_at_risk",
+        "n_events",
+        (F.col("m") - F.col("n_events")).cast("bigint").alias("n_censored"),
+        F.when(F.col("cum_null") > 0, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.col("cum_lnq").cast("double") / 1000000.0), 6)
+        )
+        .alias("survival"),
+    )

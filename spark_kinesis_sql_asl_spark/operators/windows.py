@@ -485,3 +485,71 @@ def q_win_streaks(spark, sf_dir):
         F.count(F.lit(1)).alias("n_runs"),
         F.max("run_len").cast("bigint").alias("longest_run"),
     )
+
+
+@query(
+    "q_win_skyline",
+    priority=35,  # round-8 window full — driver row in r9
+    oracle="""
+    WITH o AS (
+        SELECT o_orderpriority AS grp, o_orderkey AS okey,
+               CAST(round(100 * o_totalprice) AS BIGINT) AS cents,
+               epoch_us(o_orderdate) // 86400000000 AS day
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    ranked AS (
+        SELECT grp, okey, cents, day,
+               min(day) OVER (
+                   PARTITION BY grp ORDER BY cents, day, okey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS best_day_before
+        FROM o
+    )
+    SELECT grp, okey, cents, CAST(day AS BIGINT) AS day
+    FROM ranked
+    WHERE best_day_before IS NULL OR day < best_day_before
+    """,
+)
+def q_win_skyline(spark, sf_dir):
+    """B150: 2-D skyline (Pareto frontier) — per priority class, the
+    orders not dominated on (price, delivery date): no cheaper-or-equal
+    order also came earlier-or-equal. The classic Borzsony/Kossmann
+    skyline operator, expressed as ONE window: sort by (cents, day, key)
+    and keep a row iff its day beats the running MIN day over all
+    strictly-preceding rows — a preceding row has cents <= mine (sort
+    order), so min-day-before < my day is exactly "somebody dominates
+    me". Coordinate ties resolve deterministically: of identical
+    (cents, day) points only the first in key order survives (documented
+    dedup semantics — a skyline wants distinct frontier POINTS). Pure
+    integers (cents, epoch-day), total window order (the C111 rule).
+
+    Plan/scale: one shuffle on the partition key, one window, one
+    filter — the running min is O(1) state per partition slot, and the
+    frontier emits streamingly. At 100 TB this beats the textbook
+    block-nested-loop skyline by doing exactly one sort."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+        )
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.col("o_orderkey").alias("okey"),
+            F.expr("CAST(round(100 * o_totalprice) AS BIGINT)").alias("cents"),
+            F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("cents").asc(), F.col("day").asc(), F.col("okey").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = o.withColumn("best_day_before", F.min("day").over(w))
+    return (
+        ranked.where(
+            F.col("best_day_before").isNull()
+            | (F.col("day") < F.col("best_day_before"))
+        )
+        .select("grp", "okey", "cents", F.col("day").cast("bigint").alias("day"))
+    )

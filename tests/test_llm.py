@@ -669,3 +669,25 @@ def test_ingest_neardup_funnel_partitions_the_batch(spark):
         .count()
     )
     assert sum(r.n_batch for r in rows) == n_batch_truth
+
+
+def test_semantic_clusters_account_for_every_vector_and_bound_survivors(
+    spark,
+):
+    """C131 vs C129 consistency: the size histogram partitions the corpus
+    (sum of n_vecs_in == N), labeled clusters all have size >= 2, and the
+    dominance-rule survivor count is bounded below by the component count
+    plus singletons (each component's min id survives dominance; CC keeps
+    exactly one per component, dominance may keep more on chain graphs)."""
+    hist = QUERIES["q_llm_semantic_clusters"](spark, SF_ORACLE).collect()
+    from spark_kinesis_sql_asl_spark.llm.vectors import semantic_assigned
+
+    n_total = semantic_assigned(spark, SF_ORACLE).count()
+    assert sum(r.n_vecs_in for r in hist) == n_total
+    assert all(r.cluster_size >= 2 for r in hist if r.n_clusters and r.cluster_size != 1)
+    cc_keep = sum(r.n_clusters for r in hist)
+    dom_keep = sum(
+        r.n_survivors
+        for r in QUERIES["q_llm_semantic_survivors"](spark, SF_ORACLE).collect()
+    )
+    assert dom_keep >= cc_keep, (dom_keep, cc_keep)

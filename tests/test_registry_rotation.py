@@ -53,6 +53,9 @@ ROUND8_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_join_bucketed",
         "q_llm_semantic_survivors",
         "q_llm_semantic_yield",
+        "q_events_survival",
+        "q_win_skyline",
+        "q_llm_semantic_clusters",
     }
 )
 
