@@ -2086,3 +2086,69 @@ def test_streaming_running_distinct_state_survives_restart(spark, tmp_path):
         ).collect()
     }
     assert got == final
+
+
+# --- C126s: streaming near-dup ingest screen (round 8) -------------------
+
+
+def test_streaming_neardup_flags_equal_batch(spark, tmp_path):
+    """C126 on a stream: arrivals screened against the STATIC corpus band
+    index through stream-static joins; the flagged near-dup doc set after
+    draining must equal the batch probe's flags exactly (same signatures
+    — per-row array_min/transform vs batch explode+groupBy — same band
+    geometry, same >=8/16 verify)."""
+    from spark_kinesis_sql_asl_spark.llm.ingest import (
+        _BATCH_MOD,
+        ingest_neardup_flags,
+    )
+    from spark_kinesis_sql_asl_spark.streaming.ingest import (
+        corpus_neardup_index,
+        streaming_neardup_flags,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents")
+    batch_docs = docs.where(F.col("doc_id") % _BATCH_MOD == 0).collect()
+    staging = str(tmp_path / "nd_stream")
+    os.makedirs(staging)
+    per = (len(batch_docs) + 2) // 3
+    for i in range(3):
+        sl = batch_docs[i * per : (i + 1) * per]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r.doc_id for r in sl], pa.int64()),
+                "text": pa.array([r.text for r in sl], pa.string()),
+                "lang": pa.array([r.lang for r in sl], pa.string()),
+            }
+        )
+        f = os.path.join(staging, f"{i:04d}.parquet")
+        pq.write_table(tbl, f)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    corpus = docs.where(F.col("doc_id") % _BATCH_MOD != 0).select(
+        "doc_id", "text"
+    )
+    index = corpus_neardup_index(corpus)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, lang string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    near, exact = streaming_neardup_flags(stream, index)
+    for name, frame in (("nd_near", near), ("nd_exact", exact)):
+        _drain(
+            frame.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+        )
+    got_near = {r.doc_id for r in spark.sql("SELECT * FROM nd_near").collect()}
+    got_exact = {r.doc_id for r in spark.sql("SELECT * FROM nd_exact").collect()}
+    want = ingest_neardup_flags(spark, SF_SMOKE).collect()
+    # batch is_near excludes exact dups; the stream near-side flags them
+    # regardless, so compare against (is_near OR is_exact) for near and
+    # is_exact for exact (empty on this fixture — no raw exact dups).
+    want_nearish = {r.doc_id for r in want if r.is_near == 1 or r.is_exact == 1}
+    want_exact = {r.doc_id for r in want if r.is_exact == 1}
+    assert got_near == want_nearish
+    assert got_exact == want_exact
