@@ -1364,3 +1364,107 @@ def q_llm_semantic_clusters(spark, sf_dir):
         )
     )
     return hist.unionByName(singletons)
+
+
+# --- C132: top principal direction by integer power iteration -----------------
+
+_PCA_SCALE = 1024  # |v|_inf after each renormalization (2^10)
+_PCA_ROUNDS = 3
+
+_PCA_GRAM_DUCK = """
+    m AS (
+        SELECT ii.i AS i, jj.i AS j,
+               CAST(sum(qv[ii.i + 1] * qv[jj.i + 1]) AS BIGINT) AS m
+        FROM q, range(0, 64) ii(i), range(0, 64) jj(i)
+        GROUP BY ii.i, jj.i
+    )
+"""
+
+
+def _pca_iter_duck(r: int) -> str:
+    return f"""
+    w{r} AS (
+        SELECT m.i, CAST(sum(m.m * v.v) AS BIGINT) AS w
+        FROM m JOIN v{r - 1} v ON m.j = v.i GROUP BY m.i
+    ),
+    n{r} AS (SELECT max(abs(w)) AS mx FROM w{r}),
+    v{r} AS (
+        SELECT i, CAST((w * {_PCA_SCALE}) // mx AS BIGINT) AS v
+        FROM w{r} CROSS JOIN n{r}
+    )"""
+
+
+@query(
+    "q_llm_embed_pca_power",
+    priority=35,  # round-8 window full — driver row in r9
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, {_Q_VEC_SQL_DUCK} AS qv FROM embeddings
+    ),
+    {_PCA_GRAM_DUCK},
+    v0 AS (SELECT i, CAST({_PCA_SCALE} AS BIGINT) AS v FROM range(0, 64) t(i)),
+    {",".join(_pca_iter_duck(r) for r in range(1, _PCA_ROUNDS + 1))}
+    SELECT v{_PCA_ROUNDS}.i AS dim, v{_PCA_ROUNDS}.v AS eig_q,
+           CAST(n{_PCA_ROUNDS}.mx // {_PCA_SCALE} AS BIGINT) AS lambda_est
+    FROM v{_PCA_ROUNDS} CROSS JOIN n{_PCA_ROUNDS}
+    """,
+)
+def q_llm_embed_pca_power(spark, sf_dir):
+    """C132: top principal direction of the embedding cloud by POWER
+    ITERATION on the exact integer Gram matrix — the missing rung of the
+    vector-algebra family (C52 has per-dim moments, C70 drift, C33/C39
+    k-means; this adds the spectral primitive behind whitening, drift
+    DIRECTION, and low-rank compression). Distributed-PCA shape: the
+    64x64 Gram M = X^T X accumulates exactly (each row expands its 4096
+    integer products in the SCAN stage via a nested transform — indices
+    from the 2-arg lambda, the legitimate use of the (elem, index) form —
+    then one map-side-combined groupBy; this IS tree-aggregated Gram
+    accumulation, the first step of every production PCA). Iteration is
+    64-row arithmetic: w = M v (a broadcast join), then integer
+    renormalization v' = (w * {_PCA_SCALE}) div max|w| — truncating div,
+    pinned cross-engine by the D7 canary — unrolled {_PCA_ROUNDS} rounds
+    from the all-ones seed, so every intermediate is a BIGINT and both
+    engines walk the identical lattice (sign and all). lambda_est =
+    max|w|/scale is the dominant-eigenvalue estimate the iteration
+    yields for free.
+
+    Plan/scale: the only data-scale job is the Gram rollup (shuffle
+    carries (i, j, partial) — 4096 keys); everything after is 64-row
+    frames. At 100 TB: identical — that is the point of Gram-space
+    iteration (the N-row matrix never re-enters the loop)."""
+    e = parallel_table(spark, sf_dir, "embeddings", key="vec_id").select(
+        F.expr(_Q_VEC_SQL_SPARK).alias("qv")
+    )
+    prods = e.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(qv, (vi, i) -> "
+                "transform(qv, (vj, j) -> "
+                "struct(i AS i, j AS j, vi * vj AS p))))"
+            )
+        ).alias("s")
+    ).select("s.i", "s.j", "s.p")
+    m = prods.groupBy("i", "j").agg(F.sum("p").cast("bigint").alias("m"))
+    v = spark.range(64).select(
+        F.col("id").cast("int").alias("i"),
+        F.lit(_PCA_SCALE).cast("bigint").alias("v"),
+    )
+    mx = None
+    for _ in range(_PCA_ROUNDS):
+        w = (
+            m.join(
+                F.broadcast(v.select(F.col("i").alias("j"), "v")), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("m") * F.col("v")).cast("bigint").alias("w"))
+        )
+        mx = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
+        v = w.crossJoin(F.broadcast(mx)).select(
+            "i",
+            F.expr(f"CAST((w * {_PCA_SCALE}) div mx AS BIGINT)").alias("v"),
+        )
+    return v.crossJoin(F.broadcast(mx)).select(
+        F.col("i").alias("dim"),
+        F.col("v").alias("eig_q"),
+        F.expr(f"CAST(mx div {_PCA_SCALE} AS BIGINT)").alias("lambda_est"),
+    )

@@ -56,6 +56,7 @@ ROUND8_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_events_survival",
         "q_win_skyline",
         "q_llm_semantic_clusters",
+        "q_llm_embed_pca_power",
     }
 )
 
