@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import parallel_table, table
+from .curation import _NTOK_DUCK, _NTOK_SPARK
 from .dedup import prefix_filtered_jaccard
 from .iterative import scratch_dir
 from .similarity import (
@@ -1619,4 +1620,94 @@ def q_llm_filter_funnel(spark, sf_dir):
             .cast("bigint")
             .alias("n_exit"),
         )
+    )
+
+
+@query(
+    "q_llm_dup_inflation",
+    priority=35,  # round-8 window full — driver row in r9
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_SIMHASH_PAIRS_SQL}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    cc(doc_id, root) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, c.root FROM cc c JOIN edges e ON e.a = c.doc_id
+        WHERE c.root < e.b
+    ),
+    labeled AS (SELECT doc_id, min(root) AS cluster_id FROM cc GROUP BY doc_id),
+    docs AS (
+        SELECT d.doc_id, d.lang,
+               CAST({_NTOK_DUCK} AS BIGINT) AS ntok,
+               coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN labeled l ON d.doc_id = l.doc_id
+    ),
+    clusters AS (
+        SELECT cluster_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(ntok) AS BIGINT) AS total_tok,
+               CAST(min(CASE WHEN doc_id = cluster_id THEN ntok END)
+                    AS BIGINT) AS canonical_tok,
+               min(CASE WHEN doc_id = cluster_id THEN lang END) AS lang
+        FROM docs GROUP BY cluster_id
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(n_members) AS BIGINT) AS n_docs,
+           CAST(sum(total_tok) AS BIGINT) AS total_tok,
+           CAST(sum(canonical_tok) AS BIGINT) AS canonical_tok,
+           CAST((1000000 * sum(total_tok)) // sum(canonical_tok) AS BIGINT)
+               AS inflation_ppm
+    FROM clusters GROUP BY lang
+    """,
+)
+def q_llm_dup_inflation(spark, sf_dir):
+    """C133: token-budget inflation from near-duplicate clusters — per
+    language (attributed to the canonical member's language), how many
+    tokens the raw corpus carries versus what survives keep-one-per-
+    cluster dedup. The number that connects the dedup ladder to the C109
+    token budget: an inflation of 1.25e6 ppm means one token in five in
+    that language is a re-crawl of something already kept — the
+    mixture-weight correction C30 should apply BEFORE sampling, and the
+    per-language form localizes WHERE re-crawling concentrates. Every
+    cluster's canonical is its min doc id (== cluster_id, C21's label
+    convention), so canonical attribution is deterministic; singleton
+    docs are their own canonical (LEFT join + coalesce).
+
+    Plan/scale: rides C21's MEMOIZED cluster labels (the staged parquet
+    — zero propagation cost after first touch); token counts are
+    scan-stage expressions; two rollups (cluster grain, then lang grain)
+    on id/count columns only — text never shuffles."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.expr(_NTOK_SPARK).cast("bigint").alias("ntok")
+    )
+    labels = q_llm_dedup_cluster(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = d.join(labels, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    )
+    clusters = docs.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("ntok").cast("bigint").alias("total_tok"),
+        F.min(
+            F.when(F.col("doc_id") == F.col("cluster_id"), F.col("ntok"))
+        )
+        .cast("bigint")
+        .alias("canonical_tok"),
+        F.min(
+            F.when(F.col("doc_id") == F.col("cluster_id"), F.col("lang"))
+        ).alias("lang"),
+    )
+    return clusters.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("n_members").cast("bigint").alias("n_docs"),
+        F.sum("total_tok").cast("bigint").alias("total_tok"),
+        F.sum("canonical_tok").cast("bigint").alias("canonical_tok"),
+        F.expr(
+            "CAST((1000000 * sum(total_tok)) div sum(canonical_tok) "
+            "AS BIGINT)"
+        ).alias("inflation_ppm"),
     )

@@ -880,3 +880,117 @@ def q_ts_seasonality(spark, sf_dir):
             6,
         ).alias("seasonal_index"),
     )
+
+
+_ACF_MAX_LAG = 7
+_DAY_US_TS = 86_400_000_000
+
+
+@query(
+    "q_ts_acf",
+    priority=35,  # round-8 window full — driver row in r9
+    oracle=f"""
+    WITH daily AS (
+        SELECT epoch_us(o_orderdate) // {_DAY_US_TS} AS day,
+               CAST(sum(CAST(round(100 * o_totalprice) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY day
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS s,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2
+        FROM daily
+    ),
+    lags(lag) AS (
+        SELECT * FROM range(1, {_ACF_MAX_LAG + 1})
+    ),
+    pairs AS (
+        SELECT l.lag,
+               CAST(count(*) AS HUGEINT) AS np,
+               CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(a.x AS HUGEINT) + b.x) AS HUGEINT) AS sxpy
+        FROM lags l
+        JOIN daily a ON TRUE
+        JOIN daily b ON a.day = b.day + l.lag
+        GROUP BY l.lag
+    )
+    SELECT p.lag AS lag, CAST(p.np AS BIGINT) AS n_pairs,
+           round(
+             CAST(t.n * t.n * p.sxy - t.n * t.s * p.sxpy + p.np * t.s * t.s
+                  AS DOUBLE)
+             / CAST(t.n * t.n * t.s2 - t.n * t.s * t.s AS DOUBLE), 6)
+               AS acf
+    FROM pairs p CROSS JOIN tot t
+    """,
+)
+def q_ts_acf(spark, sf_dir):
+    """B151: autocorrelation function of the daily-revenue series at lags
+    1..{_ACF_MAX_LAG} — the diagnostics staple behind every forecasting
+    decision (is there weekly structure? how fast does memory decay?),
+    completing the time-series stats family (B113 rolling slope, B132
+    EWMA, B146 seasonal index; ACF is how you decide WHICH of those to
+    fit). Exactness: the centered cross-products expand to the integer
+    identity n^2*sum(x_t*x_(t-L)) - n*S*sum(x_t + x_(t-L)) + n_pairs*S^2
+    over wide exact integers (HUGEINT/DECIMAL(38,0)), so numerator and
+    denominator are exact and the ratio is ONE float division round(6)
+    per lag — the B139 moment discipline stretched to lagged products.
+    The lag alignment is an equi-JOIN on (day = day + L), not a window:
+    deterministic under any partitioning, no partitionless sort, and the
+    |lags| x |days| expansion broadcasts the tiny lag spine.
+
+    Plan/scale: one orders-scale rollup to |days| rows; the lag join and
+    every moment run on that ~thousands-row frame. At 100 TB the daily
+    rollup is the only data-scale job — same shape as B99/B110."""
+    daily = (
+        table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+        )
+        .groupBy(
+            F.expr(f"unix_micros(o_orderdate) div {_DAY_US_TS}").alias("day")
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(100 * o_totalprice) AS BIGINT)"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    dec = F.col("x").cast("decimal(38,0)")
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec).cast("decimal(38,0)").alias("s"),
+        F.sum(dec * F.col("x")).cast("decimal(38,0)").alias("s2"),
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("bigint").alias("lag")
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("da") == F.col("db") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("np"),
+            F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb"))
+            .cast("decimal(38,0)")
+            .alias("sxy"),
+            F.sum(F.col("xa").cast("decimal(38,0)") + F.col("xb"))
+            .cast("decimal(38,0)")
+            .alias("sxpy"),
+        )
+    )
+    num = (
+        F.col("n") * F.col("n") * F.col("sxy")
+        - F.col("n") * F.col("s") * F.col("sxpy")
+        + F.col("np") * F.col("s") * F.col("s")
+    )
+    den = F.col("n") * F.col("n") * F.col("s2") - F.col("n") * F.col("s") * F.col("s")
+    return pairs.crossJoin(F.broadcast(tot)).select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("np").cast("bigint").alias("n_pairs"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("acf"),
+    )

@@ -57,6 +57,8 @@ ROUND8_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_win_skyline",
         "q_llm_semantic_clusters",
         "q_llm_embed_pca_power",
+        "q_ts_acf",
+        "q_llm_dup_inflation",
     }
 )
 
