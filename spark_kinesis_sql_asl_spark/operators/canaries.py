@@ -490,3 +490,52 @@ def q_canary_month_trunc(spark, sf_dir):
             F.date_trunc("day", "o_orderdate").alias("day"),
         )
     )
+
+
+@query(
+    "q_canary_ln_quant",
+    priority=35,  # joins the p10 canary block in round 9 (r8 window full)
+    oracle="""
+    SELECT o_orderkey,
+           CAST(round(100 * o_totalprice) AS BIGINT) AS cents,
+           CAST(round(1000000 * ln(round(100 * o_totalprice))) AS BIGINT)
+               AS ln_q,
+           round(exp(CAST(round(1000000 * ln(round(100 * o_totalprice)))
+                          AS BIGINT) / 1000000.0), 6) AS exp_rt
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+      AND o_totalprice IS NOT NULL AND o_totalprice > 0
+    """,
+)
+def q_canary_ln_quant(spark, sf_dir):
+    """D14: natural-log micro-nat quantization parity (round 8, found
+    necessary by B143/B149/C133): the transcendental-accumulation family
+    rests on ONE assumption — that round(1e6 * ln(x)) of an exact
+    integer x lands on the same BIGINT on both engines (the nearest
+    round boundary sits ~1e6 ulps from any double ln result, so a 1-ulp
+    libm divergence cannot flip it). This canary isolates exactly that
+    primitive over a deterministic magnitude spread (a ~1% orderkey
+    slice, cents spanning ~1e3..1e7), plus the exp() round-trip at the
+    precision B149 emits (round 6). If Theil / Kaplan-Meier / any future
+    log-space statistic ever reds driver-side, D14 localizes whether the
+    libm assumption broke before anyone reads a 40-line plan."""
+    return (
+        table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderkey") % 97 == 0)
+            & F.col("o_totalprice").isNotNull()
+            & (F.col("o_totalprice") > 0)
+        )
+        .select(
+            "o_orderkey",
+            F.expr("CAST(round(100 * o_totalprice) AS BIGINT)").alias("cents"),
+            F.expr(
+                "CAST(round(1000000 * ln(round(100 * o_totalprice))) "
+                "AS BIGINT)"
+            ).alias("ln_q"),
+            F.expr(
+                "round(exp(CAST(round(1000000 * ln(round(100 * "
+                "o_totalprice))) AS BIGINT) / 1000000.0), 6)"
+            ).alias("exp_rt"),
+        )
+    )

@@ -59,6 +59,7 @@ ROUND8_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_llm_embed_pca_power",
         "q_ts_acf",
         "q_llm_dup_inflation",
+        "q_canary_ln_quant",
     }
 )
 
@@ -157,12 +158,16 @@ def test_rotated_set_heads_the_window():
 
 
 def test_canaries_pinned_out_this_round():
-    """r8 exception: canaries (all r7-green) sit at 100 to free window
-    slots for the freshness rotation. Revert to 10 in round 9."""
+    """r8 exception: the 13 legacy canaries (all r7-green) sit at 100 to
+    free window slots for the freshness rotation; the NEW D14 ln-quant
+    canary rides the p35 rotation tail for its first driver row. All 14
+    revert to 10 in round 9."""
     registry.load_all()
     canaries = [n for n in registry._QUERIES if n.startswith("q_canary_")]
-    assert len(canaries) == 13
-    assert all(_priority(n) == 100 for n in canaries)
+    assert len(canaries) == 14
+    for n in canaries:
+        want = 35 if n == "q_canary_ln_quant" else 100
+        assert _priority(n) == want, (n, _priority(n))
 
 
 def test_window_budget_not_overflowed_by_new_queries():
