@@ -907,9 +907,12 @@ _SEM_CTES = f"""
     ),
     sem AS (
         SELECT vec_a, vec_b, CAST(dq AS BIGINT) AS dot_q,
-               CAST((1000000 * dq * dq) // (na2 * nb2) AS BIGINT) AS cos2_ppm
+               CAST((1000000 * CAST(dq AS HUGEINT) * dq)
+                    // (CAST(na2 AS HUGEINT) * nb2) AS BIGINT) AS cos2_ppm
         FROM p
-        WHERE dq > 0 AND {{dsq}} * dq * dq >= {{nsq}} * na2 * nb2
+        WHERE dq > 0
+          AND {{dsq}} * CAST(dq AS HUGEINT) * dq
+              >= {{nsq}} * CAST(na2 AS HUGEINT) * nb2
     )
 """.format(
     qvec=_Q_VEC_SQL_DUCK,
@@ -989,12 +992,17 @@ def _semantic_state(spark, sf_dir):
             "acc + element_at(qa, i) * element_at(qb, i))"
         ),
     )
+    # dq^2 must be computed WIDE: a contract-conformant but hostile
+    # magnitude (the adversarial [1e3]*64 vector -> dq ~ 2.6e11) overflows
+    # BIGINT on the square; DECIMAL(38,0) here, HUGEINT in the oracle.
+    dqd = F.col("dq").cast("decimal(38,0)")
+    na2d = F.col("na2").cast("decimal(38,0)")
     sem_pairs = (
         scored.where(
             (F.col("dq") > 0)
             & (
-                _SEMDEDUP_TAU_DEN_SQ * F.col("dq") * F.col("dq")
-                >= _SEMDEDUP_TAU_NUM_SQ * F.col("na2") * F.col("nb2")
+                _SEMDEDUP_TAU_DEN_SQ * dqd * dqd
+                >= _SEMDEDUP_TAU_NUM_SQ * na2d * F.col("nb2")
             )
         )
         .select(
@@ -1002,7 +1010,8 @@ def _semantic_state(spark, sf_dir):
             "vec_b",
             F.col("dq").cast("bigint").alias("dot_q"),
             F.expr(
-                "CAST((1000000 * dq * dq) div (na2 * nb2) AS BIGINT)"
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * dq * dq) "
+                "div (CAST(na2 AS DECIMAL(38,0)) * nb2) AS BIGINT)"
             ).alias("cos2_ppm"),
         )
         .localCheckpoint(eager=True)

@@ -1141,7 +1141,7 @@ def q_agg_welch_t(spark, sf_dir):
                CAST(round(1000000 * ln(round(100 * o_totalprice))) AS BIGINT)
                    AS ln_q
         FROM orders
-        WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+        WHERE o_totalprice IS NOT NULL AND round(100 * o_totalprice) >= 1
     ),
     g AS (
         SELECT grp,
@@ -1197,7 +1197,12 @@ def q_agg_theil(spark, sf_dir):
     shuffle of 5 rows' moments."""
     t = (
         table(spark, sf_dir, "orders")
-        .where(F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") > 0))
+        # guard on the CENTS, not the price: an adversarial 0.004 price is
+        # > 0 but rounds to 0 cents, and ln(0) must never be evaluated
+        .where(
+            F.col("o_totalprice").isNotNull()
+            & (F.expr("round(100 * o_totalprice)") >= 1)
+        )
         .select(
             F.col("o_orderpriority").alias("grp"),
             F.expr("CAST(round(100 * o_totalprice) AS BIGINT)").alias("cents"),
