@@ -1477,3 +1477,79 @@ def q_llm_embed_pca_power(spark, sf_dir):
         F.col("v").alias("eig_q"),
         F.expr(f"CAST(mx div {_PCA_SCALE} AS BIGINT)").alias("lambda_est"),
     )
+
+
+@query(
+    "q_llm_semantic_dedup_e2e",
+    priority=35,  # round-8 window full — driver row in r9
+    oracle=f"""
+    WITH {_SEM_CTES},
+    dropped AS (SELECT DISTINCT vec_b AS vec_id FROM sem),
+    docs AS (
+        SELECT d.doc_id, d.lang,
+               CAST(len(string_split(coalesce(d.text, ''), ' '))
+                    AS BIGINT) AS ntok,
+               CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+        FROM documents d
+        JOIN embeddings e ON d.doc_id = e.vec_id
+        LEFT JOIN dropped dr ON e.vec_id = dr.vec_id
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           CAST(sum(ntok) AS BIGINT) AS tokens_total,
+           CAST(sum(kept * ntok) AS BIGINT) AS tokens_kept,
+           CAST((1000000 * sum(kept * ntok)) // sum(ntok) AS BIGINT)
+               AS kept_tok_ppm
+    FROM docs GROUP BY lang
+    """,
+)
+def q_llm_semantic_dedup_e2e(spark, sf_dir):
+    """C134: the SemDeDup pass END-TO-END — from raw corpus + embeddings
+    to the per-language kept-document and kept-token mass after
+    semantic dedup (C125 pairs -> C129 dominance pruning -> document
+    join via the fixture's 1:1 vec_id == doc_id key, the C45/C11
+    convention). This is the number the training-mixture owner actually
+    consumes: C133 prices NEAR-dup inflation from the SimHash ladder,
+    this prices SEMANTIC redundancy from the embedding ladder — the two
+    decks of the same budget audit (C109). Rides the memoized semantic
+    pair state; the document join adds one broadcast of the dropped-id
+    set and one lang rollup — tokens count in the scan stage, text
+    never shuffles.
+
+    Plan/scale: |dropped| ids broadcast against the corpus scan; at
+    100 TB the dropped set is the parquet artifact the C129 stage
+    materializes, and this query is the reporting join every downstream
+    pipeline stage reuses."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr("CAST(size(split(coalesce(text, ''), ' ')) AS BIGINT)").alias(
+            "ntok"
+        ),
+    )
+    e = table(spark, sf_dir, "embeddings").select("vec_id")
+    dropped = (
+        semantic_pairs(spark, sf_dir)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    docs = (
+        d.join(e, d.doc_id == e.vec_id)
+        .join(F.broadcast(dropped), "vec_id", "left")
+        .select(
+            "lang",
+            "ntok",
+            F.when(F.col("hit").isNull(), 1).otherwise(0).alias("kept"),
+        )
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        F.sum("ntok").cast("bigint").alias("tokens_total"),
+        F.sum(F.col("kept") * F.col("ntok")).cast("bigint").alias("tokens_kept"),
+        F.expr(
+            "CAST((1000000 * sum(kept * ntok)) div sum(ntok) AS BIGINT)"
+        ).alias("kept_tok_ppm"),
+    )

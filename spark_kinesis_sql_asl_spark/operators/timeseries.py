@@ -994,3 +994,135 @@ def q_ts_acf(spark, sf_dir):
         F.col("np").cast("bigint").alias("n_pairs"),
         F.round(num.cast("double") / den.cast("double"), 6).alias("acf"),
     )
+
+
+@query(
+    "q_ts_pacf",
+    priority=35,  # round-8 window full — driver row in r9
+    oracle=f"""
+    WITH daily AS (
+        SELECT epoch_us(o_orderdate) // {_DAY_US_TS} AS day,
+               CAST(sum(CAST(round(100 * o_totalprice) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY day
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS s,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2
+        FROM daily
+    ),
+    pairs AS (
+        SELECT l.range AS lag,
+               CAST(count(*) AS HUGEINT) AS np,
+               CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(a.x AS HUGEINT) + b.x) AS HUGEINT) AS sxpy
+        FROM range(1, 4) l
+        JOIN daily a ON TRUE
+        JOIN daily b ON a.day = b.day + l.range
+        GROUP BY l.range
+    ),
+    rs AS (
+        SELECT p.lag,
+               CAST(t.n * t.n * p.sxy - t.n * t.s * p.sxpy + p.np * t.s * t.s
+                    AS DOUBLE)
+               / CAST(t.n * t.n * t.s2 - t.n * t.s * t.s AS DOUBLE) AS r
+        FROM pairs p CROSS JOIN tot t
+    ),
+    wide AS (
+        SELECT max(CASE WHEN lag = 1 THEN r END) AS r1,
+               max(CASE WHEN lag = 2 THEN r END) AS r2,
+               max(CASE WHEN lag = 3 THEN r END) AS r3
+        FROM rs
+    )
+    SELECT round(r1, 6) AS pacf1,
+           round((r2 - r1 * r1) / (1 - r1 * r1), 6) AS pacf2,
+           round(
+             (r3 - (r1 * (1 - r2) / (1 - r1 * r1)) * r2
+                 - ((r2 - r1 * r1) / (1 - r1 * r1)) * r1)
+             / (1 - (r1 * (1 - r2) / (1 - r1 * r1)) * r1
+                  - ((r2 - r1 * r1) / (1 - r1 * r1)) * r2), 6) AS pacf3
+    FROM wide
+    """,
+)
+def q_ts_pacf(spark, sf_dir):
+    """B152: partial autocorrelation at lags 1..3 via the Durbin-Levinson
+    closed forms — the AR-order selector that completes B151 (ACF says
+    whether memory exists; PACF says how many AR terms explain it, the
+    standard Box-Jenkins identification pair). Each raw autocorrelation
+    r_L is ONE float division of exact wide-integer moments (the B151
+    identity — exact rationals would need ~1e56 numerators, past any
+    fixed decimal, so the division happens first and the Durbin recursion
+    runs as a deterministic double chain over three identical inputs,
+    round(6) — the B142 discipline, one step deeper). pacf2 =
+    (r2-r1^2)/(1-r1^2); pacf3 via the order-2 Durbin coefficients.
+
+    Plan/scale: identical to B151 (daily rollup + tiny lag join) with a
+    3-way conditional pivot to one output row; at 100 TB the daily
+    rollup is the only data-scale job and ACF/PACF share it."""
+    daily = (
+        table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+        )
+        .groupBy(
+            F.expr(f"unix_micros(o_orderdate) div {_DAY_US_TS}").alias("day")
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(100 * o_totalprice) AS BIGINT)"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    dec = F.col("x").cast("decimal(38,0)")
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec).cast("decimal(38,0)").alias("s"),
+        F.sum(dec * F.col("x")).cast("decimal(38,0)").alias("s2"),
+    )
+    lags = spark.range(1, 4).select(F.col("id").cast("bigint").alias("lag"))
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("da") == F.col("db") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("np"),
+            F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb"))
+            .cast("decimal(38,0)")
+            .alias("sxy"),
+            F.sum(F.col("xa").cast("decimal(38,0)") + F.col("xb"))
+            .cast("decimal(38,0)")
+            .alias("sxpy"),
+        )
+    )
+    num = (
+        F.col("n") * F.col("n") * F.col("sxy")
+        - F.col("n") * F.col("s") * F.col("sxpy")
+        + F.col("np") * F.col("s") * F.col("s")
+    )
+    den = (
+        F.col("n") * F.col("n") * F.col("s2")
+        - F.col("n") * F.col("s") * F.col("s")
+    )
+    rs = pairs.crossJoin(F.broadcast(tot)).select(
+        "lag", (num.cast("double") / den.cast("double")).alias("r")
+    )
+    wide = rs.agg(
+        F.max(F.when(F.col("lag") == 1, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("lag") == 2, F.col("r"))).alias("r2"),
+        F.max(F.when(F.col("lag") == 3, F.col("r"))).alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    phi21 = r1 * (1 - r2) / (1 - r1 * r1)
+    phi22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    return wide.select(
+        F.round(r1, 6).alias("pacf1"),
+        F.round(phi22, 6).alias("pacf2"),
+        F.round(
+            (r3 - phi21 * r2 - phi22 * r1) / (1 - phi21 * r1 - phi22 * r2), 6
+        ).alias("pacf3"),
+    )

@@ -60,6 +60,8 @@ ROUND8_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_ts_acf",
         "q_llm_dup_inflation",
         "q_canary_ln_quant",
+        "q_llm_semantic_dedup_e2e",
+        "q_ts_pacf",
     }
 )
 
