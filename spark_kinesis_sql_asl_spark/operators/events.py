@@ -1069,3 +1069,417 @@ def q_events_survival(spark, sf_dir):
         )
         .alias("survival"),
     )
+
+
+@query(
+    "q_events_kruskal",
+    priority=35,  # round-8 window full — driver row in r9
+    oracle="""
+    WITH s AS (
+        SELECT event_type AS g, value AS x
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    v AS (
+        SELECT x, CAST(count(*) AS BIGINT) AS m FROM s GROUP BY x
+    ),
+    cum AS (
+        SELECT x, m,
+               sum(m) OVER (ORDER BY x
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_m
+        FROM v
+    ),
+    gv AS (
+        SELECT g, x, CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY g, x
+    ),
+    per_g AS (
+        SELECT gv.g,
+               CAST(sum(gv.cnt) AS BIGINT) AS n_g,
+               CAST(sum(CAST(gv.cnt AS HUGEINT)
+                        * (2 * c.cum_m - c.m + 1)) AS HUGEINT) AS r2_g
+        FROM gv JOIN cum c ON gv.x = c.x
+        GROUP BY gv.g
+    ),
+    qs AS (
+        SELECT g, n_g, r2_g,
+               CAST(floor(CAST(r2_g AS DOUBLE) * CAST(r2_g AS DOUBLE)
+                          / (4.0 * CAST(n_g AS DOUBLE))) AS HUGEINT) AS q_g
+        FROM per_g
+    ),
+    ties AS (
+        SELECT CAST(sum(CAST(m AS HUGEINT) * m * m - m) AS HUGEINT) AS t
+        FROM v
+    ),
+    tot AS (
+        SELECT CAST(sum(n_g) AS HUGEINT) AS n,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(q_g) AS HUGEINT) AS sq
+        FROM qs
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n,
+           tot.k AS n_groups,
+           CAST(ties.t AS BIGINT) AS tie_cubes,
+           round((12.0 * CAST(tot.sq AS DOUBLE)
+                  / (CAST(tot.n AS DOUBLE) * (CAST(tot.n AS DOUBLE) + 1.0))
+                  - 3.0 * (CAST(tot.n AS DOUBLE) + 1.0))
+                 * (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                    * CAST(tot.n AS DOUBLE) - CAST(tot.n AS DOUBLE))
+                 / nullif(CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                          * CAST(tot.n AS DOUBLE) - CAST(tot.n AS DOUBLE)
+                          - CAST(ties.t AS DOUBLE), 0.0),
+                 6) AS h_stat
+    FROM tot CROSS JOIN ties
+    """,
+)
+def q_events_kruskal(spark, sf_dir):
+    """B153: Kruskal-Wallis H — the k-group generalization of B147's
+    Mann-Whitney (does ANY of the five event types shift `value`'s
+    location?), with tie-corrected statistic. Completes the rank-test
+    family: B147 two-group location, B144 two-group shape, B153 k-group
+    omnibus.
+
+    Exactness discipline (the B147 pattern stretched to k groups): ranks
+    never materialize per row. TWICE the rank sum of group g is the pure
+    integer aggregate r2_g = sum over value-cells of cnt_g(x) *
+    (2*cum_m(x) - m(x) + 1) via the pooled distributed prefix sum; the
+    per-group rational R_g^2/n_g = r2_g^2/(4*n_g) is floor-quantized to
+    an integer through ONE double division evaluated identically on both
+    engines (the D14/B143 quantized-accumulation discipline — sum of
+    quantized integers commutes, so partial aggregation cannot reorder
+    anything); H with tie correction is then ONE fixed float expression
+    over five exact scalars, round(6).
+
+    Plan/scale: one events-scale groupBy(value) + one groupBy(g, value)
+    with map-side combine, one distributed prefix sum over |distinct
+    values| (:func:`global_running_sums` — no partitionless window), a
+    k-row broadcast-size tail. Same shape as B144/B147, so all three
+    tests share the pooled rollup in a real pipeline."""
+    s = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        .select(F.col("event_type").alias("g"), F.col("value").alias("x"))
+    )
+    v = s.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    cum = global_running_sums(v, [F.col("x").asc()], {"cum_m": "m"})
+    gv = s.groupBy("g", "x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    per_g = (
+        gv.join(cum, "x")
+        .groupBy("g")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_g"),
+            F.sum(
+                F.col("cnt").cast("decimal(38,0)")
+                * (2 * F.col("cum_m") - F.col("m") + 1)
+            )
+            .cast("decimal(38,0)")
+            .alias("r2_g"),
+        )
+    )
+    r2d = F.col("r2_g").cast("double")
+    qs = per_g.select(
+        "g",
+        "n_g",
+        F.floor(r2d * r2d / (F.lit(4.0) * F.col("n_g").cast("double")))
+        .cast("decimal(38,0)")
+        .alias("q_g"),
+    )
+    ties = v.agg(
+        F.sum(
+            F.col("m").cast("decimal(38,0)") * F.col("m") * F.col("m")
+            - F.col("m")
+        )
+        .cast("decimal(38,0)")
+        .alias("t")
+    )
+    tot = qs.agg(
+        F.sum("n_g").cast("decimal(38,0)").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("q_g").cast("decimal(38,0)").alias("sq"),
+    )
+    nd = F.col("n").cast("double")
+    td = F.col("t").cast("double")
+    h = (
+        (
+            F.lit(12.0) * F.col("sq").cast("double") / (nd * (nd + F.lit(1.0)))
+            - F.lit(3.0) * (nd + F.lit(1.0))
+        )
+        * (nd * nd * nd - nd)
+        / F.nullif(nd * nd * nd - nd - td, F.lit(0.0))
+    )
+    return tot.crossJoin(F.broadcast(ties)).select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").alias("n_groups"),
+        F.col("t").cast("bigint").alias("tie_cubes"),
+        F.round(h, 6).alias("h_stat"),
+    )
+
+
+@query(
+    "q_events_anova",
+    priority=35,  # round-8 window full — driver row in r9
+    oracle="""
+    WITH s AS (
+        SELECT event_type AS g,
+               CAST(floor(100.0 * value + 0.5) AS BIGINT) AS xq
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    per_g AS (
+        SELECT g,
+               CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(CAST(xq AS HUGEINT)) AS HUGEINT) AS s_g,
+               CAST(sum(CAST(xq AS HUGEINT) * xq) AS HUGEINT) AS s2_g
+        FROM s GROUP BY g
+    ),
+    qs AS (
+        SELECT g, n_g, s_g, s2_g,
+               CAST(floor(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                          / CAST(n_g AS DOUBLE)) AS HUGEINT) AS q_g
+        FROM per_g
+    ),
+    tot AS (
+        SELECT CAST(sum(n_g) AS HUGEINT) AS n,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(s_g) AS HUGEINT) AS s,
+               CAST(sum(s2_g) AS HUGEINT) AS s2,
+               CAST(sum(q_g) AS HUGEINT) AS gq
+        FROM qs
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           k AS n_groups,
+           round((CAST(gq AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 / nullif(CAST(k AS DOUBLE) - 1.0, 0.0)
+                 / nullif((CAST(s2 AS DOUBLE) - CAST(gq AS DOUBLE))
+                          / nullif(CAST(n AS DOUBLE) - CAST(k AS DOUBLE), 0.0),
+                          0.0),
+                 6) AS f_stat,
+           round((CAST(gq AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 / nullif(CAST(s2 AS DOUBLE)
+                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                            / CAST(n AS DOUBLE),
+                          0.0),
+                 6) AS eta_sq
+    FROM tot
+    """,
+)
+def q_events_anova(spark, sf_dir):
+    """B154: one-way ANOVA — F statistic and effect size eta^2 of
+    `value` across the five event types; the parametric omnibus beside
+    B153's rank-based Kruskal-Wallis and B142's two-group Welch t.
+
+    Exactness discipline: `value` is quantized once to integer cents
+    via floor(100*x + 0.5) (round-half-up spelled as floor — both
+    engines' round() disagree on ties-to-even vs away-from-zero, floor
+    never does); every sum/sum-of-squares is then an exact wide-integer
+    aggregate (DECIMAL(38,0)/HUGEINT — the square of a hostile 1e8-cent
+    value needs 128 bits, the r8 adversarial-magnitude rule; cents — not
+    finer — keep the floored per-group quotient S_g^2/n_g inside BIGINT,
+    since floor(double) lands in a LONG on the Spark side).
+    The per-group S_g^2/n_g rational is floor-quantized through ONE
+    double division (B153's discipline), so SSB = GQ - S^2/N and SSW =
+    S2 - GQ reduce to fixed float expressions over five exact scalars;
+    F and eta^2 are round(6) with zero-variance/one-group NULL guards.
+    The quantization scale cancels in both ratios.
+
+    Plan/scale: one events-scale groupBy(g) with map-side combine into
+    k rows, then constant-size arithmetic. The cheapest of the stats
+    family — no prefix sum, no value-level rollup."""
+    s = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("g"),
+            F.floor(F.lit(100.0) * F.col("value") + F.lit(0.5))
+            .cast("bigint")
+            .alias("xq"),
+        )
+    )
+    xd = F.col("xq").cast("decimal(38,0)")
+    per_g = s.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(xd).cast("decimal(38,0)").alias("s_g"),
+        F.sum(xd * F.col("xq")).cast("decimal(38,0)").alias("s2_g"),
+    )
+    sgd = F.col("s_g").cast("double")
+    qs = per_g.select(
+        "g",
+        "n_g",
+        "s_g",
+        "s2_g",
+        F.floor(sgd * sgd / F.col("n_g").cast("double"))
+        .cast("decimal(38,0)")
+        .alias("q_g"),
+    )
+    tot = qs.agg(
+        F.sum("n_g").cast("decimal(38,0)").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("s_g").cast("decimal(38,0)").alias("s"),
+        F.sum("s2_g").cast("decimal(38,0)").alias("s2"),
+        F.sum("q_g").cast("decimal(38,0)").alias("gq"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    sd = F.col("s").cast("double")
+    s2d = F.col("s2").cast("double")
+    gqd = F.col("gq").cast("double")
+    ssb = gqd - sd * sd / nd
+    f_stat = (
+        ssb
+        / F.nullif(kd - F.lit(1.0), F.lit(0.0))
+        / F.nullif(
+            (s2d - gqd) / F.nullif(nd - kd, F.lit(0.0)), F.lit(0.0)
+        )
+    )
+    eta = ssb / F.nullif(s2d - sd * sd / nd, F.lit(0.0))
+    return tot.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").alias("n_groups"),
+        F.round(f_stat, 6).alias("f_stat"),
+        F.round(eta, 6).alias("eta_sq"),
+    )
+
+
+@query(
+    "q_events_spearman",
+    priority=35,  # round-8 window full — driver row in r9
+    oracle="""
+    WITH s AS (
+        SELECT event_type AS g, value AS x,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL
+          AND CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+    ),
+    vx AS (SELECT g, x, CAST(count(*) AS BIGINT) AS m FROM s GROUP BY g, x),
+    cx AS (
+        SELECT g, x, m,
+               sum(m) OVER (PARTITION BY g ORDER BY x
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+        FROM vx
+    ),
+    rx AS (SELECT g, x, (2 * cum - m + 1) AS u FROM cx),
+    vy AS (SELECT g, y, CAST(count(*) AS BIGINT) AS m FROM s GROUP BY g, y),
+    cy AS (
+        SELECT g, y, m,
+               sum(m) OVER (PARTITION BY g ORDER BY y
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+        FROM vy
+    ),
+    ry AS (SELECT g, y, (2 * cum - m + 1) AS v FROM cy),
+    j AS (
+        SELECT s.g, rx.u AS u, ry.v AS v
+        FROM s
+        JOIN rx ON s.g = rx.g AND s.x = rx.x
+        JOIN ry ON s.g = ry.g AND s.y = ry.y
+    ),
+    mo AS (
+        SELECT g,
+               CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(CAST(u AS HUGEINT)) AS HUGEINT) AS su,
+               CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS sv,
+               CAST(sum(CAST(u AS HUGEINT) * u) AS HUGEINT) AS su2,
+               CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS sv2,
+               CAST(sum(CAST(u AS HUGEINT) * v) AS HUGEINT) AS suv
+        FROM j GROUP BY g
+    )
+    SELECT g AS event_type,
+           CAST(n AS BIGINT) AS n,
+           round((CAST(n AS DOUBLE) * CAST(suv AS DOUBLE)
+                  - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
+                 / nullif(sqrt((CAST(n AS DOUBLE) * CAST(su2 AS DOUBLE)
+                                - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+                               * (CAST(n AS DOUBLE) * CAST(sv2 AS DOUBLE)
+                                  - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))),
+                          0.0),
+                 6) AS rho
+    FROM mo
+    """,
+)
+def q_events_spearman(spark, sf_dir):
+    """B155: Spearman rank correlation per event type between `value`
+    and the JSON payload's `k` — the monotone-association companion to
+    B139's Pearson-style moments: is the payload knob driving the
+    metric, in any monotone way, within each event family?
+
+    Exactness discipline: midranks never materialize as halves — TWICE
+    the midrank of a tied cell is the integer 2*cum - m + 1 off a
+    per-group value-level rollup (B147's identity, partitioned here, so
+    a plain window with a total in-partition order suffices — no
+    partitionless sort); rho is Pearson on the doubled ranks (the
+    doubling cancels), so all five moments are exact wide-integer
+    aggregates and rho is ONE float expression per group, round(6),
+    with a zero-variance NULL guard.
+
+    Plan/scale: two groupBy(g, value-cell) rollups + two broadcast-size
+    per-group windows + one row-level join back on (g, cell) — hash
+    exchanges only, bounded by |distinct cells|; the join back to rows
+    is the only events-scale shuffle. JSON parity with the B34 family:
+    get_json_object vs json_extract_string, both NULL on missing key,
+    '{}' and malformed payloads."""
+    y = F.get_json_object("props", "$.k").cast("bigint")
+    s = (
+        table(spark, sf_dir, "events")
+        .where(
+            F.col("event_type").isNotNull()
+            & F.col("value").isNotNull()
+            & y.isNotNull()
+        )
+        .select(
+            F.col("event_type").alias("g"),
+            F.col("value").alias("x"),
+            y.alias("y"),
+        )
+    )
+    wx = Window.partitionBy("g").orderBy(F.col("x").asc())
+    rx = (
+        s.groupBy("g", "x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+        .withColumn(
+            "cum",
+            F.sum("m").over(wx.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select("g", "x", (2 * F.col("cum") - F.col("m") + 1).alias("u"))
+    )
+    wy = Window.partitionBy("g").orderBy(F.col("y").asc())
+    ry = (
+        s.groupBy("g", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+        .withColumn(
+            "cum",
+            F.sum("m").over(wy.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select("g", "y", (2 * F.col("cum") - F.col("m") + 1).alias("v"))
+    )
+    j = s.join(rx, ["g", "x"]).join(ry, ["g", "y"]).select("g", "u", "v")
+    ud = F.col("u").cast("decimal(38,0)")
+    vd = F.col("v").cast("decimal(38,0)")
+    mo = j.groupBy("g").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(ud).cast("decimal(38,0)").alias("su"),
+        F.sum(vd).cast("decimal(38,0)").alias("sv"),
+        F.sum(ud * F.col("u")).cast("decimal(38,0)").alias("su2"),
+        F.sum(vd * F.col("v")).cast("decimal(38,0)").alias("sv2"),
+        F.sum(ud * F.col("v")).cast("decimal(38,0)").alias("suv"),
+    )
+    nd = F.col("n").cast("double")
+    sud = F.col("su").cast("double")
+    svd = F.col("sv").cast("double")
+    su2d = F.col("su2").cast("double")
+    sv2d = F.col("sv2").cast("double")
+    suvd = F.col("suv").cast("double")
+    rho = (nd * suvd - sud * svd) / F.nullif(
+        F.sqrt((nd * su2d - sud * sud) * (nd * sv2d - svd * svd)),
+        F.lit(0.0),
+    )
+    return mo.select(
+        F.col("g").alias("event_type"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(rho, 6).alias("rho"),
+    )

@@ -62,6 +62,9 @@ ROUND8_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_canary_ln_quant",
         "q_llm_semantic_dedup_e2e",
         "q_ts_pacf",
+        "q_events_kruskal",
+        "q_events_anova",
+        "q_events_spearman",
     }
 )
 
