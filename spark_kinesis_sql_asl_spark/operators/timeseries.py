@@ -1126,3 +1126,133 @@ def q_ts_pacf(spark, sf_dir):
             (r3 - phi21 * r2 - phi22 * r1) / (1 - phi21 * r1 - phi22 * r2), 6
         ).alias("pacf3"),
     )
+
+
+_CCF_MAX_LAG = 3
+_CCF_TYPE_X = "purchase"
+_CCF_TYPE_Y = "error"
+
+
+@query(
+    "q_ts_ccf",
+    priority=35,  # round-8 window full — driver row in r9
+    oracle=f"""
+    WITH daily AS (
+        SELECT epoch_us(ts) // {_DAY_US_TS} AS day,
+               CAST(sum(CASE WHEN event_type = '{_CCF_TYPE_X}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = '{_CCF_TYPE_Y}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events
+        WHERE ts IS NOT NULL
+          AND event_type IN ('{_CCF_TYPE_X}', '{_CCF_TYPE_Y}')
+        GROUP BY day
+    ),
+    lags(lag) AS (
+        SELECT * FROM range(-{_CCF_MAX_LAG}, {_CCF_MAX_LAG + 1})
+    ),
+    pairs AS (
+        SELECT l.lag,
+               CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(CAST(a.x AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(sum(CAST(b.y AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(sum(CAST(a.x AS HUGEINT) * a.x) AS HUGEINT) AS sx2,
+               CAST(sum(CAST(b.y AS HUGEINT) * b.y) AS HUGEINT) AS sy2,
+               CAST(sum(CAST(a.x AS HUGEINT) * b.y) AS HUGEINT) AS sxy
+        FROM lags l
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.day = a.day + l.lag
+        GROUP BY l.lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / nullif(sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                               * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                          0.0),
+                 6) AS ccf
+    FROM pairs
+    """,
+)
+def q_ts_ccf(spark, sf_dir):
+    """B156: cross-correlation function between the daily
+    '{_CCF_TYPE_X}' and '{_CCF_TYPE_Y}' count series at lags
+    -{_CCF_MAX_LAG}..+{_CCF_MAX_LAG} — B151's ACF generalized to TWO
+    series: does today's purchase volume predict errors N days out
+    (positive lags), or trail them (negative lags)? The lead/lag
+    diagnostic every ops/forecasting pipeline runs between a driver
+    metric and an outcome metric.
+
+    Exactness: daily counts are exact integers off one conditional
+    rollup; per-lag Pearson uses the per-overlap moments (not B151's
+    global-mean shortcut — with two series the textbook CCF re-centers
+    on each overlap window), all six moments exact wide integers, the
+    correlation ONE guarded float per lag, round(6). Lag alignment is
+    an equi-join against a 7-row broadcast lag spine — deterministic,
+    no partitionless window (negative lags ride the same join with
+    b.day = a.day + L, L < 0).
+
+    Plan/scale: one events-scale conditional rollup to |days| rows;
+    the |lags| x |days| expansion and all moments run on that KB-scale
+    frame. Identical shape to B151/B152 — at 100 TB the daily rollup
+    is the only data-scale job and the three diagnostics share it."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .where(
+            F.col("ts").isNotNull()
+            & F.col("event_type").isin(_CCF_TYPE_X, _CCF_TYPE_Y)
+        )
+        .groupBy(
+            F.expr(f"unix_micros(ts) div {_DAY_US_TS}").alias("day")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == _CCF_TYPE_X, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == _CCF_TYPE_Y, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    lags = spark.range(-_CCF_MAX_LAG, _CCF_MAX_LAG + 1).select(
+        F.col("id").cast("bigint").alias("lag")
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("y").alias("yb"))
+    xd = F.col("xa").cast("decimal(38,0)")
+    yd = F.col("yb").cast("decimal(38,0)")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.col("da") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum(xd).cast("decimal(38,0)").alias("sx"),
+            F.sum(yd).cast("decimal(38,0)").alias("sy"),
+            F.sum(xd * F.col("xa")).cast("decimal(38,0)").alias("sx2"),
+            F.sum(yd * F.col("yb")).cast("decimal(38,0)").alias("sy2"),
+            F.sum(xd * F.col("yb")).cast("decimal(38,0)").alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sx2d = F.col("sx2").cast("double")
+    sy2d = F.col("sy2").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    ccf = (nd * sxyd - sxd * syd) / F.nullif(
+        F.sqrt((nd * sx2d - sxd * sxd) * (nd * sy2d - syd * syd)),
+        F.lit(0.0),
+    )
+    return pairs.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(ccf, 6).alias("ccf"),
+    )

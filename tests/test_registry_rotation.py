@@ -65,6 +65,7 @@ ROUND8_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_events_kruskal",
         "q_events_anova",
         "q_events_spearman",
+        "q_ts_ccf",
     }
 )
 
