@@ -1335,3 +1335,141 @@ def q_llm_bloom_fpr(spark, sf_dir):
             ).alias("fpr_ppm"),
         )
     )
+
+
+_PAGERANK_STEPS = 4
+# The exact-Jaccard pair CTE shared by the dup-graph oracles (C21 cluster,
+# C103 degree, C117 triangles, C118 centrality) — repeated here because the
+# driver runs each oracle standalone.
+_PAGERANK_EDGE_CTE = f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM toks a
+        JOIN toks b ON a.tok = b.tok AND a.lang = b.lang
+                   AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE 100 * i >= {int(_JACCARD_TAU * 100)} * (sa.sz + sb.sz - i)
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (
+        SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+    )"""
+
+
+def _pagerank_oracle() -> str:
+    its = []
+    for k in range(1, _PAGERANK_STEPS + 1):
+        its.append(f"""
+    pr{k} AS (
+        SELECT e.dst AS v,
+               (SELECT 150000 // count(*) FROM deg)
+               + CAST(sum((17 * p.p) // (20 * d.deg)) AS BIGINT) AS p
+        FROM edges e
+        JOIN pr{k - 1} p ON e.src = p.v
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+    )""")
+    return f"""{_PAGERANK_EDGE_CTE},
+    pr0 AS (
+        SELECT src AS v,
+               CAST(1000000 // (SELECT count(*) FROM deg) AS BIGINT) AS p
+        FROM deg
+    ),{",".join(its)}
+    SELECT p.v AS doc_id, d.deg AS degree,
+           p.p AS pr{_PAGERANK_STEPS}_ppm
+    FROM pr{_PAGERANK_STEPS} p JOIN deg d ON p.v = d.src
+    """
+
+
+@query("q_llm_dup_pagerank", priority=35, oracle=_pagerank_oracle())
+def q_llm_dup_pagerank(spark, sf_dir):
+    """C135: damped PageRank over the C2 near-dup graph — the full
+    iterative refinement of C118's one-step degree-discounted mass:
+    which documents are the STRUCTURAL hubs of duplication (template
+    sources feeding many otherwise-unrelated near-dups) once influence
+    is allowed to propagate, not just arrive from immediate neighbors?
+    The cleanup-queue ranking for a 100 TB corpus: kill the highest-
+    PageRank doc per component first and most of the near-dup mass dies
+    with it.
+
+    Exactness (the B126 Markov pattern on the dup graph): all mass in
+    integer ppm from a uniform start over the graph's nodes; each of the
+    {_PAGERANK_STEPS} damped steps is p'_v = 150000//N + sum over
+    in-edges of (17*p_u) // (20*deg_u) — truncating integer division on
+    both engines (D7-pinned), exact integer sums, so the engines walk
+    the identical lattice and no float ever accumulates. The graph is
+    undirected (symmetric edges), so there are no dangling nodes and no
+    sink-mass correction term. Flooring leaks ppm mass (an audit
+    quantity, bounded by |edges| per step), never correctness.
+
+    Plan/scale: pairs ride the memoized C2 PPJoin state (`_jaccard_
+    scored` — zero marginal candidate-generation cost in a pipeline
+    that already deduped); each iteration is a join of (id, id) edges
+    against a |nodes|-row rank frame — hash exchanges bounded by edge
+    count, iteration cost independent of corpus size. The same loop
+    would stage per-round parquet (C21's pattern) once |nodes| outgrows
+    executor memory."""
+    scored = _jaccard_scored(spark, sf_dir)
+    jac = F.col("i") * 1.0 / (F.col("sa") + F.col("sb") - F.col("i"))
+    pairs = scored.where(jac >= _JACCARD_TAU).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    base = edges.join(deg, "src").localCheckpoint(eager=True)
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return base.select(
+            F.col("src").alias("doc_id"),
+            F.col("deg").alias("degree"),
+            F.col("deg").alias(f"pr{_PAGERANK_STEPS}_ppm"),
+        )
+    tele = 150_000 // n_nodes
+    pr = deg.select(
+        F.col("src").alias("v"),
+        F.lit(1_000_000 // n_nodes).cast("bigint").alias("p"),
+    )
+    for _ in range(_PAGERANK_STEPS):
+        pr = (
+            base.join(pr, base.src == pr.v)
+            .select(
+                F.col("dst"),
+                F.expr("CAST((17 * p) div (20 * deg) AS BIGINT)").alias(
+                    "term"
+                ),
+            )
+            .groupBy(F.col("dst").alias("_v"))
+            .agg(
+                (F.lit(tele) + F.sum("term")).cast("bigint").alias("p")
+            )
+            .select(F.col("_v").alias("v"), "p")
+        )
+    return pr.join(deg, pr.v == deg.src).select(
+        F.col("v").alias("doc_id"),
+        F.col("deg").alias("degree"),
+        F.col("p").alias(f"pr{_PAGERANK_STEPS}_ppm"),
+    )

@@ -66,6 +66,7 @@ ROUND8_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_events_anova",
         "q_events_spearman",
         "q_ts_ccf",
+        "q_llm_dup_pagerank",
     }
 )
 
