@@ -39,6 +39,7 @@ _MODULES = (
     "llm.scoring",
     "llm.spans",
     "llm.audits",
+    "llm.sketches",
     "operators.events",
     "operators.timeseries",
     "operators.governance",

@@ -67,6 +67,8 @@ ROUND8_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_events_spearman",
         "q_ts_ccf",
         "q_llm_dup_pagerank",
+        "q_llm_kmv_distinct",
+        "q_llm_cms_heavy",
     }
 )
 
