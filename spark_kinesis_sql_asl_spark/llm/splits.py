@@ -365,3 +365,110 @@ def q_llm_quota_sample(spark, sf_dir):
         )
         .where(F.col("rk") <= _QUOTA_K)
     )
+
+
+_WS_SEED = "r8ws"
+_WS_TOPK = 20
+_LN_1E6_MICRO_WS = 13_815_511  # round(1e6 * ln(1e6)), the D14 constant
+
+
+def _ws_hash(instr_fn: str, expr: str) -> str:
+    """Portable 32-bit hash (md5 hex, fixed 8-term parse) — the
+    llm/sketches.py primitive; `instr_fn` is 'instr' (Spark) or
+    'strpos' (DuckDB)."""
+    terms = [
+        f"(CAST({instr_fn}('0123456789abcdef', substr(md5({expr}),"
+        f" {1 + i}, 1)) AS BIGINT) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ws_oracle() -> str:
+    h = _ws_hash("strpos", f"concat('{_WS_SEED}|', CAST(doc_id AS VARCHAR))")
+    return f"""
+    WITH s AS (
+        SELECT doc_id, n_chars,
+               ({h}) % 999999 + 1 AS m
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    keyed AS (
+        SELECT doc_id, n_chars, m,
+               (CAST(round(1000000 * ln(m)) AS BIGINT)
+                - {_LN_1E6_MICRO_WS}) AS ln_u_micro,
+               CAST(CAST(round(1000000 * ln(m)) AS BIGINT)
+                    - {_LN_1E6_MICRO_WS} AS DOUBLE)
+               / CAST(n_chars AS DOUBLE) AS key
+        FROM s
+    )
+    SELECT doc_id, n_chars, ln_u_micro,
+           round(key, 6) AS sample_key
+    FROM keyed
+    ORDER BY key DESC, doc_id
+    LIMIT {_WS_TOPK}
+    """
+
+
+@query("q_llm_weighted_sample", priority=35, oracle=_ws_oracle())
+def q_llm_weighted_sample(spark, sf_dir):
+    """C138: weighted sampling without replacement (Efraimidis &
+    Spirakis 2006, A-ES) — draw {_WS_TOPK} documents with probability
+    proportional to length (n_chars): each doc gets key u^(1/w) for
+    uniform u, and the top-k keys ARE a weighted sample. The
+    length-proportional draw is how curation pipelines sample
+    token-budget-representative eval slices (a uniform draw
+    over-represents short docs per token). Distributed top-k by key =
+    one WindowGroupLimit — no global sort materializes.
+
+    Determinism discipline (seeded, replayable — C136's portable
+    md5-parse hash): u = m/1e6 with integer m in [1, 999999]; comparing
+    u^(1/w) is comparing ln(u)/w, and ln(u) = ln_q(m) - ln_q(1e6) in
+    EXACT micro-nats (the D14-pinned primitive), so each key is ONE
+    double division of exact integers — bit-identical on both engines —
+    and the order has a doc_id tiebreak. The key column is round(6) for
+    display; the ORDER uses the unrounded double (identical bits, so
+    identical order).
+
+    Plan/scale: one documents-scale scan computing (hash, key), then
+    top-{_WS_TOPK} via ORDER BY ... LIMIT — Spark plans a per-partition
+    TakeOrdered (k rows per partition exchange, not a sort of the
+    corpus). At 100 TB this is the cheapest possible weighted draw:
+    no prefix sums, no rejection loop, one pass."""
+    h = _ws_hash("instr", f"concat('{_WS_SEED}|', CAST(doc_id AS STRING))")
+    s = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("n_chars").isNotNull() & (F.col("n_chars") > 0))
+        .select(
+            "doc_id",
+            "n_chars",
+            (F.expr(f"({h})") % 999999 + 1).alias("m"),
+        )
+    )
+    ln_u = (
+        F.expr("CAST(round(1000000 * ln(m)) AS BIGINT)")
+        - F.lit(_LN_1E6_MICRO_WS)
+    ).alias("ln_u_micro")
+    keyed = s.select(
+        "doc_id",
+        "n_chars",
+        ln_u,
+    ).select(
+        "doc_id",
+        "n_chars",
+        "ln_u_micro",
+        (
+            F.col("ln_u_micro").cast("double")
+            / F.col("n_chars").cast("double")
+        ).alias("key"),
+    )
+    return (
+        keyed.orderBy(F.col("key").desc(), F.col("doc_id").asc())
+        .limit(_WS_TOPK)
+        .select(
+            "doc_id",
+            "n_chars",
+            "ln_u_micro",
+            F.round(F.col("key"), 6).alias("sample_key"),
+        )
+    )

@@ -336,3 +336,133 @@ def q_privacy_cell_suppression(spark, sf_dir):
         F.when(ok, F.col("balance_cents")).alias("balance_cents"),
         (~ok).alias("suppressed"),
     )
+
+
+_DP_SEED = "r8dp"
+_LN_1E6_MICRO = 13_815_511  # round(1e6 * ln(1e6)) — D14-pinned primitive
+# Laplace scale b = sensitivity/epsilon = 1/1.0 (a user contributes one
+# event per histogram cell at most once under bounded contribution; the
+# B130 bounded-contribution operator is the enforcement half).
+_DP_B_MICRO = 1  # b expressed as a multiplier on micro-nats
+
+
+def _dp_hash_duck(expr: str) -> str:
+    """32-bit portable hash of a string expression (DuckDB dialect):
+    md5 hex parsed by a fixed 8-term integer expression — the
+    llm/sketches.py primitive inlined to keep the oracle standalone."""
+    terms = [
+        f"(CAST(strpos('0123456789abcdef', substr(md5({expr}), {1 + i}, 1))"
+        f" AS BIGINT) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _dp_hash_spark(expr: str) -> str:
+    terms = [
+        f"(CAST(instr('0123456789abcdef', substr(md5({expr}), {1 + i}, 1))"
+        f" AS BIGINT) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "q_privacy_dp_hist",
+    priority=35,  # round-8 window full — driver row in r9
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS exact_count
+        FROM events
+        WHERE event_type IS NOT NULL
+        GROUP BY event_type
+    ),
+    u AS (
+        SELECT event_type, exact_count,
+               ({_dp_hash_duck(f"concat('{_DP_SEED}|', event_type)")})
+                   % 1000001 - 500000 AS t
+        FROM c
+    ),
+    n AS (
+        SELECT event_type, exact_count, t,
+               greatest(1000000 - 2 * abs(t), 1) AS m
+        FROM u
+    ),
+    z AS (
+        SELECT event_type, exact_count,
+               -sign(t) * {_DP_B_MICRO}
+               * (CAST(round(1000000 * ln(m)) AS BIGINT)
+                  - {_LN_1E6_MICRO}) AS noise_micro
+        FROM n
+    )
+    SELECT event_type,
+           exact_count,
+           CAST(noise_micro AS BIGINT) AS noise_micro,
+           round(CAST(exact_count AS DOUBLE)
+                 + CAST(noise_micro AS BIGINT) / 1000000.0, 6)
+               AS dp_count
+    FROM z
+    """,
+)
+def q_privacy_dp_hist(spark, sf_dir):
+    """B157: differentially-private histogram release — per-event-type
+    counts with Laplace(b = sensitivity/epsilon = 1) noise, the release
+    mechanism that sits after B114/B115's suppression gates: those
+    decide WHAT may be published, this decides what VALUES are
+    published. Epsilon = 1 under unit sensitivity (pair with B130's
+    bounded contribution for the end-to-end guarantee).
+
+    Determinism discipline (noise must be REPLAYABLE for the oracle and
+    for auditability, so it is seeded, not sampled): uniform draw u =
+    (portable_hash(seed|cell) % 1000001 - 500000)/1e6 in [-1/2, 1/2] —
+    the md5-parse hash both engines compute bit-identically (C136's
+    primitive); the Laplace inverse CDF -b*sign(u)*ln(1-2|u|) is
+    evaluated on the INTEGER m = 1e6 - 2*|1e6*u| via the D14-pinned
+    micro-nat quantization ln_q(m) - ln_q(1e6), so the noise is an
+    exact BIGINT in micro units and the released value is ONE float
+    expression per cell, round(6). A production deployment would swap
+    the seeded hash for a CSPRNG draw per release — the plumbing
+    (sensitivity bookkeeping, integer noise ledger, audit column) is
+    exactly this.
+
+    Plan/scale: one events-scale groupBy with map-side combine; noise
+    is O(|cells|) driver-free arithmetic. At 100 TB identical shape."""
+    c = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+    )
+    _h = _dp_hash_spark(f"concat('{_DP_SEED}|', event_type)")
+    t = F.expr(f"({_h}) % 1000001 - 500000")
+    n = c.select(
+        "event_type",
+        "exact_count",
+        F.greatest(
+            F.lit(1000000) - 2 * F.abs(t), F.lit(1)
+        ).alias("m"),
+        t.alias("t"),
+    )
+    noise = (
+        -F.signum(F.col("t").cast("double")).cast("bigint")
+        * F.lit(_DP_B_MICRO)
+        * (
+            F.expr("CAST(round(1000000 * ln(m)) AS BIGINT)")
+            - F.lit(_LN_1E6_MICRO)
+        )
+    )
+    z = n.select(
+        "event_type",
+        "exact_count",
+        noise.cast("bigint").alias("noise_micro"),
+    )
+    return z.select(
+        "event_type",
+        "exact_count",
+        "noise_micro",
+        F.round(
+            F.col("exact_count").cast("double")
+            + F.col("noise_micro") / F.lit(1000000.0),
+            6,
+        ).alias("dp_count"),
+    )

@@ -69,6 +69,8 @@ ROUND8_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_llm_dup_pagerank",
         "q_llm_kmv_distinct",
         "q_llm_cms_heavy",
+        "q_privacy_dp_hist",
+        "q_llm_weighted_sample",
     }
 )
 
