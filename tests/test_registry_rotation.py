@@ -71,6 +71,7 @@ ROUND8_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_llm_cms_heavy",
         "q_privacy_dp_hist",
         "q_llm_weighted_sample",
+        "q_zorder_layout",
     }
 )
 
