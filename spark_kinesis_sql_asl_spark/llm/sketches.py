@@ -261,3 +261,311 @@ def q_llm_cms_heavy(spark, sf_dir):
         est.alias("cms_est"),
         (est - F.col("c")).cast("bigint").alias("overestimate"),
     )
+
+
+_KMV_LANG_A = "en"
+_KMV_LANG_B = "de"
+
+
+@query(
+    "q_llm_kmv_setops",
+    priority=35,  # round-8 window full — driver row in r9
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+        WHERE text IS NOT NULL
+          AND lang IN ('{_KMV_LANG_A}', '{_KMV_LANG_B}')
+    ),
+    hashes AS (
+        SELECT DISTINCT lang, {_hex_parse_duck("tok", 1)} AS h
+        FROM toks
+        WHERE tok <> ''
+    ),
+    ranked AS (
+        SELECT lang, h,
+               row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+        FROM hashes
+    ),
+    sk AS (SELECT lang, h FROM ranked WHERE rn <= {_KMV_K}),
+    merged AS (
+        SELECT h,
+               max(CASE WHEN lang = '{_KMV_LANG_A}' THEN 1 ELSE 0 END)
+                   AS in_a,
+               max(CASE WHEN lang = '{_KMV_LANG_B}' THEN 1 ELSE 0 END)
+                   AS in_b
+        FROM sk GROUP BY h
+    ),
+    mr AS (
+        SELECT h, in_a, in_b,
+               row_number() OVER (ORDER BY h) AS rn
+        FROM merged
+    ),
+    kth AS (SELECT h AS kth_hash FROM mr WHERE rn = {_KMV_K}),
+    rho AS (
+        SELECT CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+               CAST(count(*) AS BIGINT) AS n_merged
+        FROM mr WHERE rn <= {_KMV_K}
+    ),
+    exact AS (
+        SELECT CAST(count(*) AS BIGINT) AS u_exact,
+               CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS i_exact
+        FROM (SELECT h, count(*) AS cnt FROM hashes GROUP BY h)
+    )
+    SELECT e.u_exact AS union_exact,
+           e.i_exact AS inter_exact,
+           r.n_both AS sketch_overlap,
+           CASE WHEN k.kth_hash IS NULL
+                THEN round(CAST(r.n_merged AS DOUBLE), 6)
+                ELSE round(({_KMV_K} - 1.0) * 4294967296.0
+                           / CAST(k.kth_hash AS DOUBLE), 6)
+           END AS union_est,
+           CASE WHEN k.kth_hash IS NULL
+                THEN round(CAST(r.n_both AS DOUBLE), 6)
+                ELSE round(CAST(r.n_both AS DOUBLE) / {_KMV_K}.0
+                           * (({_KMV_K} - 1.0) * 4294967296.0
+                              / CAST(k.kth_hash AS DOUBLE)), 6)
+           END AS inter_est
+    FROM exact e
+    CROSS JOIN rho r
+    LEFT JOIN kth k ON TRUE
+    """,
+)
+def q_llm_kmv_setops(spark, sf_dir):
+    """C139: KMV sketch SET OPERATIONS — the property that makes C136
+    worth keeping per shard: two k-min sketches merge by "k smallest of
+    the union of survivors" WITHOUT rescanning either side, and the
+    merged sketch estimates |A∪B| while the overlap fraction inside the
+    merged k-set estimates |A∩B| = rho/k * |A∪B| (Beyer et al., SIGMOD
+    2007). Read out for the '{_KMV_LANG_A}'/'{_KMV_LANG_B}' vocabularies
+    with the exact counts alongside — the cross-shard vocabulary-overlap
+    audit a 100 TB ingest runs from KB-sized sketches instead of a
+    corpus-scale distinct join.
+
+    Exactness: portable md5-parse hashes (C136), sketches and merge are
+    rank filters over distinct integers (no ties possible), rho and the
+    k-th merged hash exact integers; the two estimates are fixed float
+    expressions round(6) with the below-k exact fallback.
+
+    Plan/scale: the corpus-scale work is ONE distinct (lang, tok)
+    rollup shared with C136; everything after the per-lang rank filter
+    runs on <= 2k = 128 rows AT ANY CORPUS SIZE — which is why the
+    merged-sketch rank is a (documented, test-allowlisted) partitionless
+    window: its input is bounded by construction, not by data."""
+    toks = (
+        parallel_table(spark, sf_dir, "documents")
+        .where(
+            F.col("text").isNotNull()
+            & F.col("lang").isin(_KMV_LANG_A, _KMV_LANG_B)
+        )
+        .select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .select("lang", "tok")
+        .distinct()
+    )
+    hashes = toks.select(
+        "lang", F.expr(_hex_parse_spark("tok", 1)).alias("h")
+    ).distinct().localCheckpoint(eager=True)
+    w = Window.partitionBy("lang").orderBy(F.col("h").asc())
+    sk = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KMV_K)
+        .select("lang", "h")
+    )
+    merged = sk.groupBy("h").agg(
+        F.max(
+            F.when(F.col("lang") == _KMV_LANG_A, 1).otherwise(0)
+        ).alias("in_a"),
+        F.max(
+            F.when(F.col("lang") == _KMV_LANG_B, 1).otherwise(0)
+        ).alias("in_b"),
+    )
+    wm = Window.orderBy(F.col("h").asc())
+    mr = merged.withColumn("rn", F.row_number().over(wm))
+    kth = mr.where(F.col("rn") == _KMV_K).select(
+        F.col("h").alias("kth_hash")
+    )
+    rho = mr.where(F.col("rn") <= _KMV_K).agg(
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_both"),
+        F.count(F.lit(1)).cast("bigint").alias("n_merged"),
+    )
+    exact = (
+        hashes.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("u_exact"),
+            F.sum(F.when(F.col("cnt") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("i_exact"),
+        )
+    )
+    u_est = F.when(
+        F.col("kth_hash").isNull(),
+        F.round(F.col("n_merged").cast("double"), 6),
+    ).otherwise(
+        F.round(
+            F.lit(float(_KMV_K - 1))
+            * F.lit(4294967296.0)
+            / F.col("kth_hash").cast("double"),
+            6,
+        )
+    )
+    i_est = F.when(
+        F.col("kth_hash").isNull(),
+        F.round(F.col("n_both").cast("double"), 6),
+    ).otherwise(
+        F.round(
+            F.col("n_both").cast("double")
+            / F.lit(float(_KMV_K))
+            * (
+                F.lit(float(_KMV_K - 1))
+                * F.lit(4294967296.0)
+                / F.col("kth_hash").cast("double")
+            ),
+            6,
+        )
+    )
+    return (
+        exact.crossJoin(F.broadcast(rho))
+        .join(F.broadcast(kth), F.lit(True), "left")
+        .select(
+            F.col("u_exact").alias("union_exact"),
+            F.col("i_exact").alias("inter_exact"),
+            F.col("n_both").alias("sketch_overlap"),
+            u_est.alias("union_est"),
+            i_est.alias("inter_est"),
+        )
+    )
+
+
+_PMH_K = 16
+_PMH_P = 2_147_483_647  # Mersenne prime 2^31 - 1
+# Affine multipliers/offsets: fixed pseudo-random constants < 2^29, so
+# a*h < 2^29 * 2^32 < 2^61 never overflows BIGINT before the mod.
+_PMH_A = [((1103515245 * (i + 1) + 12345) % 536870911) | 1 for i in range(_PMH_K)]
+_PMH_B = [(69069 * (i + 1) + 1) % _PMH_P for i in range(_PMH_K)]
+_PMH_TAU = 0.8
+
+
+def _pmh_sig_terms(h: str) -> list[str]:
+    """The k derived hash expressions g_i = (a_i*h + b_i) mod p — shared
+    text between dialects (pure integer arithmetic, both engines)."""
+    return [
+        f"(({a} * {h} + {b}) % {_PMH_P})"
+        for a, b in zip(_PMH_A, _PMH_B)
+    ]
+
+
+@query(
+    "q_llm_minhash_portable",
+    priority=35,  # round-8 window full — driver row in r9
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM toks a
+        JOIN toks b ON a.tok = b.tok AND a.lang = b.lang
+                   AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b, i, sa.sz AS sa, sb.sz AS sb
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE 100 * i >= {int(_PMH_TAU * 100)} * (sa.sz + sb.sz - i)
+    ),
+    th AS (
+        SELECT DISTINCT doc_id, {_hex_parse_duck("tok", 1)} AS h
+        FROM toks WHERE tok <> ''
+    ),
+    sigs AS (
+        SELECT doc_id,
+               {", ".join(f"min({g}) AS s{i}" for i, g in enumerate(_pmh_sig_terms("h")))}
+        FROM th GROUP BY doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(p.i * 1.0 / (p.sa + p.sb - p.i), 6) AS jaccard,
+           CAST({" + ".join(f"CASE WHEN x.s{i} = y.s{i} THEN 1 ELSE 0 END" for i in range(_PMH_K))}
+                AS BIGINT) AS agree,
+           round(({" + ".join(f"CASE WHEN x.s{i} = y.s{i} THEN 1 ELSE 0 END" for i in range(_PMH_K))})
+                 / {_PMH_K}.0, 6) AS jaccard_est
+    FROM pairs p
+    JOIN sigs x ON p.doc_a = x.doc_id
+    JOIN sigs y ON p.doc_b = y.doc_id
+    """,
+)
+def q_llm_minhash_portable(spark, sf_dir):
+    """C140: MinHash Jaccard ESTIMATOR on the portable hash — the
+    SQL-oracled upgrade of C3's rows-only xxhash64 sketch: one md5 per
+    distinct token, {_PMH_K} derived permutations g_i = (a_i*h + b_i)
+    mod (2^31-1) (constants < 2^29 so products stay in BIGINT), sig_i =
+    min over tokens; for every exact C2 pair at tau={_PMH_TAU} the
+    agreement fraction agree/{_PMH_K} is the unbiased Jaccard estimate,
+    read out BESIDE the exact value — the estimator-quality audit (per
+    pair, not in expectation) that decides how many permutations a
+    100 TB MinHash pass actually needs.
+
+    Exactness: every signature is an exact integer min (affine mod
+    arithmetic on md5-parse integers, identical on both engines); the
+    agreement count is an integer; only jaccard/jaccard_est are floats,
+    round(6). Candidate generation reuses C2's exact PPJoin machinery
+    Spark-side (memoized `_jaccard_scored`), so this adds ZERO candidate
+    cost in a pipeline already running the exact pass.
+
+    Plan/scale: one distinct-(doc, tok) scan with {_PMH_K} map-side min
+    aggregates (no explode survives the exchange — signatures are
+    {_PMH_K} BIGINTs per doc), two broadcast-size signature joins onto
+    the pair list."""
+    from .dedup import _JACCARD_TAU, _jaccard_scored
+
+    scored = _jaccard_scored(spark, sf_dir)
+    jac = F.col("i") * 1.0 / (F.col("sa") + F.col("sb") - F.col("i"))
+    pairs = scored.where(jac >= _JACCARD_TAU).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+    th = (
+        parallel_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .select("doc_id", F.expr(_hex_parse_spark("tok", 1)).alias("h"))
+        .distinct()
+    )
+    sigs = th.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(g)).alias(f"s{i}")
+            for i, g in enumerate(_pmh_sig_terms("h"))
+        ]
+    )
+    x = sigs.select(
+        F.col("doc_id").alias("_xa"),
+        *[F.col(f"s{i}").alias(f"xs{i}") for i in range(_PMH_K)],
+    )
+    y = sigs.select(
+        F.col("doc_id").alias("_yb"),
+        *[F.col(f"s{i}").alias(f"ys{i}") for i in range(_PMH_K)],
+    )
+    agree = sum(
+        F.when(F.col(f"xs{i}") == F.col(f"ys{i}"), 1).otherwise(0)
+        for i in range(_PMH_K)
+    )
+    return (
+        pairs.join(x, F.col("doc_a") == F.col("_xa"))
+        .join(y, F.col("doc_b") == F.col("_yb"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            agree.cast("bigint").alias("agree"),
+            F.round(agree / F.lit(float(_PMH_K)), 6).alias("jaccard_est"),
+        )
+    )

@@ -1256,3 +1256,126 @@ def q_ts_ccf(spark, sf_dir):
         F.col("n").cast("bigint").alias("n_pairs"),
         F.round(ccf, 6).alias("ccf"),
     )
+
+
+_TREND_H = 3  # forecast horizon in days
+
+
+@query(
+    "q_ts_trend_forecast",
+    priority=35,  # round-8 window full — driver row in r9
+    oracle=f"""
+    WITH daily AS (
+        SELECT epoch_us(o_orderdate) // {_DAY_US_TS} AS day,
+               CAST(sum(CAST(round(100 * o_totalprice) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY day
+    ),
+    mo AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(min(day) AS BIGINT) AS d0,
+               CAST(max(day) AS BIGINT) AS dmax,
+               CAST(sum(CAST(day - (SELECT min(day) FROM daily) AS HUGEINT))
+                    AS HUGEINT) AS st,
+               CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(sum(CAST(day - (SELECT min(day) FROM daily) AS HUGEINT)
+                        * (day - (SELECT min(day) FROM daily)))
+                    AS HUGEINT) AS st2,
+               CAST(sum(CAST(day - (SELECT min(day) FROM daily) AS HUGEINT)
+                        * x) AS HUGEINT) AS stx
+        FROM daily
+    ),
+    hs(h) AS (SELECT * FROM range(1, {_TREND_H + 1}))
+    SELECT CAST(h AS BIGINT) AS h,
+           CAST(dmax + h AS BIGINT) AS day,
+           round((CAST(n AS DOUBLE) * CAST(stx AS DOUBLE)
+                  - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / nullif(CAST(n AS DOUBLE) * CAST(st2 AS DOUBLE)
+                          - CAST(st AS DOUBLE) * CAST(st AS DOUBLE), 0.0),
+                 6) AS slope_cents_per_day,
+           round((CAST(sx AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(stx AS DOUBLE)
+                     - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE))
+                    / nullif(CAST(n AS DOUBLE) * CAST(st2 AS DOUBLE)
+                             - CAST(st AS DOUBLE) * CAST(st AS DOUBLE), 0.0)
+                    * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE)
+                 + (CAST(n AS DOUBLE) * CAST(stx AS DOUBLE)
+                    - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE))
+                   / nullif(CAST(n AS DOUBLE) * CAST(st2 AS DOUBLE)
+                            - CAST(st AS DOUBLE) * CAST(st AS DOUBLE), 0.0)
+                   * CAST(dmax + h - d0 AS DOUBLE),
+                 6) AS forecast_cents
+    FROM hs CROSS JOIN mo
+    """,
+)
+def q_ts_trend_forecast(spark, sf_dir):
+    """B159: linear-trend forecast of the daily-revenue series — OLS of
+    cents on day index, extrapolated {_TREND_H} days past the last
+    observation; the baseline every forecasting bake-off starts from
+    (and what B151/B152's diagnostics decide to replace it with). The
+    global twin of B113's rolling slope.
+
+    Exactness: day index is re-based to t = day - min(day) (keeps t*x
+    products small), all four OLS moments are exact wide integers; the
+    slope is ONE float ratio of exact scalars, the forecast intercept +
+    slope*(t_max + h) ONE fixed float expression per horizon row,
+    round(6), zero-variance guarded. The horizon spine is a 3-row
+    broadcast.
+
+    Plan/scale: one orders-scale daily rollup (shared shape with
+    B151/B152/B146 — a real pipeline computes all four diagnostics off
+    one pass); moments and forecasts are KB-scale."""
+    daily = (
+        table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+        )
+        .groupBy(
+            F.expr(f"unix_micros(o_orderdate) div {_DAY_US_TS}").alias("day")
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(100 * o_totalprice) AS BIGINT)"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    d0 = daily.agg(F.min("day").alias("d0")).select("d0")
+    based = daily.crossJoin(F.broadcast(d0)).select(
+        (F.col("day") - F.col("d0")).cast("decimal(38,0)").alias("t"),
+        F.col("x").cast("decimal(38,0)").alias("x"),
+        "day",
+        "d0",
+    )
+    mo = based.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.first("d0").alias("d0"),
+        F.max("day").cast("bigint").alias("dmax"),
+        F.sum("t").cast("decimal(38,0)").alias("st"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("t") * F.col("t")).cast("decimal(38,0)").alias("st2"),
+        F.sum(F.col("t") * F.col("x")).cast("decimal(38,0)").alias("stx"),
+    )
+    hs = spark.range(1, _TREND_H + 1).select(
+        F.col("id").cast("bigint").alias("h")
+    )
+    nd = F.col("n").cast("double")
+    std = F.col("st").cast("double")
+    sxd = F.col("sx").cast("double")
+    st2d = F.col("st2").cast("double")
+    stxd = F.col("stx").cast("double")
+    den = F.nullif(nd * st2d - std * std, F.lit(0.0))
+    slope = (nd * stxd - std * sxd) / den
+    intercept = (sxd - slope * std) / nd
+    return hs.crossJoin(F.broadcast(mo)).select(
+        "h",
+        (F.col("dmax") + F.col("h")).cast("bigint").alias("day"),
+        F.round(slope, 6).alias("slope_cents_per_day"),
+        F.round(
+            intercept
+            + slope
+            * (F.col("dmax") + F.col("h") - F.col("d0")).cast("double"),
+            6,
+        ).alias("forecast_cents"),
+    )

@@ -465,6 +465,11 @@ _PARTITIONLESS_WINDOW_BY_CONSTRUCTION = {
     # the canary deliberately exercises a global string-collation rank and
     # documents why the single partition is harmless there.
     "q_canary_string_order",
+    # C139: the merged-sketch rank runs over at most 2*_KMV_K = 128 rows
+    # at ANY corpus size — both inputs are per-lang rank-filtered to the
+    # k-minimum survivors before the union (that bound is the entire point
+    # of a KMV sketch); documented in the query docstring.
+    "q_llm_kmv_setops",
 }
 
 

@@ -72,6 +72,9 @@ ROUND8_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_privacy_dp_hist",
         "q_llm_weighted_sample",
         "q_zorder_layout",
+        "q_ts_trend_forecast",
+        "q_llm_kmv_setops",
+        "q_llm_minhash_portable",
     }
 )
 
