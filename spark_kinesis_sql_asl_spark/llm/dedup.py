@@ -1362,12 +1362,12 @@ _PAGERANK_EDGE_CTE = f"""
         JOIN sizes sb ON doc_b = sb.doc_id
         WHERE 100 * i >= {int(_JACCARD_TAU * 100)} * (sa.sz + sb.sz - i)
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
         UNION ALL
         SELECT doc_b, doc_a FROM pairs
     ),
-    deg AS (
+    deg AS MATERIALIZED (
         SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
     )"""
 
@@ -1473,3 +1473,85 @@ def q_llm_dup_pagerank(spark, sf_dir):
         F.col("deg").alias("degree"),
         F.col("p").alias(f"pr{_PAGERANK_STEPS}_ppm"),
     )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 5
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(f"""
+    deg{r} AS (
+        SELECT src, CAST(count(*) AS BIGINT) AS d
+        FROM e{r - 1} GROUP BY src
+    ),
+    keep{r} AS (SELECT src FROM deg{r} WHERE d >= {_KCORE_K}),
+    e{r} AS MATERIALIZED (
+        SELECT e.src, e.dst
+        FROM e{r - 1} e
+        JOIN keep{r} a ON e.src = a.src
+        JOIN keep{r} b ON e.dst = b.src
+    )""")
+    return f"""{_PAGERANK_EDGE_CTE},
+    e0 AS MATERIALIZED (SELECT src, dst FROM edges),{",".join(rounds)}
+    SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+    FROM e{_KCORE_ROUNDS}
+    GROUP BY src
+    """
+
+
+@query("q_llm_dup_kcore", priority=35, oracle=_kcore_oracle())
+def q_llm_dup_kcore(spark, sf_dir):
+    """C141: {_KCORE_K}-core of the C2 near-dup graph by
+    {_KCORE_ROUNDS} rounds of synchronous peeling — strip every doc
+    with fewer than {_KCORE_K} near-dup partners, recompute degrees on
+    the stripped graph, repeat. What survives is the DENSE DUPLICATION
+    CORE: the mutually-near-identical template families that C21's
+    connected components lump together with their sparse halos, and
+    the first thing a cleanup crew should bulk-delete (C135's PageRank
+    ranks WITHIN what this isolates). Synchronous fixed-round peeling
+    is the C87/B126 fixed-iteration pattern: at these fixture scales
+    the peel reaches its fixpoint in <= 3 rounds ({_KCORE_ROUNDS} adds
+    slack), and the round count is part of the operator's contract, so
+    both engines compute the identical intermediate graphs.
+
+    Exactness: degrees and survivals are pure integer counts/joins —
+    no floats anywhere. Deterministic under any partitioning (each
+    round is a groupBy + two semi-join-shaped inner joins).
+
+    Plan/scale: pairs ride the memoized C2 PPJoin state; each round
+    shuffles (id, id) edges bounded by the shrinking edge count —
+    iteration cost independent of corpus size, and monotonically
+    decreasing. The same loop stages per-round parquet (C21) once the
+    edge set outgrows memory."""
+    scored = _jaccard_scored(spark, sf_dir)
+    jac = F.col("i") * 1.0 / (F.col("sa") + F.col("sb") - F.col("i"))
+    pairs = scored.where(jac >= _JACCARD_TAU).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_KCORE_ROUNDS):
+        deg = edges.groupBy("src").agg(
+            F.count(F.lit(1)).cast("bigint").alias("d")
+        )
+        keep = deg.where(F.col("d") >= _KCORE_K).select("src")
+        edges = (
+            edges.join(keep, "src")
+            .join(
+                keep.withColumnRenamed("src", "dst"),
+                "dst",
+            )
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    ).select(F.col("src").alias("doc_id"), "core_degree")

@@ -445,3 +445,66 @@ def streaming_running_distinct(lineitem_stream):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_CMS_OUT_SCHEMA = "row_id bigint, bucket bigint, cnt bigint, seq bigint"
+_CMS_STATE_SCHEMA = "cells array<bigint>, seq bigint"
+
+
+def streaming_count_min(doc_stream, d: int = 4, w: int = 1024):
+    """C137s: count-min sketch as continuously-maintained keyed state —
+    the streaming twin of the batch ``q_llm_cms_heavy`` counter matrix.
+    Counters merge by ADDITION, so folding each micro-batch's token
+    counts into the state reproduces the batch sketch EXACTLY (integer
+    sums commute across any micro-batch slicing) — the property the
+    harness test pins: after draining the corpus through 4 micro-batches,
+    every nonzero cell equals the batch matrix cell, hence every point
+    query agrees.
+
+    The row hashes are the batch operator's: the j-th 8-hex-digit chunk
+    of one md5 (hashlib here, SQL md5() there — identical digests), mod
+    ``w``. State is a flat d*w BIGINT array under a single fold key —
+    constant memory regardless of vocabulary; at 100 TB shard the fold
+    key (the stream is salted upstream) and SUM the shard matrices, which
+    is again mere addition. Emissions carry a monotone ``seq``; a reader
+    takes each cell's max-seq row from the update-mode sink."""
+    import hashlib
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            cells, seq = state.get
+            cells = list(cells)
+        else:
+            cells, seq = [0] * (d * w), 0
+        for pdf in pdfs:
+            for text in pdf["text"]:
+                if text is None:
+                    continue
+                for tok in text.split(" "):
+                    if not tok:
+                        continue
+                    hx = hashlib.md5(tok.encode("utf-8")).hexdigest()
+                    for j in range(d):
+                        b = int(hx[8 * j : 8 * j + 8], 16) % w
+                        cells[j * w + b] += 1
+        seq += 1
+        state.update((cells, seq))
+        out_rows = [
+            (j, b, cells[j * w + b], seq)
+            for j in range(d)
+            for b in range(w)
+            if cells[j * w + b] > 0
+        ]
+        yield pd.DataFrame(
+            out_rows, columns=["row_id", "bucket", "cnt", "seq"]
+        )
+
+    return doc_stream.groupBy("fold_key").applyInPandasWithState(
+        fold,
+        outputStructType=_CMS_OUT_SCHEMA,
+        stateStructType=_CMS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

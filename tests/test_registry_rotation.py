@@ -75,6 +75,7 @@ ROUND8_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_ts_trend_forecast",
         "q_llm_kmv_setops",
         "q_llm_minhash_portable",
+        "q_llm_dup_kcore",
     }
 )
 

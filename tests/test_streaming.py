@@ -2152,3 +2152,80 @@ def test_streaming_neardup_flags_equal_batch(spark, tmp_path):
     want_exact = {r.doc_id for r in want if r.is_exact == 1}
     assert got_near == want_nearish
     assert got_exact == want_exact
+
+
+def test_streaming_count_min_matches_batch_matrix(spark, tmp_path):
+    """C137s: the stateful count-min matrix folds micro-batches by pure
+    addition, so after draining the corpus it must equal the batch
+    q_llm_cms_heavy counter matrix cell-for-cell (same md5-chunk row
+    hashes, same mod-1024 buckets) — hence every point query agrees.
+    Final state is each cell's max-seq row in the update-mode sink."""
+    from spark_kinesis_sql_asl_spark.streaming.stateful import (
+        streaming_count_min,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents").collect()
+    staging = str(tmp_path / "cms_stream")
+    os.makedirs(staging)
+    per = (len(docs) + 3) // 4
+    for i in range(4):
+        sl = docs[i * per : (i + 1) * per]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r.doc_id for r in sl], pa.int64()),
+                "text": pa.array([r.text for r in sl], pa.string()),
+                "lang": pa.array([r.lang for r in sl], pa.string()),
+                "source": pa.array([r.source for r in sl], pa.string()),
+                "n_chars": pa.array([r.n_chars for r in sl], pa.int64()),
+            }
+        )
+        f = os.path.join(staging, f"{i:04d}.parquet")
+        pq.write_table(tbl, f)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    sch = table(spark, SF_SMOKE, "documents").schema
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+        .select(F.lit("all").alias("fold_key"), "text")
+    )
+    cms = streaming_count_min(stream)
+    q = (
+        cms.writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
+        .trigger(availableNow=True)
+    )
+    _drain(q)
+    rows = spark.sql(
+        """
+        SELECT row_id, bucket, cnt FROM (
+            SELECT row_id, bucket, cnt,
+                   row_number() OVER (
+                       PARTITION BY row_id, bucket ORDER BY seq DESC
+                   ) AS rn,
+                   max(seq) OVER () AS max_seq, seq
+            FROM cms_stream
+        ) WHERE rn = 1 AND seq = max_seq
+        """
+    ).collect()
+    got = {(r.row_id, r.bucket): r.cnt for r in rows}
+
+    # Batch twin of the counter matrix (the q_llm_cms_heavy `counters`
+    # stage): exact term frequencies bucketed by the same md5 chunks.
+    import hashlib
+
+    want: dict = {}
+    for r in docs:
+        if r.text is None:
+            continue
+        for tok in r.text.split(" "):
+            if not tok:
+                continue
+            hx = hashlib.md5(tok.encode("utf-8")).hexdigest()
+            for j in range(4):
+                key = (j, int(hx[8 * j : 8 * j + 8], 16) % 1024)
+                want[key] = want.get(key, 0) + 1
+    assert got == want
