@@ -1555,3 +1555,116 @@ def q_llm_dup_kcore(spark, sf_dir):
     return edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
     ).select(F.col("src").alias("doc_id"), "core_degree")
+
+
+_BANDCFGS = [(8, 2), (4, 4), (2, 8)]  # (bands, rows) over a 16-slot budget
+
+
+@query(
+    "q_llm_band_tuning",
+    priority=35,  # round-8 window full — driver row in r9
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM toks a
+        JOIN toks b ON a.tok = b.tok AND a.lang = b.lang
+                   AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS MATERIALIZED (
+        SELECT i, sa.sz + sb.sz - i AS u
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE 100 * i >= {int(_JACCARD_TAU * 100)} * (sa.sz + sb.sz - i)
+    ),
+    cfgs(bands, rws) AS (
+        VALUES {", ".join(f"({b}, {r})" for b, r in _BANDCFGS)}
+    ),
+    scored AS (
+        SELECT c.bands, c.rws,
+               CAST(floor(1000000.0 * (1.0 - power(
+                   1.0 - power(CAST(i AS DOUBLE) / CAST(u AS DOUBLE), c.rws),
+                   c.bands))) AS BIGINT) AS p_micro
+        FROM pairs p CROSS JOIN cfgs c
+    )
+    SELECT bands, CAST(rws AS BIGINT) AS rows_per_band,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(p_micro) AS BIGINT) AS detect_mass_micro,
+           round(CAST(sum(p_micro) AS BIGINT)
+                 / (1000000.0 * count(*)), 6) AS expected_recall
+    FROM scored
+    GROUP BY bands, rws
+    ORDER BY bands
+    """,
+)
+def q_llm_band_tuning(spark, sf_dir):
+    """C142: LSH band/row S-curve tuning — for every exact C2 pair at
+    tau={_JACCARD_TAU} and each (b bands x r rows) split of a 16-slot
+    MinHash budget, the detection probability 1-(1-j^r)^b, aggregated
+    to the EXPECTED RECALL each configuration would achieve on this
+    corpus's actual similarity distribution. This is how the C3/C140
+    banding parameters are chosen PRINCIPLED-ly instead of by folklore:
+    the S-curve is textbook (Leskovec-Rajaraman-Ullman ch.3), but the
+    recall integral depends on the measured pair-Jaccard histogram,
+    which only the exact pass knows.
+
+    Exactness: j = i/u is a ratio of exact integers per pair; the
+    S-curve value is ONE fixed double expression (power of a ratio of
+    exact ints — bit-identical on both engines), floor-quantized to
+    integer micro-probability per (pair, config) so the cross-pair SUM
+    commutes (the B153 discipline); expected_recall is one float per
+    config row, round(6).
+
+    Plan/scale: rides the memoized C2 pair state (zero candidate cost);
+    the config spine is a 3-row broadcast; everything after the pair
+    list is |pairs| x 3 arithmetic with map-side combine."""
+    scored = _jaccard_scored(spark, sf_dir)
+    pairs = scored.where(
+        F.col("i") * 1.0 / (F.col("sa") + F.col("sb") - F.col("i"))
+        >= _JACCARD_TAU
+    ).select(
+        F.col("i").cast("bigint").alias("i"),
+        (F.col("sa") + F.col("sb") - F.col("i")).cast("bigint").alias("u"),
+    )
+    cfgs = spark.createDataFrame(
+        [(b, r) for b, r in _BANDCFGS], "bands bigint, rws bigint"
+    )
+    j = F.col("i").cast("double") / F.col("u").cast("double")
+    p_micro = F.floor(
+        F.lit(1000000.0)
+        * (
+            F.lit(1.0)
+            - F.pow(
+                F.lit(1.0) - F.pow(j, F.col("rws").cast("int")),
+                F.col("bands").cast("int"),
+            )
+        )
+    ).cast("bigint")
+    sc = pairs.crossJoin(F.broadcast(cfgs)).select(
+        "bands", "rws", p_micro.alias("p_micro")
+    )
+    return (
+        sc.groupBy("bands", "rws")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("p_micro").cast("bigint").alias("detect_mass_micro"),
+        )
+        .select(
+            "bands",
+            F.col("rws").alias("rows_per_band"),
+            "n_pairs",
+            "detect_mass_micro",
+            F.round(
+                F.col("detect_mass_micro")
+                / (F.lit(1000000.0) * F.col("n_pairs")),
+                6,
+            ).alias("expected_recall"),
+        )
+    )

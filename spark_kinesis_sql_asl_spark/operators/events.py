@@ -1483,3 +1483,139 @@ def q_events_spearman(spark, sf_dir):
         F.col("n").cast("bigint").alias("n"),
         F.round(rho, 6).alias("rho"),
     )
+
+
+def _entropy_rate_oracle() -> str:
+    prs = []
+    for k in range(1, 4):
+        prs.append(f"""
+    pr{k} AS (
+        SELECT t.dst AS v,
+               CAST(sum((p.p * t.n) // o.total) AS BIGINT) AS p
+        FROM pr{k - 1} p
+        JOIN trans t ON t.src = p.v
+        JOIN outdeg o ON o.src = p.v
+        GROUP BY t.dst
+    )""")
+    return f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts NULLS FIRST, event_id
+               ) AS next_type
+        FROM events
+    ),
+    trans AS MATERIALIZED (
+        SELECT event_type AS src, next_type AS dst,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq
+        WHERE next_type IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    outdeg AS MATERIALIZED (
+        SELECT src, CAST(sum(n) AS BIGINT) AS total FROM trans GROUP BY src
+    ),
+    pr0 AS (
+        SELECT src AS v,
+               CAST(1000000 // (SELECT count(*) FROM outdeg) AS BIGINT) AS p
+        FROM outdeg
+    ),{",".join(prs)},
+    terms AS (
+        SELECT CAST(sum(
+                   (CAST(pi.p AS HUGEINT) * t.n
+                    * (CAST(round(1000000 * ln(o.total)) AS BIGINT)
+                       - CAST(round(1000000 * ln(t.n)) AS BIGINT)))
+                   // o.total
+               ) AS HUGEINT) AS mass
+        FROM trans t
+        JOIN outdeg o ON t.src = o.src
+        JOIN pr3 pi ON t.src = pi.v
+    )
+    SELECT CAST(mass AS BIGINT) AS entropy_mass_micro2,
+           round(CAST(mass AS BIGINT) / 1000000000000.0, 6)
+               AS entropy_rate_nats
+    FROM terms
+    """
+
+
+@query(
+    "q_events_entropy_rate", priority=35, oracle=_entropy_rate_oracle()
+)
+def q_events_entropy_rate(spark, sf_dir):
+    """B160: Markov-chain entropy rate of user behavior — H = -sum_i
+    pi_i sum_j P_ij ln P_ij over the B106 transition matrix with B126's
+    3-step power-iteration stationary estimate as pi: how PREDICTABLE
+    is the next event given the current one, in nats per step? The
+    one-number summary that says whether a session model is worth
+    building (low rate: behavior is near-deterministic; high rate:
+    next-event modeling caps out fast). Composes three pinned
+    primitives: B106's exact transition counts, B126's integer-ppm
+    stationary lattice, and D14's micro-nat ln quantization.
+
+    Exactness: per (i, j) the term pi_i * (n_ij/total_i) * (ln
+    total_i - ln n_ij) is evaluated as an all-integer product (ppm x
+    count x micro-nat difference) followed by ONE truncating division
+    by total_i (D7-pinned), summed as exact wide integers; the nats
+    value is one float division, round(6). The exact micro^2-scaled
+    mass rides along as the audit column.
+
+    Plan/scale: the transition rollup is the only events-scale job
+    (shared with B106/B126 in a pipeline); the iteration and entropy
+    frames are |types|^2 rows."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_first(), "event_id"
+    )
+    ev = table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    trans = (
+        seq.where(
+            F.col("next_type").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .groupBy(
+            F.col("event_type").alias("src"),
+            F.col("next_type").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    outdeg = trans.groupBy("src").agg(
+        F.sum("n").cast("bigint").alias("total")
+    )
+    base = trans.join(outdeg, "src").localCheckpoint(eager=True)
+    n_nodes = base.select("src").distinct().count()
+    pr = base.select("src").distinct().select(
+        F.col("src").alias("v"),
+        F.lit(1_000_000 // n_nodes).cast("bigint").alias("p"),
+    )
+    for _ in range(3):
+        pr = (
+            base.join(pr, base.src == pr.v)
+            .select(
+                F.col("dst"),
+                F.expr("CAST((p * n) div total AS BIGINT)").alias("term"),
+            )
+            .groupBy(F.col("dst").alias("_v"))
+            .agg(F.sum("term").cast("bigint").alias("p"))
+            .select(F.col("_v").alias("v"), "p")
+        )
+    terms = (
+        base.join(pr, base.src == pr.v)
+        .select(
+            F.expr(
+                "CAST((CAST(p AS DECIMAL(38,0)) * n"
+                " * (CAST(round(1000000 * ln(total)) AS BIGINT)"
+                "    - CAST(round(1000000 * ln(n)) AS BIGINT)))"
+                " div total AS DECIMAL(38,0))"
+            ).alias("t")
+        )
+        .agg(F.sum("t").cast("decimal(38,0)").alias("mass"))
+    )
+    return terms.select(
+        F.col("mass").cast("bigint").alias("entropy_mass_micro2"),
+        F.round(
+            F.col("mass").cast("bigint") / F.lit(1000000000000.0), 6
+        ).alias("entropy_rate_nats"),
+    )

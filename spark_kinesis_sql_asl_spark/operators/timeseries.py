@@ -1379,3 +1379,76 @@ def q_ts_trend_forecast(spark, sf_dir):
             6,
         ).alias("forecast_cents"),
     )
+
+
+@query(
+    "q_ts_peaks",
+    priority=35,  # round-8 window full — driver row in r9
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+        SELECT epoch_us(o_orderdate) // {_DAY_US_TS} AS day,
+               CAST(sum(CAST(round(100 * o_totalprice) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY day
+    )
+    SELECT c.day AS day, c.x AS revenue_cents,
+           CAST(c.x - greatest(l.x, r.x) AS BIGINT) AS prominence_cents
+    FROM daily c
+    JOIN daily l ON l.day = c.day - 1
+    JOIN daily r ON r.day = c.day + 1
+    WHERE c.x > l.x AND c.x > r.x
+    """,
+)
+def q_ts_peaks(spark, sf_dir):
+    """B161: local-maximum (peak) detection on the daily-revenue series
+    — days strictly above both calendar neighbors, with prominence =
+    height over the taller neighbor; the event-detection primitive
+    under every anomaly/burst dashboard (B136's burst episodes detect
+    sustained elevation, this detects single-day spikes — the two
+    triage differently).
+
+    Exactness: all integer cents; strict > comparisons; neighbors are
+    equi-JOINs on day±1 rather than lag/lead windows, so a missing
+    calendar day simply disqualifies the peak on both engines
+    identically and NO window (partitioned or otherwise) exists in the
+    plan at all. Deterministic under any partitioning.
+
+    Plan/scale: one orders-scale daily rollup (the shared B151-family
+    pass); the three-way self-join runs on |days| rows. At 100 TB the
+    rollup is the only data-scale job."""
+    daily = (
+        table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+        )
+        .groupBy(
+            F.expr(f"unix_micros(o_orderdate) div {_DAY_US_TS}").alias("day")
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(100 * o_totalprice) AS BIGINT)"))
+            .cast("bigint")
+            .alias("x")
+        )
+        .localCheckpoint(eager=True)
+    )
+    c = daily.select(F.col("day").alias("day"), F.col("x").alias("xc"))
+    left = daily.select(
+        (F.col("day") + 1).alias("day"), F.col("x").alias("xl")
+    )
+    right = daily.select(
+        (F.col("day") - 1).alias("day"), F.col("x").alias("xr")
+    )
+    return (
+        c.join(left, "day")
+        .join(right, "day")
+        .where((F.col("xc") > F.col("xl")) & (F.col("xc") > F.col("xr")))
+        .select(
+            "day",
+            F.col("xc").alias("revenue_cents"),
+            (F.col("xc") - F.greatest(F.col("xl"), F.col("xr")))
+            .cast("bigint")
+            .alias("prominence_cents"),
+        )
+    )

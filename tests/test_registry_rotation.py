@@ -76,6 +76,9 @@ ROUND8_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_llm_kmv_setops",
         "q_llm_minhash_portable",
         "q_llm_dup_kcore",
+        "q_llm_band_tuning",
+        "q_events_entropy_rate",
+        "q_ts_peaks",
     }
 )
 
