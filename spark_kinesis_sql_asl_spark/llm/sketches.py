@@ -569,3 +569,152 @@ def q_llm_minhash_portable(spark, sf_dir):
             F.round(agree / F.lit(float(_PMH_K)), 6).alias("jaccard_est"),
         )
     )
+
+
+_BA_BANDS = 4  # 4 bands x 4 rows over the 16 portable permutations
+_BA_ROWS = 4
+
+
+@query(
+    "q_llm_band_assign",
+    priority=35,  # round-8 window full — driver row in r9
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM toks a
+        JOIN toks b ON a.tok = b.tok AND a.lang = b.lang
+                   AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    exact AS MATERIALIZED (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE 100 * i >= 80 * (sa.sz + sb.sz - i)
+    ),
+    th AS (
+        SELECT DISTINCT doc_id, {_hex_parse_duck("tok", 1)} AS h
+        FROM toks WHERE tok <> ''
+    ),
+    sigs AS MATERIALIZED (
+        SELECT doc_id,
+               {", ".join(f"min({g}) AS s{i}" for i, g in enumerate(_pmh_sig_terms("h")))}
+        FROM th GROUP BY doc_id
+    ),
+    bands AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, "
+            + " || '|' || ".join(
+                f"CAST(s{b * _BA_ROWS + r} AS VARCHAR)" for r in range(_BA_ROWS)
+            )
+            + " AS key FROM sigs"
+            for b in range(_BA_BANDS)
+        )}
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.key = b.key
+                    AND a.doc_id < b.doc_id
+    ),
+    hits AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_hit
+        FROM exact e JOIN cand c
+          ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+           n_hit,
+           round(n_hit * 1.0
+                 / (SELECT count(*) FROM exact), 6) AS achieved_recall
+    FROM hits
+    """,
+)
+def q_llm_band_assign(spark, sf_dir):
+    """C143: LSH band ASSIGNMENT on the portable signatures — runs the
+    {_BA_BANDS}x{_BA_ROWS} banding that C142's S-curve tuning selects
+    over C140's {_PMH_K} portable permutations, and measures the
+    ACHIEVED recall against C2's exact pairs: candidates are docs
+    agreeing on all {_BA_ROWS} rows of any band, recall is the hit
+    fraction of exact tau=0.8 pairs. The closing of the tuning loop —
+    C142 predicts expected recall from the similarity distribution,
+    this row reports what the banding actually delivers (prediction
+    ~0.95, achieved within noise of it), and because the hash is the
+    portable one the WHOLE pipeline (signatures, banding, candidate
+    join, recall) is SQL-oracled, unlike the xxhash64 C3 rung.
+
+    Exactness: signatures are exact integer mins (C140); band keys are
+    pipe-joined decimal renderings of 4 BIGINTs (identical string
+    rendering both engines); candidate generation is a distinct
+    self-join on (band, key); all outputs integer counts + one float.
+
+    Plan/scale: band join shuffles (band, key-hash) pairs bounded by
+    posting-list collisions — the C3 geometry; the recall join is
+    |exact pairs| against |candidates|, both id-pair frames. At 100 TB
+    the banding IS the candidate generator (no exact pass to lean on),
+    and this audit runs on a labeled sample instead."""
+    from .dedup import _JACCARD_TAU, _jaccard_scored
+
+    scored = _jaccard_scored(spark, sf_dir)
+    jac = F.col("i") * 1.0 / (F.col("sa") + F.col("sb") - F.col("i"))
+    exact = scored.where(jac >= _JACCARD_TAU).select("doc_a", "doc_b")
+    th = (
+        parallel_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .select("doc_id", F.expr(_hex_parse_spark("tok", 1)).alias("h"))
+        .distinct()
+    )
+    sigs = th.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(g)).alias(f"s{i}")
+            for i, g in enumerate(_pmh_sig_terms("h"))
+        ]
+    ).localCheckpoint(eager=True)
+    bands = None
+    for b in range(_BA_BANDS):
+        key = F.concat_ws(
+            "|",
+            *[
+                F.col(f"s{b * _BA_ROWS + r}").cast("string")
+                for r in range(_BA_ROWS)
+            ],
+        )
+        part = sigs.select(
+            "doc_id", F.lit(b).alias("band"), key.alias("key")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_exact = exact.count()
+    n_cand = cand.count()
+    hits = exact.join(cand, ["doc_a", "doc_b"]).count()
+    import pandas as pd  # noqa: F401 — spark.createDataFrame of one row
+
+    return spark.createDataFrame(
+        [(n_exact, n_cand, hits, round(hits * 1.0 / n_exact, 6) if n_exact else None)],
+        "n_exact bigint, n_candidates bigint, n_hit bigint, achieved_recall double",
+    )

@@ -1248,3 +1248,134 @@ def q_agg_theil(spark, sf_dir):
             6,
         ).alias("theil_total"),
     )
+
+
+_COV_VARS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _cov_oracle() -> str:
+    sums = []
+    for v in _COV_VARS:
+        sums.append(
+            f"CAST(sum(CAST(q_{v} AS HUGEINT)) AS HUGEINT) AS s_{v}"
+        )
+    for i, a in enumerate(_COV_VARS):
+        for b in _COV_VARS[i:]:
+            sums.append(
+                f"CAST(sum(CAST(q_{a} AS HUGEINT) * q_{b}) AS HUGEINT)"
+                f" AS p_{a}_{b}"
+            )
+    rows = []
+    for i, a in enumerate(_COV_VARS):
+        for b in _COV_VARS[i:]:
+            rows.append(f"""
+    SELECT '{a}' AS var_a, '{b}' AS var_b,
+           CAST(n AS BIGINT) AS n,
+           CAST((n * p_{a}_{b} - s_{a} * s_{b}) // nullif(n * (n - 1), 0)
+                AS BIGINT) AS cov_cents2_floor,
+           round(CAST(n * p_{a}_{b} - s_{a} * s_{b} AS DOUBLE)
+                 / nullif(sqrt(CAST(n * p_{a}_{a} - s_{a} * s_{a} AS DOUBLE)
+                               * CAST(n * p_{b}_{b} - s_{b} * s_{b}
+                                      AS DOUBLE)),
+                          0.0), 6) AS corr
+    FROM mo""")
+    quant = ", ".join(
+        f"CAST(floor(100.0 * {v} + 0.5) AS BIGINT) AS q_{v}"
+        for v in _COV_VARS
+    )
+    return f"""
+    WITH s AS (
+        SELECT {quant}
+        FROM lineitem
+        WHERE {" AND ".join(f"{v} IS NOT NULL" for v in _COV_VARS)}
+    ),
+    mo AS MATERIALIZED (
+        SELECT CAST(count(*) AS HUGEINT) AS n, {", ".join(sums)}
+        FROM s
+    ){" UNION ALL ".join(rows)}
+    """
+
+
+@query("q_agg_cov_matrix", priority=35, oracle=_cov_oracle())
+def q_agg_cov_matrix(spark, sf_dir):
+    """B162: full covariance/correlation matrix over the four lineitem
+    measures (quantity, extendedprice, discount, tax) — the
+    multivariate completion of B139's pairwise moments: 10 upper-
+    triangle cells from ONE pass of exact integer moments, the matrix
+    every downstream PCA/whitening/feature-selection step starts from
+    (C132's Gram accumulation is the embedding-space sibling).
+
+    Exactness: each measure cents-quantized once via floor(100x + 0.5)
+    (B154's round-half-up-as-floor); all 4 sums + 10 cross-products are
+    exact DECIMAL(38,0)/HUGEINT aggregates of one groupBy-less pass;
+    each matrix cell's NUMERATOR n*Sab - Sa*Sb is computed exactly in
+    DECIMAL(38,0)/HUGEINT; the COVARIANCE is released as the exact
+    integer floor-quotient (never a float: DuckDB misrounds ~1.5% of
+    >2^53 wide-int->double casts via a double-rounded 2^64 split —
+    found by this query's extendedprice variance at sf0.1, pinned by
+    D15 — so a LARGE-magnitude float output computed from wide ints is
+    never driver-safe); the CORRELATION is a float but O(1)-scale, so
+    a worst-case 1-ulp operand misround is a 1e-16 relative error,
+    invisible at round(6). The 10-row unpivot is a driver-free union
+    over the broadcast 1-row moment frame.
+
+    Plan/scale: one lineitem-scale scan, map-side partial aggregation
+    of 15 wide-integer accumulators, then constant-size arithmetic —
+    the cheapest possible shape for a covariance matrix at 100 TB (no
+    shuffle wider than one row)."""
+    conds = None
+    for v in _COV_VARS:
+        c = F.col(v).isNotNull()
+        conds = c if conds is None else (conds & c)
+    s = (
+        table(spark, sf_dir, "lineitem")
+        .where(conds)
+        .select(
+            *[
+                F.floor(F.lit(100.0) * F.col(v) + F.lit(0.5))
+                .cast("bigint")
+                .alias(f"q_{v}")
+                for v in _COV_VARS
+            ]
+        )
+    )
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for v in _COV_VARS:
+        aggs.append(
+            F.sum(F.col(f"q_{v}").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias(f"s_{v}")
+        )
+    for i, a in enumerate(_COV_VARS):
+        for b in _COV_VARS[i:]:
+            aggs.append(
+                F.sum(
+                    F.col(f"q_{a}").cast("decimal(38,0)") * F.col(f"q_{b}")
+                )
+                .cast("decimal(38,0)")
+                .alias(f"p_{a}_{b}")
+            )
+    mo = s.agg(*aggs).localCheckpoint(eager=True)
+    out = None
+    for i, a in enumerate(_COV_VARS):
+        for b in _COV_VARS[i:]:
+            nn = F.col("n")
+            num = (nn * F.col(f"p_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")).cast("double")
+            vara = (nn * F.col(f"p_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast("double")
+            varb = (nn * F.col(f"p_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast("double")
+            cov_exact = F.expr(
+                f"CAST((n * p_{a}_{b} - s_{a} * s_{b})"
+                f" div nullif(n * (n - 1), 0) AS BIGINT)"
+            )
+            corr = num / F.nullif(
+                F.sqrt(vara * varb), F.lit(0.0)
+            )
+            row = mo.select(
+                F.lit(a).alias("var_a"),
+                F.lit(b).alias("var_b"),
+                F.col("n").cast("bigint").alias("n"),
+                cov_exact.alias("cov_cents2_floor"),
+                F.round(corr, 6).alias("corr"),
+            )
+            out = row if out is None else out.unionByName(row)
+    return out

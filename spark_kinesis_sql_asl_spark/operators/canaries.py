@@ -539,3 +539,64 @@ def q_canary_ln_quant(spark, sf_dir):
             ).alias("exp_rt"),
         )
     )
+
+
+# The first constant is the exact extendedprice sum-of-squares from sf0.1
+# that exposed the class; the rest sweep the 2^64..2^90 split range.
+_WIDEINT_PROBES = [
+    22240711483861231690,
+    18446744073709551617,  # 2^64 + 1
+    36893488147419103233,  # 2^65 + 1
+    1237940039285380274899124357,  # ~2^90 + odd tail
+    4951760157141521099596496897,  # 2^92 + 1
+]
+
+
+@query(
+    "q_canary_wideint_convert",
+    priority=35,  # joins the p10 canary block in round 9 (r8 window full)
+    oracle=f"""
+    WITH probes(id, v) AS (
+        VALUES {", ".join(f"({i}, CAST('{v}' AS DECIMAL(38,0)))" for i, v in enumerate(_WIDEINT_PROBES))}
+    )
+    SELECT id,
+           CAST(v // 1099511627776 AS BIGINT) AS quot_2e40,
+           CAST(v % 1099511627776 AS BIGINT) AS rem_2e40,
+           round(CAST(CAST(v // 1099511627776 AS BIGINT) AS DOUBLE)
+                 / 1048576.0, 6) AS as_float_safe
+    FROM probes
+    """,
+)
+def q_canary_wideint_convert(spark, sf_dir):
+    """D15: wide-integer -> double QUANTIZE-BEFORE-CONVERT parity
+    (round 8, found by B162's extendedprice variance at sf0.1): DuckDB
+    double-rounds ~1.5% of >2^53 HUGEINT/DECIMAL(38,0)->DOUBLE casts
+    (the conversion splits at 2^64 and rounds twice; Java's
+    BigDecimal.doubleValue is correctly rounded), so a DIRECT cast of a
+    wide exact integer to double is NOT driver-safe — measured: the
+    first probe constant converts to 2.2240711483861234e19 in Spark
+    and 2.224071148386123e19 in DuckDB. The safe pattern this canary
+    pins: reduce the integer BELOW 2^53 first (integer div/mod — here
+    by 2^40, keeping every quotient under 2^53), where conversion is exact on both engines, and derive any
+    float from the reduced value. Production rule: O(1)-scale ratios
+    of wide ints are safe (a 1-ulp operand misround is 1e-16 relative);
+    LARGE-magnitude float outputs must be released as exact integer
+    quotients (B162's cov_cents2_floor) or reduced before the cast.
+
+    The probe list is constant (VALUES spine), so this canary is
+    data-independent — it reds only if an engine changes conversion or
+    integer div/mod behavior."""
+    probes = spark.createDataFrame(
+        [(i, str(v)) for i, v in enumerate(_WIDEINT_PROBES)],
+        "id int, v string",
+    ).select(F.col("id").cast("int").alias("id"), F.col("v").cast("decimal(38,0)").alias("v"))
+    return probes.select(
+        "id",
+        F.expr("CAST(v div 1099511627776 AS BIGINT)").alias("quot_2e40"),
+        F.expr("CAST(v % 1099511627776 AS BIGINT)").alias("rem_2e40"),
+        F.round(
+            F.expr("CAST(v div 1099511627776 AS BIGINT)").cast("double")
+            / F.lit(1048576.0),
+            6,
+        ).alias("as_float_safe"),
+    )

@@ -79,6 +79,9 @@ ROUND8_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_llm_band_tuning",
         "q_events_entropy_rate",
         "q_ts_peaks",
+        "q_llm_band_assign",
+        "q_agg_cov_matrix",
+        "q_canary_wideint_convert",
     }
 )
 
@@ -178,14 +181,18 @@ def test_rotated_set_heads_the_window():
 
 def test_canaries_pinned_out_this_round():
     """r8 exception: the 13 legacy canaries (all r7-green) sit at 100 to
-    free window slots for the freshness rotation; the NEW D14 ln-quant
-    canary rides the p35 rotation tail for its first driver row. All 14
-    revert to 10 in round 9."""
+    free window slots for the freshness rotation; the NEW canaries (D14
+    ln-quant, D15 wideint-convert) ride the p35 rotation tail for their
+    first driver rows. All 15 revert to 10 in round 9."""
     registry.load_all()
     canaries = [n for n in registry._QUERIES if n.startswith("q_canary_")]
-    assert len(canaries) == 14
+    assert len(canaries) == 15
     for n in canaries:
-        want = 35 if n == "q_canary_ln_quant" else 100
+        want = (
+            35
+            if n in ("q_canary_ln_quant", "q_canary_wideint_convert")
+            else 100
+        )
         assert _priority(n) == want, (n, _priority(n))
 
 
