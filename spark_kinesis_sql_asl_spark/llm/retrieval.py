@@ -592,3 +592,255 @@ def q_llm_recall_at_k(spark, sf_dir):
             ),
         )
     )
+
+
+# DCG position weights 1/log2(i+1) for ranks 1..10, pre-quantized to
+# integer micro-units IN PYTHON so both engines consume the same BIGINT
+# literals (no cross-engine transcendental evaluation at all — stricter
+# even than D14's micro-nat discipline, since log2 never runs in either
+# engine).
+_NDCG_K = 10
+_NDCG_W = [round(1e6 / __import__("math").log2(i + 1)) for i in range(1, _NDCG_K + 1)]
+_NDCG_QUERIES = 5
+
+
+def _rel_case(a: str, b: str) -> str:
+    """Graded relevance from labels: 2 = same class, 1 = adjacent class
+    (|Δlabel| = 1 — the fixture's labels are ordinal cluster ids), 0
+    otherwise. Pure integer CASE, identical text in both engines."""
+    return (
+        f"CASE WHEN {a} = {b} THEN 2 "
+        f"WHEN abs({a} - {b}) = 1 THEN 1 ELSE 0 END"
+    )
+
+
+@query(
+    "q_llm_ndcg",
+    priority=35,  # round-8 window full — first driver row in round 9
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe,
+               label AS qlab
+        FROM embeddings WHERE vec_id < {_NDCG_QUERIES}
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce,
+                 label AS clab
+          FROM embeddings),
+    sims AS (
+        SELECT query_id, neighbor_id,
+               list_dot_product(qe, ce) AS dp,
+               CAST(power(2, {_rel_case("qlab", "clab")}) - 1 AS BIGINT)
+                   AS gain
+        FROM q CROSS JOIN c WHERE neighbor_id <> query_id
+    ),
+    ranked AS (
+        SELECT query_id, gain,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY dp DESC, neighbor_id
+               ) AS r_sys,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY gain DESC, neighbor_id
+               ) AS r_ideal
+        FROM sims
+    ),
+    w(r, wmu) AS (VALUES {", ".join(f"({i + 1}, {w})" for i, w in enumerate(_NDCG_W))}),
+    dcg AS (
+        SELECT query_id,
+               CAST(sum(CASE WHEN ws.r IS NOT NULL THEN gain * ws.wmu
+                             ELSE 0 END) AS BIGINT) AS dcg_mu
+        FROM ranked LEFT JOIN w ws ON ranked.r_sys = ws.r
+        GROUP BY query_id
+    ),
+    idcg AS (
+        SELECT query_id,
+               CAST(sum(CASE WHEN wi.r IS NOT NULL THEN gain * wi.wmu
+                             ELSE 0 END) AS BIGINT) AS idcg_mu
+        FROM ranked LEFT JOIN w wi ON ranked.r_ideal = wi.r
+        GROUP BY query_id
+    )
+    SELECT d.query_id AS query_id, d.dcg_mu AS dcg_mu,
+           i.idcg_mu AS idcg_mu,
+           round(CAST(d.dcg_mu AS DOUBLE) / CAST(i.idcg_mu AS DOUBLE), 6)
+               AS ndcg
+    FROM dcg d JOIN idcg i ON d.query_id = i.query_id
+    """,
+)
+def q_llm_ndcg(spark, sf_dir):
+    """C144: NDCG@{_NDCG_K} of the raw-dot-product system ranking against
+    graded label relevance (2 = same class, 1 = adjacent, 0 = other) —
+    the standard graded retrieval metric (Järvelin & Kekäläinen 2002)
+    beside C91's binary recall@k: it also scores WHERE in the top-k the
+    relevant neighbors land. Evaluation-as-query like C91/C105: the
+    metric itself is a driver-verified operator, reusable against any
+    system ranking (ANN, PQ, pruned index).
+
+    Exactness: position discounts 1/log2(r+1) are pre-quantized to
+    BIGINT micro-units in Python and injected as literals into BOTH
+    engines, so no transcendental is evaluated in either engine (stricter
+    than D14); gains (2^rel - 1 ∈ {{0,1,3}}) and both DCG sums are exact
+    BIGINT; ndcg is ONE float division of two <2^53 integers, round(6).
+    Both rank orders are total (dp has the C4 per-pair IEEE-identical
+    property; ties broken by neighbor_id).
+
+    Plan/scale: queries broadcast (|Q| rows), one candidate-side scan,
+    two rank windows over the same (query_id) exchange — both
+    WindowGroupLimit-prunable at r <= {_NDCG_K}; |Q| output rows."""
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("e"), "label"
+    )
+    q = emb.where(F.col("vec_id") < _NDCG_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("label").alias("qlab"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        F.col("label").alias("clab"),
+    )
+    sims = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        dot(F.col("qe"), F.col("ce")).alias("dp"),
+        F.expr(
+            f"CAST(power(2, {_rel_case('qlab', 'clab')}) - 1 AS BIGINT)"
+        ).alias("gain"),
+    )
+    w_sys = Window.partitionBy("query_id").orderBy(
+        F.col("dp").desc(), F.col("neighbor_id")
+    )
+    w_ideal = Window.partitionBy("query_id").orderBy(
+        F.col("gain").desc(), F.col("neighbor_id")
+    )
+    warr = f"array({', '.join(str(w) for w in _NDCG_W)})"
+    wmu = (
+        f"CASE WHEN r_sys <= {_NDCG_K} THEN gain * element_at({warr}, "
+        f"CAST(r_sys AS INT)) ELSE 0 END"
+    )
+    wmu_ideal = (
+        f"CASE WHEN r_ideal <= {_NDCG_K} THEN gain * element_at({warr}, "
+        f"CAST(r_ideal AS INT)) ELSE 0 END"
+    )
+    return (
+        sims.withColumn("r_sys", F.row_number().over(w_sys))
+        .withColumn("r_ideal", F.row_number().over(w_ideal))
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.expr(wmu)).cast("bigint").alias("dcg_mu"),
+            F.sum(F.expr(wmu_ideal)).cast("bigint").alias("idcg_mu"),
+        )
+        .select(
+            "query_id",
+            "dcg_mu",
+            "idcg_mu",
+            F.round(
+                F.col("dcg_mu").cast("double")
+                / F.col("idcg_mu").cast("double"),
+                6,
+            ).alias("ndcg"),
+        )
+    )
+
+
+_MRR_K = 10
+
+
+@query(
+    "q_llm_mrr",
+    priority=35,  # round-8 window full — first driver row in round 9
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe,
+               label AS qlab
+        FROM embeddings WHERE vec_id < {_NDCG_QUERIES}
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce,
+                 label AS clab
+          FROM embeddings),
+    sims AS (
+        SELECT query_id, neighbor_id,
+               list_dot_product(qe, ce) AS dp,
+               CASE WHEN qlab = clab THEN 1 ELSE 0 END AS rel
+        FROM q CROSS JOIN c WHERE neighbor_id <> query_id
+    ),
+    ranked AS (
+        SELECT query_id, rel,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY dp DESC, neighbor_id
+               ) AS r_sys
+        FROM sims
+    )
+    SELECT query_id,
+           CAST(coalesce(min(CASE WHEN rel = 1 THEN r_sys END), 0)
+                AS BIGINT) AS first_rel_rank,
+           CAST(CASE WHEN min(CASE WHEN rel = 1 THEN r_sys END) IS NULL
+                THEN 0
+                ELSE 1000000 // min(CASE WHEN rel = 1 THEN r_sys END)
+                END AS BIGINT) AS rr_ppm
+    FROM ranked
+    WHERE r_sys <= {_MRR_K}
+    GROUP BY query_id
+    """,
+)
+def q_llm_mrr(spark, sf_dir):
+    """C145: MRR@{_MRR_K} (reciprocal rank of the first same-label
+    neighbor in the system top-{_MRR_K}; 0 when none lands there) — the
+    third leg of the retrieval-eval stool beside C91 recall@k and C144
+    NDCG, the metric that scores HOW FAST a ranking reaches its first
+    relevant hit (the navigational / RAG-first-passage criterion).
+
+    Exactness: reciprocal rank released as floor(1e6 / rank) BIGINT ppm
+    (exact integer division, no float anywhere); rank window is a total
+    order on per-pair IEEE-identical dot products.
+
+    Plan/scale: identical shape to C144 — queries broadcast, one
+    candidate scan, ONE rank window WindowGroupLimit-prunable at
+    r <= {_MRR_K}, |Q| output rows."""
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("e"), "label"
+    )
+    q = emb.where(F.col("vec_id") < _NDCG_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("label").alias("qlab"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        F.col("label").alias("clab"),
+    )
+    sims = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        dot(F.col("qe"), F.col("ce")).alias("dp"),
+        (F.col("qlab") == F.col("clab")).cast("int").alias("rel"),
+    )
+    w_sys = Window.partitionBy("query_id").orderBy(
+        F.col("dp").desc(), F.col("neighbor_id")
+    )
+    first_rel = F.min(F.when(F.col("rel") == 1, F.col("r_sys")))
+    return (
+        sims.withColumn("r_sys", F.row_number().over(w_sys))
+        .where(F.col("r_sys") <= _MRR_K)
+        .groupBy("query_id")
+        .agg(first_rel.alias("fr"))
+        .select(
+            "query_id",
+            F.coalesce(F.col("fr"), F.lit(0))
+            .cast("bigint")
+            .alias("first_rel_rank"),
+            F.when(F.col("fr").isNull(), F.lit(0))
+            .otherwise(F.expr("1000000 div fr"))
+            .cast("bigint")
+            .alias("rr_ppm"),
+        )
+    )

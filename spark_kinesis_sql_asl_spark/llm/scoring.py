@@ -547,3 +547,234 @@ def q_llm_quality_isotonic(spark, sf_dir):
         F.expr("CAST((1000000 * p) div n AS BIGINT)").alias("raw_ppm"),
         "iso_ppm",
     )
+
+
+# --- C146: expected calibration error of the quality signal ------------------
+
+_ECE_BINS = 10
+
+
+@query(
+    "q_llm_quality_ece",
+    priority=35,  # round-8 window full — first driver row in round 9
+    oracle=f"""
+    WITH feat AS (
+        SELECT lang,
+               {_AUC_SCORE_SQL} AS score,
+               CASE WHEN source IN {_TRUSTED_SOURCES!r} THEN 1 ELSE 0 END
+                   AS pos
+        FROM documents
+    ),
+    binned AS (
+        SELECT lang,
+               CAST(least(score // {1000000 // _ECE_BINS},
+                          {_ECE_BINS - 1}) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_b,
+               CAST(sum(pos) AS BIGINT) AS pos_b,
+               CAST(sum(score) AS BIGINT) AS conf_b
+        FROM feat GROUP BY lang, bin
+    )
+    SELECT lang,
+           CAST(sum(n_b) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(abs(1000000 * pos_b - conf_b)) // sum(n_b)
+                AS BIGINT) AS ece_ppm,
+           CAST(max(abs(1000000 * pos_b - conf_b) // n_b)
+                AS BIGINT) AS mce_ppm
+    FROM binned GROUP BY lang
+    """,
+)
+def q_llm_quality_ece(spark, sf_dir):
+    """C146: expected + maximum calibration error (ECE / MCE, Naeini et
+    al. 2015) of the C17 stopword-share quality signal read as a
+    confidence in [0, 1], per language, {_ECE_BINS} equal-width bins —
+    completes the quality-signal eval chain (C105 AUC measures RANKING,
+    C117 isotonic produces a calibrated MAP, this measures how far the
+    raw signal is from calibrated BEFORE that map is applied; the
+    before/after pair justifies shipping the isotonic stage at all).
+
+    Exactness: the bin identity n_b*|acc_b - conf_b| =
+    |1e6*Σpos_b - Σscore_ppm_b| keeps the whole metric in BIGINT —
+    per-bin absolute gaps are exact integers, ECE is their sum
+    floor-divided by N, MCE the max of per-bin floor quotients; no float
+    exists anywhere in the query (the C105 rank-sum discipline applied
+    to calibration).
+
+    Plan/scale: one scan-stage feature projection, one (lang, bin)
+    rollup map-side combined to <= |langs| x {_ECE_BINS} cells, final
+    |langs|-row reduce. Nothing after the first rollup is corpus-scale."""
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("a", "the")))
+    score = F.expr(
+        "CAST((1000000 * n_stop) div greatest(1, n_tok) AS BIGINT)"
+    )
+    feat = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            "source",
+            n_stop.alias("n_stop"),
+            F.size(toks).alias("n_tok"),
+        )
+        .select(
+            "lang",
+            score.alias("score"),
+            F.coalesce(
+                F.col("source").isin(*_TRUSTED_SOURCES), F.lit(False)
+            )
+            .cast("int")
+            .alias("pos"),
+        )
+    )
+    binned = feat.groupBy(
+        "lang",
+        F.least(
+            F.expr(f"score div {1000000 // _ECE_BINS}"),
+            F.lit(_ECE_BINS - 1),
+        )
+        .cast("bigint")
+        .alias("bin"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.sum("pos").cast("bigint").alias("pos_b"),
+        F.sum("score").cast("bigint").alias("conf_b"),
+    )
+    return binned.groupBy("lang").agg(
+        F.sum("n_b").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.expr(
+            "CAST(sum(abs(1000000 * pos_b - conf_b)) div sum(n_b) "
+            "AS BIGINT)"
+        ).alias("ece_ppm"),
+        F.expr(
+            "CAST(max(abs(1000000 * pos_b - conf_b) div n_b) AS BIGINT)"
+        ).alias("mce_ppm"),
+    )
+
+
+# --- C147: inter-rater agreement (Cohen's kappa) between two heuristics ------
+
+# Rater 1: stopword share >= 4% (the C105 signal at a fixed threshold).
+# Rater 2: distinct-token ratio >= 55% (the C31 repetition signal).
+_KAPPA_T1 = 40000
+_KAPPA_T2 = 550
+
+
+@query(
+    "q_llm_rater_kappa",
+    priority=35,  # round-8 window full — first driver row in round 9
+    oracle=f"""
+    WITH feat AS (
+        SELECT lang,
+               CASE WHEN {_AUC_SCORE_SQL} >= {_KAPPA_T1}
+                    THEN 1 ELSE 0 END AS r1,
+               CASE WHEN 1000 * len(list_distinct(
+                            string_split(coalesce(text, ''), ' ')))
+                         >= {_KAPPA_T2} * greatest(1, len(
+                            string_split(coalesce(text, ''), ' ')))
+                    THEN 1 ELSE 0 END AS r2
+        FROM documents
+    ),
+    cells AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(r1 * r2) AS BIGINT) AS a,
+               CAST(sum(r1 * (1 - r2)) AS BIGINT) AS b,
+               CAST(sum((1 - r1) * r2) AS BIGINT) AS c,
+               CAST(sum((1 - r1) * (1 - r2)) AS BIGINT) AS d
+        FROM feat GROUP BY lang
+    )
+    SELECT lang, n, a, b, c, d,
+           CAST(n * (a + d) - ((a + b) * (a + c) + (c + d) * (b + d))
+                AS BIGINT) AS kappa_num,
+           CAST(n * n - ((a + b) * (a + c) + (c + d) * (b + d))
+                AS BIGINT) AS kappa_den,
+           CASE WHEN n * n = (a + b) * (a + c) + (c + d) * (b + d)
+                THEN 0.0
+                ELSE round(
+                    CAST(n * (a + d)
+                         - ((a + b) * (a + c) + (c + d) * (b + d))
+                         AS DOUBLE)
+                    / CAST(n * n
+                           - ((a + b) * (a + c) + (c + d) * (b + d))
+                           AS DOUBLE), 6)
+           END AS kappa
+    FROM cells
+    """,
+)
+def q_llm_rater_kappa(spark, sf_dir):
+    """C147: Cohen's kappa (1960) between two independent heuristic
+    quality raters — stopword share >= {_KAPPA_T1} ppm (the C105
+    signal) vs distinct-token ratio >= {_KAPPA_T2} permille (the C31
+    repetition signal) — per language. The agreement-beyond-chance audit
+    a labeling pipeline runs before treating cheap heuristic votes as an
+    ensemble: kappa near 0 means the raters agree no more than chance
+    and averaging them adds nothing; the 2x2 cell counts ride along so
+    the disagreement DIRECTION (b vs c) is visible too.
+
+    Exactness: both rater bits are integer threshold compares (the
+    distinct-ratio compare is cross-multiplied — no division); kappa's
+    numerator n(a+d) - Σ marginal products and denominator n² - Σ are
+    exact BIGINTs (< 2^53 at any plausible per-lang count), released as
+    integers plus ONE float quotient, round(6); the degenerate
+    chance-agreement==1 case (single-cell language) is pinned to 0.0 in
+    both engines.
+
+    Plan/scale: scan-stage rater bits, one (lang) rollup with map-side
+    combine, |langs| output rows — no windows, no joins."""
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("a", "the")))
+    feat = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            n_stop.alias("n_stop"),
+            F.size(toks).alias("n_tok"),
+            F.size(F.array_distinct(toks)).alias("n_dist"),
+        )
+        .select(
+            "lang",
+            (
+                F.expr(
+                    "CAST((1000000 * n_stop) div greatest(1, n_tok) "
+                    "AS BIGINT)"
+                )
+                >= _KAPPA_T1
+            )
+            .cast("int")
+            .alias("r1"),
+            (
+                1000 * F.col("n_dist")
+                >= _KAPPA_T2 * F.greatest(F.lit(1), F.col("n_tok"))
+            )
+            .cast("int")
+            .alias("r2"),
+        )
+    )
+    cells = feat.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("r1") * F.col("r2")).cast("bigint").alias("a"),
+        F.sum(F.col("r1") * (1 - F.col("r2"))).cast("bigint").alias("b"),
+        F.sum((1 - F.col("r1")) * F.col("r2")).cast("bigint").alias("c"),
+        F.sum((1 - F.col("r1")) * (1 - F.col("r2")))
+        .cast("bigint")
+        .alias("d"),
+    )
+    pe_mass = "((a + b) * (a + c) + (c + d) * (b + d))"
+    return cells.select(
+        "lang",
+        "n",
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr(f"CAST(n * (a + d) - {pe_mass} AS BIGINT)").alias(
+            "kappa_num"
+        ),
+        F.expr(f"CAST(n * n - {pe_mass} AS BIGINT)").alias("kappa_den"),
+        F.expr(
+            f"CASE WHEN n * n = {pe_mass} THEN 0.0 "
+            f"ELSE round(CAST(n * (a + d) - {pe_mass} AS DOUBLE) "
+            f"/ CAST(n * n - {pe_mass} AS DOUBLE), 6) END"
+        ).alias("kappa"),
+    )

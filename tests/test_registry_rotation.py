@@ -82,6 +82,10 @@ ROUND8_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_llm_band_assign",
         "q_agg_cov_matrix",
         "q_canary_wideint_convert",
+        "q_llm_ndcg",
+        "q_llm_mrr",
+        "q_llm_quality_ece",
+        "q_llm_rater_kappa",
     }
 )
 
