@@ -1,0 +1,410 @@
+"""Geospatial blocking operators (SURVEY.md §2 rows B163–B166).
+
+The reference ships no spatial operators (it is a Kinesis connector whose
+query surface is Spark SQL itself — SURVEY §0 [PK]); these rows add the
+spatial primitives a location-bearing event corpus needs at 100 TB, built
+on the grid-cell blocking discipline the dedup family already pins: never
+all-pairs — block by cell, join only neighboring cells, and keep the
+completeness argument (block size ≥ distance threshold) in the operator
+itself rather than in reviewer goodwill.
+
+Coordinates: the fixture tables carry no lat/lon, so each entity gets a
+DETERMINISTIC PORTABLE position derived from ``md5('c'||key)`` via the
+fixed 8-term hex parse both engines compute bit-identically
+(llm/sketches.py's portable-hash toolkit): two 32-bit words, reduced mod
+8_000_000, give integer micro-degree coordinates on an 8°×8° planar
+grid. Everything downstream is exact BIGINT arithmetic — squared
+Euclidean distance in micro-degrees (the equirectangular planar metric;
+haversine's transcendentals would break cross-engine float parity and
+change no blocking decision at city scale), truncating division for cell
+ids on the non-negative shifted plane (D7-safe).
+
+Scale posture per operator:
+
+* cell density / hotspot — one hash aggregation keyed by cell id (cells
+  ≪ points at any SF), then cell-level 3×3 neighbor joins on the tiny
+  aggregate, never on points.
+* distance join — the small side (suppliers: a broadcastable dim) is
+  replicated into its 9 neighboring cells and broadcast; the point-scale
+  side joins on exact cell id equality. Block size C == radius R makes
+  the 3×3 neighborhood provably complete: |Δ| ≤ R ⇒ cell index differs
+  by ≤ 1. No shuffle of the big side beyond the final per-nation agg.
+* kNN — when the candidate set is a broadcastable dim (stores, towers,
+  warehouses — the common production shape), broadcast it, score all
+  candidates pipelined on the scan, and take top-k per point with a
+  rank-limited window (Spark's WindowGroupLimit keeps the per-key top-k
+  map-side; candidates for one point are co-partitioned by construction,
+  so the exchange carries ~k rows per point, not the cross product).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..llm.sketches import _hex_parse_duck, _hex_parse_spark
+from ..registry import query
+from ..tables import table
+
+# 8°×8° planar region in integer micro-degrees.
+_PLANE = 8_000_000
+# Distance-join radius == blocking cell size (completeness: C == R).
+_R = 500_000
+_R2 = _R * _R
+# Density/hotspot analysis cells: 1° → an 8×8 grid.
+_DCELL = 1_000_000
+_KNN_K = 3
+
+
+def _coords_duck(alias_key: str, key: str, tbl: str, where: str) -> str:
+    """DuckDB CTE body: portable micro-degree coordinates for one table."""
+    expr = f"('{alias_key}' || CAST({key} AS VARCHAR))"
+    return (
+        f"SELECT {key}, "
+        f"{_hex_parse_duck(expr, 1)} % {_PLANE} AS slat, "
+        f"{_hex_parse_duck(expr, 9)} % {_PLANE} AS slon "
+        f"FROM {tbl} WHERE {where}"
+    )
+
+
+def _coords_spark(df, alias_key: str, key: str):
+    """Spark twin of :func:`_coords_duck` — same md5 parse, same reduction."""
+    expr = f"concat('{alias_key}', CAST({key} AS STRING))"
+    return df.where(F.col(key).isNotNull()).select(
+        key,
+        F.expr(f"{_hex_parse_spark(expr, 1)} % {_PLANE}").alias("slat"),
+        F.expr(f"{_hex_parse_spark(expr, 9)} % {_PLANE}").alias("slon"),
+    )
+
+
+@query(
+    "q_geo_cell_density",
+    priority=35,  # round-8 window full — driver row in r9
+    oracle=f"""
+    WITH cust AS (
+        SELECT c.*, pos.slat, pos.slon
+        FROM customer c
+        JOIN ({_coords_duck("c", "c_custkey", "customer",
+                            "c_custkey IS NOT NULL")}) pos
+          USING (c_custkey)
+    ),
+    cells AS (
+        SELECT slat // {_DCELL} AS cell_lat,
+               slon // {_DCELL} AS cell_lon,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+               CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS bal_cents
+        FROM cust
+        GROUP BY 1, 2
+    )
+    SELECT CAST(cell_lat AS BIGINT) AS cell_lat,
+           CAST(cell_lon AS BIGINT) AS cell_lon,
+           n_points, n_nations, bal_cents
+    FROM cells
+    ORDER BY n_points DESC, cell_lat, cell_lon
+    LIMIT 20
+    """,
+)
+def q_geo_cell_density(spark, sf_dir):
+    """B163: per-cell point density on the 1° grid — the partition-layout
+    audit every spatial pipeline runs before choosing a blocking scheme
+    (it is C72's bucket-size audit transplanted to space: a skewed cell
+    histogram predicts the blocked join's straggler BEFORE the join
+    runs). One hash aggregation keyed by (cell_lat, cell_lon); at 100 TB
+    the aggregate is |cells|-sized, the top-20 head rides TakeOrdered.
+    Balance released as exact floor-cents BIGINT (the D2-pinned money
+    pattern; floor of an IEEE-exact double product is engine-identical),
+    NULL balances dropped by sum semantics on both engines."""
+    cust = table(spark, sf_dir, "customer")
+    pos = _coords_spark(cust, "c", "c_custkey")
+    enriched = cust.join(pos, "c_custkey").select(
+        F.expr(f"slat div {_DCELL}").alias("cell_lat"),
+        F.expr(f"slon div {_DCELL}").alias("cell_lon"),
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        enriched.groupBy("cell_lat", "cell_lon")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.countDistinct("c_nationkey").cast("bigint").alias("n_nations"),
+            F.sum("cents").cast("bigint").alias("bal_cents"),
+        )
+        .orderBy(F.desc("n_points"), "cell_lat", "cell_lon")
+        .limit(20)
+    )
+
+
+@query(
+    "q_geo_dist_join",
+    priority=35,  # round-8 window full — driver row in r9
+    oracle=f"""
+    WITH cust AS ({_coords_duck("c", "c_custkey", "customer",
+                                "c_custkey IS NOT NULL")}),
+    cnat AS (
+        SELECT c_custkey, c_nationkey FROM customer
+        WHERE c_custkey IS NOT NULL
+    ),
+    supp AS ({_coords_duck("s", "s_suppkey", "supplier",
+                           "s_suppkey IS NOT NULL")}),
+    pairs AS (
+        SELECT n.c_nationkey,
+               c.c_custkey,
+               (c.slat - s.slat) * (c.slat - s.slat)
+             + (c.slon - s.slon) * (c.slon - s.slon) AS dist2
+        FROM cust c
+        JOIN cnat n USING (c_custkey)
+        CROSS JOIN supp s
+    ),
+    hit AS (SELECT * FROM pairs WHERE dist2 <= {_R2})
+    SELECT CAST(c_nationkey AS INTEGER) AS c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_matched_customers,
+           CAST(min(dist2) AS BIGINT) AS min_dist2,
+           CAST(sum(dist2 // 1000000) AS BIGINT) AS dist2_mega_sum
+    FROM hit
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_geo_dist_join(spark, sf_dir):
+    """B164: radius distance join customers↔suppliers (R = 0.5°) by cell
+    blocking — the never-all-pairs spatial join. The supplier side (a
+    broadcastable dim) is exploded into its 3×3 neighboring cells
+    (9 rows per supplier) and broadcast; customers join on EXACT cell-id
+    equality, then the true predicate dist2 ≤ R² filters candidates.
+    Completeness is arithmetic, not hope: cell size C == R, so any pair
+    within R differs by ≤ 1 cell index per axis and meets in the
+    customer's cell. No (c, s) pair can match twice — the customer's
+    cell id is unique, and each supplier replica carries a distinct cell.
+    The oracle is the brute-force cross join (driver SFs only); the
+    engine side never materializes it. Per-pair dist2 is exact BIGINT;
+    the released sum is of per-pair ``dist2 // 1e6`` (truncating division
+    of non-negative ints — D7-safe) to stay far below 2^53 at any SF
+    (D15 wide-int rule)."""
+    cust = _coords_spark(table(spark, sf_dir, "customer"), "c", "c_custkey")
+    cnat = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey").isNotNull())
+        .select("c_custkey", "c_nationkey")
+    )
+    supp = _coords_spark(table(spark, sf_dir, "supplier"), "s", "s_suppkey")
+    offsets = F.expr(
+        "explode(array(-1, 0, 1))"
+    )
+    supp_cells = (
+        supp.select(
+            "s_suppkey",
+            F.col("slat").alias("s_slat"),
+            F.col("slon").alias("s_slon"),
+            F.expr(f"s_slat div {_R}").alias("s_cell_lat"),
+            F.expr(f"s_slon div {_R}").alias("s_cell_lon"),
+        )
+        .withColumn("dlat", offsets)
+        .withColumn("dlon", offsets)
+        .select(
+            "s_suppkey",
+            "s_slat",
+            "s_slon",
+            (F.col("s_cell_lat") + F.col("dlat")).alias("cell_lat"),
+            (F.col("s_cell_lon") + F.col("dlon")).alias("cell_lon"),
+        )
+    )
+    cust_cells = cust.select(
+        "c_custkey",
+        "slat",
+        "slon",
+        F.expr(f"slat div {_R}").alias("cell_lat"),
+        F.expr(f"slon div {_R}").alias("cell_lon"),
+    )
+    hits = (
+        cust_cells.join(
+            F.broadcast(supp_cells), ["cell_lat", "cell_lon"]
+        )
+        .withColumn(
+            "dist2",
+            (F.col("slat") - F.col("s_slat"))
+            * (F.col("slat") - F.col("s_slat"))
+            + (F.col("slon") - F.col("s_slon"))
+            * (F.col("slon") - F.col("s_slon")),
+        )
+        .where(F.col("dist2") <= _R2)
+    )
+    return (
+        hits.join(F.broadcast(cnat), "c_custkey")
+        .groupBy(F.col("c_nationkey").cast("int").alias("c_nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("c_custkey")
+            .cast("bigint")
+            .alias("n_matched_customers"),
+            F.min("dist2").cast("bigint").alias("min_dist2"),
+            F.sum(F.expr("dist2 div 1000000"))
+            .cast("bigint")
+            .alias("dist2_mega_sum"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "q_geo_knn",
+    priority=35,  # round-8 window full — driver row in r9
+    oracle=f"""
+    WITH cust AS ({_coords_duck("c", "c_custkey", "customer",
+                                "c_custkey IS NOT NULL")}),
+    supp AS ({_coords_duck("s", "s_suppkey", "supplier",
+                           "s_suppkey IS NOT NULL")}),
+    pairs AS (
+        SELECT c.c_custkey, s.s_suppkey,
+               (c.slat - s.slat) * (c.slat - s.slat)
+             + (c.slon - s.slon) * (c.slon - s.slon) AS dist2
+        FROM cust c CROSS JOIN supp s
+    ),
+    ranked AS (
+        SELECT c_custkey, s_suppkey, dist2,
+               row_number() OVER (
+                   PARTITION BY c_custkey ORDER BY dist2, s_suppkey
+               ) AS knn_rank
+        FROM pairs
+    )
+    SELECT c_custkey,
+           CAST(knn_rank AS INTEGER) AS knn_rank,
+           s_suppkey,
+           CAST(dist2 AS BIGINT) AS dist2
+    FROM ranked WHERE knn_rank <= {_KNN_K}
+    ORDER BY c_custkey, knn_rank
+    """,
+)
+def q_geo_knn(spark, sf_dir):
+    """B165: exact k-nearest-suppliers per customer (k = 3) by broadcast
+    scoring — the right kNN shape when candidates are a broadcastable dim
+    (stores, towers, depots). Suppliers broadcast; each customer row is
+    scored against all candidates PIPELINED on its scan (the broadcast
+    nested-loop never shuffles the customer side), then top-k per
+    customer rides a rank-limited window. Because a customer's candidate
+    rows are produced inside its own partition by the broadcast join,
+    Spark's WindowGroupLimit truncates to k rows per customer BEFORE the
+    window exchange — the shuffle carries ~k rows per point, not the
+    cross product. Total order (dist2, s_suppkey) makes row_number
+    deterministic on both engines; dist2 is exact BIGINT."""
+    cust = _coords_spark(table(spark, sf_dir, "customer"), "c", "c_custkey")
+    supp = _coords_spark(
+        table(spark, sf_dir, "supplier"), "s", "s_suppkey"
+    ).select(
+        "s_suppkey",
+        F.col("slat").alias("s_slat"),
+        F.col("slon").alias("s_slon"),
+    )
+    scored = cust.join(F.broadcast(supp)).withColumn(
+        "dist2",
+        (F.col("slat") - F.col("s_slat")) * (F.col("slat") - F.col("s_slat"))
+        + (F.col("slon") - F.col("s_slon"))
+        * (F.col("slon") - F.col("s_slon")),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("dist2", "s_suppkey")
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= _KNN_K)
+        .select(
+            "c_custkey",
+            F.col("knn_rank").cast("int").alias("knn_rank"),
+            "s_suppkey",
+            F.col("dist2").cast("bigint").alias("dist2"),
+        )
+        .orderBy("c_custkey", "knn_rank")
+    )
+
+
+@query(
+    "q_geo_hotspot",
+    priority=35,  # round-8 window full — driver row in r9
+    oracle=f"""
+    WITH cust AS ({_coords_duck("c", "c_custkey", "customer",
+                                "c_custkey IS NOT NULL")}),
+    cells AS (
+        SELECT slat // {_DCELL} AS cell_lat,
+               slon // {_DCELL} AS cell_lon,
+               CAST(count(*) AS BIGINT) AS n
+        FROM cust GROUP BY 1, 2
+    ),
+    total AS (SELECT sum(n) AS n_total FROM cells),
+    neigh AS (
+        SELECT a.cell_lat, a.cell_lon,
+               max(a.n) AS n_local,
+               CAST(sum(b.n) AS BIGINT) AS n_neighborhood
+        FROM cells a
+        JOIN cells b
+          ON b.cell_lat BETWEEN a.cell_lat - 1 AND a.cell_lat + 1
+         AND b.cell_lon BETWEEN a.cell_lon - 1 AND a.cell_lon + 1
+        GROUP BY a.cell_lat, a.cell_lon
+    )
+    SELECT CAST(cell_lat AS BIGINT) AS cell_lat,
+           CAST(cell_lon AS BIGINT) AS cell_lon,
+           CAST(n_local AS BIGINT) AS n_local,
+           n_neighborhood,
+           round(CAST(n_neighborhood AS DOUBLE)
+                 / CAST((SELECT n_total FROM total) AS DOUBLE), 6)
+               AS neigh_share
+    FROM neigh
+    ORDER BY n_neighborhood DESC, cell_lat, cell_lon
+    LIMIT 15
+    """,
+)
+def q_geo_hotspot(spark, sf_dir):
+    """B166: spatial hot-spot detection — a Getis-Ord-style local
+    statistic computed as each cell's 3×3 neighborhood count against the
+    global total. The point-scale work is ONE hash aggregation to cell
+    counts; the neighbor stencil is a cell-level self-join (|cells|² at
+    worst, |cells| ≪ points always — at 100 TB the stencil input is
+    kilobytes) done by exploding each cell into its 9 (cell, neighbor)
+    keys and joining on equality, which keeps the join equi- and
+    broadcastable rather than the oracle's range-predicate form. The
+    released share is a plain count ratio (≪ 2^53 — D15-safe), rounded
+    to 6 places."""
+    cust = _coords_spark(table(spark, sf_dir, "customer"), "c", "c_custkey")
+    cells = (
+        cust.select(
+            F.expr(f"slat div {_DCELL}").alias("cell_lat"),
+            F.expr(f"slon div {_DCELL}").alias("cell_lon"),
+        )
+        .groupBy("cell_lat", "cell_lon")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    offsets = F.expr("explode(array(-1, 0, 1))")
+    # Each source cell contributes its count to the 9 cells around it;
+    # grouping the contributions by target cell IS the 3×3 stencil sum.
+    contrib = (
+        cells.withColumn("dlat", offsets)
+        .withColumn("dlon", offsets)
+        .select(
+            (F.col("cell_lat") + F.col("dlat")).alias("t_lat"),
+            (F.col("cell_lon") + F.col("dlon")).alias("t_lon"),
+            "n",
+        )
+        .groupBy("t_lat", "t_lon")
+        .agg(F.sum("n").cast("bigint").alias("n_neighborhood"))
+    )
+    total = cells.agg(F.sum("n").alias("n_total"))
+    return (
+        cells.join(
+            contrib,
+            (F.col("cell_lat") == F.col("t_lat"))
+            & (F.col("cell_lon") == F.col("t_lon")),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("cell_lat").cast("bigint").alias("cell_lat"),
+            F.col("cell_lon").cast("bigint").alias("cell_lon"),
+            F.col("n").cast("bigint").alias("n_local"),
+            "n_neighborhood",
+            F.round(
+                F.col("n_neighborhood").cast("double")
+                / F.col("n_total").cast("double"),
+                6,
+            ).alias("neigh_share"),
+        )
+        .orderBy(F.desc("n_neighborhood"), "cell_lat", "cell_lon")
+        .limit(15)
+    )

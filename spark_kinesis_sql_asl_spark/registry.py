@@ -44,6 +44,7 @@ _MODULES = (
     "operators.timeseries",
     "operators.governance",
     "operators.analytics",
+    "operators.geo",
     "llm.similarity",
     "llm.retrieval",
     "functions.udfs",

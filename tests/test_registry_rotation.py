@@ -86,6 +86,10 @@ ROUND8_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_llm_mrr",
         "q_llm_quality_ece",
         "q_llm_rater_kappa",
+        "q_geo_cell_density",
+        "q_geo_dist_join",
+        "q_geo_knn",
+        "q_geo_hotspot",
     }
 )
 
