@@ -63,91 +63,93 @@ _MODULES = (
     "operators.sorts_sets",
 )
 
-# ROUND-8 ROTATION (computed from CORRECTNESS_r01..r07.json): round 7 left a
-# fully green cumulative ledger (0 red, never-sampled set empty), so this
-# round's rotation is pure freshness retirement (VERDICT r7 item #1): 50 of
-# 284 queries were last driver-sampled in ROUND 1 — before the r6/r7
-# memoization refactors rewired the shared dedup/join/agg state they run on.
-# The 42 alphabetically-first of those (scans/filters/joins/aggs/sets — the
-# refactor-touched paths) re-enter the window at override 5; the remaining 8
-# (windows + topk/unpivot) rotate in round 9. The 13 canaries are pinned at
-# 100 FOR THIS ROUND ONLY (all have fresh r7 green rows) to make room; new
-# round-8 queries use decorator priority=30 and land after the rotated set,
-# inside the ~50-slot window (42 rotated + 8 new = 50).
+# ROUND-9 ROTATION (computed from CORRECTNESS_r01..r08.json): the cumulative
+# ledger is fully green (0 red), but round 8 registered 49 new queries
+# against a 50-row driver window, so 41 registered queries have never been
+# driver-sampled (the judge ran all 41 through the in-repo driver-canon
+# replica, green — but the CORRECTNESS ledger is the contract of record,
+# VERDICT r8 item #1). Round-9 window, in priority order:
+#
+#   override 5   the 8 remaining round-1-last-sampled queries (windows +
+#                topk/unpivot) deferred from the r8 freshness rotation
+#   override 8   the 41 never-driver-sampled queries (r8 additions incl.
+#                canaries D14/D15) — 8 + 41 = 49, all guaranteed in-window
+#   override 10  the 13 legacy canaries, back at their permanent slot
+#                (r8 pinned them at 100 for one round); exactly one fills
+#                window slot 50, the rest queue first for round 10
+#   override 100 every other ever-driver-sampled query
+#
+# New round-9 queries use decorator priority=30: behind the canaries,
+# ahead of the pinned set — they take their first driver rows in round 10
+# (the backlog, not the window, is the scarce resource this round).
 # tests/test_registry_rotation.py recomputes and asserts this composition.
 _PRIORITY_OVERRIDES: dict[str, int] = {
-    # (a) freshness rotation: the 42 alphabetically-first of the 50
-    # round-1-last-sampled queries re-enter the window at 5
+    # (a) freshness rotation: the 8 round-1-last-sampled queries deferred
+    # from round 8 re-enter the window at 5
     **{
         n: 5
         for n in (
-            "q_agg_approx_distinct",
-            "q_agg_argmax",
-            "q_agg_collect",
-            "q_agg_cube",
-            "q_agg_distinct",
-            "q_agg_global",
-            "q_agg_group",
-            "q_agg_grouping_sets",
-            "q_agg_having",
-            "q_agg_multi_distinct",
-            "q_agg_percentile",
-            "q_agg_rollup",
-            "q_agg_stats",
-            "q_filter_compound",
-            "q_filter_like",
-            "q_filter_null",
-            "q_fn_regex",
-            "q_fn_split",
-            "q_fn_string",
-            "q_join_anti",
-            "q_join_asof",
-            "q_join_broadcast",
-            "q_join_cross",
-            "q_join_full",
-            "q_join_inner",
-            "q_join_interval",
-            "q_join_left",
-            "q_join_multiway",
-            "q_join_right",
-            "q_join_salted",
-            "q_join_semi",
-            "q_join_theta",
-            "q_pivot",
-            "q_project_arith",
-            "q_scan_full",
-            "q_scan_pruned",
-            "q_scan_pushdown",
-            "q_set_except",
-            "q_set_intersect",
-            "q_set_union_all",
-            "q_set_union_distinct",
-            "q_sort_multi",
+            "q_topk",
+            "q_unpivot",
+            "q_win_first_last",
+            "q_win_lag_lead",
+            "q_win_ntile",
+            "q_win_range_frame",
+            "q_win_rank",
+            "q_win_running",
         )
     },
-    # (c) every other ever-driver-sampled query pins at 100 — including
-    # the 13 canaries this round (fresh r7 green rows; they return to 10
-    # in round 9) and round 7's new queries (sampled green in r7)
+    # (b) the 41 never-driver-sampled round-8 additions at 8: slots 9..49
     **{
-        n: 100
+        n: 8
         for n in (
-            "q_agg_bivariate",
-            "q_agg_boolcond",
-            "q_agg_decimal",
-            "q_agg_entropy",
-            "q_agg_filter_clause",
-            "q_agg_gini",
-            "q_agg_hhi",
-            "q_agg_histogram",
-            "q_agg_listagg",
-            "q_agg_mode",
-            "q_agg_percentile_approx",
-            "q_agg_skew_kurtosis",
-            "q_agg_weighted_median",
-            "q_agg_welch_t",
-            "q_agg_winsorized_mean",
-            "q_basket_pairs",
-            "q_benford_audit",
+            "q_agg_cov_matrix",
+            "q_canary_ln_quant",
+            "q_canary_wideint_convert",
+            "q_events_anova",
+            "q_events_entropy_rate",
+            "q_events_kruskal",
+            "q_events_mannwhitney",
+            "q_events_spearman",
+            "q_events_survival",
+            "q_geo_cell_density",
+            "q_geo_dist_join",
+            "q_geo_hotspot",
+            "q_geo_knn",
+            "q_join_bucketed",
+            "q_llm_band_assign",
+            "q_llm_band_tuning",
+            "q_llm_cms_heavy",
+            "q_llm_dup_inflation",
+            "q_llm_dup_kcore",
+            "q_llm_dup_pagerank",
+            "q_llm_embed_pca_power",
+            "q_llm_kmv_distinct",
+            "q_llm_kmv_setops",
+            "q_llm_minhash_portable",
+            "q_llm_mrr",
+            "q_llm_ndcg",
+            "q_llm_quality_ece",
+            "q_llm_rater_kappa",
+            "q_llm_semantic_clusters",
+            "q_llm_semantic_dedup_e2e",
+            "q_llm_semantic_survivors",
+            "q_llm_semantic_yield",
+            "q_llm_weighted_sample",
+            "q_privacy_dp_hist",
+            "q_ts_acf",
+            "q_ts_ccf",
+            "q_ts_pacf",
+            "q_ts_peaks",
+            "q_ts_trend_forecast",
+            "q_win_skyline",
+            "q_zorder_layout",
+        )
+    },
+    # (c) the 13 legacy canaries return to their permanent priority 10
+    **{
+        n: 10
+        for n in (
             "q_canary_decimal_sum",
             "q_canary_empty_agg",
             "q_canary_filter_null_agg",
@@ -161,6 +163,43 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_canary_string_order",
             "q_canary_tok_split",
             "q_canary_try_arith",
+        )
+    },
+    # (d) every other ever-driver-sampled query pins at 100
+    **{
+        n: 100
+        for n in (
+            "q_agg_approx_distinct",
+            "q_agg_argmax",
+            "q_agg_bivariate",
+            "q_agg_boolcond",
+            "q_agg_collect",
+            "q_agg_cube",
+            "q_agg_decimal",
+            "q_agg_distinct",
+            "q_agg_entropy",
+            "q_agg_filter_clause",
+            "q_agg_gini",
+            "q_agg_global",
+            "q_agg_group",
+            "q_agg_grouping_sets",
+            "q_agg_having",
+            "q_agg_hhi",
+            "q_agg_histogram",
+            "q_agg_listagg",
+            "q_agg_mode",
+            "q_agg_multi_distinct",
+            "q_agg_percentile",
+            "q_agg_percentile_approx",
+            "q_agg_rollup",
+            "q_agg_skew_kurtosis",
+            "q_agg_stats",
+            "q_agg_theil",
+            "q_agg_weighted_median",
+            "q_agg_welch_t",
+            "q_agg_winsorized_mean",
+            "q_basket_pairs",
+            "q_benford_audit",
             "q_customer_rfm",
             "q_customer_tier_migration",
             "q_cusum_changepoint",
@@ -172,10 +211,14 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_events_funnel",
             "q_events_hourly_profile",
             "q_events_inter_arrival",
+            "q_events_ks_test",
             "q_events_mad_outliers",
             "q_events_markov_stationary",
             "q_events_sessionize",
             "q_events_transitions",
+            "q_filter_compound",
+            "q_filter_like",
+            "q_filter_null",
             "q_fn_array",
             "q_fn_binary",
             "q_fn_bitwise",
@@ -188,12 +231,28 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_fn_map",
             "q_fn_math",
             "q_fn_posexplode",
+            "q_fn_regex",
+            "q_fn_split",
+            "q_fn_string",
             "q_fn_struct",
             "q_fn_variant",
+            "q_join_anti",
+            "q_join_asof",
             "q_join_asof_forward",
             "q_join_asof_nearest",
             "q_join_asof_tolerance",
+            "q_join_broadcast",
+            "q_join_cross",
+            "q_join_full",
+            "q_join_inner",
+            "q_join_interval",
+            "q_join_left",
+            "q_join_multiway",
             "q_join_null_safe",
+            "q_join_right",
+            "q_join_salted",
+            "q_join_semi",
+            "q_join_theta",
             "q_kinesis_decode_csv",
             "q_kinesis_decode_json",
             "q_kinesis_replay_window",
@@ -216,6 +275,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_corpus_build",
             "q_llm_corpus_diff",
             "q_llm_corpus_stats",
+            "q_llm_cross_dup_matrix",
             "q_llm_curate_e2e",
             "q_llm_data_card",
             "q_llm_decode_media",
@@ -231,6 +291,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_dedup_ngram",
             "q_llm_dedup_normalized",
             "q_llm_dedup_precision",
+            "q_llm_dedup_semantic",
             "q_llm_dedup_simhash",
             "q_llm_dedup_survivors",
             "q_llm_dedup_yield_curve",
@@ -257,6 +318,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_heavy_hitters_sketch",
             "q_llm_ingest_dedup",
             "q_llm_ingest_jsonl",
+            "q_llm_ingest_neardup",
             "q_llm_inverted_index",
             "q_llm_keyword_stuffing",
             "q_llm_kmeans",
@@ -307,6 +369,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_sample_hash",
             "q_llm_sample_reservoir",
             "q_llm_scd2",
+            "q_llm_semantic_cell_audit",
             "q_llm_semantic_outliers",
             "q_llm_shard_balance",
             "q_llm_shingle_df_audit",
@@ -332,14 +395,24 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_winnow",
             "q_llm_zipf_fit",
             "q_pareto_deciles",
+            "q_pivot",
             "q_privacy_bounded_contrib",
             "q_privacy_cell_suppression",
             "q_privacy_kanon",
             "q_privacy_ldiversity",
             "q_privacy_tcloseness",
+            "q_project_arith",
+            "q_scan_full",
+            "q_scan_pruned",
+            "q_scan_pushdown",
+            "q_set_except",
             "q_set_except_all",
+            "q_set_intersect",
             "q_set_intersect_all",
+            "q_set_union_all",
+            "q_set_union_distinct",
             "q_skew_audit",
+            "q_sort_multi",
             "q_sort_nulls_first",
             "q_sql_recursive_spine",
             "q_stream_dedup_keys",
@@ -349,29 +422,23 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_subquery_correlated_scalar",
             "q_subquery_exists",
             "q_subquery_scalar",
-            "q_topk",
             "q_topk_per_group",
             "q_ts_backlog",
             "q_ts_ewma_cross",
             "q_ts_gapfill",
             "q_ts_ohlc",
+            "q_ts_seasonality",
             "q_ts_time_weighted",
             "q_udaf_grouped",
             "q_udf_pandas",
             "q_udf_scalar",
             "q_udtf_expand",
-            "q_unpivot",
             "q_win_distribution",
-            "q_win_first_last",
-            "q_win_lag_lead",
             "q_win_mom_growth",
             "q_win_nth_value",
-            "q_win_ntile",
-            "q_win_range_frame",
-            "q_win_rank",
             "q_win_rolling_slope",
-            "q_win_running",
             "q_win_running_distinct",
+            "q_win_streaks",
             "q_win_time_range",
         )
     },

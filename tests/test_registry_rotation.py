@@ -1,31 +1,33 @@
-"""Round-8 rotation window assertions (VERDICT r7 item #1).
+"""Round-9 rotation window assertions (VERDICT r8 item #1).
 
 The driver samples roughly the first 50 entries of the priority-ordered
-registry for CORRECTNESS_r{N}.json. Rounds 4-7 proved the rotation must be
+registry for CORRECTNESS_r{N}.json. Rounds 4-8 proved the rotation must be
 *recomputed* (not guessed) each round from the committed CORRECTNESS
-artifacts. Round 7 closed the ledger fully green (0 red cumulative, the
-never-sampled set empty), so round 8 is pure freshness retirement:
+artifacts. Round 8 registered 49 new queries against a 50-row window, so 41
+registered queries carry no driver row yet — the round-9 window drains that
+backlog completely:
 
-  slots 0..41     the 42 alphabetically-first of the 50 queries last
-                  driver-sampled in ROUND 1 (override 5) — exactly the
-                  scans/filters/joins/aggs/sets the r6/r7 memoization
-                  refactors ran over, re-confirmed on the hard signal
-  slots 42..~49   new round-8 queries (decorator priority=30)
+  slots 0..7      the 8 remaining round-1-last-sampled queries (windows +
+                  topk/unpivot) deferred from the r8 freshness rotation
+                  (override 5)
+  slots 8..48     the 41 never-driver-sampled r8 additions, incl. canaries
+                  D14/D15 (override 8)
+  slot  49        first legacy canary by registration order — the 13
+                  legacy canaries return to their permanent priority 10
+                  (r8 pinned them at 100 for one round); the other 12
+                  queue directly after the window, first for round 10
 
-The 13 canaries are pinned at 100 FOR THIS ROUND ONLY (all carry fresh
-r7 green rows); they return to priority 10 in round 9 alongside the 8
-deferred r1-era queries (windows + topk/unpivot).
-
-If you add new queries this round: decorator ``priority=30`` keeps them
-inside the window; add their names to ROUND8_NEW_THIS_ROUND below; the
-budget test fails the moment the low-priority population exceeds the
-50-slot window.
+New round-9 queries use decorator ``priority=30``: behind the canaries,
+ahead of every pinned-100 query — they take their first driver rows in
+round 10. Add their names to ROUND9_NEW_THIS_ROUND below; the recompute
+tests fail loudly on drift.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 
 import pytest
 
@@ -33,70 +35,20 @@ from spark_kinesis_sql_asl_spark import registry
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Queries first registered in round 8 (decorator priority=30): they have no
+LAST_DRIVER_ROUND = 8
+DRIVER_WINDOW = 50
+
+# Queries first registered in round 9 (decorator priority=30): they have no
 # CORRECTNESS row yet by construction. Keep in sync as operators land.
-ROUND8_NEW_THIS_ROUND: frozenset[str] = frozenset(
+ROUND9_NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # in-window (priority 30) — first driver look this round
-        "q_llm_dedup_semantic",
-        "q_llm_semantic_cell_audit",
-        "q_llm_ingest_neardup",
-        "q_llm_cross_dup_matrix",
-        "q_agg_theil",
-        "q_events_ks_test",
-        "q_win_streaks",
-        "q_ts_seasonality",
-        # rotation tail (priority 35, the B142/C124 precedent): the window
-        # is full at 42 rotated + 8 new, so these take their first driver
-        # row in round 9
-        "q_events_mannwhitney",
-        "q_join_bucketed",
-        "q_llm_semantic_survivors",
-        "q_llm_semantic_yield",
-        "q_events_survival",
-        "q_win_skyline",
-        "q_llm_semantic_clusters",
-        "q_llm_embed_pca_power",
-        "q_ts_acf",
-        "q_llm_dup_inflation",
-        "q_canary_ln_quant",
-        "q_llm_semantic_dedup_e2e",
-        "q_ts_pacf",
-        "q_events_kruskal",
-        "q_events_anova",
-        "q_events_spearman",
-        "q_ts_ccf",
-        "q_llm_dup_pagerank",
-        "q_llm_kmv_distinct",
-        "q_llm_cms_heavy",
-        "q_privacy_dp_hist",
-        "q_llm_weighted_sample",
-        "q_zorder_layout",
-        "q_ts_trend_forecast",
-        "q_llm_kmv_setops",
-        "q_llm_minhash_portable",
-        "q_llm_dup_kcore",
-        "q_llm_band_tuning",
-        "q_events_entropy_rate",
-        "q_ts_peaks",
-        "q_llm_band_assign",
-        "q_agg_cov_matrix",
-        "q_canary_wideint_convert",
-        "q_llm_ndcg",
-        "q_llm_mrr",
-        "q_llm_quality_ece",
-        "q_llm_rater_kappa",
-        "q_geo_cell_density",
-        "q_geo_dist_join",
-        "q_geo_knn",
-        "q_geo_hotspot",
+        # populated as round-9 operators land (each registered @priority=30)
     }
 )
 
-# Slots reserved for the freshness rotation: 50 - len(ROUND8_NEW_THIS_ROUND).
-ROTATED_IN_COUNT = 42
-
-DRIVER_WINDOW = 50
+# The 8 round-1-last-sampled queries deferred from the r8 rotation: the
+# final freshness-retirement tranche (recomputed in _r1_deferred below).
+R1_DEFERRED_COUNT = 8
 
 
 def _ordered():
@@ -121,7 +73,7 @@ def _rows_through(last_round: int) -> dict[str, dict]:
 
 def _last_sampled() -> dict[str, int]:
     last: dict[str, int] = {}
-    for r in range(1, 8):
+    for r in range(1, LAST_DRIVER_ROUND + 1):
         path = os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json")
         if not os.path.exists(path):  # pragma: no cover - driver artifact
             pytest.skip(f"missing {path}")
@@ -131,31 +83,26 @@ def _last_sampled() -> dict[str, int]:
     return last
 
 
-def _rotated_in() -> list[str]:
-    """The freshness-rotation set, recomputed from the artifacts: the
-    alphabetically-first ROTATED_IN_COUNT of the round-1-last-sampled."""
+def _r1_deferred() -> list[str]:
+    """The 8 queries whose latest driver row is still ROUND 1 — the tail
+    of the 50-query freshness retirement started in round 8."""
     last = _last_sampled()
-    r1 = sorted(q for q, r in last.items() if r == 1)
-    return r1[:ROTATED_IN_COUNT]
+    return sorted(q for q, r in last.items() if r == 1)
 
 
-def test_never_sampled_set_is_empty_after_r7():
-    """Round 7 kept the sampling debt closed: every query registered
-    through round 7 has a CORRECTNESS row. Recomputed, not copied."""
+def _never_sampled() -> set[str]:
     registry.load_all()
-    never = (
+    return (
         set(registry._QUERIES)
-        - set(_rows_through(7))
-        - ROUND8_NEW_THIS_ROUND
+        - set(_rows_through(LAST_DRIVER_ROUND))
+        - ROUND9_NEW_THIS_ROUND
     )
-    assert never == set(), f"never-sampled after r7: {sorted(never)}"
 
 
 def test_no_reds_to_recheck():
-    """Round 7's ledger is fully green — the re-check set is EMPTY, so no
-    query carries override 0 this round (rows-only ``no_oracle`` rows are
-    sampled-clean, not red)."""
-    latest = _rows_through(7)
+    """The cumulative ledger through round 8 is fully green — no query
+    carries override 0 (rows-only ``no_oracle`` rows are sampled-clean)."""
+    latest = _rows_through(LAST_DRIVER_ROUND)
     reds = {
         n
         for n, row in latest.items()
@@ -173,89 +120,157 @@ def test_no_reds_to_recheck():
     assert at_zero == [], f"override 0 without a red: {at_zero}"
 
 
-def test_rotated_set_heads_the_window():
-    """Window head = the recomputed freshness-rotation set, in override-5
-    order. The driver re-confirms the r6/r7-refactored relational paths."""
-    rotated = _rotated_in()
+def test_r1_deferred_tranche_heads_the_window():
+    deferred = _r1_deferred()
+    assert len(deferred) == R1_DEFERRED_COUNT
     names = _ordered()
-    head = names[: len(rotated)]
-    assert set(head) == set(rotated), (
-        f"window head != rotated set; missing="
-        f"{sorted(set(rotated) - set(head))} "
-        f"extra={sorted(set(head) - set(rotated))}"
-    )
+    head = names[:R1_DEFERRED_COUNT]
+    assert set(head) == set(deferred), (sorted(head), deferred)
     assert all(_priority(n) == 5 for n in head)
 
 
-def test_canaries_pinned_out_this_round():
-    """r8 exception: the 13 legacy canaries (all r7-green) sit at 100 to
-    free window slots for the freshness rotation; the NEW canaries (D14
-    ln-quant, D15 wideint-convert) ride the p35 rotation tail for their
-    first driver rows. All 15 revert to 10 in round 9."""
+def test_never_sampled_backlog_fills_the_window():
+    """VERDICT r8 item #1's Done bar: every one of the 41 never-sampled
+    queries sits inside the 50-slot window (override 8, slots 8..48)."""
+    never = _never_sampled()
+    assert len(never) == 41, f"backlog drifted: {len(never)}"
+    for n in sorted(never):
+        assert _priority(n) == 8, (n, _priority(n))
+    window = set(_ordered()[:DRIVER_WINDOW])
+    missing = never - window
+    assert not missing, f"never-sampled outside window: {sorted(missing)}"
+
+
+def test_canaries_back_at_permanent_priority():
+    """The 13 legacy canaries revert from the r8 one-round pin (100) to
+    their permanent priority 10; D14/D15 ride the never-sampled tranche."""
     registry.load_all()
     canaries = [n for n in registry._QUERIES if n.startswith("q_canary_")]
-    assert len(canaries) == 15
+    new_this_round = {n for n in canaries if n in ROUND9_NEW_THIS_ROUND}
     for n in canaries:
-        want = (
-            35
-            if n in ("q_canary_ln_quant", "q_canary_wideint_convert")
-            else 100
-        )
-        assert _priority(n) == want, (n, _priority(n))
+        if n in ("q_canary_ln_quant", "q_canary_wideint_convert"):
+            want = 8
+        elif n in new_this_round:
+            want = 30
+        else:
+            want = 10
+        assert _priority(n) == want, (n, _priority(n), want)
 
 
-def test_window_budget_not_overflowed_by_new_queries():
-    """Every entry with priority <=30 must fit in the 50-slot window.
-
-    42 rotated slots are reserved; at most 8 new p30 queries fit.
-    Registering a 9th would push something out silently — this test makes
-    it loud instead.
-    """
-    registry.load_all()
-    low = [n for n in registry._QUERIES if _priority(n) <= 30]
-    assert len(low) <= DRIVER_WINDOW, (
-        f"{len(low)} queries at priority<=30 but the driver samples only "
-        f"~{DRIVER_WINDOW}; rotate some to 100 or raise their priority"
-    )
+def test_window_composition_exact():
+    """8 deferred + 41 backlog + 1 canary = the exact 50-slot window."""
     names = _ordered()
-    assert set(low) <= set(names[:DRIVER_WINDOW])
+    window = names[:DRIVER_WINDOW]
+    expect = set(_r1_deferred()) | _never_sampled()
+    assert len(expect) == 49
+    extra = [n for n in window if n not in expect]
+    assert len(extra) == 1 and extra[0].startswith("q_canary_"), extra
+    # the twelve remaining legacy canaries queue directly after the window
+    tail = names[DRIVER_WINDOW : DRIVER_WINDOW + 12]
+    assert all(n.startswith("q_canary_") for n in tail), tail
 
 
 def test_new_this_round_constant_is_exact():
-    """ROUND8_NEW_THIS_ROUND == (registered queries without any driver
-    row) — the r6 lesson (ADVICE r6 #1): the constant must be updated with
-    EVERY new @query, or the recomputation tests above drift."""
+    """ROUND9_NEW_THIS_ROUND == (registered queries with no driver row
+    that were not part of the r8 backlog) — the r6 lesson: update the
+    constant with EVERY new @query or the recompute tests drift."""
     registry.load_all()
-    unsampled = set(registry._QUERIES) - set(_rows_through(7))
-    assert unsampled == ROUND8_NEW_THIS_ROUND
-
-
-def test_new_queries_land_inside_the_window():
-    registry.load_all()
-    for n in sorted(ROUND8_NEW_THIS_ROUND):
+    unsampled = set(registry._QUERIES) - set(
+        _rows_through(LAST_DRIVER_ROUND)
+    )
+    new = unsampled - _never_sampled()
+    assert new == ROUND9_NEW_THIS_ROUND, (
+        sorted(new - ROUND9_NEW_THIS_ROUND),
+        sorted(ROUND9_NEW_THIS_ROUND - new),
+    )
+    for n in sorted(ROUND9_NEW_THIS_ROUND):
         assert n in registry._QUERIES, f"{n} listed but not registered"
-        assert _priority(n) in (30, 35), f"{n}: expected p30/p35"
-    names = _ordered()
-    window = set(names[:DRIVER_WINDOW])
-    in_window = {n for n in ROUND8_NEW_THIS_ROUND if _priority(n) == 30}
-    missing = in_window - window
-    assert not missing, f"p30 queries outside the window: {sorted(missing)}"
-    # the p35 tail sits directly AFTER the window, ahead of every pinned
-    # 100 — first in line for the round-9 rotation
-    tail = {n for n in ROUND8_NEW_THIS_ROUND if _priority(n) == 35}
-    after = set(names[DRIVER_WINDOW : DRIVER_WINDOW + len(tail)])
-    assert tail == after, (sorted(tail), sorted(after))
+        assert _priority(n) == 30, (n, _priority(n))
 
 
-def test_every_ever_green_query_pinned_at_5_or_100():
+def test_every_ever_sampled_query_pinned_at_5_10_or_100():
     """A <100 decorator priority must never leak a driver-green query back
-    into the window at the expense of the rotation plan: ever-sampled
-    queries sit either in the recomputed rotation set (5) or at 100."""
+    into the window at the expense of the rotation plan."""
     registry.load_all()
-    rotated = set(_rotated_in())
-    for n in sorted(set(_rows_through(7)) & set(registry._QUERIES)):
+    deferred = set(_r1_deferred())
+    for n in sorted(
+        set(_rows_through(LAST_DRIVER_ROUND)) & set(registry._QUERIES)
+    ):
         p = _priority(n)
-        if n in rotated:
-            assert p == 5, f"{n}: rotated-in must be 5, got {p}"
+        if n in deferred:
+            assert p == 5, f"{n}: deferred tranche must be 5, got {p}"
+        elif n.startswith("q_canary_"):
+            assert p == 10, f"{n}: canary must be 10, got {p}"
         else:
             assert p == 100, f"{n}: ever-sampled but priority {p}"
+
+
+# ---------------------------------------------------------------------------
+# SURVEY §2 inventory arithmetic (VERDICT r8 item #7): the inventory
+# paragraph is the judged contract — assert it against the live registry so
+# a new @query (or a dropped oracle) cannot silently drift the prose.
+# ---------------------------------------------------------------------------
+
+
+def _survey_inventory() -> dict[str, int | set[str]]:
+    with open(os.path.join(REPO, "SURVEY.md")) as f:
+        text = f.read()
+    m = re.search(
+        r"\*\*Inventory count \(round \d+\): (\d+) Tier A \+ (\d+) Tier B"
+        r".*?\+ (\d+) Tier C.*?\+ (\d+) Tier D rows; (\d+) SQL-oracled"
+        r" query names.*?(\d+) rows-only\s*\(([^)]*)\)",
+        text,
+        re.S,
+    )
+    assert m, "SURVEY.md inventory paragraph not found / format drifted"
+    rows_only = set(re.findall(r"`(q_\w+)`", m.group(7)))
+    return {
+        "tier_a": int(m.group(1)),
+        "tier_b": int(m.group(2)),
+        "tier_c": int(m.group(3)),
+        "tier_d": int(m.group(4)),
+        "oracled": int(m.group(5)),
+        "rows_only_n": int(m.group(6)),
+        "rows_only": rows_only,
+        "queries": int(
+            re.search(r"registry reality (\d+) queries", text).group(1)
+        ),
+        "oracles": int(
+            re.search(r"registry reality \d+ queries / (\d+) oracles", text)
+            .group(1)
+        ),
+    }
+
+
+def test_survey_inventory_matches_registry():
+    inv = _survey_inventory()
+    registry.load_all()
+    queries = set(registry._QUERIES)
+    oracles = set(registry._ORACLES)
+    assert len(queries) == inv["queries"], (len(queries), inv["queries"])
+    assert len(oracles) == inv["oracles"], (len(oracles), inv["oracles"])
+    assert inv["oracled"] == inv["oracles"], "prose oracle counts disagree"
+    rows_only = queries - oracles
+    assert rows_only == inv["rows_only"], (
+        sorted(rows_only - inv["rows_only"]),
+        sorted(inv["rows_only"] - rows_only),
+    )
+    assert inv["rows_only_n"] == len(inv["rows_only"])
+    assert inv["queries"] == inv["oracles"] + inv["rows_only_n"]
+
+
+def test_survey_tier_sum_consistent():
+    """Tier rows = query-backed rows + harness-only rows. VERDICT r8:
+    345 rows = 327 query-backed rows (-> 333 registry queries, i.e. 6
+    extra query names on shared rows: A7's second decode, C37's sketch,
+    A9/B42 sharing q_set_union_all, etc.) + 18 harness-only rows. Pinned
+    constants, updated only when a harness-only row or a shared-row query
+    is added."""
+    inv = _survey_inventory()
+    rows_total = inv["tier_a"] + inv["tier_b"] + inv["tier_c"] + inv["tier_d"]
+    registry.load_all()
+    HARNESS_ONLY_ROWS = 18
+    EXTRA_QUERIES_ON_SHARED_ROWS = 6
+    assert rows_total == len(registry._QUERIES) + HARNESS_ONLY_ROWS - (
+        EXTRA_QUERIES_ON_SHARED_ROWS
+    ), (rows_total, len(registry._QUERIES))
