@@ -766,6 +766,15 @@ def q_llm_dedup_containment(spark, sf_dir):
 # --- C82s: containment-MinHash scale rung (rows-only, like C3 beside C2) -----
 
 _CLSH_K = 24  # signature positions; binomial agree-count sets the estimate
+# Candidate-stage effective tau for the sketch rung ONLY (VERDICT r8 #3):
+# the rung's job is the high-containment head (the release cut is a top-1
+# per doc_small anyway), so its prefix can be tighter than C82's exact
+# tau=0.95 — prefix length sz-ceil(tau*sz)+1 shrinks ~2x, candidates
+# 4.85M -> 3.05M at sf0.1, bench 7.1s -> 5.5s warm. Every true-subset pair
+# (containment 1.0) survives ANY prefix; measured doc_small recall vs
+# C82's exact output at sf0.01: 0.9963 at 0.95 -> 0.9907 at 0.98, both far
+# above the 0.9 gate (tests/test_llm.py).
+_CLSH_CAND_TAU = 0.98
 
 
 @query("q_llm_dedup_containment_lsh", priority=30)  # rows-only: hash-seeded
@@ -796,12 +805,13 @@ def q_llm_dedup_containment_lsh(spark, sf_dir):
 
     Rows-only by design (hash-seeded estimate, no SQL oracle);
     tests/test_llm.py gates recall >= 0.9 of C82's exact doc_small
-    coverage at sf0.01. Recall loss comes ONLY from estimate noise
-    (binomial agree-count under-shooting the 0.8 cut), never from
-    candidate generation."""
-    tau = _CONTAIN_TAU
+    coverage at sf0.01. Recall loss comes from estimate noise (binomial
+    agree-count under-shooting the 0.8 cut) plus the sketch rung's
+    tighter candidate prefix (_CLSH_CAND_TAU = 0.98 vs the exact pass's
+    0.95 — measured recall cost 0.6pp, candidate volume cost -37%;
+    true-subset pairs survive any prefix)."""
     docs, indexed = _containment_state(spark, sf_dir)
-    cand = _containment_candidates(spark, indexed, tau)
+    cand = _containment_candidates(spark, indexed, _CLSH_CAND_TAU)
     def _seeded(i):
         # single-parameter lambda on purpose: F.transform treats a
         # TWO-parameter callable as (element, array_index) and would feed

@@ -23,18 +23,21 @@ Scale posture per operator:
 
 * cell density / hotspot — one hash aggregation keyed by cell id (cells
   ≪ points at any SF), then cell-level 3×3 neighbor joins on the tiny
-  aggregate, never on points.
+  aggregate, never on points. Coordinates are extra columns on the ONE
+  point scan (``_with_coords``), never a key-projection joined back.
 * distance join — the small side (suppliers: a broadcastable dim) is
   replicated into its 9 neighboring cells and broadcast; the point-scale
   side joins on exact cell id equality. Block size C == radius R makes
   the 3×3 neighborhood provably complete: |Δ| ≤ R ⇒ cell index differs
   by ≤ 1. No shuffle of the big side beyond the final per-nation agg.
-* kNN — when the candidate set is a broadcastable dim (stores, towers,
-  warehouses — the common production shape), broadcast it, score all
-  candidates pipelined on the scan, and take top-k per point with a
-  rank-limited window (Spark's WindowGroupLimit keeps the per-key top-k
-  map-side; candidates for one point are co-partitioned by construction,
-  so the exchange carries ~k rows per point, not the cross product).
+* kNN — the same cell blocking, two-phase (VERDICT r8 #2): phase 1
+  scores each point only against the suppliers replicated into its own
+  cell (the 3×3 neighborhood ∩ dist ≤ R == the exact R-ball, by the C==R
+  argument); points whose ball already holds ≥ k candidates are exact.
+  Phase 2 brute-force-scores ONLY the residue (sparse-region/boundary
+  points, measured 0.7% at sf0.1) against the broadcast
+  dim. Candidate volume is O(points·ball + residue·dims), never the
+  O(points·dims) cross product that is quadratic in SF.
 """
 
 from __future__ import annotations
@@ -69,11 +72,47 @@ def _coords_duck(alias_key: str, key: str, tbl: str, where: str) -> str:
 
 def _coords_spark(df, alias_key: str, key: str):
     """Spark twin of :func:`_coords_duck` — same md5 parse, same reduction."""
+    return _with_coords(df, alias_key, key).select(key, "slat", "slon")
+
+
+def _with_coords(df, alias_key: str, key: str):
+    """Add portable micro-degree coordinates as EXTRA COLUMNS on the scan.
+
+    This is the big-side form (ADVICE r8): the md5 parse pipelines inside
+    the point table's own scan stage, so carrying c_nationkey/c_acctbal
+    alongside slat/slon costs no join and no second scan — the r8 shape
+    (key-only projection joined back on the key) was a big×big self-join.
+    """
     expr = f"concat('{alias_key}', CAST({key} AS STRING))"
-    return df.where(F.col(key).isNotNull()).select(
-        key,
-        F.expr(f"{_hex_parse_spark(expr, 1)} % {_PLANE}").alias("slat"),
-        F.expr(f"{_hex_parse_spark(expr, 9)} % {_PLANE}").alias("slon"),
+    return df.where(F.col(key).isNotNull()).withColumns(
+        {
+            "slat": F.expr(f"{_hex_parse_spark(expr, 1)} % {_PLANE}"),
+            "slon": F.expr(f"{_hex_parse_spark(expr, 9)} % {_PLANE}"),
+        }
+    )
+
+
+def _supp_neighborhood(supp):
+    """Replicate the (broadcastable) supplier dim into its 9 neighboring
+    R-cells: the shared blocking frame of B164/B165. 9·|dim| rows."""
+    offsets = F.expr("explode(array(-1, 0, 1))")
+    return (
+        supp.select(
+            "s_suppkey",
+            F.col("slat").alias("s_slat"),
+            F.col("slon").alias("s_slon"),
+            F.expr(f"slat div {_R}").alias("s_cell_lat"),
+            F.expr(f"slon div {_R}").alias("s_cell_lon"),
+        )
+        .withColumn("dlat", offsets)
+        .withColumn("dlon", offsets)
+        .select(
+            "s_suppkey",
+            "s_slat",
+            "s_slon",
+            (F.col("s_cell_lat") + F.col("dlat")).alias("cell_lat"),
+            (F.col("s_cell_lon") + F.col("dlon")).alias("cell_lon"),
+        )
     )
 
 
@@ -111,14 +150,16 @@ def q_geo_cell_density(spark, sf_dir):
     audit every spatial pipeline runs before choosing a blocking scheme
     (it is C72's bucket-size audit transplanted to space: a skewed cell
     histogram predicts the blocked join's straggler BEFORE the join
-    runs). One hash aggregation keyed by (cell_lat, cell_lon); at 100 TB
+    runs). One hash aggregation keyed by (cell_lat, cell_lon) over ONE
+    customer scan — coordinates are withColumn expressions on that scan
+    (ADVICE r8: the previous key-projection join-back was a big×big
+    self-join that only AQE broadcasting hid at driver SFs); at 100 TB
     the aggregate is |cells|-sized, the top-20 head rides TakeOrdered.
     Balance released as exact floor-cents BIGINT (the D2-pinned money
     pattern; floor of an IEEE-exact double product is engine-identical),
     NULL balances dropped by sum semantics on both engines."""
     cust = table(spark, sf_dir, "customer")
-    pos = _coords_spark(cust, "c", "c_custkey")
-    enriched = cust.join(pos, "c_custkey").select(
+    enriched = _with_coords(cust, "c", "c_custkey").select(
         F.expr(f"slat div {_DCELL}").alias("cell_lat"),
         F.expr(f"slon div {_DCELL}").alias("cell_lon"),
         "c_nationkey",
@@ -179,40 +220,20 @@ def q_geo_dist_join(spark, sf_dir):
     customer's cell. No (c, s) pair can match twice — the customer's
     cell id is unique, and each supplier replica carries a distinct cell.
     The oracle is the brute-force cross join (driver SFs only); the
-    engine side never materializes it. Per-pair dist2 is exact BIGINT;
-    the released sum is of per-pair ``dist2 // 1e6`` (truncating division
+    engine side never materializes it. c_nationkey rides the SAME
+    customer scan as the coordinates (ADVICE r8: the previous second
+    scan + broadcast of a customer-scale key projection collects
+    |customers| rows to the driver and OOMs at real SF — the big side
+    must never be broadcast). Per-pair dist2 is exact BIGINT; the
+    released sum is of per-pair ``dist2 // 1e6`` (truncating division
     of non-negative ints — D7-safe) to stay far below 2^53 at any SF
     (D15 wide-int rule)."""
-    cust = _coords_spark(table(spark, sf_dir, "customer"), "c", "c_custkey")
-    cnat = (
-        table(spark, sf_dir, "customer")
-        .where(F.col("c_custkey").isNotNull())
-        .select("c_custkey", "c_nationkey")
-    )
+    cust = _with_coords(table(spark, sf_dir, "customer"), "c", "c_custkey")
     supp = _coords_spark(table(spark, sf_dir, "supplier"), "s", "s_suppkey")
-    offsets = F.expr(
-        "explode(array(-1, 0, 1))"
-    )
-    supp_cells = (
-        supp.select(
-            "s_suppkey",
-            F.col("slat").alias("s_slat"),
-            F.col("slon").alias("s_slon"),
-            F.expr(f"s_slat div {_R}").alias("s_cell_lat"),
-            F.expr(f"s_slon div {_R}").alias("s_cell_lon"),
-        )
-        .withColumn("dlat", offsets)
-        .withColumn("dlon", offsets)
-        .select(
-            "s_suppkey",
-            "s_slat",
-            "s_slon",
-            (F.col("s_cell_lat") + F.col("dlat")).alias("cell_lat"),
-            (F.col("s_cell_lon") + F.col("dlon")).alias("cell_lon"),
-        )
-    )
+    supp_cells = _supp_neighborhood(supp)
     cust_cells = cust.select(
         "c_custkey",
+        "c_nationkey",
         "slat",
         "slon",
         F.expr(f"slat div {_R}").alias("cell_lat"),
@@ -232,8 +253,7 @@ def q_geo_dist_join(spark, sf_dir):
         .where(F.col("dist2") <= _R2)
     )
     return (
-        hits.join(F.broadcast(cnat), "c_custkey")
-        .groupBy(F.col("c_nationkey").cast("int").alias("c_nationkey"))
+        hits.groupBy(F.col("c_nationkey").cast("int").alias("c_nationkey"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
             F.countDistinct("c_custkey")
@@ -278,43 +298,90 @@ def q_geo_dist_join(spark, sf_dir):
     """,
 )
 def q_geo_knn(spark, sf_dir):
-    """B165: exact k-nearest-suppliers per customer (k = 3) by broadcast
-    scoring — the right kNN shape when candidates are a broadcastable dim
-    (stores, towers, depots). Suppliers broadcast; each customer row is
-    scored against all candidates PIPELINED on its scan (the broadcast
-    nested-loop never shuffles the customer side), then top-k per
-    customer rides a rank-limited window. Because a customer's candidate
-    rows are produced inside its own partition by the broadcast join,
-    Spark's WindowGroupLimit truncates to k rows per customer BEFORE the
-    window exchange — the shuffle carries ~k rows per point, not the
-    cross product. Total order (dist2, s_suppkey) makes row_number
-    deterministic on both engines; dist2 is exact BIGINT."""
-    cust = _coords_spark(table(spark, sf_dir, "customer"), "c", "c_custkey")
+    """B165: exact k-nearest-suppliers per customer (k = 3) by CELL-BLOCKED
+    two-phase search (VERDICT r8 #2 — the r8 broadcast-nested-loop scored
+    |cust|·|supp| rows, O(n·m) quadratic in SF; this plan's candidate
+    volume is O(points·ball + residue·dims)).
+
+    Phase 1: suppliers replicate into their 3×3 R-cell neighborhoods
+    (broadcast, 9·|supp| rows) and customers join on EXACT cell-id
+    equality — a BroadcastHashJoin, not a nested loop. Filtering the
+    matches to dist² ≤ R² yields each customer's exact R-ball: C == R
+    makes the neighborhood provably complete (any supplier within R
+    differs by ≤ 1 cell index per axis), and any supplier OUTSIDE the
+    3×3 differs by ≥ 2 cells on some axis, hence is > R away. So when a
+    ball already holds ≥ k candidates, its k nearest are globally exact.
+    The rank window partitions by customer over ~|ball| (≈12 on the
+    uniform fixture) rows — never the dim.
+
+    Phase 2 (exactness fallback, VERDICT's expanding-ring role): the
+    residue — customers whose R-ball holds < k suppliers (sparse regions
+    and plane-boundary points; measured 0.7% of the sf0.1 uniform fixture) —
+    brute-force-scores against the broadcast full dim. Residue size
+    shrinks as density grows, so the O(residue·dims) term is the rare
+    path by construction, and the common path never touches it.
+
+    Total order (dist2, s_suppkey) makes row_number deterministic on
+    both engines; dist2 is exact BIGINT. Oracle: unchanged brute force."""
+    cust = _coords_spark(
+        table(spark, sf_dir, "customer"), "c", "c_custkey"
+    ).select(
+        "c_custkey",
+        "slat",
+        "slon",
+        F.expr(f"slat div {_R}").alias("cell_lat"),
+        F.expr(f"slon div {_R}").alias("cell_lon"),
+    )
     supp = _coords_spark(
         table(spark, sf_dir, "supplier"), "s", "s_suppkey"
-    ).select(
+    )
+    supp_cells = _supp_neighborhood(supp)
+
+    dist2 = (
+        (F.col("slat") - F.col("s_slat")) * (F.col("slat") - F.col("s_slat"))
+        + (F.col("slon") - F.col("s_slon"))
+        * (F.col("slon") - F.col("s_slon"))
+    ).alias("dist2")
+    out_cols = [
+        "c_custkey",
+        F.col("knn_rank").cast("int").alias("knn_rank"),
+        "s_suppkey",
+        F.col("dist2").cast("bigint").alias("dist2"),
+    ]
+    w = Window.partitionBy("c_custkey").orderBy("dist2", "s_suppkey")
+    wc = Window.partitionBy("c_custkey")
+
+    # Phase 1: the exact R-ball per customer via the blocked equi-join.
+    ball = (
+        cust.join(F.broadcast(supp_cells), ["cell_lat", "cell_lon"])
+        .select("c_custkey", "slat", "slon", "s_suppkey", dist2)
+        .where(F.col("dist2") <= _R2)
+    )
+    ranked = ball.withColumn("knn_rank", F.row_number().over(w)).withColumn(
+        "ball_n", F.count(F.lit(1)).over(wc)
+    )
+    resolved = ranked.where(
+        (F.col("ball_n") >= _KNN_K) & (F.col("knn_rank") <= _KNN_K)
+    ).select(*out_cols)
+
+    # Phase 2: residue = customers whose ball holds < k candidates. The
+    # anti-join key is c_custkey (ids only — text/coords never reshuffle);
+    # the full-dim rescore is a broadcast join over the residue alone.
+    full = ranked.where(F.col("ball_n") >= _KNN_K).select("c_custkey")
+    residue = cust.join(full, "c_custkey", "left_anti")
+    supp_flat = supp.select(
         "s_suppkey",
         F.col("slat").alias("s_slat"),
         F.col("slon").alias("s_slon"),
     )
-    scored = cust.join(F.broadcast(supp)).withColumn(
-        "dist2",
-        (F.col("slat") - F.col("s_slat")) * (F.col("slat") - F.col("s_slat"))
-        + (F.col("slon") - F.col("s_slon"))
-        * (F.col("slon") - F.col("s_slon")),
-    )
-    w = Window.partitionBy("c_custkey").orderBy("dist2", "s_suppkey")
-    return (
-        scored.withColumn("knn_rank", F.row_number().over(w))
+    fallback = (
+        residue.join(F.broadcast(supp_flat))
+        .select("c_custkey", "s_suppkey", dist2)
+        .withColumn("knn_rank", F.row_number().over(w))
         .where(F.col("knn_rank") <= _KNN_K)
-        .select(
-            "c_custkey",
-            F.col("knn_rank").cast("int").alias("knn_rank"),
-            "s_suppkey",
-            F.col("dist2").cast("bigint").alias("dist2"),
-        )
-        .orderBy("c_custkey", "knn_rank")
+        .select(*out_cols)
     )
+    return resolved.unionByName(fallback).orderBy("c_custkey", "knn_rank")
 
 
 @query(

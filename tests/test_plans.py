@@ -558,3 +558,38 @@ def test_bucketed_join_is_exchange_free(spark):
     assert "SortMergeJoin" in plan
     assert plan.count("Bucketed: true") == 2, plan[:1500]
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_geo_cell_density_single_scan_no_join(spark):
+    # B163 (ADVICE r8): coordinates are withColumn expressions on the ONE
+    # customer scan; a key-projection joined back on c_custkey would be a
+    # big-side x big-side self-join that only AQE hides at driver SFs.
+    df = QUERIES["q_geo_cell_density"](spark, SF_ORACLE)
+    assert len(read_schemas(df)) == 1, "expected exactly one table scan"
+    tree = formatted_plan(df).split("\n\n", 1)[0]
+    assert "Join" not in tree, tree
+
+
+def test_geo_dist_join_broadcasts_only_the_supplier_dim(spark):
+    # B164 (ADVICE r8): the only broadcast is the 9-cell supplier
+    # replication; c_nationkey rides the customer scan itself, so the
+    # customer table is scanned once and never broadcast or re-joined.
+    df = QUERIES["q_geo_dist_join"](spark, SF_ORACLE)
+    assert count_nodes(df, "BroadcastHashJoin") == 1
+    assert count_nodes(df, "BroadcastNestedLoopJoin") == 0
+    assert count_nodes(df, "SortMergeJoin") == 0
+    schemas = read_schemas(df)
+    assert sum("c_custkey" in s for s in schemas) == 1, schemas
+    assert sum("s_suppkey" in s for s in schemas) == 1, schemas
+
+
+def test_geo_knn_blocked_equi_join_not_nested_loop(spark):
+    # VERDICT r8 #2: phase 1 must score candidates through the cell-id
+    # BroadcastHashJoin (bounded R-ball), NOT a BroadcastNestedLoopJoin
+    # over the full dim (O(n*m), 43s at sf0.1 in r8). The one nested loop
+    # allowed is the exactness fallback over the measured-0.7% residue;
+    # the fallback's rank<=k filter still pushes into WindowGroupLimit.
+    df = QUERIES["q_geo_knn"](spark, SF_ORACLE)
+    assert count_nodes(df, "BroadcastHashJoin") >= 1
+    assert count_nodes(df, "BroadcastNestedLoopJoin") <= 1
+    assert "WindowGroupLimit" in formatted_plan(df)
