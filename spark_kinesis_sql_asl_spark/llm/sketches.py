@@ -659,7 +659,17 @@ def q_llm_band_assign(spark, sf_dir):
     posting-list collisions — the C3 geometry; the recall join is
     |exact pairs| against |candidates|, both id-pair frames. At 100 TB
     the banding IS the candidate generator (no exact pass to lean on),
-    and this audit runs on a labeled sample instead."""
+    and this audit runs on a labeled sample instead.
+
+    Readout discipline (VERDICT r8 #6): ONE readout job — exact and
+    candidate pair frames meet in a full-outer marker join whose single
+    aggregate yields n_exact/n_candidates/n_hit together (each input
+    consumed exactly once, so neither needs a checkpoint), instead of
+    three driver-side .count() actions. The only other job is the sigs
+    parquet barrier (the CC family's reliable-store discipline — sigs
+    feed BOTH sides of the band self-join; localCheckpoint's
+    executor-local blocks are the fault-tolerance hazard DESIGN-100TB
+    §4 bans)."""
     from .dedup import _JACCARD_TAU, _jaccard_scored
 
     scored = _jaccard_scored(spark, sf_dir)
@@ -675,12 +685,18 @@ def q_llm_band_assign(spark, sf_dir):
         .select("doc_id", F.expr(_hex_parse_spark("tok", 1)).alias("h"))
         .distinct()
     )
-    sigs = th.groupBy("doc_id").agg(
+    import os as _os
+
+    from .iterative import scratch_dir
+
+    sigs_path = _os.path.join(scratch_dir(spark, "band_assign"), "sigs")
+    th.groupBy("doc_id").agg(
         *[
             F.min(F.expr(g)).alias(f"s{i}")
             for i, g in enumerate(_pmh_sig_terms("h"))
         ]
-    ).localCheckpoint(eager=True)
+    ).write.parquet(sigs_path)
+    sigs = spark.read.parquet(sigs_path)
     bands = None
     for b in range(_BA_BANDS):
         key = F.concat_ws(
@@ -707,14 +723,23 @@ def q_llm_band_assign(spark, sf_dir):
             F.col("b.doc_id").alias("doc_b"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    n_exact = exact.count()
-    n_cand = cand.count()
-    hits = exact.join(cand, ["doc_a", "doc_b"]).count()
-    import pandas as pd  # noqa: F401 — spark.createDataFrame of one row
-
-    return spark.createDataFrame(
-        [(n_exact, n_cand, hits, round(hits * 1.0 / n_exact, 6) if n_exact else None)],
-        "n_exact bigint, n_candidates bigint, n_hit bigint, achieved_recall double",
+    # Full-outer marker join: every (doc_a, doc_b) pair carries an in_e
+    # and/or in_c flag; one aggregate reads off all three counts. Each
+    # pair frame is consumed exactly ONCE, so nothing re-executes and
+    # nothing needs a barrier.
+    marked = exact.withColumn("in_e", F.lit(1)).join(
+        cand.withColumn("in_c", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+    )
+    return marked.agg(
+        F.sum("in_e").cast("bigint").alias("n_exact"),
+        F.sum("in_c").cast("bigint").alias("n_candidates"),
+        F.sum(F.col("in_e") * F.col("in_c")).cast("bigint").alias("n_hit"),
+    ).select(
+        "n_exact",
+        "n_candidates",
+        "n_hit",
+        F.round(F.col("n_hit") * 1.0 / F.col("n_exact"), 6).alias(
+            "achieved_recall"
+        ),
     )
