@@ -1379,3 +1379,39 @@ def q_agg_cov_matrix(spark, sf_dir):
             )
             out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- B170: rollup with GROUPING() disambiguation ------------------------------
+
+
+@query(
+    "q_agg_grouping_id",
+    priority=30,  # round-9 addition: first driver row in round 10
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+           CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_grouping_id(spark, sf_dir):
+    """B170: ROLLUP with GROUPING() flags — the disambiguation B25 leaves
+    implicit: a NULL group key in a rollup result is ambiguous between
+    "the subtotal row" and "a genuinely NULL key value"; grouping(col)
+    returns 1 only for the subtotal rows, which is what every BI layer
+    keys its drill-down on. Same two-phase Expand+hash-agg plan as B25
+    (the Expand adds the flag bits map-side, no extra shuffle); counts
+    BIGINT, quantity sum released round-2 (sub-2^53 exact integral
+    doubles on this column, the B21 argument)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    ).select(
+        "l_returnflag", "l_linestatus", "g_rf", "g_ls", "n", "sum_qty"
+    )

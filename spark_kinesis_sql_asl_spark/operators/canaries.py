@@ -600,3 +600,61 @@ def q_canary_wideint_convert(spark, sf_dir):
             6,
         ).alias("as_float_safe"),
     )
+
+
+@query(
+    "q_canary_unicode_case",
+    priority=30,  # round-9 addition: first driver row in round 10
+    oracle="""
+    WITH k AS (
+        SELECT doc_id,
+               CASE doc_id % 4
+                    WHEN 0 THEN 'café ' || left(coalesce(text, ''), 6)
+                    WHEN 1 THEN 'ÅNGSTRÖM-' || left(coalesce(text, ''), 4)
+                    WHEN 2 THEN 'ёжик œuf ' || left(coalesce(text, ''), 4)
+                    ELSE 'ŁÓDŹ σίσυφο ' || left(coalesce(text, ''), 4)
+               END AS k
+        FROM documents WHERE doc_id % 59 = 0
+    )
+    SELECT doc_id, upper(k) AS uk, lower(k) AS lk,
+           CAST(length(k) AS INTEGER) AS n_chars,
+           CAST(length(upper(k)) AS INTEGER) AS n_chars_upper
+    FROM k
+    """,
+)
+def q_canary_unicode_case(spark, sf_dir):
+    """D16: multibyte upper/lower/length parity (round 9). Any text
+    operator that case-folds before hashing (C88's normalized dedup, C16
+    langid markers, every lower(text) oracle) silently assumes both
+    engines fold Unicode identically. Probed this session: they agree on
+    accented Latin (é/Å/ö), ligatures (œ, ĳ, Æ), Cyrillic and non-final
+    Greek — and DIVERGE on exactly three classes: German ß→'ẞ' (DuckDB)
+    vs 'SS' (Spark/JVM), Turkish İ lowercase (DuckDB 'i', Spark 'i̇' with
+    combining dot, same NFC-unequal bytes), and Greek final sigma
+    (DuckDB 'σ', Spark 'ς' context-aware). This canary pins the SAFE
+    subset with keys mixing all four agreeing classes against fixture
+    text; the divergent trio must never reach a release column without
+    explicit normalization (document in the operator, as C88 does with
+    its regex-based normalizer). Tiny slice (doc_id % 59), scan-stage
+    expressions only."""
+    k = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 59 == 0)
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE CAST(doc_id % 4 AS INT) "
+                "WHEN 0 THEN concat('café ', left(coalesce(text, ''), 6)) "
+                "WHEN 1 THEN concat('ÅNGSTRÖM-', left(coalesce(text, ''), 4)) "
+                "WHEN 2 THEN concat('ёжик œuf ', left(coalesce(text, ''), 4)) "
+                "ELSE concat('ŁÓDŹ σίσυφο ', left(coalesce(text, ''), 4)) END"
+            ).alias("k"),
+        )
+    )
+    return k.select(
+        "doc_id",
+        F.upper("k").alias("uk"),
+        F.lower("k").alias("lk"),
+        F.length("k").cast("int").alias("n_chars"),
+        F.length(F.upper("k")).cast("int").alias("n_chars_upper"),
+    )

@@ -1619,3 +1619,182 @@ def q_events_entropy_rate(spark, sf_dir):
             F.col("mass").cast("bigint") / F.lit(1000000000000.0), 6
         ).alias("entropy_rate_nats"),
     )
+
+
+# --- B167: event-type association lift ---------------------------------------
+
+_LIFT_PPM = 1_000_000
+
+
+@query(
+    "q_events_lift_matrix",
+    priority=30,  # round-9 addition: first driver row in round 10
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               event_type
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    nb AS (SELECT count(DISTINCT (user_id, d)) AS n FROM baskets),
+    singles AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS c
+        FROM baskets GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM baskets a
+        JOIN baskets b ON a.user_id = b.user_id AND a.d = b.d
+                      AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_ab,
+           round(n_ab * 1.0 * (SELECT n FROM nb) / (sa.c * sb.c), 6) AS lift
+    FROM pairs
+    JOIN singles sa ON sa.event_type = type_a
+    JOIN singles sb ON sb.event_type = type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def q_events_lift_matrix(spark, sf_dir):
+    """B167: association lift between event-type pairs at the
+    (user, day) basket grain — P(a∧b)·N / (P(a)·P(b)) rendered over
+    exact counts, the co-occurrence statistic behind "users who X also
+    Y". The B101 basket discipline: baskets collapse to DISTINCT
+    (user, day, type) FIRST (one hash aggregate), so the pair self-join
+    fans out by the per-basket DISTINCT-TYPE count — bounded by the
+    event-type domain (|types| ≪ |events| at any SF), never by events².
+    Lift is computed from three exact BIGINTs per pair (n_ab, c_a, c_b)
+    plus the global basket count (a broadcast single-row frame); the one
+    double division is per-row and engine-identical, released round 6.
+    At 100 TB: two shuffles (basket distinct, pair count), both keyed on
+    bounded-cardinality keys; singles broadcast."""
+    baskets = (
+        table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "user_id",
+            F.date_trunc("day", "ts").alias("d"),
+            "event_type",
+        )
+        .distinct()
+    )
+    nb = baskets.select("user_id", "d").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    singles = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    pairs = (
+        baskets.alias("a")
+        .join(
+            baskets.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("c").alias("ca")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("c").alias("cb")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab") * 1.0 * F.col("n") / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# --- B168: session-opening path prefixes --------------------------------------
+
+_PATH_LEN = 3
+_PATH_TOP_K = 10
+
+
+@query(
+    "q_events_path_prefix",
+    priority=30,  # round-9 addition: first driver row in round 10
+    oracle=f"""
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts NULLS FIRST, event_id
+               ) AS rn
+        FROM events
+    ),
+    paths AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ranked WHERE rn <= {_PATH_LEN}
+        GROUP BY user_id
+    ),
+    counted AS (
+        SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        FROM paths GROUP BY path
+    )
+    SELECT path, n_users, rnk FROM (
+        SELECT path, n_users,
+               CAST(row_number() OVER (ORDER BY n_users DESC, path)
+                    AS INTEGER) AS rnk
+        FROM counted
+    ) WHERE rnk <= {_PATH_TOP_K}
+    """,
+)
+def q_events_path_prefix(spark, sf_dir):
+    """B168: top opening paths — the first {_PATH_LEN} event types per
+    user in (ts, event_id) order, joined into a '>' path string, counted
+    and top-{_PATH_TOP_K}'d: the funnel-discovery complement of B83's
+    fixed-funnel match (B83 checks a KNOWN sequence; this mines which
+    openings dominate). The rank window's rn <= {_PATH_LEN} filter pushes
+    into WindowGroupLimit (map-side top-{_PATH_LEN} per user — the B41
+    discipline), so the exchange carries ≤{_PATH_LEN} rows per user;
+    the path assembles via array_sort(collect_list(struct(rn, type)))
+    (order carried IN the data, not assumed of the aggregate); the final
+    top-k is orderBy().limit() → TakeOrderedAndProject, with the rank
+    column windowed over only the ≤{_PATH_TOP_K} survivors. NULL ts
+    pinned NULLS FIRST as everywhere."""
+    ranked = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("ts").asc_nulls_first(), F.col("event_id").asc()
+                )
+            ),
+        )
+        .where(F.col("rn") <= _PATH_LEN)
+    )
+    paths = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type)"),
+            ">",
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    top = counted.orderBy(F.col("n_users").desc(), "path").limit(_PATH_TOP_K)
+    w = Window.orderBy(F.col("n_users").desc(), "path")
+    return top.select(
+        "path", "n_users", F.row_number().over(w).cast("int").alias("rnk")
+    )

@@ -1452,3 +1452,83 @@ def q_ts_peaks(spark, sf_dir):
             .alias("prominence_cents"),
         )
     )
+
+
+# --- B169: weekday-deseasonalized revenue outliers ----------------------------
+
+_SEASONAL_TOP_K = 10
+
+
+@query(
+    "q_ts_seasonal_outliers",
+    priority=30,  # round-9 addition: first driver row in round 10
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders WHERE o_orderdate IS NOT NULL
+        GROUP BY 1
+    ),
+    dev AS (
+        SELECT d, cents,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(d AS DATE)) % 7
+                    AS INTEGER) AS wd
+        FROM daily
+    ),
+    season AS (
+        SELECT d, cents, wd,
+               round(cents - avg(cents) OVER (PARTITION BY wd), 6)
+                   AS residual_cents
+        FROM dev
+    )
+    SELECT d, wd, cents, residual_cents, rnk FROM (
+        SELECT *, CAST(row_number() OVER (
+                   ORDER BY abs(residual_cents) DESC, d) AS INTEGER) AS rnk
+        FROM season
+    ) WHERE rnk <= {_SEASONAL_TOP_K}
+    """,
+)
+def q_ts_seasonal_outliers(spark, sf_dir):
+    """B169: seasonality-adjusted anomaly ranking — deseasonalize the
+    daily revenue series by its weekday profile (B146's seasonal decomp
+    put to work), then rank days by absolute residual: the "was Tuesday
+    actually unusual FOR a Tuesday" question raw z-scores get wrong.
+    Weekday is the PORTABLE epoch-day modulus (epoch_days % 7), never the
+    engine-defined dayofweek()/isodow() whose week origin differs between
+    engines. Daily cents are exact BIGINTs (D2 floor-cents); the weekday
+    mean is the one double op, computed identically per row (round 6).
+    Plan: point-scale work is ONE hash aggregate to |days| rows; the
+    weekday window and the global rank run on that kilobyte-scale frame
+    (the global window is bounded by |days| — the B41 caveat doesn't
+    bite, same argument as B146). At 100 TB nothing else changes: |days|
+    is calendar-bounded."""
+    daily = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .withColumn(
+            "wd",
+            (
+                F.datediff(F.col("d").cast("date"), F.lit("1970-01-01").cast("date"))
+                % 7
+            ).cast("int"),
+        )
+    )
+    season = daily.withColumn(
+        "residual_cents",
+        F.round(
+            F.col("cents") - F.avg("cents").over(Window.partitionBy("wd")), 6
+        ),
+    )
+    w = Window.orderBy(F.abs(F.col("residual_cents")).desc(), "d")
+    return (
+        season.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= _SEASONAL_TOP_K)
+        .select("d", "wd", "cents", "residual_cents", "rnk")
+    )

@@ -40,6 +40,7 @@ _MODULES = (
     "llm.spans",
     "llm.audits",
     "llm.sketches",
+    "llm.training",
     "operators.events",
     "operators.timeseries",
     "operators.governance",

@@ -42,7 +42,22 @@ DRIVER_WINDOW = 50
 # CORRECTNESS row yet by construction. Keep in sync as operators land.
 ROUND9_NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # populated as round-9 operators land (each registered @priority=30)
+        # B167-B170
+        "q_events_lift_matrix",
+        "q_events_path_prefix",
+        "q_ts_seasonal_outliers",
+        "q_agg_grouping_id",
+        # C148-C155 (llm/training.py)
+        "q_llm_probe_curve",
+        "q_llm_js_divergence",
+        "q_llm_compress_proxy",
+        "q_llm_contrastive_pairs",
+        "q_llm_curriculum_bins",
+        "q_llm_cluster_reweight",
+        "q_llm_dup_two_hop",
+        "q_llm_ingest_cdc",
+        # D16
+        "q_canary_unicode_case",
     }
 )
 
