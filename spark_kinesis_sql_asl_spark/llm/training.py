@@ -892,3 +892,173 @@ def q_llm_ingest_cdc(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# --- C156: near-dup split leakage audit ----------------------------------------
+
+# C35's content-hash split bounds (train < 0xcc, val < 0xe6, else test).
+_SPLIT_CASE = (
+    "CASE WHEN h < 'cc' THEN 'train' WHEN h < 'e6' THEN 'val' "
+    "ELSE 'test' END"
+)
+
+
+@query(
+    "q_llm_split_leakage",
+    priority=30,
+    oracle=f"""
+    WITH {_PAIRS_CTE},
+    sp AS (
+        SELECT doc_id, {_SPLIT_CASE.replace("h <", "substr(md5(coalesce(text, '')), 1, 2) <")} AS split
+        FROM documents
+    )
+    SELECT least(sa.split, sb.split) AS split_lo,
+           greatest(sa.split, sb.split) AS split_hi,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(least(sa.split, sb.split) <> greatest(sa.split, sb.split)
+                AS INTEGER) AS is_leak
+    FROM pairs
+    JOIN sp sa ON sa.doc_id = doc_a
+    JOIN sp sb ON sb.doc_id = doc_b
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_llm_split_leakage(spark, sf_dir):
+    """C156: near-dup SPLIT LEAKAGE — the eval-contamination audit C35's
+    split assignment cannot see: C35 hashes each document independently,
+    so two near-duplicates (τ=0.8 Jaccard, NOT byte-identical — identical
+    texts hash to the same split by construction) can land one in train
+    and one in val/test, silently inflating eval numbers. This query
+    crosses the exact C2 pair frame with the C35 split of each endpoint
+    and releases the split×split pair matrix with a leak flag — the
+    number a data card must report, and the reason production pipelines
+    split by dup-CLUSTER canonical hash rather than per-document hash.
+    Plan: pairs ride the memoized PPJoin frame; the split column is a
+    scan-stage expression on documents; two id-keyed joins (ids + a
+    2-char hash prefix on the wire, never text); |splits|² output rows."""
+    scored = _jaccard_scored(spark, sf_dir)
+    jac = F.col("i") * 1.0 / (F.col("sa") + F.col("sb") - F.col("i"))
+    pairs = scored.where(jac >= _JACCARD_TAU).select("doc_a", "doc_b")
+    h = F.substring(
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")), 1, 2
+    )
+    sp = (
+        parallel_table(spark, sf_dir, "documents")
+        .select("doc_id", h.alias("h"))
+        .select("doc_id", F.expr(_SPLIT_CASE).alias("split"))
+    )
+    sa = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(
+            "split_lo",
+            "split_hi",
+            "n_pairs",
+            (F.col("split_lo") != F.col("split_hi")).cast("int").alias(
+                "is_leak"
+            ),
+        )
+        .orderBy("split_lo", "split_hi")
+    )
+
+
+# --- C157: quality × duplication cross-audit ------------------------------------
+
+
+@query(
+    "q_llm_quality_dup_matrix",
+    priority=30,
+    oracle=f"""
+    WITH {_PAIRS_CTE},
+    deg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT doc_a AS doc_id FROM pairs
+            UNION ALL SELECT doc_b FROM pairs
+        ) GROUP BY doc_id
+    ),
+    scored AS (
+        SELECT d.doc_id,
+               (d.n_chars * 1000) // len(string_split(d.text, ' ')) AS score,
+               coalesce(g.deg, 0) AS deg
+        FROM documents d LEFT JOIN deg g ON g.doc_id = d.doc_id
+        WHERE d.text IS NOT NULL
+    )
+    SELECT CASE WHEN deg = 0 THEN '0' WHEN deg = 1 THEN '1'
+                WHEN deg <= 4 THEN '2-4' ELSE '5+' END AS dup_band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(score) // count(*) AS BIGINT) AS mean_score_milli,
+           CAST((1000000 * count(*)) // sum(count(*)) OVER () AS BIGINT)
+               AS share_ppm
+    FROM scored
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_llm_quality_dup_matrix(spark, sf_dir):
+    """C157: quality × duplication cross-audit — "are the duplicated
+    documents also the low-quality ones?": per dup-degree band (0 / 1 /
+    2-4 / 5+ near-dup partners in the C2 graph), document count, corpus
+    share, and mean quality score (C152's integer mean-word-length
+    proxy, floor-milli). The answer decides pipeline ORDER: if dup-heavy
+    == low-quality, quality-filter first and dedup the survivors (cheaper
+    — the C121 funnel question with data behind it); if independent, the
+    two passes commute. Degrees come from the memoized pair frame
+    (ids only); the zero-band is documents LEFT-joined to the degree
+    frame (anti-join semantics without losing the row); one 4-row
+    rollup releases everything, share via window over the rollup."""
+    scored_pairs = _jaccard_scored(spark, sf_dir)
+    jac = F.col("i") * 1.0 / (F.col("sa") + F.col("sb") - F.col("i"))
+    pairs = scored_pairs.where(jac >= _JACCARD_TAU).select("doc_a", "doc_b")
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    scored = (
+        parallel_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.expr("(n_chars * 1000) div size(split(text, ' '))").alias(
+                "score"
+            ),
+        )
+        .join(deg, "doc_id", "left")
+        .select("score", F.coalesce("deg", F.lit(0)).alias("deg"))
+    )
+    band = (
+        F.when(F.col("deg") == 0, "0")
+        .when(F.col("deg") == 1, "1")
+        .when(F.col("deg") <= 4, "2-4")
+        .otherwise("5+")
+    )
+    wall = Window.partitionBy()
+    return (
+        scored.groupBy(band.alias("dup_band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("CAST(sum(score) div count(1) AS BIGINT)").alias(
+                "mean_score_milli"
+            ),
+        )
+        .withColumn(
+            "share_ppm",
+            F.expr("1000000 * n_docs").cast("bigint")
+            / F.sum("n_docs").over(wall),
+        )
+        .select(
+            "dup_band",
+            "n_docs",
+            "mean_score_milli",
+            F.floor("share_ppm").cast("bigint").alias("share_ppm"),
+        )
+        .orderBy("dup_band")
+    )

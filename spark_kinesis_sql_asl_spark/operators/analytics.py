@@ -1483,3 +1483,115 @@ def q_customer_tier_migration(spark, sf_dir):
         .groupBy("tier_p1", "tier_p2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
     )
+
+
+# --- B171: supplier similarity by customer-set overlap -------------------------
+
+_COPURCHASE_CAP = 64  # skip customers buying from more suppliers (hot keys)
+_COPURCHASE_TOP_K = 20
+_COPURCHASE_MIN_INTER = 2
+
+
+@query(
+    "q_graph_copurchase",
+    priority=30,  # round-9 addition: first driver row in round 10
+    oracle=f"""
+    WITH sc AS (
+        SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    kept AS (
+        SELECT ck FROM sc GROUP BY ck
+        HAVING count(*) <= {_COPURCHASE_CAP}
+    ),
+    scc AS (SELECT sk, sc.ck FROM sc JOIN kept ON sc.ck = kept.ck),
+    totals AS (SELECT sk, CAST(count(*) AS BIGINT) AS t FROM scc GROUP BY sk),
+    inter AS (
+        SELECT a.sk AS supp_a, b.sk AS supp_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM scc a JOIN scc b ON a.ck = b.ck AND a.sk < b.sk
+        GROUP BY 1, 2
+        HAVING count(*) >= {_COPURCHASE_MIN_INTER}
+    ),
+    scored AS (
+        SELECT supp_a, supp_b, n_shared,
+               CAST((1000000 * n_shared) // (ta.t + tb.t - n_shared)
+                    AS BIGINT) AS jaccard_ppm
+        FROM inter
+        JOIN totals ta ON ta.sk = supp_a
+        JOIN totals tb ON tb.sk = supp_b
+    )
+    SELECT supp_a, supp_b, n_shared, jaccard_ppm, rnk FROM (
+        SELECT *, CAST(row_number() OVER (
+                   ORDER BY jaccard_ppm DESC, supp_a, supp_b) AS INTEGER)
+                   AS rnk
+        FROM scored
+    ) WHERE rnk <= {_COPURCHASE_TOP_K}
+    """,
+)
+def q_graph_copurchase(spark, sf_dir):
+    """B171: supplier-pair similarity by customer-set Jaccard — the
+    entity-overlap graph analytic ("suppliers serving the same
+    customers") that complements B101's item-lift: B101 scores co-
+    occurrence IN one basket, this scores overlap of each entity's whole
+    neighborhood, floor-ppm Jaccard from three exact BIGINTs. The
+    bipartite blow-up is bounded the PPJoin way: pair generation fans
+    out per shared CUSTOMER, so customers buying from more than
+    {_COPURCHASE_CAP} suppliers (hot keys: Σ deg² killers, and
+    similarity-information-free — everyone shares them) are excluded
+    from BOTH the pair counts and the per-supplier totals, keeping the
+    subsample self-consistent (exact Jaccard of the capped relation, not
+    a biased estimate of the raw one). Two aggregates + one equi-self-
+    join on ck; totals broadcast; top-k via TakeOrdered."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    sc = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("l_suppkey").alias("sk"), F.col("o_custkey").alias("ck"))
+        .distinct()
+    )
+    kept = (
+        sc.groupBy("ck")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") <= _COPURCHASE_CAP)
+        .select("ck")
+    )
+    scc = sc.join(kept, "ck", "left_semi")
+    totals = scc.groupBy("sk").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    inter = (
+        scc.alias("a")
+        .join(
+            scc.alias("b"),
+            (F.col("a.ck") == F.col("b.ck")) & (F.col("a.sk") < F.col("b.sk")),
+        )
+        .groupBy(F.col("a.sk").alias("supp_a"), F.col("b.sk").alias("supp_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= _COPURCHASE_MIN_INTER)
+    )
+    ta = F.broadcast(totals.select(F.col("sk").alias("supp_a"), F.col("t").alias("ta")))
+    tb = F.broadcast(totals.select(F.col("sk").alias("supp_b"), F.col("t").alias("tb")))
+    scored = (
+        inter.join(ta, "supp_a")
+        .join(tb, "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            "n_shared",
+            F.expr("(1000000 * n_shared) div (ta + tb - n_shared)")
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("jaccard_ppm").desc(), "supp_a", "supp_b"
+    ).limit(_COPURCHASE_TOP_K)
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("jaccard_ppm").desc(), "supp_a", "supp_b")
+    return top.select(
+        "supp_a",
+        "supp_b",
+        "n_shared",
+        "jaccard_ppm",
+        F.row_number().over(w).cast("int").alias("rnk"),
+    )

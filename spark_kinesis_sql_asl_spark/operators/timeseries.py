@@ -1532,3 +1532,100 @@ def q_ts_seasonal_outliers(spark, sf_dir):
         .where(F.col("rnk") <= _SEASONAL_TOP_K)
         .select("d", "wd", "cents", "residual_cents", "rnk")
     )
+
+
+# --- B172: open-order concurrency profile --------------------------------------
+
+_CONCURRENCY_TOP_K = 10
+
+
+@query(
+    "q_win_order_concurrency",
+    priority=30,  # round-9 addition: first driver row in round 10
+    oracle=f"""
+    WITH spans AS (
+        SELECT o.o_orderkey,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(o.o_orderdate AS DATE)) AS start_d,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(min(l.l_shipdate) AS DATE)) AS end_d
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+        SELECT start_d AS d, 1 AS delta FROM spans
+        UNION ALL
+        SELECT end_d + 1, -1 FROM spans
+    ),
+    daily AS (
+        SELECT d, CAST(sum(delta) AS BIGINT) AS net FROM deltas GROUP BY d
+    ),
+    running AS (
+        SELECT d, CAST(sum(net) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS open_orders
+        FROM daily
+    )
+    SELECT d AS epoch_day, open_orders, rnk FROM (
+        SELECT *, CAST(row_number() OVER (
+                   ORDER BY open_orders DESC, d) AS INTEGER) AS rnk
+        FROM running
+    ) WHERE rnk <= {_CONCURRENCY_TOP_K}
+    """,
+)
+def q_win_order_concurrency(spark, sf_dir):
+    """B172: interval-stabbing concurrency — the peak number of
+    simultaneously open orders (ordered, not yet first-shipped), the
+    classic "max concurrent sessions" analytic done the scalable way:
+    never expand intervals to their member days (O(Σ duration) rows) —
+    convert each interval to a +1 at start and a -1 after end, aggregate
+    to per-day net change (ONE shuffle keyed by day), and run the
+    running sum over the |days|-row frame (calendar-bounded, kilobytes
+    at any SF — the B146/B169 argument for the global window). Interval
+    end = the order's FIRST shipment (min l_shipdate per order: one
+    partial-aggregatable min). Days are portable epoch-day BIGINTs
+    (D13: date_trunc result types diverge; integer days cannot). Top-
+    {_CONCURRENCY_TOP_K} busiest days released with deterministic
+    (count desc, day) order."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    epoch = F.lit("1970-01-01").cast("date")
+    spans = (
+        o.where(F.col("o_orderdate").isNotNull())
+        .join(
+            li.where(F.col("l_shipdate").isNotNull()),
+            o.o_orderkey == li.l_orderkey,
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            F.datediff(F.col("o_orderdate").cast("date"), epoch).alias(
+                "start_d"
+            ),
+            F.datediff(F.col("first_ship").cast("date"), epoch).alias(
+                "end_d"
+            ),
+        )
+    )
+    deltas = spans.select(
+        F.col("start_d").alias("d"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select((F.col("end_d") + 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("d").agg(
+        F.sum("delta").cast("bigint").alias("net")
+    )
+    wrun = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    running = daily.select(
+        F.col("d").alias("epoch_day"),
+        F.sum("net").over(wrun).cast("bigint").alias("open_orders"),
+    )
+    wr = Window.orderBy(F.col("open_orders").desc(), "epoch_day")
+    return (
+        running.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .where(F.col("rnk") <= _CONCURRENCY_TOP_K)
+        .select(F.col("epoch_day").cast("bigint").alias("epoch_day"), "open_orders", "rnk")
+    )

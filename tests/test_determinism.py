@@ -16,12 +16,12 @@ import pytest
 from spark_kinesis_sql_asl_spark.registry import all_queries
 
 from .driver_canon import canon_hash, spark_to_pandas
-from .test_registry_rotation import ROUND8_NEW_THIS_ROUND
+from .test_registry_rotation import ROUND9_NEW_THIS_ROUND
 
 SF = "/root/testdata/sf0.001"
 
 
-@pytest.mark.parametrize("name", sorted(ROUND8_NEW_THIS_ROUND))
+@pytest.mark.parametrize("name", sorted(ROUND9_NEW_THIS_ROUND))
 def test_double_run_is_identical(spark, name):
     q = all_queries()[name]
     h1 = canon_hash(spark_to_pandas(q(spark, SF)))

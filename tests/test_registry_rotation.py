@@ -58,6 +58,11 @@ ROUND9_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_llm_ingest_cdc",
         # D16
         "q_canary_unicode_case",
+        # second wave: C156/C157, B171/B172 (B163s is harness-only)
+        "q_llm_split_leakage",
+        "q_llm_quality_dup_matrix",
+        "q_graph_copurchase",
+        "q_win_order_concurrency",
     }
 )
 
@@ -284,7 +289,7 @@ def test_survey_tier_sum_consistent():
     inv = _survey_inventory()
     rows_total = inv["tier_a"] + inv["tier_b"] + inv["tier_c"] + inv["tier_d"]
     registry.load_all()
-    HARNESS_ONLY_ROWS = 18
+    HARNESS_ONLY_ROWS = 19  # +B163s (round 9, streaming geo twin)
     EXTRA_QUERIES_ON_SHARED_ROWS = 6
     assert rows_total == len(registry._QUERIES) + HARNESS_ONLY_ROWS - (
         EXTRA_QUERIES_ON_SHARED_ROWS

@@ -2229,3 +2229,76 @@ def test_streaming_count_min_matches_batch_matrix(spark, tmp_path):
                 key = (j, int(hx[8 * j : 8 * j + 8], 16) % 1024)
                 want[key] = want.get(key, 0) + 1
     assert got == want
+
+
+def test_streaming_cell_density_equals_batch(spark, tmp_path):
+    """B163s: the streaming per-cell density aggregate, drained over the
+    staged customer fixture, must equal the batch B163 cell rollup
+    cell-for-cell (same portable coordinate expressions, same cell ids,
+    same floor-cents mass). State = one counter row per cell — bounded
+    by the 8x8 grid geometry, not stream length."""
+    from spark_kinesis_sql_asl_spark.streaming.geo import (
+        streaming_cell_density,
+    )
+
+    cust = table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    rows = cust.collect()
+    staging = str(tmp_path / "geo_stream")
+    os.makedirs(staging)
+    per = (len(rows) + 2) // 3
+    for i in range(3):
+        sl = rows[i * per : (i + 1) * per]
+        tbl = pa.table(
+            {
+                "c_custkey": pa.array([r.c_custkey for r in sl], pa.int64()),
+                "c_nationkey": pa.array(
+                    [r.c_nationkey for r in sl], pa.int64()
+                ),
+                "c_acctbal": pa.array([r.c_acctbal for r in sl], pa.float64()),
+            }
+        )
+        f = os.path.join(staging, f"{i:04d}.parquet")
+        pq.write_table(tbl, f)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(
+            "c_custkey bigint, c_nationkey bigint, c_acctbal double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    _drain(
+        streaming_cell_density(stream)
+        .writeStream.format("memory")
+        .queryName("geo_cells")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_geo"))
+        .trigger(availableNow=True)
+    )
+    got = {
+        (r.cell_lat, r.cell_lon): (r.n_points, r.bal_cents)
+        for r in spark.sql("SELECT * FROM geo_cells").collect()
+    }
+    from spark_kinesis_sql_asl_spark.operators.geo import _DCELL, _with_coords
+
+    batch = (
+        _with_coords(cust, "c", "c_custkey")
+        .select(
+            F.expr(f"slat div {_DCELL}").alias("cell_lat"),
+            F.expr(f"slon div {_DCELL}").alias("cell_lon"),
+            F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("cell_lat", "cell_lon")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.sum("cents").cast("bigint").alias("bal_cents"),
+        )
+        .collect()
+    )
+    want = {
+        (r.cell_lat, r.cell_lon): (r.n_points, r.bal_cents) for r in batch
+    }
+    assert got == want

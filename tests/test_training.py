@@ -167,3 +167,49 @@ def test_grouping_id_rollup_shape(spark):
     )
     # rollup: no row aggregates over returnflag while keeping linestatus
     assert not [r for r in rows if r.g_rf == 1 and r.g_ls == 0]
+
+
+def test_split_leakage_matrix_complete(spark):
+    rows = QUERIES["q_llm_split_leakage"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r.split_lo <= r.split_hi
+        assert r.is_leak == (1 if r.split_lo != r.split_hi else 0)
+    # pair mass reconciles with the exact pair frame
+    n_pairs = QUERIES["q_llm_dedup_jaccard"](spark, SF_ORACLE).count()
+    assert sum(r.n_pairs for r in rows) == n_pairs
+
+
+def test_quality_dup_matrix_partitions_corpus(spark):
+    rows = QUERIES["q_llm_quality_dup_matrix"](spark, SF_ORACLE).collect()
+    bands = {r.dup_band for r in rows}
+    assert bands <= {"0", "1", "2-4", "5+"}
+    total_ppm = sum(r.share_ppm for r in rows)
+    assert 999_990 <= total_ppm <= 1_000_000  # floor-ppm rounding slack
+    import duckdb
+
+    con = duckdb.connect()
+    n_docs = con.execute(
+        f"SELECT count(*) FROM read_parquet('{SF_ORACLE}/documents.parquet')"
+        " WHERE text IS NOT NULL"
+    ).fetchone()[0]
+    assert sum(r.n_docs for r in rows) == n_docs
+
+
+def test_copurchase_jaccard_bounds(spark):
+    rows = QUERIES["q_graph_copurchase"](spark, SF_ORACLE).collect()
+    assert rows
+    jac = [r.jaccard_ppm for r in rows]
+    assert jac == sorted(jac, reverse=True)
+    for r in rows:
+        assert r.supp_a < r.supp_b
+        assert 0 < r.jaccard_ppm <= 1_000_000
+        assert r.n_shared >= 2
+
+
+def test_order_concurrency_positive_and_ranked(spark):
+    rows = QUERIES["q_win_order_concurrency"](spark, SF_ORACLE).collect()
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    opens = [r.open_orders for r in rows]
+    assert opens == sorted(opens, reverse=True)
+    assert all(r.open_orders > 0 for r in rows)
