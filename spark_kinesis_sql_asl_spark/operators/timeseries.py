@@ -1526,11 +1526,18 @@ def q_ts_seasonal_outliers(spark, sf_dir):
             F.col("cents") - F.avg("cents").over(Window.partitionBy("wd")), 6
         ),
     )
+    # TakeOrdered head first (B41 discipline), rank only the survivors —
+    # the partitionless rank window sits above a GlobalLimit.
+    top = season.orderBy(
+        F.abs(F.col("residual_cents")).desc(), "d"
+    ).limit(_SEASONAL_TOP_K)
     w = Window.orderBy(F.abs(F.col("residual_cents")).desc(), "d")
-    return (
-        season.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .where(F.col("rnk") <= _SEASONAL_TOP_K)
-        .select("d", "wd", "cents", "residual_cents", "rnk")
+    return top.select(
+        "d",
+        "wd",
+        "cents",
+        "residual_cents",
+        F.row_number().over(w).cast("int").alias("rnk"),
     )
 
 
@@ -1623,9 +1630,12 @@ def q_win_order_concurrency(spark, sf_dir):
         F.col("d").alias("epoch_day"),
         F.sum("net").over(wrun).cast("bigint").alias("open_orders"),
     )
+    top = running.orderBy(
+        F.col("open_orders").desc(), "epoch_day"
+    ).limit(_CONCURRENCY_TOP_K)
     wr = Window.orderBy(F.col("open_orders").desc(), "epoch_day")
-    return (
-        running.withColumn("rnk", F.row_number().over(wr).cast("int"))
-        .where(F.col("rnk") <= _CONCURRENCY_TOP_K)
-        .select(F.col("epoch_day").cast("bigint").alias("epoch_day"), "open_orders", "rnk")
+    return top.select(
+        F.col("epoch_day").cast("bigint").alias("epoch_day"),
+        "open_orders",
+        F.row_number().over(wr).cast("int").alias("rnk"),
     )

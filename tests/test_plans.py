@@ -470,6 +470,18 @@ _PARTITIONLESS_WINDOW_BY_CONSTRUCTION = {
     # k-minimum survivors before the union (that bound is the entire point
     # of a KMV sketch); documented in the query docstring.
     "q_llm_kmv_setops",
+    # C152 (round 9): the cumulative window runs over the SCORE HISTOGRAM
+    # — |distinct milli-length values|, a bounded domain independent of
+    # corpus size (that bound is the whole point of the histogram-quantile
+    # design; see the query docstring).
+    "q_llm_curriculum_bins",
+    # C157 (round 9): the share window runs over the 4-row dup-band
+    # rollup.
+    "q_llm_quality_dup_matrix",
+    # B172 (round 9): the running concurrency sum runs over the per-DAY
+    # net-change frame — calendar-bounded (the B146/B169 argument), and
+    # a running sum cannot be limit-bounded by construction.
+    "q_win_order_concurrency",
 }
 
 
