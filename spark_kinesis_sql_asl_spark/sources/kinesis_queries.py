@@ -319,3 +319,101 @@ def q_kinesis_reshard_plan(spark, sf_dir):
         .otherwise(F.lit("keep"))
         .alias("action"),
     )
+
+
+# --- A14: per-shard throughput / throttle audit --------------------------------
+
+# AWS Kinesis service quotas per shard: 1000 records/s or 1 MiB/s write.
+_QUOTA_RPS = 1_000
+_QUOTA_BPS = 1_048_576
+_AUDIT_SHARDS = 4  # the A5 md5-ring route
+
+
+@query(
+    "q_kinesis_throughput_audit",
+    priority=30,  # round-9 addition: first driver row in round 10
+    oracle=f"""
+    WITH routed AS (
+        SELECT (instr('0123456789abcdef',
+                      substr(md5(CAST(user_id AS VARCHAR)), 32, 1)) - 1)
+                   % {_AUDIT_SHARDS} AS shard,
+               epoch_us(ts) // 1000000 AS sec,
+               length(coalesce(props, '')) AS n_bytes
+        FROM events WHERE ts IS NOT NULL
+    ),
+    per_sec AS (
+        SELECT shard, sec,
+               CAST(count(*) AS BIGINT) AS rps,
+               CAST(sum(n_bytes) AS BIGINT) AS bps
+        FROM routed GROUP BY shard, sec
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_active_seconds,
+           CAST(max(rps) AS BIGINT) AS peak_rps,
+           CAST(max(bps) AS BIGINT) AS peak_bps,
+           CAST(sum(CASE WHEN rps > {_QUOTA_RPS}
+                          OR bps > {_QUOTA_BPS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_throttle_seconds,
+           CAST((1000000 * max(rps)) // {_QUOTA_RPS} AS BIGINT)
+               AS peak_rps_quota_ppm,
+           CAST((1000000 * max(bps)) // {_QUOTA_BPS} AS BIGINT)
+               AS peak_bps_quota_ppm
+    FROM per_sec GROUP BY shard ORDER BY shard
+    """,
+)
+def q_kinesis_throughput_audit(spark, sf_dir):
+    """A14: per-shard write-throughput audit against the Kinesis service
+    quotas (1000 records/s, 1 MiB/s per shard) — the capacity question an
+    operator answers BEFORE A13's reshard plan acts: which shards burst
+    near their ProvisionedThroughputExceeded limits, when, and by how
+    much. Records route by the A5 md5-ring rule (plan rows reconcile with
+    q_kinesis_shard_route); per-(shard, second) records and payload bytes
+    roll up map-side combined, then a {_AUDIT_SHARDS}-row per-shard
+    summary releases active seconds, peak rps/Bps, throttled-second
+    counts, and peak-over-quota floor-ppm (exact integer
+    cross-multiplication — no float at the quota boundary). On a real
+    stream the same query audits enhanced-monitoring output unchanged;
+    here payload bytes are the decoded-envelope analog (length of the
+    props payload, the A6 data column's source). Two aggregations, both
+    keyed on bounded domains ((shard, second) then shard); nothing wider
+    than the event scan itself."""
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    digit = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(F.encode(F.col("user_id").cast("string"), "UTF-8")),
+                32,
+                1,
+            ),
+        )
+        - 1
+    )
+    routed = ev.select(
+        (digit % _AUDIT_SHARDS).alias("shard"),
+        F.expr("unix_micros(ts) div 1000000").alias("sec"),
+        F.length(F.coalesce(F.col("props"), F.lit(""))).alias("n_bytes"),
+    )
+    per_sec = routed.groupBy("shard", "sec").agg(
+        F.count(F.lit(1)).cast("bigint").alias("rps"),
+        F.sum("n_bytes").cast("bigint").alias("bps"),
+    )
+    throttled = (
+        (F.col("rps") > _QUOTA_RPS) | (F.col("bps") > _QUOTA_BPS)
+    ).cast("bigint")
+    return (
+        per_sec.groupBy(F.col("shard").cast("bigint").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active_seconds"),
+            F.max("rps").cast("bigint").alias("peak_rps"),
+            F.max("bps").cast("bigint").alias("peak_bps"),
+            F.sum(throttled).cast("bigint").alias("n_throttle_seconds"),
+            F.expr(f"(1000000 * max(rps)) div {_QUOTA_RPS}")
+            .cast("bigint")
+            .alias("peak_rps_quota_ppm"),
+            F.expr(f"(1000000 * max(bps)) div {_QUOTA_BPS}")
+            .cast("bigint")
+            .alias("peak_bps_quota_ppm"),
+        )
+        .orderBy("shard")
+    )

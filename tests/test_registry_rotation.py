@@ -63,6 +63,8 @@ ROUND9_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_llm_quality_dup_matrix",
         "q_graph_copurchase",
         "q_win_order_concurrency",
+        # A14
+        "q_kinesis_throughput_audit",
     }
 )
 
