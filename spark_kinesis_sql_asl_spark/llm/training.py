@@ -1062,3 +1062,94 @@ def q_llm_quality_dup_matrix(spark, sf_dir):
         )
         .orderBy("dup_band")
     )
+
+
+# --- C158: epoch / repetition schedule under a token budget ---------------------
+
+_EPOCH_BUDGET_DIV = 2  # train on budget = total corpus tokens / 2
+_EPOCH_CAP_PPM = 4_000_000  # the ~4-epoch repetition ceiling
+
+
+@query(
+    "q_llm_epoch_schedule",
+    priority=30,
+    oracle=f"""
+    WITH avail AS (
+        SELECT source,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+        FROM documents WHERE source IS NOT NULL
+        GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(sum(avail) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_sources
+        FROM avail
+    ),
+    planned AS (
+        SELECT source, avail,
+               (t.total // {_EPOCH_BUDGET_DIV}) // t.n_sources AS target
+        FROM avail CROSS JOIN tot t
+    )
+    SELECT source, avail, CAST(target AS BIGINT) AS target,
+           CAST((1000000 * target) // avail AS BIGINT) AS epochs_ppm,
+           CAST((1000000 * target) // avail > {_EPOCH_CAP_PPM} AS INTEGER)
+               AS capped,
+           CAST(least(target, ({_EPOCH_CAP_PPM} // 1000000) * avail)
+                AS BIGINT) AS tokens_used
+    FROM planned ORDER BY source
+    """,
+)
+def q_llm_epoch_schedule(spark, sf_dir):
+    """C158: repetition schedule under a token budget — given a training
+    budget (corpus/{_EPOCH_BUDGET_DIV} here) spread uniformly over
+    sources, how many EPOCHS of each source that demands, which sources
+    saturate the ~4-epoch repetition ceiling (past which repeated tokens
+    stop helping — the Muennighoff data-constrained scaling result), and
+    the tokens actually usable after the cap. This is the planning table
+    between C30's mixture weights and a training run: a weight the
+    source's inventory cannot supply at <4 epochs is a silent
+    quality regression, and this query is where it stops being silent.
+    Everything is exact BIGINT arithmetic (floor divisions ordered to
+    keep intermediates integral); one token-count aggregate per source
+    (map-side combined scan-stage split), a single-row total broadcast
+    back. |sources| output rows at any SF."""
+    avail = (
+        parallel_table(spark, sf_dir, "documents")
+        .where(F.col("source").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split("text", " ")))
+            .cast("bigint")
+            .alias("avail")
+        )
+    )
+    tot = avail.agg(
+        F.sum("avail").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    cap_epochs = _EPOCH_CAP_PPM // 1_000_000
+    return (
+        avail.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "avail",
+            F.expr(f"(total div {_EPOCH_BUDGET_DIV}) div n_sources")
+            .cast("bigint")
+            .alias("target"),
+        )
+        .select(
+            "source",
+            "avail",
+            "target",
+            F.expr("(1000000 * target) div avail")
+            .cast("bigint")
+            .alias("epochs_ppm"),
+            (F.expr("(1000000 * target) div avail") > _EPOCH_CAP_PPM)
+            .cast("int")
+            .alias("capped"),
+            F.least(F.col("target"), cap_epochs * F.col("avail"))
+            .cast("bigint")
+            .alias("tokens_used"),
+        )
+        .orderBy("source")
+    )

@@ -1639,3 +1639,61 @@ def q_win_order_concurrency(spark, sf_dir):
         "open_orders",
         F.row_number().over(wr).cast("int").alias("rnk"),
     )
+
+
+# --- B173: rolling-median smoothing -------------------------------------------
+
+_ROLL_MED_FRAME = 7  # trailing frame rows (days observed, ROWS not RANGE)
+
+
+@query(
+    "q_win_rolling_median",
+    priority=30,  # round-9 addition: first driver row in round 10
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders WHERE o_orderdate IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT d, cents,
+           round(median(cents) OVER (ORDER BY d
+                 ROWS BETWEEN {_ROLL_MED_FRAME - 1} PRECEDING AND CURRENT ROW),
+                 1) AS med_cents,
+           CAST(count(*) OVER (ORDER BY d
+                ROWS BETWEEN {_ROLL_MED_FRAME - 1} PRECEDING AND CURRENT ROW)
+                AS INTEGER) AS n_in_frame
+    FROM daily
+    """,
+)
+def q_win_rolling_median(spark, sf_dir):
+    """B173: trailing {_ROLL_MED_FRAME}-observation rolling MEDIAN of the
+    daily revenue series — the robust smoother B113's rolling OLS and
+    B132's EWMA lack (one flash-sale day drags a rolling MEAN for a week;
+    the median shrugs it off). Exact interpolating percentile over BIGINT
+    cents inside a ROWS frame (observed days, the trading-days
+    convention; B31 pins cross-engine percentile interpolation parity,
+    and the even-frame midpoint of two ints is a dyadic double — exact on
+    both engines, released round-1). Point-scale work is the ONE daily
+    hash aggregate; both windows share the |days|-row frame's single
+    day-ordered pass (calendar-bounded — the B146/B169/B172 argument)."""
+    daily = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(-(_ROLL_MED_FRAME - 1), 0)
+    return daily.select(
+        "d",
+        "cents",
+        F.round(F.expr("percentile(cents, 0.5)").over(w), 1).alias(
+            "med_cents"
+        ),
+        F.count(F.lit(1)).over(w).cast("int").alias("n_in_frame"),
+    )
