@@ -64,90 +64,55 @@ _MODULES = (
     "operators.sorts_sets",
 )
 
-# ROUND-9 ROTATION (computed from CORRECTNESS_r01..r08.json): the cumulative
-# ledger is fully green (0 red), but round 8 registered 49 new queries
-# against a 50-row driver window, so 41 registered queries have never been
-# driver-sampled (the judge ran all 41 through the in-repo driver-canon
-# replica, green — but the CORRECTNESS ledger is the contract of record,
-# VERDICT r8 item #1). Round-9 window, in priority order:
+# ROUND-10 ROTATION (computed from CORRECTNESS_r01..r09.json): the cumulative
+# ledger is fully green through round 9 (0 red). 20 registered queries have
+# never been driver-sampled (the 18 round-9 priority-30 additions plus the
+# two a3920c0 snapshot queries `q_win_rolling_median` / `q_llm_epoch_schedule`
+# — VERDICT r9 items #1/#2). Round-10 window, in priority order:
 #
-#   override 5   the 8 remaining round-1-last-sampled queries (windows +
-#                topk/unpivot) deferred from the r8 freshness rotation
-#   override 8   the 41 never-driver-sampled queries (r8 additions incl.
-#                canaries D14/D15) — 8 + 41 = 49, all guaranteed in-window
-#   override 10  the 13 legacy canaries, back at their permanent slot
-#                (r8 pinned them at 100 for one round); exactly one fills
-#                window slot 50, the rest queue first for round 10
+#   override 8   the 20 never-driver-sampled queries — slots 0..19; after
+#                this round the ENTIRE registry is driver-confirmed
+#   override 10  the 12 legacy canaries last sampled in round 7 (their
+#                permanent slot; D1/D14/D15 were re-sampled green in r9 and
+#                pin at 100 for one round, D16 rides the backlog tranche)
+#                — slots 20..31
+#   override 12  freshness rotation: the first 18 (alphabetical) of the 35
+#                round-2-last-sampled queries — slots 32..49; the other 17
+#                queue for round 11
 #   override 100 every other ever-driver-sampled query
 #
-# New round-9 queries use decorator priority=30: behind the canaries,
-# ahead of the pinned set — they take their first driver rows in round 10
-# (the backlog, not the window, is the scarce resource this round).
+# New round-10 queries use decorator priority=30: behind the window,
+# ahead of the pinned set — first driver rows in round 11.
 # tests/test_registry_rotation.py recomputes and asserts this composition.
 _PRIORITY_OVERRIDES: dict[str, int] = {
-    # (a) freshness rotation: the 8 round-1-last-sampled queries deferred
-    # from round 8 re-enter the window at 5
-    **{
-        n: 5
-        for n in (
-            "q_topk",
-            "q_unpivot",
-            "q_win_first_last",
-            "q_win_lag_lead",
-            "q_win_ntile",
-            "q_win_range_frame",
-            "q_win_rank",
-            "q_win_running",
-        )
-    },
-    # (b) the 41 never-driver-sampled round-8 additions at 8: slots 9..49
+    # (a) the 20 never-driver-sampled queries: slots 0..19
     **{
         n: 8
         for n in (
-            "q_agg_cov_matrix",
-            "q_canary_ln_quant",
-            "q_canary_wideint_convert",
-            "q_events_anova",
-            "q_events_entropy_rate",
-            "q_events_kruskal",
-            "q_events_mannwhitney",
-            "q_events_spearman",
-            "q_events_survival",
-            "q_geo_cell_density",
-            "q_geo_dist_join",
-            "q_geo_hotspot",
-            "q_geo_knn",
-            "q_join_bucketed",
-            "q_llm_band_assign",
-            "q_llm_band_tuning",
-            "q_llm_cms_heavy",
-            "q_llm_dup_inflation",
-            "q_llm_dup_kcore",
-            "q_llm_dup_pagerank",
-            "q_llm_embed_pca_power",
-            "q_llm_kmv_distinct",
-            "q_llm_kmv_setops",
-            "q_llm_minhash_portable",
-            "q_llm_mrr",
-            "q_llm_ndcg",
-            "q_llm_quality_ece",
-            "q_llm_rater_kappa",
-            "q_llm_semantic_clusters",
-            "q_llm_semantic_dedup_e2e",
-            "q_llm_semantic_survivors",
-            "q_llm_semantic_yield",
-            "q_llm_weighted_sample",
-            "q_privacy_dp_hist",
-            "q_ts_acf",
-            "q_ts_ccf",
-            "q_ts_pacf",
-            "q_ts_peaks",
-            "q_ts_trend_forecast",
-            "q_win_skyline",
-            "q_zorder_layout",
+            "q_agg_grouping_id",
+            "q_canary_unicode_case",
+            "q_events_lift_matrix",
+            "q_events_path_prefix",
+            "q_graph_copurchase",
+            "q_kinesis_throughput_audit",
+            "q_llm_cluster_reweight",
+            "q_llm_compress_proxy",
+            "q_llm_contrastive_pairs",
+            "q_llm_curriculum_bins",
+            "q_llm_dup_two_hop",
+            "q_llm_epoch_schedule",
+            "q_llm_ingest_cdc",
+            "q_llm_js_divergence",
+            "q_llm_probe_curve",
+            "q_llm_quality_dup_matrix",
+            "q_llm_split_leakage",
+            "q_ts_seasonal_outliers",
+            "q_win_order_concurrency",
+            "q_win_rolling_median",
         )
     },
-    # (c) the 13 legacy canaries return to their permanent priority 10
+    # (b) the 12 legacy canaries (last driver row: round 7) at their
+    # permanent priority 10: slots 20..31
     **{
         n: 10
         for n in (
@@ -162,8 +127,32 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_canary_range_frame",
             "q_canary_round_double",
             "q_canary_string_order",
-            "q_canary_tok_split",
             "q_canary_try_arith",
+        )
+    },
+    # (c) freshness rotation: 18 oldest (round-2-last-sampled) queries
+    # re-enter the window at 12: slots 32..49
+    **{
+        n: 12
+        for n in (
+            "q_agg_histogram",
+            "q_events_funnel",
+            "q_join_null_safe",
+            "q_lateral_topn",
+            "q_llm_bigram_topk",
+            "q_llm_decontaminate",
+            "q_llm_dedup_cluster",
+            "q_llm_dedup_editdist",
+            "q_llm_dedup_embed",
+            "q_llm_dedup_ngram",
+            "q_llm_dedup_simhash",
+            "q_llm_inverted_index",
+            "q_llm_langid",
+            "q_llm_pii_scrub",
+            "q_llm_quality",
+            "q_llm_random_proj",
+            "q_llm_sim_ivf",
+            "q_llm_tokcount",
         )
     },
     # (d) every other ever-driver-sampled query pins at 100
@@ -175,6 +164,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_agg_bivariate",
             "q_agg_boolcond",
             "q_agg_collect",
+            "q_agg_cov_matrix",
             "q_agg_cube",
             "q_agg_decimal",
             "q_agg_distinct",
@@ -186,7 +176,6 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_agg_grouping_sets",
             "q_agg_having",
             "q_agg_hhi",
-            "q_agg_histogram",
             "q_agg_listagg",
             "q_agg_mode",
             "q_agg_multi_distinct",
@@ -201,21 +190,29 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_agg_winsorized_mean",
             "q_basket_pairs",
             "q_benford_audit",
+            "q_canary_ln_quant",
+            "q_canary_tok_split",
+            "q_canary_wideint_convert",
             "q_customer_rfm",
             "q_customer_tier_migration",
             "q_cusum_changepoint",
+            "q_events_anova",
             "q_events_burst_episodes",
             "q_events_chisq_shift",
             "q_events_cohort_retention",
             "q_events_conversion_rate",
             "q_events_dau_wau",
-            "q_events_funnel",
+            "q_events_entropy_rate",
             "q_events_hourly_profile",
             "q_events_inter_arrival",
+            "q_events_kruskal",
             "q_events_ks_test",
             "q_events_mad_outliers",
+            "q_events_mannwhitney",
             "q_events_markov_stationary",
             "q_events_sessionize",
+            "q_events_spearman",
+            "q_events_survival",
             "q_events_transitions",
             "q_filter_compound",
             "q_filter_like",
@@ -237,19 +234,23 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_fn_string",
             "q_fn_struct",
             "q_fn_variant",
+            "q_geo_cell_density",
+            "q_geo_dist_join",
+            "q_geo_hotspot",
+            "q_geo_knn",
             "q_join_anti",
             "q_join_asof",
             "q_join_asof_forward",
             "q_join_asof_nearest",
             "q_join_asof_tolerance",
             "q_join_broadcast",
+            "q_join_bucketed",
             "q_join_cross",
             "q_join_full",
             "q_join_inner",
             "q_join_interval",
             "q_join_left",
             "q_join_multiway",
-            "q_join_null_safe",
             "q_join_right",
             "q_join_salted",
             "q_join_semi",
@@ -260,8 +261,8 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_kinesis_reshard_plan",
             "q_kinesis_schema",
             "q_kinesis_shard_route",
-            "q_lateral_topn",
-            "q_llm_bigram_topk",
+            "q_llm_band_assign",
+            "q_llm_band_tuning",
             "q_llm_bitext_mine",
             "q_llm_bloom_fpr",
             "q_llm_bm25",
@@ -272,6 +273,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_char_entropy",
             "q_llm_chunk",
             "q_llm_cluster_purity",
+            "q_llm_cms_heavy",
             "q_llm_composition",
             "q_llm_corpus_build",
             "q_llm_corpus_diff",
@@ -280,20 +282,14 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_curate_e2e",
             "q_llm_data_card",
             "q_llm_decode_media",
-            "q_llm_decontaminate",
-            "q_llm_dedup_cluster",
             "q_llm_dedup_containment",
             "q_llm_dedup_containment_lsh",
-            "q_llm_dedup_editdist",
-            "q_llm_dedup_embed",
             "q_llm_dedup_exact",
             "q_llm_dedup_jaccard",
             "q_llm_dedup_minhash",
-            "q_llm_dedup_ngram",
             "q_llm_dedup_normalized",
             "q_llm_dedup_precision",
             "q_llm_dedup_semantic",
-            "q_llm_dedup_simhash",
             "q_llm_dedup_survivors",
             "q_llm_dedup_yield_curve",
             "q_llm_diversity",
@@ -301,10 +297,14 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_dsir_weight",
             "q_llm_dup_centrality",
             "q_llm_dup_degree",
+            "q_llm_dup_inflation",
+            "q_llm_dup_kcore",
+            "q_llm_dup_pagerank",
             "q_llm_dup_span_ratio",
             "q_llm_dup_triangles",
             "q_llm_embed_dimstats",
             "q_llm_embed_drift",
+            "q_llm_embed_pca_power",
             "q_llm_fertility",
             "q_llm_filter_funnel",
             "q_llm_fingerprint",
@@ -320,13 +320,13 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_ingest_dedup",
             "q_llm_ingest_jsonl",
             "q_llm_ingest_neardup",
-            "q_llm_inverted_index",
             "q_llm_keyword_stuffing",
             "q_llm_kmeans",
             "q_llm_kmeans_mstep",
             "q_llm_kmeans_train",
+            "q_llm_kmv_distinct",
+            "q_llm_kmv_setops",
             "q_llm_knn_label_vote",
-            "q_llm_langid",
             "q_llm_langid_confusion",
             "q_llm_length_profile",
             "q_llm_link_extract",
@@ -336,31 +336,33 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_media_dedup",
             "q_llm_media_phash",
             "q_llm_media_sniff",
+            "q_llm_minhash_portable",
             "q_llm_mixture",
             "q_llm_mixture_sample",
             "q_llm_mmr_select",
+            "q_llm_mrr",
             "q_llm_multimodal",
+            "q_llm_ndcg",
             "q_llm_ngram_lm",
             "q_llm_ngram_novelty_decay",
             "q_llm_novelty",
             "q_llm_pack",
             "q_llm_pad_waste",
             "q_llm_paragraph_dedup",
-            "q_llm_pii_scrub",
             "q_llm_pmi_bigrams",
             "q_llm_pq_adc_topk",
             "q_llm_pq_encode",
             "q_llm_prefix_dup",
             "q_llm_profile",
             "q_llm_psi_drift",
-            "q_llm_quality",
             "q_llm_quality_auc",
             "q_llm_quality_calibrate",
+            "q_llm_quality_ece",
             "q_llm_quality_isotonic",
             "q_llm_quality_len_matrix",
             "q_llm_quota_sample",
             "q_llm_rake_keywords",
-            "q_llm_random_proj",
+            "q_llm_rater_kappa",
             "q_llm_recall_at_k",
             "q_llm_refresh_e2e",
             "q_llm_rejection_sample",
@@ -371,10 +373,13 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_sample_reservoir",
             "q_llm_scd2",
             "q_llm_semantic_cell_audit",
+            "q_llm_semantic_clusters",
+            "q_llm_semantic_dedup_e2e",
             "q_llm_semantic_outliers",
+            "q_llm_semantic_survivors",
+            "q_llm_semantic_yield",
             "q_llm_shard_balance",
             "q_llm_shingle_df_audit",
-            "q_llm_sim_ivf",
             "q_llm_sim_lsh",
             "q_llm_sim_topk",
             "q_llm_source_leak",
@@ -386,19 +391,20 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_template_mine",
             "q_llm_textscore",
             "q_llm_tfidf",
-            "q_llm_tokcount",
             "q_llm_token_budget",
             "q_llm_tokenize",
             "q_llm_train_order",
             "q_llm_vec_ops",
             "q_llm_vec_quantize",
             "q_llm_vocab_coverage",
+            "q_llm_weighted_sample",
             "q_llm_winnow",
             "q_llm_zipf_fit",
             "q_pareto_deciles",
             "q_pivot",
             "q_privacy_bounded_contrib",
             "q_privacy_cell_suppression",
+            "q_privacy_dp_hist",
             "q_privacy_kanon",
             "q_privacy_ldiversity",
             "q_privacy_tcloseness",
@@ -423,24 +429,39 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_subquery_correlated_scalar",
             "q_subquery_exists",
             "q_subquery_scalar",
+            "q_topk",
             "q_topk_per_group",
+            "q_ts_acf",
             "q_ts_backlog",
+            "q_ts_ccf",
             "q_ts_ewma_cross",
             "q_ts_gapfill",
             "q_ts_ohlc",
+            "q_ts_pacf",
+            "q_ts_peaks",
             "q_ts_seasonality",
             "q_ts_time_weighted",
+            "q_ts_trend_forecast",
             "q_udaf_grouped",
             "q_udf_pandas",
             "q_udf_scalar",
             "q_udtf_expand",
+            "q_unpivot",
             "q_win_distribution",
+            "q_win_first_last",
+            "q_win_lag_lead",
             "q_win_mom_growth",
             "q_win_nth_value",
+            "q_win_ntile",
+            "q_win_range_frame",
+            "q_win_rank",
             "q_win_rolling_slope",
+            "q_win_running",
             "q_win_running_distinct",
+            "q_win_skyline",
             "q_win_streaks",
             "q_win_time_range",
+            "q_zorder_layout",
         )
     },
 }

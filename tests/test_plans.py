@@ -482,6 +482,11 @@ _PARTITIONLESS_WINDOW_BY_CONSTRUCTION = {
     # net-change frame — calendar-bounded (the B146/B169 argument), and
     # a running sum cannot be limit-bounded by construction.
     "q_win_order_concurrency",
+    # B173 (round 10): the rolling median runs over the per-DAY revenue
+    # frame — |days| rows after the daily hash aggregate regardless of
+    # corpus size (the same calendar-bounded B146/B169/B172 argument),
+    # and a trailing ROWS frame cannot be limit-bounded by construction.
+    "q_win_rolling_median",
 }
 
 

@@ -1,25 +1,25 @@
-"""Round-9 rotation window assertions (VERDICT r8 item #1).
+"""Round-10 rotation window assertions (VERDICT r9 items #1/#2).
 
 The driver samples roughly the first 50 entries of the priority-ordered
-registry for CORRECTNESS_r{N}.json. Rounds 4-8 proved the rotation must be
+registry for CORRECTNESS_r{N}.json. Rounds 4-9 proved the rotation must be
 *recomputed* (not guessed) each round from the committed CORRECTNESS
-artifacts. Round 8 registered 49 new queries against a 50-row window, so 41
-registered queries carry no driver row yet — the round-9 window drains that
-backlog completely:
+artifacts. Through round 9 the cumulative ledger is fully green, and 20
+registered queries carry no driver row yet (the 18 round-9 priority-30
+additions plus the two a3920c0 snapshot queries). The round-10 window
+drains that backlog completely and resumes the freshness rotation:
 
-  slots 0..7      the 8 remaining round-1-last-sampled queries (windows +
-                  topk/unpivot) deferred from the r8 freshness rotation
-                  (override 5)
-  slots 8..48     the 41 never-driver-sampled r8 additions, incl. canaries
-                  D14/D15 (override 8)
-  slot  49        first legacy canary by registration order — the 13
-                  legacy canaries return to their permanent priority 10
-                  (r8 pinned them at 100 for one round); the other 12
-                  queue directly after the window, first for round 10
+  slots 0..19     the 20 never-driver-sampled queries (override 8) — after
+                  this round the ENTIRE registry is driver-confirmed
+  slots 20..31    the 12 legacy canaries last sampled round 7, at their
+                  permanent priority 10 (D1/D14/D15 re-sampled green in r9
+                  pin at 100 for one round; D16 rides the backlog tranche)
+  slots 32..49    freshness rotation: the first 18 (alphabetical) of the
+                  35 round-2-last-sampled queries (override 12); the other
+                  17 queue for round 11
 
-New round-9 queries use decorator ``priority=30``: behind the canaries,
+New round-10 queries use decorator ``priority=30``: behind the window,
 ahead of every pinned-100 query — they take their first driver rows in
-round 10. Add their names to ROUND9_NEW_THIS_ROUND below; the recompute
+round 11. Add their names to ROUND10_NEW_THIS_ROUND below; the recompute
 tests fail loudly on drift.
 """
 
@@ -35,42 +35,16 @@ from spark_kinesis_sql_asl_spark import registry
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-LAST_DRIVER_ROUND = 8
+LAST_DRIVER_ROUND = 9
 DRIVER_WINDOW = 50
 
-# Queries first registered in round 9 (decorator priority=30): they have no
+# Queries first registered in round 10 (decorator priority=30): they have no
 # CORRECTNESS row yet by construction. Keep in sync as operators land.
-ROUND9_NEW_THIS_ROUND: frozenset[str] = frozenset(
-    {
-        # B167-B170
-        "q_events_lift_matrix",
-        "q_events_path_prefix",
-        "q_ts_seasonal_outliers",
-        "q_agg_grouping_id",
-        # C148-C155 (llm/training.py)
-        "q_llm_probe_curve",
-        "q_llm_js_divergence",
-        "q_llm_compress_proxy",
-        "q_llm_contrastive_pairs",
-        "q_llm_curriculum_bins",
-        "q_llm_cluster_reweight",
-        "q_llm_dup_two_hop",
-        "q_llm_ingest_cdc",
-        # D16
-        "q_canary_unicode_case",
-        # second wave: C156/C157, B171/B172 (B163s is harness-only)
-        "q_llm_split_leakage",
-        "q_llm_quality_dup_matrix",
-        "q_graph_copurchase",
-        "q_win_order_concurrency",
-        # A14
-        "q_kinesis_throughput_audit",
-    }
-)
+ROUND10_NEW_THIS_ROUND: frozenset[str] = frozenset()
 
-# The 8 round-1-last-sampled queries deferred from the r8 rotation: the
-# final freshness-retirement tranche (recomputed in _r1_deferred below).
-R1_DEFERRED_COUNT = 8
+NEVER_SAMPLED_COUNT = 18 + 2  # r9 priority-30 additions + 2 snapshot queries
+CANARY_TRANCHE_COUNT = 12
+FRESHNESS_TRANCHE_COUNT = 18
 
 
 def _ordered():
@@ -105,24 +79,40 @@ def _last_sampled() -> dict[str, int]:
     return last
 
 
-def _r1_deferred() -> list[str]:
-    """The 8 queries whose latest driver row is still ROUND 1 — the tail
-    of the 50-query freshness retirement started in round 8."""
-    last = _last_sampled()
-    return sorted(q for q, r in last.items() if r == 1)
-
-
 def _never_sampled() -> set[str]:
     registry.load_all()
     return (
         set(registry._QUERIES)
         - set(_rows_through(LAST_DRIVER_ROUND))
-        - ROUND9_NEW_THIS_ROUND
+        - ROUND10_NEW_THIS_ROUND
     )
 
 
+def _legacy_canary_tranche() -> list[str]:
+    """The 12 canaries whose latest driver row is round 7 — everything
+    else canary-shaped was re-sampled in round 9 (D1/D14/D15) or rides
+    the never-sampled backlog (D16)."""
+    last = _last_sampled()
+    return sorted(
+        q
+        for q, r in last.items()
+        if q.startswith("q_canary_") and r == 7
+    )
+
+
+def _freshness_tranche() -> list[str]:
+    """First 18 (alphabetical) of the round-2-last-sampled queries."""
+    last = _last_sampled()
+    registry.load_all()
+    r2 = sorted(
+        q for q, r in last.items() if r == 2 and q in registry._QUERIES
+    )
+    assert len(r2) == 35, f"r2-era cohort drifted: {len(r2)}"
+    return r2[:FRESHNESS_TRANCHE_COUNT]
+
+
 def test_no_reds_to_recheck():
-    """The cumulative ledger through round 8 is fully green — no query
+    """The cumulative ledger through round 9 is fully green — no query
     carries override 0 (rows-only ``no_oracle`` rows are sampled-clean)."""
     latest = _rows_through(LAST_DRIVER_ROUND)
     reds = {
@@ -142,87 +132,111 @@ def test_no_reds_to_recheck():
     assert at_zero == [], f"override 0 without a red: {at_zero}"
 
 
-def test_r1_deferred_tranche_heads_the_window():
-    deferred = _r1_deferred()
-    assert len(deferred) == R1_DEFERRED_COUNT
-    names = _ordered()
-    head = names[:R1_DEFERRED_COUNT]
-    assert set(head) == set(deferred), (sorted(head), deferred)
-    assert all(_priority(n) == 5 for n in head)
-
-
-def test_never_sampled_backlog_fills_the_window():
-    """VERDICT r8 item #1's Done bar: every one of the 41 never-sampled
-    queries sits inside the 50-slot window (override 8, slots 8..48)."""
+def test_never_sampled_backlog_heads_the_window():
+    """VERDICT r9 item #2's Done bar: every one of the 20 never-sampled
+    queries sits at the FRONT of the window (override 8, slots 0..19) —
+    including the two a3920c0 snapshot queries."""
     never = _never_sampled()
-    assert len(never) == 41, f"backlog drifted: {len(never)}"
+    assert len(never) == NEVER_SAMPLED_COUNT, f"backlog drifted: {len(never)}"
+    assert {"q_win_rolling_median", "q_llm_epoch_schedule"} <= never
     for n in sorted(never):
         assert _priority(n) == 8, (n, _priority(n))
-    window = set(_ordered()[:DRIVER_WINDOW])
-    missing = never - window
-    assert not missing, f"never-sampled outside window: {sorted(missing)}"
+    head = set(_ordered()[:NEVER_SAMPLED_COUNT])
+    assert head == never, (sorted(head - never), sorted(never - head))
 
 
-def test_canaries_back_at_permanent_priority():
-    """The 13 legacy canaries revert from the r8 one-round pin (100) to
-    their permanent priority 10; D14/D15 ride the never-sampled tranche."""
+def test_canary_tranche_follows_backlog():
+    """The 12 round-7-last-sampled legacy canaries take slots 20..31 at
+    their permanent priority 10; the three canaries re-sampled green in
+    round 9 pin at 100 for one round; D16 rides the backlog tranche."""
+    tranche = _legacy_canary_tranche()
+    assert len(tranche) == CANARY_TRANCHE_COUNT
+    names = _ordered()
+    mid = names[NEVER_SAMPLED_COUNT : NEVER_SAMPLED_COUNT + CANARY_TRANCHE_COUNT]
+    assert set(mid) == set(tranche), (sorted(mid), tranche)
+    assert all(_priority(n) == 10 for n in mid)
     registry.load_all()
-    canaries = [n for n in registry._QUERIES if n.startswith("q_canary_")]
-    new_this_round = {n for n in canaries if n in ROUND9_NEW_THIS_ROUND}
-    for n in canaries:
-        if n in ("q_canary_ln_quant", "q_canary_wideint_convert"):
-            want = 8
-        elif n in new_this_round:
-            want = 30
-        else:
-            want = 10
-        assert _priority(n) == want, (n, _priority(n), want)
+    for n in registry._QUERIES:
+        if not n.startswith("q_canary_"):
+            continue
+        if n in tranche:
+            continue
+        if n == "q_canary_unicode_case":
+            assert _priority(n) == 8, (n, _priority(n))
+        elif n in ROUND10_NEW_THIS_ROUND:
+            assert _priority(n) == 30, (n, _priority(n))
+        else:  # D1/D14/D15, re-sampled green in round 9
+            assert _priority(n) == 100, (n, _priority(n))
+
+
+def test_freshness_tranche_fills_the_window():
+    """Slots 32..49: the 18 oldest (round-2-last-sampled, alphabetical)
+    queries re-enter at override 12."""
+    tranche = _freshness_tranche()
+    names = _ordered()
+    tail = names[
+        NEVER_SAMPLED_COUNT
+        + CANARY_TRANCHE_COUNT : DRIVER_WINDOW
+    ]
+    assert set(tail) == set(tranche), (sorted(tail), tranche)
+    assert all(_priority(n) == 12 for n in tail)
 
 
 def test_window_composition_exact():
-    """8 deferred + 41 backlog + 1 canary = the exact 50-slot window."""
+    """20 backlog + 12 canaries + 18 freshness = the exact 50-slot window."""
+    assert (
+        NEVER_SAMPLED_COUNT + CANARY_TRANCHE_COUNT + FRESHNESS_TRANCHE_COUNT
+        == DRIVER_WINDOW
+    )
     names = _ordered()
-    window = names[:DRIVER_WINDOW]
-    expect = set(_r1_deferred()) | _never_sampled()
-    assert len(expect) == 49
-    extra = [n for n in window if n not in expect]
-    assert len(extra) == 1 and extra[0].startswith("q_canary_"), extra
-    # the twelve remaining legacy canaries queue directly after the window
-    tail = names[DRIVER_WINDOW : DRIVER_WINDOW + 12]
-    assert all(n.startswith("q_canary_") for n in tail), tail
+    window = set(names[:DRIVER_WINDOW])
+    expect = (
+        _never_sampled()
+        | set(_legacy_canary_tranche())
+        | set(_freshness_tranche())
+    )
+    assert window == expect, (
+        sorted(window - expect),
+        sorted(expect - window),
+    )
+    # round-10 additions (priority 30) queue directly after the window,
+    # ahead of the pinned-100 majority
+    after = names[DRIVER_WINDOW : DRIVER_WINDOW + len(ROUND10_NEW_THIS_ROUND)]
+    assert set(after) == ROUND10_NEW_THIS_ROUND, after
 
 
 def test_new_this_round_constant_is_exact():
-    """ROUND9_NEW_THIS_ROUND == (registered queries with no driver row
-    that were not part of the r8 backlog) — the r6 lesson: update the
+    """ROUND10_NEW_THIS_ROUND == (registered queries with no driver row
+    that are not part of the round-9 backlog) — the r6 lesson: update the
     constant with EVERY new @query or the recompute tests drift."""
     registry.load_all()
     unsampled = set(registry._QUERIES) - set(
         _rows_through(LAST_DRIVER_ROUND)
     )
     new = unsampled - _never_sampled()
-    assert new == ROUND9_NEW_THIS_ROUND, (
-        sorted(new - ROUND9_NEW_THIS_ROUND),
-        sorted(ROUND9_NEW_THIS_ROUND - new),
+    assert new == ROUND10_NEW_THIS_ROUND, (
+        sorted(new - ROUND10_NEW_THIS_ROUND),
+        sorted(ROUND10_NEW_THIS_ROUND - new),
     )
-    for n in sorted(ROUND9_NEW_THIS_ROUND):
+    for n in sorted(ROUND10_NEW_THIS_ROUND):
         assert n in registry._QUERIES, f"{n} listed but not registered"
         assert _priority(n) == 30, (n, _priority(n))
 
 
-def test_every_ever_sampled_query_pinned_at_5_10_or_100():
+def test_every_ever_sampled_query_pinned_at_10_12_or_100():
     """A <100 decorator priority must never leak a driver-green query back
     into the window at the expense of the rotation plan."""
     registry.load_all()
-    deferred = set(_r1_deferred())
+    fresh = set(_freshness_tranche())
+    canaries = set(_legacy_canary_tranche())
     for n in sorted(
         set(_rows_through(LAST_DRIVER_ROUND)) & set(registry._QUERIES)
     ):
         p = _priority(n)
-        if n in deferred:
-            assert p == 5, f"{n}: deferred tranche must be 5, got {p}"
-        elif n.startswith("q_canary_"):
-            assert p == 10, f"{n}: canary must be 10, got {p}"
+        if n in fresh:
+            assert p == 12, f"{n}: freshness tranche must be 12, got {p}"
+        elif n in canaries:
+            assert p == 10, f"{n}: canary tranche must be 10, got {p}"
         else:
             assert p == 100, f"{n}: ever-sampled but priority {p}"
 
