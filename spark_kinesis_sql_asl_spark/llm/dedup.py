@@ -301,11 +301,31 @@ def prefix_filtered_jaccard(
         # optimizer collapses projections and re-evaluates it in both the
         # filter and the output expression (2x measured). Materializing the
         # scored pairs (small: ids + 3 ints) forces single evaluation.
-        scored = scored.localCheckpoint(eager=True)
+        #
+        # Round 10: the tau filter is folded INTO the barrier write — every
+        # consumer keeps only jaccard >= tau rows (C116 sweeps thresholds
+        # >= tau only), and at sf0.1 the filter halves the materialized
+        # frame (1.56M verified candidates -> 759k survivors). The compare
+        # is integer-exact (den*i >= num*u with tau = num/den), so it keeps
+        # a superset of every downstream float `i*1.0/u >= tau` compare at
+        # realistic set sizes (|u| << 2^52). The rand(7)*0 term is always
+        # zero but marks the ONE conjunct nondeterministic, so the
+        # optimizer can neither split it nor push it below the projection —
+        # array_intersect still evaluates exactly once per candidate.
+        from fractions import Fraction
+
+        frac = Fraction(tau).limit_denominator(10_000)
+        num, den = frac.numerator, frac.denominator
+        u = F.col("sa") + F.col("sb") - F.col("i")
+        scored = scored.where(
+            F.lit(den) * F.col("i") + (F.rand(7) * 0).cast("bigint")
+            >= F.lit(num) * u
+        ).localCheckpoint(eager=True)
     if return_scored:
         # raw (doc_a, doc_b, sa, sb, i) for consumers that sweep MULTIPLE
         # thresholds >= tau with exact integer compares (C116): recall is
-        # complete for any tau' >= tau by PPJoin exactness at tau.
+        # complete for any tau' >= tau by PPJoin exactness at tau. Under
+        # reuse=True the frame is already tau-filtered at the barrier.
         return scored
     jac = F.col("i") * 1.0 / (F.col("sa") + F.col("sb") - F.col("i"))
     return (
