@@ -16,12 +16,19 @@ import pytest
 from spark_kinesis_sql_asl_spark.registry import all_queries
 
 from .driver_canon import canon_hash, spark_to_pandas
-from .test_registry_rotation import ROUND9_NEW_THIS_ROUND
+from .test_registry_rotation import ROUND10_NEW_THIS_ROUND, _never_sampled
 
 SF = "/root/testdata/sf0.001"
 
+# Every query that gets its FIRST driver CORRECTNESS row in round 10: the
+# never-sampled backlog (slots 0..19 of the round-10 window) plus anything
+# registered this round. A driver-green-on-the-lucky-draw query is the
+# failure class this file exists to catch, so stress exactly the rows the
+# driver is about to hash for the first time.
+_FIRST_SAMPLED_THIS_ROUND = sorted(ROUND10_NEW_THIS_ROUND | _never_sampled())
 
-@pytest.mark.parametrize("name", sorted(ROUND9_NEW_THIS_ROUND))
+
+@pytest.mark.parametrize("name", _FIRST_SAMPLED_THIS_ROUND)
 def test_double_run_is_identical(spark, name):
     q = all_queries()[name]
     h1 = canon_hash(spark_to_pandas(q(spark, SF)))
