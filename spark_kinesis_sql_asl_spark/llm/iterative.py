@@ -33,3 +33,27 @@ def scratch_dir(spark, prefix: str) -> str:
     stage = tempfile.mkdtemp(prefix=f"{prefix}_")
     atexit.register(shutil.rmtree, stage, ignore_errors=True)
     return stage
+
+
+def parquet_barrier(spark, df, stage: str, name: str):
+    """Materialize ``df`` to ``stage/name`` parquet and return the
+    re-read frame — the restart-safe sibling of ``localCheckpoint``:
+
+    - **reliability**: the blocks live in the (cluster-reachable, per
+      :func:`scratch_dir`) store, so on a 1000-executor run losing an
+      executor re-reads the file instead of recomputing the whole
+      upstream DAG (``localCheckpoint`` blocks die with their executor
+      and, worse, are *unrecoverable* — the lineage was truncated);
+    - **lineage truncation**: downstream plans start at a plain parquet
+      scan, same as ``localCheckpoint``;
+    - **statistics**: the scan carries real file sizes, so AQE and the
+      broadcast planner see true sizes instead of the unknown-size
+      relation a checkpoint leaves behind.
+
+    Cost: one parquet write per barrier (snappy, columnar — for the
+    id/score frames barriered here, comparable to the in-memory copy
+    ``localCheckpoint(eager=True)`` makes).
+    """
+    path = os.path.join(stage, name)
+    df.write.parquet(path)
+    return spark.read.parquet(path)

@@ -41,6 +41,11 @@ _SIMHASH_BITS = 32
 _SIMHASH_BANDS = 4  # 8-bit bands; candidates must agree on >=1 full band
 _SIMHASH_MAX_HAMMING = 4
 
+# (applicationId, sf_dir) -> staged fingerprint parquet path (the C21
+# shared-state pattern: first SimHash-family consumer pays the build, the
+# rest re-read the scratch parquet).
+_SIMHASH_FP_CACHE: dict[tuple[str, str], str] = {}
+
 # 60-bit integer from the md5 hex prefix — identical in Spark and DuckDB.
 _SPARK_TOKHASH = "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
 _DUCK_TOKHASH = "('0x' || substr(md5(tok), 1, 15))::BIGINT"
@@ -104,7 +109,16 @@ def simhash_fingerprints(spark, sf_dir, checkpoint=True):
     ``sum(+/-1) > 0``). NULL-text docs are filtered to match the oracle,
     where ``unnest(NULL)`` emits no rows. ``checkpoint`` barriers the
     3-column table before self-joins that would otherwise recompute the
-    md5 + 32-bit fold per side (measured ~2x whole-query cost)."""
+    md5 + 32-bit fold per side (measured ~2x whole-query cost); since
+    round 10 the barrier is a memoized parquet scratch write (VERDICT r9
+    #4 — restart-safe on a 1000-executor run, and the whole SimHash
+    family now shares ONE fingerprint build per (session, sf) instead of
+    re-checkpointing per query)."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if checkpoint:
+        cached = _SIMHASH_FP_CACHE.get(key)
+        if cached is not None and os.path.isdir(cached):
+            return spark.read.parquet(cached)
     d = parallel_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull()
     )
@@ -124,7 +138,12 @@ def simhash_fingerprints(spark, sf_dir, checkpoint=True):
     sh = d.select("doc_id", "lang", tok_hashes.alias("hs")).select(
         "doc_id", "lang", simhash.alias("simhash")
     )
-    return sh.localCheckpoint(eager=True) if checkpoint else sh
+    if not checkpoint:
+        return sh
+    path = os.path.join(scratch_dir(spark, "simhash_fp"), "fp")
+    sh.write.parquet(path)
+    _SIMHASH_FP_CACHE[key] = path
+    return spark.read.parquet(path)
 
 
 def simhash_bands(sh):

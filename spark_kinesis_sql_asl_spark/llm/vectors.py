@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..tables import parallel_table, table
 from .curation import _KMEANS_K, _Q_VEC_SQL_DUCK, _Q_VEC_SQL_SPARK
-from .iterative import scratch_dir
+from .iterative import parquet_barrier, scratch_dir
 
 # Shared DuckDB CTE: quantize + seed + assign (identical to C33's oracle,
 # re-stated here so each oracle stays self-contained for the driver).
@@ -934,6 +934,7 @@ def _semantic_state(spark, sf_dir):
     hit = _SEMANTIC_STATE.get(key)
     if hit is not None:
         return hit
+    stage = scratch_dir(spark, "semantic_state")
     cents = train_centroids(spark, sf_dir)
     e = parallel_table(spark, sf_dir, "embeddings", key="vec_id").select(
         "vec_id", F.expr(_Q_VEC_SQL_SPARK).alias("qv")
@@ -950,7 +951,14 @@ def _semantic_state(spark, sf_dir):
     )
     w = Window.partitionBy("vec_id").orderBy("dist", "cell_id")
     ranked = dists.withColumn("rn", F.row_number().over(w))
-    primary = (
+    # Parquet barriers, not localCheckpoint (round-10 migration, VERDICT
+    # r9 #4): primary/probes/sem_pairs each feed 2+ downstream queries
+    # and both sides of the candidate join — on a 1000-executor run a
+    # lost executor re-reads the file instead of invalidating the whole
+    # memoized family state (localCheckpoint blocks are unrecoverable
+    # once their executor dies).
+    primary = parquet_barrier(
+        spark,
         ranked.where(F.col("rn") == 1)
         .withColumn(
             "nrm2",
@@ -958,13 +966,17 @@ def _semantic_state(spark, sf_dir):
                 "aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
             ),
         )
-        .select("vec_id", "cell_id", "qv", "dist", "nrm2")
-        .localCheckpoint(eager=True)
+        .select("vec_id", "cell_id", "qv", "dist", "nrm2"),
+        stage,
+        "primary",
     )
-    probes = (
-        ranked.where(F.col("rn") <= _SEMDEDUP_NPROBE)
-        .select("vec_id", "cell_id")
-        .localCheckpoint(eager=True)
+    probes = parquet_barrier(
+        spark,
+        ranked.where(F.col("rn") <= _SEMDEDUP_NPROBE).select(
+            "vec_id", "cell_id"
+        ),
+        stage,
+        "probes",
     )
     a = probes.select(F.col("vec_id").alias("vec_a"), "cell_id")
     b = probes.select(F.col("vec_id").alias("vec_b"), "cell_id")
@@ -997,15 +1009,15 @@ def _semantic_state(spark, sf_dir):
     # BIGINT on the square; DECIMAL(38,0) here, HUGEINT in the oracle.
     dqd = F.col("dq").cast("decimal(38,0)")
     na2d = F.col("na2").cast("decimal(38,0)")
-    sem_pairs = (
+    sem_pairs = parquet_barrier(
+        spark,
         scored.where(
             (F.col("dq") > 0)
             & (
                 _SEMDEDUP_TAU_DEN_SQ * dqd * dqd
                 >= _SEMDEDUP_TAU_NUM_SQ * na2d * F.col("nb2")
             )
-        )
-        .select(
+        ).select(
             "vec_a",
             "vec_b",
             F.col("dq").cast("bigint").alias("dot_q"),
@@ -1013,8 +1025,9 @@ def _semantic_state(spark, sf_dir):
                 "CAST((CAST(1000000 AS DECIMAL(38,0)) * dq * dq) "
                 "div (CAST(na2 AS DECIMAL(38,0)) * nb2) AS BIGINT)"
             ).alias("cos2_ppm"),
-        )
-        .localCheckpoint(eager=True)
+        ),
+        stage,
+        "sem_pairs",
     )
     state = (primary, probes, sem_pairs)
     _SEMANTIC_STATE[key] = state
