@@ -21,7 +21,9 @@ from .dedup import _JACCARD_TAU, _jaccard_scored
 from .sketches import _hex_parse_duck, _hex_parse_spark
 from .similarity import (
     _LSH_PROBE_RADIUS,
+    _N_PLANES,
     _N_QUERIES,
+    _PLANES,
     _TOPK,
     as_double,
     dot,
@@ -56,10 +58,76 @@ _PAIRS_CTE = f"""
 """
 
 
-# --- C148: multi-probe recall/candidate curve (rows-only audit) ---------------
+# --- C148: multi-probe recall/candidate curve --------------------------------
+
+# The 16 deterministic hyperplanes as DuckDB DOUBLE[] literals — the planes
+# are plain ±1.0 Python literals (similarity._PLANES, splitmix64-seeded, no
+# RNG), so the oracle can carry them as an inline VALUES table and the audit
+# becomes fully SQL-expressible (VERDICT r9 item #6: was rows-only).
+_PLANES_VALUES_SQL = ",\n        ".join(
+    "({}, [{}]::DOUBLE[])".format(
+        p, ", ".join(str(v) for v in _PLANES[p])
+    )
+    for p in range(_N_PLANES)
+)
 
 
-@query("q_llm_probe_curve", priority=30)  # rows-only: plane-seeded C5 audit
+@query(
+    "q_llm_probe_curve",
+    priority=30,
+    oracle=f"""
+    WITH planes(p, pv) AS (VALUES
+        {_PLANES_VALUES_SQL}
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    bits AS (
+        SELECT vec_id, p,
+               CASE WHEN list_dot_product(e, pv) >= 0 THEN 1 ELSE 0 END AS bit
+        FROM e CROSS JOIN planes
+    ),
+    bk AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN p < {_N_PLANES // 2} THEN bit << p
+                             ELSE 0 END) AS INT) AS b0,
+               CAST(sum(CASE WHEN p >= {_N_PLANES // 2}
+                             THEN bit << (p - {_N_PLANES // 2})
+                             ELSE 0 END) AS INT) AS b1
+        FROM bits GROUP BY vec_id
+    ),
+    v AS (
+        SELECT e.vec_id, e.e,
+               sqrt(list_sum(list_transform(e.e, x -> x * x))) AS nrm,
+               bk.b0, bk.b1
+        FROM e JOIN bk USING (vec_id)
+    ),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               coalesce(list_dot_product(q.e, c.e)
+                        / nullif(q.nrm * c.nrm, 0), 0) AS cos,
+               least(bit_count(xor(q.b0, c.b0)),
+                     bit_count(xor(q.b1, c.b1))) AS h
+        FROM v q JOIN v c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+    ),
+    flagged AS (
+        SELECT query_id, h,
+               CASE WHEN row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+               ) <= {_TOPK} THEN 1 ELSE 0 END AS in_topk
+        FROM pairs
+    )
+    SELECT radius,
+           CAST(sum(CASE WHEN h <= radius THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_candidates,
+           CAST(sum(CASE WHEN h <= radius THEN in_topk ELSE 0 END) AS BIGINT)
+               AS n_hit,
+           round(sum(CASE WHEN h <= radius THEN in_topk ELSE 0 END) * 1.0
+                 / sum(in_topk), 6) AS recall
+    FROM flagged
+    CROSS JOIN generate_series(0, {_LSH_PROBE_RADIUS}) AS t(radius)
+    GROUP BY radius ORDER BY radius
+    """,
+)
 def q_llm_probe_curve(spark, sf_dir):
     """C148: the multi-probe DIAL AUDIT for the round-9 C5 re-plan — for
     every probe radius r in 0.._LSH_PROBE_RADIUS, how many candidates the
@@ -75,8 +143,10 @@ def q_llm_probe_curve(spark, sf_dir):
     pair it computes min-over-bands Hamming distance bit_count(bq^bd)
     plus the exact cosine rank, then ONE conditional aggregation per
     radius reads the whole curve off a single pass — no per-radius
-    probe-joins, no re-scans. Rows-only (the planes are Python-side
-    literals, not SQL-expressible)."""
+    probe-joins, no re-scans. Hash-matched oracle since round 10: the
+    planes are deterministic ±1.0 literals, so the DuckDB twin carries
+    them as an inline VALUES table of DOUBLE[] plane vectors and
+    recomputes the identical sign bits / band buckets in SQL."""
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("e")
     )
