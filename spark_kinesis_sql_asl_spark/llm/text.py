@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..operators.analytics import global_running_sums
 from ..registry import query
 from ..tables import parallel_table, table
 
@@ -1364,4 +1365,144 @@ def q_llm_keyword_stuffing(spark, sf_dir):
             share.cast("bigint").alias("top_share_ppm"),
             (share >= _STUFF_FLAG_PPM).alias("flag_stuffed"),
         )
+    )
+
+
+# --- C159: host canonicalization + concentration audit -------------------------
+
+
+@query(
+    "q_llm_url_host_audit",
+    priority=30,  # round-10 addition: first driver row in round 11
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id,
+               concat(coalesce(text, ''),
+                      CASE WHEN doc_id % 3 = 0 THEN concat(
+                               ' see https://site',
+                               CAST(doc_id % 7 AS VARCHAR), '.com/page')
+                           ELSE '' END,
+                      CASE WHEN doc_id % 9 = 0 THEN concat(
+                               ' and http://mirror',
+                               CAST(doc_id % 5 AS VARCHAR), '.org/x')
+                           ELSE '' END,
+                      CASE WHEN doc_id % 5 = 0 THEN concat(
+                               ' ref https://www.site',
+                               CAST(doc_id % 7 AS VARCHAR), '.com/d')
+                           ELSE '' END) AS body
+        FROM documents
+    ),
+    links AS (
+        SELECT doc_id, unnest(regexp_extract_all(body, '{_URL_RE}')) AS url
+        FROM corpus
+    ),
+    hosts AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(url, '^https?://', ''),
+                   '^www\\.', '') AS host
+        FROM links
+    ),
+    per_host AS (
+        SELECT host,
+               CAST(count(*) AS BIGINT) AS n_links,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM hosts GROUP BY host
+    ),
+    tot AS (SELECT CAST(sum(n_links) AS BIGINT) AS total FROM per_host),
+    cum AS (
+        SELECT host, n_links, n_docs,
+               sum(n_links) OVER w AS cum_links,
+               CAST(row_number() OVER w AS BIGINT) AS rnk
+        FROM per_host
+        WINDOW w AS (ORDER BY n_links DESC, host
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT host, n_links, n_docs,
+           CAST(1000000 * n_links // t.total AS BIGINT) AS share_ppm,
+           CAST(1000000 * cum_links // t.total AS BIGINT) AS cum_share_ppm,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM cum CROSS JOIN tot t
+    """,
+)
+def q_llm_url_host_audit(spark, sf_dir):
+    """C159: host canonicalization + crawl-concentration audit — the
+    frontier-hygiene report every crawl pipeline runs before mixing:
+    scheme-stripped, www-folded host keys (so www.siteN.com and
+    siteN.com count as ONE host — the dedup C63's raw-domain rollup
+    misses), per-host link/doc counts, exact floor-ppm share, and the
+    cumulative concentration curve (cum_share_ppm at rank k = how much
+    of the crawl the top-k hosts own — the "one host is 40% of the
+    corpus" red flag that forces per-host caps; C47's mixture weights
+    consume exactly this table). URL injection is deterministic
+    (doc_id-keyed, C63's pattern) so extraction has ground truth, and
+    the www variants collide with their bare hosts by construction,
+    making the fold observable.
+
+    Plan/scale: regexp scan expressions (RE2/Java common subset), one
+    host-keyed rollup (map-side combined, ~40 bytes/host on the wire),
+    a 1-row total broadcast, and the concentration curve via
+    :func:`global_running_sums` (range-repartition prefix sums — no
+    single-partition window even at web-scale |hosts|). Exact integer
+    floor-ppm per D2; ties broken (links desc, host asc) with binary
+    collation per D9."""
+    d = table(spark, sf_dir, "documents")
+    body = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" see https://site"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".com/page"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(
+                F.lit(" and http://mirror"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(".org/x"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" ref https://www.site"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".com/d"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    links = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(body, F.lit(_URL_RE), 0)).alias("url"),
+    )
+    hosts = links.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("url", "^https?://", ""), "^www\\.", ""
+        ).alias("host"),
+    )
+    per_host = hosts.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_links"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+    tot = per_host.agg(F.sum("n_links").cast("bigint").alias("total"))
+    cum = global_running_sums(
+        per_host.withColumn("one", F.lit(1).cast("bigint")),
+        [F.col("n_links").desc(), F.col("host").asc()],
+        {"cum_links": "n_links", "rnk": "one"},
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "host",
+        "n_links",
+        "n_docs",
+        F.expr("CAST(1000000 * n_links div total AS BIGINT)").alias(
+            "share_ppm"
+        ),
+        F.expr("CAST(1000000 * cum_links div total AS BIGINT)").alias(
+            "cum_share_ppm"
+        ),
+        F.col("rnk").cast("int").alias("rnk"),
     )

@@ -658,3 +658,80 @@ def q_canary_unicode_case(spark, sf_dir):
         F.length("k").cast("int").alias("n_chars"),
         F.length(F.upper("k")).cast("int").alias("n_chars_upper"),
     )
+
+
+@query(
+    "q_canary_add_months",
+    priority=30,  # round-10 addition: first driver row in round 11
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS TIMESTAMP) AS d,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS eom,
+           CAST(last_day(CAST(o_orderdate AS DATE)) + to_months(1)
+                AS TIMESTAMP) AS eom_add1,
+           CAST(last_day(CAST(o_orderdate AS DATE)) + to_months(-1)
+                AS TIMESTAMP) AS eom_sub1,
+           CAST(CAST(o_orderdate AS DATE) + to_months(13) AS TIMESTAMP)
+               AS add13,
+           CAST(DATE '2020-01-31'
+                + to_months(CAST(o_orderkey % 50 AS INTEGER) - 12)
+                AS TIMESTAMP) AS leap_probe,
+           CAST((year(CAST(o_orderdate AS DATE) + to_months(13)) * 12
+                 + month(CAST(o_orderdate AS DATE) + to_months(13)))
+                - (year(o_orderdate) * 12 + month(o_orderdate))
+                AS BIGINT) AS mon_diff
+    FROM orders WHERE o_orderkey % 499 = 0 AND o_orderdate IS NOT NULL
+    """,
+)
+def q_canary_add_months(spark, sf_dir):
+    """D17: calendar month-arithmetic parity (round 10). Probed this
+    session: Spark ``add_months`` and DuckDB ``+ to_months`` AGREE on
+    every clamping edge — Jan 31 + 1 month → Feb 29/28 (clamp), Jan 30
+    + 1 month → Feb 29 (double-clamp), Feb 29 − 1 month → Jan 29 (no
+    end-of-month stickiness in either engine), Dec 31 + 13 months →
+    Jan 31 — and ``last_day`` agrees everywhere, so month-shifted cohort
+    keys (B94/B134 month grains) are driver-safe. The DIVERGENT class,
+    pinned OUT of release columns: month *differences* — DuckDB
+    ``datediff('month', Jan 31, Feb 1)`` counts boundary crossings
+    (= 1), Spark ``months_between`` is fractional and end-of-month-aware
+    (= 0.032…) — no shared primitive exists, so any month-distance
+    column must use the explicit portable index ``year*12 + month``
+    (the ``mon_diff`` column pins exactly that identity on shifted
+    dates). Result types per D13: DuckDB interval-adds return TIMESTAMP
+    while Spark ``add_months`` returns DATE — every column casts to
+    TIMESTAMP on both sides. Fixture spine (o_orderkey % 499) plus a
+    constructed leap-winter probe ±12 months around 2020-01-31; tiny
+    slice, scan-stage expressions only."""
+    base = F.col("o_orderdate").cast("date")
+    add13 = F.add_months(base, 13)
+    return (
+        table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderkey") % 499 == 0)
+            & F.col("o_orderdate").isNotNull()
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("d"),
+            F.last_day(base).cast("timestamp").alias("eom"),
+            F.add_months(F.last_day(base), 1)
+            .cast("timestamp")
+            .alias("eom_add1"),
+            F.add_months(F.last_day(base), -1)
+            .cast("timestamp")
+            .alias("eom_sub1"),
+            add13.cast("timestamp").alias("add13"),
+            F.add_months(
+                F.lit("2020-01-31").cast("date"),
+                (F.col("o_orderkey") % 50 - 12).cast("int"),
+            )
+            .cast("timestamp")
+            .alias("leap_probe"),
+            (
+                (F.year(add13) * 12 + F.month(add13))
+                - (F.year(base) * 12 + F.month(base))
+            )
+            .cast("bigint")
+            .alias("mon_diff"),
+        )
+    )

@@ -1798,3 +1798,258 @@ def q_events_path_prefix(spark, sf_dir):
     return top.select(
         "path", "n_users", F.row_number().over(w).cast("int").alias("rnk")
     )
+
+
+# --- B174: two-cohort log-rank test --------------------------------------------
+
+
+@query(
+    "q_events_logrank",
+    priority=30,  # round-10 addition: first driver row in round 11
+    oracle=f"""
+    WITH starts AS (
+        SELECT user_id, min(epoch_us(ts)) AS t0
+        FROM events WHERE event_type = '{_KM_START}'
+        GROUP BY user_id
+    ),
+    ev AS (
+        SELECT s.user_id, s.t0,
+               min(epoch_us(e.ts)) FILTER (
+                   WHERE e.event_type = '{_KM_EVENT}'
+                     AND epoch_us(e.ts) >= s.t0) AS tp,
+               max(epoch_us(e.ts)) AS tlast
+        FROM starts s JOIN events e ON e.user_id = s.user_id
+        GROUP BY s.user_id, s.t0
+    ),
+    durations AS (
+        SELECT CAST(user_id % 2 AS INTEGER) AS grp,
+               CASE WHEN tp IS NOT NULL
+                    THEN (tp - t0) // {_DAY_US}
+                    ELSE (tlast - t0) // {_DAY_US} END AS dur,
+               CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS observed
+        FROM ev
+    ),
+    steps AS (
+        SELECT grp, dur,
+               CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(observed) AS BIGINT) AS d_g
+        FROM durations GROUP BY grp, dur
+    ),
+    grid AS (
+        SELECT d.dur, g.grp
+        FROM (SELECT DISTINCT dur FROM steps) d
+        CROSS JOIN (VALUES (0), (1)) AS g(grp)
+    ),
+    full_steps AS (
+        SELECT grid.grp, grid.dur,
+               coalesce(s.m, 0) AS m,
+               coalesce(s.d_g, 0) AS d_g
+        FROM grid LEFT JOIN steps s
+            ON s.grp = grid.grp AND s.dur = grid.dur
+    ),
+    totals AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n_g
+        FROM durations GROUP BY grp
+    ),
+    cum AS (
+        SELECT f.grp, f.dur, f.m, f.d_g,
+               sum(f.m) OVER (PARTITION BY f.grp ORDER BY f.dur
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum_m,
+               t.n_g
+        FROM full_steps f JOIN totals t ON t.grp = f.grp
+    ),
+    wide AS (
+        SELECT dur,
+               CAST(sum(CASE WHEN grp = 0 THEN d_g ELSE 0 END) AS BIGINT)
+                   AS d0,
+               CAST(sum(CASE WHEN grp = 1 THEN d_g ELSE 0 END) AS BIGINT)
+                   AS d1,
+               CAST(sum(CASE WHEN grp = 0
+                             THEN n_g - (cum_m - m) ELSE 0 END) AS BIGINT)
+                   AS n0,
+               CAST(sum(CASE WHEN grp = 1
+                             THEN n_g - (cum_m - m) ELSE 0 END) AS BIGINT)
+                   AS n1
+        FROM cum GROUP BY dur
+    ),
+    terms AS (
+        SELECT d0, d1,
+               CAST(round(1000000.0 * CAST(d0 + d1 AS DOUBLE)
+                          * CAST(n0 AS DOUBLE)
+                          / CAST(n0 + n1 AS DOUBLE)) AS BIGINT) AS e0q,
+               CASE WHEN n0 + n1 > 1 THEN
+                   CAST(round(1000000.0 * CAST(d0 + d1 AS DOUBLE)
+                              * CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                              * (CAST(n0 + n1 AS DOUBLE)
+                                 - CAST(d0 + d1 AS DOUBLE))
+                              / (CAST(n0 + n1 AS DOUBLE)
+                                 * CAST(n0 + n1 AS DOUBLE)
+                                 * (CAST(n0 + n1 AS DOUBLE) - 1.0)))
+                        AS BIGINT)
+               ELSE 0 END AS vq
+        FROM wide WHERE d0 + d1 > 0
+    ),
+    sums AS (
+        SELECT CAST(sum(d0) AS BIGINT) AS o0,
+               CAST(sum(d1) AS BIGINT) AS o1,
+               CAST(sum(e0q) AS BIGINT) AS e0_micro,
+               CAST(sum(vq) AS BIGINT) AS var_micro
+        FROM terms
+    ),
+    npair AS (
+        SELECT CAST(sum(CASE WHEN grp = 0 THEN n_g ELSE 0 END) AS BIGINT)
+                   AS n0_users,
+               CAST(sum(CASE WHEN grp = 1 THEN n_g ELSE 0 END) AS BIGINT)
+                   AS n1_users
+        FROM totals
+    )
+    SELECT n0_users, n1_users, o0, o1, e0_micro, var_micro,
+           round((CAST(o0 AS DOUBLE) - CAST(e0_micro AS DOUBLE) / 1000000.0)
+                 * (CAST(o0 AS DOUBLE)
+                    - CAST(e0_micro AS DOUBLE) / 1000000.0)
+                 / nullif(CAST(var_micro AS DOUBLE) / 1000000.0, 0.0),
+                 6) AS chi2
+    FROM sums CROSS JOIN npair
+    """,
+)
+def q_events_logrank(spark, sf_dir):
+    """B174: two-cohort log-rank (Mantel-Cox) test over B149's
+    Kaplan-Meier machinery — does cohort membership (user_id parity, the
+    deterministic A/B split) shift time-to-'purchase'? Completes the
+    survival family: B149 estimates the curve, B174 tests two curves'
+    equality, the pairing every churn experiment reports. Statistic:
+    at each event time, observed group-0 events vs hypergeometric
+    expectation d*n0/n with variance d*n0*n1*(n-d)/(n^2*(n-1)); chi2 =
+    (O0-E0)^2/V ~ chi2(1).
+
+    Cross-engine float shape (the B143/B149 identity): each time-step's
+    expectation and variance is ONE left-to-right float expression over
+    exact BIGINTs (IEEE +,-,*,/ are bit-deterministic; no libm), quantized
+    to integer micro-units per STEP, so the sums crossing the engines are
+    pure BIGINT and chi2 is one float expression over three exact ints,
+    round(6). Plan/scale: user-keyed rollups, then everything lives on
+    the |distinct durations| domain (calendar-bounded, ~1e4 rows at any
+    SF): a 2-row broadcast grid completes missing (grp, dur) cells, the
+    cumulative window is PARTITIONED by grp over that bounded frame, the
+    per-group totals broadcast, and the final statistic is a single-row
+    aggregate. Nothing scales with |users| past the first rollups."""
+    e_us = F.unix_micros("ts")
+    ev = table(spark, sf_dir, "events")
+    starts = (
+        ev.where(F.col("event_type") == _KM_START)
+        .groupBy("user_id")
+        .agg(F.min(e_us).alias("t0"))
+    )
+    folded = (
+        ev.join(starts, "user_id")
+        .groupBy("user_id", "t0")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == _KM_EVENT)
+                    & (e_us >= F.col("t0")),
+                    e_us,
+                )
+            ).alias("tp"),
+            F.max(e_us).alias("tlast"),
+        )
+    )
+    durations = folded.select(
+        (F.col("user_id") % 2).cast("int").alias("grp"),
+        F.when(
+            F.col("tp").isNotNull(),
+            F.expr(f"(tp - t0) div {_DAY_US}"),
+        )
+        .otherwise(F.expr(f"(tlast - t0) div {_DAY_US}"))
+        .alias("dur"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("observed"),
+    )
+    steps = durations.groupBy("grp", "dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("observed").cast("bigint").alias("d_g"),
+    )
+    grps = spark.range(2).select(F.col("id").cast("int").alias("grp"))
+    grid = steps.select("dur").distinct().crossJoin(F.broadcast(grps))
+    full_steps = (
+        grid.join(steps, ["grp", "dur"], "left")
+        .select(
+            "grp",
+            "dur",
+            F.coalesce("m", F.lit(0)).cast("bigint").alias("m"),
+            F.coalesce("d_g", F.lit(0)).cast("bigint").alias("d_g"),
+        )
+    )
+    totals = durations.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g")
+    )
+    wg = (
+        Window.partitionBy("grp")
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = full_steps.withColumn("cum_m", F.sum("m").over(wg)).join(
+        F.broadcast(totals), "grp"
+    )
+    at_risk = F.col("n_g") - (F.col("cum_m") - F.col("m"))
+    wide = cum.groupBy("dur").agg(
+        F.sum(F.when(F.col("grp") == 0, F.col("d_g")).otherwise(0))
+        .cast("bigint")
+        .alias("d0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("d_g")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(F.when(F.col("grp") == 0, at_risk).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("grp") == 1, at_risk).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    terms = wide.where(F.col("d0") + F.col("d1") > 0).select(
+        "d0",
+        "d1",
+        F.expr(
+            "CAST(round(1000000.0 * CAST(d0 + d1 AS DOUBLE)"
+            " * CAST(n0 AS DOUBLE)"
+            " / CAST(n0 + n1 AS DOUBLE)) AS BIGINT)"
+        ).alias("e0q"),
+        F.expr(
+            "CASE WHEN n0 + n1 > 1 THEN"
+            " CAST(round(1000000.0 * CAST(d0 + d1 AS DOUBLE)"
+            " * CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)"
+            " * (CAST(n0 + n1 AS DOUBLE) - CAST(d0 + d1 AS DOUBLE))"
+            " / (CAST(n0 + n1 AS DOUBLE) * CAST(n0 + n1 AS DOUBLE)"
+            " * (CAST(n0 + n1 AS DOUBLE) - 1.0))) AS BIGINT)"
+            " ELSE 0 END"
+        ).alias("vq"),
+    )
+    sums = terms.agg(
+        F.sum("d0").cast("bigint").alias("o0"),
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum("e0q").cast("bigint").alias("e0_micro"),
+        F.sum("vq").cast("bigint").alias("var_micro"),
+    )
+    npair = totals.agg(
+        F.sum(F.when(F.col("grp") == 0, F.col("n_g")).otherwise(0))
+        .cast("bigint")
+        .alias("n0_users"),
+        F.sum(F.when(F.col("grp") == 1, F.col("n_g")).otherwise(0))
+        .cast("bigint")
+        .alias("n1_users"),
+    )
+    return sums.crossJoin(F.broadcast(npair)).select(
+        "n0_users",
+        "n1_users",
+        "o0",
+        "o1",
+        "e0_micro",
+        "var_micro",
+        F.expr(
+            "round((CAST(o0 AS DOUBLE)"
+            " - CAST(e0_micro AS DOUBLE) / 1000000.0)"
+            " * (CAST(o0 AS DOUBLE)"
+            " - CAST(e0_micro AS DOUBLE) / 1000000.0)"
+            " / nullif(CAST(var_micro AS DOUBLE) / 1000000.0, 0.0), 6)"
+        ).alias("chi2"),
+    )

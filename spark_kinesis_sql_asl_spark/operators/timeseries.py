@@ -1697,3 +1697,183 @@ def q_win_rolling_median(spark, sf_dir):
         ),
         F.count(F.lit(1)).over(w).cast("int").alias("n_in_frame"),
     )
+
+
+# --- B175: largest-triangle downsampling (parallel LTTB) -----------------------
+
+_LTTB_BUCKETS = 24
+
+# Identical-text float expression on both engines (IEEE *,-,/ only): the
+# triangle area of point (x, y*cl) against the LEFT bucket's mean anchor
+# (sxl/cl, syl/cl) and the RIGHT bucket's mean anchor (sxr/cr, syr/cr),
+# cleared of denominators by cl^2*cr > 0 (constant within a bucket, so the
+# per-bucket argmax is unchanged), then divided back out for the released
+# comparable area.
+_LTTB_AREA = (
+    "(CAST(sxl AS DOUBLE) * CAST(cr AS DOUBLE)"
+    " - CAST(sxr AS DOUBLE) * CAST(cl AS DOUBLE))"
+    " * (CAST(y AS DOUBLE) * CAST(cl AS DOUBLE) - CAST(syl AS DOUBLE))"
+    " - (CAST(sxl AS DOUBLE) - CAST(x AS DOUBLE) * CAST(cl AS DOUBLE))"
+    " * (CAST(syr AS DOUBLE) * CAST(cl AS DOUBLE)"
+    " - CAST(syl AS DOUBLE) * CAST(cr AS DOUBLE))"
+)
+_LTTB_SEL = (
+    f"CASE WHEN bkt = 0 THEN CAST(-x AS DOUBLE)"
+    f" WHEN bkt = {_LTTB_BUCKETS - 1} THEN CAST(x AS DOUBLE)"
+    f" WHEN cl IS NULL OR cr IS NULL THEN -1.0"
+    f" ELSE abs({_LTTB_AREA}) END"
+)
+_LTTB_OUT_AREA = (
+    f"CASE WHEN bkt = 0 OR bkt = {_LTTB_BUCKETS - 1}"
+    f" OR cl IS NULL OR cr IS NULL THEN NULL"
+    f" ELSE round(abs({_LTTB_AREA})"
+    f" / (2.0 * CAST(cl AS DOUBLE) * CAST(cl AS DOUBLE)"
+    f" * CAST(cr AS DOUBLE)), 6) END"
+)
+
+
+@query(
+    "q_ts_lttb",
+    priority=30,  # round-10 addition: first driver row in round 11
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS x,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   // 1000 AS y
+        FROM orders WHERE o_orderdate IS NOT NULL
+        GROUP BY 1
+    ),
+    pts AS (
+        SELECT x, y,
+               CAST(((row_number() OVER (ORDER BY x)) - 1)
+                    * {_LTTB_BUCKETS} // (count(*) OVER ()) AS BIGINT)
+                   AS bkt
+        FROM daily
+    ),
+    aggs AS (
+        SELECT bkt, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy
+        FROM pts GROUP BY bkt
+    ),
+    armed AS (
+        SELECT p.bkt, p.x, p.y, a.cnt AS n_in_bucket,
+               l.cnt AS cl, l.sx AS sxl, l.sy AS syl,
+               r.cnt AS cr, r.sx AS sxr, r.sy AS syr
+        FROM pts p
+        JOIN aggs a ON a.bkt = p.bkt
+        LEFT JOIN aggs l ON l.bkt = p.bkt - 1
+        LEFT JOIN aggs r ON r.bkt = p.bkt + 1
+    ),
+    ranked AS (
+        SELECT bkt, x, y, n_in_bucket,
+               {_LTTB_OUT_AREA} AS area,
+               row_number() OVER (
+                   PARTITION BY bkt
+                   ORDER BY {_LTTB_SEL} DESC, x) AS rnk
+        FROM armed
+    )
+    SELECT CAST(bkt AS INTEGER) AS bucket, x AS epoch_day,
+           y AS kcents, n_in_bucket, area
+    FROM ranked WHERE rnk = 1
+    """,
+)
+def q_ts_lttb(spark, sf_dir):
+    """B175: Largest-Triangle downsampling of the daily revenue series to
+    {_LTTB_BUCKETS} visually-representative points (Steinarsson 2013's
+    LTTB, in its parallelizable mean-anchor form: each interior bucket
+    keeps the point with the largest triangle area against the NEIGHBOR
+    BUCKETS' mean points, instead of the sequential previously-selected
+    point — the independence that lets every bucket elect concurrently;
+    first/last bucket pin the series endpoints, as in the original).
+    The dashboard-rendering staple B146/B173 smooth but never shrink.
+
+    Cross-engine float shape: the area comparator is ONE identical-text
+    left-to-right expression over exact BIGINTs (day index, kilocent
+    bucket sums/counts) using IEEE *,-,/ only — no libm — with bucket-mean
+    denominators cleared so the argmax compares products of exact
+    integers in double; released area divides back out, round(6).
+    Deterministic tiebreak (area desc, day asc); unique day keys make the
+    election exact. Plan/scale: ONE daily hash aggregate does all the
+    point-scale work; the bucket index is a row_number over the |days|
+    frame (calendar-bounded — the B146/B169/B172 argument, allowlisted in
+    the plan sweep); bucket aggregates are {_LTTB_BUCKETS} rows broadcast
+    to both neighbor joins; the election window partitions by bucket."""
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
+        .groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("x")
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))"
+                " AS BIGINT) div 1000"
+            ).alias("y")
+        )
+    )
+    wn = Window.orderBy("x")
+    n_tot = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    pts = (
+        daily.withColumn("rn", F.row_number().over(wn).cast("bigint"))
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "x",
+            "y",
+            F.expr(
+                f"CAST((rn - 1) * {_LTTB_BUCKETS} div n AS BIGINT)"
+            ).alias("bkt"),
+        )
+    )
+    aggs = pts.groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    armed = (
+        pts.join(
+            F.broadcast(aggs.select("bkt", F.col("cnt").alias("n_in_bucket"))),
+            "bkt",
+        )
+        .join(
+            F.broadcast(
+                aggs.select(
+                    (F.col("bkt") + 1).alias("bkt"),
+                    F.col("cnt").alias("cl"),
+                    F.col("sx").alias("sxl"),
+                    F.col("sy").alias("syl"),
+                )
+            ),
+            "bkt",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                aggs.select(
+                    (F.col("bkt") - 1).alias("bkt"),
+                    F.col("cnt").alias("cr"),
+                    F.col("sx").alias("sxr"),
+                    F.col("sy").alias("syr"),
+                )
+            ),
+            "bkt",
+            "left",
+        )
+    )
+    we = Window.partitionBy("bkt").orderBy(
+        F.expr(_LTTB_SEL).desc(), F.col("x").asc()
+    )
+    return (
+        armed.withColumn("area", F.expr(_LTTB_OUT_AREA))
+        .withColumn("rnk", F.row_number().over(we))
+        .where(F.col("rnk") == 1)
+        .select(
+            F.col("bkt").cast("int").alias("bucket"),
+            F.col("x").alias("epoch_day"),
+            F.col("y").alias("kcents"),
+            "n_in_bucket",
+            "area",
+        )
+    )

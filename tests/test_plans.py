@@ -487,6 +487,12 @@ _PARTITIONLESS_WINDOW_BY_CONSTRUCTION = {
     # corpus size (the same calendar-bounded B146/B169/B172 argument),
     # and a trailing ROWS frame cannot be limit-bounded by construction.
     "q_win_rolling_median",
+    # B175 (round 10): the bucket-index row_number (and its count-over-all
+    # sibling) run over the per-DAY revenue frame — |days| rows after the
+    # daily hash aggregate (the same calendar-bounded argument as B173),
+    # and a global bucket index cannot be limit-bounded by construction;
+    # everything downstream partitions by bucket.
+    "q_ts_lttb",
 }
 
 

@@ -40,7 +40,14 @@ DRIVER_WINDOW = 50
 
 # Queries first registered in round 10 (decorator priority=30): they have no
 # CORRECTNESS row yet by construction. Keep in sync as operators land.
-ROUND10_NEW_THIS_ROUND: frozenset[str] = frozenset()
+ROUND10_NEW_THIS_ROUND: frozenset[str] = frozenset(
+    {
+        "q_events_logrank",
+        "q_ts_lttb",
+        "q_llm_url_host_audit",
+        "q_canary_add_months",
+    }
+)
 
 NEVER_SAMPLED_COUNT = 18 + 2  # r9 priority-30 additions + 2 snapshot queries
 CANARY_TRANCHE_COUNT = 12
