@@ -1506,3 +1506,234 @@ def q_llm_url_host_audit(spark, sf_dir):
         ),
         F.col("rnk").cast("int").alias("rnk"),
     )
+
+
+# --- C160: readability scoring -------------------------------------------------
+
+_FK_COLLEGE = 12.0  # Flesch-Kincaid grade threshold for the "college" band
+
+
+@query(
+    "q_llm_readability",
+    priority=30,  # round-10 addition: first driver row in round 11
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT lang,
+               len(string_split(coalesce(text, ''), ' ')) AS words,
+               greatest(1, len(regexp_extract_all(
+                   coalesce(text, ''), '[.!?]+'))) AS sentences,
+               len(regexp_extract_all(
+                   coalesce(text, ''), '[aeiouy]+')) AS syllables
+        FROM documents
+    ),
+    scored AS (
+        SELECT lang, words, sentences, syllables,
+               0.39 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+               + 11.8 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+               - 15.59 AS fk
+        FROM per_doc WHERE words > 0
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(words) AS BIGINT) AS words,
+           CAST(sum(sentences) AS BIGINT) AS sentences,
+           CAST(sum(syllables) AS BIGINT) AS syllables,
+           round(0.39 * (CAST(sum(words) AS DOUBLE)
+                         / CAST(sum(sentences) AS DOUBLE))
+                 + 11.8 * (CAST(sum(syllables) AS DOUBLE)
+                           / CAST(sum(words) AS DOUBLE))
+                 - 15.59, 6) AS fk_grade,
+           CAST(1000000 * sum(CASE WHEN fk > {_FK_COLLEGE} THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS college_ppm
+    FROM scored GROUP BY lang
+    """,
+)
+def q_llm_readability(spark, sf_dir):
+    """C160: readability profile per language — Flesch-Kincaid grade
+    level from whitespace words (D1's primitive), sentence-terminator
+    runs, and vowel-cluster syllable estimates (the standard
+    dictionary-free proxy). Readability is a quality-mixture axis the
+    C17/C101 gates don't cover: too-low-grade text is trivial/listy,
+    too-high is OCR garbage, and a pretraining mixture reports its
+    grade distribution (per-lang macro grade + share of docs in the
+    college band).
+
+    Cross-engine shape: all three counts are exact BIGINTs from
+    regexp_extract_all in the RE2/Java common subset; the group-level
+    grade is ONE ratio-of-sums float expression over exact ints
+    (round 6); the per-doc college-band test compares a per-doc
+    IEEE-exact expression against a constant, released as exact
+    floor-ppm (D2). Plan/scale: scan-stage expressions only, one
+    |langs|-key rollup with map-side combine — the same
+    shape as C73's fertility table."""
+    d = table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.size(F.split(F.coalesce("text", F.lit("")), " ")).alias("words"),
+        F.greatest(
+            F.lit(1),
+            F.size(
+                F.regexp_extract_all(
+                    F.coalesce("text", F.lit("")), F.lit("[.!?]+"), 0
+                )
+            ),
+        ).alias("sentences"),
+        F.size(
+            F.regexp_extract_all(
+                F.coalesce("text", F.lit("")), F.lit("[aeiouy]+"), 0
+            )
+        ).alias("syllables"),
+    ).where(F.col("words") > 0)
+    scored = per_doc.withColumn(
+        "fk",
+        F.expr(
+            "0.39 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))"
+            " + 11.8 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))"
+            " - 15.59"
+        ),
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("words").cast("bigint").alias("words"),
+        F.sum("sentences").cast("bigint").alias("sentences"),
+        F.sum("syllables").cast("bigint").alias("syllables"),
+        F.expr(
+            "round(0.39 * (CAST(sum(words) AS DOUBLE)"
+            " / CAST(sum(sentences) AS DOUBLE))"
+            " + 11.8 * (CAST(sum(syllables) AS DOUBLE)"
+            " / CAST(sum(words) AS DOUBLE))"
+            " - 15.59, 6)"
+        ).alias("fk_grade"),
+        F.expr(
+            f"CAST(1000000 * sum(CASE WHEN fk > {_FK_COLLEGE} THEN 1"
+            " ELSE 0 END) div count(*) AS BIGINT)"
+        ).alias("college_ppm"),
+    )
+
+
+# --- C161: whitespace / control-character anomaly scan -------------------------
+
+
+@query(
+    "q_llm_whitespace_anomaly",
+    priority=30,  # round-10 addition: first driver row in round 11
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id,
+               concat(coalesce(text, ''),
+                      CASE WHEN doc_id % 13 = 0 THEN
+                          concat('  ', chr(9),
+                                 repeat(' ', CAST(doc_id % 7 AS INTEGER) + 2))
+                      ELSE '' END,
+                      CASE WHEN doc_id % 17 = 0 THEN chr(7) ELSE '' END)
+                   AS body
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               coalesce(list_max(list_transform(
+                   regexp_extract_all(body, ' +'), x -> length(x))), 0)
+                   AS max_space_run,
+               CAST(length(body) - length(replace(body, chr(9), ''))
+                    AS BIGINT) AS tab_cnt,
+               CAST(len(regexp_extract_all(body,
+                   '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS BIGINT)
+                   AS ctrl_cnt,
+               CAST(length(body) - length(replace(body, ' ', ''))
+                    AS BIGINT) AS n_spaces,
+               CAST(greatest(1, length(body)) AS BIGINT) AS n_chars
+        FROM corpus
+    )
+    SELECT doc_id,
+           CAST(max_space_run AS BIGINT) AS max_space_run,
+           tab_cnt, ctrl_cnt,
+           CAST(1000000 * n_spaces // n_chars AS BIGINT) AS space_ppm,
+           CASE WHEN max_space_run >= 2 OR tab_cnt > 0 OR ctrl_cnt > 0
+                THEN 1 ELSE 0 END AS anomalous
+    FROM sig
+    """,
+)
+def q_llm_whitespace_anomaly(spark, sf_dir):
+    """C161: whitespace/control-character anomaly scan — the
+    format-hygiene filter the C17/C101 quality gates assume has already
+    run: tabs, control characters, and multi-space runs mark
+    table-dumps, OCR artifacts, terminal logs, and format-bomb spam
+    (C4/Gopher drop such docs before any model-based scoring). Per doc:
+    longest space run, tab count, C0-control count (excluding \\t \\n
+    \\r), exact floor-ppm space density, and the composite anomaly
+    flag. Anomaly injection is deterministic (doc_id-keyed, C22/C63's
+    ground-truth pattern: a tab+space-run tail every 13th doc, a BEL
+    control char every 17th) since the fixture corpus is uniformly
+    single-spaced.
+
+    Cross-engine shape: every signal is an exact integer from
+    length/replace arithmetic or RE2/Java-common regexp_extract_all;
+    the space-run maximum maps the match list through length() —
+    higher-order array functions on both engines — with the
+    empty-list NULL coalesced (D6's shape). Plan/scale: scan-stage
+    expressions only, zero shuffles, |docs| output rows; the match
+    lists die inside the projection and never ride an exchange."""
+    d = table(spark, sf_dir, "documents")
+    body = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit("  \t"),
+                F.expr("repeat(' ', CAST(doc_id % 7 AS INT) + 2)"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 0, F.lit("\x07")).otherwise(
+            F.lit("")
+        ),
+    )
+    sig = d.select(
+        "doc_id",
+        body.alias("body"),
+    ).select(
+        "doc_id",
+        F.coalesce(
+            F.expr(
+                "array_max(transform("
+                "regexp_extract_all(body, ' +', 0), x -> length(x)))"
+            ),
+            F.lit(0),
+        ).alias("max_space_run"),
+        (
+            F.length("body") - F.length(F.expr("replace(body, '\\t', '')"))
+        )
+        .cast("bigint")
+        .alias("tab_cnt"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("body"),
+                F.lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"),
+                0,
+            )
+        )
+        .cast("bigint")
+        .alias("ctrl_cnt"),
+        (F.length("body") - F.length(F.expr("replace(body, ' ', '')")))
+        .cast("bigint")
+        .alias("n_spaces"),
+        F.greatest(F.lit(1), F.length("body")).cast("bigint").alias(
+            "n_chars"
+        ),
+    )
+    return sig.select(
+        "doc_id",
+        F.col("max_space_run").cast("bigint").alias("max_space_run"),
+        "tab_cnt",
+        "ctrl_cnt",
+        F.expr("CAST(1000000 * n_spaces div n_chars AS BIGINT)").alias(
+            "space_ppm"
+        ),
+        F.when(
+            (F.col("max_space_run") >= 2)
+            | (F.col("tab_cnt") > 0)
+            | (F.col("ctrl_cnt") > 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("anomalous"),
+    )

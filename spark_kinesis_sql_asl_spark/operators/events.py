@@ -2053,3 +2053,133 @@ def q_events_logrank(spark, sf_dir):
             " / nullif(CAST(var_micro AS DOUBLE) / 1000000.0, 0.0), 6)"
         ).alias("chi2"),
     )
+
+
+# --- B177: two-proportion conversion z-test ------------------------------------
+
+_ZTEST_WINDOW_US = 7 * _DAY_US  # 7-day attribution window
+
+
+@query(
+    "q_events_proportion_ztest",
+    priority=30,  # round-10 addition: first driver row in round 11
+    oracle=f"""
+    WITH starts AS (
+        SELECT user_id, min(epoch_us(ts)) AS t0
+        FROM events WHERE event_type = '{_KM_START}'
+        GROUP BY user_id
+    ),
+    conv AS (
+        SELECT s.user_id,
+               CAST(s.user_id % 2 AS INTEGER) AS grp,
+               CASE WHEN count(*) FILTER (
+                        WHERE e.event_type = '{_KM_EVENT}'
+                          AND epoch_us(e.ts) >= s.t0
+                          AND epoch_us(e.ts) < s.t0 + {_ZTEST_WINDOW_US}) > 0
+                    THEN 1 ELSE 0 END AS converted
+        FROM starts s JOIN events e ON e.user_id = s.user_id
+        GROUP BY s.user_id, s.t0
+    ),
+    arms AS (
+        SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n0,
+               CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(sum(CASE WHEN grp = 0 THEN converted ELSE 0 END)
+                    AS BIGINT) AS c0,
+               CAST(sum(CASE WHEN grp = 1 THEN converted ELSE 0 END)
+                    AS BIGINT) AS c1
+        FROM conv
+    )
+    SELECT n0, n1, c0, c1,
+           CAST(1000000 * c0 // n0 AS BIGINT) AS p0_ppm,
+           CAST(1000000 * c1 // n1 AS BIGINT) AS p1_ppm,
+           CAST(1000000 * (c0 + c1) // (n0 + n1) AS BIGINT) AS pooled_ppm,
+           round((CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                  - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                 / nullif(sqrt(CAST(c0 + c1 AS DOUBLE)
+                               / CAST(n0 + n1 AS DOUBLE)
+                        * (1.0 - CAST(c0 + c1 AS DOUBLE)
+                           / CAST(n0 + n1 AS DOUBLE))
+                        * (1.0 / CAST(n0 AS DOUBLE)
+                           + 1.0 / CAST(n1 AS DOUBLE))), 0.0),
+                 6) AS z_score
+    FROM arms
+    """,
+)
+def q_events_proportion_ztest(spark, sf_dir):
+    """B177: pooled two-proportion z-test — did cohort membership
+    (user_id parity, the same deterministic A/B arms as B174) change the
+    signup→purchase conversion PROBABILITY? The binary-outcome sibling
+    of B174's time-to-event test and the first thing an experiment
+    readout reports (B130 gives the per-day rate series; this gives the
+    one-number significance): z = (p0 − p1) / sqrt(p̂(1−p̂)(1/n0+1/n1)).
+
+    Cross-engine float shape: conversions and arm sizes are exact
+    BIGINTs; the statistic is ONE identical-text float expression over
+    four exact ints using IEEE +,-,*,/ and sqrt — sqrt is correctly
+    rounded by IEEE 754 on both engines, so no libm drift (the one
+    transcendental-free test in the family after B142/B147 leaned on
+    the micro-quant identity); rates released as exact floor-ppm (D2).
+    Plan/scale: one user-keyed rollup folds each user to (arm,
+    converted) — map-side combinable; the arm table is a single-row
+    aggregate. Nothing after the first rollup scales with corpus
+    size."""
+    e_us = F.unix_micros("ts")
+    ev = table(spark, sf_dir, "events")
+    starts = (
+        ev.where(F.col("event_type") == _KM_START)
+        .groupBy("user_id")
+        .agg(F.min(e_us).alias("t0"))
+    )
+    conv = (
+        ev.join(starts, "user_id")
+        .groupBy("user_id", "t0")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == _KM_EVENT)
+                    & (e_us >= F.col("t0"))
+                    & (e_us < F.col("t0") + F.lit(_ZTEST_WINDOW_US)),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("grp"), "converted"
+        )
+    )
+    arms = conv.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("c0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+    )
+    return arms.select(
+        "n0",
+        "n1",
+        "c0",
+        "c1",
+        F.expr("CAST(1000000 * c0 div n0 AS BIGINT)").alias("p0_ppm"),
+        F.expr("CAST(1000000 * c1 div n1 AS BIGINT)").alias("p1_ppm"),
+        F.expr("CAST(1000000 * (c0 + c1) div (n0 + n1) AS BIGINT)").alias(
+            "pooled_ppm"
+        ),
+        F.expr(
+            "round(try_divide(CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)"
+            " - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE),"
+            " nullif(sqrt(CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)"
+            " * (1.0 - CAST(c0 + c1 AS DOUBLE)"
+            " / CAST(n0 + n1 AS DOUBLE))"
+            " * (1.0 / CAST(n0 AS DOUBLE)"
+            " + 1.0 / CAST(n1 AS DOUBLE))), 0.0)), 6)"
+        ).alias("z_score"),
+    )

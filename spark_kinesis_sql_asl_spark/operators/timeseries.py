@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import table
+from .analytics import global_rank
 
 _HOUR_US = 3_600_000_000
 
@@ -1876,4 +1877,118 @@ def q_ts_lttb(spark, sf_dir):
             "n_in_bucket",
             "area",
         )
+    )
+
+
+# --- B176: Theil-Sen robust trend ---------------------------------------------
+
+
+@query(
+    "q_ts_theil_sen",
+    priority=30,  # round-10 addition: first driver row in round 11
+    oracle="""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS x,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM orders WHERE o_orderdate IS NOT NULL
+        GROUP BY 1
+    ),
+    pairs AS (
+        SELECT (CAST(b.y AS DOUBLE) - CAST(a.y AS DOUBLE))
+               / (CAST(b.x AS DOUBLE) - CAST(a.x AS DOUBLE)) AS slope
+        FROM daily a JOIN daily b ON a.x < b.x
+    ),
+    med AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               round(median(slope), 6) AS slope_med
+        FROM pairs
+    ),
+    icept AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               median(CAST(d.y AS DOUBLE)
+                      - m.slope_med * CAST(d.x AS DOUBLE)) AS icept_med
+        FROM daily d CROSS JOIN med m
+    )
+    SELECT i.n_days, m.n_pairs,
+           m.slope_med AS slope_cents_per_day,
+           round(i.icept_med, 6) AS intercept_cents
+    FROM med m CROSS JOIN icept i
+    """,
+)
+def q_ts_theil_sen(spark, sf_dir):
+    """B176: Theil-Sen estimator — the robust trend line for the daily
+    revenue series (median of all pairwise slopes, then median residual
+    intercept; 29% breakdown point where B113/B159's OLS slope is
+    dragged by a single flash-sale day; the standard robust complement
+    to B173's rolling median). Sen 1968 / Theil 1950.
+
+    Cross-engine float shape: each pairwise slope is ONE IEEE division
+    of exact BIGINTs (bit-deterministic, no libm); the slope median is
+    a distributed RANK-SELECT — :func:`global_rank` over the pair set,
+    keep the two middle ranks, midpoint (a+b)/2 — never a single-buffer
+    percentile over millions of doubles; the selected median is
+    QUANTIZED round(6) before reuse so the intercept residuals on both
+    engines start from the identical released value (one *,-
+    expression; the |days|-row residual median then uses the exact
+    percentile B31 pins). Plan/scale: point-scale work is the ONE daily
+    hash aggregate; the pair set is |days|^2/2 on the CALENDAR-bounded
+    daily frame (~3e6 pairs for a 7-year fixture, ~5e7 for two decades
+    — constant in corpus size), built by broadcasting the kilobyte
+    daily frame to a theta join; the rank-select shuffles ~24 MB of
+    slopes across the range partitioner, independent of SF."""
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
+        .groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("x")
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    a = daily.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = a.join(F.broadcast(b), F.col("xa") < F.col("xb")).select(
+        F.expr(
+            "(CAST(yb AS DOUBLE) - CAST(ya AS DOUBLE))"
+            " / (CAST(xb AS DOUBLE) - CAST(xa AS DOUBLE))"
+        ).alias("slope")
+    )
+    ranked = global_rank(
+        pairs, [F.col("slope").asc()], "rk", with_total=True
+    )
+    med = (
+        ranked.where(
+            (F.col("rk") == F.expr("(_total + 1) div 2"))
+            | (F.col("rk") == F.expr("_total div 2 + 1"))
+        )
+        .agg(
+            F.first("_total").cast("bigint").alias("n_pairs"),
+            F.round(
+                (F.min("slope") + F.max("slope")) / 2.0, 6
+            ).alias("slope_med"),
+        )
+    )
+    icept = (
+        daily.crossJoin(F.broadcast(med))
+        .select(
+            F.expr(
+                "CAST(y AS DOUBLE) - slope_med * CAST(x AS DOUBLE)"
+            ).alias("resid")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.expr("percentile(resid, 0.5)").alias("icept_med"),
+        )
+    )
+    return icept.crossJoin(F.broadcast(med)).select(
+        "n_days",
+        "n_pairs",
+        F.col("slope_med").alias("slope_cents_per_day"),
+        F.round("icept_med", 6).alias("intercept_cents"),
     )

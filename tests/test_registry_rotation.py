@@ -46,6 +46,10 @@ ROUND10_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_ts_lttb",
         "q_llm_url_host_audit",
         "q_canary_add_months",
+        "q_ts_theil_sen",
+        "q_events_proportion_ztest",
+        "q_llm_readability",
+        "q_llm_whitespace_anomaly",
     }
 )
 
