@@ -1737,3 +1737,118 @@ def q_llm_whitespace_anomaly(spark, sf_dir):
         .otherwise(0)
         .alias("anomalous"),
     )
+
+
+# --- C162: code-vs-prose detection ---------------------------------------------
+
+_CODE_KW_RE = "\\b(def|return|const|var|import|class|function|lambda)\\b"
+_CODE_SNIPPET_A = " def get_value(x): return x[0];"
+_CODE_SNIPPET_B = " const fooBar = {a: 1}; varName.doThing();"
+
+
+@query(
+    "q_llm_code_detect",
+    priority=30,  # round-10 addition: first driver row in round 11
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, source,
+               concat(coalesce(text, ''),
+                      CASE WHEN doc_id % 19 = 0
+                           THEN '{_CODE_SNIPPET_A}' ELSE '' END,
+                      CASE WHEN doc_id % 23 = 0
+                           THEN '{_CODE_SNIPPET_B}' ELSE '' END) AS body
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(body, '{_CODE_KW_RE}'))
+                    AS BIGINT) AS kw_cnt,
+               CAST(length(body) - length(replace(body, ';', ''))
+                    AS BIGINT) AS semi_cnt,
+               CAST(len(regexp_extract_all(body, '[{{}}()\\[\\]]'))
+                    AS BIGINT) AS brace_cnt,
+               CAST(len(regexp_extract_all(body, '[a-z][A-Z]'))
+                    AS BIGINT) AS camel_cnt
+        FROM corpus
+    ),
+    scored AS (
+        SELECT doc_id, source, kw_cnt, semi_cnt, brace_cnt, camel_cnt,
+               3 * kw_cnt + 2 * semi_cnt + brace_cnt + camel_cnt AS score
+        FROM sig
+    )
+    SELECT doc_id, kw_cnt, semi_cnt, brace_cnt, camel_cnt,
+           CAST(score AS BIGINT) AS score,
+           CASE WHEN score >= 6 THEN 1 ELSE 0 END AS is_code
+    FROM scored
+    """,
+)
+def q_llm_code_detect(spark, sf_dir):
+    """C162: code-vs-prose detection — the mixture-composition axis the
+    C16 language-ID and C17/C101 quality gates are blind to (code is
+    "high-quality English" to a stopword filter, yet a pretraining
+    mixture budgets code and prose separately): keyword hits
+    (def/return/const/...), semicolon density, bracket density, and
+    camelCase transitions, folded into the weighted score
+    3·kw + 2·semi + brace + camel with the ≥6 decision threshold.
+    Injection is deterministic (doc_id-keyed, C22/C63's ground-truth
+    pattern: a Python-ish fragment every 19th doc, a JS-ish fragment
+    every 23rd — doc_id 0 and multiples of 437 get both, crossing the
+    threshold from two directions) since the fixture corpus is
+    uniformly lowercase prose.
+
+    Cross-engine shape: every signal is an exact BIGINT from
+    length/replace arithmetic or regexp_extract_all in the RE2/Java
+    common subset (\\b word boundaries are common to both); the score
+    is integer arithmetic; no floats anywhere. Plan/scale: scan-stage
+    expressions only, zero shuffles, |docs| output rows."""
+    d = table(spark, sf_dir, "documents")
+    body = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(F.col("doc_id") % 19 == 0, F.lit(_CODE_SNIPPET_A)).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 23 == 0, F.lit(_CODE_SNIPPET_B)).otherwise(
+            F.lit("")
+        ),
+    )
+    sig = d.select("doc_id", body.alias("body")).select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("body"), F.lit(_CODE_KW_RE), 0)
+        )
+        .cast("bigint")
+        .alias("kw_cnt"),
+        (F.length("body") - F.length(F.expr("replace(body, ';', '')")))
+        .cast("bigint")
+        .alias("semi_cnt"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("body"), F.lit("[{}()\\[\\]]"), 0
+            )
+        )
+        .cast("bigint")
+        .alias("brace_cnt"),
+        F.size(
+            F.regexp_extract_all(F.col("body"), F.lit("[a-z][A-Z]"), 0)
+        )
+        .cast("bigint")
+        .alias("camel_cnt"),
+    )
+    scored = sig.withColumn(
+        "score",
+        (
+            3 * F.col("kw_cnt")
+            + 2 * F.col("semi_cnt")
+            + F.col("brace_cnt")
+            + F.col("camel_cnt")
+        ).cast("bigint"),
+    )
+    return scored.select(
+        "doc_id",
+        "kw_cnt",
+        "semi_cnt",
+        "brace_cnt",
+        "camel_cnt",
+        "score",
+        F.when(F.col("score") >= 6, 1).otherwise(0).alias("is_code"),
+    )

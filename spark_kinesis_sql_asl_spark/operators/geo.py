@@ -475,3 +475,109 @@ def q_geo_hotspot(spark, sf_dir):
         .orderBy(F.desc("n_neighborhood"), "cell_lat", "cell_lon")
         .limit(15)
     )
+
+
+# --- B178: geofence occupancy --------------------------------------------------
+
+_N_FENCES = 12
+_FENCE_W = 1_500_000  # 1.5° fence width/height in micro-degrees
+
+
+@query(
+    "q_geo_geofence",
+    priority=30,  # round-10 addition: first driver row in round 11
+    oracle=f"""
+    WITH fences AS (
+        SELECT CAST(k AS BIGINT) AS fence_id,
+               {_hex_parse_duck("('f' || CAST(k AS VARCHAR))", 1)}
+                   % {_PLANE - _FENCE_W} AS flat,
+               {_hex_parse_duck("('f' || CAST(k AS VARCHAR))", 9)}
+                   % {_PLANE - _FENCE_W} AS flon
+        FROM range({_N_FENCES}) t(k)
+    ),
+    cust AS (
+        SELECT c.c_nationkey, c.c_acctbal, pos.slat, pos.slon
+        FROM customer c
+        JOIN ({_coords_duck("c", "c_custkey", "customer",
+                            "c_custkey IS NOT NULL")}) pos
+          USING (c_custkey)
+    ),
+    hits AS (
+        SELECT f.fence_id, f.flat, f.flon,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(count(DISTINCT c.c_nationkey) AS BIGINT) AS n_nations,
+               CAST(sum(CAST(floor(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS bal_cents
+        FROM fences f
+        JOIN cust c
+          ON c.slat >= f.flat AND c.slat < f.flat + {_FENCE_W}
+         AND c.slon >= f.flon AND c.slon < f.flon + {_FENCE_W}
+        GROUP BY f.fence_id, f.flat, f.flon
+    )
+    SELECT f.fence_id, f.flat, f.flon,
+           coalesce(h.n_points, 0) AS n_points,
+           coalesce(h.n_nations, 0) AS n_nations,
+           coalesce(h.bal_cents, 0) AS bal_cents
+    FROM fences f LEFT JOIN hits h USING (fence_id, flat, flon)
+    """,
+)
+def q_geo_geofence(spark, sf_dir):
+    """B178: geofence occupancy — point-in-rectangle membership counts
+    for {_N_FENCES} arbitrary (possibly overlapping) rectangular fences,
+    the alerting/zone-billing staple the fixed-grid B163 density rollup
+    cannot express (fences are arbitrary boxes, not grid cells; a point
+    may lie in several). Fence corners derive from the same portable
+    md5 hex-parse as the point coordinates (keyed 'f'||k), so both
+    engines construct bit-identical fences with no fixture dependence.
+
+    Plan/scale: the fence table is {_N_FENCES} rows broadcast into a
+    range-predicate nested-loop join — the point side streams through
+    its own scan once, each point testing {_N_FENCES} boxes scan-side
+    (at 100 TB with thousands of fences, block fences into the B164
+    R-cell grid first; the operator keeps the broadcast form because
+    |fences| is bounded-by-construction here). Occupancy is a
+    |fences|-key hash aggregate with map-side combine; empty fences
+    are restored by a left join against the (broadcast) fence table —
+    the D10 empty-group shape. Exact integer micro-degrees and cents
+    throughout."""
+    fkey = "concat('f', CAST(id AS STRING))"
+    fences = (
+        spark.range(_N_FENCES)
+        .select(
+            F.col("id").cast("bigint").alias("fence_id"),
+            F.expr(
+                f"{_hex_parse_spark(fkey, 1)} % {_PLANE - _FENCE_W}"
+            ).alias("flat"),
+            F.expr(
+                f"{_hex_parse_spark(fkey, 9)} % {_PLANE - _FENCE_W}"
+            ).alias("flon"),
+        )
+    )
+    cust = _with_coords(
+        table(spark, sf_dir, "customer"), "c", "c_custkey"
+    ).select("c_nationkey", "c_acctbal", "slat", "slon")
+    hits = (
+        cust.join(
+            F.broadcast(fences),
+            (F.col("slat") >= F.col("flat"))
+            & (F.col("slat") < F.col("flat") + _FENCE_W)
+            & (F.col("slon") >= F.col("flon"))
+            & (F.col("slon") < F.col("flon") + _FENCE_W),
+        )
+        .groupBy("fence_id", "flat", "flon")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.countDistinct("c_nationkey").cast("bigint").alias("n_nations"),
+            F.sum(F.floor(F.col("c_acctbal") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("bal_cents"),
+        )
+    )
+    return fences.join(hits, ["fence_id", "flat", "flon"], "left").select(
+        "fence_id",
+        "flat",
+        "flon",
+        F.coalesce("n_points", F.lit(0)).cast("bigint").alias("n_points"),
+        F.coalesce("n_nations", F.lit(0)).cast("bigint").alias("n_nations"),
+        F.coalesce("bal_cents", F.lit(0)).cast("bigint").alias("bal_cents"),
+    )

@@ -1992,3 +1992,202 @@ def q_ts_theil_sen(spark, sf_dir):
         F.col("slope_med").alias("slope_cents_per_day"),
         F.round("icept_med", 6).alias("intercept_cents"),
     )
+
+
+# --- B179: rescaled-range (Hurst) long-memory audit ----------------------------
+
+# Block sizes and their ln(m) in micro-nats — PRECOMPUTED literals so the
+# regression x-axis never touches either engine's libm.
+_HURST_SIZES = {16: 2772589, 32: 3465736, 64: 4158883, 128: 4852030}
+
+# Identical-text per-block R/S and per-row squared-deviation expressions.
+_HURST_SQ = (
+    "CAST(round((CAST(dd AS DOUBLE) / CAST(m AS DOUBLE))"
+    " * (CAST(dd AS DOUBLE) / CAST(m AS DOUBLE))) AS BIGINT)"
+)
+_HURST_LNRS = (
+    "CAST(round(1000000 * ln((CAST(rp AS DOUBLE) / CAST(m AS DOUBLE))"
+    " / sqrt(CAST(ssq AS DOUBLE) / CAST(m AS DOUBLE)))) AS BIGINT)"
+)
+
+
+@query(
+    "q_ts_hurst",
+    priority=30,  # round-10 addition: first driver row in round 11
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS x,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   // 1000 AS y
+        FROM orders WHERE o_orderdate IS NOT NULL
+        GROUP BY 1
+    ),
+    idxd AS (
+        SELECT x, y,
+               CAST(row_number() OVER (ORDER BY x) - 1 AS BIGINT) AS idx
+        FROM daily
+    ),
+    sized AS (
+        SELECT s.m, CAST(s.lnm AS BIGINT) AS lnm,
+               i.idx // s.m AS blk, i.idx, i.y
+        FROM idxd i
+        CROSS JOIN (VALUES {", ".join(f"({m}, {lnm})"
+                                      for m, lnm in _HURST_SIZES.items())})
+            AS s(m, lnm)
+    ),
+    bagg AS (
+        SELECT m, lnm, blk,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(y) AS BIGINT) AS sum_y
+        FROM sized GROUP BY m, lnm, blk
+    ),
+    devs AS (
+        SELECT s.m, s.lnm, s.blk, s.idx,
+               CAST(s.m AS BIGINT) * s.y - b.sum_y AS dd
+        FROM sized s JOIN bagg b
+          ON b.m = s.m AND b.blk = s.blk
+        WHERE b.cnt = s.m
+    ),
+    zs AS (
+        SELECT m, lnm, blk, dd,
+               CAST(sum(dd) OVER (PARTITION BY m, blk ORDER BY idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS z
+        FROM devs
+    ),
+    rs AS (
+        SELECT m, lnm, blk,
+               CAST(max(z) - min(z) AS BIGINT) AS rp,
+               CAST(sum({_HURST_SQ}) AS BIGINT) AS ssq
+        FROM zs GROUP BY m, lnm, blk
+    ),
+    lnrs AS (
+        SELECT m, lnm, {_HURST_LNRS} AS lnrs_q
+        FROM rs WHERE ssq > 0
+    ),
+    per_m AS (
+        SELECT m, lnm,
+               CAST(count(*) AS BIGINT) AS n_blocks,
+               CAST(sum(lnrs_q) // count(*) AS BIGINT) AS mean_lnrs_micro
+        FROM lnrs GROUP BY m, lnm
+    ),
+    ols AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(lnm) AS BIGINT) AS sx,
+               CAST(sum(mean_lnrs_micro) AS BIGINT) AS sy,
+               CAST(sum(lnm * mean_lnrs_micro) AS BIGINT) AS sxy,
+               CAST(sum(lnm * lnm) AS BIGINT) AS sxx
+        FROM per_m
+    )
+    SELECT p.m, p.n_blocks, p.mean_lnrs_micro,
+           round((CAST(o.k AS DOUBLE) * CAST(o.sxy AS DOUBLE)
+                  - CAST(o.sx AS DOUBLE) * CAST(o.sy AS DOUBLE))
+                 / (CAST(o.k AS DOUBLE) * CAST(o.sxx AS DOUBLE)
+                    - CAST(o.sx AS DOUBLE) * CAST(o.sx AS DOUBLE)),
+                 6) AS hurst
+    FROM per_m p CROSS JOIN ols o
+    """,
+)
+def q_ts_hurst(spark, sf_dir):
+    """B179: rescaled-range (R/S) Hurst exponent of the daily revenue
+    series — the long-memory audit (H≈0.5 random walk, H>0.5 trending/
+    persistent, H<0.5 mean-reverting) that B151/B152's ACF/PACF summarize
+    only at fixed lags; Hurst 1951 / Mandelbrot-Wallis 1969. Full blocks
+    of m ∈ {{16,32,64,128}} days: R = range of the cumulative deviation
+    walk, S = population σ, H = OLS slope of mean ln(R/S) on ln(m).
+
+    Cross-engine float shape (the strictest yet): deviations are kept
+    EXACT by scaling — dd = m·y − Σy is pure BIGINT, so the cumulative
+    walk Z (a window sum, where double summation order could differ
+    engine-to-engine) is integer-exact, and R = (max−min)/m defers the
+    division to one per-block float expression; per-row squared
+    deviations quantize round-to-integer in kilocent² units (BIGINT sum);
+    ln(R/S) quantizes to micro-nats per BLOCK (the D14-pinned libm
+    assumption); the regression x-axis ln(m) is a PRECOMPUTED literal
+    table, and H is one float expression over five exact-int OLS sums,
+    round(6). Mean ln(R/S) released as floor-division micro-nats.
+    Plan/scale: ONE daily hash aggregate; the |days|-frame index is the
+    allowlisted calendar-bounded row_number (B173/B175's argument); the
+    4× size-explode, block rollups, and the partitioned cumulative
+    window all live on the bounded daily frame; the OLS table is ≤4
+    rows broadcast."""
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
+        .groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("x")
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))"
+                " AS BIGINT) div 1000"
+            ).alias("y")
+        )
+    )
+    idxd = daily.withColumn(
+        "idx", (F.row_number().over(Window.orderBy("x")) - 1).cast("bigint")
+    )
+    sizes = spark.createDataFrame(
+        [(m, lnm) for m, lnm in _HURST_SIZES.items()], "m INT, lnm BIGINT"
+    )
+    sized = idxd.crossJoin(F.broadcast(sizes)).select(
+        "m", "lnm", F.expr("idx div m").alias("blk"), "idx", "y"
+    )
+    bagg = sized.groupBy("m", "lnm", "blk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+    )
+    devs = (
+        sized.join(bagg.drop("lnm"), ["m", "blk"])
+        .where(F.col("cnt") == F.col("m"))
+        .select(
+            "m",
+            "lnm",
+            "blk",
+            "idx",
+            (F.col("m").cast("bigint") * F.col("y") - F.col("sum_y")).alias(
+                "dd"
+            ),
+        )
+    )
+    wz = (
+        Window.partitionBy("m", "blk")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    zs = devs.withColumn("z", F.sum("dd").over(wz).cast("bigint"))
+    rs = zs.groupBy("m", "lnm", "blk").agg(
+        (F.max("z") - F.min("z")).cast("bigint").alias("rp"),
+        F.sum(F.expr(_HURST_SQ)).cast("bigint").alias("ssq"),
+    )
+    lnrs = rs.where(F.col("ssq") > 0).select(
+        "m", "lnm", F.expr(_HURST_LNRS).alias("lnrs_q")
+    )
+    per_m = lnrs.groupBy("m", "lnm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.expr("CAST(sum(lnrs_q) div count(*) AS BIGINT)").alias(
+            "mean_lnrs_micro"
+        ),
+    )
+    ols = per_m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("lnm").cast("bigint").alias("sx"),
+        F.sum("mean_lnrs_micro").cast("bigint").alias("sy"),
+        F.sum(F.col("lnm") * F.col("mean_lnrs_micro"))
+        .cast("bigint")
+        .alias("sxy"),
+        F.sum(F.col("lnm") * F.col("lnm")).cast("bigint").alias("sxx"),
+    )
+    return per_m.crossJoin(F.broadcast(ols)).select(
+        "m",
+        "n_blocks",
+        "mean_lnrs_micro",
+        F.expr(
+            "round((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)"
+        ).alias("hurst"),
+    )

@@ -493,6 +493,10 @@ _PARTITIONLESS_WINDOW_BY_CONSTRUCTION = {
     # and a global bucket index cannot be limit-bounded by construction;
     # everything downstream partitions by bucket.
     "q_ts_lttb",
+    # B179 (round 10): the block-index row_number runs over the per-DAY
+    # revenue frame (B173/B175's calendar-bounded argument); the
+    # cumulative deviation walk itself partitions by (m, block).
+    "q_ts_hurst",
 }
 
 

@@ -50,6 +50,9 @@ ROUND10_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_events_proportion_ztest",
         "q_llm_readability",
         "q_llm_whitespace_anomaly",
+        "q_geo_geofence",
+        "q_ts_hurst",
+        "q_llm_code_detect",
     }
 )
 
