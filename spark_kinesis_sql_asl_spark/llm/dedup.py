@@ -1698,3 +1698,149 @@ def q_llm_band_tuning(spark, sf_dir):
             ).alias("expected_recall"),
         )
     )
+
+
+# --- C163: shard-locality of the near-dup graph --------------------------------
+
+_SHARD_N = 16
+
+
+@query(
+    "q_llm_dedup_shard_locality",
+    priority=30,  # round-10 addition: first driver row in round 11
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM toks a
+        JOIN toks b ON a.tok = b.tok AND a.lang = b.lang
+                   AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {_JACCARD_TAU}
+    ),
+    tagged AS (
+        SELECT p.doc_a, p.doc_b,
+               CASE WHEN p.doc_a % {_SHARD_N} = p.doc_b % {_SHARD_N}
+                    THEN 1 ELSE 0 END AS hash_intra,
+               CASE WHEN da.source = db.source THEN 1 ELSE 0 END
+                   AS src_intra
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(hash_intra) AS BIGINT) AS hash_i,
+               CAST(sum(src_intra) AS BIGINT) AS src_i
+        FROM tagged
+    )
+    SELECT 'hash{_SHARD_N}' AS scheme, n_pairs,
+           hash_i AS intra_pairs,
+           n_pairs - hash_i AS cross_pairs,
+           CAST(1000000 * hash_i // greatest(1, n_pairs) AS BIGINT)
+               AS intra_ppm
+    FROM agg
+    UNION ALL
+    SELECT 'source' AS scheme, n_pairs,
+           src_i AS intra_pairs,
+           n_pairs - src_i AS cross_pairs,
+           CAST(1000000 * src_i // greatest(1, n_pairs) AS BIGINT)
+               AS intra_ppm
+    FROM agg
+    """,
+)
+def q_llm_dedup_shard_locality(spark, sf_dir):
+    """C163: shard-locality of the near-dup graph — the question that
+    decides a 100 TB dedup ARCHITECTURE: if the corpus is sharded and
+    each shard deduped locally (embarrassingly parallel, no global
+    shuffle), what fraction of true near-dup pairs lands INSIDE one
+    shard and is actually caught? Measured for the two canonical
+    assignments over C2's exact pair set: content-blind hash sharding
+    (doc_id mod {_SHARD_N} — the ingestion default; dup partners
+    scatter, intra share ≈ 1/{_SHARD_N} and shard-local dedup misses
+    ~15/16 of pairs) vs source-grouped sharding (dup pairs concentrate
+    where template families are intra-source). The gap between the two
+    rows is the measured argument for C43-style locality-aware
+    sharding — or for paying the global pass (C3's banded LSH) when
+    locality is poor.
+
+    Derivation discipline: the pair frame IS the memoized C2 build
+    (:func:`_jaccard_scored`, shared with the six other consumers —
+    this query adds two id-keyed metadata joins and a single-row
+    aggregate); the oracle wraps C2's registered SQL as a CTE. Plan:
+    pairs join documents on ids ONLY (source rides the build side;
+    text never leaves its scan), one global agg, 2 released rows."""
+    scored = _jaccard_scored(spark, sf_dir)
+    jac = F.col("i") * 1.0 / (F.col("sa") + F.col("sb") - F.col("i"))
+    pairs = scored.where(jac >= _JACCARD_TAU).select("doc_a", "doc_b")
+    src = parallel_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    tagged = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("src_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("src_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            F.when(
+                F.col("doc_a") % _SHARD_N == F.col("doc_b") % _SHARD_N, 1
+            )
+            .otherwise(0)
+            .alias("hash_intra"),
+            F.when(F.col("src_a") == F.col("src_b"), 1)
+            .otherwise(0)
+            .alias("src_intra"),
+        )
+    )
+    agg = tagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("hash_intra").cast("bigint").alias("hash_i"),
+        F.sum("src_intra").cast("bigint").alias("src_i"),
+    )
+    out = agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(f"hash{_SHARD_N}").alias("scheme"),
+                    F.col("hash_i").alias("intra"),
+                ),
+                F.struct(
+                    F.lit("source").alias("scheme"),
+                    F.col("src_i").alias("intra"),
+                ),
+            )
+        ).alias("s"),
+        "n_pairs",
+    )
+    return out.select(
+        F.col("s.scheme").alias("scheme"),
+        "n_pairs",
+        F.col("s.intra").alias("intra_pairs"),
+        (F.col("n_pairs") - F.col("s.intra"))
+        .cast("bigint")
+        .alias("cross_pairs"),
+        F.expr(
+            "CAST(1000000 * s.intra div greatest(1, n_pairs) AS BIGINT)"
+        ).alias("intra_ppm"),
+    )

@@ -2191,3 +2191,112 @@ def q_ts_hurst(spark, sf_dir):
             " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)"
         ).alias("hurst"),
     )
+
+
+# --- B180: revenue drawdown (demeaned cumulative walk) -------------------------
+
+_DRAWDOWN_TOP_K = 10
+
+
+@query(
+    "q_win_drawdown",
+    priority=30,  # round-10 addition: first driver row in round 11
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders WHERE o_orderdate IS NOT NULL
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s
+        FROM daily
+    ),
+    walk AS (
+        SELECT d.d, t.n,
+               CAST(sum(t.n * d.cents - t.s) OVER (ORDER BY d.d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS w
+        FROM daily d CROSS JOIN tot t
+    ),
+    dd AS (
+        SELECT d, n,
+               CAST(max(w) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w
+                    AS BIGINT) AS dd_scaled
+        FROM walk
+    ),
+    ranked AS (
+        SELECT d AS epoch_day,
+               CAST(dd_scaled // n AS BIGINT) AS drawdown_cents,
+               CAST(row_number() OVER (
+                    ORDER BY dd_scaled DESC, d) AS INTEGER) AS rnk
+        FROM dd
+    )
+    SELECT epoch_day, drawdown_cents, rnk
+    FROM ranked WHERE rnk <= {_DRAWDOWN_TOP_K}
+    """,
+)
+def q_win_drawdown(spark, sf_dir):
+    """B180: maximum-drawdown profile of the DEMEANED daily revenue walk
+    — the deepest cumulative slump below the period's own average run
+    rate, the finance staple (underwater curve) re-aimed at revenue
+    telemetry: a raw revenue cumsum is monotone so its drawdown is
+    degenerate, but the walk of (revenue − period mean) dips exactly
+    when a sustained soft streak runs, and its running-max gap is the
+    slump depth B131's CUSUM alarms on and B145's streaks count — here
+    it is measured in exact cents. Top-{_DRAWDOWN_TOP_K} deepest days
+    released with deterministic (depth desc, day) order.
+
+    Cross-engine shape: the walk stays pure BIGINT via the B179 scaling
+    (n·y − Σ keeps the mean exact without division); running sum,
+    running max, and their gap are all integer window folds; the
+    released depth divides the scale back out by floor-div (D7-safe).
+    Plan/scale: ONE daily hash aggregate, a 1-row total broadcast, then
+    the windows run over the |days| frame (calendar-bounded — the
+    B146/B169/B172 argument, allowlisted)."""
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
+        .groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("d")
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    wrun = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    walk = daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        F.sum(F.col("n") * F.col("cents") - F.col("s"))
+        .over(wrun)
+        .cast("bigint")
+        .alias("w"),
+    )
+    dd = walk.select(
+        "d",
+        "n",
+        (F.max("w").over(wrun) - F.col("w")).cast("bigint").alias(
+            "dd_scaled"
+        ),
+    )
+    top = dd.orderBy(F.col("dd_scaled").desc(), "d").limit(_DRAWDOWN_TOP_K)
+    wr = Window.orderBy(F.col("dd_scaled").desc(), "d")
+    return top.select(
+        F.col("d").alias("epoch_day"),
+        F.expr("CAST(dd_scaled div n AS BIGINT)").alias("drawdown_cents"),
+        F.row_number().over(wr).cast("int").alias("rnk"),
+    )

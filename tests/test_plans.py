@@ -497,6 +497,11 @@ _PARTITIONLESS_WINDOW_BY_CONSTRUCTION = {
     # revenue frame (B173/B175's calendar-bounded argument); the
     # cumulative deviation walk itself partitions by (m, block).
     "q_ts_hurst",
+    # B180 (round 10): running sum / running max / final rank all run
+    # over the per-DAY demeaned revenue walk — calendar-bounded (the
+    # B172 running-sum argument), and a running max cannot be
+    # limit-bounded by construction.
+    "q_win_drawdown",
 }
 
 

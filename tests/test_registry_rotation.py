@@ -53,6 +53,8 @@ ROUND10_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_geo_geofence",
         "q_ts_hurst",
         "q_llm_code_detect",
+        "q_win_drawdown",
+        "q_llm_dedup_shard_locality",
     }
 )
 
