@@ -2183,3 +2183,88 @@ def q_events_proportion_ztest(spark, sf_dir):
             " + 1.0 / CAST(n1 AS DOUBLE))), 0.0)), 6)"
         ).alias("z_score"),
     )
+
+
+# --- B182: exponentially-decayed engagement score ------------------------------
+
+_DECAY_HALF_SCALE_D = 30.0  # decay time-constant in days (e-folding)
+_DECAY_Q = (
+    "CAST(round(1000000 * exp(-CAST(age_d AS DOUBLE)"
+    f" / {_DECAY_HALF_SCALE_D})) AS BIGINT)"
+)
+
+
+@query(
+    "q_events_decay_engagement",
+    priority=30,  # round-10 addition: first driver row in round 11
+    oracle=f"""
+    WITH evs AS (
+        SELECT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        FROM events WHERE ts IS NOT NULL
+    ),
+    ref AS (SELECT max(d) AS ref_d FROM evs),
+    aged AS (
+        SELECT e.user_id, r.ref_d - e.d AS age_d
+        FROM evs e CROSS JOIN ref r
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum({_DECAY_Q}) AS BIGINT) AS score_micro
+        FROM aged GROUP BY user_id
+    )
+    SELECT CAST(length(bin(score_micro)) AS BIGINT) AS score_octave,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(score_micro) AS BIGINT) AS min_score_micro,
+           CAST(max(score_micro) AS BIGINT) AS max_score_micro,
+           CAST(sum(n_events) AS BIGINT) AS n_events
+    FROM per_user
+    GROUP BY 1
+    """,
+)
+def q_events_decay_engagement(spark, sf_dir):
+    """B182: exponentially-decayed engagement — per user, the sum of
+    exp(−age/{_DECAY_HALF_SCALE_D:.0f}d) over their events, anchored at
+    the corpus's last observed day. The recency-weighted activity score
+    every retention/ranking system keeps (B103's RFM treats recency as
+    a quantile CUT; decay integrates it per event, so one ancient burst
+    can no longer tie a steadily-active user), binned into the C103
+    octave spectrum for a bounded release.
+
+    Cross-engine float shape: each event's decay factor is ONE
+    identical-text exp() over an exact integer age, quantized to
+    micro-units per EVENT (the D14-pinned libm assumption + round
+    parity), so per-user sums are pure BIGINT — double summation order
+    never crosses the engines. Plan/scale: scan-side age arithmetic
+    against a 1-row broadcast anchor, ONE user-keyed rollup (map-side
+    combinable — the quantized term is associative), then the bounded
+    octave rollup; bin(score) is the C51/C103 exact-octave trick.
+    Nothing after the user rollup scales with corpus size."""
+    epoch = F.lit("1970-01-01").cast("date")
+    evs = (
+        table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), epoch).alias("d"),
+        )
+    )
+    ref = evs.agg(F.max("d").alias("ref_d"))
+    aged = evs.crossJoin(F.broadcast(ref)).select(
+        "user_id", (F.col("ref_d") - F.col("d")).alias("age_d")
+    )
+    per_user = aged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.expr(_DECAY_Q)).cast("bigint").alias("score_micro"),
+    )
+    return per_user.groupBy(
+        F.length(F.expr("bin(score_micro)")).cast("bigint").alias(
+            "score_octave"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.min("score_micro").cast("bigint").alias("min_score_micro"),
+        F.max("score_micro").cast("bigint").alias("max_score_micro"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+    )

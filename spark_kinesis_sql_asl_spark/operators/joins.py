@@ -619,3 +619,113 @@ def q_join_bucketed(spark, sf_dir):
             .alias("sum_cents"),
         )
     )
+
+
+# --- B181: bucketed big-x-big interval join ------------------------------------
+
+_IVL_LEN = 7  # attribution-window length in days == time-bucket size
+
+
+@query(
+    "q_join_interval_bucketed",
+    priority=30,  # round-10 addition: first driver row in round 11
+    oracle=f"""
+    WITH ords AS (
+        SELECT o_orderkey, o_orderpriority,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS start_d,
+               o_custkey
+        FROM orders WHERE o_orderdate IS NOT NULL
+    ),
+    evs AS (
+        SELECT user_id, value,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ev_d
+        FROM events WHERE ts IS NOT NULL
+    )
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders_hit,
+           CAST(sum(CAST(floor(coalesce(e.value, 0) * 100) AS BIGINT))
+                AS BIGINT) AS value_cents
+    FROM ords o
+    JOIN evs e
+      ON e.user_id = o.o_custkey
+     AND e.ev_d >= o.start_d AND e.ev_d < o.start_d + {_IVL_LEN}
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_join_interval_bucketed(spark, sf_dir):
+    """B181: big×big interval join done the SCALABLE way — attribute
+    each event to every same-customer order whose {_IVL_LEN}-day
+    post-order window contains it. B20's interval join broadcasts a
+    tiny period dim; here BOTH sides are fact-scale, where a
+    range-condition nested loop is quadratic and a plain theta join
+    cannot shuffle. The classic bucketing re-plan (the temporal twin of
+    B164's R-cell grid, same completeness discipline): time buckets of
+    C == {_IVL_LEN} days == the interval length, so every interval
+    spans ≤ 2 buckets — the interval side replicates into exactly those
+    (≤ 2×|orders| rows), the event side computes its single bucket
+    scan-side, and the join becomes an EQUI-join on (customer, bucket)
+    with the exact range refine inside the join condition. Both sides
+    hash-shuffle on bounded keys; no broadcast, no nested loop; AQE
+    handles hot customers (B75's salting is the manual fallback).
+    Released as the bounded per-priority rollup with floor-cent sums.
+
+    Oracle: the plain range join — bucketing is exact (interval ⊆ its
+    ≤ 2 buckets; refine restores equality), so both produce identical
+    rows."""
+    epoch = F.lit("1970-01-01").cast("date")
+    ords = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_custkey",
+            F.datediff(F.col("o_orderdate").cast("date"), epoch).alias(
+                "start_d"
+            ),
+        )
+    )
+    rep = ords.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_custkey",
+        "start_d",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr(f"start_d div {_IVL_LEN}"),
+                    F.expr(f"(start_d + {_IVL_LEN - 1}) div {_IVL_LEN}"),
+                )
+            )
+        ).alias("obkt"),
+    )
+    evs = (
+        table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "value",
+            F.datediff(F.col("ts").cast("date"), epoch).alias("ev_d"),
+        )
+        .withColumn("ebkt", F.expr(f"ev_d div {_IVL_LEN}"))
+    )
+    joined = rep.join(
+        evs,
+        (F.col("user_id") == F.col("o_custkey"))
+        & (F.col("obkt") == F.col("ebkt"))
+        & (F.col("ev_d") >= F.col("start_d"))
+        & (F.col("ev_d") < F.col("start_d") + _IVL_LEN),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.countDistinct("o_orderkey").cast("bigint").alias("n_orders_hit"),
+        F.sum(
+            F.floor(F.coalesce(F.col("value"), F.lit(0)) * 100).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("value_cents"),
+    )

@@ -625,3 +625,13 @@ def test_geo_knn_blocked_equi_join_not_nested_loop(spark):
     assert count_nodes(df, "BroadcastHashJoin") >= 1
     assert count_nodes(df, "BroadcastNestedLoopJoin") <= 1
     assert "WindowGroupLimit" in formatted_plan(df)
+
+
+def test_interval_bucketed_join_is_equi_not_nested_loop(spark):
+    # B181: the bucketing re-plan exists so a big-x-big interval join
+    # compiles to an EQUI-join on (customer, bucket) with the range
+    # refine inside the condition — a BroadcastNestedLoopJoin or
+    # CartesianProduct here is exactly the quadratic plan it avoids.
+    df = QUERIES["q_join_interval_bucketed"](spark, SF_ORACLE)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "BroadcastNestedLoopJoin") == 0

@@ -55,6 +55,8 @@ ROUND10_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_llm_code_detect",
         "q_win_drawdown",
         "q_llm_dedup_shard_locality",
+        "q_join_interval_bucketed",
+        "q_events_decay_engagement",
     }
 )
 
