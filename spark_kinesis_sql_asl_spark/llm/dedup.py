@@ -1844,3 +1844,152 @@ def q_llm_dedup_shard_locality(spark, sf_dir):
             "CAST(1000000 * s.intra div greatest(1, n_pairs) AS BIGINT)"
         ).alias("intra_ppm"),
     )
+
+
+# --- C164: token-mass dedup yield funnel ---------------------------------------
+
+
+@query(
+    "q_llm_token_yield_funnel",
+    priority=30,  # round-10 addition: first driver row in round 11
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               len(string_split(coalesce(text, ''), ' ')) AS n_tok,
+               md5(coalesce(text, '')) AS h
+        FROM documents
+    ),
+    exact_keep AS (
+        SELECT doc_id, n_tok
+        FROM (
+            SELECT doc_id, n_tok,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+            FROM base
+        ) WHERE rn = 1
+    ),
+    toks AS (
+        SELECT doc_id, lang,
+               unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM toks a
+        JOIN toks b ON a.tok = b.tok AND a.lang = b.lang
+                   AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    losers AS (
+        SELECT DISTINCT doc_b AS doc_id
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {_JACCARD_TAU}
+    ),
+    neardup_keep AS (
+        SELECT e.doc_id, e.n_tok
+        FROM exact_keep e
+        WHERE e.doc_id NOT IN (SELECT doc_id FROM losers)
+    ),
+    raw_s AS (
+        SELECT CAST(count(*) AS BIGINT) AS docs,
+               CAST(sum(n_tok) AS BIGINT) AS toks
+        FROM base
+    ),
+    stages AS (
+        SELECT 0 AS stage, 'raw' AS name, docs, toks FROM raw_s
+        UNION ALL
+        SELECT 1, 'exact',
+               CAST(count(*) AS BIGINT), CAST(sum(n_tok) AS BIGINT)
+        FROM exact_keep
+        UNION ALL
+        SELECT 2, 'neardup',
+               CAST(count(*) AS BIGINT), CAST(sum(n_tok) AS BIGINT)
+        FROM neardup_keep
+    )
+    SELECT s.stage, s.name,
+           CAST(s.docs AS BIGINT) AS n_docs,
+           CAST(s.toks AS BIGINT) AS n_tokens,
+           CAST(1000000 * s.toks // r.toks AS BIGINT) AS token_share_ppm
+    FROM stages s CROSS JOIN raw_s r
+    """,
+)
+def q_llm_token_yield_funnel(spark, sf_dir):
+    """C164: the dedup funnel in TOKEN MASS — raw → exact-dedup →
+    near-dup-removed, each stage's surviving doc count, token count,
+    and exact floor-ppm token share. C121's funnel ledgers QUALITY
+    gates in doc counts; C38 materializes the survivor corpus — but a
+    training-token budget (C109) spends TOKENS, and dedup losers skew
+    LONG (template families), so the token curve is the one the budget
+    planner actually needs. Stage 1 keeps the min-doc_id survivor per
+    exact content hash (C1's rule); stage 2 additionally drops every
+    doc that appears as the LARGER id of a C2 tau-pair (the
+    deterministic greedy loser rule C38's near-dup stage refines with
+    full clusters — here the point is the mass curve, and the greedy
+    rule is oracle-expressible without a recursive CTE).
+
+    Plan/scale: token counts are scan-stage (D1); the exact stage is
+    the C1 hash-window shape (md5 + ids only on the shuffle); the
+    near-dup drop set reuses the memoized C2 pair build
+    (:func:`_jaccard_scored`) reduced to a distinct-id frame and
+    applied as a LEFT-ANTI join; the release is 3 rows against a 1-row
+    raw-total broadcast."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.size(F.split(F.coalesce("text", F.lit("")), " ")).alias("n_tok"),
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias(
+            "h"
+        ),
+    )
+    exact_w = W.partitionBy("h").orderBy(F.col("doc_id").asc())
+    exact_keep = (
+        base.withColumn("rn", F.row_number().over(exact_w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "n_tok")
+    )
+    scored = _jaccard_scored(spark, sf_dir)
+    jac = F.col("i") * 1.0 / (F.col("sa") + F.col("sb") - F.col("i"))
+    losers = (
+        scored.where(jac >= _JACCARD_TAU)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    neardup_keep = exact_keep.join(losers, "doc_id", "left_anti")
+    raw_s = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs"),
+        F.sum("n_tok").cast("bigint").alias("toks"),
+    )
+    stage = [
+        raw_s.select(
+            F.lit(0).alias("stage"), F.lit("raw").alias("name"),
+            "docs", "toks",
+        ),
+        exact_keep.agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.sum("n_tok").cast("bigint").alias("toks"),
+        ).select(
+            F.lit(1).alias("stage"), F.lit("exact").alias("name"),
+            "docs", "toks",
+        ),
+        neardup_keep.agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.sum("n_tok").cast("bigint").alias("toks"),
+        ).select(
+            F.lit(2).alias("stage"), F.lit("neardup").alias("name"),
+            "docs", "toks",
+        ),
+    ]
+    stages = stage[0].unionByName(stage[1]).unionByName(stage[2])
+    return stages.crossJoin(
+        F.broadcast(raw_s.select(F.col("toks").alias("raw_toks")))
+    ).select(
+        F.col("stage").cast("int").alias("stage"),
+        "name",
+        F.col("docs").cast("bigint").alias("n_docs"),
+        F.col("toks").cast("bigint").alias("n_tokens"),
+        F.expr("CAST(1000000 * toks div raw_toks AS BIGINT)").alias(
+            "token_share_ppm"
+        ),
+    )

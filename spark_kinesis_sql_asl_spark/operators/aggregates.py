@@ -1415,3 +1415,109 @@ def q_agg_grouping_id(spark, sf_dir):
     ).select(
         "l_returnflag", "l_linestatus", "g_rf", "g_ls", "n", "sum_qty"
     )
+
+
+# --- B183: paired t-test (year-over-year spend) --------------------------------
+
+_PAIRED_Y0 = 1996
+_PAIRED_Y1 = 1997
+
+
+@query(
+    "q_agg_paired_ttest",
+    priority=30,  # round-10 addition: first driver row in round 11
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(coalesce(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    FILTER (WHERE year(o_orderdate) = {_PAIRED_Y0}), 0)
+                    // 1000 AS BIGINT) AS kc0,
+               CAST(coalesce(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    FILTER (WHERE year(o_orderdate) = {_PAIRED_Y1}), 0)
+                    // 1000 AS BIGINT) AS kc1
+        FROM orders
+        WHERE o_orderdate IS NOT NULL
+          AND year(o_orderdate) IN ({_PAIRED_Y0}, {_PAIRED_Y1})
+        GROUP BY o_custkey
+    ),
+    diffs AS (SELECT kc1 - kc0 AS d FROM per_cust),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(d) AS BIGINT) AS sd,
+               CAST(sum(d * d) AS BIGINT) AS sdd
+        FROM diffs
+    )
+    SELECT n, sd AS sum_diff_kc, sdd AS sum_sq_diff,
+           CAST(sd // greatest(1, n) AS BIGINT) AS mean_diff_kc,
+           round((CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+                 / nullif(sqrt(((CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                          - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+                         / nullif(CAST(n AS DOUBLE)
+                                  * (CAST(n AS DOUBLE) - 1.0), 0.0))
+                        / CAST(n AS DOUBLE)), 0.0),
+                 6) AS t_stat
+    FROM s
+    """,
+)
+def q_agg_paired_ttest(spark, sf_dir):
+    """B183: paired t-test on year-over-year customer spend
+    ({_PAIRED_Y0} vs {_PAIRED_Y1}) — did the SAME customers spend more?
+    The dependent-samples complement of B142's Welch test (independent
+    arms): pairing differences out each customer's own level, so the
+    test sees only within-customer change; customers active in either
+    year enter with the missing year as 0 (the spend-delta design).
+
+    Cross-engine float shape: per-customer yearly kilocents and their
+    differences are exact BIGINTs (kilocent scaling keeps Σd² inside
+    BIGINT up to ~1e8 customers); the statistic
+    t = d̄ / sqrt(s²/n) is ONE identical-text float expression over the
+    three exact sums (n, Σd, Σd²) with IEEE-correctly-rounded sqrt —
+    no libm drift; NULL when n = 1 or the diffs are constant (the D11
+    nullif guard on the zero variance). Plan/scale: ONE customer-keyed
+    rollup with map-side-combined FILTER sums (year predicate pushed to
+    the scan), then a single-row aggregate. Nothing after the rollup
+    scales with corpus size."""
+    y = F.year("o_orderdate")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    per_cust = (
+        table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate").isNotNull()
+            & y.isin(_PAIRED_Y0, _PAIRED_Y1)
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                f"CAST(coalesce(sum(CAST(floor(o_totalprice * 100)"
+                f" AS BIGINT)) FILTER (WHERE year(o_orderdate)"
+                f" = {_PAIRED_Y0}), 0) div 1000 AS BIGINT)"
+            ).alias("kc0"),
+            F.expr(
+                f"CAST(coalesce(sum(CAST(floor(o_totalprice * 100)"
+                f" AS BIGINT)) FILTER (WHERE year(o_orderdate)"
+                f" = {_PAIRED_Y1}), 0) div 1000 AS BIGINT)"
+            ).alias("kc1"),
+        )
+    )
+    diffs = per_cust.select((F.col("kc1") - F.col("kc0")).alias("d"))
+    s = diffs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sdd"),
+    )
+    return s.select(
+        "n",
+        F.col("sd").alias("sum_diff_kc"),
+        F.col("sdd").alias("sum_sq_diff"),
+        F.expr("CAST(sd div greatest(1, n) AS BIGINT)").alias(
+            "mean_diff_kc"
+        ),
+        F.expr(
+            "round(try_divide(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE),"
+            " nullif(sqrt(try_divide((CAST(n AS DOUBLE)"
+            " * CAST(sdd AS DOUBLE)"
+            " - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)),"
+            " nullif(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0), 0.0))"
+            " / CAST(n AS DOUBLE)), 0.0)), 6)"
+        ).alias("t_stat"),
+    )

@@ -57,6 +57,8 @@ ROUND10_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_llm_dedup_shard_locality",
         "q_join_interval_bucketed",
         "q_events_decay_engagement",
+        "q_agg_paired_ttest",
+        "q_llm_token_yield_funnel",
     }
 )
 
