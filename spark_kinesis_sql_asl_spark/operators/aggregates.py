@@ -1521,3 +1521,183 @@ def q_agg_paired_ttest(spark, sf_dir):
             " / CAST(n AS DOUBLE)), 0.0)), 6)"
         ).alias("t_stat"),
     )
+
+
+# --- B184: deterministic Poisson bootstrap CI ----------------------------------
+
+# Cumulative Poisson(1) thresholds scaled to the 2^32 hash domain:
+# P(X<=k) * 2^32 for k = 0..4; draws above the last threshold clip to 5.
+_BOOT_T = (1580030169, 3160060337, 3950075422, 4213413783, 4279248374)
+_BOOT_GROUPS = 8  # md5 calls per event; each yields 4 independent words
+_BOOT_B = _BOOT_GROUPS * 4  # 32 bootstrap replicates
+# count expression over a 32-bit word column `w` (identical text on both
+# engines).
+_BOOT_CNT = (
+    f"CASE WHEN w < {_BOOT_T[0]} THEN 0 WHEN w < {_BOOT_T[1]} THEN 1"
+    f" WHEN w < {_BOOT_T[2]} THEN 2 WHEN w < {_BOOT_T[3]} THEN 3"
+    f" WHEN w < {_BOOT_T[4]} THEN 4 ELSE 5 END"
+)
+
+
+
+def _boot_oracle() -> str:
+    from ..llm.sketches import _hex_parse_duck
+
+    return f"""
+    WITH ev AS (
+        SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+        WHERE value IS NOT NULL AND event_type = 'purchase'
+    ),
+    hashed AS (
+        SELECT cents, g,
+               md5(CAST(event_id AS VARCHAR) || ':' || CAST(g AS VARCHAR))
+                   AS h
+        FROM ev CROSS JOIN range({_BOOT_GROUPS}) t(g)
+    ),
+    words AS (
+        SELECT cents, CAST(g * 4 + j AS INTEGER) AS rep,
+               CASE j WHEN 0 THEN {_hex_parse_duck("h", 1)}
+                      WHEN 1 THEN {_hex_parse_duck("h", 9)}
+                      WHEN 2 THEN {_hex_parse_duck("h", 17)}
+                      ELSE {_hex_parse_duck("h", 25)} END AS w
+        FROM hashed CROSS JOIN (VALUES (0), (1), (2), (3)) AS jj(j)
+    ),
+    reps AS (
+        SELECT rep,
+               CAST(sum(cnt * cents) AS BIGINT) AS s,
+               CAST(sum(cnt) AS BIGINT) AS m
+        FROM (SELECT cents, rep, {_BOOT_CNT} AS cnt FROM words)
+        GROUP BY rep
+    ),
+    means AS (
+        SELECT rep, CAST(s AS DOUBLE) / nullif(CAST(m AS DOUBLE), 0.0)
+                   AS mean_rep,
+               row_number() OVER (
+                   ORDER BY CAST(s AS DOUBLE)
+                            / nullif(CAST(m AS DOUBLE), 0.0) ASC
+                            NULLS LAST, rep) AS rk
+        FROM reps
+    ),
+    band AS (
+        SELECT min(mean_rep) AS ci_lo_raw, max(mean_rep) AS ci_hi_raw
+        FROM means WHERE rk IN (2, {_BOOT_B - 1})
+    ),
+    pt AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(cents) AS DOUBLE)
+                   / nullif(CAST(count(*) AS DOUBLE), 0.0) AS mean_raw
+        FROM ev
+    )
+    SELECT n_events, CAST({_BOOT_B} AS INTEGER) AS n_replicates,
+           round(mean_raw, 6) AS mean_cents,
+           round(ci_lo_raw, 6) AS ci_lo_cents,
+           round(ci_hi_raw, 6) AS ci_hi_cents
+    FROM pt CROSS JOIN band
+    """
+
+
+@query(
+    "q_agg_bootstrap_ci",
+    priority=30,  # round-10 addition: first driver row in round 11
+    oracle=_boot_oracle(),
+)
+def q_agg_bootstrap_ci(spark, sf_dir):
+    """B184: Poisson-bootstrap confidence interval for the mean purchase
+    value — the distributed bootstrap done WITHOUT any RNG: replicate b
+    includes each event with multiplicity ~ Poisson(1), the standard
+    streaming approximation of multinomial resampling (Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams", Google 2012),
+    and every multiplicity is a pure FUNCTION of (event_id, b) — one
+    md5 per (event, word-group) parsed into four independent 32-bit
+    words by the portable hex-parse toolkit (the B163-B166 coordinate
+    trick), thresholded against precomputed cumulative-Poisson literals.
+    Fully deterministic, identical on both engines, restart-safe at any
+    scale — properties a seeded RNG bootstrap has on neither engine.
+
+    Cross-engine float shape: per-replicate sums are exact BIGINTs
+    (multiplicity × floor-cents); each replicate mean is ONE division
+    of exact ints; the 95% band picks ranked replicate means (exact
+    value selection over {_BOOT_B} rows, no interpolation) with the
+    replicate id as tiebreak; the point estimate is the full-sample
+    exact ratio. round(6) at release. Plan/scale: the {_BOOT_GROUPS}×
+    group explode and 4-word unnest pipeline inside the scan stage
+    (md5 computed ONCE per group — {_BOOT_GROUPS} hashes per event,
+    not {_BOOT_B}); the only shuffle is the {_BOOT_B}-key replicate
+    rollup with map-side combine; the CI selection runs on a
+    {_BOOT_B}-row frame."""
+    from ..llm.sketches import _hex_parse_spark
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(
+            F.col("value").isNotNull()
+            & (F.col("event_type") == "purchase")
+        )
+        .select(
+            "event_id",
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    grouped = ev.select(
+        "event_id",
+        "cents",
+        F.explode(F.expr(f"sequence(0, {_BOOT_GROUPS - 1})")).alias("g"),
+    ).withColumn(
+        "h", F.expr("md5(concat(CAST(event_id AS STRING), ':', g))")
+    )
+    words = grouped.select(
+        "cents",
+        "g",
+        F.explode(F.expr("array(0, 1, 2, 3)")).alias("j"),
+        F.col("h"),
+    ).select(
+        "cents",
+        (F.col("g") * 4 + F.col("j")).cast("int").alias("rep"),
+        F.expr(
+            "CASE j"
+            f" WHEN 0 THEN {_hex_parse_spark('h', 1)}"
+            f" WHEN 1 THEN {_hex_parse_spark('h', 9)}"
+            f" WHEN 2 THEN {_hex_parse_spark('h', 17)}"
+            f" ELSE {_hex_parse_spark('h', 25)} END"
+        ).alias("w"),
+    )
+    reps = (
+        words.withColumn("cnt", F.expr(_BOOT_CNT))
+        .groupBy("rep")
+        .agg(
+            F.sum(F.col("cnt") * F.col("cents"))
+            .cast("bigint")
+            .alias("s"),
+            F.sum("cnt").cast("bigint").alias("m"),
+        )
+        .select(
+            "rep",
+            F.expr(
+                "try_divide(CAST(s AS DOUBLE), CAST(m AS DOUBLE))"
+            ).alias("mean_rep"),
+        )
+    )
+    wr = Window.orderBy(
+        F.col("mean_rep").asc_nulls_last(), F.col("rep").asc()
+    )
+    ranked = reps.withColumn("rk", F.row_number().over(wr))
+    lo_rk, hi_rk = 2, _BOOT_B - 1  # ~95% band over 32 replicates
+    band = ranked.where(F.col("rk").isin(lo_rk, hi_rk)).agg(
+        F.min("mean_rep").alias("ci_lo_raw"),
+        F.max("mean_rep").alias("ci_hi_raw"),
+    )
+    point = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.expr(
+            "try_divide(CAST(sum(cents) AS DOUBLE),"
+            " CAST(count(*) AS DOUBLE))"
+        ).alias("mean_raw"),
+    )
+    return point.crossJoin(F.broadcast(band)).select(
+        "n_events",
+        F.lit(_BOOT_B).cast("int").alias("n_replicates"),
+        F.round("mean_raw", 6).alias("mean_cents"),
+        F.round("ci_lo_raw", 6).alias("ci_lo_cents"),
+        F.round("ci_hi_raw", 6).alias("ci_hi_cents"),
+    )

@@ -502,6 +502,11 @@ _PARTITIONLESS_WINDOW_BY_CONSTRUCTION = {
     # B172 running-sum argument), and a running max cannot be
     # limit-bounded by construction.
     "q_win_drawdown",
+    # B184 (round 10): the CI rank-select runs over the replicate-mean
+    # frame — exactly _BOOT_B = 32 rows at ANY corpus size (the
+    # replicate count is a compile-time constant; the C139 KMV
+    # argument).
+    "q_agg_bootstrap_ci",
 }
 
 

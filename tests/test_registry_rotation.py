@@ -59,6 +59,7 @@ ROUND10_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_events_decay_engagement",
         "q_agg_paired_ttest",
         "q_llm_token_yield_funnel",
+        "q_agg_bootstrap_ci",
     }
 )
 
