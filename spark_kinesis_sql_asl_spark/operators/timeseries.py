@@ -1953,14 +1953,27 @@ def q_ts_theil_sen(spark, sf_dir):
     )
     a = daily.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
     b = daily.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    # try_divide, not '/': Catalyst pushes the downstream isnotnull(slope)
+    # filter INTO the nested-loop join condition, where the division is
+    # evaluated on xa == xb candidate rows BEFORE the xa < xb conjunct
+    # prunes them — a bare ANSI '/' crashes there. Values are identical on
+    # every surviving pair (denominator >= 1).
     pairs = a.join(F.broadcast(b), F.col("xa") < F.col("xb")).select(
         F.expr(
-            "(CAST(yb AS DOUBLE) - CAST(ya AS DOUBLE))"
-            " / (CAST(xb AS DOUBLE) - CAST(xa AS DOUBLE))"
+            "try_divide(CAST(yb AS DOUBLE) - CAST(ya AS DOUBLE),"
+            " CAST(xb AS DOUBLE) - CAST(xa AS DOUBLE))"
         ).alias("slope")
     )
+    n_all = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    # rank only NON-NULL slopes: both engines' median/percentile skip
+    # NULLs (a day whose prices are all NULL yields a NULL daily sum and
+    # a NULL slope — the adversarial fixture exercises this), while the
+    # released pair count keeps every generated pair.
     ranked = global_rank(
-        pairs, [F.col("slope").asc()], "rk", with_total=True
+        pairs.where(F.col("slope").isNotNull()),
+        [F.col("slope").asc()],
+        "rk",
+        with_total=True,
     )
     med = (
         ranked.where(
@@ -1968,11 +1981,11 @@ def q_ts_theil_sen(spark, sf_dir):
             | (F.col("rk") == F.expr("_total div 2 + 1"))
         )
         .agg(
-            F.first("_total").cast("bigint").alias("n_pairs"),
             F.round(
                 (F.min("slope") + F.max("slope")) / 2.0, 6
-            ).alias("slope_med"),
+            ).alias("slope_med")
         )
+        .crossJoin(F.broadcast(n_all))
     )
     icept = (
         daily.crossJoin(F.broadcast(med))
