@@ -1852,3 +1852,132 @@ def q_llm_code_detect(spark, sf_dir):
         "score",
         F.when(F.col("score") >= 6, 1).otherwise(0).alias("is_code"),
     )
+
+
+# --- C165: per-host document-cap enforcement -----------------------------------
+
+_HOST_CAP = 40
+
+
+@query(
+    "q_llm_host_cap_enforce",
+    priority=30,  # round-10 addition: first driver row in round 11
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id,
+               concat(coalesce(text, ''),
+                      CASE WHEN doc_id % 3 = 0 THEN concat(
+                               ' see https://site',
+                               CAST(doc_id % 7 AS VARCHAR), '.com/page')
+                           ELSE '' END,
+                      CASE WHEN doc_id % 9 = 0 THEN concat(
+                               ' and http://mirror',
+                               CAST(doc_id % 5 AS VARCHAR), '.org/x')
+                           ELSE '' END,
+                      CASE WHEN doc_id % 5 = 0 THEN concat(
+                               ' ref https://www.site',
+                               CAST(doc_id % 7 AS VARCHAR), '.com/d')
+                           ELSE '' END) AS body
+        FROM documents
+    ),
+    links AS (
+        SELECT doc_id, unnest(regexp_extract_all(body, '{_URL_RE}')) AS url
+        FROM corpus
+    ),
+    host_docs AS (
+        SELECT DISTINCT
+               regexp_replace(
+                   regexp_replace(url, '^https?://', ''),
+                   '^www\\.', '') AS host,
+               doc_id
+        FROM links
+    ),
+    ranked AS (
+        SELECT host, doc_id,
+               row_number() OVER (PARTITION BY host ORDER BY doc_id)
+                   AS rn
+        FROM host_docs
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rn <= {_HOST_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn > {_HOST_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped
+    FROM ranked
+    GROUP BY host
+    """,
+)
+def q_llm_host_cap_enforce(spark, sf_dir):
+    """C165: per-host document-cap ENFORCEMENT — the fix C159's
+    concentration audit argues for, as an operator: keep at most
+    {_HOST_CAP} docs per canonical host (scheme-stripped, www-folded —
+    C159's key), chosen by the deterministic doc_id-ascending rank
+    (the C1 keep-smallest-id convention), and ledger kept/dropped per
+    host. This is the crawl-side cap every production mixture applies
+    before C47's source weights see the counts — without it one
+    link-farm host IS the mixture. Same deterministic URL injection as
+    C159 so the cap provably bites (site* hosts exceed the cap at
+    sf0.01+; mirror* hosts stay under it).
+
+    Plan/scale: the (host, doc) membership frame dedupes on bounded
+    keys (~48 bytes), the cap rank is a window PARTITIONED by host
+    (each partition is one host's doc list — the quantity being
+    capped, so the frame is bounded by the cap ledger's own subject),
+    and the release is a |hosts|-key rollup. At web scale the rank
+    input is exactly the frame a cap must materialize anyway; no
+    partitionless window, no text on any exchange."""
+    d = table(spark, sf_dir, "documents")
+    body = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" see https://site"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".com/page"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(
+                F.lit(" and http://mirror"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(".org/x"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" ref https://www.site"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".com/d"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    host_docs = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(body, F.lit(_URL_RE), 0)
+            ).alias("url"),
+        )
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.regexp_replace("url", "^https?://", ""), "^www\\.", ""
+            ).alias("host"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("host").orderBy(F.col("doc_id").asc())
+    ranked = host_docs.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("rn") <= _HOST_CAP, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rn") > _HOST_CAP, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+    )

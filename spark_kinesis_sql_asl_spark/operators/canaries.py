@@ -735,3 +735,77 @@ def q_canary_add_months(spark, sf_dir):
             .alias("mon_diff"),
         )
     )
+
+
+@query(
+    "q_canary_regex_subset",
+    priority=30,  # round-10 addition: first driver row in round 11
+    oracle="""
+    WITH k AS (
+        SELECT doc_id,
+               concat('Cafe 42, the ro7de THE ',
+                      left(coalesce(text, ''), 24), ' END') AS s
+        FROM documents WHERE doc_id % 61 = 0
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(s, '[0-9]+')) AS BIGINT)
+               AS digit_runs,
+           CAST(len(regexp_extract_all(s, '\\bthe\\b')) AS BIGINT)
+               AS word_bound,
+           CAST(len(regexp_extract_all(s, '[a-z]+?')) AS BIGINT)
+               AS lazy_runs,
+           CAST(len(regexp_extract_all(s, '[a-z]*')) AS BIGINT)
+               AS empty_runs,
+           CAST(len(regexp_extract_all(s, '\\p{L}+')) AS BIGINT)
+               AS uni_words,
+           CAST(len(regexp_extract_all(s, '(?i)the')) AS BIGINT)
+               AS ci_hits,
+           CAST(len(regexp_extract_all(s, '\\s+')) AS BIGINT)
+               AS ws_runs
+    FROM k
+    """,
+)
+def q_canary_regex_subset(spark, sf_dir):
+    """D18: regexp-engine common-subset parity (round 10). Every text
+    operator in Tier C leans on "the RE2/Java common subset" — this
+    canary makes that subset an executable fact instead of a docstring
+    convention. Probed this session, the engines AGREE on: greedy and
+    LAZY quantifiers (+? — match counts identical), character classes,
+    \\b word boundaries, \\s/\\w, Unicode \\p{{L}} classes, inline
+    (?i) case-insensitive flags, and — the subtle one — EMPTY-match
+    enumeration ([a-z]* yields the same empty-match positions on
+    both). The DIVERGENT class, pinned OUT of all operators:
+    lookahead/lookbehind and backreferences — RE2 (DuckDB) raises a
+    parse error where Java (Spark) accepts them, so any such pattern
+    fails LOUD on the oracle side rather than silently diverging;
+    never ship one in a release column. Tiny slice (doc_id % 61),
+    scan-stage expressions only; probe prefix mixes digits, mixed
+    case, accents, and word-boundary bait."""
+    k = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 61 == 0)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("Cafe 42, the ro7de THE "),
+                F.expr("left(coalesce(text, ''), 24)"),
+                F.lit(" END"),
+            ).alias("s"),
+        )
+    )
+
+    def n(pat):
+        return F.size(
+            F.regexp_extract_all(F.col("s"), F.lit(pat), 0)
+        ).cast("bigint")
+
+    return k.select(
+        "doc_id",
+        n("[0-9]+").alias("digit_runs"),
+        n("\\bthe\\b").alias("word_bound"),
+        n("[a-z]+?").alias("lazy_runs"),
+        n("[a-z]*").alias("empty_runs"),
+        n("\\p{L}+").alias("uni_words"),
+        n("(?i)the").alias("ci_hits"),
+        n("\\s+").alias("ws_runs"),
+    )

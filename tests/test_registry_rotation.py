@@ -60,6 +60,8 @@ ROUND10_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_agg_paired_ttest",
         "q_llm_token_yield_funnel",
         "q_agg_bootstrap_ci",
+        "q_canary_regex_subset",
+        "q_llm_host_cap_enforce",
     }
 )
 
