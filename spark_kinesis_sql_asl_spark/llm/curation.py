@@ -1129,3 +1129,92 @@ def q_llm_rejection_sample(spark, sf_dir):
         .cast("bigint")
         .alias("kept_tokens"),
     )
+
+
+# --- C166: temperature-scaled mixture weights ----------------------------------
+
+_TEMP_ALPHAS = (("w03", "0.3"), ("w07", "0.7"))
+_TEMP_UQ = (
+    "CAST(round(1000000000 * exp({a}"
+    " * ln(CAST(toks AS DOUBLE) / CAST(total AS DOUBLE)))) AS BIGINT)"
+)
+
+
+@query(
+    "q_llm_mixture_temperature",
+    priority=30,  # round-10 addition: first driver row in round 11
+    oracle=f"""
+    WITH ps AS (
+        SELECT source,
+               CAST(sum(len(string_split(coalesce(text, ''), ' ')))
+                    AS BIGINT) AS toks
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(toks) AS BIGINT) AS total FROM ps),
+    uq AS (
+        SELECT p.source, p.toks, t.total,
+               {_TEMP_UQ.format(a="0.3")} AS u03,
+               {_TEMP_UQ.format(a="0.7")} AS u07
+        FROM ps p CROSS JOIN tot t
+    ),
+    den AS (
+        SELECT CAST(sum(u03) AS BIGINT) AS s03,
+               CAST(sum(u07) AS BIGINT) AS s07
+        FROM uq
+    )
+    SELECT u.source, u.toks,
+           CAST(1000000 * u.toks // u.total AS BIGINT) AS share_ppm,
+           CAST(1000000 * u.u03 // d.s03 AS BIGINT) AS w03_ppm,
+           CAST(1000000 * u.u07 // d.s07 AS BIGINT) AS w07_ppm
+    FROM uq u CROSS JOIN den d
+    """,
+)
+def q_llm_mixture_temperature(spark, sf_dir):
+    """C166: temperature-scaled mixture weights — the multilingual/
+    multi-domain sampling rule p_i^α / Σ p_j^α (α=0.3 the XLM-R/mT5
+    default that lifts tail sources, α=0.7 the gentler variant; α=1
+    is the raw share, α=0 uniform). C30's uniform-target weights are
+    the α→0 limit; this operator releases the two standard points of
+    the temperature family next to the exact raw share, per source in
+    exact floor-ppm.
+
+    Cross-engine float shape: p_i^α computes as exp(α·ln(toks/total))
+    — ONE identical-text expression per source over exact BIGINTs
+    whose only libm calls are the D14-pinned ln/exp pair; the result
+    quantizes to nano-units per SOURCE, so the renormalizing sum and
+    both ppm divisions are pure exact-integer arithmetic. Plan/scale:
+    one map-side-combined source rollup, a 1-row total broadcast, a
+    |sources|-row quantized frame, and a 1-row denominator broadcast —
+    nothing after the first rollup scales with corpus size."""
+    ps = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.size(F.split(F.coalesce("text", F.lit("")), " "))
+            )
+            .cast("bigint")
+            .alias("toks")
+        )
+    )
+    tot = ps.agg(F.sum("toks").cast("bigint").alias("total"))
+    uq = ps.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "toks",
+        "total",
+        F.expr(_TEMP_UQ.format(a="0.3")).alias("u03"),
+        F.expr(_TEMP_UQ.format(a="0.7")).alias("u07"),
+    )
+    den = uq.agg(
+        F.sum("u03").cast("bigint").alias("s03"),
+        F.sum("u07").cast("bigint").alias("s07"),
+    )
+    return uq.crossJoin(F.broadcast(den)).select(
+        "source",
+        "toks",
+        F.expr("CAST(1000000 * toks div total AS BIGINT)").alias(
+            "share_ppm"
+        ),
+        F.expr("CAST(1000000 * u03 div s03 AS BIGINT)").alias("w03_ppm"),
+        F.expr("CAST(1000000 * u07 div s07 AS BIGINT)").alias("w07_ppm"),
+    )

@@ -62,6 +62,7 @@ ROUND10_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_agg_bootstrap_ci",
         "q_canary_regex_subset",
         "q_llm_host_cap_enforce",
+        "q_llm_mixture_temperature",
     }
 )
 
