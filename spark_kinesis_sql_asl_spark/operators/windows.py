@@ -553,3 +553,103 @@ def q_win_skyline(spark, sf_dir):
         )
         .select("grp", "okey", "cents", F.col("day").cast("bigint").alias("day"))
     )
+
+
+# --- B186: rolling revenue/volume correlation ----------------------------------
+
+_ROLL_CORR_FRAME = 28  # trailing observed-day frame (ROWS, B173's convention)
+
+# Identical-text Pearson r over the five exact window sums + the frame
+# count; NULL via nullif when either variance is zero inside the frame.
+_ROLL_CORR_EXPR = (
+    "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / nullif(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0), 6)"
+)
+
+
+@query(
+    "q_win_rolling_corr",
+    priority=30,  # round-10 addition: first driver row in round 11
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   // 1000 AS x,
+               CAST(count(*) AS BIGINT) AS y
+        FROM orders WHERE o_orderdate IS NOT NULL
+        GROUP BY 1
+    ),
+    sums AS (
+        SELECT d, x, y,
+               CAST(count(*) OVER w AS BIGINT) AS n,
+               CAST(sum(x) OVER w AS BIGINT) AS sx,
+               CAST(sum(y) OVER w AS BIGINT) AS sy,
+               CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+               CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+               CAST(sum(y * y) OVER w AS BIGINT) AS syy
+        FROM daily
+        WINDOW w AS (ORDER BY d
+                     ROWS BETWEEN {_ROLL_CORR_FRAME - 1} PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT d AS epoch_day, x AS kcents, y AS n_orders,
+           CAST(n AS INTEGER) AS n_in_frame,
+           {_ROLL_CORR_EXPR} AS roll_corr
+    FROM sums
+    """,
+)
+def q_win_rolling_corr(spark, sf_dir):
+    """B186: trailing {_ROLL_CORR_FRAME}-observation rolling Pearson
+    correlation between daily revenue (kilocents) and daily order count
+    — the bivariate member the rolling family lacked (B132 smooths one
+    series, B113 regresses one on time, B173 medians one; this tracks
+    whether volume and value MOVE TOGETHER, the demand-mix drift signal
+    a price change shows up in first).
+
+    Cross-engine float shape: all five frame sums (Σx, Σy, Σxy, Σx²,
+    Σy²) are window sums over exact BIGINTs (kilocent scaling keeps Σx²
+    inside BIGINT for any calendar), so the only float arithmetic is
+    ONE identical-text Pearson expression per day over six exact ints
+    with an IEEE sqrt, NULL via nullif when a frame variance is zero,
+    round(6) at release. Plan/scale: ONE daily hash aggregate; both
+    windows share the single day-ordered |days| frame (calendar-bounded
+    — the B146/B169/B172 argument, allowlisted)."""
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
+        .groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("d")
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))"
+                " AS BIGINT) div 1000"
+            ).alias("x"),
+            F.count(F.lit(1)).cast("bigint").alias("y"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(-(_ROLL_CORR_FRAME - 1), 0)
+    sums = daily.select(
+        "d",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("bigint").alias("syy"),
+    )
+    return sums.select(
+        F.col("d").alias("epoch_day"),
+        F.col("x").alias("kcents"),
+        F.col("y").alias("n_orders"),
+        F.col("n").cast("int").alias("n_in_frame"),
+        F.expr(_ROLL_CORR_EXPR).alias("roll_corr"),
+    )

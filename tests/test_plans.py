@@ -507,6 +507,10 @@ _PARTITIONLESS_WINDOW_BY_CONSTRUCTION = {
     # replicate count is a compile-time constant; the C139 KMV
     # argument).
     "q_agg_bootstrap_ci",
+    # B186 (round 10): the five frame sums run over the per-DAY revenue/
+    # volume frame — calendar-bounded (the B173 trailing-ROWS argument),
+    # and a trailing frame cannot be limit-bounded by construction.
+    "q_win_rolling_corr",
 }
 
 

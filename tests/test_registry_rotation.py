@@ -63,6 +63,7 @@ ROUND10_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_canary_regex_subset",
         "q_llm_host_cap_enforce",
         "q_llm_mixture_temperature",
+        "q_win_rolling_corr",
     }
 )
 
