@@ -2313,3 +2313,125 @@ def q_win_drawdown(spark, sf_dir):
         F.expr("CAST(dd_scaled div n AS BIGINT)").alias("drawdown_cents"),
         F.row_number().over(wr).cast("int").alias("rnk"),
     )
+
+
+# --- B187: Mann-Kendall trend test ---------------------------------------------
+
+
+@query(
+    "q_ts_mann_kendall",
+    priority=30,  # round-10 addition: first driver row in round 11
+    oracle="""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS x,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM orders WHERE o_orderdate IS NOT NULL
+        GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1
+                             WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+                   AS s_stat
+        FROM daily a JOIN daily b ON a.x < b.x
+    ),
+    ties AS (
+        SELECT CAST(coalesce(sum(CAST(t AS BIGINT) * (t - 1)
+                                 * (2 * t + 5)), 0) AS BIGINT) AS tsum
+        FROM (SELECT count(*) AS t FROM daily GROUP BY y HAVING count(*) > 1)
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily)
+    SELECT n.n AS n_days, s.s_stat,
+           CAST((n.n * (n.n - 1) * (2 * n.n + 5) - t.tsum) // 18 AS BIGINT)
+               AS var_s,
+           round(CASE WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+                      WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+                      ELSE 0.0 END
+                 / nullif(sqrt(CAST((n.n * (n.n - 1) * (2 * n.n + 5)
+                                     - t.tsum) // 18 AS DOUBLE)), 0.0),
+                 6) AS z_score
+    FROM s CROSS JOIN ties t CROSS JOIN n
+    """,
+)
+def q_ts_mann_kendall(spark, sf_dir):
+    """B187: Mann-Kendall trend test on the daily revenue series — the
+    nonparametric significance companion B176's Theil-Sen slope is
+    always reported with (Sen estimates the slope; MK says whether a
+    monotone trend exists at all, immune to outliers and any monotone
+    transform): S = Σ sign(y_j − y_i) over ordered day pairs,
+    tie-corrected variance n(n−1)(2n+5)/18 − Σt(t−1)(2t+5)/18, and the
+    continuity-corrected z.
+
+    Cross-engine float shape: S, the tie term, and the variance are
+    pure BIGINT (n ~ |days|, n³ ≪ 2^63 for any calendar; integer
+    floor-division per D7); z is ONE identical-text float expression
+    over three exact ints with an IEEE sqrt and the D11 nullif guard.
+    Plan/scale: ONE daily hash aggregate; the sign-pair set is the
+    same CALENDAR-bounded |days|²/2 broadcast theta join as B176
+    (constant in corpus size), collapsed by a single-row aggregate —
+    no window at all; the tie rollup is |distinct revenue values| ≤
+    |days| rows."""
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
+        .groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("x")
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    a = daily.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    s = (
+        a.join(F.broadcast(b), F.col("xa") < F.col("xb"))
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tsum")
+        )
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        s.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("n").alias("n_days"),
+            "s_stat",
+            F.expr(
+                "CAST((n * (n - 1) * (2 * n + 5) - tsum) div 18"
+                " AS BIGINT)"
+            ).alias("var_s"),
+            F.expr(
+                "round(CASE WHEN s_stat > 0 THEN"
+                " CAST(s_stat - 1 AS DOUBLE)"
+                " WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)"
+                " ELSE 0.0 END"
+                " / nullif(sqrt(CAST((n * (n - 1) * (2 * n + 5) - tsum)"
+                " div 18 AS DOUBLE)), 0.0), 6)"
+            ).alias("z_score"),
+        )
+    )
