@@ -2435,3 +2435,124 @@ def q_ts_mann_kendall(spark, sf_dir):
             ).alias("z_score"),
         )
     )
+
+
+# --- B188: Wald-Wolfowitz runs test --------------------------------------------
+
+
+@query(
+    "q_ts_runs_test",
+    priority=30,  # round-10 addition: first driver row in round 11
+    oracle="""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS x,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM orders WHERE o_orderdate IS NOT NULL
+        GROUP BY 1
+    ),
+    med AS (SELECT quantile_disc(y, 0.5) AS m FROM daily),
+    signs AS (
+        SELECT d.x, CASE WHEN d.y > md.m THEN 1 ELSE 0 END AS s
+        FROM daily d CROSS JOIN med md
+        WHERE d.y <> md.m
+    ),
+    flagged AS (
+        SELECT s,
+               CASE WHEN lag(s) OVER (ORDER BY x) IS NULL
+                         OR lag(s) OVER (ORDER BY x) <> s
+                    THEN 1 ELSE 0 END AS new_run
+        FROM signs
+    ),
+    agg AS (
+        SELECT CAST(sum(new_run) AS BIGINT) AS r,
+               CAST(sum(s) AS BIGINT) AS n1,
+               CAST(count(*) - sum(s) AS BIGINT) AS n2
+        FROM flagged
+    )
+    SELECT n1, n2, r,
+           round((CAST(r AS DOUBLE)
+                  - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                     / CAST(n1 + n2 AS DOUBLE)))
+                 / nullif(sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                           - CAST(n1 + n2 AS DOUBLE))
+                        / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                           * (CAST(n1 + n2 AS DOUBLE) - 1.0))), 0.0),
+                 6) AS z_score
+    FROM agg
+    """,
+)
+def q_ts_runs_test(spark, sf_dir):
+    """B188: Wald-Wolfowitz runs test on the daily revenue series —
+    above/below-median sign sequence, run count R vs its null
+    expectation: the RANDOMNESS check completing the trend family (B187
+    detects monotone trend, B146 fixed-period seasonality; a failing
+    runs test flags ANY serial dependence — clustering, alternation,
+    regime blocks — with no model). Median-equal days drop (the
+    standard convention); the median is the exact DISCRETE middle
+    BIGINT (quantile_disc twin: the lower-middle element both engines
+    select identically — no interpolated double enters the compare).
+
+    Cross-engine float shape: R, n1, n2 are exact BIGINTs (the run
+    boundary is a lag-inequality fold over the day order); z is ONE
+    identical-text float expression over the three with IEEE sqrt and
+    the D11 nullif guard. Plan/scale: ONE daily hash aggregate; the
+    sign/lag pass runs over the |days| frame (calendar-bounded — the
+    B146/B169/B172 argument, allowlisted); the release is one row."""
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
+        .groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("x")
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    med = daily.agg(
+        F.expr("percentile_approx(y, 0.5, 2147483647)")
+        .cast("bigint")
+        .alias("m")
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("y") != F.col("m"))
+        .select(
+            "x", F.when(F.col("y") > F.col("m"), 1).otherwise(0).alias("s")
+        )
+    )
+    wl = Window.orderBy("x")
+    flagged = signs.select(
+        "s",
+        F.when(
+            F.lag("s").over(wl).isNull() | (F.lag("s").over(wl) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = flagged.agg(
+        F.sum("new_run").cast("bigint").alias("r"),
+        F.sum("s").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("bigint").alias("n2"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "r",
+        F.expr(
+            "round((CAST(r AS DOUBLE)"
+            " - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+            " / CAST(n1 + n2 AS DOUBLE)))"
+            " / nullif(sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+            " * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+            " - CAST(n1 + n2 AS DOUBLE))"
+            " / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)"
+            " * (CAST(n1 + n2 AS DOUBLE) - 1.0))), 0.0), 6)"
+        ).alias("z_score"),
+    )

@@ -511,6 +511,10 @@ _PARTITIONLESS_WINDOW_BY_CONSTRUCTION = {
     # volume frame — calendar-bounded (the B173 trailing-ROWS argument),
     # and a trailing frame cannot be limit-bounded by construction.
     "q_win_rolling_corr",
+    # B188 (round 10): the run-boundary lag runs over the per-DAY sign
+    # sequence — calendar-bounded (the B173 argument), and a lag fold
+    # cannot be limit-bounded by construction.
+    "q_ts_runs_test",
 }
 
 

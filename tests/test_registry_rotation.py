@@ -65,6 +65,7 @@ ROUND10_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_llm_mixture_temperature",
         "q_win_rolling_corr",
         "q_ts_mann_kendall",
+        "q_ts_runs_test",
     }
 )
 
