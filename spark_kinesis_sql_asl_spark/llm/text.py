@@ -1981,3 +1981,86 @@ def q_llm_host_cap_enforce(spark, sf_dir):
         .cast("bigint")
         .alias("n_dropped"),
     )
+
+
+# --- C167: per-source unigram entropy ------------------------------------------
+
+# Identical-text per-TYPE quantized c*ln(c) contribution (micro-nats).
+_UNI_Q = (
+    "CAST(round(1000000.0 * CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))"
+    " AS BIGINT)"
+)
+
+
+@query(
+    "q_llm_unigram_entropy",
+    priority=30,  # round-10 addition: first driver row in round 11
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+        FROM documents
+    ),
+    counts AS (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY source, tok
+    ),
+    per_src AS (
+        SELECT source,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum({_UNI_Q}) AS BIGINT) AS clnc_micro
+        FROM counts GROUP BY source
+    )
+    SELECT source, n_tokens, n_types, clnc_micro,
+           round(ln(CAST(n_tokens AS DOUBLE))
+                 - CAST(clnc_micro AS DOUBLE) / 1000000.0
+                   / CAST(n_tokens AS DOUBLE),
+                 6) AS entropy_nats
+    FROM per_src
+    """,
+)
+def q_llm_unigram_entropy(spark, sf_dir):
+    """C167: per-source unigram (token-level) Shannon entropy — the
+    vocabulary-usage diversity axis between C97 (CHARACTER entropy per
+    doc: encoding/garbage detector) and C74 (Gini-Simpson over SOURCE
+    shares: corpus composition): a source whose token entropy is far
+    below its peers is template/boilerplate-dominated even when every
+    individual doc passes the quality gates — the aggregate signal
+    C31's per-doc repetition score cannot see. Identity used:
+    H = ln N − (Σ c·ln c)/N over per-type counts, so the only
+    transcendental work is one ln per DISTINCT type.
+
+    Cross-engine float shape: each type's c·ln(c) is ONE identical-text
+    expression over an exact BIGINT count, quantized to micro-nats per
+    TYPE (the D14 ln pin), so the per-source sums crossing the engines
+    are pure BIGINT (released as `clnc_micro` — the exact anchor);
+    the final H is one float expression over two exact ints, round(6).
+    Plan/scale: one (source, token) rollup with map-side combine (the
+    C27 inverted-index shuffle shape — ~40 bytes per type on the
+    wire), then a |sources|-key rollup. Nothing scales past the type
+    table."""
+    toks = table(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            F.split(F.coalesce("text", F.lit("")), " ")
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    per_src = counts.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.expr(_UNI_Q)).cast("bigint").alias("clnc_micro"),
+    )
+    return per_src.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "clnc_micro",
+        F.expr(
+            "round(ln(CAST(n_tokens AS DOUBLE))"
+            " - CAST(clnc_micro AS DOUBLE) / 1000000.0"
+            " / CAST(n_tokens AS DOUBLE), 6)"
+        ).alias("entropy_nats"),
+    )

@@ -66,6 +66,7 @@ ROUND10_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_win_rolling_corr",
         "q_ts_mann_kendall",
         "q_ts_runs_test",
+        "q_llm_unigram_entropy",
     }
 )
 
