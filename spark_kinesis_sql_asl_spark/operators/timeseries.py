@@ -2556,3 +2556,91 @@ def q_ts_runs_test(spark, sf_dir):
             " * (CAST(n1 + n2 AS DOUBLE) - 1.0))), 0.0), 6)"
         ).alias("z_score"),
     )
+
+
+# --- B189: over-dispersion (Fano factor) audit ---------------------------------
+
+
+@query(
+    "q_ts_fano_dispersion",
+    priority=30,  # round-10 addition: first driver row in round 11
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                   AS mon_idx,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM orders WHERE o_orderdate IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    per_mon AS (
+        SELECT mon_idx,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(c) AS BIGINT) AS sc,
+               CAST(sum(c * c) AS BIGINT) AS scc
+        FROM daily GROUP BY mon_idx
+    )
+    SELECT mon_idx, n_days, sc AS n_orders,
+           round(CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+               AS mean_per_day,
+           round((CAST(n_days AS DOUBLE) * CAST(scc AS DOUBLE)
+                  - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+                 / nullif(CAST(n_days AS DOUBLE)
+                          * (CAST(n_days AS DOUBLE) - 1.0), 0.0)
+                 / nullif(CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE), 0.0),
+                 6) AS fano
+    FROM per_mon
+    """,
+)
+def q_ts_fano_dispersion(spark, sf_dir):
+    """B189: monthly Fano factor (variance-to-mean ratio) of the daily
+    order-count series — the over-dispersion audit: a Poisson arrival
+    process has Fano = 1, bursty demand (B137's episodes) pushes it
+    above, quota-smoothed flow below; per-month so regime changes show
+    as a series, quantifying what B137 only flags. Month key is the
+    PORTABLE year*12+month index (D17: month differences have no
+    shared engine primitive; the explicit index always does).
+
+    Cross-engine float shape: per-(month, day) counts and their
+    square sums are exact BIGINTs; mean and the sample-variance/mean
+    ratio are ONE identical-text float expression per month over three
+    exact ints with D11 nullif guards (single-day months and
+    zero-count months release NULL). Plan/scale: ONE (month, day) hash
+    aggregate then a |months|-key rollup, both map-side combinable;
+    the release is calendar-bounded |months| rows."""
+    daily = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("mon_idx"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    per_mon = daily.groupBy("mon_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("scc"),
+    )
+    return per_mon.select(
+        "mon_idx",
+        "n_days",
+        F.col("sc").alias("n_orders"),
+        F.expr(
+            "round(CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE), 6)"
+        ).alias("mean_per_day"),
+        F.expr(
+            "round((CAST(n_days AS DOUBLE) * CAST(scc AS DOUBLE)"
+            " - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))"
+            " / nullif(CAST(n_days AS DOUBLE)"
+            " * (CAST(n_days AS DOUBLE) - 1.0), 0.0)"
+            " / nullif(CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE), 0.0),"
+            " 6)"
+        ).alias("fano"),
+    )

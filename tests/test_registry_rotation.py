@@ -67,6 +67,7 @@ ROUND10_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_ts_mann_kendall",
         "q_ts_runs_test",
         "q_llm_unigram_entropy",
+        "q_ts_fano_dispersion",
     }
 )
 
