@@ -64,98 +64,106 @@ _MODULES = (
     "operators.sorts_sets",
 )
 
-# ROUND-10 ROTATION (computed from CORRECTNESS_r01..r09.json): the cumulative
-# ledger is fully green through round 9 (0 red). 20 registered queries have
-# never been driver-sampled (the 18 round-9 priority-30 additions plus the
-# two a3920c0 snapshot queries `q_win_rolling_median` / `q_llm_epoch_schedule`
-# — VERDICT r9 items #1/#2). Round-10 window, in priority order:
+# ROUND-11 ROTATION (computed from CORRECTNESS_r01..r10.json): the cumulative
+# ledger is fully green through round 10 (0 red; the one r10 "err" row is the
+# by-design rows-only `q_llm_sim_ivf` no_oracle). The 26 round-10 additions
+# are the only never-driver-sampled queries. Round-11 window, in priority
+# order:
 #
-#   override 8   the 20 never-driver-sampled queries — slots 0..19; after
-#                this round the ENTIRE registry is driver-confirmed
-#   override 10  the 12 legacy canaries last sampled in round 7 (their
-#                permanent slot; D1/D14/D15 were re-sampled green in r9 and
-#                pin at 100 for one round, D16 rides the backlog tranche)
-#                — slots 20..31
-#   override 12  freshness rotation: the first 18 (alphabetical) of the 35
-#                round-2-last-sampled queries — slots 32..49; the other 17
-#                queue for round 11
-#   override 100 every other ever-driver-sampled query
+#   override 8   the 26 never-driver-sampled round-10 additions — slots
+#                0..25; after this round the ENTIRE registry is
+#                driver-confirmed
+#   override 10  the 3 canaries last sampled in round 9 (D1/D14/D15) at
+#                their permanent priority — slots 26..28
+#   override 12  freshness rotation: the 17 remaining round-2-last-sampled
+#                queries (the other half of the r10 tranche) — slots 29..45
+#   override 14  window fill: the 4 oldest round-3-last-sampled queries,
+#                alphabetical — slots 46..49
+#   override 100 every other ever-driver-sampled query (including the 12
+#                legacy canaries re-sampled green in round 10)
 #
-# New round-10 queries use decorator priority=30: behind the window,
-# ahead of the pinned set — first driver rows in round 11.
+# New round-11 queries use decorator priority=30: behind the window,
+# ahead of the pinned set — first driver rows in round 12.
 # tests/test_registry_rotation.py recomputes and asserts this composition.
 _PRIORITY_OVERRIDES: dict[str, int] = {
-    # (a) the 20 never-driver-sampled queries: slots 0..19
+    # (a) the 26 never-driver-sampled round-10 additions: slots 0..25
     **{
         n: 8
         for n in (
-            "q_agg_grouping_id",
-            "q_canary_unicode_case",
-            "q_events_lift_matrix",
-            "q_events_path_prefix",
-            "q_graph_copurchase",
-            "q_kinesis_throughput_audit",
-            "q_llm_cluster_reweight",
-            "q_llm_compress_proxy",
-            "q_llm_contrastive_pairs",
-            "q_llm_curriculum_bins",
-            "q_llm_dup_two_hop",
-            "q_llm_epoch_schedule",
-            "q_llm_ingest_cdc",
-            "q_llm_js_divergence",
-            "q_llm_probe_curve",
-            "q_llm_quality_dup_matrix",
-            "q_llm_split_leakage",
-            "q_ts_seasonal_outliers",
-            "q_win_order_concurrency",
-            "q_win_rolling_median",
+            "q_agg_bootstrap_ci",
+            "q_agg_paired_ttest",
+            "q_canary_add_months",
+            "q_canary_regex_subset",
+            "q_events_decay_engagement",
+            "q_events_logrank",
+            "q_events_proportion_ztest",
+            "q_geo_geofence",
+            "q_join_interval_bucketed",
+            "q_llm_code_detect",
+            "q_llm_dedup_shard_locality",
+            "q_llm_host_cap_enforce",
+            "q_llm_mixture_temperature",
+            "q_llm_readability",
+            "q_llm_token_yield_funnel",
+            "q_llm_unigram_entropy",
+            "q_llm_url_host_audit",
+            "q_llm_whitespace_anomaly",
+            "q_ts_fano_dispersion",
+            "q_ts_hurst",
+            "q_ts_lttb",
+            "q_ts_mann_kendall",
+            "q_ts_runs_test",
+            "q_ts_theil_sen",
+            "q_win_drawdown",
+            "q_win_rolling_corr",
         )
     },
-    # (b) the 12 legacy canaries (last driver row: round 7) at their
-    # permanent priority 10: slots 20..31
+    # (b) the 3 canaries last sampled in round 9 (D1/D14/D15) back at
+    # their permanent priority 10: slots 26..28
     **{
         n: 10
         for n in (
-            "q_canary_decimal_sum",
-            "q_canary_empty_agg",
-            "q_canary_filter_null_agg",
-            "q_canary_floor_cents",
-            "q_canary_int_sum",
-            "q_canary_month_trunc",
-            "q_canary_neg_div",
-            "q_canary_nullable_bigint",
-            "q_canary_range_frame",
-            "q_canary_round_double",
-            "q_canary_string_order",
-            "q_canary_try_arith",
+            "q_canary_ln_quant",
+            "q_canary_tok_split",
+            "q_canary_wideint_convert",
         )
     },
-    # (c) freshness rotation: 18 oldest (round-2-last-sampled) queries
-    # re-enter the window at 12: slots 32..49
+    # (c) freshness rotation: the 17 remaining round-2-last-sampled
+    # queries re-enter the window at 12: slots 29..45
     **{
         n: 12
         for n in (
-            "q_agg_histogram",
-            "q_events_funnel",
-            "q_join_null_safe",
-            "q_lateral_topn",
-            "q_llm_bigram_topk",
-            "q_llm_decontaminate",
-            "q_llm_dedup_cluster",
-            "q_llm_dedup_editdist",
-            "q_llm_dedup_embed",
-            "q_llm_dedup_ngram",
-            "q_llm_dedup_simhash",
-            "q_llm_inverted_index",
-            "q_llm_langid",
-            "q_llm_pii_scrub",
-            "q_llm_quality",
-            "q_llm_random_proj",
-            "q_llm_sim_ivf",
-            "q_llm_tokcount",
+            "q_llm_vec_ops",
+            "q_llm_vec_quantize",
+            "q_set_except_all",
+            "q_set_intersect_all",
+            "q_stream_dedup_keys",
+            "q_stream_session",
+            "q_stream_sliding",
+            "q_stream_tumbling",
+            "q_subquery_correlated_scalar",
+            "q_subquery_exists",
+            "q_subquery_scalar",
+            "q_topk_per_group",
+            "q_udaf_grouped",
+            "q_udf_pandas",
+            "q_udf_scalar",
+            "q_udtf_expand",
+            "q_win_distribution",
         )
     },
-    # (d) every other ever-driver-sampled query pins at 100
+    # (d) window fill: the 4 oldest round-3-last-sampled queries
+    # (alphabetical) at 14: slots 46..49
+    **{
+        n: 14
+        for n in (
+            "q_agg_filter_clause",
+            "q_agg_percentile_approx",
+            "q_fn_array",
+            "q_fn_binary",
+        )
+    },
+    # (e) every other ever-driver-sampled query pins at 100
     **{
         n: 100
         for n in (
@@ -169,18 +177,18 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_agg_decimal",
             "q_agg_distinct",
             "q_agg_entropy",
-            "q_agg_filter_clause",
             "q_agg_gini",
             "q_agg_global",
             "q_agg_group",
+            "q_agg_grouping_id",
             "q_agg_grouping_sets",
             "q_agg_having",
             "q_agg_hhi",
+            "q_agg_histogram",
             "q_agg_listagg",
             "q_agg_mode",
             "q_agg_multi_distinct",
             "q_agg_percentile",
-            "q_agg_percentile_approx",
             "q_agg_rollup",
             "q_agg_skew_kurtosis",
             "q_agg_stats",
@@ -190,9 +198,19 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_agg_winsorized_mean",
             "q_basket_pairs",
             "q_benford_audit",
-            "q_canary_ln_quant",
-            "q_canary_tok_split",
-            "q_canary_wideint_convert",
+            "q_canary_decimal_sum",
+            "q_canary_empty_agg",
+            "q_canary_filter_null_agg",
+            "q_canary_floor_cents",
+            "q_canary_int_sum",
+            "q_canary_month_trunc",
+            "q_canary_neg_div",
+            "q_canary_nullable_bigint",
+            "q_canary_range_frame",
+            "q_canary_round_double",
+            "q_canary_string_order",
+            "q_canary_try_arith",
+            "q_canary_unicode_case",
             "q_customer_rfm",
             "q_customer_tier_migration",
             "q_cusum_changepoint",
@@ -203,13 +221,16 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_events_conversion_rate",
             "q_events_dau_wau",
             "q_events_entropy_rate",
+            "q_events_funnel",
             "q_events_hourly_profile",
             "q_events_inter_arrival",
             "q_events_kruskal",
             "q_events_ks_test",
+            "q_events_lift_matrix",
             "q_events_mad_outliers",
             "q_events_mannwhitney",
             "q_events_markov_stationary",
+            "q_events_path_prefix",
             "q_events_sessionize",
             "q_events_spearman",
             "q_events_survival",
@@ -217,8 +238,6 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_filter_compound",
             "q_filter_like",
             "q_filter_null",
-            "q_fn_array",
-            "q_fn_binary",
             "q_fn_bitwise",
             "q_fn_case",
             "q_fn_cast",
@@ -238,6 +257,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_geo_dist_join",
             "q_geo_hotspot",
             "q_geo_knn",
+            "q_graph_copurchase",
             "q_join_anti",
             "q_join_asof",
             "q_join_asof_forward",
@@ -251,6 +271,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_join_interval",
             "q_join_left",
             "q_join_multiway",
+            "q_join_null_safe",
             "q_join_right",
             "q_join_salted",
             "q_join_semi",
@@ -261,8 +282,11 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_kinesis_reshard_plan",
             "q_kinesis_schema",
             "q_kinesis_shard_route",
+            "q_kinesis_throughput_audit",
+            "q_lateral_topn",
             "q_llm_band_assign",
             "q_llm_band_tuning",
+            "q_llm_bigram_topk",
             "q_llm_bitext_mine",
             "q_llm_bloom_fpr",
             "q_llm_bm25",
@@ -273,23 +297,33 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_char_entropy",
             "q_llm_chunk",
             "q_llm_cluster_purity",
+            "q_llm_cluster_reweight",
             "q_llm_cms_heavy",
             "q_llm_composition",
+            "q_llm_compress_proxy",
+            "q_llm_contrastive_pairs",
             "q_llm_corpus_build",
             "q_llm_corpus_diff",
             "q_llm_corpus_stats",
             "q_llm_cross_dup_matrix",
             "q_llm_curate_e2e",
+            "q_llm_curriculum_bins",
             "q_llm_data_card",
             "q_llm_decode_media",
+            "q_llm_decontaminate",
+            "q_llm_dedup_cluster",
             "q_llm_dedup_containment",
             "q_llm_dedup_containment_lsh",
+            "q_llm_dedup_editdist",
+            "q_llm_dedup_embed",
             "q_llm_dedup_exact",
             "q_llm_dedup_jaccard",
             "q_llm_dedup_minhash",
+            "q_llm_dedup_ngram",
             "q_llm_dedup_normalized",
             "q_llm_dedup_precision",
             "q_llm_dedup_semantic",
+            "q_llm_dedup_simhash",
             "q_llm_dedup_survivors",
             "q_llm_dedup_yield_curve",
             "q_llm_diversity",
@@ -302,9 +336,11 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_dup_pagerank",
             "q_llm_dup_span_ratio",
             "q_llm_dup_triangles",
+            "q_llm_dup_two_hop",
             "q_llm_embed_dimstats",
             "q_llm_embed_drift",
             "q_llm_embed_pca_power",
+            "q_llm_epoch_schedule",
             "q_llm_fertility",
             "q_llm_filter_funnel",
             "q_llm_fingerprint",
@@ -317,9 +353,12 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_heaps_fit",
             "q_llm_heavy_hitters",
             "q_llm_heavy_hitters_sketch",
+            "q_llm_ingest_cdc",
             "q_llm_ingest_dedup",
             "q_llm_ingest_jsonl",
             "q_llm_ingest_neardup",
+            "q_llm_inverted_index",
+            "q_llm_js_divergence",
             "q_llm_keyword_stuffing",
             "q_llm_kmeans",
             "q_llm_kmeans_mstep",
@@ -327,6 +366,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_kmv_distinct",
             "q_llm_kmv_setops",
             "q_llm_knn_label_vote",
+            "q_llm_langid",
             "q_llm_langid_confusion",
             "q_llm_length_profile",
             "q_llm_link_extract",
@@ -349,19 +389,24 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_pack",
             "q_llm_pad_waste",
             "q_llm_paragraph_dedup",
+            "q_llm_pii_scrub",
             "q_llm_pmi_bigrams",
             "q_llm_pq_adc_topk",
             "q_llm_pq_encode",
             "q_llm_prefix_dup",
+            "q_llm_probe_curve",
             "q_llm_profile",
             "q_llm_psi_drift",
+            "q_llm_quality",
             "q_llm_quality_auc",
             "q_llm_quality_calibrate",
+            "q_llm_quality_dup_matrix",
             "q_llm_quality_ece",
             "q_llm_quality_isotonic",
             "q_llm_quality_len_matrix",
             "q_llm_quota_sample",
             "q_llm_rake_keywords",
+            "q_llm_random_proj",
             "q_llm_rater_kappa",
             "q_llm_recall_at_k",
             "q_llm_refresh_e2e",
@@ -380,10 +425,12 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_semantic_yield",
             "q_llm_shard_balance",
             "q_llm_shingle_df_audit",
+            "q_llm_sim_ivf",
             "q_llm_sim_lsh",
             "q_llm_sim_topk",
             "q_llm_source_leak",
             "q_llm_span_coverage",
+            "q_llm_split_leakage",
             "q_llm_split_stratified",
             "q_llm_submodular_coverage",
             "q_llm_substring_dup",
@@ -391,11 +438,10 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_template_mine",
             "q_llm_textscore",
             "q_llm_tfidf",
+            "q_llm_tokcount",
             "q_llm_token_budget",
             "q_llm_tokenize",
             "q_llm_train_order",
-            "q_llm_vec_ops",
-            "q_llm_vec_quantize",
             "q_llm_vocab_coverage",
             "q_llm_weighted_sample",
             "q_llm_winnow",
@@ -413,24 +459,14 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_scan_pruned",
             "q_scan_pushdown",
             "q_set_except",
-            "q_set_except_all",
             "q_set_intersect",
-            "q_set_intersect_all",
             "q_set_union_all",
             "q_set_union_distinct",
             "q_skew_audit",
             "q_sort_multi",
             "q_sort_nulls_first",
             "q_sql_recursive_spine",
-            "q_stream_dedup_keys",
-            "q_stream_session",
-            "q_stream_sliding",
-            "q_stream_tumbling",
-            "q_subquery_correlated_scalar",
-            "q_subquery_exists",
-            "q_subquery_scalar",
             "q_topk",
-            "q_topk_per_group",
             "q_ts_acf",
             "q_ts_backlog",
             "q_ts_ccf",
@@ -439,22 +475,20 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_ts_ohlc",
             "q_ts_pacf",
             "q_ts_peaks",
+            "q_ts_seasonal_outliers",
             "q_ts_seasonality",
             "q_ts_time_weighted",
             "q_ts_trend_forecast",
-            "q_udaf_grouped",
-            "q_udf_pandas",
-            "q_udf_scalar",
-            "q_udtf_expand",
             "q_unpivot",
-            "q_win_distribution",
             "q_win_first_last",
             "q_win_lag_lead",
             "q_win_mom_growth",
             "q_win_nth_value",
             "q_win_ntile",
+            "q_win_order_concurrency",
             "q_win_range_frame",
             "q_win_rank",
+            "q_win_rolling_median",
             "q_win_rolling_slope",
             "q_win_running",
             "q_win_running_distinct",

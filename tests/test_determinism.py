@@ -16,7 +16,7 @@ import pytest
 from spark_kinesis_sql_asl_spark.registry import all_queries
 
 from .driver_canon import canon_hash, spark_to_pandas
-from .test_registry_rotation import ROUND10_NEW_THIS_ROUND, _never_sampled
+from .test_registry_rotation import ROUND11_NEW_THIS_ROUND, _never_sampled
 
 SF = "/root/testdata/sf0.001"
 
@@ -25,7 +25,7 @@ SF = "/root/testdata/sf0.001"
 # registered this round. A driver-green-on-the-lucky-draw query is the
 # failure class this file exists to catch, so stress exactly the rows the
 # driver is about to hash for the first time.
-_FIRST_SAMPLED_THIS_ROUND = sorted(ROUND10_NEW_THIS_ROUND | _never_sampled())
+_FIRST_SAMPLED_THIS_ROUND = sorted(ROUND11_NEW_THIS_ROUND | _never_sampled())
 
 
 @pytest.mark.parametrize("name", _FIRST_SAMPLED_THIS_ROUND)

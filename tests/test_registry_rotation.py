@@ -1,25 +1,28 @@
-"""Round-10 rotation window assertions (VERDICT r9 items #1/#2).
+"""Round-11 rotation window assertions (VERDICT r10 item #1).
 
 The driver samples roughly the first 50 entries of the priority-ordered
-registry for CORRECTNESS_r{N}.json. Rounds 4-9 proved the rotation must be
+registry for CORRECTNESS_r{N}.json. Rounds 4-10 proved the rotation must be
 *recomputed* (not guessed) each round from the committed CORRECTNESS
-artifacts. Through round 9 the cumulative ledger is fully green, and 20
-registered queries carry no driver row yet (the 18 round-9 priority-30
-additions plus the two a3920c0 snapshot queries). The round-10 window
-drains that backlog completely and resumes the freshness rotation:
+artifacts. Through round 10 the cumulative ledger is fully green, and the
+only queries without a driver row are the 26 round-10 priority-30
+additions. The round-11 window drains that backlog and resumes the
+freshness rotation:
 
-  slots 0..19     the 20 never-driver-sampled queries (override 8) — after
-                  this round the ENTIRE registry is driver-confirmed
-  slots 20..31    the 12 legacy canaries last sampled round 7, at their
-                  permanent priority 10 (D1/D14/D15 re-sampled green in r9
-                  pin at 100 for one round; D16 rides the backlog tranche)
-  slots 32..49    freshness rotation: the first 18 (alphabetical) of the
-                  35 round-2-last-sampled queries (override 12); the other
-                  17 queue for round 11
+  slots 0..25     the 26 never-driver-sampled round-10 additions
+                  (override 8) — after this round the ENTIRE registry is
+                  driver-confirmed
+  slots 26..28    D1/D14/D15, last sampled round 9, back at their
+                  permanent priority 10 (the 12 r7-era canaries were
+                  re-sampled green in r10 and pin at 100)
+  slots 29..45    freshness rotation: the 17 remaining round-2-last-sampled
+                  queries (override 12)
+  slots 46..49    window fill: the 4 oldest round-3-last-sampled queries,
+                  alphabetical (override 14); the other 39 r3-era queries
+                  queue for round 12
 
-New round-10 queries use decorator ``priority=30``: behind the window,
+New round-11 queries use decorator ``priority=30``: behind the window,
 ahead of every pinned-100 query — they take their first driver rows in
-round 11. Add their names to ROUND10_NEW_THIS_ROUND below; the recompute
+round 12. Add their names to ROUND11_NEW_THIS_ROUND below; the recompute
 tests fail loudly on drift.
 """
 
@@ -35,45 +38,17 @@ from spark_kinesis_sql_asl_spark import registry
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-LAST_DRIVER_ROUND = 9
+LAST_DRIVER_ROUND = 10
 DRIVER_WINDOW = 50
 
-# Queries first registered in round 10 (decorator priority=30): they have no
+# Queries first registered in round 11 (decorator priority=30): they have no
 # CORRECTNESS row yet by construction. Keep in sync as operators land.
-ROUND10_NEW_THIS_ROUND: frozenset[str] = frozenset(
-    {
-        "q_events_logrank",
-        "q_ts_lttb",
-        "q_llm_url_host_audit",
-        "q_canary_add_months",
-        "q_ts_theil_sen",
-        "q_events_proportion_ztest",
-        "q_llm_readability",
-        "q_llm_whitespace_anomaly",
-        "q_geo_geofence",
-        "q_ts_hurst",
-        "q_llm_code_detect",
-        "q_win_drawdown",
-        "q_llm_dedup_shard_locality",
-        "q_join_interval_bucketed",
-        "q_events_decay_engagement",
-        "q_agg_paired_ttest",
-        "q_llm_token_yield_funnel",
-        "q_agg_bootstrap_ci",
-        "q_canary_regex_subset",
-        "q_llm_host_cap_enforce",
-        "q_llm_mixture_temperature",
-        "q_win_rolling_corr",
-        "q_ts_mann_kendall",
-        "q_ts_runs_test",
-        "q_llm_unigram_entropy",
-        "q_ts_fano_dispersion",
-    }
-)
+ROUND11_NEW_THIS_ROUND: frozenset[str] = frozenset()
 
-NEVER_SAMPLED_COUNT = 18 + 2  # r9 priority-30 additions + 2 snapshot queries
-CANARY_TRANCHE_COUNT = 12
-FRESHNESS_TRANCHE_COUNT = 18
+NEVER_SAMPLED_COUNT = 26  # the round-10 priority-30 additions
+CANARY_TRANCHE_COUNT = 3
+FRESHNESS_TRANCHE_COUNT = 17
+R3_FILL_COUNT = 4
 
 
 def _ordered():
@@ -113,35 +88,48 @@ def _never_sampled() -> set[str]:
     return (
         set(registry._QUERIES)
         - set(_rows_through(LAST_DRIVER_ROUND))
-        - ROUND10_NEW_THIS_ROUND
+        - ROUND11_NEW_THIS_ROUND
     )
 
 
 def _legacy_canary_tranche() -> list[str]:
-    """The 12 canaries whose latest driver row is round 7 — everything
-    else canary-shaped was re-sampled in round 9 (D1/D14/D15) or rides
-    the never-sampled backlog (D16)."""
+    """The 3 canaries whose latest driver row is round 9 (D1/D14/D15) —
+    the 12 r7-era canaries were re-sampled green in round 10 and pin at
+    100; D16/D17/D18 ride other tranches."""
     last = _last_sampled()
     return sorted(
         q
         for q, r in last.items()
-        if q.startswith("q_canary_") and r == 7
+        if q.startswith("q_canary_") and r == 9
     )
 
 
 def _freshness_tranche() -> list[str]:
-    """First 18 (alphabetical) of the round-2-last-sampled queries."""
+    """All 17 remaining round-2-last-sampled queries (the other half of
+    the round-10 freshness tranche)."""
     last = _last_sampled()
     registry.load_all()
     r2 = sorted(
         q for q, r in last.items() if r == 2 and q in registry._QUERIES
     )
-    assert len(r2) == 35, f"r2-era cohort drifted: {len(r2)}"
-    return r2[:FRESHNESS_TRANCHE_COUNT]
+    assert len(r2) == FRESHNESS_TRANCHE_COUNT, f"r2-era cohort drifted: {len(r2)}"
+    return r2
+
+
+def _r3_fill_tranche() -> list[str]:
+    """First 4 (alphabetical) of the round-3-last-sampled cohort — the
+    window fill; the rest queue for round 12."""
+    last = _last_sampled()
+    registry.load_all()
+    r3 = sorted(
+        q for q, r in last.items() if r == 3 and q in registry._QUERIES
+    )
+    assert len(r3) == 43, f"r3-era cohort drifted: {len(r3)}"
+    return r3[:R3_FILL_COUNT]
 
 
 def test_no_reds_to_recheck():
-    """The cumulative ledger through round 9 is fully green — no query
+    """The cumulative ledger through round 10 is fully green — no query
     carries override 0 (rows-only ``no_oracle`` rows are sampled-clean)."""
     latest = _rows_through(LAST_DRIVER_ROUND)
     reds = {
@@ -162,12 +150,11 @@ def test_no_reds_to_recheck():
 
 
 def test_never_sampled_backlog_heads_the_window():
-    """VERDICT r9 item #2's Done bar: every one of the 20 never-sampled
-    queries sits at the FRONT of the window (override 8, slots 0..19) —
-    including the two a3920c0 snapshot queries."""
+    """VERDICT r10 item #1's Done bar: every one of the 26 never-sampled
+    round-10 additions sits at the FRONT of the window (override 8,
+    slots 0..25)."""
     never = _never_sampled()
     assert len(never) == NEVER_SAMPLED_COUNT, f"backlog drifted: {len(never)}"
-    assert {"q_win_rolling_median", "q_llm_epoch_schedule"} <= never
     for n in sorted(never):
         assert _priority(n) == 8, (n, _priority(n))
     head = set(_ordered()[:NEVER_SAMPLED_COUNT])
@@ -175,9 +162,9 @@ def test_never_sampled_backlog_heads_the_window():
 
 
 def test_canary_tranche_follows_backlog():
-    """The 12 round-7-last-sampled legacy canaries take slots 20..31 at
-    their permanent priority 10; the three canaries re-sampled green in
-    round 9 pin at 100 for one round; D16 rides the backlog tranche."""
+    """D1/D14/D15 (last sampled round 9) take slots 26..28 at their
+    permanent priority 10; the 12 r7-era canaries re-sampled green in
+    round 10 pin at 100; D17/D18 ride the never-sampled backlog."""
     tranche = _legacy_canary_tranche()
     assert len(tranche) == CANARY_TRANCHE_COUNT
     names = _ordered()
@@ -185,36 +172,51 @@ def test_canary_tranche_follows_backlog():
     assert set(mid) == set(tranche), (sorted(mid), tranche)
     assert all(_priority(n) == 10 for n in mid)
     registry.load_all()
+    never = _never_sampled()
     for n in registry._QUERIES:
         if not n.startswith("q_canary_"):
             continue
         if n in tranche:
             continue
-        if n == "q_canary_unicode_case":
+        if n in never:
             assert _priority(n) == 8, (n, _priority(n))
-        elif n in ROUND10_NEW_THIS_ROUND:
+        elif n in ROUND11_NEW_THIS_ROUND:
             assert _priority(n) == 30, (n, _priority(n))
-        else:  # D1/D14/D15, re-sampled green in round 9
+        else:  # re-sampled green in round 10
             assert _priority(n) == 100, (n, _priority(n))
 
 
 def test_freshness_tranche_fills_the_window():
-    """Slots 32..49: the 18 oldest (round-2-last-sampled, alphabetical)
-    queries re-enter at override 12."""
+    """Slots 29..45: the 17 remaining round-2-last-sampled queries
+    re-enter at override 12; slots 46..49: the 4 oldest round-3 queries
+    at override 14."""
     tranche = _freshness_tranche()
     names = _ordered()
     tail = names[
         NEVER_SAMPLED_COUNT
-        + CANARY_TRANCHE_COUNT : DRIVER_WINDOW
+        + CANARY_TRANCHE_COUNT : NEVER_SAMPLED_COUNT
+        + CANARY_TRANCHE_COUNT
+        + FRESHNESS_TRANCHE_COUNT
     ]
     assert set(tail) == set(tranche), (sorted(tail), tranche)
     assert all(_priority(n) == 12 for n in tail)
+    fill = names[
+        NEVER_SAMPLED_COUNT
+        + CANARY_TRANCHE_COUNT
+        + FRESHNESS_TRANCHE_COUNT : DRIVER_WINDOW
+    ]
+    assert set(fill) == set(_r3_fill_tranche()), (sorted(fill),)
+    assert all(_priority(n) == 14 for n in fill)
 
 
 def test_window_composition_exact():
-    """20 backlog + 12 canaries + 18 freshness = the exact 50-slot window."""
+    """26 backlog + 3 canaries + 17 freshness + 4 r3-fill = the exact
+    50-slot window."""
     assert (
-        NEVER_SAMPLED_COUNT + CANARY_TRANCHE_COUNT + FRESHNESS_TRANCHE_COUNT
+        NEVER_SAMPLED_COUNT
+        + CANARY_TRANCHE_COUNT
+        + FRESHNESS_TRANCHE_COUNT
+        + R3_FILL_COUNT
         == DRIVER_WINDOW
     )
     names = _ordered()
@@ -223,41 +225,43 @@ def test_window_composition_exact():
         _never_sampled()
         | set(_legacy_canary_tranche())
         | set(_freshness_tranche())
+        | set(_r3_fill_tranche())
     )
     assert window == expect, (
         sorted(window - expect),
         sorted(expect - window),
     )
-    # round-10 additions (priority 30) queue directly after the window,
+    # round-11 additions (priority 30) queue directly after the window,
     # ahead of the pinned-100 majority
-    after = names[DRIVER_WINDOW : DRIVER_WINDOW + len(ROUND10_NEW_THIS_ROUND)]
-    assert set(after) == ROUND10_NEW_THIS_ROUND, after
+    after = names[DRIVER_WINDOW : DRIVER_WINDOW + len(ROUND11_NEW_THIS_ROUND)]
+    assert set(after) == ROUND11_NEW_THIS_ROUND, after
 
 
 def test_new_this_round_constant_is_exact():
-    """ROUND10_NEW_THIS_ROUND == (registered queries with no driver row
-    that are not part of the round-9 backlog) — the r6 lesson: update the
+    """ROUND11_NEW_THIS_ROUND == (registered queries with no driver row
+    that are not part of the round-10 backlog) — the r6 lesson: update the
     constant with EVERY new @query or the recompute tests drift."""
     registry.load_all()
     unsampled = set(registry._QUERIES) - set(
         _rows_through(LAST_DRIVER_ROUND)
     )
     new = unsampled - _never_sampled()
-    assert new == ROUND10_NEW_THIS_ROUND, (
-        sorted(new - ROUND10_NEW_THIS_ROUND),
-        sorted(ROUND10_NEW_THIS_ROUND - new),
+    assert new == ROUND11_NEW_THIS_ROUND, (
+        sorted(new - ROUND11_NEW_THIS_ROUND),
+        sorted(ROUND11_NEW_THIS_ROUND - new),
     )
-    for n in sorted(ROUND10_NEW_THIS_ROUND):
+    for n in sorted(ROUND11_NEW_THIS_ROUND):
         assert n in registry._QUERIES, f"{n} listed but not registered"
         assert _priority(n) == 30, (n, _priority(n))
 
 
-def test_every_ever_sampled_query_pinned_at_10_12_or_100():
+def test_every_ever_sampled_query_pinned_at_10_12_14_or_100():
     """A <100 decorator priority must never leak a driver-green query back
     into the window at the expense of the rotation plan."""
     registry.load_all()
     fresh = set(_freshness_tranche())
     canaries = set(_legacy_canary_tranche())
+    fill = set(_r3_fill_tranche())
     for n in sorted(
         set(_rows_through(LAST_DRIVER_ROUND)) & set(registry._QUERIES)
     ):
@@ -266,6 +270,8 @@ def test_every_ever_sampled_query_pinned_at_10_12_or_100():
             assert p == 12, f"{n}: freshness tranche must be 12, got {p}"
         elif n in canaries:
             assert p == 10, f"{n}: canary tranche must be 10, got {p}"
+        elif n in fill:
+            assert p == 14, f"{n}: r3-fill tranche must be 14, got {p}"
         else:
             assert p == 100, f"{n}: ever-sampled but priority {p}"
 
