@@ -604,7 +604,50 @@ _IVF_CELLS = 16
 _IVF_NPROBE = 4
 
 
-@query("q_llm_sim_ivf")  # rows-only: data-dependent partitioning, no SQL oracle
+@query(
+    "q_llm_sim_ivf",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+                   AS nrm
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT vec_id AS cell, e AS se, nrm AS sn
+        FROM e ORDER BY vec_id LIMIT {_IVF_CELLS}
+    ),
+    ranked AS (
+        SELECT e.vec_id, e.e, e.nrm, s.cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY coalesce(list_dot_product(e.e, s.se)
+                            / nullif(e.nrm * s.sn, 0), 0) DESC, s.cell
+               ) AS rn
+        FROM e CROSS JOIN seeds s
+    ),
+    assign AS (SELECT vec_id, e, nrm, cell FROM ranked WHERE rn = 1),
+    probes AS (
+        SELECT vec_id AS query_id, e AS qe, nrm AS qn, cell
+        FROM ranked WHERE vec_id < {_N_QUERIES} AND rn <= {_IVF_NPROBE}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               coalesce(list_dot_product(p.qe, a.e)
+                        / nullif(p.qn * a.nrm, 0), 0) AS cos
+        FROM assign a JOIN probes p USING (cell)
+        WHERE a.vec_id <> p.query_id
+    ),
+    rr AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+        ) AS rn
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rn
+    FROM rr WHERE rn <= {_TOPK}
+    """,
+)
 def q_llm_sim_ivf(spark, sf_dir):
     """C20: IVF-style ANN — the classic inverted-file index (Jégou et al.,
     PAMI 2011) with a deterministic coarse quantizer: the first
@@ -613,7 +656,13 @@ def q_llm_sim_ivf(spark, sf_dir):
     assigned to its nearest seed cell; a query probes its {_IVF_NPROBE}
     nearest cells and exactly re-ranks only those lists. At 100 TB the
     corpus is pre-partitioned by cell so probes are partition-local reads;
-    recall vs the brute-force C4 baseline is asserted in tests/test_llm.py."""
+    recall vs the brute-force C4 baseline is asserted in tests/test_llm.py.
+
+    Hash-matched oracle since round 11 (was rows-only): the quantizer is
+    deterministic (fixed seeds, cosine + cell-id tiebreak), so the DuckDB
+    twin replays the identical assignment/probe ranking — "data-dependent
+    partitioning" turned out to be fully SQL-expressible once the seed
+    order was pinned."""
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("e")
     ).withColumn("nrm", F.sqrt(sq_norm(F.col("e"))))

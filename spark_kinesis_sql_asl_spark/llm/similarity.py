@@ -141,6 +141,46 @@ def _plane_sign(p: int, d: int) -> float:
 
 _PLANES = [[_plane_sign(p, d) for d in range(_DIM)] for p in range(_N_PLANES)]
 
+# The 16 deterministic hyperplanes as DuckDB DOUBLE[] literals — the planes
+# are plain ±1.0 Python literals (splitmix64-seeded, no RNG), so oracles can
+# carry them as an inline VALUES table and recompute the identical sign bits
+# / band buckets in SQL. Shared by C148's probe-curve oracle (the round-10
+# proof of the technique) and, since round 11, C5's own oracle.
+_PLANES_VALUES_SQL = ",\n        ".join(
+    "({}, [{}]::DOUBLE[])".format(
+        p, ", ".join(str(v) for v in _PLANES[p])
+    )
+    for p in range(_N_PLANES)
+)
+
+# Band CTEs shared by every plane-literal oracle: sign bits -> two 8-bit
+# band buckets (b0 = planes 0..7, b1 = planes 8..15), exactly mirroring
+# hyperplane_bands().
+_BANDS_CTE_SQL = f"""planes(p, pv) AS (VALUES
+        {_PLANES_VALUES_SQL}
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    bits AS (
+        SELECT vec_id, p,
+               CASE WHEN list_dot_product(e, pv) >= 0 THEN 1 ELSE 0 END AS bit
+        FROM e CROSS JOIN planes
+    ),
+    bk AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN p < {_N_PLANES // 2} THEN bit << p
+                             ELSE 0 END) AS INT) AS b0,
+               CAST(sum(CASE WHEN p >= {_N_PLANES // 2}
+                             THEN bit << (p - {_N_PLANES // 2})
+                             ELSE 0 END) AS INT) AS b1
+        FROM bits GROUP BY vec_id
+    ),
+    v AS (
+        SELECT e.vec_id, e.e,
+               sqrt(list_sum(list_transform(e.e, x -> x * x))) AS nrm,
+               bk.b0, bk.b1
+        FROM e JOIN bk USING (vec_id)
+    )"""
+
 
 def probe_masks(radius: int, bits: int = _N_PLANES // 2) -> list[int]:
     """All XOR masks within Hamming `radius` of 0 over `bits` bits, mask 0
@@ -179,7 +219,29 @@ def hyperplane_bands(e_col: Column) -> Column:
     )
 
 
-@query("q_llm_sim_lsh")  # rows-only: bucketed ANN, recall-tested vs C4
+@query(
+    "q_llm_sim_lsh",
+    oracle=f"""
+    WITH {_BANDS_CTE_SQL},
+    cand AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               coalesce(list_dot_product(q.e, c.e)
+                        / nullif(q.nrm * c.nrm, 0), 0) AS cos
+        FROM v q JOIN v c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+          AND least(bit_count(xor(q.b0, c.b0)),
+                    bit_count(xor(q.b1, c.b1))) <= {_LSH_PROBE_RADIUS}
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+        ) AS rn
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rn
+    FROM ranked WHERE rn <= {_TOPK}
+    """,
+)
 def q_llm_sim_lsh(spark, sf_dir):
     """C5: random-hyperplane LSH with query-side MULTI-PROBE — the 100 TB
     similarity path. 16 sign bits → two 8-bit band buckets; the DATA side
@@ -193,7 +255,17 @@ def q_llm_sim_lsh(spark, sf_dir):
     or reshuffles. tests/test_llm.py gates recall ≥ 0.8 vs C4's exact
     top-5 (measured 0.96 on the worst-case random-gaussian fixture, where
     r=4 is needed; clustered data reaches 0.9+ at r=1 — see the planted-
-    cluster test)."""
+    cluster test).
+
+    Hash-matched oracle since round 11 (was rows-only): the planes are
+    deterministic ±1.0 literals, so the DuckDB twin recomputes the same
+    sign bits / band buckets from an inline VALUES table, and the
+    probe-mask equi-join is replaced by its closed form — a candidate
+    collides with a query iff some band's bucket XOR has popcount ≤ the
+    probe radius, i.e. ``least(bit_count(qb0^b0), bit_count(qb1^b1)) <=
+    {_LSH_PROBE_RADIUS}`` (probe_masks enumerates exactly the
+    Hamming-radius ball, and dropDuplicates collapses multi-band
+    collisions to one row per pair)."""
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("e")
     )

@@ -24,6 +24,7 @@ from .similarity import (
     _N_PLANES,
     _N_QUERIES,
     _PLANES,
+    _PLANES_VALUES_SQL,
     _TOPK,
     as_double,
     dot,
@@ -60,16 +61,9 @@ _PAIRS_CTE = f"""
 
 # --- C148: multi-probe recall/candidate curve --------------------------------
 
-# The 16 deterministic hyperplanes as DuckDB DOUBLE[] literals — the planes
-# are plain ±1.0 Python literals (similarity._PLANES, splitmix64-seeded, no
-# RNG), so the oracle can carry them as an inline VALUES table and the audit
-# becomes fully SQL-expressible (VERDICT r9 item #6: was rows-only).
-_PLANES_VALUES_SQL = ",\n        ".join(
-    "({}, [{}]::DOUBLE[])".format(
-        p, ", ".join(str(v) for v in _PLANES[p])
-    )
-    for p in range(_N_PLANES)
-)
+# The 16 deterministic hyperplanes as DuckDB DOUBLE[] literals — built in
+# similarity.py (shared since round 11 with C5's own oracle; VERDICT r9
+# item #6 proved the technique here first).
 
 
 @query(
