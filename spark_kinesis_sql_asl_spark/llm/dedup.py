@@ -15,6 +15,7 @@ from pyspark.sql.window import Window as W
 
 from ..registry import query
 from ..tables import parallel_table, table
+from .iterative import parquet_barrier, scratch_dir
 
 # The fixture corpus has no exact duplicate texts (FIXTURES.md, verified);
 # C1 injects copies of every 10th doc so the detector has real work.
@@ -556,8 +557,11 @@ _CONTAIN_TRUNC_TOKENS = 30
 _CONTAIN_TRUNC_OFFSET = 300_000  # synthetic truncated copies (C1 convention)
 
 
-def _containment_docs(spark, sf_dir):
-    """Shared C82/C82s corpus state: (doc_id, lang, ts, sz), checkpointed.
+def _containment_docs(spark, sf_dir, stage):
+    """Shared C82/C82s corpus state: (doc_id, lang, ts, sz), materialized
+    to the parquet scratch barrier (round-11 migration off localCheckpoint
+    — same rationale as the semantic/SimHash builds: restart-safe on a
+    real cluster, and the scan carries true size statistics).
 
     The corpus is documents plus a truncated copy of every 11th doc (the C1
     injection convention; first {_CONTAIN_TRUNC_TOKENS} tokens, a true
@@ -573,7 +577,8 @@ def _containment_docs(spark, sf_dir):
             f"{_CONTAIN_TRUNC_TOKENS}), ' ')"
         ).alias("text"),
     )
-    return (
+    return parquet_barrier(
+        spark,
         d.unionByName(synth)
         .select(
             "doc_id",
@@ -582,22 +587,26 @@ def _containment_docs(spark, sf_dir):
                 F.split(F.coalesce(F.col("text"), F.lit("")), " ")
             ).alias("ts"),
         )
-        .withColumn("sz", F.size("ts"))
-        .localCheckpoint(eager=True)  # consumed by index + verify/estimate
+        .withColumn("sz", F.size("ts")),
+        stage,
+        "docs",  # consumed by index + verify/estimate
     )
 
 
-def _containment_index(docs):
-    """Checkpointed inverted index (doc_id, lang, sz, tok, pos) with the
-    global (df asc, tok asc) position rank — the expensive shared stage,
-    feeding both sides of the candidate join."""
+def _containment_index(spark, docs, stage):
+    """Parquet-barriered inverted index (doc_id, lang, sz, tok, pos) with
+    the global (df asc, tok asc) position rank — the expensive shared
+    stage, feeding both sides of the candidate join."""
     toks = docs.select("doc_id", "lang", "sz", F.explode("ts").alias("tok"))
     dfreq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("df"))
     pos_w = W.partitionBy("doc_id").orderBy("df", "tok")
-    return (
-        toks.join(dfreq, ["lang", "tok"])
-        .withColumn("pos", F.row_number().over(pos_w))
-        .localCheckpoint(eager=True)  # feeds BOTH sides of the cand join
+    return parquet_barrier(
+        spark,
+        toks.join(dfreq, ["lang", "tok"]).withColumn(
+            "pos", F.row_number().over(pos_w)
+        ),
+        stage,
+        "index",  # feeds BOTH sides of the cand join
     )
 
 
@@ -668,8 +677,9 @@ def _containment_state(spark, sf_dir):
     hit = _CONTAINMENT_STATE.get(key)
     if hit is not None:
         return hit
-    docs = _containment_docs(spark, sf_dir)
-    indexed = _containment_index(docs)
+    stage = scratch_dir(spark, "containment_state")
+    docs = _containment_docs(spark, sf_dir, stage)
+    indexed = _containment_index(spark, docs, stage)
     _CONTAINMENT_STATE[key] = (docs, indexed)
     return docs, indexed
 
@@ -739,7 +749,8 @@ def q_llm_dedup_containment(spark, sf_dir):
     exactly with array_intersect. No candidate ``distinct()``: the
     row_number top-1 absorbs duplicate candidates (dup factor <= prefix
     length, ~2), saving a multi-million-row shuffle. The inverted index
-    is localCheckpointed — it feeds both join sides, and uncached it
+    is materialized to the parquet scratch barrier (round 11; was
+    localCheckpoint) — it feeds both join sides, and unmaterialized it
     re-runs the df-join + position window once per consumer. At 100 TB
     the index is the cost (every token occurrence once, like the df pass
     C2 already pays); candidates scale with token-level collisions,
