@@ -36,6 +36,7 @@ accumulators.
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 # --- B111 twin: time-weighted average (LOCF) ---------------------------------
 
@@ -445,6 +446,184 @@ def streaming_burst_episodes(
         fold,
         outputStructType=_BURST_OUT_SCHEMA,
         stateStructType=_BURST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- B180 twin: maximum-drawdown profile --------------------------------------
+
+_DD_TOP_K = 10  # must match operators/timeseries._DRAWDOWN_TOP_K
+_DD_OUT_SCHEMA = (
+    "grp string, epoch_day bigint, drawdown_cents bigint, rnk int, seq bigint"
+)
+_DD_STATE_SCHEMA = "days array<bigint>, cents array<bigint>, seq bigint"
+
+
+def streaming_drawdown(order_stream):
+    """B180-stream: maximum drawdown of the demeaned daily revenue walk as
+    keyed state. Like B131's twin, the statistic depends on the WHOLE
+    period (the walk demeans by n·y − Σ, and the running max looks back to
+    day one), so the honest streaming form keeps the daily series itself —
+    state bounded by the CALENDAR (~2.4k (day, cents) pairs regardless of
+    order volume, the exact bound the batch windows ride) — and re-derives
+    the walk per micro-batch in pure BIGINT: w_i = Σ_{j<=i}(n·c_j − s),
+    dd_i = max_{j<=i} w_j − w_i, released as dd div n. Every emission is
+    the batch top-{_DD_TOP_K} for the data seen so far; the final one
+    equals q_win_drawdown exactly.
+
+    The stream is a single GLOBAL group (constant key): the state is a
+    |days|-bounded series, exactly the frame the batch operator's
+    allowlisted partitionless window runs over — one task holding ~2.4k
+    integer pairs, not a scale risk.
+
+    Input columns: day_us (epoch µs of the truncated day), cents.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            days, cents, seq = state.get
+            acc = dict(zip((int(d) for d in days), (int(c) for c in cents)))
+        else:
+            acc = {}
+            seq = 0
+        for pdf in pdfs:
+            for day_us, c in zip(pdf["day_us"], pdf["cents"]):
+                d = int(day_us) // 86_400_000_000
+                acc[d] = acc.get(d, 0) + int(c)
+        seq += 1
+        days_sorted = sorted(acc)
+        state.update((days_sorted, [acc[d] for d in days_sorted], seq))
+        n = len(days_sorted)
+        s = sum(acc.values())
+        w = peak = 0
+        rows = []  # (dd_scaled, day)
+        for d in days_sorted:
+            w += n * acc[d] - s
+            peak = max(peak, w)
+            rows.append((peak - w, d))
+        rows.sort(key=lambda t: (-t[0], t[1]))
+        top = rows[:_DD_TOP_K]
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]] * len(top),
+                "epoch_day": pd.Series([d for _, d in top], dtype="int64"),
+                "drawdown_cents": pd.Series(
+                    [_trunc_div(dd, n) for dd, _ in top], dtype="int64"
+                ),
+                "rnk": pd.Series(range(1, len(top) + 1), dtype="int32"),
+                "seq": pd.Series([seq] * len(top), dtype="int64"),
+            }
+        )
+
+    return order_stream.withColumn(
+        "grp", F.lit("all")
+    ).groupBy("grp").applyInPandasWithState(
+        fold,
+        outputStructType=_DD_OUT_SCHEMA,
+        stateStructType=_DD_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- B186 twin: rolling revenue/volume Pearson correlation --------------------
+
+_RC_FRAME = 28  # must match operators/windows._ROLL_CORR_FRAME
+_RC_OUT_SCHEMA = (
+    "grp string, epoch_day bigint, kcents bigint, n_orders bigint, "
+    "n_in_frame int, corr_num bigint, corr_den_x bigint, corr_den_y bigint, "
+    "seq bigint"
+)
+_RC_STATE_SCHEMA = "days array<bigint>, kc array<bigint>, cnt array<bigint>, seq bigint"
+
+
+def streaming_rolling_corr(order_stream):
+    """B186-stream: trailing-{_RC_FRAME}-day Pearson correlation between
+    daily revenue (kilocents) and order count as keyed state. A late order
+    can land on ANY past day and shift every frame containing it, so the
+    honest streaming form keeps the per-day (Σcents, count) series —
+    calendar-bounded state, the B131s/B180s argument — and re-derives all
+    frames per micro-batch in exact BIGINTs. The float division stays OUT
+    of the stream (the B113s discipline): emissions carry the exact
+    Pearson numerator n·Σxy − Σx·Σy and the two variance terms
+    n·Σxx − Σx², n·Σyy − Σy²; the parity test performs the identical
+    sqrt/divide on both sides. Day revenue is floor-cents summed FIRST,
+    then div 1000 — matching the batch operator's kilocent quantization
+    exactly.
+
+    Input columns: day_us (epoch µs of the truncated day), cents.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            days, kc, cnt, seq = state.get
+            acc = {
+                int(d): [int(a), int(b)]
+                for d, a, b in zip(days, kc, cnt)
+            }
+        else:
+            acc = {}
+            seq = 0
+        for pdf in pdfs:
+            for day_us, c in zip(pdf["day_us"], pdf["cents"]):
+                d = int(day_us) // 86_400_000_000
+                cur = acc.setdefault(d, [0, 0])
+                cur[0] += int(c)  # raw cents; kilocent div at derive time
+                cur[1] += 1
+        seq += 1
+        days_sorted = sorted(acc)
+        state.update(
+            (
+                days_sorted,
+                [acc[d][0] for d in days_sorted],
+                [acc[d][1] for d in days_sorted],
+                seq,
+            )
+        )
+        xs = [_trunc_div(acc[d][0], 1000) for d in days_sorted]
+        ys = [acc[d][1] for d in days_sorted]
+        out = {
+            "epoch_day": [], "kcents": [], "n_orders": [], "n_in_frame": [],
+            "num": [], "dx": [], "dy": [],
+        }
+        for i, d in enumerate(days_sorted):
+            lo = max(0, i - _RC_FRAME + 1)
+            fx, fy = xs[lo : i + 1], ys[lo : i + 1]
+            n = len(fx)
+            sx, sy = sum(fx), sum(fy)
+            sxy = sum(a * b for a, b in zip(fx, fy))
+            sxx = sum(a * a for a in fx)
+            syy = sum(b * b for b in fy)
+            out["epoch_day"].append(d)
+            out["kcents"].append(xs[i])
+            out["n_orders"].append(ys[i])
+            out["n_in_frame"].append(n)
+            out["num"].append(n * sxy - sx * sy)
+            out["dx"].append(n * sxx - sx * sx)
+            out["dy"].append(n * syy - sy * sy)
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]] * len(out["epoch_day"]),
+                "epoch_day": pd.Series(out["epoch_day"], dtype="int64"),
+                "kcents": pd.Series(out["kcents"], dtype="int64"),
+                "n_orders": pd.Series(out["n_orders"], dtype="int64"),
+                "n_in_frame": pd.Series(out["n_in_frame"], dtype="int32"),
+                "corr_num": pd.Series(out["num"], dtype="int64"),
+                "corr_den_x": pd.Series(out["dx"], dtype="int64"),
+                "corr_den_y": pd.Series(out["dy"], dtype="int64"),
+                "seq": pd.Series([seq] * len(out["epoch_day"]), dtype="int64"),
+            }
+        )
+
+    return order_stream.withColumn(
+        "grp", F.lit("all")
+    ).groupBy("grp").applyInPandasWithState(
+        fold,
+        outputStructType=_RC_OUT_SCHEMA,
+        stateStructType=_RC_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

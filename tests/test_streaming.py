@@ -2302,3 +2302,134 @@ def test_streaming_cell_density_equals_batch(spark, tmp_path):
         (r.cell_lat, r.cell_lon): (r.n_points, r.bal_cents) for r in batch
     }
     assert got == want
+
+
+# --- B180s: streaming drawdown parity -----------------------------------------
+
+
+def _stage_global_order_days(spark, out_dir: str, n_files: int):
+    """Stage the (day_us, cents) global order stream the drawdown /
+    rolling-corr twins consume — day truncated, revenue floor-cents, the
+    same prepared-columns convention as the CUSUM twin's staging."""
+    rows = (
+        table(spark, SF_SMOKE, "orders")
+        .where(F.col("o_orderdate").isNotNull())
+        .select(
+            F.expr(
+                "unix_micros(date_trunc('day', o_orderdate))"
+            ).alias("day_us"),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias(
+                "cents"
+            ),
+        )
+        .collect()
+    )
+    rows.sort(key=lambda r: r.day_us)
+    os.makedirs(out_dir, exist_ok=True)
+    per = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        sl = rows[i * per : (i + 1) * per]
+        tbl = pa.table(
+            {
+                "day_us": pa.array([r.day_us for r in sl], pa.int64()),
+                "cents": pa.array([r.cents for r in sl], pa.int64()),
+            }
+        )
+        f = os.path.join(out_dir, f"{i:04d}.parquet")
+        pq.write_table(tbl, f)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
+def test_streaming_drawdown_equals_batch(spark, tmp_path):
+    """B180's streaming twin: the final top-10 (epoch_day, drawdown_cents,
+    rnk) must equal q_win_drawdown exactly — pure BIGINT walk, truncating
+    release division, (depth desc, day) order."""
+    from spark_kinesis_sql_asl_spark.operators.timeseries import (
+        q_win_drawdown,
+    )
+    from spark_kinesis_sql_asl_spark.streaming.timeseries import (
+        streaming_drawdown,
+    )
+
+    staging = str(tmp_path / "staging")
+    _stage_global_order_days(spark, staging, n_files=4)
+    sch = "day_us bigint, cents bigint"
+    src = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    _drain(
+        streaming_drawdown(src)
+        .writeStream.format("memory")
+        .queryName("stream_drawdown")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    got = _dedup_last_by_seq(
+        spark,
+        "stream_drawdown",
+        ["grp", "rnk"],
+        ["epoch_day", "drawdown_cents"],
+    )
+    expect = {
+        ("all", r["rnk"]): (r["epoch_day"], r["drawdown_cents"])
+        for r in q_win_drawdown(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+# --- B186s: streaming rolling-correlation parity -------------------------------
+
+
+def test_streaming_rolling_corr_equals_batch(spark, tmp_path):
+    """B186's streaming twin: final per-day exact Pearson components must
+    reproduce the batch roll_corr to 1e-6 after the identical float
+    division (and agree exactly on the five integer columns)."""
+    from spark_kinesis_sql_asl_spark.operators.windows import (
+        q_win_rolling_corr,
+    )
+    from spark_kinesis_sql_asl_spark.streaming.timeseries import (
+        streaming_rolling_corr,
+    )
+
+    staging = str(tmp_path / "staging")
+    _stage_global_order_days(spark, staging, n_files=4)
+    sch = "day_us bigint, cents bigint"
+    src = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    _drain(
+        streaming_rolling_corr(src)
+        .writeStream.format("memory")
+        .queryName("stream_rollcorr")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    got = _dedup_last_by_seq(
+        spark,
+        "stream_rollcorr",
+        ["grp", "epoch_day"],
+        ["kcents", "n_orders", "n_in_frame", "corr_num", "corr_den_x",
+         "corr_den_y"],
+    )
+    expect = {
+        r["epoch_day"]: r for r in q_win_rolling_corr(spark, SF_SMOKE).collect()
+    }
+    assert {d for _, d in got} == set(expect)
+    import math as _math
+
+    for (_, d), (kc, ny, nf, num, dx, dy) in got.items():
+        b = expect[d]
+        assert (kc, ny, nf) == (b["kcents"], b["n_orders"], b["n_in_frame"]), d
+        if dx == 0 or dy == 0:
+            assert b["roll_corr"] is None, d
+        else:
+            r_stream = num / (_math.sqrt(dx) * _math.sqrt(dy))
+            assert abs(r_stream - b["roll_corr"]) <= 1e-6, (
+                d, r_stream, b["roll_corr"],
+            )
