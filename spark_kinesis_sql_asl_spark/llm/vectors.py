@@ -281,21 +281,32 @@ def lloyd_estep(e, cents):
 _TRAINED_CENTROIDS: dict[tuple[str, str, int], object] = {}
 
 
-def train_centroids(spark, sf_dir, rounds=_TRAIN_ROUNDS):
-    """Run ``rounds`` Lloyd iterations from the C33 seeds and return the
-    trained centroid table (cell_id, cv array<bigint>), each round's
-    centroids materialized to parquet (flat lineage, replayable state).
-    Shared by q_llm_kmeans_train, the trained-IVF recall gate in
-    tests/test_llm.py, and the C125/C127 semantic-dedup state; memoized
-    per (applicationId, sf_dir, rounds)."""
-    memo_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), rounds)
+def train_centroids(spark, sf_dir, rounds=_TRAIN_ROUNDS, k=_KMEANS_K):
+    """Run ``rounds`` Lloyd iterations from the C33 seeds (first ``k``
+    vec_ids) and return the trained centroid table (cell_id, cv
+    array<bigint>), each round's centroids materialized to parquet (flat
+    lineage, replayable state). Shared by q_llm_kmeans_train, the
+    trained-IVF recall gate in tests/test_llm.py, and the C125/C127
+    semantic-dedup state; memoized per (applicationId, sf_dir, rounds, k).
+
+    ``k`` defaults to the oracle-pinned {_KMEANS_K}; the semantic family
+    reads it from ``spark.kinesislike.semantic.cells`` (see
+    :func:`_semantic_k`) so a 100 TB deployment can keep CELL SIZE, not
+    cell count, constant — the scaling-decade gate runs exactly that
+    configuration."""
+    memo_key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        rounds,
+        k,
+    )
     hit = _TRAINED_CENTROIDS.get(memo_key)
     if hit is not None:
         return hit
     e = parallel_table(spark, sf_dir, "embeddings", key="vec_id").select(
         "vec_id", F.expr(_Q_VEC_SQL_SPARK).alias("qv")
     )
-    cents = e.where(F.col("vec_id") < _KMEANS_K).select(
+    cents = e.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cell_id"), F.col("qv").alias("cv")
     )
     stage = scratch_dir(spark, "spark_kmeans_rounds")
@@ -862,7 +873,7 @@ _SEMDEDUP_NPROBE = 3
 # per (applicationId, sf_dir), localCheckpointed. Value = (primary, probes):
 # primary = (vec_id, cell_id, dist, nrm2) at rn=1; probes = (vec_id,
 # cell_id) at rn <= _SEMDEDUP_NPROBE.
-_SEMANTIC_STATE: dict[tuple[str, str], tuple] = {}
+_SEMANTIC_STATE: dict[tuple[str, str, int], tuple] = {}
 
 # Shared DuckDB CTE chain for the SemDeDup family (C125/C129/C130): train
 # (the C77 unrolled chain), rank cells per vector, multi-probe, candidate
@@ -926,16 +937,30 @@ _SEM_CTES = f"""
 )
 
 
+def _semantic_k(spark) -> int:
+    """Cell count for the semantic-dedup blocking structure. Defaults to
+    the oracle-pinned {_KMEANS_K}; ``spark.kinesislike.semantic.cells``
+    overrides it so a deployment can size k ~ N/cell_target (bounded cell
+    SIZE — the SemDeDup paper's k ~ sqrt(N) is the other common choice).
+    The driver's bare sessions never set the conf, so every oracle
+    comparison runs the pinned default; the constant-density decade gate
+    in tests/test_scaling.py runs the scaled configuration."""
+    return int(
+        spark.conf.get("spark.kinesislike.semantic.cells", str(_KMEANS_K))
+    )
+
+
 def _semantic_state(spark, sf_dir):
     """Build-or-ride the memoized trained-cell assignment state — C77's
     3-round Lloyd centroids reused as SemDeDup's blocking structure (the
     r6/r7 shared-state pattern: first consumer pays, the rest ride)."""
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    k = _semantic_k(spark)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), k)
     hit = _SEMANTIC_STATE.get(key)
     if hit is not None:
         return hit
     stage = scratch_dir(spark, "semantic_state")
-    cents = train_centroids(spark, sf_dir)
+    cents = train_centroids(spark, sf_dir, k=k)
     e = parallel_table(spark, sf_dir, "embeddings", key="vec_id").select(
         "vec_id", F.expr(_Q_VEC_SQL_SPARK).alias("qv")
     )

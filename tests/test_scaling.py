@@ -103,14 +103,21 @@ _GEN_SMALL = (os.path.join(_GEN_ROOT, "d5k"), 5_000)
 _GEN_BIG = (os.path.join(_GEN_ROOT, "d50k"), 50_000)
 _MAX_SLOPE_CONST_DENSITY = 1.5
 
-# documents-only pair families (the generator writes no other table);
-# jaccard FIRST: split_leakage/quality_dup_matrix ride its memoized scored
-# frame, so the builder cost lands on the builder's own row.
+# documents- and embeddings-side pair families (the generator writes both
+# tables since round 11); jaccard FIRST: split_leakage/quality_dup_matrix
+# ride its memoized scored frame, so the builder cost lands on the
+# builder's own row.
 _CONST_DENSITY_QUERIES = [
     "q_llm_dedup_jaccard",
     "q_llm_dedup_minhash",
     "q_llm_split_leakage",
     "q_llm_quality_dup_matrix",
+    # round 11 (VERDICT r10 #3): the remaining pair-generating builders
+    # with the same quadratic risk profile — asymmetric containment
+    # prefix join, shingle-diagonal span join, and cell-blocked SemDeDup.
+    "q_llm_dedup_containment",
+    "q_llm_substring_dup",
+    "q_llm_dedup_semantic",
 ]
 
 
@@ -128,7 +135,28 @@ def gen_dirs():
 # the memo turns every later run into a checkpoint re-read (best-of-2 would
 # time the memo, not the join). JVM/codegen warm-up comes from the driver
 # fixture (different memo key — warms code paths, not the family state).
-_CONST_DENSITY_BUILDERS = {"q_llm_dedup_jaccard", "q_llm_dedup_minhash"}
+_CONST_DENSITY_BUILDERS = {
+    "q_llm_dedup_jaccard",
+    "q_llm_dedup_minhash",
+    "q_llm_dedup_containment",
+    "q_llm_substring_dup",
+    "q_llm_dedup_semantic",
+}
+
+
+def _decade_conf(spark, name: str, n_docs: int):
+    """Per-scale configuration for the decade run. The semantic family's
+    cell count must GROW with the corpus (k ~ N/cell_target keeps cell
+    SIZE bounded — the C125 docstring's 100 TB sizing; fixed k=16 makes
+    the cell-blocked candidate join Θ(N²/16) by construction, i.e. the
+    decade would measure the configuration, not the plan). The fixture
+    writes 2·n_docs/5 embeddings, matching the sf0.1→sf1 table ratio."""
+    if name == "q_llm_dedup_semantic":
+        n_vecs = 2 * n_docs // 5
+        spark.conf.set(
+            "spark.kinesislike.semantic.cells",
+            str(max(16, n_vecs // 125)),
+        )
 
 
 @pytest.mark.slow
@@ -136,13 +164,25 @@ _CONST_DENSITY_BUILDERS = {"q_llm_dedup_jaccard", "q_llm_dedup_minhash"}
 def test_constant_density_decade(spark, name, gen_dirs):
     small, big = gen_dirs
     _run(spark, name, "/root/testdata/sf0.001")  # codegen warm-up only
-    if name in _CONST_DENSITY_BUILDERS:
-        t_small = _run(spark, name, small)
-        t_big = _run(spark, name, big)
-    else:
-        _run(spark, name, small)  # riders: let the family build land first
-        t_small = min(_run(spark, name, small) for _ in range(2))
-        t_big = min(_run(spark, name, big) for _ in range(2))
+    try:
+        times = []
+        for sf_dir, n_docs in (
+            (small, _GEN_SMALL[1]),
+            (big, _GEN_BIG[1]),
+        ):
+            _decade_conf(spark, name, n_docs)
+            if name in _CONST_DENSITY_BUILDERS:
+                times.append(_run(spark, name, sf_dir))
+            else:
+                # riders: let the family build land first
+                _run(spark, name, sf_dir)
+                times.append(
+                    min(_run(spark, name, sf_dir) for _ in range(2))
+                )
+        t_small, t_big = times
+    finally:
+        if name == "q_llm_dedup_semantic":
+            spark.conf.unset("spark.kinesislike.semantic.cells")
     slope = math.log(t_big / t_small) / math.log(10.0)
     assert slope < _MAX_SLOPE_CONST_DENSITY, (
         f"{name}: constant-density slope {slope:.2f} over 5k->50k docs "
