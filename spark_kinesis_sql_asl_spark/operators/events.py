@@ -2268,3 +2268,152 @@ def q_events_decay_engagement(spark, sf_dir):
         F.max("score_micro").cast("bigint").alias("max_score_micro"),
         F.sum("n_events").cast("bigint").alias("n_events"),
     )
+
+
+# --- B191: group-wise sequential pattern mining (length-3 subsequences) --------
+
+_SEQ_TOP_K = 20
+
+
+@query(
+    "q_events_seq_patterns",
+    priority=30,  # round-11 addition: first driver row in round 12
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_type AS et, ts, event_id
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+              AND user_id IS NOT NULL
+    ),
+    fa AS (
+        SELECT user_id, et AS a, ts AS a_ts, event_id AS a_eid
+        FROM ev
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id, et ORDER BY ts, event_id) = 1
+    ),
+    fb AS (
+        SELECT e.user_id, f.a, e.et AS b, e.ts AS b_ts,
+               e.event_id AS b_eid
+        FROM ev e JOIN fa f ON e.user_id = f.user_id
+        WHERE (e.ts, e.event_id) > (f.a_ts, f.a_eid)
+        QUALIFY row_number() OVER (
+            PARTITION BY e.user_id, f.a, e.et ORDER BY e.ts, e.event_id) = 1
+    ),
+    fc AS (
+        SELECT DISTINCT e.user_id, f.a, f.b, e.et AS c
+        FROM ev e JOIN fb f ON e.user_id = f.user_id
+        WHERE (e.ts, e.event_id) > (f.b_ts, f.b_eid)
+    ),
+    sup AS (
+        SELECT a, b, c, CAST(count(*) AS BIGINT) AS support
+        FROM fc GROUP BY a, b, c
+    ),
+    u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM ev)
+    SELECT a, b, c, support,
+           CAST((1000000 * support) // u.nu AS BIGINT) AS support_ppm,
+           CAST(row_number() OVER (
+               ORDER BY support DESC, a, b, c) AS INT) AS rnk
+    FROM sup CROSS JOIN u
+    QUALIFY rnk <= {_SEQ_TOP_K}
+    """,
+)
+def q_events_seq_patterns(spark, sf_dir):
+    """B191: group-wise sequential pattern mining — the support count of
+    every length-3 event-type SUBSEQUENCE a→b→c over per-user event
+    histories (a user supports the pattern iff some a precedes some b
+    precedes some c in their (ts, event_id) order — gaps allowed), the
+    GSP/PrefixSpan statistic (Srikant & Agrawal, EDBT 1996; Pei et al.,
+    ICDE 2001) one rung above this package's contiguous forms: B106
+    counts ADJACENT transitions, B168 counts exact path PREFIXES — both
+    miss the user whose a→b→c has noise events interleaved, which is
+    the common case in clickstreams. Containment is decided by the exact
+    greedy earliest-occurrence rule (a subsequence embeds iff chaining
+    "first occurrence after the previous match" succeeds — the standard
+    matching lemma), expressed as two chained first-occurrence windows:
+    first a per user, first b strictly after it, any c strictly after
+    that; "strictly after" is the lexicographic (ts, event_id) order
+    B93's sessionizer pins on both engines. Top-{_SEQ_TOP_K} patterns
+    released with exact integer support and floor-div ppm of the user
+    base (all-positive, D7-safe), (support desc, a, b, c) tiebreak.
+
+    Plan/scale: the joins fan out by the event-type ALPHABET, never by
+    volume — |types|·|events| rows into the first-b window,
+    |types|²·|events| into the existence aggregate (5 types here;
+    map-side partial aggregation collapses the existence frame before
+    the shuffle, and at an unbounded alphabet you cap to the top-K
+    symbols first — C37's heavy-hitters job). Both windows partition by
+    (user, symbol...) — per-user state is one lookahead row; the final
+    rank window runs over the ≤|types|³-row support matrix
+    (allowlisted)."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(
+            F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select("user_id", F.col("event_type").alias("et"), "ts", "event_id")
+    )
+    wa = Window.partitionBy("user_id", "et").orderBy("ts", "event_id")
+    fa = (
+        ev.withColumn("_rn", F.row_number().over(wa))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("et").alias("a"),
+            F.col("ts").alias("a_ts"),
+            F.col("event_id").alias("a_eid"),
+        )
+    )
+    after_a = (F.col("e.ts") > F.col("f.a_ts")) | (
+        (F.col("e.ts") == F.col("f.a_ts"))
+        & (F.col("e.event_id") > F.col("f.a_eid"))
+    )
+    wb = Window.partitionBy("user_id", "a", "b").orderBy("b_ts", "b_eid")
+    fb = (
+        ev.alias("e")
+        .join(fa.alias("f"), "user_id")
+        .where(after_a)
+        .select(
+            "user_id",
+            "a",
+            F.col("e.et").alias("b"),
+            F.col("e.ts").alias("b_ts"),
+            F.col("e.event_id").alias("b_eid"),
+        )
+        .withColumn("_rn", F.row_number().over(wb))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    after_b = (F.col("e.ts") > F.col("f.b_ts")) | (
+        (F.col("e.ts") == F.col("f.b_ts"))
+        & (F.col("e.event_id") > F.col("f.b_eid"))
+    )
+    fc = (
+        ev.alias("e")
+        .join(fb.alias("f"), "user_id")
+        .where(after_b)
+        .select("user_id", "a", "b", F.col("e.et").alias("c"))
+        .distinct()
+    )
+    sup = fc.groupBy("a", "b", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("support")
+    )
+    u = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("nu")
+    )
+    wr = Window.orderBy(F.col("support").desc(), "a", "b", "c")
+    return (
+        sup.crossJoin(F.broadcast(u))
+        .select(
+            "a",
+            "b",
+            "c",
+            "support",
+            F.expr("CAST((1000000 * support) div nu AS BIGINT)").alias(
+                "support_ppm"
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .where(F.col("rnk") <= _SEQ_TOP_K)
+    )

@@ -2644,3 +2644,163 @@ def q_ts_fano_dispersion(spark, sf_dir):
             " 6)"
         ).alias("fano"),
     )
+
+
+# --- B190: weekly seasonal decomposition + naive seasonal forecast -------------
+
+_SEAS_HALF = 3  # centered 7-day trend frame: 3 preceding + current + 3 following
+
+
+@query(
+    "q_ts_seasonal_forecast",
+    priority=30,  # round-11 addition: first driver row in round 12
+    oracle="""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders WHERE o_orderdate IS NOT NULL
+        GROUP BY 1
+    ),
+    fr AS (
+        SELECT d, cents,
+               CAST(sum(cents) OVER w AS BIGINT) AS sum7,
+               CAST(count(*) OVER w AS BIGINT) AS n7
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+        SELECT d % 7 AS dow, 7 * cents - sum7 AS detr7
+        FROM fr WHERE n7 = 7
+    ),
+    per_dow AS (
+        SELECT dow, CAST(count(*) AS BIGINT) AS nd,
+               CAST(sum(detr7) AS BIGINT) AS sd
+        FROM det GROUP BY dow
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS ng,
+               CAST(sum(detr7) AS BIGINT) AS sg
+        FROM det
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS td,
+               CAST(sum(cents) AS BIGINT) AS tc
+        FROM daily
+    ),
+    shares AS (
+        SELECT d % 7 AS dow, CAST(sum(cents) AS BIGINT) AS dow_cents
+        FROM daily GROUP BY 1
+    )
+    SELECT p.dow, p.nd AS n_days,
+           CAST((1000000 * s.dow_cents) // t.tc AS BIGINT) AS revenue_ppm,
+           round(CAST(p.sd AS DOUBLE) / (7.0 * CAST(p.nd AS DOUBLE)), 2)
+               AS mean_detr_cents,
+           round(CAST(p.sd AS DOUBLE) / (7.0 * CAST(p.nd AS DOUBLE))
+                 - CAST(g.sg AS DOUBLE) / (7.0 * CAST(g.ng AS DOUBLE)), 2)
+               AS seasonal_cents,
+           round(CAST(t.tc AS DOUBLE) / CAST(t.td AS DOUBLE)
+                 + CAST(p.sd AS DOUBLE) / (7.0 * CAST(p.nd AS DOUBLE))
+                 - CAST(g.sg AS DOUBLE) / (7.0 * CAST(g.ng AS DOUBLE)), 2)
+               AS forecast_cents
+    FROM per_dow p JOIN shares s USING (dow)
+    CROSS JOIN g CROSS JOIN tot t
+    """,
+)
+def q_ts_seasonal_forecast(spark, sf_dir):
+    """B190: classical weekly seasonal decomposition (the moving-average
+    method behind statsmodels' seasonal_decompose / X-11's first pass)
+    plus a naive seasonal forecast — the seasonality companion the
+    forecast family lacked: B159 fits a LINEAR trend (seasonality is its
+    residual noise), B146 detects that a weekly cycle EXISTS, B169 flags
+    days that break it; this measures the cycle itself, per day-of-week
+    class, in cents. Trend is the centered 7-observed-day moving average
+    (full frames only — the first/last 3 days release no detrended row,
+    the classical convention); the seasonal index of each dow class is
+    the mean detrended value recentered against the overall detrended
+    mean; the released forecast is mean daily revenue + recentered
+    index — what next Monday looks like if the week repeats. Day-of-week
+    class is the PORTABLE ``d % 7`` of the epoch-day index (engine-
+    identical for the fixture's post-1970 calendar; no weekday-name
+    primitive crosses engines).
+
+    Cross-engine float shape: the walk stays exact — detrended values
+    are the B179/B180 scaling trick ``7·y − Σ7`` (no division inside the
+    window), per-class sums are BIGINT, and the only float arithmetic is
+    the identical-text mean/recenter/forecast expressions over five
+    exact integers, round(2) at release — cent-scale magnitudes reach
+    1e9·1e2, so a 6-decimal release would demand 16 significant digits
+    and sit past the double significand (measured: sub-ulp drift at
+    sf0.1); 2 decimals keeps the release 11-13 digits, inside the
+    budget at any SF. The revenue share is an exact
+    integer ppm floor-div (all-positive, D7-safe). Plan/scale: ONE daily
+    hash aggregate; the trend window and both rollups run over the
+    |days| frame (calendar-bounded — the B146/B169/B172 argument,
+    allowlisted); the release is 7 rows joined against two 1-row
+    broadcasts."""
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
+        .groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"), epoch)
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w7 = Window.orderBy("d").rowsBetween(-_SEAS_HALF, _SEAS_HALF)
+    fr = daily.select(
+        "d",
+        "cents",
+        F.sum("cents").over(w7).cast("bigint").alias("sum7"),
+        F.count(F.lit(1)).over(w7).cast("bigint").alias("n7"),
+    )
+    det = fr.where(F.col("n7") == 7).select(
+        (F.col("d") % 7).alias("dow"),
+        (F.lit(7) * F.col("cents") - F.col("sum7")).alias("detr7"),
+    )
+    per_dow = det.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("detr7").cast("bigint").alias("sd"),
+    )
+    g = det.agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("detr7").cast("bigint").alias("sg"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("td"),
+        F.sum("cents").cast("bigint").alias("tc"),
+    )
+    shares = daily.groupBy((F.col("d") % 7).alias("dow")).agg(
+        F.sum("cents").cast("bigint").alias("dow_cents")
+    )
+    return (
+        per_dow.join(shares, "dow")
+        .crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            F.col("nd").alias("n_days"),
+            F.expr(
+                "CAST((1000000 * dow_cents) div tc AS BIGINT)"
+            ).alias("revenue_ppm"),
+            F.expr(
+                "round(CAST(sd AS DOUBLE) / (7.0 * CAST(nd AS DOUBLE)), 2)"
+            ).alias("mean_detr_cents"),
+            F.expr(
+                "round(CAST(sd AS DOUBLE) / (7.0 * CAST(nd AS DOUBLE))"
+                " - CAST(sg AS DOUBLE) / (7.0 * CAST(ng AS DOUBLE)), 2)"
+            ).alias("seasonal_cents"),
+            F.expr(
+                "round(CAST(tc AS DOUBLE) / CAST(td AS DOUBLE)"
+                " + CAST(sd AS DOUBLE) / (7.0 * CAST(nd AS DOUBLE))"
+                " - CAST(sg AS DOUBLE) / (7.0 * CAST(ng AS DOUBLE)), 2)"
+            ).alias("forecast_cents"),
+        )
+    )

@@ -515,6 +515,15 @@ _PARTITIONLESS_WINDOW_BY_CONSTRUCTION = {
     # sequence — calendar-bounded (the B173 argument), and a lag fold
     # cannot be limit-bounded by construction.
     "q_ts_runs_test",
+    # B190 (round 11): the centered 7-day trend frame runs over the
+    # per-DAY revenue series — calendar-bounded (the B173 argument), and
+    # a centered ROWS frame cannot be limit-bounded by construction.
+    "q_ts_seasonal_forecast",
+    # B191 (round 11): the final support rank runs over the
+    # (a, b, c)-pattern matrix — at most |event_types|^3 rows at ANY
+    # corpus size (125 here; the C139 bounded-domain argument). The
+    # per-user first-occurrence windows all partition by (user, symbols).
+    "q_events_seq_patterns",
 }
 
 

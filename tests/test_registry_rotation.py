@@ -43,7 +43,12 @@ DRIVER_WINDOW = 50
 
 # Queries first registered in round 11 (decorator priority=30): they have no
 # CORRECTNESS row yet by construction. Keep in sync as operators land.
-ROUND11_NEW_THIS_ROUND: frozenset[str] = frozenset()
+ROUND11_NEW_THIS_ROUND: frozenset[str] = frozenset(
+    {
+        "q_ts_seasonal_forecast",  # B190
+        "q_events_seq_patterns",  # B191
+    }
+)
 
 NEVER_SAMPLED_COUNT = 26  # the round-10 priority-30 additions
 CANARY_TRANCHE_COUNT = 3
