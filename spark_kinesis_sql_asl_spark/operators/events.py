@@ -2417,3 +2417,334 @@ def q_events_seq_patterns(spark, sf_dir):
         .withColumn("rnk", F.row_number().over(wr).cast("int"))
         .where(F.col("rnk") <= _SEQ_TOP_K)
     )
+
+
+# --- B192: marketing attribution (last/first/linear touch) ---------------------
+
+_ATTR_WINDOW_US = 72 * 3600 * 1_000_000  # 72 h lookback
+_ATTR_TOUCHES = ("click", "view")
+
+
+@query(
+    "q_events_attribution",
+    priority=30,  # round-11 addition: first driver row in round 12
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_type AS et, ts, event_id
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+              AND user_id IS NOT NULL
+    ),
+    p AS (
+        SELECT user_id, ts AS p_ts, event_id AS p_eid
+        FROM ev WHERE et = 'purchase'
+    ),
+    t AS (
+        SELECT user_id, et AS t_et, ts AS t_ts, event_id AS t_eid
+        FROM ev WHERE et IN ('click', 'view')
+    ),
+    pairs AS (
+        SELECT p.p_eid, t.t_et, t.t_ts, t.t_eid
+        FROM p JOIN t ON p.user_id = t.user_id
+        WHERE (t.t_ts, t.t_eid) < (p.p_ts, p.p_eid)
+          AND date_diff('microsecond', t.t_ts, p.p_ts)
+              <= {_ATTR_WINDOW_US}
+    ),
+    per_p AS (
+        SELECT p_eid, CAST(count(*) AS BIGINT) AS k FROM pairs GROUP BY p_eid
+    ),
+    credit AS (
+        SELECT pr.t_et AS touch_type,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(1000000 // pp.k) AS BIGINT) AS linear_credit_micro
+        FROM pairs pr JOIN per_p pp USING (p_eid)
+        GROUP BY pr.t_et
+    ),
+    lastc AS (
+        SELECT t_et AS touch_type, CAST(count(*) AS BIGINT) AS n_last_touch
+        FROM (
+            SELECT p_eid, t_et,
+                   row_number() OVER (
+                       PARTITION BY p_eid
+                       ORDER BY t_ts DESC, t_eid DESC) AS rn
+            FROM pairs
+        ) WHERE rn = 1 GROUP BY t_et
+    ),
+    firstc AS (
+        SELECT t_et AS touch_type, CAST(count(*) AS BIGINT) AS n_first_touch
+        FROM (
+            SELECT p_eid, t_et,
+                   row_number() OVER (
+                       PARTITION BY p_eid
+                       ORDER BY t_ts ASC, t_eid ASC) AS rn
+            FROM pairs
+        ) WHERE rn = 1 GROUP BY t_et
+    ),
+    unattr AS (
+        SELECT CAST(count(*) AS BIGINT) AS n
+        FROM p WHERE p_eid NOT IN (SELECT p_eid FROM per_p)
+    ),
+    typed AS (
+        SELECT coalesce(c.touch_type, l.touch_type, f.touch_type)
+                   AS touch_type,
+               coalesce(c.n_pairs, 0) AS n_pairs,
+               coalesce(c.linear_credit_micro, 0) AS linear_credit_micro,
+               coalesce(l.n_last_touch, 0) AS n_last_touch,
+               coalesce(f.n_first_touch, 0) AS n_first_touch
+        FROM credit c
+        FULL JOIN lastc l USING (touch_type)
+        FULL JOIN firstc f USING (touch_type)
+    )
+    SELECT * FROM typed
+    UNION ALL
+    SELECT 'unattributed', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           u.n, u.n
+    FROM unattr u
+    """,
+)
+def q_events_attribution(spark, sf_dir):
+    """B192: marketing attribution — every purchase credited to the
+    click/view touches of the same user in the preceding 72 h, under the
+    three standard models at once: LAST touch (the default in most
+    analytics suites), FIRST touch, and LINEAR multi-touch (credit split
+    equally across the k touches as an exact integer micro-share,
+    1e6 div k per touch — floor-div, so a conversion's shares sum to
+    ≤ 1e6 with the remainder dropped deterministically). Purchases with
+    no touch in the window land in the explicit ``unattributed`` row
+    (counted under both boundary models) — the row that tells you the
+    lookback is too short. Touch order is the lexicographic
+    (ts, event_id) B93 ordering, strictly before the conversion.
+
+    Plan/scale: one per-user equi-join between the purchase and touch
+    slices with the range predicate in the join condition — volume is
+    Σ per-user |purchases|·|touches in window|, bounded by per-user
+    activity, never corpus-quadratic (a hyperactive-user cap is B117's
+    operator; at 100 TB you apply it first). The last/first picks are
+    per-purchase rank windows over the pair frame (one lookahead row of
+    state per purchase); every rollup keys on the |touch types| domain.
+    All counts and credits are exact BIGINTs — no float anywhere."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(
+            F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select("user_id", F.col("event_type").alias("et"), "ts", "event_id")
+    )
+    p = ev.where(F.col("et") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_eid")
+    )
+    t = ev.where(F.col("et").isin(*_ATTR_TOUCHES)).select(
+        "user_id",
+        F.col("et").alias("t_et"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_eid"),
+    )
+    before = (F.col("t_ts") < F.col("p_ts")) | (
+        (F.col("t_ts") == F.col("p_ts"))
+        & (F.col("t_eid") < F.col("p_eid"))
+    )
+    in_window = (
+        F.unix_micros("p_ts") - F.unix_micros("t_ts") <= _ATTR_WINDOW_US
+    )
+    pairs = p.join(t, "user_id").where(before & in_window).select(
+        "p_eid", "t_et", "t_ts", "t_eid"
+    )
+    per_p = pairs.groupBy("p_eid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    credit = (
+        pairs.join(per_p, "p_eid")
+        .groupBy(F.col("t_et").alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.expr("1000000 div k")).cast("bigint").alias(
+                "linear_credit_micro"
+            ),
+        )
+    )
+    w_last = Window.partitionBy("p_eid").orderBy(
+        F.col("t_ts").desc(), F.col("t_eid").desc()
+    )
+    lastc = (
+        pairs.withColumn("rn", F.row_number().over(w_last))
+        .where(F.col("rn") == 1)
+        .groupBy(F.col("t_et").alias("touch_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_last_touch"))
+    )
+    w_first = Window.partitionBy("p_eid").orderBy(
+        F.col("t_ts").asc(), F.col("t_eid").asc()
+    )
+    firstc = (
+        pairs.withColumn("rn", F.row_number().over(w_first))
+        .where(F.col("rn") == 1)
+        .groupBy(F.col("t_et").alias("touch_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_first_touch"))
+    )
+    typed = (
+        credit.join(lastc, "touch_type", "full")
+        .join(firstc, "touch_type", "full")
+        .select(
+            "touch_type",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("linear_credit_micro", F.lit(0))
+            .cast("bigint")
+            .alias("linear_credit_micro"),
+            F.coalesce("n_last_touch", F.lit(0))
+            .cast("bigint")
+            .alias("n_last_touch"),
+            F.coalesce("n_first_touch", F.lit(0))
+            .cast("bigint")
+            .alias("n_first_touch"),
+        )
+    )
+    unattr = (
+        p.join(per_p, p["p_eid"] == per_p["p_eid"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.lit("unattributed").alias("touch_type"),
+            F.lit(0).cast("bigint").alias("n_pairs"),
+            F.lit(0).cast("bigint").alias("linear_credit_micro"),
+            F.col("n").alias("n_last_touch"),
+            F.col("n").alias("n_first_touch"),
+        )
+    )
+    return typed.unionByName(unattr)
+
+
+# --- B193: daily growth accounting (new / retained / resurrected / churned) ----
+
+
+@query(
+    "q_events_lifecycle",
+    priority=30,  # round-11 addition: first driver row in round 12
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    g AS (SELECT CAST(max(d) AS BIGINT) AS max_d FROM ud),
+    seq AS (
+        SELECT user_id, d,
+               lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d,
+               lead(d) OVER (PARTITION BY user_id ORDER BY d) AS next_d
+        FROM ud
+    ),
+    act AS (
+        SELECT d,
+               CAST(count(*) AS BIGINT) AS n_active,
+               CAST(count(*) FILTER (WHERE prev_d IS NULL) AS BIGINT)
+                   AS n_new,
+               CAST(count(*) FILTER (WHERE prev_d = d - 1) AS BIGINT)
+                   AS n_retained,
+               CAST(count(*) FILTER (WHERE prev_d IS NOT NULL
+                                       AND prev_d < d - 1) AS BIGINT)
+                   AS n_resurrected
+        FROM seq GROUP BY d
+    ),
+    churn AS (
+        SELECT d + 1 AS d, CAST(count(*) AS BIGINT) AS n_churned
+        FROM seq CROSS JOIN g
+        WHERE (next_d IS NULL AND d < g.max_d)
+           OR (next_d IS NOT NULL AND next_d > d + 1)
+        GROUP BY d + 1
+    )
+    SELECT coalesce(a.d, c.d) AS epoch_day,
+           coalesce(a.n_active, 0) AS n_active,
+           coalesce(a.n_new, 0) AS n_new,
+           coalesce(a.n_retained, 0) AS n_retained,
+           coalesce(a.n_resurrected, 0) AS n_resurrected,
+           coalesce(c.n_churned, 0) AS n_churned,
+           round(CAST(coalesce(a.n_new, 0) + coalesce(a.n_resurrected, 0)
+                      AS DOUBLE)
+                 / CAST(nullif(coalesce(c.n_churned, 0), 0) AS DOUBLE), 2)
+               AS quick_ratio
+    FROM act a FULL JOIN churn c USING (d)
+    """,
+)
+def q_events_lifecycle(spark, sf_dir):
+    """B193: daily growth accounting — every active user classified per
+    day as NEW (first day ever), RETAINED (active the previous day) or
+    RESURRECTED (returning after a gap), plus the CHURNED count (active
+    on day d, silent on d+1 — emitted on the day the silence starts,
+    including for a user's last active day before the series end) and
+    the quick ratio (new + resurrected) / churned. This is the growth
+    ledger (the Social Capital accounting) one level above B108's
+    DAU/WAU counts and beside B94's fixed-cohort retention: B94 follows
+    one signup cohort forward, this decomposes EVERY day's movement, and
+    the identity n_active(d) = n_active(d−1) + new + resurrected −
+    churned(d) makes it self-auditing. Day key is the portable epoch-day
+    BIGINT (D13).
+
+    Plan/scale: one distinct (user, day) rollup collapses corpus-scale
+    input to |users|·|active days|; the lag/lead window partitions BY
+    USER over that frame (per-user state is one row of lookahead —
+    B106's argument); both rollups key on the |days| domain and the
+    release is a calendar-bounded |days|-row full join. The only float
+    is the round(2) quick ratio with a D11 nullif guard (NULL on
+    zero-churn days)."""
+    ud = (
+        table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+        .distinct()
+    )
+    g = ud.agg(F.max("d").cast("bigint").alias("max_d"))
+    w = Window.partitionBy("user_id").orderBy("d")
+    seq = ud.select(
+        "user_id",
+        "d",
+        F.lag("d").over(w).alias("prev_d"),
+        F.lead("d").over(w).alias("next_d"),
+    )
+    act = seq.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.count_if(F.col("prev_d").isNull()).cast("bigint").alias("n_new"),
+        F.count_if(F.col("prev_d") == F.col("d") - 1)
+        .cast("bigint")
+        .alias("n_retained"),
+        F.count_if(
+            F.col("prev_d").isNotNull() & (F.col("prev_d") < F.col("d") - 1)
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    churn = (
+        seq.crossJoin(F.broadcast(g))
+        .where(
+            (F.col("next_d").isNull() & (F.col("d") < F.col("max_d")))
+            | (F.col("next_d").isNotNull() & (F.col("next_d") > F.col("d") + 1))
+        )
+        .groupBy((F.col("d") + 1).alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned"))
+    )
+    return (
+        act.join(churn, "d", "full")
+        .select(
+            F.col("d").alias("epoch_day"),
+            F.coalesce("n_active", F.lit(0)).cast("bigint").alias("n_active"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+            F.coalesce("n_retained", F.lit(0))
+            .cast("bigint")
+            .alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0))
+            .cast("bigint")
+            .alias("n_resurrected"),
+            F.coalesce("n_churned", F.lit(0)).cast("bigint").alias("n_churned"),
+            F.expr(
+                "round(CAST(coalesce(n_new, 0) + coalesce(n_resurrected, 0)"
+                " AS DOUBLE)"
+                " / CAST(nullif(coalesce(n_churned, 0), 0) AS DOUBLE), 2)"
+            ).alias("quick_ratio"),
+        )
+    )

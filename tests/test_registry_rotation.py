@@ -47,6 +47,8 @@ ROUND11_NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
         "q_ts_seasonal_forecast",  # B190
         "q_events_seq_patterns",  # B191
+        "q_events_attribution",  # B192
+        "q_events_lifecycle",  # B193
     }
 )
 
