@@ -653,3 +653,111 @@ def q_win_rolling_corr(spark, sf_dir):
         F.col("n").cast("int").alias("n_in_frame"),
         F.expr(_ROLL_CORR_EXPR).alias("roll_corr"),
     )
+
+
+# --- B194: Bollinger-band breakout days ----------------------------------------
+
+_BOLL_FRAME = 20  # the classic 20-observation band frame
+_BOLL_K = 2.0  # band width in sample standard deviations
+
+_BOLL_Z_EXPR = (
+    "round((CAST(n AS DOUBLE) * CAST(x AS DOUBLE)"
+    " - CAST(sx AS DOUBLE))"
+    " / CAST(n AS DOUBLE)"
+    " / nullif(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    "               / (CAST(n AS DOUBLE)"
+    "                  * (CAST(n AS DOUBLE) - 1.0))), 0.0), 6)"
+)
+
+
+@query(
+    "q_win_bollinger",
+    priority=30,  # round-11 addition: first driver row in round 12
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   // 1000 AS x
+        FROM orders WHERE o_orderdate IS NOT NULL
+        GROUP BY 1
+    ),
+    sums AS (
+        SELECT d, x,
+               CAST(count(*) OVER w AS BIGINT) AS n,
+               CAST(sum(x) OVER w AS BIGINT) AS sx,
+               CAST(sum(x * x) OVER w AS BIGINT) AS sxx
+        FROM daily
+        WINDOW w AS (ORDER BY d
+                     ROWS BETWEEN {_BOLL_FRAME - 1} PRECEDING
+                               AND CURRENT ROW)
+    ),
+    z AS (
+        SELECT d, x, {_BOLL_Z_EXPR} AS z
+        FROM sums WHERE n = {_BOLL_FRAME}
+    )
+    SELECT d AS epoch_day, x AS kcents, z,
+           CASE WHEN z >= {_BOLL_K} THEN 'high' ELSE 'low' END AS side
+    FROM z
+    WHERE z >= {_BOLL_K} OR z <= -{_BOLL_K}
+    """,
+)
+def q_win_bollinger(spark, sf_dir):
+    """B194: Bollinger-band breakouts of the daily revenue series — the
+    days whose revenue sits more than {_BOLL_K} sample standard
+    deviations from its own trailing {_BOLL_FRAME}-day mean, with the
+    standardized z-score and the band side. The band is the adaptive
+    version of B104's global MAD cut: the envelope FOLLOWS the local
+    level, so a level shift (B131's alarm) stops flagging once absorbed,
+    while a one-day spike always does — the complementary anomaly lens
+    to B169's weekday-profile outliers. Only full frames release (the
+    first {_BOLL_FRAME - 1} days are warm-up, the B173 convention).
+
+    Cross-engine float shape: the three frame sums are BIGINT window
+    sums in kilocent units (the B186 quantization — Σx² stays inside
+    BIGINT for any calendar); z is ONE identical-text float expression
+    over three exact ints with an IEEE sqrt and a D11 nullif guard,
+    round(6) at release (z is O(1) magnitude — well inside the double
+    significand); the breakout filter compares the ALREADY-ROUNDED z on
+    both engines, so a boundary value can never flag on one engine
+    only. Plan/scale: ONE daily hash aggregate; the trailing window
+    runs over the |days| frame (calendar-bounded — the B173 argument,
+    allowlisted)."""
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
+        .groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"), epoch)
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))"
+                " AS BIGINT) div 1000"
+            ).alias("x")
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(-(_BOLL_FRAME - 1), 0)
+    sums = daily.select(
+        "d",
+        "x",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+    )
+    z = sums.where(F.col("n") == _BOLL_FRAME).select(
+        "d", "x", F.expr(_BOLL_Z_EXPR).alias("z")
+    )
+    return z.where(
+        (F.col("z") >= _BOLL_K) | (F.col("z") <= -_BOLL_K)
+    ).select(
+        F.col("d").alias("epoch_day"),
+        F.col("x").alias("kcents"),
+        "z",
+        F.when(F.col("z") >= _BOLL_K, F.lit("high"))
+        .otherwise(F.lit("low"))
+        .alias("side"),
+    )

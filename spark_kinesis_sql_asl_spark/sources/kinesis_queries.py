@@ -417,3 +417,135 @@ def q_kinesis_throughput_audit(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+# --- A15: consumer lag audit (iterator age / MillisBehindLatest analog) -------
+
+_LAG_N_SHARDS = 16  # the A13 modeled ring
+_LAG_CKPT_NUM = 9  # checkpoint at the (9/10 * n)-th record per shard
+_LAG_CKPT_DEN = 10
+
+
+@query(
+    "q_kinesis_lag_audit",
+    priority=30,  # round-11 addition: first driver row in round 12
+    oracle=f"""
+    WITH routed AS (
+        SELECT (instr('0123456789abcdef',
+                      substr(md5(CAST(user_id AS VARCHAR)), 32, 1)) - 1)
+                   % {_LAG_N_SHARDS} AS shard,
+               ts, event_id
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    ranked AS (
+        SELECT shard, ts, event_id,
+               row_number() OVER (
+                   PARTITION BY shard ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY shard) AS n
+        FROM routed
+    ),
+    ckpt AS (
+        SELECT shard, CAST(n AS BIGINT) AS n_records, ts AS ckpt_ts,
+               CAST(n - rn AS BIGINT) AS records_behind
+        FROM ranked
+        WHERE rn = greatest(1, ({_LAG_CKPT_NUM} * n) // {_LAG_CKPT_DEN})
+    ),
+    tips AS (
+        SELECT shard, max(ts) AS tip_ts FROM routed GROUP BY shard
+    ),
+    g AS (SELECT max(ts) AS latest_ts FROM routed)
+    SELECT c.shard, c.n_records,
+           CAST(epoch_us(c.ckpt_ts) AS BIGINT) AS ckpt_us,
+           c.records_behind,
+           CAST((epoch_us(t.tip_ts) - epoch_us(c.ckpt_ts)) // 1000
+               AS BIGINT) AS millis_behind_tip,
+           CAST((epoch_us(g.latest_ts) - epoch_us(c.ckpt_ts)) // 1000
+               AS BIGINT) AS millis_behind_latest
+    FROM ckpt c JOIN tips t USING (shard) CROSS JOIN g
+    """,
+)
+def q_kinesis_lag_audit(spark, sf_dir):
+    """A15: consumer LAG audit — the offline analog of the two CloudWatch
+    signals every Kinesis operator alarms on: per-shard iterator age
+    (``GetRecords.IteratorAgeMilliseconds``) and ``MillisBehindLatest``.
+    The stream is the A5/A13 modeled {_LAG_N_SHARDS}-shard md5 ring; the
+    consumer's CHECKPOINT per shard is modeled deterministically as the
+    ({_LAG_CKPT_NUM}/{_LAG_CKPT_DEN}·n)-th record in (ts, event_id)
+    arrival order — a consumer that has acked 90% of the shard. Released
+    per shard: record count, checkpoint micros, records behind the
+    checkpoint, ms behind the shard TIP (iterator age) and ms behind the
+    GLOBAL latest record (MillisBehindLatest — differs from tip lag on
+    cold shards whose tip itself is old). All BIGINT; order ties broken
+    by the (ts, event_id) lexicographic rule every sequence operator in
+    this package pins.
+
+    Plan/scale: routing is a scan expression; the rank and count windows
+    partition BY SHARD (state = one row per shard-task); records-behind
+    falls out of the rank identity n − rn at the checkpoint row — no
+    second pass, no self-join on records. At 100 TB the whole audit is
+    one pass over the consumed window plus {_LAG_N_SHARDS}-row joins —
+    the same shape the real connector's metrics emitter would use."""
+    digit = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(F.encode(F.col("user_id").cast("string"), "UTF-8")),
+                32,
+                1,
+            ),
+        )
+        - 1
+    )
+    routed = (
+        table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            (digit % _LAG_N_SHARDS).cast("bigint").alias("shard"),
+            "ts",
+            "event_id",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("ts", "event_id")
+    wn = Window.partitionBy("shard")
+    ranked = routed.select(
+        "shard",
+        "ts",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    ckpt = ranked.where(
+        F.col("rn")
+        == F.greatest(
+            F.lit(1),
+            F.expr(f"CAST(({_LAG_CKPT_NUM} * n) div {_LAG_CKPT_DEN} AS INT)"),
+        )
+    ).select(
+        "shard",
+        F.col("n").cast("bigint").alias("n_records"),
+        F.col("ts").alias("ckpt_ts"),
+        (F.col("n") - F.col("rn")).cast("bigint").alias("records_behind"),
+    )
+    tips = routed.groupBy("shard").agg(F.max("ts").alias("tip_ts"))
+    g = routed.agg(F.max("ts").alias("latest_ts"))
+    return (
+        ckpt.join(F.broadcast(tips), "shard")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "shard",
+            "n_records",
+            F.unix_micros("ckpt_ts").alias("ckpt_us"),
+            "records_behind",
+            F.expr(
+                "CAST((unix_micros(tip_ts) - unix_micros(ckpt_ts))"
+                " div 1000 AS BIGINT)"
+            ).alias("millis_behind_tip"),
+            F.expr(
+                "CAST((unix_micros(latest_ts) - unix_micros(ckpt_ts))"
+                " div 1000 AS BIGINT)"
+            ).alias("millis_behind_latest"),
+        )
+    )

@@ -627,3 +627,90 @@ def streaming_rolling_corr(order_stream):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- B190 twin: weekly seasonal decomposition ----------------------------------
+
+_SF_OUT_SCHEMA = (
+    "grp string, dow bigint, nd bigint, sd bigint, ng bigint, sg bigint, "
+    "td bigint, tc bigint, dow_cents bigint, seq bigint"
+)
+_SF_STATE_SCHEMA = "days array<bigint>, cents array<bigint>, seq bigint"
+
+
+def streaming_seasonal_forecast(order_stream):
+    """B190-stream: the weekly seasonal decomposition as keyed state. A
+    late order changes its day's revenue and therefore every trend frame
+    containing that day AND the grand mean, so — like B131s/B180s/B186s —
+    the honest streaming form keeps the per-day integer series itself
+    (calendar-bounded state) and re-derives the full decomposition per
+    micro-batch: centered 7-observed-day frames, detrended ``7·y − Σ7``
+    values, per-dow/global sums — all in exact BIGINT. Emissions carry
+    the EXACT integer components (per-dow n/Σ, global n/Σ, day count,
+    total cents, per-dow cents); the float mean/recenter/forecast
+    divisions stay OUT of the stream (the B113s/B186s discipline — the
+    parity test applies the identical arithmetic to both sides).
+
+    Input columns: day_us (epoch µs of the truncated day), cents.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            days, cents, seq = state.get
+            acc = dict(zip((int(d) for d in days), (int(c) for c in cents)))
+        else:
+            acc = {}
+            seq = 0
+        for pdf in pdfs:
+            for day_us, c in zip(pdf["day_us"], pdf["cents"]):
+                d = int(day_us) // 86_400_000_000
+                acc[d] = acc.get(d, 0) + int(c)
+        seq += 1
+        days_sorted = sorted(acc)
+        state.update((days_sorted, [acc[d] for d in days_sorted], seq))
+        xs = [acc[d] for d in days_sorted]
+        n = len(days_sorted)
+        per = {}  # dow -> [nd, sd]
+        ng = sg = 0
+        for i, d in enumerate(days_sorted):
+            lo, hi = i - 3, i + 3
+            if lo < 0 or hi >= n:
+                continue
+            detr7 = 7 * xs[i] - sum(xs[lo : hi + 1])
+            cur = per.setdefault(d % 7, [0, 0])
+            cur[0] += 1
+            cur[1] += detr7
+            ng += 1
+            sg += detr7
+        shares = {}
+        for d in days_sorted:
+            shares[d % 7] = shares.get(d % 7, 0) + acc[d]
+        td, tc = n, sum(xs)
+        dows = sorted(per)
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]] * len(dows),
+                "dow": pd.Series(dows, dtype="int64"),
+                "nd": pd.Series([per[w][0] for w in dows], dtype="int64"),
+                "sd": pd.Series([per[w][1] for w in dows], dtype="int64"),
+                "ng": pd.Series([ng] * len(dows), dtype="int64"),
+                "sg": pd.Series([sg] * len(dows), dtype="int64"),
+                "td": pd.Series([td] * len(dows), dtype="int64"),
+                "tc": pd.Series([tc] * len(dows), dtype="int64"),
+                "dow_cents": pd.Series(
+                    [shares.get(w, 0) for w in dows], dtype="int64"
+                ),
+                "seq": pd.Series([seq] * len(dows), dtype="int64"),
+            }
+        )
+
+    return order_stream.withColumn(
+        "grp", F.lit("all")
+    ).groupBy("grp").applyInPandasWithState(
+        fold,
+        outputStructType=_SF_OUT_SCHEMA,
+        stateStructType=_SF_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

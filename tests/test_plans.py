@@ -524,6 +524,10 @@ _PARTITIONLESS_WINDOW_BY_CONSTRUCTION = {
     # corpus size (125 here; the C139 bounded-domain argument). The
     # per-user first-occurrence windows all partition by (user, symbols).
     "q_events_seq_patterns",
+    # B194 (round 11): the trailing band frame runs over the per-DAY
+    # revenue series — calendar-bounded (the B173 argument), and a
+    # trailing ROWS frame cannot be limit-bounded by construction.
+    "q_win_bollinger",
 }
 
 

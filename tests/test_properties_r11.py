@@ -1,0 +1,199 @@
+"""Round-11 property checks: the algebraic identities the new operators
+(and their DuckDB oracles) rely on, verified against brute-force pure-Python
+references on hypothesis-generated inputs. No SparkSession — these pin the
+ALGEBRA both engines implement, independent of either (the round-10
+convention, tests/test_properties_r10.py).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = settings(max_examples=200, deadline=None)
+
+
+# --- B190: seasonal recentering identity --------------------------------------
+
+
+@given(
+    series=st.lists(st.integers(-10**6, 10**6), min_size=7, max_size=60)
+)
+@_SETTINGS
+def test_seasonal_recentered_index_sums_to_zero(series):
+    """Σ_dow nd·(mean_detr_dow − grand_mean) == 0 exactly: recentering
+    against the overall detrended mean makes the weighted seasonal
+    indexes a zero-sum decomposition — the property that lets B190's
+    forecast column use the grand daily mean as its level term."""
+    days = list(range(len(series)))  # contiguous; dow class = d % 7
+    detr = {}
+    allv = []
+    for i in range(3, len(series) - 3):
+        d7 = 7 * series[i] - sum(series[i - 3 : i + 4])
+        detr.setdefault(days[i] % 7, []).append(d7)
+        allv.append(d7)
+    if not allv:
+        return
+    grand = Fraction(sum(allv), 7 * len(allv))
+    total = sum(
+        len(v) * (Fraction(sum(v), 7 * len(v)) - grand)
+        for v in detr.values()
+    )
+    assert total == 0
+    assert sum(len(v) for v in detr.values()) == len(allv)
+
+
+# --- B191: greedy earliest-occurrence == subsequence containment --------------
+
+
+@given(
+    seq=st.lists(st.integers(0, 3), min_size=0, max_size=25),
+    pat=st.tuples(st.integers(0, 3), st.integers(0, 3), st.integers(0, 3)),
+)
+@_SETTINGS
+def test_greedy_matching_equals_subsequence_containment(seq, pat):
+    """The matching lemma B191 is built on: chaining 'first occurrence
+    strictly after the previous match' decides length-3 subsequence
+    containment exactly (greedy earliest match is never worse than any
+    other embedding)."""
+    a, b, c = pat
+    # brute force: any i < j < k
+    brute = any(
+        seq[i] == a and seq[j] == b and seq[k] == c
+        for i in range(len(seq))
+        for j in range(i + 1, len(seq))
+        for k in range(j + 1, len(seq))
+    )
+    # greedy: first a, first b after it, any c after that
+    greedy = False
+    try:
+        i = seq.index(a)
+        j = next(j for j in range(i + 1, len(seq)) if seq[j] == b)
+        greedy = any(seq[k] == c for k in range(j + 1, len(seq)))
+    except (ValueError, StopIteration):
+        greedy = False
+    assert greedy == brute
+
+
+# --- B192: linear-credit conservation ------------------------------------------
+
+
+@given(k=st.integers(1, 500))
+@_SETTINGS
+def test_linear_credit_floor_share_bounds(k):
+    """k touches each get 1e6 div k micro-credit: the shares of one
+    conversion sum to exactly 1e6 − (1e6 mod k) — never more than 1e6,
+    never more than k−1 short (the deterministic dropped remainder the
+    B192 docstring declares)."""
+    share = 1_000_000 // k
+    total = share * k
+    assert total <= 1_000_000
+    assert 1_000_000 - total == 1_000_000 % k < k
+
+
+# --- B193: growth-accounting flow identity -------------------------------------
+
+
+@given(
+    activity=st.sets(
+        st.tuples(st.integers(0, 8), st.integers(0, 14)), max_size=60
+    )
+)
+@_SETTINGS
+def test_lifecycle_flow_identity(activity):
+    """n_active(d) == n_active(d−1) + new(d) + resurrected(d) − churned(d)
+    for every day after the first — the self-auditing identity B193's
+    docstring claims, checked against the operator's own classification
+    rules (new = first day; retained = active d−1; resurrected = gap;
+    churned at d = active d−1 but not d)."""
+    if not activity:
+        return
+    by_user: dict[int, list[int]] = {}
+    for u, d in activity:
+        by_user.setdefault(u, []).append(d)
+    days = sorted({d for _, d in activity})
+    max_d = days[-1]
+    stats: dict[int, dict[str, int]] = {}
+
+    def stat(d):
+        return stats.setdefault(
+            d, {"active": 0, "new": 0, "ret": 0, "res": 0, "churn": 0}
+        )
+
+    for u, ds in by_user.items():
+        ds = sorted(set(ds))
+        for i, d in enumerate(ds):
+            s = stat(d)
+            s["active"] += 1
+            if i == 0:
+                s["new"] += 1
+            elif ds[i - 1] == d - 1:
+                s["ret"] += 1
+            else:
+                s["res"] += 1
+            nxt = ds[i + 1] if i + 1 < len(ds) else None
+            if (nxt is None and d < max_d) or (nxt is not None and nxt > d + 1):
+                stat(d + 1)["churn"] += 1
+    for d in sorted(stats):
+        s = stats[d]
+        prev = stats.get(d - 1, {"active": 0})
+        if d == min(stats):
+            continue
+        assert (
+            s["active"] == prev["active"] + s["new"] + s["res"] - s["churn"]
+        ), (d, s, prev)
+        assert s["active"] == s["new"] + s["ret"] + s["res"]
+
+
+# --- B194: Bollinger z location invariance --------------------------------------
+
+
+@given(
+    xs=st.lists(st.integers(-10**6, 10**6), min_size=20, max_size=20),
+    shift=st.integers(-10**6, 10**6),
+)
+@_SETTINGS
+def test_bollinger_z_is_location_invariant(xs, shift):
+    """The exact rational z (before the float cast) is invariant under a
+    constant shift of the series and flips sign under negation — the
+    properties that make the band an ADAPTIVE envelope (B194's docstring
+    argument vs a global cut)."""
+    def z_parts(v):
+        n = len(v)
+        sx = sum(v)
+        sxx = sum(a * a for a in v)
+        num = Fraction(n * v[-1] - sx, n)
+        var = Fraction(n * sxx - sx * sx, n * (n - 1))
+        return num, var
+
+    n0, v0 = z_parts(xs)
+    n1, v1 = z_parts([a + shift for a in xs])
+    assert n0 == n1 and v0 == v1
+    n2, v2 = z_parts([-a for a in xs])
+    assert n2 == -n0 and v2 == v0
+
+
+# --- A15: checkpoint rank identity ----------------------------------------------
+
+
+@given(
+    recs=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 10**3)),
+        min_size=1,
+        max_size=80,
+    )
+)
+@_SETTINGS
+def test_lag_audit_rank_identity(recs):
+    """records_behind == n − rn at the checkpoint row equals the count of
+    records strictly after the checkpoint in (ts, event_id) order — with
+    duplicate timestamps broken by the unique id, so the identity is
+    exact (no second pass needed)."""
+    rows = sorted((ts, i) for i, (_, ts) in enumerate(recs))
+    n = len(rows)
+    rn = max(1, (9 * n) // 10)
+    ckpt = rows[rn - 1]
+    behind = sum(1 for r in rows if r > ckpt)
+    assert behind == n - rn

@@ -49,6 +49,8 @@ ROUND11_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_events_seq_patterns",  # B191
         "q_events_attribution",  # B192
         "q_events_lifecycle",  # B193
+        "q_kinesis_lag_audit",  # A15
+        "q_win_bollinger",  # B194
     }
 )
 

@@ -2433,3 +2433,55 @@ def test_streaming_rolling_corr_equals_batch(spark, tmp_path):
             assert abs(r_stream - b["roll_corr"]) <= 1e-6, (
                 d, r_stream, b["roll_corr"],
             )
+
+
+# --- B190s: streaming seasonal-decomposition parity -----------------------------
+
+
+def test_streaming_seasonal_forecast_equals_batch(spark, tmp_path):
+    """B190's streaming twin: final per-dow exact integer components must
+    reproduce the batch decomposition — integer columns exactly, the
+    three float releases to 1e-6 via the identical arithmetic."""
+    from spark_kinesis_sql_asl_spark.operators.timeseries import (
+        q_ts_seasonal_forecast,
+    )
+    from spark_kinesis_sql_asl_spark.streaming.timeseries import (
+        streaming_seasonal_forecast,
+    )
+
+    staging = str(tmp_path / "staging")
+    _stage_global_order_days(spark, staging, n_files=4)
+    sch = "day_us bigint, cents bigint"
+    src = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    _drain(
+        streaming_seasonal_forecast(src)
+        .writeStream.format("memory")
+        .queryName("stream_seasonal")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    got = _dedup_last_by_seq(
+        spark,
+        "stream_seasonal",
+        ["grp", "dow"],
+        ["nd", "sd", "ng", "sg", "td", "tc", "dow_cents"],
+    )
+    expect = {
+        r["dow"]: r for r in q_ts_seasonal_forecast(spark, SF_SMOKE).collect()
+    }
+    assert {d for _, d in got} == set(expect)
+    for (_, dow), (nd, sd, ng, sg, td, tc, dow_cents) in got.items():
+        b = expect[dow]
+        assert nd == b["n_days"], dow
+        assert (1_000_000 * dow_cents) // tc == b["revenue_ppm"], dow
+        mean_detr = sd / (7.0 * nd)
+        seasonal = mean_detr - sg / (7.0 * ng)
+        forecast = tc / td + seasonal
+        assert abs(mean_detr - b["mean_detr_cents"]) <= 1e-2 + 1e-6, dow
+        assert abs(seasonal - b["seasonal_cents"]) <= 1e-2 + 1e-6, dow
+        assert abs(forecast - b["forecast_cents"]) <= 1e-2 + 1e-6, dow
