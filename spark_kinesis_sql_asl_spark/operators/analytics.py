@@ -1595,3 +1595,164 @@ def q_graph_copurchase(spark, sf_dir):
         "jaccard_ppm",
         F.row_number().over(w).cast("int").alias("rnk"),
     )
+
+
+# --- B195: ABC-XYZ inventory classification ------------------------------------
+
+_ABC_A_PCT = 70
+_ABC_B_PCT = 90
+
+
+@query(
+    "q_part_abc_xyz",
+    priority=30,  # round-11 addition: first driver row in round 12
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_partkey AS pk,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM rev),
+    abc AS (
+        SELECT pk, cents,
+               CAST(sum(cents) OVER (
+                   ORDER BY cents DESC, pk
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM rev
+    ),
+    abc_cls AS (
+        SELECT pk, cents,
+               CASE WHEN 100 * (cum - cents) < {_ABC_A_PCT} * t.total
+                        THEN 'A'
+                    WHEN 100 * (cum - cents) < {_ABC_B_PCT} * t.total
+                        THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM abc CROSS JOIN t
+    ),
+    monthly AS (
+        SELECT l_partkey AS pk,
+               year(CAST(l_shipdate AS DATE)) * 12
+                   + month(CAST(l_shipdate AS DATE)) AS mon_idx,
+               CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem WHERE l_shipdate IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    xyz AS (
+        SELECT pk,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(q) AS BIGINT) AS s,
+               CAST(sum(q * q) AS BIGINT) AS qq
+        FROM monthly GROUP BY pk
+    ),
+    xyz_cls AS (
+        SELECT pk, s AS qty,
+               CASE WHEN n < 2 THEN 'Z'
+                    WHEN 4 * n * (n * qq - s * s) < (n - 1) * s * s
+                        THEN 'X'
+                    WHEN n * (n * qq - s * s) < (n - 1) * s * s THEN 'Y'
+                    ELSE 'Z' END AS xyz_class
+        FROM xyz
+    )
+    SELECT a.abc_class, x.xyz_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(a.cents) AS BIGINT) AS revenue_cents,
+           CAST((1000000 * sum(a.cents)) // max(t.total) AS BIGINT)
+               AS revenue_ppm,
+           CAST(sum(x.qty) AS BIGINT) AS total_qty
+    FROM abc_cls a JOIN xyz_cls x USING (pk) CROSS JOIN t
+    GROUP BY a.abc_class, x.xyz_class
+    """,
+)
+def q_part_abc_xyz(spark, sf_dir):
+    """B195: ABC-XYZ inventory classification — the supply-chain planning
+    matrix: ABC cuts parts by cumulative revenue contribution (A carries
+    the first {_ABC_A_PCT}%, B to {_ABC_B_PCT}%, C the tail — B107's
+    Pareto curve turned into the actionable class label), XYZ cuts them
+    by demand VOLATILITY (coefficient of variation of monthly shipped
+    quantity: X steady cv < 1/2, Y seasonal cv < 1, Z erratic — or under
+    2 observed months, where cv is undefined). The 3×3 release is the
+    table a planner sets service levels from (AX: automate; CZ: make to
+    order).
+
+    Exactness: BOTH class boundaries are integer cross-multiplications —
+    ABC via 100·(cum − cents) < pct·total (a part is in A if it STARTS
+    before the {_ABC_A_PCT}% line), XYZ via the cv² identity
+    cv < k ⟺ k²·n·(n·Σq² − S²) < (n−1)·S² — so no float ever decides a
+    class and the matrix hashes identically on any engine/partitioning.
+    Plan/scale: the cumulative revenue uses :func:`global_running_sums`
+    (range-repartition + per-range prefix + broadcast offsets — NO
+    single-partition window; the round-4 B107/B103 discipline); monthly
+    demand is one (part, month) hash rollup collapsed to |parts| rows;
+    the release is a ≤9-row rollup with the 1-row total broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").cast("bigint").alias("total"))
+    run = global_running_sums(
+        rev.withColumn("neg", (-F.col("cents")).cast("bigint")),
+        ["neg", "pk"],
+        {"cum": "cents"},
+    )
+    abc = run.crossJoin(F.broadcast(tot)).select(
+        "pk",
+        "cents",
+        F.when(
+            100 * (F.col("cum") - F.col("cents"))
+            < _ABC_A_PCT * F.col("total"),
+            F.lit("A"),
+        )
+        .when(
+            100 * (F.col("cum") - F.col("cents"))
+            < _ABC_B_PCT * F.col("total"),
+            F.lit("B"),
+        )
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+    monthly = (
+        li.where(F.col("l_shipdate").isNotNull())
+        .groupBy(
+            F.col("l_partkey").alias("pk"),
+            (
+                F.year("l_shipdate") * 12 + F.month("l_shipdate")
+            ).alias("mon_idx"),
+        )
+        .agg(
+            F.sum(F.floor("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("q")
+        )
+    )
+    xyz = monthly.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("qq"),
+    )
+    var_num = F.col("n") * F.col("qq") - F.col("s") * F.col("s")
+    mean_den = (F.col("n") - 1) * F.col("s") * F.col("s")
+    xyz_cls = xyz.select(
+        "pk",
+        F.col("s").alias("qty"),
+        F.when(F.col("n") < 2, F.lit("Z"))
+        .when(4 * F.col("n") * var_num < mean_den, F.lit("X"))
+        .when(F.col("n") * var_num < mean_den, F.lit("Y"))
+        .otherwise(F.lit("Z"))
+        .alias("xyz_class"),
+    )
+    return (
+        abc.join(xyz_cls, "pk")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+            F.expr(
+                "CAST((1000000 * sum(cents)) div max(total) AS BIGINT)"
+            ).alias("revenue_ppm"),
+            F.sum("qty").cast("bigint").alias("total_qty"),
+        )
+    )

@@ -197,3 +197,30 @@ def test_lag_audit_rank_identity(recs):
     ckpt = rows[rn - 1]
     behind = sum(1 for r in rows if r > ckpt)
     assert behind == n - rn
+
+
+# --- B195: exact cv-squared class boundary ---------------------------------------
+
+
+@given(
+    qs=st.lists(st.integers(0, 10**4), min_size=2, max_size=24),
+    k_num=st.sampled_from([1, 2]),
+)
+@_SETTINGS
+def test_abc_xyz_cv_cross_inequality(qs, k_num):
+    """cv < k ⟺ k²·n·(n·Σq² − S²) < (n−1)·S² — the integer form B195
+    classifies with, checked against exact rational cv² (k = 1/2 for X,
+    1 for Y; S = 0 degenerates to cv undefined, where the inequality is
+    correctly false — zero-demand parts are Z)."""
+    n = len(qs)
+    s = sum(qs)
+    qq = sum(q * q for q in qs)
+    k = Fraction(k_num, 2)
+    # cv < k  ⟺  4·n·(n·Σq² − S²) < k_num²·(n−1)·S²   (k = k_num/2)
+    lhs_int = 4 * n * (n * qq - s * s) < (k_num * k_num) * (n - 1) * s * s
+    if s == 0:
+        assert not lhs_int
+        return
+    var = Fraction(n * qq - s * s, n * (n - 1))
+    mean = Fraction(s, n)
+    assert lhs_int == (var < (k * mean) ** 2)
