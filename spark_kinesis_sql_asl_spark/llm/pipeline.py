@@ -1779,3 +1779,137 @@ def q_llm_dup_inflation(spark, sf_dir):
             "AS BIGINT)"
         ).alias("inflation_ppm"),
     )
+
+
+# --- C168: quality-aware canonical selection within duplicate clusters ---------
+
+
+@query(
+    "q_llm_cluster_keep_best",
+    priority=30,  # round-11 addition: first driver row in round 12
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({{pairs}}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    cc(doc_id, root) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, c.root FROM cc c JOIN edges e ON e.a = c.doc_id
+        WHERE c.root < e.b
+    ),
+    labeled AS (SELECT doc_id, min(root) AS cluster_id FROM cc GROUP BY doc_id),
+    q AS (
+        SELECT doc_id, n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN {_QUALITY_STOPWORDS!r})) AS n_stop,
+               len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct
+        FROM documents
+    ),
+    scored AS (
+        SELECT l.cluster_id, l.doc_id, q.n_chars,
+               CASE WHEN q.n_tokens BETWEEN 10 AND 200
+                     AND 10 * q.n_stop < 3 * q.n_tokens
+                     AND q.n_chars > 0
+                     AND 10 * q.n_punct < q.n_chars
+                    THEN 1 ELSE 0 END AS pass
+        FROM labeled l JOIN q USING (doc_id)
+    ),
+    kept AS (
+        SELECT cluster_id, doc_id AS kept_doc, n_chars AS kept_chars,
+               pass AS kept_passes
+        FROM scored
+        QUALIFY row_number() OVER (
+            PARTITION BY cluster_id
+            ORDER BY pass DESC, n_chars DESC, doc_id ASC) = 1
+    ),
+    stats AS (
+        SELECT cluster_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(pass) AS BIGINT) AS n_passing,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM scored GROUP BY cluster_id
+    )
+    SELECT s.cluster_id, s.n_members, s.n_passing,
+           k.kept_doc, CAST(k.kept_passes = 1 AS BOOLEAN) AS kept_passes,
+           CAST(s.total_chars - k.kept_chars AS BIGINT) AS dropped_chars,
+           k.kept_doc <> s.cluster_id AS differs_from_min_id
+    FROM stats s JOIN kept k USING (cluster_id)
+    """.format(pairs=_SIMHASH_PAIRS_SQL),
+)
+def q_llm_cluster_keep_best(spark, sf_dir):
+    """C168: quality-aware canonical selection — within each C21
+    duplicate cluster, keep the member a REAL pipeline keeps: the
+    highest-quality one, not the lowest doc_id. C21's min-id canonical is
+    the graph-theoretic convention; production dedup (C4/Gopher-style)
+    keeps the copy that PASSES the quality gate and, among those, the
+    longest (truncated re-crawls and boilerplate-stripped mirrors lose to
+    the full original). The released ledger carries, per cluster, the
+    kept doc, whether it passes, how many members pass, the characters
+    dropped, and — the audit this operator exists for —
+    ``differs_from_min_id``: how often quality-keep disagrees with the
+    naive min-id keep (every such row is a document the naive rule would
+    have thrown away wrongly).
+
+    Exactness: the keep decision is an integer lexicographic key —
+    C17's gate re-stated as cross-multiplied integer comparisons
+    (10·n_stop < 3·n_tokens, 10·n_punct < n_chars), then n_chars desc,
+    then doc_id — so no float ever picks a survivor. Plan/scale: rides
+    the memoized C21 label parquet (first consumer pays the CC loop);
+    quality features are scan expressions on documents; the keep is one
+    rank window PARTITIONED BY CLUSTER (bounded by cluster size) and the
+    release is |clusters| rows."""
+    labels = q_llm_dedup_cluster(spark, sf_dir).select("doc_id", "cluster_id")
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_QUALITY_STOPWORDS)))
+    n_punct = F.length(F.regexp_replace("text", "[a-z0-9 ]", ""))
+    q = d.select(
+        "doc_id",
+        "n_chars",
+        F.when(
+            n_tokens.between(10, 200)
+            & (10 * n_stop < 3 * n_tokens)
+            & (F.col("n_chars") > 0)
+            & (10 * n_punct < F.col("n_chars")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("pass"),
+    )
+    scored = labels.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("pass").desc(), F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    kept = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("n_chars").alias("kept_chars"),
+            (F.col("pass") == 1).alias("kept_passes"),
+        )
+    )
+    stats = scored.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("pass").cast("bigint").alias("n_passing"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    return stats.join(kept, "cluster_id").select(
+        "cluster_id",
+        "n_members",
+        "n_passing",
+        "kept_doc",
+        "kept_passes",
+        (F.col("total_chars") - F.col("kept_chars"))
+        .cast("bigint")
+        .alias("dropped_chars"),
+        (F.col("kept_doc") != F.col("cluster_id")).alias(
+            "differs_from_min_id"
+        ),
+    )

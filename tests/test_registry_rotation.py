@@ -52,6 +52,7 @@ ROUND11_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_kinesis_lag_audit",  # A15
         "q_win_bollinger",  # B194
         "q_part_abc_xyz",  # B195
+        "q_llm_cluster_keep_best",  # C168
     }
 )
 
