@@ -662,11 +662,21 @@ def q_llm_sim_ivf(spark, sf_dir):
     deterministic (fixed seeds, cosine + cell-id tiebreak), so the DuckDB
     twin replays the identical assignment/probe ranking — "data-dependent
     partitioning" turned out to be fully SQL-expressible once the seed
-    order was pinned."""
+    order was pinned.
+
+    Cell count is a deployment dial (round 11, the C125 pattern):
+    ``spark.kinesislike.ivf.cells`` overrides the oracle-pinned
+    {_IVF_CELLS} so a 100 TB corpus can size k ~ N/cell_target (bounded
+    list length — candidates ~nprobe·N·cell_target, linear in N) without
+    touching the oracle contract; the driver's bare sessions never set
+    the conf."""
+    cells = int(
+        spark.conf.get("spark.kinesislike.ivf.cells", str(_IVF_CELLS))
+    )
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("e")
     ).withColumn("nrm", F.sqrt(sq_norm(F.col("e"))))
-    seeds = emb.orderBy("vec_id").limit(_IVF_CELLS).select(
+    seeds = emb.orderBy("vec_id").limit(cells).select(
         F.col("vec_id").alias("cell"),
         F.col("e").alias("se"),
         F.col("nrm").alias("sn"),

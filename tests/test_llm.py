@@ -774,3 +774,23 @@ def test_semantic_clusters_account_for_every_vector_and_bound_survivors(
         for r in QUERIES["q_llm_semantic_survivors"](spark, SF_ORACLE).collect()
     )
     assert dom_keep >= cc_keep, (dom_keep, cc_keep)
+
+
+def test_ivf_cells_conf_dial(spark):
+    """C20's cell count is a deployment dial: with the conf set the index
+    uses that many seed cells (here 32) and still releases exactly top-k
+    rows per query; the default path (no conf) is the oracle-pinned 16."""
+    from spark_kinesis_sql_asl_spark.llm.pipeline import _TOPK, q_llm_sim_ivf
+    from spark_kinesis_sql_asl_spark.llm.similarity import _N_QUERIES
+
+    spark.conf.set("spark.kinesislike.ivf.cells", "32")
+    try:
+        rows = q_llm_sim_ivf(spark, SF_ORACLE).collect()
+    finally:
+        spark.conf.unset("spark.kinesislike.ivf.cells")
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rn)
+    assert len(per_q) == _N_QUERIES
+    for q, rns in per_q.items():
+        assert sorted(rns) == list(range(1, _TOPK + 1)), q
