@@ -731,7 +731,7 @@ _CC_MAX_ITERS = 20
 _CC_LABELS_CACHE: dict[str, str] = {}
 
 
-def min_label_components(spark, pairs, prefix="spark_cc_rounds"):
+def min_label_components(spark, pairs, prefix="spark_cc_rounds", shortcut=False):
     """Connected components over an undirected pair list (doc_a, doc_b)
     by iterative min-label propagation — C21's loop, extracted (round 8)
     so other pair families (C131's semantic clusters) reuse it. Returns
@@ -739,7 +739,18 @@ def min_label_components(spark, pairs, prefix="spark_cc_rounds"):
     component-min id), materialized to parquet each round (reliable
     store + flat lineage), convergence observed on the write job itself
     (no extra driver actions). Only docs that appear in an edge are
-    labeled; callers account for singletons from their own totals."""
+    labeled; callers account for singletons from their own totals.
+
+    ``shortcut=True`` adds pointer jumping (label(v) <- label(label(v)),
+    one extra self-join per round): plain propagation moves a component's
+    min ONE hop per round — O(diameter) rounds, which near-dup cliques
+    (diameter 2-3) never notice but long-chain graphs (B196's subcritical
+    DBSCAN eps-graph, where tree-like components have diameter ~ their
+    size) turn into the binding constraint. With the shortcut the label
+    frontier doubles each round — O(log diameter) — the hash-to-min trick
+    of Rastogi et al. 2013 ("Finding Connected Components in Map-Reduce").
+    Kept opt-in: clique-like callers converge in 2 rounds either way and
+    would only pay the extra join."""
     stage = scratch_dir(spark, prefix)
     edges_path = os.path.join(stage, "edges")
     pairs.unionByName(
@@ -781,6 +792,22 @@ def min_label_components(spark, pairs, prefix="spark_cc_rounds"):
                 F.min(F.when(F.col("own"), F.col("cluster_id"))).alias("incumbent"),
             )
         )
+        if shortcut:
+            # Pointer jumping: label(v) <- label(label(v)). The component
+            # min m always has label(m) = m (labels never drop below the
+            # component min, and label <= own id), so a missing row after
+            # the left join only happens for already-minimal labels.
+            hop = new_labels.select(
+                F.col("doc_id").alias("mid"), F.col("cluster_id").alias("cid2")
+            )
+            new_labels = (
+                new_labels.join(hop, new_labels.cluster_id == hop.mid, "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("cid2", "cluster_id").alias("cluster_id"),
+                    "incumbent",
+                )
+            )
         obs = Observation()
         out_path = os.path.join(stage, f"labels_{it + 1}")
         (

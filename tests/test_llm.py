@@ -794,3 +794,47 @@ def test_ivf_cells_conf_dial(spark):
     assert len(per_q) == _N_QUERIES
     for q, rns in per_q.items():
         assert sorted(rns) == list(range(1, _TOPK + 1)), q
+
+
+def test_min_label_components_shortcut_on_long_chain(spark):
+    """B196's enabling fix: pointer jumping must resolve a path graph whose
+    diameter exceeds the plain loop's 20-round cap (the exact failure the
+    sf0.1 DBSCAN eps-graph exposed: one chain-like component converged to
+    452 instead of its true min 373). 120-node chain -> every node must
+    label 0, and well inside the iteration budget since the frontier
+    doubles each round."""
+    from spark_kinesis_sql_asl_spark.llm.pipeline import min_label_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "doc_a long, doc_b long"
+    )
+    labels, _ = min_label_components(
+        spark, chain, prefix="spark_cc_shortcut_test", shortcut=True
+    )
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert got == {i: 0 for i in range(121)}
+
+
+def test_dbscan_role_invariants(spark):
+    """B196 DBSCAN structural invariants at sf0.01: cluster_id is NULL iff
+    noise; every labeled point's cluster_id is a CORE point's key and
+    <= its own key for cores (component-min labeling); cores meet the
+    minPts ball bound and noise points don't."""
+    from spark_kinesis_sql_asl_spark.operators.geo import _DBSCAN_MINPTS
+
+    rows = all_queries()["q_geo_dbscan"](spark, SF_ORACLE).collect()
+    by_key = {r.c_custkey: r for r in rows}
+    core_ids = {r.c_custkey for r in rows if r.role == "core"}
+    for r in rows:
+        assert (r.cluster_id is None) == (r.role == "noise")
+        if r.role == "core":
+            assert r.n_ball >= _DBSCAN_MINPTS
+            assert r.cluster_id <= r.c_custkey
+            assert r.cluster_id in core_ids
+        elif r.role == "border":
+            assert r.n_ball < _DBSCAN_MINPTS
+            assert r.cluster_id in core_ids
+        else:
+            assert r.n_ball < _DBSCAN_MINPTS
+    # cluster ids are exactly the set of component-min cores
+    assert {by_key[c].cluster_id for c in core_ids} <= core_ids

@@ -661,3 +661,12 @@ def test_interval_bucketed_join_is_equi_not_nested_loop(spark):
     df = QUERIES["q_join_interval_bucketed"](spark, SF_ORACLE)
     assert count_nodes(df, "CartesianProduct") == 0
     assert count_nodes(df, "BroadcastNestedLoopJoin") == 0
+
+
+def test_dbscan_no_cartesian_eps_rides_broadcast(spark):
+    # B196: the eps-ball self-join must be a cell-keyed equi-join — no
+    # CartesianProduct anywhere; the only nested-loop joins are the 1-row
+    # eps-scalar broadcasts (the C83 corpus-stats pattern).
+    df = QUERIES["q_geo_dbscan"](spark, SF_ORACLE)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "BroadcastNestedLoopJoin") <= 4
