@@ -2804,3 +2804,143 @@ def q_ts_seasonal_forecast(spark, sf_dir):
             ).alias("forecast_cents"),
         )
     )
+
+
+# --- B197: rolling-origin forecast backtest ------------------------------------
+
+
+@query(
+    "q_ts_forecast_backtest",
+    priority=30,  # round-11 addition: first driver row in round 12
+    oracle="""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders WHERE o_orderdate IS NOT NULL
+        GROUP BY 1
+    ),
+    preds AS (
+        SELECT d, cents,
+               lag(cents) OVER (ORDER BY d) AS p_naive,
+               lag(cents) OVER (PARTITION BY d % 7 ORDER BY d) AS p_snaive,
+               CAST(sum(cents) OVER
+                    (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS BIGINT) AS sp,
+               CAST(count(*) OVER
+                    (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS BIGINT) AS np
+        FROM daily
+    ),
+    unp AS (
+        SELECT 'naive' AS method, cents, p_naive AS pred
+        FROM preds WHERE p_naive IS NOT NULL
+        UNION ALL
+        SELECT 'seasonal_naive' AS method, cents, p_snaive AS pred
+        FROM preds WHERE p_snaive IS NOT NULL
+        UNION ALL
+        SELECT 'expanding_mean' AS method, cents, sp // np AS pred
+        FROM preds WHERE np > 0
+    )
+    SELECT method, CAST(count(*) AS BIGINT) AS n_fc,
+           round(CAST(sum(abs(cents - pred)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 2) AS mae_cents,
+           round(CAST(sum(cents - pred) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 2) AS bias_cents,
+           round(CAST(sum((1000000 * abs(cents - pred)) // cents) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 2) AS mape_ppm
+    FROM unp GROUP BY method
+    """,
+)
+def q_ts_forecast_backtest(spark, sf_dir):
+    """B197: rolling-origin one-step-ahead forecast backtest (Hyndman &
+    Athanasopoulos, *Forecasting: Principles and Practice* §5.10 "time
+    series cross-validation") over the daily revenue series — the
+    evaluation companion the forecast family lacked: B159 fits a trend
+    and B190 a seasonal index, but neither says which baseline a
+    forecast must BEAT. Three standard baselines are scored at every
+    origin day: *naive* (yesterday's revenue), *seasonal_naive* (the
+    previous observation in the same day-of-week class, the ``d % 7``
+    portable key from B190), and *expanding_mean* (the mean of all
+    preceding days). Released per method: forecast count, MAE, signed
+    bias (mean error — negative means the method over-forecasts), and
+    mean absolute percentage error in ppm.
+
+    Cross-engine float shape: every prediction is an exact BIGINT — the
+    two lag methods release prior observed cents verbatim, and the
+    expanding mean is DEFINED as the floor integer division
+    ``sum_prev div n_prev`` (documented convention; at cent scale the
+    floor loses <1 cent, far below the round(2) release grid) — so
+    every per-day error is exact BIGINT, the per-day percentage error
+    is the exact integer ppm floor-div (daily cents are strictly
+    positive), and the only float arithmetic is the identical-text
+    mean expressions over exact integer sums, round(2) at release.
+    Plan/scale: ONE daily hash aggregate collapses corpus-scale input
+    to |days| rows; the lag/cumulative windows run over that
+    calendar-bounded frame (the B173 argument, allowlisted — a
+    one-step-behind expanding frame cannot be limit-bounded by
+    construction); the seasonal lag partitions by dow; release is 3
+    rows from a bounded-key hash aggregate."""
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
+        .groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"), epoch)
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w_ord = Window.orderBy("d")
+    w_dow = Window.partitionBy((F.col("d") % 7).alias("dow")).orderBy("d")
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    preds = daily.select(
+        "d",
+        "cents",
+        F.lag("cents").over(w_ord).alias("p_naive"),
+        F.lag("cents").over(w_dow).alias("p_snaive"),
+        F.sum("cents").over(w_cum).cast("bigint").alias("sp"),
+        F.count(F.lit(1)).over(w_cum).cast("bigint").alias("np"),
+    )
+    unp = (
+        preds.where(F.col("p_naive").isNotNull()).select(
+            F.lit("naive").alias("method"),
+            "cents",
+            F.col("p_naive").alias("pred"),
+        )
+        .unionAll(
+            preds.where(F.col("p_snaive").isNotNull()).select(
+                F.lit("seasonal_naive").alias("method"),
+                "cents",
+                F.col("p_snaive").alias("pred"),
+            )
+        )
+        .unionAll(
+            preds.where(F.col("np") > 0).select(
+                F.lit("expanding_mean").alias("method"),
+                "cents",
+                F.expr("sp div np").alias("pred"),
+            )
+        )
+    )
+    return unp.groupBy("method").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fc"),
+        F.expr(
+            "round(CAST(sum(abs(cents - pred)) AS DOUBLE)"
+            " / CAST(count(*) AS DOUBLE), 2)"
+        ).alias("mae_cents"),
+        F.expr(
+            "round(CAST(sum(cents - pred) AS DOUBLE)"
+            " / CAST(count(*) AS DOUBLE), 2)"
+        ).alias("bias_cents"),
+        F.expr(
+            "round(CAST(sum((1000000 * abs(cents - pred)) div cents)"
+            " AS DOUBLE) / CAST(count(*) AS DOUBLE), 2)"
+        ).alias("mape_ppm"),
+    )

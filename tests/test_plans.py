@@ -528,6 +528,11 @@ _PARTITIONLESS_WINDOW_BY_CONSTRUCTION = {
     # revenue series — calendar-bounded (the B173 argument), and a
     # trailing ROWS frame cannot be limit-bounded by construction.
     "q_win_bollinger",
+    # B197 (round 11): the naive lag and the expanding-mean frame run
+    # over the per-DAY revenue series — calendar-bounded (the B173
+    # argument), and a one-step-behind expanding frame cannot be
+    # limit-bounded by construction; the seasonal lag partitions by dow.
+    "q_ts_forecast_backtest",
 }
 
 

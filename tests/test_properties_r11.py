@@ -224,3 +224,38 @@ def test_abc_xyz_cv_cross_inequality(qs, k_num):
     var = Fraction(n * qq - s * s, n * (n - 1))
     mean = Fraction(s, n)
     assert lhs_int == (var < (k * mean) ** 2)
+
+
+# --- B197: rolling-origin backtest error algebra -------------------------------
+
+
+@given(series=st.lists(st.integers(1, 10**9), min_size=2, max_size=40))
+@_SETTINGS
+def test_backtest_error_algebra(series):
+    """Pins B197's three constructions on a contiguous daily series:
+    naive errors are exactly the first differences, seasonal-naive
+    errors are exactly the within-dow-class first differences, and the
+    floor-div expanding-mean prediction sits within 1 cent BELOW the
+    exact rational mean (the documented convention: both engines use
+    the SAME floor value, so the bound is about the convention's
+    distance from the textbook method, not about engine agreement)."""
+    n = len(series)
+    naive = [series[i] - series[i - 1] for i in range(1, n)]
+    assert sum(abs(e) for e in naive) == sum(
+        abs(series[i] - series[i - 1]) for i in range(1, n)
+    )
+    snaive = [series[i] - series[i - 7] for i in range(7, n)]
+    by_dow = {}
+    sn2 = []
+    for i, y in enumerate(series):
+        cls = by_dow.setdefault(i % 7, [])
+        if cls:
+            sn2.append(y - cls[-1])
+        cls.append(y)
+    assert sorted(snaive) == sorted(sn2)
+    for i in range(1, n):
+        exact = Fraction(sum(series[:i]), i)
+        pred = sum(series[:i]) // i
+        assert 0 <= exact - pred < 1
+        # hence the floored-pred error exceeds the textbook error by <1 cent
+        assert 0 <= (series[i] - pred) - (series[i] - exact) < 1

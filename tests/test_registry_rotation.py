@@ -54,6 +54,7 @@ ROUND11_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_part_abc_xyz",  # B195
         "q_llm_cluster_keep_best",  # C168
         "q_geo_dbscan",  # B196
+        "q_ts_forecast_backtest",  # B197
     }
 )
 
