@@ -1756,3 +1756,113 @@ def q_part_abc_xyz(spark, sf_dir):
             F.sum("qty").cast("bigint").alias("total_qty"),
         )
     )
+
+
+@query(
+    "q_cohort_ltv",
+    priority=30,  # round-11 addition: first driver row in round 12
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(year(CAST(o_orderdate AS DATE)) * 12
+                    + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS ym,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderdate IS NOT NULL
+    ),
+    first_ym AS (
+        SELECT o_custkey, CAST(min(ym) AS BIGINT) AS cohort_ym
+        FROM o GROUP BY o_custkey
+    ),
+    sizes AS (
+        SELECT cohort_ym, CAST(count(*) AS BIGINT) AS cohort_size
+        FROM first_ym GROUP BY cohort_ym
+    ),
+    cells AS (
+        SELECT f.cohort_ym, o.ym - f.cohort_ym AS age_m,
+               CAST(sum(o.cents) AS BIGINT) AS period_cents
+        FROM o JOIN first_ym f USING (o_custkey)
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort_ym, age_m, period_cents,
+               CAST(sum(period_cents) OVER
+                    (PARTITION BY cohort_ym ORDER BY age_m
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_cents
+        FROM cells
+    )
+    SELECT c.cohort_ym, c.age_m, s.cohort_size, c.period_cents, c.cum_cents,
+           CAST(c.cum_cents // s.cohort_size AS BIGINT) AS ltv_cents
+    FROM cum c JOIN sizes s USING (cohort_ym)
+    """,
+)
+def q_cohort_ltv(spark, sf_dir):
+    """B199: cohort lifetime-value triangle — the revenue companion to
+    B94's cohort retention: customers are grouped by first-order month
+    (their acquisition cohort) and every later order's revenue lands in
+    the (cohort, age-in-months) cell; the release carries the period
+    revenue, the running cumulative revenue, and cumulative revenue PER
+    ACQUIRED CUSTOMER — the LTV curve a growth team reads against CAC,
+    and the payback-period input (first age where ltv_cents crosses
+    acquisition cost). Month arithmetic uses the explicit portable
+    ``year*12 + month`` index throughout (the D17 canary pins that month
+    DIFFERENCES must never use engine month-diff primitives).
+
+    Cross-engine float shape: NO float ever — cohort keys, ages,
+    sizes, period and cumulative revenue are exact BIGINTs (floor-cents
+    at the scan) and the per-customer LTV is released as the exact
+    integer floor division ``cum_cents div cohort_size`` (a round(2)
+    double release was built first and MEASURED to hit a real .575
+    half-way case at sf0.1 where the engines' half-rounding of an
+    inexact double diverges — the D5 canary's hazard class; the floor
+    release is the repo's revenue_ppm convention instead). Plan/scale: one |customers|-row
+    first-order rollup, one shuffle equi-join of orders with it on
+    custkey (both sides hash-partition on the same key; at 100 TB the
+    orders side dominates and the |customers| side is still far too big
+    to broadcast — the shuffle is the correct plan), then a
+    bounded-key (|months| x |ages|) hash aggregate; the cumulative
+    window partitions by cohort over ≤|months| rows; release ≤
+    |months|²/2 rows."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
+        .select(
+            "o_custkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("ym"),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    first_ym = o.groupBy("o_custkey").agg(
+        F.min("ym").cast("bigint").alias("cohort_ym")
+    )
+    sizes = first_ym.groupBy("cohort_ym").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    cells = (
+        o.join(first_ym, "o_custkey")
+        .groupBy("cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias("age_m"))
+        .agg(F.sum("cents").cast("bigint").alias("period_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_ym")
+        .orderBy("age_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.select(
+        "cohort_ym",
+        "age_m",
+        "period_cents",
+        F.sum("period_cents").over(w).cast("bigint").alias("cum_cents"),
+    )
+    return cum.join(F.broadcast(sizes), "cohort_ym").select(
+        "cohort_ym",
+        "age_m",
+        "cohort_size",
+        "period_cents",
+        "cum_cents",
+        F.expr("CAST(cum_cents div cohort_size AS BIGINT)").alias(
+            "ltv_cents"
+        ),
+    )

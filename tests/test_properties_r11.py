@@ -259,3 +259,45 @@ def test_backtest_error_algebra(series):
         assert 0 <= exact - pred < 1
         # hence the floored-pred error exceeds the textbook error by <1 cent
         assert 0 <= (series[i] - pred) - (series[i] - exact) < 1
+
+
+# --- B199: cohort LTV triangle conservation + floor release --------------------
+
+
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.integers(0, 8),      # customer
+            st.integers(0, 11),     # month index
+            st.integers(1, 10**7),  # cents
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@_SETTINGS
+def test_cohort_ltv_triangle_algebra(orders):
+    """Pins B199's construction: (a) the triangle cells conserve total
+    revenue, (b) each cohort's final cumulative equals the cohort's
+    total, (c) the floor LTV release satisfies
+    0 <= cum - size*ltv < size (the exact-integer convention that
+    replaced the measured .575-halfway round(2) release)."""
+    first = {}
+    for c, m, _ in orders:
+        first[c] = min(first.get(c, m), m)
+    sizes = {}
+    for c, m0 in first.items():
+        sizes[m0] = sizes.get(m0, 0) + 1
+    cells = {}
+    for c, m, cents in orders:
+        key = (first[c], m - first[c])
+        cells[key] = cells.get(key, 0) + cents
+    assert sum(cells.values()) == sum(c for _, _, c in orders)
+    for m0 in sizes:
+        ages = sorted(a for (g, a) in cells if g == m0)
+        cum = 0
+        for a in ages:
+            cum += cells[(m0, a)]
+            ltv = cum // sizes[m0]
+            assert 0 <= cum - sizes[m0] * ltv < sizes[m0]
+        assert cum == sum(v for (g, _), v in cells.items() if g == m0)

@@ -55,6 +55,7 @@ ROUND11_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_llm_cluster_keep_best",  # C168
         "q_geo_dbscan",  # B196
         "q_ts_forecast_backtest",  # B197
+        "q_cohort_ltv",  # B199
     }
 )
 
