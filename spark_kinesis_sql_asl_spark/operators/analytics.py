@@ -1866,3 +1866,119 @@ def q_cohort_ltv(spark, sf_dir):
             "ltv_cents"
         ),
     )
+
+
+@query(
+    "q_part_safety_stock",
+    priority=30,  # round-11 addition: first driver row in round 12
+    oracle="""
+    WITH wk AS (
+        SELECT l_partkey,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(l_shipdate AS DATE)) // 7 AS w,
+               CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem WHERE l_shipdate IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT CAST(max(w) - min(w) + 1 AS BIGINT) AS n_weeks FROM wk
+    ),
+    per_part AS (
+        SELECT l_partkey,
+               CAST(count(*) AS BIGINT) AS weeks_observed,
+               CAST(sum(q) AS BIGINT) AS s,
+               CAST(sum(q * q) AS BIGINT) AS qq
+        FROM wk GROUP BY l_partkey
+    )
+    SELECT l_partkey, weeks_observed, s AS total_qty,
+           CAST((1000 * s) // n_weeks AS BIGINT) AS mu_mq_wk,
+           round(sqrt(CAST(n_weeks * qq - s * s AS DOUBLE)
+                      / CAST(n_weeks * (n_weeks - 1) AS DOUBLE)), 3)
+               AS sigma_qty,
+           round(1.645 * sqrt(2.0)
+                 * sqrt(CAST(n_weeks * qq - s * s AS DOUBLE)
+                        / CAST(n_weeks * (n_weeks - 1) AS DOUBLE)), 2)
+               AS safety_stock,
+           round(2.0 * CAST(s AS DOUBLE) / CAST(n_weeks AS DOUBLE)
+                 + 1.645 * sqrt(2.0)
+                   * sqrt(CAST(n_weeks * qq - s * s AS DOUBLE)
+                          / CAST(n_weeks * (n_weeks - 1) AS DOUBLE)), 2)
+               AS reorder_point
+    FROM per_part CROSS JOIN span
+    ORDER BY s DESC, l_partkey
+    LIMIT 100
+    """,
+)
+def q_part_safety_stock(spark, sf_dir):
+    """B198: safety stock and reorder point per part under the classical
+    normal-demand model (Silver-Meal / king-of-inventory textbook form:
+    ``SS = z·sigma_w·sqrt(L)``, ``ROP = mu_w·L + SS`` with z = 1.645 —
+    the 95% cycle-service level — and a modeled lead time of L = 2
+    weeks): the planning companion to B195's ABC-XYZ classification —
+    XYZ says WHICH parts are volatile, this says HOW MUCH buffer each
+    needs. Weekly demand statistics are computed over the GLOBAL week
+    span (a 1-row broadcast), so weeks a part sold nothing count as
+    exact zero demand without materializing the |parts|x|weeks|
+    zero-filled grid: zero weeks contribute 0 to both the sum and the
+    sum of squares, so ``var = (span*Q - S^2) / (span*(span-1))`` over
+    the observed rows alone is the sample variance of the FULL
+    zero-filled series (the B99 gap-fill semantics at rollup cost).
+
+    Cross-engine float shape: per-(part, week) quantities, S, Q and the
+    variance numerator/denominator are exact BIGINTs; the weekly mean is
+    released as the exact integer milli-qty floor-div (the B199/revenue
+    _ppm convention); sigma/SS/ROP are ONE identical-text expression
+    each over exact integers — IEEE sqrt of an exact-rational quotient
+    (the B194 discipline), round(3)/round(2) at release. Plan/scale: one
+    (part, week) hash aggregate collapses corpus-scale lineitem, one
+    |parts|-row rollup, a 1-row span broadcast, and a TakeOrdered
+    top-100 head (demand-desc, partkey tie-break) — no windows at all."""
+    # Integer week bucket must be floor-div (`div 7`), never
+    # cast-of-true-div: pre-1970 dates would truncate toward zero.
+    wk = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate").isNotNull())
+        .select(
+            "l_partkey",
+            F.expr(
+                "CAST(datediff(CAST(l_shipdate AS DATE),"
+                " DATE '1970-01-01') AS BIGINT) div 7"
+            ).alias("w"),
+            F.floor("l_quantity").cast("bigint").alias("qty"),
+        )
+        .groupBy("l_partkey", "w")
+        .agg(F.sum("qty").cast("bigint").alias("q"))
+    )
+    span = wk.agg(
+        (F.max("w") - F.min("w") + 1).cast("bigint").alias("n_weeks")
+    )
+    per_part = wk.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("weeks_observed"),
+        F.sum("q").cast("bigint").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("qq"),
+    )
+    sig = (
+        "sqrt(CAST(n_weeks * qq - s * s AS DOUBLE)"
+        " / CAST(n_weeks * (n_weeks - 1) AS DOUBLE))"
+    )
+    return (
+        per_part.crossJoin(F.broadcast(span))
+        .select(
+            "l_partkey",
+            "weeks_observed",
+            F.col("s").alias("total_qty"),
+            F.expr("CAST((1000 * s) div n_weeks AS BIGINT)").alias("mu_mq_wk"),
+            F.expr(f"round({sig}, 3)").alias("sigma_qty"),
+            F.expr(f"round(1.645 * sqrt(2.0) * {sig}, 2)").alias(
+                "safety_stock"
+            ),
+            F.expr(
+                "round(2.0 * CAST(s AS DOUBLE) / CAST(n_weeks AS DOUBLE)"
+                f" + 1.645 * sqrt(2.0) * {sig}, 2)"
+            ).alias("reorder_point"),
+            F.col("s").alias("_s"),
+        )
+        .orderBy(F.col("_s").desc(), "l_partkey")
+        .limit(100)
+        .drop("_s")
+    )

@@ -301,3 +301,26 @@ def test_cohort_ltv_triangle_algebra(orders):
             ltv = cum // sizes[m0]
             assert 0 <= cum - sizes[m0] * ltv < sizes[m0]
         assert cum == sum(v for (g, _), v in cells.items() if g == m0)
+
+
+# --- B198: zero-filled variance from observed rows alone ------------------------
+
+
+@given(
+    obs=st.lists(st.integers(0, 10**6), min_size=1, max_size=30),
+    n_zero=st.integers(0, 30),
+)
+@_SETTINGS
+def test_safety_stock_zero_week_variance_identity(obs, n_zero):
+    """var over the FULL zero-filled series == (span·Q − S²)/(span·(span−1))
+    computed from observed rows alone — the identity that lets B198 skip
+    materializing the |parts|×|weeks| grid (zero weeks add 0 to both S
+    and Q but still count in span)."""
+    span = len(obs) + n_zero
+    if span < 2:
+        return
+    full = obs + [0] * n_zero
+    s, qq = sum(obs), sum(q * q for q in obs)
+    mean = Fraction(s, span)
+    brute = sum((Fraction(x) - mean) ** 2 for x in full) / (span - 1)
+    assert brute == Fraction(span * qq - s * s, span * (span - 1))

@@ -56,6 +56,7 @@ ROUND11_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_geo_dbscan",  # B196
         "q_ts_forecast_backtest",  # B197
         "q_cohort_ltv",  # B199
+        "q_part_safety_stock",  # B198
     }
 )
 
