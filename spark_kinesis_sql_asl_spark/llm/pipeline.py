@@ -741,16 +741,21 @@ def min_label_components(spark, pairs, prefix="spark_cc_rounds", shortcut=False)
     (no extra driver actions). Only docs that appear in an edge are
     labeled; callers account for singletons from their own totals.
 
-    ``shortcut=True`` adds pointer jumping (label(v) <- label(label(v)),
-    one extra self-join per round): plain propagation moves a component's
-    min ONE hop per round — O(diameter) rounds, which near-dup cliques
-    (diameter 2-3) never notice but long-chain graphs (B196's subcritical
-    DBSCAN eps-graph, where tree-like components have diameter ~ their
-    size) turn into the binding constraint. With the shortcut the label
-    frontier doubles each round — O(log diameter) — the hash-to-min trick
-    of Rastogi et al. 2013 ("Finding Connected Components in Map-Reduce").
-    Kept opt-in: clique-like callers converge in 2 rounds either way and
-    would only pay the extra join."""
+    ``shortcut=True`` turns the loop into hash-to-min proper (Rastogi et
+    al. 2013, "Finding Connected Components in Map-Reduce"): plain
+    propagation moves a component's min ONE hop per round — O(diameter)
+    rounds, which near-dup cliques (diameter 2-3) never notice but
+    long-chain graphs (B196's subcritical DBSCAN eps-graph, where
+    tree-like components have diameter ~ their size) turn into the
+    binding constraint. Three additions per round, each an id-frame op:
+    the REVERSE leg (a node whose label dropped sends the new min to its
+    old label, so basin roots learn a smaller min the round any member
+    does — without it the min was MEASURED to creep 1 hop/round through
+    each local-min basin, 18 rounds on the sf0.1 DBSCAN graph), then
+    pointer jumping applied twice (label(v) <- label(label(v)); roots
+    flip whole basins). Same graph with the full shortcut: 4 rounds,
+    O(log diameter) expected. Kept opt-in: clique-like callers converge
+    in 2 rounds either way and would only pay the extra shuffles."""
     stage = scratch_dir(spark, prefix)
     edges_path = os.path.join(stage, "edges")
     pairs.unionByName(
@@ -793,21 +798,59 @@ def min_label_components(spark, pairs, prefix="spark_cc_rounds", shortcut=False)
             )
         )
         if shortcut:
+            # Hash-to-min's REVERSE leg (Rastogi et al. 2013): every node
+            # whose label just dropped also sends the new min to its OLD
+            # label — the root of the basin it used to belong to. Forward
+            # propagation + pointer jumping alone was MEASURED (sf0.1
+            # DBSCAN, largest component 58 nodes / BFS depth 24) to take
+            # 18 rounds with a long 1-3-changes-per-round tail: once
+            # labels point at a LOCAL min m2, the jump is a no-op
+            # (label(m2) = m2), and the true min m1 creeps through m2's
+            # basin one hop per round until it reaches m2 itself. The
+            # reverse leg hands m1 to m2 the moment ANY basin member
+            # learns it; the jump then flips the whole basin next round.
+            # Same graph after the fix: 4 rounds, labels identical to
+            # BFS ground truth. Cost: one extra id-frame groupBy per
+            # round — bought back ~14 barrier rounds.
+            rev = new_labels.where(
+                F.col("cluster_id") < F.col("incumbent")
+            ).select(
+                F.col("incumbent").alias("doc_id"),
+                "cluster_id",
+                F.lit(None).cast("long").alias("inc2"),
+            )
+            new_labels = (
+                new_labels.select(
+                    "doc_id", "cluster_id", F.col("incumbent").alias("inc2")
+                )
+                .unionByName(rev)
+                .groupBy("doc_id")
+                .agg(
+                    F.min("cluster_id").alias("cluster_id"),
+                    F.min("inc2").alias("incumbent"),
+                )
+            )
             # Pointer jumping: label(v) <- label(label(v)). The component
             # min m always has label(m) = m (labels never drop below the
             # component min, and label <= own id), so a missing row after
             # the left join only happens for already-minimal labels.
-            hop = new_labels.select(
-                F.col("doc_id").alias("mid"), F.col("cluster_id").alias("cid2")
-            )
-            new_labels = (
-                new_labels.join(hop, new_labels.cluster_id == hop.mid, "left")
-                .select(
-                    "doc_id",
-                    F.coalesce("cid2", "cluster_id").alias("cluster_id"),
-                    "incumbent",
+            # Applied twice: the jump reads labels already advanced this
+            # round, so two applications give ~3x reach per round.
+            for _ in range(2):
+                hop = new_labels.select(
+                    F.col("doc_id").alias("mid"),
+                    F.col("cluster_id").alias("cid2"),
                 )
-            )
+                new_labels = (
+                    new_labels.join(
+                        hop, new_labels.cluster_id == hop.mid, "left"
+                    )
+                    .select(
+                        "doc_id",
+                        F.coalesce("cid2", "cluster_id").alias("cluster_id"),
+                        "incumbent",
+                    )
+                )
         obs = Observation()
         out_path = os.path.join(stage, f"labels_{it + 1}")
         (
