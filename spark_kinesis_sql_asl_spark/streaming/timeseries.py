@@ -714,3 +714,82 @@ def streaming_seasonal_forecast(order_stream):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- B194 twin: Bollinger-band breakout components -----------------------------
+
+_BB_FRAME = 20  # must match operators/windows._BOLL_FRAME
+_BB_OUT_SCHEMA = (
+    "grp string, epoch_day bigint, kcents bigint, n int, sx bigint, "
+    "sxx bigint, seq bigint"
+)
+_BB_STATE_SCHEMA = "days array<bigint>, cents array<bigint>, seq bigint"
+
+
+def streaming_bollinger(order_stream):
+    """B194-stream: the trailing-{_BB_FRAME}-day Bollinger frame sums as
+    keyed state — the alerting form of the batch breakout scan (a band
+    monitor is the canonical STREAMING use of Bollinger: flag today while
+    it happens, not in tomorrow's batch). A late order can land on any
+    past day and shift every frame containing it, so the honest streaming
+    form keeps the per-day integer revenue series itself (calendar-
+    bounded state, the B131s/B180s/B186s argument) and re-derives every
+    full frame per micro-batch in exact BIGINTs. The float stays OUT of
+    the stream (the B113s discipline): emissions carry the exact frame
+    sums (n, Σx, Σx²) in the batch operator's kilocent quantization
+    (floor-cents summed per day FIRST, then div 1000); the parity test
+    performs the identical z expression and the compare-rounded-z
+    breakout filter on both sides.
+
+    Input columns: day_us (epoch µs of the truncated day), cents.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            days, cents, seq = state.get
+            acc = dict(zip((int(d) for d in days), (int(c) for c in cents)))
+        else:
+            acc = {}
+            seq = 0
+        for pdf in pdfs:
+            for day_us, c in zip(pdf["day_us"], pdf["cents"]):
+                d = int(day_us) // 86_400_000_000
+                acc[d] = acc.get(d, 0) + int(c)
+        seq += 1
+        days_sorted = sorted(acc)
+        state.update((days_sorted, [acc[d] for d in days_sorted], seq))
+        xs = [_trunc_div(acc[d], 1000) for d in days_sorted]
+        out = {"epoch_day": [], "kcents": [], "n": [], "sx": [], "sxx": []}
+        for i, d in enumerate(days_sorted):
+            if i < _BB_FRAME - 1:
+                continue  # warm-up: only full frames release (B173)
+            fx = xs[i - _BB_FRAME + 1 : i + 1]
+            out["epoch_day"].append(d)
+            out["kcents"].append(xs[i])
+            out["n"].append(len(fx))
+            out["sx"].append(sum(fx))
+            out["sxx"].append(sum(a * a for a in fx))
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]] * len(out["epoch_day"]),
+                "epoch_day": pd.Series(out["epoch_day"], dtype="int64"),
+                "kcents": pd.Series(out["kcents"], dtype="int64"),
+                "n": pd.Series(out["n"], dtype="int32"),
+                "sx": pd.Series(out["sx"], dtype="int64"),
+                "sxx": pd.Series(out["sxx"], dtype="int64"),
+                "seq": pd.Series(
+                    [seq] * len(out["epoch_day"]), dtype="int64"
+                ),
+            }
+        )
+
+    return order_stream.withColumn(
+        "grp", F.lit("all")
+    ).groupBy("grp").applyInPandasWithState(
+        fold,
+        outputStructType=_BB_OUT_SCHEMA,
+        stateStructType=_BB_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

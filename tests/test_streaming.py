@@ -2485,3 +2485,64 @@ def test_streaming_seasonal_forecast_equals_batch(spark, tmp_path):
         assert abs(mean_detr - b["mean_detr_cents"]) <= 1e-2 + 1e-6, dow
         assert abs(seasonal - b["seasonal_cents"]) <= 1e-2 + 1e-6, dow
         assert abs(forecast - b["forecast_cents"]) <= 1e-2 + 1e-6, dow
+
+
+# --- B194s: streaming Bollinger parity ------------------------------------------
+
+
+def test_streaming_bollinger_equals_batch(spark, tmp_path):
+    """B194's streaming twin: final per-day exact frame sums must
+    reproduce the batch breakout set — the identical z expression over
+    the streamed (n, sx, sxx) followed by the compare-rounded-z filter
+    yields exactly q_win_bollinger's rows, z to 1e-6."""
+    from spark_kinesis_sql_asl_spark.operators.windows import (
+        _BOLL_FRAME,
+        _BOLL_K,
+        q_win_bollinger,
+    )
+    from spark_kinesis_sql_asl_spark.streaming.timeseries import (
+        streaming_bollinger,
+    )
+
+    staging = str(tmp_path / "staging")
+    _stage_global_order_days(spark, staging, n_files=4)
+    sch = "day_us bigint, cents bigint"
+    src = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    _drain(
+        streaming_bollinger(src)
+        .writeStream.format("memory")
+        .queryName("stream_bollinger")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    got = _dedup_last_by_seq(
+        spark,
+        "stream_bollinger",
+        ["grp", "epoch_day"],
+        ["kcents", "n", "sx", "sxx"],
+    )
+    import math as _math
+
+    flagged = {}
+    for (_, d), (kc, n, sx, sxx) in got.items():
+        assert n == _BOLL_FRAME, d
+        var = (n * sxx - sx * sx) / (n * (n - 1.0))
+        if var == 0.0:
+            continue
+        z = round((n * kc - sx) / n / _math.sqrt(var), 6)
+        if z >= _BOLL_K or z <= -_BOLL_K:
+            flagged[d] = (kc, z, "high" if z >= _BOLL_K else "low")
+    expect = {
+        r["epoch_day"]: (r["kcents"], r["z"], r["side"])
+        for r in q_win_bollinger(spark, SF_SMOKE).collect()
+    }
+    assert set(flagged) == set(expect)
+    for d, (kc, z, side) in flagged.items():
+        bkc, bz, bside = expect[d]
+        assert kc == bkc and side == bside, d
+        assert abs(z - bz) <= 1e-6, (d, z, bz)
