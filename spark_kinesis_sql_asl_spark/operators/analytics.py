@@ -1982,3 +1982,122 @@ def q_part_safety_stock(spark, sf_dir):
         .limit(100)
         .drop("_s")
     )
+
+
+@query(
+    "q_sales_pvm_bridge",
+    priority=30,  # round-11 addition: first driver row in round 12
+    oracle="""
+    WITH pm AS (
+        SELECT l_partkey,
+               CAST(year(CAST(l_shipdate AS DATE)) * 12
+                    + month(CAST(l_shipdate AS DATE)) AS BIGINT) AS mon_idx,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents,
+               CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem WHERE l_shipdate IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    bm AS (
+        SELECT p.p_brand AS brand, pm.mon_idx,
+               CAST(sum(pm.cents) AS BIGINT) AS r,
+               CAST(sum(pm.qty) AS BIGINT) AS q
+        FROM pm JOIN part p ON p.p_partkey = pm.l_partkey
+        GROUP BY 1, 2
+    ),
+    lagd AS (
+        SELECT brand, mon_idx, r, q,
+               lag(r) OVER w AS r0, lag(q) OVER w AS q0
+        FROM bm
+        WINDOW w AS (PARTITION BY brand ORDER BY mon_idx)
+    )
+    SELECT brand, mon_idx, r0, r AS r1, q0, q AS q1,
+           r - r0 AS delta_cents,
+           CAST((r * q0 - q * r0) // q0 AS BIGINT) AS price_effect_cents,
+           CAST(((q - q0) * r0) // q0 AS BIGINT) AS volume_effect_cents
+    FROM lagd WHERE r0 IS NOT NULL
+    """,
+)
+def q_sales_pvm_bridge(spark, sf_dir):
+    """B200: price-volume revenue bridge per brand — the FP&A waterfall
+    that decomposes each period-over-period revenue change into what
+    came from PRICE (average realized unit price moved) and what came
+    from VOLUME (units moved): ``delta = price + volume`` holds as an
+    exact rational identity under the standard anchoring
+    (price effect = (p1 − p0)·q1 = R1 − Q1·R0/Q0, volume effect =
+    (Q1 − Q0)·p0 — current-volume price anchor, prior-price volume
+    anchor; the property test pins the identity). Periods are observed
+    ship months per brand in the D17-pinned portable ``year*12+month``
+    index, compared observed-to-previous-observed (the B197 lag
+    convention). At brand level the "price" movement folds in part mix —
+    the bridge every revenue review starts from before drilling to part
+    grain.
+
+    Cross-engine float shape: NO float ever — R (floor-cents of
+    extendedprice) and Q (floor units) are exact BIGINTs through both
+    rollups and the lag; the two effects release as exact
+    truncate-toward-zero integer divisions by q0 (a round(2) double
+    release was built first and MEASURED to hit a real .865 half-way
+    case at sf0.1 — the same D5 hazard B199 hit; both engines truncate
+    negative integer div identically, the D7-pinned class, and the
+    cross-multiplied numerators stay under 1e14 at the tested SFs —
+    re-grain to kilocents before the bridge if a deployment's
+    brand-month cents approach the BIGINT significand). Plan/scale:
+    lineitem collapses FIRST to the (part, month) grain — corpus-scale
+    rows never carry brand strings — then one partkey shuffle join
+    against the part dim (both sides key-partitioned; the dim is too
+    big to broadcast at 100 TB), a bounded (|brands| x |months|)
+    rollup, and a brand-partitioned lag window over ≤|months| rows."""
+    pm = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate").isNotNull())
+        .groupBy(
+            "l_partkey",
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+            .cast("bigint")
+            .alias("mon_idx"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+            F.sum(F.floor("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("qty"),
+        )
+    )
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    bm = (
+        pm.join(part, pm.l_partkey == part.p_partkey)
+        .groupBy("brand", "mon_idx")
+        .agg(
+            F.sum("cents").cast("bigint").alias("r"),
+            F.sum("qty").cast("bigint").alias("q"),
+        )
+    )
+    w = Window.partitionBy("brand").orderBy("mon_idx")
+    lagd = bm.select(
+        "brand",
+        "mon_idx",
+        "r",
+        "q",
+        F.lag("r").over(w).alias("r0"),
+        F.lag("q").over(w).alias("q0"),
+    )
+    return lagd.where(F.col("r0").isNotNull()).select(
+        "brand",
+        "mon_idx",
+        "r0",
+        F.col("r").alias("r1"),
+        "q0",
+        F.col("q").alias("q1"),
+        (F.col("r") - F.col("r0")).alias("delta_cents"),
+        F.expr("CAST((r * q0 - q * r0) div q0 AS BIGINT)").alias(
+            "price_effect_cents"
+        ),
+        F.expr("CAST(((q - q0) * r0) div q0 AS BIGINT)").alias(
+            "volume_effect_cents"
+        ),
+    )

@@ -324,3 +324,33 @@ def test_safety_stock_zero_week_variance_identity(obs, n_zero):
     mean = Fraction(s, span)
     brute = sum((Fraction(x) - mean) ** 2 for x in full) / (span - 1)
     assert brute == Fraction(span * qq - s * s, span * (span - 1))
+
+
+# --- B200: price-volume bridge identity -----------------------------------------
+
+
+@given(
+    r0=st.integers(1, 10**10),
+    r1=st.integers(1, 10**10),
+    q0=st.integers(1, 10**6),
+    q1=st.integers(1, 10**6),
+)
+@_SETTINGS
+def test_pvm_bridge_identity(r0, r1, q0, q1):
+    """price + volume == delta exactly in rationals under the standard
+    anchors, and the truncated integer releases are each within 1 cent
+    of their rational value (so their sum is within 2 of delta) — the
+    exact-release convention B200 ships."""
+    price = Fraction(r1) - Fraction(q1 * r0, q0)
+    volume = Fraction((q1 - q0) * r0, q0)
+    assert price + volume == r1 - r0
+
+    def trunc_div(a, b):
+        q, r = divmod(a, b)
+        return q + 1 if q < 0 and r else q  # toward zero, like div / //
+
+    pe = trunc_div(r1 * q0 - q1 * r0, q0)
+    ve = trunc_div((q1 - q0) * r0, q0)
+    assert abs(Fraction(pe) - price) < 1
+    assert abs(Fraction(ve) - volume) < 1
+    assert abs((pe + ve) - (r1 - r0)) <= 2

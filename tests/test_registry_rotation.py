@@ -57,6 +57,7 @@ ROUND11_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_ts_forecast_backtest",  # B197
         "q_cohort_ltv",  # B199
         "q_part_safety_stock",  # B198
+        "q_sales_pvm_bridge",  # B200
     }
 )
 
@@ -355,7 +356,7 @@ def test_survey_tier_sum_consistent():
     inv = _survey_inventory()
     rows_total = inv["tier_a"] + inv["tier_b"] + inv["tier_c"] + inv["tier_d"]
     registry.load_all()
-    HARNESS_ONLY_ROWS = 19  # +B163s (round 9, streaming geo twin)
+    HARNESS_ONLY_ROWS = 20  # +B163s (r9 geo twin), +B194s (r11 Bollinger twin)
     EXTRA_QUERIES_ON_SHARED_ROWS = 6
     assert rows_total == len(registry._QUERIES) + HARNESS_ONLY_ROWS - (
         EXTRA_QUERIES_ON_SHARED_ROWS
