@@ -2101,3 +2101,136 @@ def q_sales_pvm_bridge(spark, sf_dir):
             "volume_effect_cents"
         ),
     )
+
+
+_ELAST_SLOPE_NUM = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+)
+_ELAST_SLOPE_DEN = (
+    "nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)"
+)
+_ELAST_R2_DEN_Y = (
+    "nullif(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0.0)"
+)
+
+
+@query(
+    "q_part_price_elasticity",
+    priority=30,  # round-11 addition: first driver row in round 12
+    oracle=f"""
+    WITH r AS (
+        SELECT l_partkey,
+               CAST(round(1000000 * ln(
+                   CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT) // CAST(floor(l_quantity) AS BIGINT)
+               )) AS BIGINT) AS x,
+               CAST(round(1000000 * ln(CAST(floor(l_quantity) AS BIGINT)))
+                    AS BIGINT) AS y
+        FROM lineitem
+        WHERE l_quantity >= 1 AND l_extendedprice > 0
+    ),
+    pk AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM r GROUP BY l_partkey
+    ),
+    b AS (
+        SELECT p.p_brand AS brand,
+               CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(sx) AS BIGINT) AS sx, CAST(sum(sy) AS BIGINT) AS sy,
+               CAST(sum(sxy) AS BIGINT) AS sxy,
+               CAST(sum(sxx) AS BIGINT) AS sxx,
+               CAST(sum(syy) AS BIGINT) AS syy
+        FROM pk JOIN part p ON p.p_partkey = pk.l_partkey
+        GROUP BY 1
+    )
+    SELECT brand, n,
+           round({_ELAST_SLOPE_NUM} / {_ELAST_SLOPE_DEN}, 6) AS elasticity,
+           round({_ELAST_SLOPE_NUM} * {_ELAST_SLOPE_NUM}
+                 / ({_ELAST_SLOPE_DEN} * {_ELAST_R2_DEN_Y}), 6) AS r2
+    FROM b
+    """,
+)
+def q_part_price_elasticity(spark, sf_dir):
+    """B201: own-price demand elasticity per brand — the log-log OLS
+    slope of quantity on realized unit price (elasticity is THE number a
+    pricing team reads; the B200 bridge says what price DID to revenue,
+    this estimates what it WOULD do): for every lineitem,
+    x = ln(realized unit price) and y = ln(units), slope =
+    (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) per brand, with the fit's r² beside
+    it. Realized price folds the discount in — within a brand the
+    discount spread is the identifying price variation (classic
+    elasticity-from-transactions shortcut; no instrument, and the
+    docstring makes no causal claim the estimator can't).
+
+    Cross-engine float shape: both regressors are D14's micro-nat
+    quantization ``round(1e6·ln(exact integer))`` — the canary-pinned
+    primitive (a 1-ulp libm divergence cannot flip the rounded BIGINT);
+    the unit price is the exact truncating integer division
+    rev_cents div qty (D7 class); all six moment sums are exact BIGINTs
+    through both rollups (Σx² ≈ n·8.5e13 stays under 2^63 up to ~1e8
+    rows per brand — re-center the quantized logs if a deployment
+    exceeds that); slope and r² are ONE identical-text double
+    expression each over the exact sums (n·Σxx and the cancellation
+    happen in IEEE doubles on BOTH engines — bit-identical), D11 nullif
+    guards, round(6) at release. Plan/scale: per-row logs collapse
+    map-side into the (partkey) moment rollup — corpus-scale rows never
+    carry brand strings — then one partkey shuffle join with the part
+    dim and a |brands|-row rollup; release ≤|brands| rows, no windows."""
+    r = (
+        table(spark, sf_dir, "lineitem")
+        .where((F.col("l_quantity") >= 1) & (F.col("l_extendedprice") > 0))
+        .select(
+            "l_partkey",
+            F.expr(
+                "CAST(round(1000000 * ln("
+                "CAST(floor(l_extendedprice * (1 - l_discount) * 100)"
+                " AS BIGINT) div CAST(floor(l_quantity) AS BIGINT)"
+                ")) AS BIGINT)"
+            ).alias("x"),
+            F.expr(
+                "CAST(round(1000000 * ln(CAST(floor(l_quantity) AS BIGINT)))"
+                " AS BIGINT)"
+            ).alias("y"),
+        )
+    )
+    pk = r.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    b = (
+        pk.join(part, pk.l_partkey == part.p_partkey)
+        .groupBy("brand")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("sx").cast("bigint").alias("sx"),
+            F.sum("sy").cast("bigint").alias("sy"),
+            F.sum("sxy").cast("bigint").alias("sxy"),
+            F.sum("sxx").cast("bigint").alias("sxx"),
+            F.sum("syy").cast("bigint").alias("syy"),
+        )
+    )
+    return b.select(
+        "brand",
+        "n",
+        F.expr(
+            f"round({_ELAST_SLOPE_NUM} / {_ELAST_SLOPE_DEN}, 6)"
+        ).alias("elasticity"),
+        F.expr(
+            f"round({_ELAST_SLOPE_NUM} * {_ELAST_SLOPE_NUM}"
+            f" / ({_ELAST_SLOPE_DEN} * {_ELAST_R2_DEN_Y}), 6)"
+        ).alias("r2"),
+    )

@@ -354,3 +354,36 @@ def test_pvm_bridge_identity(r0, r1, q0, q1):
     assert abs(Fraction(pe) - price) < 1
     assert abs(Fraction(ve) - volume) < 1
     assert abs((pe + ve) - (r1 - r0)) <= 2
+
+
+# --- B201: OLS slope invariances --------------------------------------------------
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(-10**6, 10**6), st.integers(-10**6, 10**6)),
+        min_size=3,
+        max_size=30,
+    ),
+    cx=st.integers(-10**6, 10**6),
+    cy=st.integers(-10**6, 10**6),
+)
+@_SETTINGS
+def test_elasticity_slope_shift_invariance(pts, cx, cy):
+    """The exact rational OLS slope is invariant under constant shifts of
+    either regressor — the property that makes B201's re-center escape
+    hatch (docstring overflow note) a pure no-op on the statistic."""
+    def slope(ps):
+        n = len(ps)
+        sx = sum(x for x, _ in ps)
+        sy = sum(y for _, y in ps)
+        sxy = sum(x * y for x, y in ps)
+        sxx = sum(x * x for x, _ in ps)
+        den = n * sxx - sx * sx
+        if den == 0:
+            return None
+        return Fraction(n * sxy - sx * sy, den)
+
+    s0 = slope(pts)
+    s1 = slope([(x + cx, y + cy) for x, y in pts])
+    assert s0 == s1

@@ -58,6 +58,7 @@ ROUND11_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_cohort_ltv",  # B199
         "q_part_safety_stock",  # B198
         "q_sales_pvm_bridge",  # B200
+        "q_part_price_elasticity",  # B201
     }
 )
 
