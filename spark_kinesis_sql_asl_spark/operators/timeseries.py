@@ -2944,3 +2944,163 @@ def q_ts_forecast_backtest(spark, sf_dir):
             " AS DOUBLE) / CAST(count(*) AS DOUBLE), 2)"
         ).alias("mape_ppm"),
     )
+
+
+# --- B202: Little's law reconciliation -----------------------------------------
+
+
+@query(
+    "q_orders_littles_law",
+    priority=30,  # round-11 addition: first driver row in round 12
+    oracle="""
+    WITH spans AS (
+        SELECT o.o_orderkey,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(o.o_orderdate AS DATE)) AS s,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(min(l.l_shipdate) AS DATE)) AS e
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    deltas AS (
+        SELECT s AS d, 1 AS chg FROM spans
+        UNION ALL
+        SELECT e + 1 AS d, -1 AS chg FROM spans
+    ),
+    net AS (SELECT d, CAST(sum(chg) AS BIGINT) AS net FROM deltas GROUP BY d),
+    conc AS (
+        SELECT d, CAST(sum(net) OVER (ORDER BY d ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_now,
+               CAST(COALESCE(lead(d) OVER (ORDER BY d), d + 1) - d AS BIGINT)
+                   AS run_days
+        FROM net
+    ),
+    cal AS (
+        SELECT d, open_now FROM (
+            SELECT conc.d + g.i AS d, conc.open_now
+            FROM conc CROSS JOIN LATERAL
+                 (SELECT unnest(range(CAST(conc.run_days AS INTEGER))) AS i) g
+        )
+    ),
+    mc AS (
+        SELECT CAST(year(DATE '1970-01-01' + INTERVAL (d) DAY) * 12
+                    + month(DATE '1970-01-01' + INTERVAL (d) DAY) AS BIGINT)
+                   AS mon_idx,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(open_now) AS BIGINT) AS area
+        FROM cal GROUP BY 1
+    ),
+    arr AS (
+        SELECT CAST(year(DATE '1970-01-01' + INTERVAL (s) DAY) * 12
+                    + month(DATE '1970-01-01' + INTERVAL (s) DAY) AS BIGINT)
+                   AS mon_idx,
+               CAST(count(*) AS BIGINT) AS n_arrivals,
+               CAST(sum(e - s + 1) AS BIGINT) AS sum_dur_days
+        FROM spans GROUP BY 1
+    )
+    SELECT m.mon_idx, m.n_days, m.area, a.n_arrivals, a.sum_dur_days,
+           CAST((1000 * m.area) // m.n_days AS BIGINT) AS mean_open_milli,
+           CAST((1000 * a.sum_dur_days) // a.n_arrivals AS BIGINT)
+               AS mean_wait_milli_days,
+           CAST((1000000 * a.sum_dur_days) // m.area AS BIGINT)
+               AS lw_over_l_ppm
+    FROM mc m JOIN arr a USING (mon_idx)
+    """,
+)
+def q_orders_littles_law(spark, sf_dir):
+    """B202: Little's law reconciliation (L = lambda*W, Little 1961) over
+    the order fulfillment queue — the operational audit that says whether
+    a month's arrival rate, waiting time and work-in-progress are
+    CONSISTENT: per calendar month, L*days = the time integral of open
+    orders (area under the B172 concurrency curve) and lambda*W*days =
+    the total open-duration of orders ARRIVING that month; their ratio
+    in ppm is exactly 1e6 over any horizon with no boundary-crossing
+    intervals (the conservation identity, property-pinned) and its
+    monthly deviation isolates edge-crossing work — the drilldown a
+    capacity review runs when B135's backlog trends up. Intervals are
+    the B172 family's: ordered -> FIRST shipment, inclusive day grain.
+
+    Cross-engine float shape: NO float — durations, per-day net
+    changes, the running concurrency, the monthly area and every
+    release are exact BIGINTs (milli/ppm floor-divs, all-positive).
+    Plan/scale: the interval frame never expands per day on the
+    corpus-scale side — one orderkey shuffle join + rollup to (s, e)
+    per order, then the B172 +1/-1 trick collapses everything to a
+    |distinct days|-row net-change frame in ONE day-keyed shuffle; the
+    running sum and the run-length expansion (lead + sequence — at most
+    |days| output rows TOTAL, since runs partition the calendar) ride
+    the calendar-bounded global window (B172 argument, allowlisted);
+    release is |months| rows."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    epoch = F.lit("1970-01-01").cast("date")
+    spans = (
+        o.where(F.col("o_orderdate").isNotNull())
+        .join(
+            li.where(F.col("l_shipdate").isNotNull()),
+            o.o_orderkey == li.l_orderkey,
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            F.datediff(F.col("o_orderdate").cast("date"), epoch)
+            .cast("bigint")
+            .alias("s"),
+            F.datediff(F.col("first_ship").cast("date"), epoch)
+            .cast("bigint")
+            .alias("e"),
+        )
+    )
+    deltas = spans.select(F.col("s").alias("d"), F.lit(1).alias("chg")).unionAll(
+        spans.select((F.col("e") + 1).alias("d"), F.lit(-1).alias("chg"))
+    )
+    net = deltas.groupBy("d").agg(F.sum("chg").cast("bigint").alias("net"))
+    w_run = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    w_ord = Window.orderBy("d")
+    conc = net.select(
+        "d",
+        F.sum("net").over(w_run).cast("bigint").alias("open_now"),
+        (F.coalesce(F.lead("d").over(w_ord), F.col("d") + 1) - F.col("d"))
+        .cast("bigint")
+        .alias("run_days"),
+    )
+    cal = conc.select(
+        F.expr("explode(sequence(0, CAST(run_days - 1 AS INT)))").alias("i"),
+        "d",
+        "open_now",
+    ).select((F.col("d") + F.col("i")).alias("d"), "open_now")
+    mon_of_day = (
+        "CAST(year(date_add(DATE '1970-01-01', CAST({col} AS INT))) * 12"
+        " + month(date_add(DATE '1970-01-01', CAST({col} AS INT)))"
+        " AS BIGINT)"
+    )
+    mc = cal.groupBy(
+        F.expr(mon_of_day.format(col="d")).alias("mon_idx")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("open_now").cast("bigint").alias("area"),
+    )
+    arr = spans.groupBy(
+        F.expr(mon_of_day.format(col="s")).alias("mon_idx")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_arrivals"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("sum_dur_days"),
+    )
+    return mc.join(arr, "mon_idx").select(
+        "mon_idx",
+        "n_days",
+        "area",
+        "n_arrivals",
+        "sum_dur_days",
+        F.expr("CAST((1000 * area) div n_days AS BIGINT)").alias(
+            "mean_open_milli"
+        ),
+        F.expr(
+            "CAST((1000 * sum_dur_days) div n_arrivals AS BIGINT)"
+        ).alias("mean_wait_milli_days"),
+        F.expr("CAST((1000000 * sum_dur_days) div area AS BIGINT)").alias(
+            "lw_over_l_ppm"
+        ),
+    )

@@ -533,6 +533,11 @@ _PARTITIONLESS_WINDOW_BY_CONSTRUCTION = {
     # argument), and a one-step-behind expanding frame cannot be
     # limit-bounded by construction; the seasonal lag partitions by dow.
     "q_ts_forecast_backtest",
+    # B202 (round 11): the running concurrency sum and the run-length
+    # lead ride the per-DAY net-change frame — calendar-bounded (the
+    # B172 argument), and a running sum cannot be limit-bounded by
+    # construction.
+    "q_orders_littles_law",
 }
 
 

@@ -387,3 +387,34 @@ def test_elasticity_slope_shift_invariance(pts, cx, cy):
     s0 = slope(pts)
     s1 = slope([(x + cx, y + cy) for x, y in pts])
     assert s0 == s1
+
+
+# --- B202: Little's law conservation identity ------------------------------------
+
+
+@given(
+    spans=st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 30)),
+        min_size=1,
+        max_size=50,
+    )
+)
+@_SETTINGS
+def test_littles_law_conservation(spans):
+    """Σ_days open(d) == Σ_intervals (e − s + 1) exactly (inclusive-day
+    convention), via the +1/−1 net-change walk B202 computes it with —
+    so the whole-horizon lw_over_l ratio is exactly 1 and monthly
+    deviations are pure boundary effects."""
+    iv = [(s, s + d) for s, d in spans]
+    net = {}
+    for s, e in iv:
+        net[s] = net.get(s, 0) + 1
+        net[e + 1] = net.get(e + 1, 0) - 1
+    days = sorted(net)
+    area = 0
+    open_now = 0
+    for i, d in enumerate(days):
+        open_now += net[d]
+        run = (days[i + 1] if i + 1 < len(days) else d + 1) - d
+        area += open_now * run
+    assert area == sum(e - s + 1 for s, e in iv)
