@@ -1591,3 +1591,145 @@ def q_llm_semantic_dedup_e2e(spark, sf_dir):
             "CAST((1000000 * sum(kept * ntok)) div sum(ntok) AS BIGINT)"
         ).alias("kept_tok_ppm"),
     )
+
+
+# --- C169: embedding isotropy audit (all-but-the-top diagnostics) -------------
+
+
+@query(
+    "q_llm_embed_isotropy",
+    priority=30,  # round-11 addition: first driver row in round 12
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, {_Q_VEC_SQL_DUCK} AS qv FROM embeddings
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+    s AS (
+        SELECT ii.i AS i, CAST(sum(qv[ii.i + 1]) AS BIGINT) AS s
+        FROM q, range(0, 64) ii(i) GROUP BY ii.i
+    ),
+    tt AS (
+        SELECT CAST(sum(qv[ii.i + 1] * qv[ii.i + 1]) AS BIGINT) AS t
+        FROM q, range(0, 64) ii(i)
+    ),
+    s2 AS (SELECT CAST(sum(s * s) AS BIGINT) AS s2 FROM s),
+    g AS (
+        SELECT ii.i AS i, jj.i AS j,
+               CAST(sum(qv[ii.i + 1] * qv[jj.i + 1]) AS BIGINT) AS m
+        FROM q, range(0, 64) ii(i), range(0, 64) jj(i)
+        GROUP BY ii.i, jj.i
+    ),
+    m AS (
+        SELECT g.i, g.j,
+               CAST(nn.n * g.m - sa.s * sb.s AS BIGINT) AS m
+        FROM g JOIN s sa ON sa.i = g.i JOIN s sb ON sb.i = g.j
+        CROSS JOIN nn
+    ),
+    v0 AS (SELECT i, CAST({_PCA_SCALE} AS BIGINT) AS v FROM range(0, 64) t(i)),
+    {",".join(_pca_iter_duck(r) for r in range(1, _PCA_ROUNDS + 1))}
+    SELECT nn.n, tt.t AS trace_q, s2.s2 AS mean_norm2_num,
+           s2.s2 - tt.t AS pair_dot_num,
+           CAST((1000000 * nn.n * (s2.s2 - tt.t))
+                // ((nn.n - 1) * tt.t) AS BIGINT) AS exp_pair_cos_ppm,
+           CAST(n{_PCA_ROUNDS}.mx // {_PCA_SCALE} AS BIGINT) AS lam1_c,
+           nn.n * tt.t - s2.s2 AS trace_c,
+           CAST((1000000 * CAST(n{_PCA_ROUNDS}.mx // {_PCA_SCALE} AS BIGINT))
+                // (nn.n * tt.t - s2.s2) AS BIGINT) AS pc1_share_ppm
+    FROM nn CROSS JOIN tt CROSS JOIN s2 CROSS JOIN n{_PCA_ROUNDS}
+    """,
+)
+def q_llm_embed_isotropy(spark, sf_dir):
+    """C169: embedding-cloud isotropy audit — the two numbers behind the
+    "all-but-the-top" post-processing decision (Mu & Viswanath, ICLR
+    2018: subtract the mean, strip the top PCs, similarity improves):
+    (a) the MEAN-VECTOR energy — the expected dot product of two random
+    distinct embeddings is (‖Σx‖² − Σ‖x‖²)/(n(n−1)), nonzero exactly
+    when a common direction inflates every cosine (released as the
+    exact ratio-to-mean-square-norm in ppm; ~0 for an isotropic
+    cloud); (b) the PC1 variance share of the mean-CENTERED cloud —
+    λ₁/trace of the centered Gram, the "top" whose removal the paper
+    prescribes. Centering is EXACT in integers: n²·Cov ∝ n·G − s·sᵀ
+    with G the C132 Gram and s the per-dim sums, so C132's integer
+    power iteration runs verbatim on the centered matrix ({_PCA_ROUNDS}
+    rounds, {_PCA_SCALE}-renormalized, D7-pinned truncating div at each
+    step — both engines walk the identical lattice).
+
+    Cross-engine float shape: NO float — grid quantization (C24), all
+    moments and the iteration are BIGINT, releases are exact floor-div
+    ppm (negative pair-dot truncation is the D7-pinned agreeing class).
+    Overflow headroom: max |n·G − s·sᵀ| ≤ 2n²·max|q|²·... stays under
+    2^63 for n·64·grid² < 2^31-ish — beyond that (≳1e9 rows) subtract
+    the integer floor mean per row in the scan stage instead (one extra
+    pass, same statistic by the shift-invariance the B201 property
+    pins). Plan/scale: ONE corpus-scale job (the 4096-key Gram rollup +
+    the 64-key dim sums in the same scan family); everything after is
+    64-row frames and 1-row broadcasts — the C132 argument."""
+    e = parallel_table(spark, sf_dir, "embeddings", key="vec_id").select(
+        F.expr(_Q_VEC_SQL_SPARK).alias("qv")
+    )
+    prods = e.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(qv, (vi, i) -> "
+                "transform(qv, (vj, j) -> "
+                "struct(i AS i, j AS j, vi * vj AS p))))"
+            )
+        ).alias("s")
+    ).select("s.i", "s.j", "s.p")
+    g = prods.groupBy("i", "j").agg(F.sum("p").cast("bigint").alias("m"))
+    dims = e.select(F.posexplode("qv").alias("i", "qval"))
+    s = dims.groupBy("i").agg(F.sum("qval").cast("bigint").alias("s"))
+    nn = e.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tt = dims.agg(
+        F.sum(F.col("qval") * F.col("qval")).cast("bigint").alias("t")
+    )
+    s2 = s.agg(F.sum(F.col("s") * F.col("s")).cast("bigint").alias("s2"))
+    m = (
+        g.join(F.broadcast(s.select(F.col("i").alias("gi"), F.col("s").alias("sa"))), g.i == F.col("gi"))
+        .join(F.broadcast(s.select(F.col("i").alias("gj"), F.col("s").alias("sb"))), g.j == F.col("gj"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("m") - F.col("sa") * F.col("sb"))
+            .cast("bigint")
+            .alias("m"),
+        )
+    )
+    v = spark.range(64).select(
+        F.col("id").cast("int").alias("i"),
+        F.lit(_PCA_SCALE).cast("bigint").alias("v"),
+    )
+    mx = None
+    for _ in range(_PCA_ROUNDS):
+        w = (
+            m.join(F.broadcast(v.select(F.col("i").alias("j"), "v")), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("m") * F.col("v")).cast("bigint").alias("w"))
+        )
+        mx = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
+        v = w.crossJoin(F.broadcast(mx)).select(
+            "i",
+            F.expr(f"CAST((w * {_PCA_SCALE}) div mx AS BIGINT)").alias("v"),
+        )
+    return (
+        nn.crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(s2))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "n",
+            F.col("t").alias("trace_q"),
+            F.col("s2").alias("mean_norm2_num"),
+            (F.col("s2") - F.col("t")).alias("pair_dot_num"),
+            F.expr(
+                "CAST((1000000 * n * (s2 - t))"
+                " div ((n - 1) * t) AS BIGINT)"
+            ).alias("exp_pair_cos_ppm"),
+            F.expr(f"CAST(mx div {_PCA_SCALE} AS BIGINT)").alias("lam1_c"),
+            (F.col("n") * F.col("t") - F.col("s2")).alias("trace_c"),
+            F.expr(
+                f"CAST((1000000 * CAST(mx div {_PCA_SCALE} AS BIGINT))"
+                " div (n * t - s2) AS BIGINT)"
+            ).alias("pc1_share_ppm"),
+        )
+    )

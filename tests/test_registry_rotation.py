@@ -60,6 +60,7 @@ ROUND11_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_sales_pvm_bridge",  # B200
         "q_part_price_elasticity",  # B201
         "q_orders_littles_law",  # B202
+        "q_llm_embed_isotropy",  # C169
     }
 )
 
