@@ -1733,3 +1733,162 @@ def q_llm_embed_isotropy(spark, sf_dir):
             ).alias("pc1_share_ppm"),
         )
     )
+
+
+# --- C170: within-cluster dispersion audit ------------------------------------
+
+
+@query(
+    "q_llm_cluster_tightness",
+    priority=30,  # round-11 addition: first driver row in round 12
+    oracle=f"""
+    WITH RECURSIVE {_SEM_CTES},
+    edges AS (
+        SELECT vec_a AS a, vec_b AS b FROM sem
+        UNION ALL
+        SELECT vec_b, vec_a FROM sem
+    ),
+    cc(vec_id, root) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, c.root FROM cc c JOIN edges e ON e.a = c.vec_id
+        WHERE c.root < e.b
+    ),
+    labeled AS (
+        SELECT vec_id, min(root) AS cluster_id FROM cc GROUP BY vec_id
+    ),
+    mem AS (
+        SELECT l.cluster_id, q.vec_id, q.qv
+        FROM labeled l JOIN q ON q.vec_id = l.vec_id
+    ),
+    dimsums AS (
+        SELECT cluster_id, ii.i AS i,
+               CAST(sum(qv[ii.i + 1]) AS BIGINT) AS s
+        FROM mem, range(0, 64) ii(i) GROUP BY 1, 2
+    ),
+    cstat AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(list_sum(list_transform(qv, x -> x * x)))
+                    AS BIGINT) AS sumsq
+        FROM mem GROUP BY 1
+    ),
+    cnorm AS (
+        SELECT cluster_id, CAST(sum(s * s) AS BIGINT) AS norm2
+        FROM dimsums GROUP BY 1
+    ),
+    gdim AS (
+        SELECT ii.i AS i, CAST(sum(qv[ii.i + 1]) AS BIGINT) AS s
+        FROM q, range(0, 64) ii(i) GROUP BY 1
+    ),
+    g AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM q) AS ng,
+               (SELECT CAST(sum(list_sum(list_transform(qv, x -> x * x)))
+                            AS BIGINT) FROM q) AS t,
+               (SELECT CAST(sum(s * s) AS BIGINT) FROM gdim) AS s2
+    )
+    SELECT c.cluster_id, c.n_members,
+           c.n_members * c.sumsq - n.norm2 AS disp_num,
+           CAST((2000 * (c.n_members * c.sumsq - n.norm2))
+                // (c.n_members * (c.n_members - 1)) AS BIGINT)
+               AS mean_pair_q2_milli,
+           CAST((2000 * (g.ng * g.t - g.s2))
+                // (g.ng * (g.ng - 1)) AS BIGINT) AS corpus_pair_q2_milli,
+           CAST((1000000 * CAST((2000 * (c.n_members * c.sumsq - n.norm2))
+                    // (c.n_members * (c.n_members - 1)) AS BIGINT))
+                // nullif(CAST((2000 * (g.ng * g.t - g.s2))
+                    // (g.ng * (g.ng - 1)) AS BIGINT), 0) AS BIGINT)
+               AS tightness_ppm
+    FROM cstat c JOIN cnorm n USING (cluster_id) CROSS JOIN g
+    """,
+)
+def q_llm_cluster_tightness(spark, sf_dir):
+    """C170: within-cluster dispersion audit over the C131 semantic
+    duplicate clusters — the eps-validation a SemDeDup deployment runs
+    before trusting the threshold: per cluster, the mean pairwise
+    SQUARED distance on the C24 grid via the exact zero-expansion
+    identity Σ_pairs ‖x−y‖² = n·Σ‖x‖² − ‖Σx‖² (the B198 variance
+    identity in vector form — no pair ever materializes), released
+    beside the corpus-wide baseline and their ratio in ppm: a healthy
+    threshold yields tightness ≪ 1e6 (members far closer than random
+    pairs); a cluster whose ratio approaches 1e6 is a transitive-chain
+    artifact (the C131-vs-C129 over-merge failure mode, localized to
+    the cluster id to inspect).
+
+    Cross-engine float shape: NO float — member counts, grid moments
+    and both dispersion numerators are exact BIGINTs; the two
+    mean-pair-distance columns are exact milli floor-divs and the ppm
+    ratio divides the two PRE-FLOORED milli values (double-floor
+    convention, documented: at grid scale a milli floor loses <1e-3 of
+    values ~1e6-1e9) with a nullif guard (D11) — all-positive, D7-safe.
+    Plan/scale: rides the memoized semantic pair state (C125) and the
+    C131 min-label loop; the tightness math is one |members|x64
+    posexplode rollup keyed by (cluster, dim) — ids and 8-byte sums on
+    every exchange, clusters bounded by the subcritical pair graph;
+    release is |multi-clusters| rows."""
+    from .pipeline import min_label_components
+
+    pairs = semantic_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels, _ = min_label_components(
+        spark, pairs, prefix="spark_semtight_rounds"
+    )
+    q = parallel_table(spark, sf_dir, "embeddings", key="vec_id").select(
+        "vec_id", F.expr(_Q_VEC_SQL_SPARK).alias("qv")
+    )
+    sumsq_expr = "aggregate(qv, 0L, (acc, x) -> acc + x * x)"
+    mem = labels.join(q, labels.doc_id == q.vec_id).select(
+        "cluster_id", "vec_id", "qv"
+    )
+    dimsums = (
+        mem.select("cluster_id", F.posexplode("qv").alias("i", "qval"))
+        .groupBy("cluster_id", "i")
+        .agg(F.sum("qval").cast("bigint").alias("s"))
+    )
+    cnorm = dimsums.groupBy("cluster_id").agg(
+        F.sum(F.col("s") * F.col("s")).cast("bigint").alias("norm2")
+    )
+    cstat = mem.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum(F.expr(sumsq_expr)).cast("bigint").alias("sumsq"),
+    )
+    gdim = (
+        q.select(F.posexplode("qv").alias("i", "qval"))
+        .groupBy("i")
+        .agg(F.sum("qval").cast("bigint").alias("s"))
+    )
+    g = (
+        q.agg(
+            F.count(F.lit(1)).cast("bigint").alias("ng"),
+            F.sum(F.expr(sumsq_expr)).cast("bigint").alias("t"),
+        )
+        .crossJoin(
+            F.broadcast(
+                gdim.agg(
+                    F.sum(F.col("s") * F.col("s")).cast("bigint").alias("s2")
+                )
+            )
+        )
+    )
+    milli_c = (
+        "CAST((2000 * (n_members * sumsq - norm2))"
+        " div (n_members * (n_members - 1)) AS BIGINT)"
+    )
+    milli_g = "CAST((2000 * (ng * t - s2)) div (ng * (ng - 1)) AS BIGINT)"
+    return (
+        cstat.join(cnorm, "cluster_id")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "cluster_id",
+            "n_members",
+            (F.col("n_members") * F.col("sumsq") - F.col("norm2")).alias(
+                "disp_num"
+            ),
+            F.expr(milli_c).alias("mean_pair_q2_milli"),
+            F.expr(milli_g).alias("corpus_pair_q2_milli"),
+            F.expr(
+                f"CAST((1000000 * {milli_c}) div nullif({milli_g}, 0)"
+                " AS BIGINT)"
+            ).alias("tightness_ppm"),
+        )
+    )

@@ -418,3 +418,30 @@ def test_littles_law_conservation(spans):
         run = (days[i + 1] if i + 1 < len(days) else d + 1) - d
         area += open_now * run
     assert area == sum(e - s + 1 for s, e in iv)
+
+
+# --- C170: zero-expansion pairwise-distance identity ------------------------------
+
+
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(-64, 64), min_size=3, max_size=3),
+        min_size=2,
+        max_size=12,
+    )
+)
+@_SETTINGS
+def test_pairwise_distance_zero_expansion_identity(vecs):
+    """Σ over unordered pairs of ‖x−y‖² == n·Σ‖x‖² − ‖Σx‖² exactly — the
+    identity that lets C170 (and B198 in scalar form) audit dispersion
+    without materializing a single pair."""
+    n = len(vecs)
+    brute = sum(
+        sum((a - b) ** 2 for a, b in zip(vecs[i], vecs[j]))
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    sumsq = sum(sum(x * x for x in v) for v in vecs)
+    dim_sums = [sum(v[d] for v in vecs) for d in range(3)]
+    norm2 = sum(s * s for s in dim_sums)
+    assert brute == n * sumsq - norm2

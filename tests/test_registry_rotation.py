@@ -61,6 +61,7 @@ ROUND11_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_part_price_elasticity",  # B201
         "q_orders_littles_law",  # B202
         "q_llm_embed_isotropy",  # C169
+        "q_llm_cluster_tightness",  # C170
     }
 )
 
