@@ -3104,3 +3104,139 @@ def q_orders_littles_law(spark, sf_dir):
             "lw_over_l_ppm"
         ),
     )
+
+
+# --- B203: Holt linear-trend exponential smoothing ------------------------------
+
+_HOLT_H = 7  # forecast horizon released (days ahead)
+
+
+@query(
+    "q_ts_holt_linear",
+    priority=30,  # round-11 addition: first driver row in round 12
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders WHERE o_orderdate IS NOT NULL
+        GROUP BY 1
+    ),
+    seq AS (
+        SELECT cents, row_number() OVER (ORDER BY d) AS t FROM daily
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seq),
+    rec(t, l, b, e) AS (
+        SELECT CAST(1 AS BIGINT),
+               CAST(1000 * s1.cents AS BIGINT),
+               CAST(1000 * (s2.cents - s1.cents) AS BIGINT),
+               CAST(0 AS BIGINT)
+        FROM seq s1, seq s2 WHERE s1.t = 1 AND s2.t = 2
+        UNION ALL
+        SELECT r.t + 1,
+               (1000 * s.cents + 3 * (r.l + r.b)) // 4,
+               (((1000 * s.cents + 3 * (r.l + r.b)) // 4) - r.l + 3 * r.b)
+                   // 4,
+               r.e + abs(1000 * s.cents - (r.l + r.b))
+        FROM rec r JOIN seq s ON s.t = r.t + 1
+    ),
+    fin AS (
+        SELECT r.l, r.b, r.e, nn.n
+        FROM rec r CROSS JOIN nn WHERE r.t = nn.n
+    )
+    SELECT h.h, fin.l AS level_milli, fin.b AS trend_milli,
+           fin.l + h.h * fin.b AS forecast_milli,
+           CAST((fin.l + h.h * fin.b) // 1000 AS BIGINT) AS forecast_cents,
+           CAST(fin.e // (fin.n - 1) AS BIGINT) AS mae_milli
+    FROM fin CROSS JOIN (SELECT unnest(range(1, {_HOLT_H + 1})) AS h) h
+    """,
+)
+def q_ts_holt_linear(spark, sf_dir):
+    """B203: Holt's linear-trend double exponential smoothing (Holt 1957;
+    Hyndman & Athanasopoulos fpp §8.2) over the daily revenue series —
+    the adaptive-trend rung between B159's single global line and B190's
+    fixed weekly index, and the first RECURRENT forecaster in the family
+    (level and trend update each day from the previous state, which no
+    window frame expresses): l_t = α·y_t + (1−α)(l_t−1 + b_t−1),
+    b_t = β(l_t − l_t−1) + (1−β)b_t−1 at the classic α = β = 1/4,
+    initialized l₁ = y₁, b₁ = y₂ − y₁; released: the final state, the
+    h = 1..{_HOLT_H} day forecasts l + h·b, and the walk's one-step MAE.
+
+    Cross-engine float shape: NO float — the smoothing state walks in
+    exact integer MILLI-cents with α, β as the rational 1/4 applied as
+    a truncating integer division per step (D7-pinned identical on
+    negatives, which the trend hits; the ≤1 milli-cent per-step
+    truncation is the documented convention, far under the cent-scale
+    signal — the B179/B197 exact-recurrence discipline), so both
+    engines walk the IDENTICAL lattice: Spark folds the series with
+    ``aggregate`` (one executor-side pass over the array), DuckDB walks
+    the same recurrence as a recursive CTE. Plan/scale: ONE daily hash
+    aggregate collapses corpus-scale input; the fold runs over the
+    |days| array collected from that calendar-bounded frame (kilobytes
+    at any SF — the B173 bound, here as one array row instead of a
+    window); release is {_HOLT_H} rows."""
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
+        .groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"), epoch)
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    arr = daily.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, cents))),"
+            " s -> s.cents)"
+        ).alias("ys")
+    )
+    folded = arr.select(
+        F.expr(
+            """
+            aggregate(
+              slice(ys, 2, size(ys) - 1),
+              named_struct(
+                'l', CAST(1000 * element_at(ys, 1) AS BIGINT),
+                'b', CAST(1000 * (element_at(ys, 2) - element_at(ys, 1))
+                          AS BIGINT),
+                'e', CAST(0 AS BIGINT)),
+              (acc, y) -> named_struct(
+                'l', (1000 * y + 3 * (acc.l + acc.b)) div 4,
+                'b', (((1000 * y + 3 * (acc.l + acc.b)) div 4)
+                      - acc.l + 3 * acc.b) div 4,
+                'e', acc.e + abs(1000 * y - (acc.l + acc.b)))
+            )
+            """
+        ).alias("fin"),
+        F.expr("CAST(size(ys) AS BIGINT)").alias("n"),
+    ).select(
+        F.col("fin.l").alias("l"),
+        F.col("fin.b").alias("b"),
+        F.col("fin.e").alias("e"),
+        "n",
+    )
+    return folded.select(
+        F.explode(F.expr(f"sequence(1, {_HOLT_H})")).alias("h"),
+        F.col("l").alias("level_milli"),
+        F.col("b").alias("trend_milli"),
+        "l",
+        "b",
+        "e",
+        "n",
+    ).select(
+        F.col("h").cast("bigint").alias("h"),
+        "level_milli",
+        "trend_milli",
+        (F.col("l") + F.col("h") * F.col("b")).alias("forecast_milli"),
+        F.expr("CAST((l + h * b) div 1000 AS BIGINT)").alias(
+            "forecast_cents"
+        ),
+        F.expr("CAST(e div (n - 1) AS BIGINT)").alias("mae_milli"),
+    )

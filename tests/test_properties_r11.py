@@ -445,3 +445,32 @@ def test_pairwise_distance_zero_expansion_identity(vecs):
     dim_sums = [sum(v[d] for v in vecs) for d in range(3)]
     norm2 = sum(s * s for s in dim_sums)
     assert brute == n * sumsq - norm2
+
+
+# --- B203: Holt integer fold — linear series are exact fixed points ---------------
+
+
+def _holt_step(l, b, y_milli):
+    def tdiv(a, d):
+        q, r = divmod(a, d)
+        return q + 1 if q < 0 and r else q  # truncate toward zero
+
+    l2 = tdiv(y_milli + 3 * (l + b), 4)
+    b2 = tdiv(l2 - l + 3 * b, 4)
+    return l2, b2
+
+
+@given(a=st.integers(-10**6, 10**6), c=st.integers(-10**4, 10**4),
+       n=st.integers(3, 40))
+@_SETTINGS
+def test_holt_linear_series_is_exact_fixed_point(a, c, n):
+    """On y_t = a + c·t the milli-cent Holt fold never truncates:
+    l_t = 1000·y_t and b_t = 1000·c exactly at every step, so the h-step
+    forecast l + h·b is exact — the property that makes B203's integer
+    lattice a faithful Holt, not an approximation with drift."""
+    ys = [a + c * t for t in range(1, n + 1)]
+    l, b = 1000 * ys[0], 1000 * (ys[1] - ys[0])
+    for y in ys[1:]:
+        assert 1000 * y - (l + b) == 0  # one-step forecast is exact too
+        l, b = _holt_step(l, b, 1000 * y)
+        assert l == 1000 * y and b == 1000 * c

@@ -62,6 +62,7 @@ ROUND11_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_orders_littles_law",  # B202
         "q_llm_embed_isotropy",  # C169
         "q_llm_cluster_tightness",  # C170
+        "q_ts_holt_linear",  # B203
     }
 )
 
