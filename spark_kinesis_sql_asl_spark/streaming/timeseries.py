@@ -793,3 +793,91 @@ def streaming_bollinger(order_stream):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- B203 twin: Holt linear-trend smoothing state -------------------------------
+
+_HL_H = 7  # must match operators/timeseries._HOLT_H
+_HL_OUT_SCHEMA = (
+    "grp string, h bigint, level_milli bigint, trend_milli bigint, "
+    "forecast_milli bigint, e bigint, n bigint, seq bigint"
+)
+_HL_STATE_SCHEMA = "days array<bigint>, cents array<bigint>, seq bigint"
+
+
+def _trunc_div_hl(a: int, d: int) -> int:
+    q, r = divmod(a, d)
+    return q + 1 if q < 0 and r else q  # toward zero — Spark div / DuckDB //
+
+
+def streaming_holt_linear(order_stream):
+    """B203-stream: Holt's level/trend smoother as keyed state — the
+    canonical STREAMING forecaster (an EWMA-family smoother is the
+    statistic monitoring systems run online). The naive online form
+    (update (l, b) from each arriving record) breaks under late data: a
+    late order changes a PAST day's revenue and therefore every state
+    after it, so the honest streaming form keeps the per-day integer
+    series itself (calendar-bounded state — the B131s/B180s/B186s/B190s
+    argument) and RE-FOLDS the exact B203 recurrence per micro-batch:
+    identical milli-cent lattice, identical truncating 1/4 steps, so
+    the final emission equals the batch operator exactly (parity test
+    performs the division-free compare on all integer columns).
+
+    Input columns: day_us (epoch µs of the truncated day), cents.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            days, cents, seq = state.get
+            acc = dict(zip((int(d) for d in days), (int(c) for c in cents)))
+        else:
+            acc = {}
+            seq = 0
+        for pdf in pdfs:
+            for day_us, c in zip(pdf["day_us"], pdf["cents"]):
+                d = int(day_us) // 86_400_000_000
+                acc[d] = acc.get(d, 0) + int(c)
+        seq += 1
+        days_sorted = sorted(acc)
+        state.update((days_sorted, [acc[d] for d in days_sorted], seq))
+        ys = [acc[d] for d in days_sorted]
+        out = {"h": [], "l": [], "b": [], "f": [], "e": [], "n": []}
+        if len(ys) >= 2:
+            l, b = 1000 * ys[0], 1000 * (ys[1] - ys[0])
+            e = 0
+            for y in ys[1:]:
+                ym = 1000 * y
+                e += abs(ym - (l + b))
+                l2 = _trunc_div_hl(ym + 3 * (l + b), 4)
+                b = _trunc_div_hl(l2 - l + 3 * b, 4)
+                l = l2
+            for h in range(1, _HL_H + 1):
+                out["h"].append(h)
+                out["l"].append(l)
+                out["b"].append(b)
+                out["f"].append(l + h * b)
+                out["e"].append(e)
+                out["n"].append(len(ys))
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]] * len(out["h"]),
+                "h": pd.Series(out["h"], dtype="int64"),
+                "level_milli": pd.Series(out["l"], dtype="int64"),
+                "trend_milli": pd.Series(out["b"], dtype="int64"),
+                "forecast_milli": pd.Series(out["f"], dtype="int64"),
+                "e": pd.Series(out["e"], dtype="int64"),
+                "n": pd.Series(out["n"], dtype="int64"),
+                "seq": pd.Series([seq] * len(out["h"]), dtype="int64"),
+            }
+        )
+
+    return order_stream.withColumn(
+        "grp", F.lit("all")
+    ).groupBy("grp").applyInPandasWithState(
+        fold,
+        outputStructType=_HL_OUT_SCHEMA,
+        stateStructType=_HL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2546,3 +2546,52 @@ def test_streaming_bollinger_equals_batch(spark, tmp_path):
         bkc, bz, bside = expect[d]
         assert kc == bkc and side == bside, d
         assert abs(z - bz) <= 1e-6, (d, z, bz)
+
+
+# --- B203s: streaming Holt parity -----------------------------------------------
+
+
+def test_streaming_holt_equals_batch(spark, tmp_path):
+    """B203's streaming twin: the final (h, level, trend, forecast)
+    emission must equal q_ts_holt_linear exactly — same integer lattice,
+    division-free compare (mae is compared via e div (n−1), the batch
+    release expression)."""
+    from spark_kinesis_sql_asl_spark.operators.timeseries import (
+        q_ts_holt_linear,
+    )
+    from spark_kinesis_sql_asl_spark.streaming.timeseries import (
+        streaming_holt_linear,
+    )
+
+    staging = str(tmp_path / "staging")
+    _stage_global_order_days(spark, staging, n_files=4)
+    sch = "day_us bigint, cents bigint"
+    src = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    _drain(
+        streaming_holt_linear(src)
+        .writeStream.format("memory")
+        .queryName("stream_holt")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    got = _dedup_last_by_seq(
+        spark,
+        "stream_holt",
+        ["grp", "h"],
+        ["level_milli", "trend_milli", "forecast_milli", "e", "n"],
+    )
+    expect = {
+        r["h"]: r for r in q_ts_holt_linear(spark, SF_SMOKE).collect()
+    }
+    assert {h for _, h in got} == set(expect)
+    for (_, h), (l, b, f, e, n) in got.items():
+        bt = expect[h]
+        assert (l, b, f) == (
+            bt["level_milli"], bt["trend_milli"], bt["forecast_milli"]
+        ), h
+        assert e // (n - 1) == bt["mae_milli"], h
