@@ -768,3 +768,144 @@ def q_llm_cross_dup_matrix(spark, sf_dir):
             ).alias("jaccard_ppm"),
         )
     )
+
+
+# --- C171: dedup-method agreement matrix --------------------------------------
+
+
+@query(
+    "q_llm_dedup_method_overlap",
+    priority=30,  # round-11 addition: first driver row in round 12
+    oracle=None,  # set below — assembled from the three family CTE texts
+)
+def q_llm_dedup_method_overlap(spark, sf_dir):
+    """C171: agreement matrix between the three near-dup ladders — exact
+    token-set Jaccard (C2, the PPJoin ground truth), SimHash banding
+    (C13, the at-scale syntactic pass) and SemDeDup semantic pairs
+    (C125, the embedding pass): for each method pair, both set sizes,
+    the intersection, and the Jaccard of the PAIR SETS in ppm. This is
+    the audit that tells a pipeline owner what each ladder uniquely
+    catches — SimHash∩Jaccard calibrates the syntactic surrogate
+    (C75's precision view, here set-valued), while semantic-minus-
+    syntactic is exactly the paraphrase mass only the embedding pass
+    can see (the SemDeDup paper's motivating split).
+
+    Cross-engine float shape: NO float — three pair-set counts and
+    three intersection counts, all BIGINT, ppm as the exact floor-div
+    with a D11 nullif guard. Plan/scale: every input rides an
+    already-memoized family state (the C2 scored-pair barrier, the C13
+    fingerprint checkpoint, the C125 semantic state) — this query adds
+    three (doc_a, doc_b)-keyed equi-joins of id-only frames and six
+    1-row aggregates broadcast into a 3-row release; nothing
+    corpus-scale moves."""
+    from .dedup import _jaccard_scored
+    from .pipeline import q_llm_dedup_simhash
+    from .vectors import semantic_pairs
+
+    jp = _jaccard_scored(spark, sf_dir).select("doc_a", "doc_b")
+    sp = q_llm_dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    mp = semantic_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+
+    def row(name_a, a, name_b, b):
+        ca = a.agg(F.count(F.lit(1)).cast("bigint").alias("n_a"))
+        cb = b.agg(F.count(F.lit(1)).cast("bigint").alias("n_b"))
+        cc = a.join(b, ["doc_a", "doc_b"]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common")
+        )
+        return (
+            ca.crossJoin(F.broadcast(cb))
+            .crossJoin(F.broadcast(cc))
+            .select(
+                F.lit(name_a).alias("method_a"),
+                F.lit(name_b).alias("method_b"),
+                "n_a",
+                "n_b",
+                "n_common",
+                F.expr(
+                    "CAST((1000000 * n_common)"
+                    " div nullif(n_a + n_b - n_common, 0) AS BIGINT)"
+                ).alias("pairset_jaccard_ppm"),
+            )
+        )
+
+    return (
+        row("jaccard", jp, "simhash", sp)
+        .unionByName(row("jaccard", jp, "semantic", mp))
+        .unionByName(row("simhash", sp, "semantic", mp))
+    )
+
+
+from .dedup import _JACCARD_TAU as _MO_TAU  # noqa: E402
+from .pipeline import _SIMHASH_PAIRS_SQL as _MO_SIMHASH  # noqa: E402
+from .vectors import _SEM_CTES as _MO_SEM  # noqa: E402
+from ..registry import _ORACLES as _REG_ORACLES  # noqa: E402
+
+_MO_PAIR_CTES = f"""
+    {_MO_SEM},
+    toks AS (
+        SELECT doc_id, lang,
+               unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM toks a
+        JOIN toks b ON a.tok = b.tok AND a.lang = b.lang
+                   AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jp AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {_MO_TAU}
+    ),
+    sp AS (
+        SELECT doc_a, doc_b FROM ({_MO_SIMHASH})
+    ),
+    mp AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM sem)
+"""
+
+_REG_ORACLES["q_llm_dedup_method_overlap"] = f"""
+    WITH {_MO_PAIR_CTES}
+    SELECT 'jaccard' AS method_a, 'simhash' AS method_b,
+           (SELECT CAST(count(*) AS BIGINT) FROM jp) AS n_a,
+           (SELECT CAST(count(*) AS BIGINT) FROM sp) AS n_b,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM jp JOIN sp USING (doc_a, doc_b)) AS n_common,
+           CAST((1000000 * (SELECT count(*) FROM jp JOIN sp
+                            USING (doc_a, doc_b)))
+                // nullif((SELECT count(*) FROM jp)
+                          + (SELECT count(*) FROM sp)
+                          - (SELECT count(*) FROM jp JOIN sp
+                             USING (doc_a, doc_b)), 0) AS BIGINT)
+               AS pairset_jaccard_ppm
+    UNION ALL
+    SELECT 'jaccard', 'semantic',
+           (SELECT CAST(count(*) AS BIGINT) FROM jp),
+           (SELECT CAST(count(*) AS BIGINT) FROM mp),
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM jp JOIN mp USING (doc_a, doc_b)),
+           CAST((1000000 * (SELECT count(*) FROM jp JOIN mp
+                            USING (doc_a, doc_b)))
+                // nullif((SELECT count(*) FROM jp)
+                          + (SELECT count(*) FROM mp)
+                          - (SELECT count(*) FROM jp JOIN mp
+                             USING (doc_a, doc_b)), 0) AS BIGINT)
+    UNION ALL
+    SELECT 'simhash', 'semantic',
+           (SELECT CAST(count(*) AS BIGINT) FROM sp),
+           (SELECT CAST(count(*) AS BIGINT) FROM mp),
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM sp JOIN mp USING (doc_a, doc_b)),
+           CAST((1000000 * (SELECT count(*) FROM sp JOIN mp
+                            USING (doc_a, doc_b)))
+                // nullif((SELECT count(*) FROM sp)
+                          + (SELECT count(*) FROM mp)
+                          - (SELECT count(*) FROM sp JOIN mp
+                             USING (doc_a, doc_b)), 0) AS BIGINT)
+"""

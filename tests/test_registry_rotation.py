@@ -63,6 +63,7 @@ ROUND11_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_llm_embed_isotropy",  # C169
         "q_llm_cluster_tightness",  # C170
         "q_ts_holt_linear",  # B203
+        "q_llm_dedup_method_overlap",  # C171
     }
 )
 
