@@ -549,3 +549,121 @@ def q_kinesis_lag_audit(spark, sf_dir):
             ).alias("millis_behind_latest"),
         )
     )
+
+
+# --- A16: partition-key hot-key audit ----------------------------------------
+
+# a key is HOT when it carries >= _HOTKEY_MULT x its fair share of the
+# shard's records (cross-multiplied: top_cnt * n_keys >= MULT * n_records)
+_HOTKEY_MULT = 10
+
+
+@query(
+    "q_kinesis_hotkey_audit",
+    priority=30,  # round-11 addition: first driver row in round 12
+    oracle=f"""
+    WITH routed AS (
+        SELECT (instr('0123456789abcdef',
+                      substr(md5(CAST(user_id AS VARCHAR)), 32, 1)) - 1)
+                   % {_RESHARD_N} AS shard,
+               user_id
+        FROM events
+    ),
+    per_key AS (
+        SELECT CAST(shard AS BIGINT) AS shard, user_id,
+               CAST(count(*) AS BIGINT) AS c
+        FROM routed GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT shard, user_id, c,
+               row_number() OVER (PARTITION BY shard
+                                  ORDER BY c DESC, user_id) AS rn
+        FROM per_key
+    ),
+    per_shard AS (
+        SELECT shard,
+               CAST(sum(c) AS BIGINT) AS n_records,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(c * c) AS BIGINT) AS sum_c2
+        FROM per_key GROUP BY shard
+    )
+    SELECT s.shard, s.n_records, s.n_keys,
+           r.user_id AS top_key, r.c AS top_cnt,
+           CAST((1000000 * r.c) // s.n_records AS BIGINT) AS top_share_ppm,
+           CAST((1000000 * s.sum_c2) // (s.n_records * s.n_records)
+                AS BIGINT) AS hhi_ppm,
+           r.c * s.n_keys >= {_HOTKEY_MULT} * s.n_records AS is_hot
+    FROM per_shard s JOIN ranked r ON r.shard = s.shard AND r.rn = 1
+    """,
+)
+def q_kinesis_hotkey_audit(spark, sf_dir):
+    """A16: partition-key HOT-KEY audit — the diagnosis that runs when
+    A14 shows a shard throttling while the stream average is fine:
+    Kinesis hashes the partition key, so ONE hot key pins a whole shard
+    at its 1 MB/s / 1000 rps ceiling and no UpdateShardCount fixes it
+    (the key still lands on a single shard — the classic
+    ProvisionedThroughputExceeded postmortem; the fix is key salting,
+    which A13's plan cannot see without this table). Per modeled shard
+    of the A5/A13 {_RESHARD_N}-shard md5 ring: record/key counts, the
+    top key (deterministic (count desc, key) tie-break), its traffic
+    share, the within-shard Herfindahl concentration index, and the
+    hot flag at the {_HOTKEY_MULT}x-fair-share threshold — decided by
+    exact integer cross-multiplication, never a float share.
+
+    Cross-engine float shape: NO float — counts and Σc² are BIGINT,
+    shares are exact ppm floor-divs (Σc² ≤ n² keeps 1e6·Σc² inside
+    BIGINT up to n ≈ 3e6 records/shard at the tested SFs; at stream
+    scale compute the HHI on ppm-quantized shares instead — documented
+    convention), the flag is a cross-multiplied inequality. Plan/scale:
+    routing is a scan expression; ONE (shard, key) hash aggregate
+    collapses the stream, the rank window partitions BY SHARD over
+    per-key rows, and the release is {_RESHARD_N} rows."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    digit = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(F.encode(F.col("user_id").cast("string"), "UTF-8")),
+                32,
+                1,
+            ),
+        )
+        - 1
+    )
+    per_key = (
+        ev.select((digit % _RESHARD_N).cast("bigint").alias("shard"), "user_id")
+        .groupBy("shard", "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("c").desc(), F.col("user_id")
+    )
+    ranked = per_key.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    per_shard = per_key.groupBy("shard").agg(
+        F.sum("c").cast("bigint").alias("n_records"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_c2"),
+    )
+    return per_shard.join(
+        ranked.select("shard", "user_id", "c"), "shard"
+    ).select(
+        "shard",
+        "n_records",
+        "n_keys",
+        F.col("user_id").alias("top_key"),
+        F.col("c").alias("top_cnt"),
+        F.expr("CAST((1000000 * c) div n_records AS BIGINT)").alias(
+            "top_share_ppm"
+        ),
+        F.expr(
+            "CAST((1000000 * sum_c2) div (n_records * n_records) AS BIGINT)"
+        ).alias("hhi_ppm"),
+        (
+            F.col("c") * F.col("n_keys")
+            >= F.lit(_HOTKEY_MULT) * F.col("n_records")
+        ).alias("is_hot"),
+    )
