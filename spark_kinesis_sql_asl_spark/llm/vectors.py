@@ -1892,3 +1892,110 @@ def q_llm_cluster_tightness(spark, sf_dir):
             ).alias("tightness_ppm"),
         )
     )
+
+
+# --- C172: PQ quantization distortion audit -----------------------------------
+
+
+@query(
+    "q_llm_pq_distortion",
+    priority=30,  # round-11 addition: first driver row in round 12
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, {_Q_VEC_SQL_DUCK} AS qv FROM embeddings
+    ),
+    seeds AS (SELECT vec_id AS seed_id, qv AS sv FROM q
+              WHERE vec_id < {_KMEANS_K}),
+    sub AS (
+        SELECT q.vec_id, s.seed_id, t.i AS subspace,
+               list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}),
+                   j -> (qv[t.i * {_PQ_SUBDIM} + j]
+                         - sv[t.i * {_PQ_SUBDIM} + j])
+                      * (qv[t.i * {_PQ_SUBDIM} + j]
+                         - sv[t.i * {_PQ_SUBDIM} + j])))
+                   AS dist
+        FROM q CROSS JOIN seeds s CROSS JOIN range(0, {_PQ_SUBSPACES}) t(i)
+    ),
+    enc AS (
+        SELECT vec_id, subspace, CAST(dist AS BIGINT) AS dist
+        FROM (
+            SELECT vec_id, subspace, dist,
+                   row_number() OVER (
+                       PARTITION BY vec_id, subspace ORDER BY dist, seed_id
+                   ) AS rn
+            FROM sub
+        ) WHERE rn = 1
+    ),
+    sse AS (
+        SELECT CAST(subspace AS BIGINT) AS subspace,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dist) AS BIGINT) AS sse_q
+        FROM enc GROUP BY subspace
+    ),
+    energy AS (
+        SELECT CAST(t.i AS BIGINT) AS subspace,
+               CAST(sum(list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}),
+                   j -> qv[t.i * {_PQ_SUBDIM} + j]
+                      * qv[t.i * {_PQ_SUBDIM} + j]))) AS BIGINT) AS energy_q
+        FROM q CROSS JOIN range(0, {_PQ_SUBSPACES}) t(i)
+        GROUP BY t.i
+    )
+    SELECT s.subspace, s.n, s.sse_q, e.energy_q,
+           CAST((1000 * s.sse_q) // s.n AS BIGINT) AS mean_dist_milli,
+           CAST((1000000 * s.sse_q) // nullif(e.energy_q, 0) AS BIGINT)
+               AS distortion_ppm
+    FROM sse s JOIN energy e USING (subspace)
+    """,
+)
+def q_llm_pq_distortion(spark, sf_dir):
+    """C172: product-quantization distortion audit — per subspace, the
+    total squared reconstruction error of C40's nearest-codeword
+    assignment against the subspace's raw energy (Jégou et al. 2011
+    §III: per-subquantizer MSE is THE dial for allocating codebook bits
+    — a subspace whose distortion_ppm dwarfs the others needs more
+    centroids or a rotation, and the sum over subspaces bounds the ADC
+    error C40a's ranking pays). Releases, for each of the
+    {_PQ_SUBSPACES} subspaces: assignment count, exact SSE, exact
+    energy, mean per-vector distortion (milli) and SSE/energy in ppm —
+    the quantization-SNR complement (distortion = 1 − SNR share).
+
+    Cross-engine float shape: NO float — C40's per-assignment ``dist``
+    is already an exact BIGINT on the C24 grid; SSE, energy and both
+    releases are exact floor-divs (D11 nullif on the energy). Plan/
+    scale: rides the C40 encode shape (|vectors|x{_PQ_SUBSPACES}
+    assignment rows collapse in one map-side-combined rollup) plus one
+    scan-stage energy rollup keyed by the {_PQ_SUBSPACES}-value
+    subspace id; release is {_PQ_SUBSPACES} rows."""
+    enc = q_llm_pq_encode(spark, sf_dir)
+    sse = enc.groupBy(F.col("subspace").cast("bigint").alias("subspace")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dist").cast("bigint").alias("sse_q"),
+    )
+    q = parallel_table(spark, sf_dir, "embeddings", key="vec_id").select(
+        F.expr(_Q_VEC_SQL_SPARK).alias("qv")
+    )
+    energy = (
+        q.select(F.posexplode("qv").alias("d", "qval"))
+        .groupBy(
+            (F.col("d") / F.lit(_PQ_SUBDIM))
+            .cast("bigint")
+            .alias("subspace")
+        )
+        .agg(
+            F.sum(F.col("qval") * F.col("qval"))
+            .cast("bigint")
+            .alias("energy_q")
+        )
+    )
+    return sse.join(energy, "subspace").select(
+        "subspace",
+        "n",
+        "sse_q",
+        "energy_q",
+        F.expr("CAST((1000 * sse_q) div n AS BIGINT)").alias(
+            "mean_dist_milli"
+        ),
+        F.expr(
+            "CAST((1000000 * sse_q) div nullif(energy_q, 0) AS BIGINT)"
+        ).alias("distortion_ppm"),
+    )

@@ -65,6 +65,7 @@ ROUND11_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_ts_holt_linear",  # B203
         "q_llm_dedup_method_overlap",  # C171
         "q_kinesis_hotkey_audit",  # A16
+        "q_llm_pq_distortion",  # C172
     }
 )
 
