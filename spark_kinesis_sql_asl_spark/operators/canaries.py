@@ -809,3 +809,83 @@ def q_canary_regex_subset(spark, sf_dir):
         n("(?i)the").alias("ci_hits"),
         n("\\s+").alias("ws_runs"),
     )
+
+
+@query(
+    "q_canary_array_semantics",
+    priority=30,  # round-11 addition: first driver row in round 12
+    oracle="""
+    WITH k AS (
+        SELECT event_id,
+               CAST(1 + event_id % 5 AS BIGINT) AS m,
+               string_split('c b a c b', ' ') AS toks
+        FROM events WHERE event_id % 101 = 0
+    ),
+    arr AS (
+        SELECT event_id, m, toks,
+               range(1, CAST(m AS INTEGER) + 1, 1) AS sq
+        FROM k
+    )
+    SELECT event_id,
+           list_extract(sq, 1) AS first_el,
+           list_extract(sq, -1) AS last_el,
+           list_extract(sq, 100) AS oob_null,
+           list_slice(sq, 2, 11) AS slice_clamped,
+           list_slice(sq, 100, 101) AS slice_past_end,
+           len(sq) AS n_el,
+           list_position(sq, 3) AS pos_3,
+           list_position(sq, 99) AS pos_missing,
+           list_sort(list_distinct(toks)) AS distinct_sorted,
+           flatten([sq, sq]) AS doubled,
+           list_contains(sq, 2) AS has_2
+    FROM arr
+    """,
+)
+def q_canary_array_semantics(spark, sf_dir):
+    """D19: array-primitive common-subset parity (round 11). Every Tier C
+    operator leans on array machinery (split → slice → distinct →
+    sort → position), so this canary pins the AGREEING subset in one
+    place: 1-based indexing, negative (from-end) indexing,
+    out-of-bounds access yielding NULL (Spark `element_at` under
+    `try_element_at` semantics vs DuckDB `list_extract` — probed
+    equal), slice clamping at both ends (Spark `slice(a, s, len)` vs
+    DuckDB's end-inclusive `list_slice(a, s, s+len-1)` — same clamped
+    result), `size`/`len`, found/not-found `array_position` (both
+    return 0 on missing, never NULL), flatten, sequence stepping and
+    membership. The DIVERGENT class this canary documents: the
+    ORDER of `array_distinct`/`list_distinct` (Spark keeps first
+    occurrence, DuckDB does not — probed divergent on the same input),
+    so a distinct array may only be released through `array_sort` (the
+    `distinct_sorted` column pins the safe composed form) or consumed
+    as a SET (sizes, intersections — the C2 idiom). OOB access note:
+    the bare-session default is ANSI mode, where Spark `element_at`
+    THROWS on out-of-bounds — the pinned safe form is `try_element_at`,
+    which this canary uses."""
+    k = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 101 == 0)
+        .select(
+            "event_id",
+            (F.lit(1) + F.col("event_id") % 5).cast("bigint").alias("m"),
+            F.split(F.lit("c b a c b"), " ").alias("toks"),
+        )
+    )
+    arr = k.select(
+        "event_id",
+        "toks",
+        F.expr("sequence(1, CAST(m AS INT), 1)").alias("sq"),
+    )
+    return arr.select(
+        "event_id",
+        F.expr("try_element_at(sq, 1)").alias("first_el"),
+        F.expr("try_element_at(sq, -1)").alias("last_el"),
+        F.expr("try_element_at(sq, 100)").alias("oob_null"),
+        F.expr("slice(sq, 2, 10)").alias("slice_clamped"),
+        F.expr("slice(sq, 100, 2)").alias("slice_past_end"),
+        F.size("sq").cast("bigint").alias("n_el"),
+        F.expr("array_position(sq, 3)").alias("pos_3"),
+        F.expr("array_position(sq, 99)").alias("pos_missing"),
+        F.expr("array_sort(array_distinct(toks))").alias("distinct_sorted"),
+        F.expr("flatten(array(sq, sq))").alias("doubled"),
+        F.expr("array_contains(sq, 2)").alias("has_2"),
+    )

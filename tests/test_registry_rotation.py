@@ -66,6 +66,7 @@ ROUND11_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_llm_dedup_method_overlap",  # C171
         "q_kinesis_hotkey_audit",  # A16
         "q_llm_pq_distortion",  # C172
+        "q_canary_array_semantics",  # D19
     }
 )
 
