@@ -55,6 +55,15 @@ _QUADRATIC_PRONE = [
     "q_llm_split_leakage",
     "q_llm_quality_dup_matrix",
     "q_graph_copurchase",
+    # round 11: cell-blocked eps self-join (sum(|cell|^2) candidate risk if
+    # the density dial were wrong) + the hash-to-min CC loop; first touch
+    # builds the memoized pair/label state — honest build+consume cost.
+    "q_geo_dbscan",
+    # round 11: pair-state consumers — tightness crosses the semantic pair
+    # graph with a (cluster, dim) rollup, the overlap matrix equi-joins all
+    # three memoized pair frames (the split_leakage risk class).
+    "q_llm_cluster_tightness",
+    "q_llm_dedup_method_overlap",
 ]
 
 
