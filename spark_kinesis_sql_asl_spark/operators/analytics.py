@@ -2234,3 +2234,83 @@ def q_part_price_elasticity(spark, sf_dir):
             f" / ({_ELAST_SLOPE_DEN} * {_ELAST_R2_DEN_Y}), 6)"
         ).alias("r2"),
     )
+
+
+@query(
+    "q_trade_flow_matrix",
+    priority=30,  # round-11 addition: first driver row in round 12
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(year(CAST(l.l_shipdate AS DATE)) AS BIGINT) AS ship_year,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    WHERE l.l_shipdate IS NOT NULL
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_trade_flow_matrix(spark, sf_dir):
+    """B204: bilateral trade-flow matrix — discounted revenue by
+    (customer nation, supplier nation, ship year): the generalized
+    TPC-H Q7 "volume shipping" query (Q7 fixes two nations and
+    cross-filters; this releases the full matrix a trade dashboard
+    actually draws), and the five-table join shape the flagship
+    `entry()` star lacks — BOTH fact-adjacent dims (customer and
+    supplier) resolve simultaneously, which is the plan Catalyst must
+    get right at 100 TB: lineitem⋈orders is the one unavoidable
+    big-big shuffle (orderkey-keyed), customer and supplier resolve as
+    key-partitioned joins (both far too big to broadcast at scale; AQE
+    picks broadcast at test SFs — either is correct, neither is
+    cartesian), and the two 25-row nation lookups broadcast. Rollup
+    keys are bounded (|nations|² × |years| ≤ ~4.4k rows), so the final
+    aggregate collapses map-side.
+
+    Cross-engine float shape: revenue is the per-row exact
+    ``floor(extendedprice·(1−discount)·100)`` BIGINT (per-row IEEE
+    arithmetic is bit-identical across engines — the conftest
+    discipline; B200's convention), summed as BIGINT; year via the
+    D13-safe year() of an explicit DATE cast; NO float release."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate").isNotNull())
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("cnk"),
+                                 F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("cnk"),
+        )
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("snk"),
+                                 F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+        .groupBy("cust_nation", "supp_nation", "ship_year")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )
