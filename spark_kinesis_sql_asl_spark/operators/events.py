@@ -2748,3 +2748,200 @@ def q_events_lifecycle(spark, sf_dir):
             ).alias("quick_ratio"),
         )
     )
+
+
+# --- B205: CUPED adjusted experiment readout -----------------------------------
+
+_CUPED_THETA_EXPR = (
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    "  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))"
+)
+_CUPED_VR_EXPR = (
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    "  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    "    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / nullif((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    "          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    "             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0))"
+)
+
+
+@query(
+    "q_events_cuped",
+    priority=30,  # round-11 addition: first driver row in round 12
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    mid AS (
+        SELECT CAST((min(d) + max(d) + 1) // 2 AS BIGINT) AS mid FROM ev
+    ),
+    per_user AS (
+        SELECT user_id,
+               (instr('0123456789abcdef',
+                      substr(md5(CAST(user_id AS VARCHAR)), 32, 1)) - 1)
+                   % 2 AS arm,
+               CAST(sum(CASE WHEN d < mid THEN cents ELSE 0 END) AS BIGINT)
+                   AS x,
+               CAST(sum(CASE WHEN d >= mid THEN cents ELSE 0 END) AS BIGINT)
+                   AS y
+        FROM ev CROSS JOIN mid
+        GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM per_user
+    ),
+    arms AS (
+        SELECT CAST(arm AS BIGINT) AS arm,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(x) AS BIGINT) AS sx_a,
+               CAST(sum(y) AS BIGINT) AS sy_a
+        FROM per_user GROUP BY arm
+    ),
+    srm AS (
+        SELECT CAST((1000 * (a.n_users - b.n_users)
+                     * (a.n_users - b.n_users))
+                    // (a.n_users + b.n_users) AS BIGINT) AS srm_chi2_milli
+        FROM arms a JOIN arms b ON a.arm = 0 AND b.arm = 1
+    )
+    SELECT ar.arm, ar.n_users,
+           CAST(ar.sy_a // ar.n_users AS BIGINT) AS mean_post_cents,
+           round(CAST(ar.sy_a AS DOUBLE) / CAST(ar.n_users AS DOUBLE)
+                 - {_CUPED_THETA_EXPR}
+                   * (CAST(ar.sx_a AS DOUBLE) / CAST(ar.n_users AS DOUBLE)
+                      - CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE)), 4)
+               AS adj_mean_post,
+           round({_CUPED_THETA_EXPR}, 6) AS theta,
+           round({_CUPED_VR_EXPR}, 6) AS var_reduction,
+           s.srm_chi2_milli
+    FROM arms ar CROSS JOIN g CROSS JOIN srm s
+    """,
+)
+def q_events_cuped(spark, sf_dir):
+    """B205: CUPED-adjusted experiment readout (Deng, Xu, Kohavi & Walker,
+    WSDM 2013) — the variance-reduction technique every mature A/B
+    platform applies before reading a revenue metric: users split into
+    two arms by the A5 md5-ring rule (last hex digit % 2 — a real
+    deterministic assignment hash), the calendar split at the global
+    midpoint day into pre/post periods, and each arm's post-period mean
+    released raw AND adjusted by theta·(x̄_arm − x̄_all) with
+    theta = cov(X,Y)/var(X) pooled over all users. Beside them: the
+    achieved variance-reduction factor corr²(X,Y) (the paper's headline
+    number — how much smaller the experiment could have been) and the
+    sample-ratio-mismatch chi-square (the assignment-health gate that
+    must pass before ANY readout is trusted), as an exact milli
+    statistic.
+
+    Cross-engine float shape: per-user pre/post sums and all six moment
+    sums are exact BIGINTs (floor-cents at the scan; the midpoint day is
+    an exact integer floor-div of a 1-row broadcast); raw per-arm means
+    release as exact floor-div cents; theta / adjusted mean / variance
+    reduction are ONE identical-text double expression each over exact
+    sums (the B201 pattern — products and cancellation in IEEE doubles
+    on both engines, D11 nullif guards), round(6)/round(4) at release
+    (irrational-valued ratios — not the B199/B200 exact-half hazard
+    class); SRM chi-square is an exact integer cross-multiplication.
+    Plan/scale: one (user)-keyed conditional rollup collapses the
+    event stream, one 6-sum global aggregate + 2-row arm rollup, all
+    joined by 1-row broadcasts; release is 2 rows."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("d"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    mid = ev.agg(
+        F.expr("CAST((min(d) + max(d) + 1) div 2 AS BIGINT)").alias("mid")
+    )
+    arm = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(F.encode(F.col("user_id").cast("string"), "UTF-8")),
+                32,
+                1,
+            ),
+        )
+        - 1
+    ) % 2
+    per_user = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id", arm.cast("bigint").alias("arm"))
+        .agg(
+            F.sum(F.when(F.col("d") < F.col("mid"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("d") >= F.col("mid"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    g = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("sx_a"),
+        F.sum("y").cast("bigint").alias("sy_a"),
+    )
+    srm = (
+        arms.where(F.col("arm") == 0)
+        .select(F.col("n_users").alias("na"))
+        .crossJoin(
+            F.broadcast(
+                arms.where(F.col("arm") == 1).select(
+                    F.col("n_users").alias("nb")
+                )
+            )
+        )
+        .select(
+            F.expr(
+                "CAST((1000 * (na - nb) * (na - nb)) div (na + nb)"
+                " AS BIGINT)"
+            ).alias("srm_chi2_milli")
+        )
+    )
+    return (
+        arms.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(srm))
+        .select(
+            "arm",
+            "n_users",
+            F.expr("CAST(sy_a div n_users AS BIGINT)").alias(
+                "mean_post_cents"
+            ),
+            F.expr(
+                "round(CAST(sy_a AS DOUBLE) / CAST(n_users AS DOUBLE)"
+                f" - {_CUPED_THETA_EXPR}"
+                " * (CAST(sx_a AS DOUBLE) / CAST(n_users AS DOUBLE)"
+                "    - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 4)"
+            ).alias("adj_mean_post"),
+            F.expr(f"round({_CUPED_THETA_EXPR}, 6)").alias("theta"),
+            F.expr(f"round({_CUPED_VR_EXPR}, 6)").alias("var_reduction"),
+            "srm_chi2_milli",
+        )
+    )

@@ -68,6 +68,7 @@ ROUND11_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_llm_pq_distortion",  # C172
         "q_canary_array_semantics",  # D19
         "q_trade_flow_matrix",  # B204
+        "q_events_cuped",  # B205
     }
 )
 
