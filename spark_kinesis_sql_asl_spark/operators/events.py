@@ -2945,3 +2945,103 @@ def q_events_cuped(spark, sf_dir):
             "srm_chi2_milli",
         )
     )
+
+
+# --- B206: minimum detectable effect (experiment power planning) ----------------
+
+# z_{alpha/2} + z_beta for alpha = 0.05 two-sided, power 0.8: 1.96 + 0.8416
+_MDE_Z_SUM = "2.8016"
+
+
+@query(
+    "q_events_mde",
+    priority=30,  # round-11 addition: first driver row in round 12
+    oracle=f"""
+    WITH per_user AS (
+        SELECT event_type, user_id,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS m
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(m) AS BIGINT) AS s,
+               CAST(sum(m * m) AS BIGINT) AS ss
+        FROM per_user GROUP BY event_type
+    )
+    SELECT event_type, n, CAST(s // n AS BIGINT) AS mean_cents,
+           round(sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      / (CAST(n AS DOUBLE)
+                         * (CAST(n AS DOUBLE) - 1.0))), 2) AS sd_cents,
+           round({_MDE_Z_SUM}
+                 * sqrt(2.0 * (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / (CAST(n AS DOUBLE)
+                           * (CAST(n AS DOUBLE) - 1.0))
+                        / (CAST(n AS DOUBLE) / 2.0)), 2) AS mde_cents,
+           CAST((1000000 * CAST(round({_MDE_Z_SUM}
+                 * sqrt(2.0 * (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / (CAST(n AS DOUBLE)
+                           * (CAST(n AS DOUBLE) - 1.0))
+                        / (CAST(n AS DOUBLE) / 2.0)) * 100) AS BIGINT))
+                // nullif(100 * (s // n), 0) AS BIGINT) AS mde_rel_ppm
+    FROM g
+    """,
+)
+def q_events_mde(spark, sf_dir):
+    """B206: minimum detectable effect per metric — the power-planning
+    table read BEFORE launching the experiment B205 reads out (standard
+    two-sample power formula, e.g. Kohavi et al. *Trustworthy Online
+    Controlled Experiments* ch. 17): with all users split evenly into
+    two arms, MDE = (z_{{α/2}} + z_β)·sqrt(2σ²/(n/2)) at α = 0.05 /
+    power 0.8 ({_MDE_Z_SUM} pinned as a literal — no normal-quantile
+    primitive crosses engines), released per event_type with the
+    per-user metric mean and sd, plus MDE relative to the mean in ppm.
+
+    Cross-engine float shape: per-user sums and the three moments are
+    exact BIGINTs; mean releases as exact floor-div cents; sd and MDE
+    are ONE identical-text IEEE sqrt expression each over exact ints
+    (B194/B198 discipline), round(2); the relative ppm divides the
+    ALREADY-ROUNDED MDE (scaled to an exact integer centi-cent) by the
+    exact floor mean — double-floor convention (B199/C170), D11
+    nullif. Plan/scale: one (event_type, user) rollup collapses the
+    stream (map-side combine), one |event_types|-row moment rollup;
+    release |event_types| rows, no windows, no joins."""
+    per_user = (
+        table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("m")
+        )
+    )
+    g = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("m").cast("bigint").alias("s"),
+        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("ss"),
+    )
+    var_expr = (
+        "(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)"
+        " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))"
+    )
+    mde_expr = (
+        f"{_MDE_Z_SUM} * sqrt(2.0 * {var_expr}"
+        " / (CAST(n AS DOUBLE) / 2.0))"
+    )
+    return g.select(
+        "event_type",
+        "n",
+        F.expr("CAST(s div n AS BIGINT)").alias("mean_cents"),
+        F.expr(f"round(sqrt({var_expr}), 2)").alias("sd_cents"),
+        F.expr(f"round({mde_expr}, 2)").alias("mde_cents"),
+        F.expr(
+            f"CAST((1000000 * CAST(round({mde_expr} * 100) AS BIGINT))"
+            " div nullif(100 * (s div n), 0) AS BIGINT)"
+        ).alias("mde_rel_ppm"),
+    )

@@ -69,6 +69,7 @@ ROUND11_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_canary_array_semantics",  # D19
         "q_trade_flow_matrix",  # B204
         "q_events_cuped",  # B205
+        "q_events_mde",  # B206
     }
 )
 
