@@ -881,3 +881,96 @@ def streaming_holt_linear(order_stream):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- B202 twin: Little's law reconciliation ------------------------------------
+
+_LL_OUT_SCHEMA = (
+    "grp string, mon_idx bigint, n_days bigint, area bigint, "
+    "n_arrivals bigint, sum_dur_days bigint, seq bigint"
+)
+_LL_STATE_SCHEMA = "s array<bigint>, e array<bigint>, seq bigint"
+
+
+def streaming_littles_law(span_stream):
+    """B202-stream: the monthly L = lambda*W reconciliation as keyed state
+    — the live form of the capacity audit (work-in-progress vs arrival
+    rate x wait is exactly what an ops dashboard watches). A late or
+    corrected interval shifts every month it overlaps, so the honest
+    streaming form keeps the interval endpoints themselves — state is
+    two parallel (s, e) day arrays, bounded by the ORDER VOLUME of the
+    open ledger, not the record stream (fulfillment windows are weeks,
+    so a deployment compacts closed months out of state; the harness
+    keeps all, matching the batch horizon) — and re-derives the exact
+    B202 integer ledger per micro-batch: net-change walk, per-month
+    area, arrival counts and durations, all BIGINT. The final emission
+    equals q_orders_littles_law's integer columns exactly.
+
+    Input columns: s_day (epoch day of order), e_day (epoch day of
+    first shipment).
+    """
+    import datetime as _dt
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def mon_of(day: int) -> int:
+        dt = _dt.date(1970, 1, 1) + _dt.timedelta(days=day)
+        return dt.year * 12 + dt.month
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            ss, ee, seq = state.get
+            ss, ee = [int(x) for x in ss], [int(x) for x in ee]
+        else:
+            ss, ee, seq = [], [], 0
+        for pdf in pdfs:
+            ss.extend(int(v) for v in pdf["s_day"])
+            ee.extend(int(v) for v in pdf["e_day"])
+        seq += 1
+        state.update((ss, ee, seq))
+        net: dict[int, int] = {}
+        arr: dict[int, list[int]] = {}
+        for s, e in zip(ss, ee):
+            net[s] = net.get(s, 0) + 1
+            net[e + 1] = net.get(e + 1, 0) - 1
+            m = mon_of(s)
+            a = arr.setdefault(m, [0, 0])
+            a[0] += 1
+            a[1] += e - s + 1
+        days = sorted(net)
+        mc: dict[int, list[int]] = {}
+        open_now = 0
+        for i, d in enumerate(days):
+            open_now += net[d]
+            run_end = days[i + 1] if i + 1 < len(days) else d + 1
+            for dd in range(d, run_end):
+                m = mon_of(dd)
+                c = mc.setdefault(m, [0, 0])
+                c[0] += 1
+                c[1] += open_now
+        months = sorted(set(mc) & set(arr))
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]] * len(months),
+                "mon_idx": pd.Series(months, dtype="int64"),
+                "n_days": pd.Series([mc[m][0] for m in months], dtype="int64"),
+                "area": pd.Series([mc[m][1] for m in months], dtype="int64"),
+                "n_arrivals": pd.Series(
+                    [arr[m][0] for m in months], dtype="int64"
+                ),
+                "sum_dur_days": pd.Series(
+                    [arr[m][1] for m in months], dtype="int64"
+                ),
+                "seq": pd.Series([seq] * len(months), dtype="int64"),
+            }
+        )
+
+    return span_stream.withColumn(
+        "grp", F.lit("all")
+    ).groupBy("grp").applyInPandasWithState(
+        fold,
+        outputStructType=_LL_OUT_SCHEMA,
+        stateStructType=_LL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

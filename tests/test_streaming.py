@@ -2595,3 +2595,92 @@ def test_streaming_holt_equals_batch(spark, tmp_path):
             bt["level_milli"], bt["trend_milli"], bt["forecast_milli"]
         ), h
         assert e // (n - 1) == bt["mae_milli"], h
+
+
+# --- B202s: streaming Little's law parity ----------------------------------------
+
+
+def test_streaming_littles_law_equals_batch(spark, tmp_path):
+    """B202's streaming twin: the final monthly integer ledger must equal
+    q_orders_littles_law exactly (the derived floor-div columns follow
+    from the same integers on both sides)."""
+    from spark_kinesis_sql_asl_spark.operators.timeseries import (
+        q_orders_littles_law,
+    )
+    from spark_kinesis_sql_asl_spark.streaming.timeseries import (
+        streaming_littles_law,
+    )
+    from spark_kinesis_sql_asl_spark.tables import table as _t
+
+    spans = (
+        _t(spark, SF_SMOKE, "orders")
+        .where(F.col("o_orderdate").isNotNull())
+        .join(
+            _t(spark, SF_SMOKE, "lineitem").where(
+                F.col("l_shipdate").isNotNull()
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            .cast("bigint")
+            .alias("s_day"),
+            F.datediff(
+                F.col("first_ship").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            .cast("bigint")
+            .alias("e_day"),
+        )
+        .collect()
+    )
+    rows = sorted((r.s_day, r.e_day) for r in spans)
+    staging = str(tmp_path / "staging")
+    os.makedirs(staging, exist_ok=True)
+    n_files = 4
+    per = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        sl = rows[i * per : (i + 1) * per]
+        tbl = pa.table(
+            {
+                "s_day": pa.array([s for s, _ in sl], pa.int64()),
+                "e_day": pa.array([e for _, e in sl], pa.int64()),
+            }
+        )
+        f = os.path.join(staging, f"{i:04d}.parquet")
+        pq.write_table(tbl, f)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    src = (
+        spark.readStream.schema("s_day bigint, e_day bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    _drain(
+        streaming_littles_law(src)
+        .writeStream.format("memory")
+        .queryName("stream_littles")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    got = _dedup_last_by_seq(
+        spark,
+        "stream_littles",
+        ["grp", "mon_idx"],
+        ["n_days", "area", "n_arrivals", "sum_dur_days"],
+    )
+    expect = {
+        r["mon_idx"]: r
+        for r in q_orders_littles_law(spark, SF_SMOKE).collect()
+    }
+    assert {m for _, m in got} == set(expect)
+    for (_, m), (nd, area, na, sd) in got.items():
+        b = expect[m]
+        assert (nd, area, na, sd) == (
+            b["n_days"], b["area"], b["n_arrivals"], b["sum_dur_days"]
+        ), m
