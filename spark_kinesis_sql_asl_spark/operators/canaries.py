@@ -830,13 +830,16 @@ def q_canary_regex_subset(spark, sf_dir):
            list_extract(sq, 1) AS first_el,
            list_extract(sq, -1) AS last_el,
            list_extract(sq, 100) AS oob_null,
-           list_slice(sq, 2, 11) AS slice_clamped,
-           list_slice(sq, 100, 101) AS slice_past_end,
+           coalesce(array_to_string(list_slice(sq, 2, 11), ','), '')
+               AS slice_clamped,
+           coalesce(array_to_string(list_slice(sq, 100, 101), ','), '')
+               AS slice_past_end,
            len(sq) AS n_el,
            list_position(sq, 3) AS pos_3,
            list_position(sq, 99) AS pos_missing,
-           list_sort(list_distinct(toks)) AS distinct_sorted,
-           flatten([sq, sq]) AS doubled,
+           array_to_string(list_sort(list_distinct(toks)), ',')
+               AS distinct_sorted,
+           array_to_string(flatten([sq, sq]), ',') AS doubled,
            list_contains(sq, 2) AS has_2
     FROM arr
     """,
@@ -852,7 +855,13 @@ def q_canary_array_semantics(spark, sf_dir):
     DuckDB's end-inclusive `list_slice(a, s, s+len-1)` — same clamped
     result), `size`/`len`, found/not-found `array_position` (both
     return 0 on missing, never NULL), flatten, sequence stepping and
-    membership. The DIVERGENT class this canary documents: the
+    membership — array-valued probes release as comma-joined strings
+    (the B32/C27 flat-schema convention the driver canonicalizer
+    requires). TWO divergent classes this canary documents:
+    the EMPTY-ARRAY stringification (Spark ``array_join([])`` yields
+    ``''``, DuckDB ``array_to_string([])`` yields NULL — probed
+    divergent; the pinned safe oracle form is
+    ``coalesce(array_to_string(...), '')``), and the
     ORDER of `array_distinct`/`list_distinct` (Spark keeps first
     occurrence, DuckDB does not — probed divergent on the same input),
     so a distinct array may only be released through `array_sort` (the
@@ -880,12 +889,16 @@ def q_canary_array_semantics(spark, sf_dir):
         F.expr("try_element_at(sq, 1)").alias("first_el"),
         F.expr("try_element_at(sq, -1)").alias("last_el"),
         F.expr("try_element_at(sq, 100)").alias("oob_null"),
-        F.expr("slice(sq, 2, 10)").alias("slice_clamped"),
-        F.expr("slice(sq, 100, 2)").alias("slice_past_end"),
+        F.expr("array_join(slice(sq, 2, 10), ',')").alias("slice_clamped"),
+        F.expr("array_join(slice(sq, 100, 2), ',')").alias(
+            "slice_past_end"
+        ),
         F.size("sq").cast("bigint").alias("n_el"),
         F.expr("array_position(sq, 3)").alias("pos_3"),
         F.expr("array_position(sq, 99)").alias("pos_missing"),
-        F.expr("array_sort(array_distinct(toks))").alias("distinct_sorted"),
-        F.expr("flatten(array(sq, sq))").alias("doubled"),
+        F.expr("array_join(array_sort(array_distinct(toks)), ',')").alias(
+            "distinct_sorted"
+        ),
+        F.expr("array_join(flatten(array(sq, sq)), ',')").alias("doubled"),
         F.expr("array_contains(sq, 2)").alias("has_2"),
     )
