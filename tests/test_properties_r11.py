@@ -474,3 +474,61 @@ def test_holt_linear_series_is_exact_fixed_point(a, c, n):
         assert 1000 * y - (l + b) == 0  # one-step forecast is exact too
         l, b = _holt_step(l, b, 1000 * y)
         assert l == 1000 * y and b == 1000 * c
+
+
+# --- B205: CUPED preserves the pooled mean ---------------------------------------
+
+
+@given(
+    users=st.lists(
+        st.tuples(
+            st.booleans(),              # arm
+            st.integers(0, 10**6),      # pre metric x
+            st.integers(0, 10**6),      # post metric y
+        ),
+        min_size=4,
+        max_size=40,
+    ),
+)
+@_SETTINGS
+def test_cuped_adjustment_preserves_pooled_mean(users):
+    """Σ_arms n_a·(ȳ_a − θ·(x̄_a − x̄)) == Σ_arms n_a·ȳ_a exactly (the
+    weighted arm deviations from the pooled covariate mean cancel), so
+    CUPED shifts variance between arms but never the experiment's
+    overall level — the unbiasedness identity B205's adjusted column
+    relies on, exact in rationals for ANY θ."""
+    arms = {}
+    for a, x, y in users:
+        arms.setdefault(a, []).append((x, y))
+    if len(arms) < 2:
+        return
+    n = len(users)
+    xbar = Fraction(sum(x for _, x, _ in users), n)
+    theta = Fraction(7, 3)  # arbitrary θ — the identity holds for any
+    lhs = 0
+    rhs = 0
+    for a, rows in arms.items():
+        na = len(rows)
+        ybar = Fraction(sum(y for _, y in rows), na)
+        xbar_a = Fraction(sum(x for x, _ in rows), na)
+        lhs += na * (ybar - theta * (xbar_a - xbar))
+        rhs += na * ybar
+    assert lhs == rhs
+
+
+# --- A16: Herfindahl bounds against the top share --------------------------------
+
+
+@given(
+    counts=st.lists(st.integers(1, 10**4), min_size=1, max_size=50)
+)
+@_SETTINGS
+def test_hotkey_hhi_bracketed_by_top_share(counts):
+    """max_share² ≤ HHI ≤ max_share exactly (Σp² ≤ max·Σp = max, and the
+    top term alone gives the lower bound) — the sanity bracket that
+    makes A16's two released concentration numbers mutually checkable."""
+    tot = sum(counts)
+    top = max(counts)
+    hhi = Fraction(sum(c * c for c in counts), tot * tot)
+    top_share = Fraction(top, tot)
+    assert top_share ** 2 <= hhi <= top_share
