@@ -1428,6 +1428,25 @@ _PCA_GRAM_DUCK = """
 """
 
 
+def _pca_iter_duck_divfirst(r: int) -> str:
+    """C169's renormalization: divide mx FIRST (v = w div (mx div SCALE))
+    so the w*SCALE product never forms — the centered matrix is up to n
+    times larger than C132's raw Gram, and the adversarial embedding
+    fixture's 1e3-magnitude row pushes w*SCALE past 2^63 (measured
+    ARITHMETIC_OVERFLOW under ANSI mode). Same 10-bit lattice scale,
+    exact integers, D7 truncation."""
+    return f"""
+    w{r} AS (
+        SELECT m.i, CAST(sum(m.m * v.v) AS BIGINT) AS w
+        FROM m JOIN v{r - 1} v ON m.j = v.i GROUP BY m.i
+    ),
+    n{r} AS (SELECT max(abs(w)) AS mx FROM w{r}),
+    v{r} AS (
+        SELECT i, CAST(w // greatest(mx // {_PCA_SCALE}, 1) AS BIGINT) AS v
+        FROM w{r} CROSS JOIN n{r}
+    )"""
+
+
 def _pca_iter_duck(r: int) -> str:
     return f"""
     w{r} AS (
@@ -1626,15 +1645,16 @@ def q_llm_semantic_dedup_e2e(spark, sf_dir):
         CROSS JOIN nn
     ),
     v0 AS (SELECT i, CAST({_PCA_SCALE} AS BIGINT) AS v FROM range(0, 64) t(i)),
-    {",".join(_pca_iter_duck(r) for r in range(1, _PCA_ROUNDS + 1))}
+    {",".join(_pca_iter_duck_divfirst(r) for r in range(1, _PCA_ROUNDS + 1))}
     SELECT nn.n, tt.t AS trace_q, s2.s2 AS mean_norm2_num,
            s2.s2 - tt.t AS pair_dot_num,
-           CAST((1000000 * nn.n * (s2.s2 - tt.t))
-                // ((nn.n - 1) * tt.t) AS BIGINT) AS exp_pair_cos_ppm,
+           CAST((nn.n * ((1000000 * (s2.s2 - tt.t)) // tt.t))
+                // (nn.n - 1) AS BIGINT) AS exp_pair_cos_ppm,
            CAST(n{_PCA_ROUNDS}.mx // {_PCA_SCALE} AS BIGINT) AS lam1_c,
            nn.n * tt.t - s2.s2 AS trace_c,
-           CAST((1000000 * CAST(n{_PCA_ROUNDS}.mx // {_PCA_SCALE} AS BIGINT))
-                // (nn.n * tt.t - s2.s2) AS BIGINT) AS pc1_share_ppm
+           CAST((1000 * CAST(n{_PCA_ROUNDS}.mx // {_PCA_SCALE} AS BIGINT))
+                // greatest((nn.n * tt.t - s2.s2) // 1000, 1) AS BIGINT)
+               AS pc1_share_ppm
     FROM nn CROSS JOIN tt CROSS JOIN s2 CROSS JOIN n{_PCA_ROUNDS}
     """,
 )
@@ -1649,10 +1669,14 @@ def q_llm_embed_isotropy(spark, sf_dir):
     cloud); (b) the PC1 variance share of the mean-CENTERED cloud —
     λ₁/trace of the centered Gram, the "top" whose removal the paper
     prescribes. Centering is EXACT in integers: n²·Cov ∝ n·G − s·sᵀ
-    with G the C132 Gram and s the per-dim sums, so C132's integer
-    power iteration runs verbatim on the centered matrix ({_PCA_ROUNDS}
-    rounds, {_PCA_SCALE}-renormalized, D7-pinned truncating div at each
-    step — both engines walk the identical lattice).
+    with G the C132 Gram and s the per-dim sums; C132's integer power
+    iteration runs on the centered matrix with ONE change — the
+    renormalization divides mx FIRST (v = w div (mx div {_PCA_SCALE}),
+    D7 truncation, same 10-bit lattice) because the centered matrix is
+    n× larger than C132's and the w·{_PCA_SCALE} product was MEASURED
+    to overflow 2^63 on the adversarial fixture's 1e3-magnitude row;
+    the ppm releases use the same divide-first split-scaling (the C170
+    double-floor convention) for the same reason.
 
     Cross-engine float shape: NO float — grid quantization (C24), all
     moments and the iteration are BIGINT, releases are exact floor-div
@@ -1710,7 +1734,9 @@ def q_llm_embed_isotropy(spark, sf_dir):
         mx = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
         v = w.crossJoin(F.broadcast(mx)).select(
             "i",
-            F.expr(f"CAST((w * {_PCA_SCALE}) div mx AS BIGINT)").alias("v"),
+            F.expr(
+                f"CAST(w div greatest(mx div {_PCA_SCALE}, 1) AS BIGINT)"
+            ).alias("v"),
         )
     return (
         nn.crossJoin(F.broadcast(tt))
@@ -1722,14 +1748,14 @@ def q_llm_embed_isotropy(spark, sf_dir):
             F.col("s2").alias("mean_norm2_num"),
             (F.col("s2") - F.col("t")).alias("pair_dot_num"),
             F.expr(
-                "CAST((1000000 * n * (s2 - t))"
-                " div ((n - 1) * t) AS BIGINT)"
+                "CAST((n * ((1000000 * (s2 - t)) div t))"
+                " div (n - 1) AS BIGINT)"
             ).alias("exp_pair_cos_ppm"),
             F.expr(f"CAST(mx div {_PCA_SCALE} AS BIGINT)").alias("lam1_c"),
             (F.col("n") * F.col("t") - F.col("s2")).alias("trace_c"),
             F.expr(
-                f"CAST((1000000 * CAST(mx div {_PCA_SCALE} AS BIGINT))"
-                " div (n * t - s2) AS BIGINT)"
+                f"CAST((1000 * CAST(mx div {_PCA_SCALE} AS BIGINT))"
+                " div greatest((n * t - s2) div 1000, 1) AS BIGINT)"
             ).alias("pc1_share_ppm"),
         )
     )
@@ -1793,10 +1819,10 @@ def q_llm_embed_isotropy(spark, sf_dir):
                AS mean_pair_q2_milli,
            CAST((2000 * (g.ng * g.t - g.s2))
                 // (g.ng * (g.ng - 1)) AS BIGINT) AS corpus_pair_q2_milli,
-           CAST((1000000 * CAST((2000 * (c.n_members * c.sumsq - n.norm2))
+           CAST((1000 * CAST((2000 * (c.n_members * c.sumsq - n.norm2))
                     // (c.n_members * (c.n_members - 1)) AS BIGINT))
                 // nullif(CAST((2000 * (g.ng * g.t - g.s2))
-                    // (g.ng * (g.ng - 1)) AS BIGINT), 0) AS BIGINT)
+                    // (g.ng * (g.ng - 1)) AS BIGINT) // 1000, 0) AS BIGINT)
                AS tightness_ppm
     FROM cstat c JOIN cnorm n USING (cluster_id) CROSS JOIN g
     """,
@@ -1817,9 +1843,11 @@ def q_llm_cluster_tightness(spark, sf_dir):
     Cross-engine float shape: NO float — member counts, grid moments
     and both dispersion numerators are exact BIGINTs; the two
     mean-pair-distance columns are exact milli floor-divs and the ppm
-    ratio divides the two PRE-FLOORED milli values (double-floor
-    convention, documented: at grid scale a milli floor loses <1e-3 of
-    values ~1e6-1e9) with a nullif guard (D11) — all-positive, D7-safe.
+    ratio divides the two PRE-FLOORED milli values with the divide-first
+    split scaling 1000·c div (g div 1000) (double-floor convention; the
+    1e6·milli product was MEASURED past 2^63 when an adversarial
+    1e3-magnitude vector lands in a cluster) with a nullif guard (D11)
+    — all-positive, D7-safe.
     Plan/scale: rides the memoized semantic pair state (C125) and the
     C131 min-label loop; the tightness math is one |members|x64
     posexplode rollup keyed by (cluster, dim) — ids and 8-byte sums on
@@ -1887,8 +1915,8 @@ def q_llm_cluster_tightness(spark, sf_dir):
             F.expr(milli_c).alias("mean_pair_q2_milli"),
             F.expr(milli_g).alias("corpus_pair_q2_milli"),
             F.expr(
-                f"CAST((1000000 * {milli_c}) div nullif({milli_g}, 0)"
-                " AS BIGINT)"
+                f"CAST((1000 * {milli_c})"
+                f" div nullif({milli_g} div 1000, 0) AS BIGINT)"
             ).alias("tightness_ppm"),
         )
     )
@@ -1942,7 +1970,7 @@ def q_llm_cluster_tightness(spark, sf_dir):
     )
     SELECT s.subspace, s.n, s.sse_q, e.energy_q,
            CAST((1000 * s.sse_q) // s.n AS BIGINT) AS mean_dist_milli,
-           CAST((1000000 * s.sse_q) // nullif(e.energy_q, 0) AS BIGINT)
+           CAST((1000 * s.sse_q) // nullif(e.energy_q // 1000, 0) AS BIGINT)
                AS distortion_ppm
     FROM sse s JOIN energy e USING (subspace)
     """,
@@ -1956,8 +1984,11 @@ def q_llm_pq_distortion(spark, sf_dir):
     centroids or a rotation, and the sum over subspaces bounds the ADC
     error C40a's ranking pays). Releases, for each of the
     {_PQ_SUBSPACES} subspaces: assignment count, exact SSE, exact
-    energy, mean per-vector distortion (milli) and SSE/energy in ppm —
-    the quantization-SNR complement (distortion = 1 − SNR share).
+    energy, mean per-vector distortion (milli) and SSE/energy in ppm via the
+    divide-first split scaling (1000·sse div (energy div 1000) — the
+    1e6·sse product was MEASURED past 2^63 on the adversarial
+    fixture's extreme-magnitude rows; C170's double-floor convention)
+    — the quantization-SNR complement (distortion = 1 − SNR share).
 
     Cross-engine float shape: NO float — C40's per-assignment ``dist``
     is already an exact BIGINT on the C24 grid; SSE, energy and both
@@ -1996,6 +2027,7 @@ def q_llm_pq_distortion(spark, sf_dir):
             "mean_dist_milli"
         ),
         F.expr(
-            "CAST((1000000 * sse_q) div nullif(energy_q, 0) AS BIGINT)"
+            "CAST((1000 * sse_q) div nullif(energy_q div 1000, 0)"
+            " AS BIGINT)"
         ).alias("distortion_ppm"),
     )

@@ -2848,7 +2848,8 @@ def q_ts_seasonal_forecast(spark, sf_dir):
                  / CAST(count(*) AS DOUBLE), 2) AS mae_cents,
            round(CAST(sum(cents - pred) AS DOUBLE)
                  / CAST(count(*) AS DOUBLE), 2) AS bias_cents,
-           round(CAST(sum((1000000 * abs(cents - pred)) // cents) AS DOUBLE)
+           round(CAST(sum((1000000 * abs(cents - pred))
+                          // nullif(cents, 0)) AS DOUBLE)
                  / CAST(count(*) AS DOUBLE), 2) AS mape_ppm
     FROM unp GROUP BY method
     """,
@@ -2873,8 +2874,10 @@ def q_ts_forecast_backtest(spark, sf_dir):
     ``sum_prev div n_prev`` (documented convention; at cent scale the
     floor loses <1 cent, far below the round(2) release grid) — so
     every per-day error is exact BIGINT, the per-day percentage error
-    is the exact integer ppm floor-div (daily cents are strictly
-    positive), and the only float arithmetic is the identical-text
+    is the exact integer ppm floor-div with a D11 nullif guard (a
+    zero-revenue day — possible under adversarial refund data — yields
+    a NULL ppm row that both engines' sum skips while count(*) keeps,
+    the documented convention), and the only float arithmetic is the identical-text
     mean expressions over exact integer sums, round(2) at release.
     Plan/scale: ONE daily hash aggregate collapses corpus-scale input
     to |days| rows; the lag/cumulative windows run over that
@@ -2940,7 +2943,8 @@ def q_ts_forecast_backtest(spark, sf_dir):
             " / CAST(count(*) AS DOUBLE), 2)"
         ).alias("bias_cents"),
         F.expr(
-            "round(CAST(sum((1000000 * abs(cents - pred)) div cents)"
+            "round(CAST(sum((1000000 * abs(cents - pred))"
+            " div nullif(cents, 0))"
             " AS DOUBLE) / CAST(count(*) AS DOUBLE), 2)"
         ).alias("mape_ppm"),
     )
@@ -3120,7 +3124,8 @@ _HOLT_H = 7  # forecast horizon released (days ahead)
                          CAST(o_orderdate AS DATE)) AS d,
                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                    AS cents
-        FROM orders WHERE o_orderdate IS NOT NULL
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
         GROUP BY 1
     ),
     seq AS (
@@ -3162,6 +3167,13 @@ def q_ts_holt_linear(spark, sf_dir):
     b_t = β(l_t − l_t−1) + (1−β)b_t−1 at the classic α = β = 1/4,
     initialized l₁ = y₁, b₁ = y₂ − y₁; released: the final state, the
     h = 1..{_HOLT_H} day forecasts l + h·b, and the walk's one-step MAE.
+    NULL-price orders are filtered at the scan (a NULL entering the
+    recurrence would poison the whole state, and the two engines'
+    NULL-propagation paths through the fold differ — measured on the
+    adversarial fixture); a series with fewer than two observed days
+    releases zero rows on both engines (the recurrence is undefined — the oracle's base CTE
+    is empty and the Spark side filters size(ys) >= 2 explicitly, which
+    also keeps the ANSI-mode element_at init in bounds).
 
     Cross-engine float shape: NO float — the smoothing state walks in
     exact integer MILLI-cents with α, β as the rational 1/4 applied as
@@ -3179,7 +3191,10 @@ def q_ts_holt_linear(spark, sf_dir):
     epoch = F.lit("1970-01-01").cast("date")
     daily = (
         table(spark, sf_dir, "orders")
-        .where(F.col("o_orderdate").isNotNull())
+        .where(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
         .groupBy(
             F.datediff(F.col("o_orderdate").cast("date"), epoch)
             .cast("bigint")
@@ -3196,7 +3211,7 @@ def q_ts_holt_linear(spark, sf_dir):
             "transform(array_sort(collect_list(struct(d, cents))),"
             " s -> s.cents)"
         ).alias("ys")
-    )
+    ).where(F.expr("size(ys) >= 2"))
     folded = arr.select(
         F.expr(
             """
