@@ -2314,3 +2314,117 @@ def q_trade_flow_matrix(spark, sf_dir):
             F.sum("cents").cast("bigint").alias("cents"),
         )
     )
+
+
+@query(
+    "q_orders_priority_aging",
+    priority=30,  # round-11 addition: first driver row in round 12
+    oracle="""
+    WITH spans AS (
+        SELECT o.o_orderkey, o.o_orderpriority,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(o.o_orderdate AS DATE)) AS s,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(min(l.l_shipdate) AS DATE)) AS e,
+               CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+          AND o.o_totalprice IS NOT NULL
+        GROUP BY 1, 2, 3, 5
+    ),
+    ref AS (
+        SELECT CAST(min(s) + (9 * (max(s) - min(s))) // 10 AS BIGINT) AS t
+        FROM spans
+    ),
+    open_orders AS (
+        SELECT sp.o_orderpriority, ref.t - sp.s AS age_days, sp.cents
+        FROM spans sp CROSS JOIN ref
+        WHERE sp.s <= ref.t AND sp.e > ref.t
+    )
+    SELECT o_orderpriority AS priority,
+           CASE WHEN age_days <= 7 THEN '0-7'
+                WHEN age_days <= 30 THEN '8-30'
+                WHEN age_days <= 90 THEN '31-90'
+                ELSE '90+' END AS age_bucket,
+           CAST(count(*) AS BIGINT) AS n_open,
+           CAST(sum(cents) AS BIGINT) AS open_cents,
+           CAST(max(age_days) AS BIGINT) AS oldest_days
+    FROM open_orders
+    GROUP BY 1, 2
+    """,
+)
+def q_orders_priority_aging(spark, sf_dir):
+    """B207: open-order aging matrix — the work-in-progress report an
+    operations review reads beside B202's Little's-law reconciliation:
+    at a reference day (the 90% point of the order calendar, an exact
+    integer floor-div of a 1-row broadcast — deterministic at any SF),
+    every order that is OPEN (ordered on or before, first-shipped
+    strictly after — the B172/B202 interval convention) lands in an
+    (order priority × age bucket) cell with its count, tied-up revenue
+    and the oldest age; the classic 0-7/8-30/31-90/90+ aging buckets,
+    decided by exact integer day comparisons.
+
+    Cross-engine float shape: NO float — days, cents, bucket edges and
+    every release are exact BIGINTs; NULL-price orders filtered at the
+    scan (the B203 lesson). Plan/scale: one orderkey shuffle join +
+    per-order rollup to (s, e) — the corpus-scale step, shared shape
+    with B202 — then a 1-row broadcast reference day, a filter that
+    keeps only the open ledger (weeks of inventory, not the corpus),
+    and a bounded (|priorities| × 4) hash aggregate."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    epoch = F.lit("1970-01-01").cast("date")
+    spans = (
+        o.where(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .join(
+            li.where(F.col("l_shipdate").isNotNull()),
+            F.col("o_orderkey") == li.l_orderkey,
+        )
+        .groupBy(
+            "o_orderkey",
+            "o_orderpriority",
+            F.datediff(F.col("o_orderdate").cast("date"), epoch)
+            .cast("bigint")
+            .alias("s"),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .agg(
+            F.datediff(F.min("l_shipdate").cast("date"), epoch)
+            .cast("bigint")
+            .alias("e")
+        )
+    )
+    ref = spans.agg(
+        F.expr(
+            "CAST(min(s) + (9 * (max(s) - min(s))) div 10 AS BIGINT)"
+        ).alias("t")
+    )
+    open_orders = (
+        spans.crossJoin(F.broadcast(ref))
+        .where((F.col("s") <= F.col("t")) & (F.col("e") > F.col("t")))
+        .select(
+            "o_orderpriority",
+            (F.col("t") - F.col("s")).alias("age_days"),
+            "cents",
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 7, F.lit("0-7"))
+        .when(F.col("age_days") <= 30, F.lit("8-30"))
+        .when(F.col("age_days") <= 90, F.lit("31-90"))
+        .otherwise(F.lit("90+"))
+    )
+    return open_orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        bucket.alias("age_bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_open"),
+        F.sum("cents").cast("bigint").alias("open_cents"),
+        F.max("age_days").cast("bigint").alias("oldest_days"),
+    )

@@ -70,6 +70,7 @@ ROUND11_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_trade_flow_matrix",  # B204
         "q_events_cuped",  # B205
         "q_events_mde",  # B206
+        "q_orders_priority_aging",  # B207
     }
 )
 
