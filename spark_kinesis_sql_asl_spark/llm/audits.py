@@ -909,3 +909,110 @@ _REG_ORACLES["q_llm_dedup_method_overlap"] = f"""
                           - (SELECT count(*) FROM sp JOIN mp
                              USING (doc_a, doc_b)), 0) AS BIGINT)
 """
+
+
+@query(
+    "q_llm_source_vocab_overlap",
+    priority=30,  # round-11 addition: first driver row in round 12
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT source,
+               unnest(list_distinct(string_split(coalesce(text, ''), ' ')))
+                   AS tok
+        FROM documents
+    ),
+    sizes AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS v FROM toks
+        GROUP BY source
+    ),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM toks a
+        JOIN toks b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b, sa.v AS vocab_a, sb.v AS vocab_b,
+           i.n_common,
+           CAST((1000000 * i.n_common)
+                // (sa.v + sb.v - i.n_common) AS BIGINT) AS vocab_jaccard_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+)
+def q_llm_source_vocab_overlap(spark, sf_dir):
+    """C173: source-pair vocabulary affinity matrix — exact Jaccard of
+    the distinct-token vocabularies of every source pair: the
+    lexical-similarity input a mixture designer reads before C30/C166
+    weighting (two sources with near-identical vocabularies are
+    redundant coverage; a low-overlap source adds diversity C74 can't
+    see at the document level), and the source-grain complement of
+    C128's document-level cross-dup matrix. Only pairs sharing at
+    least one token release (absent pair ⇒ zero overlap).
+
+    Cross-engine float shape: NO float — vocabulary sizes and
+    intersections are exact BIGINT counts, the Jaccard is the exact
+    inclusion-exclusion ppm floor-div (all-positive). Plan/scale: the
+    corpus-scale step is the scan-stage (source, token) DISTINCT —
+    after it everything is DICTIONARY-sized (vocabulary rows, not
+    document rows), so the token self-join shuffles the deduplicated
+    lexicon once; join volume is Σ_tok df² with df ≤ |sources| —
+    bounded by |sources|·Σ|V_s|, linear in total vocabulary. At an
+    unbounded source cardinality you first cap to the top-K sources by
+    mass (the C37/B191 alphabet-cap move); release is
+    ≤|sources|²/2 rows."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    sizes = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    a = toks.select(F.col("source").alias("source_a"), "tok")
+    b = toks.select(F.col("source").alias("source_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_a"),
+                    F.col("v").alias("vocab_a"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"),
+                    F.col("v").alias("vocab_b"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "vocab_a",
+            "vocab_b",
+            "n_common",
+            F.expr(
+                "CAST((1000000 * n_common)"
+                " div (vocab_a + vocab_b - n_common) AS BIGINT)"
+            ).alias("vocab_jaccard_ppm"),
+        )
+    )

@@ -71,6 +71,7 @@ ROUND11_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_events_cuped",  # B205
         "q_events_mde",  # B206
         "q_orders_priority_aging",  # B207
+        "q_llm_source_vocab_overlap",  # C173
     }
 )
 
