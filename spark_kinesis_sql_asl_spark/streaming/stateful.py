@@ -508,3 +508,85 @@ def streaming_count_min(doc_stream, d: int = 4, w: int = 1024):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- A16 twin: per-shard hot-key monitor ----------------------------------------
+
+_HK_M = 64  # Misra-Gries counters per shard
+_HK_OUT_SCHEMA = (
+    "shard bigint, n_records bigint, top_key bigint, top_cnt_lb bigint, "
+    "n_counters int, seq bigint"
+)
+_HK_STATE_SCHEMA = "keys array<bigint>, cnts array<bigint>, n bigint, seq bigint"
+
+
+def streaming_hotkey_monitor(record_stream):
+    """A16-stream: the per-shard partition-key hot-key monitor — the form
+    this audit actually runs in production (a hot key must be caught
+    WHILE it throttles the shard, not in tomorrow's batch): keyed state
+    per shard holds a {_HK_M}-counter Misra-Gries summary of partition
+    keys plus the exact record count, folded per micro-batch (MG
+    summaries compose sequentially — the C37s argument), and each
+    emission releases the current top surviving counter with its
+    LOWER-BOUND count (MG undercounts by at most N/(m+1), so any key
+    with true share above 1/(m+1) is guaranteed present — at the A16
+    hot threshold of 10x fair share over >6 keys, a hot key can never
+    evade the sketch). With m at least the shard's distinct-key count
+    the sketch is EXACT and the final emission matches the batch A16
+    top key and count — the property the parity test pins.
+
+    Input columns: shard (bigint — the A5 md5-ring route, computed as a
+    scan expression upstream), user_id (bigint partition key).
+
+    At 100 TB: one shuffle on shard; state is {_HK_M} counters + 1
+    count per shard — constant memory at any stream rate.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            keys, cnts, n, seq = state.get
+            counters = dict(zip((int(k) for k in keys), (int(c) for c in cnts)))
+            n = int(n)
+        else:
+            counters, n, seq = {}, 0, 0
+        for pdf in pdfs:
+            for uid in pdf["user_id"]:
+                uid = int(uid)
+                n += 1
+                if uid in counters:
+                    counters[uid] += 1
+                elif len(counters) < _HK_M:
+                    counters[uid] = 1
+                else:
+                    for k2 in list(counters):
+                        counters[k2] -= 1
+                        if counters[k2] == 0:
+                            del counters[k2]
+        seq += 1
+        ks = sorted(counters)
+        state.update((ks, [counters[k] for k in ks], n, seq))
+        if counters:
+            # deterministic (count desc, key) release — the A16 tie-break
+            top_key = min(counters, key=lambda k: (-counters[k], k))
+            top_cnt = counters[top_key]
+        else:
+            top_key, top_cnt = -1, 0
+        yield pd.DataFrame(
+            {
+                "shard": pd.Series([int(key[0])], dtype="int64"),
+                "n_records": pd.Series([n], dtype="int64"),
+                "top_key": pd.Series([top_key], dtype="int64"),
+                "top_cnt_lb": pd.Series([top_cnt], dtype="int64"),
+                "n_counters": pd.Series([len(counters)], dtype="int32"),
+                "seq": pd.Series([seq], dtype="int64"),
+            }
+        )
+
+    return record_stream.groupBy("shard").applyInPandasWithState(
+        fold,
+        outputStructType=_HK_OUT_SCHEMA,
+        stateStructType=_HK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2684,3 +2684,96 @@ def test_streaming_littles_law_equals_batch(spark, tmp_path):
         assert (nd, area, na, sd) == (
             b["n_days"], b["area"], b["n_arrivals"], b["sum_dur_days"]
         ), m
+
+
+# --- A16s: streaming hot-key monitor parity ---------------------------------------
+
+
+def test_streaming_hotkey_monitor_equals_batch(spark, tmp_path):
+    """A16's streaming twin: with m >= the per-shard distinct-key count
+    the Misra-Gries summary is exact, so each shard's final emission
+    must carry the batch audit's (top_key, top_cnt) and exact record
+    count."""
+    from spark_kinesis_sql_asl_spark.sources.kinesis_queries import (
+        q_kinesis_hotkey_audit,
+    )
+    from spark_kinesis_sql_asl_spark.streaming.stateful import (
+        streaming_hotkey_monitor,
+    )
+    from spark_kinesis_sql_asl_spark.tables import table as _t
+
+    rows = (
+        _t(spark, SF_SMOKE, "events")
+        .select(
+            (
+                (
+                    F.instr(
+                        F.lit("0123456789abcdef"),
+                        F.substring(
+                            F.md5(
+                                F.encode(
+                                    F.col("user_id").cast("string"), "UTF-8"
+                                )
+                            ),
+                            32,
+                            1,
+                        ),
+                    )
+                    - 1
+                )
+                % 16
+            )
+            .cast("bigint")
+            .alias("shard"),
+            "user_id",
+            "event_id",
+        )
+        .collect()
+    )
+    # distinct keys per shard must fit in the sketch for exactness
+    per_shard: dict[int, set] = {}
+    for r in rows:
+        per_shard.setdefault(r.shard, set()).add(r.user_id)
+    assert max(len(v) for v in per_shard.values()) <= 64, "fixture outgrew m"
+    rows.sort(key=lambda r: r.event_id)  # deterministic arrival order
+    staging = str(tmp_path / "staging")
+    os.makedirs(staging, exist_ok=True)
+    n_files = 4
+    per = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        sl = rows[i * per : (i + 1) * per]
+        tbl = pa.table(
+            {
+                "shard": pa.array([r.shard for r in sl], pa.int64()),
+                "user_id": pa.array([r.user_id for r in sl], pa.int64()),
+            }
+        )
+        f = os.path.join(staging, f"{i:04d}.parquet")
+        pq.write_table(tbl, f)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    src = (
+        spark.readStream.schema("shard bigint, user_id bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    _drain(
+        streaming_hotkey_monitor(src)
+        .writeStream.format("memory")
+        .queryName("stream_hotkey")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    got = _dedup_last_by_seq(
+        spark,
+        "stream_hotkey",
+        ["shard"],
+        ["n_records", "top_key", "top_cnt_lb"],
+    )
+    expect = {
+        r["shard"]: r for r in q_kinesis_hotkey_audit(spark, SF_SMOKE).collect()
+    }
+    assert {s for (s,) in got} == set(expect)
+    for (s,), (n, tk, tc) in got.items():
+        b = expect[s]
+        assert (n, tk, tc) == (b["n_records"], b["top_key"], b["top_cnt"]), s
