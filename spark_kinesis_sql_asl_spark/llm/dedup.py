@@ -418,33 +418,64 @@ def q_llm_dedup_jaccard(spark, sf_dir):
     )
 
 
-_MINHASH_K = 16  # signature length
-_MINHASH_BANDS = 4  # 4 bands × 4 rows → catches sim ≳ 0.7 w.h.p.
+_MINHASH_K = 24  # signature length (round 12: 16→24, recall at τ=0.8 0.88→0.96)
+_MINHASH_BANDS = 6  # 6 bands × 4 rows — same per-band FP rate as the old 4×4
+
+# Portable permutation family (the C140 construction, extended to 24):
+# g_i(h) = (a_i·h + b_i) mod (2^31−1), constants < 2^29 so a·h stays in
+# BIGINT for h < 2^32. Pure integer arithmetic, identical on both engines.
+_MH_P = 2_147_483_647
+_MH_A = [((1103515245 * (i + 1) + 12345) % 536870911) | 1 for i in range(_MINHASH_K)]
+_MH_B = [(69069 * (i + 1) + 1) % _MH_P for i in range(_MINHASH_K)]
+_MH_SIG_TERMS = [
+    f"(({a} * {{h}} + {b}) % {_MH_P})" for a, b in zip(_MH_A, _MH_B)
+]
 
 
-@query("q_llm_dedup_minhash")  # rows-only: hash-seeded sketch, no SQL oracle
-def q_llm_dedup_minhash(spark, sf_dir):
-    """C3: MinHash + LSH banding — the scalable approximation of C2.
-
-    sig_i(doc) = min over tokens of xxhash64(tok, seed=i); docs agreeing on
-    all rows of any band become candidate pairs. One groupBy for signatures,
-    one for bands, one self-join on (band, band_hash) — pair blow-up is
-    bounded by real collisions. tests/test_llm.py asserts recall ≥ 0.9
-    against C2's exact pairs at τ=0.8."""
-    d = parallel_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    )
-    # Signatures stay as 16 flat BIGINT columns, not an array: flat columns
-    # keep the band hash, the candidate distinct, and the agreement sum inside
-    # whole-stage codegen — the array + zip_with/aggregate variant measured
-    # ~50% slower at sf0.1 (per-row array allocation in the 6M-candidate join).
-    sigs = toks.groupBy("doc_id").agg(
+def xxhash_minhash_signatures(toks):
+    """Production signature builder: sig_i(doc) = min over tokens of
+    xxhash64(tok, seed=i) — one JVM hash per (token, permutation), the
+    fastest path at 100 TB. Pinned by the recall test in tests/test_llm.py;
+    the REGISTERED C3 query uses the portable twin below so the whole
+    band → candidate → estimate pipeline is DuckDB-oracle-able."""
+    return toks.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64("tok", F.lit(i))).alias(f"h{i}")
             for i in range(_MINHASH_K)
         ]
-    ).localCheckpoint(eager=True)  # consumed 3x: bands + both estimate joins
+    )
+
+
+def portable_minhash_signatures(toks):
+    """Portable-hash signature builder (round 12, VERDICT r11 item #3):
+    h = 32-bit md5-parse of the token, sig_i = min over tokens of
+    (a_i·h + b_i) mod (2^31−1) — the C140 permutation family widened to
+    {_MINHASH_K} permutations, pure integer arithmetic identical on Spark
+    and DuckDB."""
+    from .sketches import _hex_parse_spark
+
+    hashed = toks.select(
+        "doc_id", F.expr(_hex_parse_spark("tok", 1)).alias("h")
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(g.format(h="h"))).alias(f"h{i}")
+            for i, g in enumerate(_MH_SIG_TERMS)
+        ]
+    )
+
+
+def minhash_band_pairs(sigs):
+    """LSH banding over a flat signature frame (doc_id, h0..h{k-1}):
+    band b's bucket key is the comma-joined row mins — docs agreeing on a
+    whole band collide; the self-join on (band, bucket) emits candidate
+    pairs and the estimate is the agreeing-row fraction."""
+    # Signatures stay as 16 flat BIGINT columns, not an array: flat columns
+    # keep the bucket key, the candidate distinct, and the agreement sum
+    # inside whole-stage codegen — the array + zip_with/aggregate variant
+    # measured ~50% slower at sf0.1 (per-row array allocation in the
+    # 6M-candidate join).
+    sigs = sigs.localCheckpoint(eager=True)  # consumed 3x: bands + both joins
     rows_per_band = _MINHASH_K // _MINHASH_BANDS
     bands = sigs.select(
         "doc_id",
@@ -453,8 +484,12 @@ def q_llm_dedup_minhash(spark, sf_dir):
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"h{b * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
                         ).alias("bucket"),
                     )
                     for b in range(_MINHASH_BANDS)
@@ -487,9 +522,82 @@ def q_llm_dedup_minhash(spark, sf_dir):
         .select(
             "doc_a",
             "doc_b",
-            (agree / float(_MINHASH_K)).alias("est_jaccard"),
+            F.round(agree / float(_MINHASH_K), 6).alias("est_jaccard"),
         )
     )
+
+
+def _minhash_oracle() -> str:
+    """DuckDB twin of the portable C3 pipeline."""
+    from .sketches import _hex_parse_duck
+
+    rows_per_band = _MINHASH_K // _MINHASH_BANDS
+    sig_cols = ", ".join(
+        f"min({g.format(h='h')}) AS h{i}" for i, g in enumerate(_MH_SIG_TERMS)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS bucket FROM sigs".format(
+            b=b,
+            cols=", ".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(_MINHASH_BANDS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END"
+        for i in range(_MINHASH_K)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    th AS (
+        SELECT DISTINCT doc_id, {_hex_parse_duck("tok", 1)} AS h
+        FROM toks WHERE tok <> ''
+    ),
+    sigs AS (SELECT doc_id, {sig_cols} FROM th GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x
+        JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+                    AND x.doc_id < y.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(({agree}) / {_MINHASH_K}.0, 6) AS est_jaccard
+    FROM cand c
+    JOIN sigs a ON c.doc_a = a.doc_id
+    JOIN sigs b ON c.doc_b = b.doc_id
+    """
+
+
+@query("q_llm_dedup_minhash", oracle=_minhash_oracle())
+def q_llm_dedup_minhash(spark, sf_dir):
+    """C3: MinHash + LSH banding — the scalable approximation of C2.
+
+    Round-12 form (VERDICT r11 item #3): the registered query runs on the
+    C140 portable-hash permutation family, so signatures, band buckets,
+    candidate pairs AND the agreement estimate are all deterministic pure
+    functions of the data that DuckDB reproduces exactly — C3 graduates
+    from rows-only to a full hash oracle. The xxhash64 signature builder
+    (one JVM hash per token×permutation, the cheaper path at 100 TB where
+    cross-engine parity doesn't matter) remains available as
+    :func:`xxhash_minhash_signatures` and keeps its own recall gate in
+    tests/test_llm.py. One groupBy for signatures, one explode for bands,
+    one self-join on (band, bucket) — pair blow-up is bounded by real
+    collisions, never n²."""
+    d = parallel_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    return minhash_band_pairs(portable_minhash_signatures(toks))
 
 
 # --- C79: shared-prefix (boilerplate header) detection ------------------------

@@ -258,70 +258,138 @@ def q_llm_dedup_survivors(spark, sf_dir):
 _MG_COUNTERS = 64
 
 
-@query("q_llm_heavy_hitters_sketch", priority=30)  # rows-only: partition-dependent
-def q_llm_heavy_hitters_sketch(spark, sf_dir):
-    """C37 sketch path: Misra-Gries heavy hitters (Misra & Gries 1982) —
-    the huge-vocab variant of `q_llm_heavy_hitters` for when the exact
-    (lang, tok) aggregation state no longer fits executor memory. Each
-    partition keeps at most {m} counters per language (classic MG: hit ->
-    increment, room -> insert, full -> decrement all); the per-partition
-    summaries merge by a plain sum and the top-10 per language is read off
-    the merged frame.
+_HH_SKETCH_M = 4096  # per-(partition, lang) summary budget for the registered query
 
-    Guarantee: a partition's undercount is <= n_p/(m+1) tokens, so the
-    merged estimate undercounts any token by at most N_lang/(m+1) — every
-    token with true document frequency > N_lang/(m+1) is GUARANTEED to
-    survive (tested against the exact operator in tests/test_llm.py). At
-    100 TB the shuffle carries at most m * partitions * langs summary rows
-    — independent of vocabulary size, which is the point. Rows-only: the
-    estimates are partitioning-dependent below the guarantee threshold, so
-    there is no cross-engine SQL oracle; the pytest bound is the contract.
-    Arrow-batched mapInPandas keeps the Python boundary vectorized."""
+
+def heavy_hitters_sketch(spark, sf_dir, m: int):
+    """C37 sketch path, round-12 form: two-pass sketch-then-verify heavy
+    hitters (VERDICT r11 item #3 — the bounded-m design that makes the
+    output deterministic and therefore SQL-oracle-able).
+
+    Pass 1 (sketch): each partition computes its EXACT per-(lang, tok)
+    document frequencies in vectorized pandas, then TRUNCATES to the top-m
+    per language. Truncation is the mergeable-summaries bound (Agarwal et
+    al., PODS 2012 — same guarantee as Misra-Gries): a token dropped by a
+    partition had local count <= n_p/(m+1) there, so a token dropped by
+    EVERY partition has true df <= sum_p n_p/(m+1) = N_lang/(m+1).
+    Contrapositive: every token with true df > N_lang/(m+1) survives in at
+    least one partition's summary. The shuffle carries at most
+    m * partitions * langs summary rows — independent of vocabulary size,
+    which is the point at 100 TB.
+
+    Pass 2 (verify): exact document frequency for the candidate tokens
+    only (a broadcast semi-join onto the token scan — the candidate set is
+    bounded by m * partitions * langs, never the vocabulary), filtered to
+    the guarantee region df * (m+1) > N_lang and rank-limited top-10/lang.
+    Because the candidate set is always a superset of the guarantee region,
+    the final rows are a pure function of the DATA — identical under any
+    partitioning, which is what lets DuckDB run the equivalent exact query
+    as a hash oracle. Estimates below the guarantee were the one
+    partition-dependent artifact of the old single-pass MG form; the
+    verify pass replaces them with exact counts."""
     import pandas as pd
 
     d = table(spark, sf_dir, "documents").select("lang", "text")
 
-    def mg_partial(batches):
-        counters: dict[str, dict[str, int]] = {}
+    def topm_partial(batches):
+        chunks = []
         for pdf in batches:
-            for lang, text in zip(pdf["lang"], pdf["text"]):
-                if text is None:
-                    continue
-                lang = lang if lang is not None else ""
-                c = counters.setdefault(lang, {})
-                for tok in set(text.split(" ")):
-                    if not tok:
-                        continue
-                    if tok in c:
-                        c[tok] += 1
-                    elif len(c) < _MG_COUNTERS:
-                        c[tok] = 1
-                    else:
-                        dead = []
-                        for k in c:
-                            c[k] -= 1
-                            if c[k] == 0:
-                                dead.append(k)
-                        for k in dead:
-                            del c[k]
-        rows = [
-            (lang, tok, cnt)
-            for lang, c in counters.items()
-            for tok, cnt in c.items()
-        ]
-        yield pd.DataFrame(rows, columns=["lang", "tok", "est"])
+            t = pdf.assign(
+                tok=pdf["text"].fillna("").map(lambda s: list(set(s.split(" "))))
+            ).explode("tok")
+            t = t[(t["tok"] != "") & t["tok"].notna()]
+            chunks.append(
+                t.groupby(["lang", "tok"], dropna=False).size().rename("cnt")
+            )
+        if not chunks:
+            yield pd.DataFrame(columns=["lang", "tok", "cnt"])
+            return
+        cnt = (
+            pd.concat(chunks)
+            .groupby(level=["lang", "tok"], dropna=False)
+            .sum()
+            .reset_index()
+        )
+        top = (
+            cnt.sort_values(["lang", "cnt", "tok"], ascending=[True, False, True])
+            .groupby("lang", dropna=False)
+            .head(m)
+        )
+        yield top[["lang", "tok", "cnt"]]
 
-    partials = d.mapInPandas(mg_partial, "lang string, tok string, est long")
-    merged = partials.groupBy("lang", "tok").agg(F.sum("est").alias("est_freq"))
+    cand = (
+        d.mapInPandas(topm_partial, "lang string, tok string, cnt long")
+        .select("lang", "tok")
+        .distinct()
+    )
+    toks = d.select(
+        "lang",
+        F.explode(
+            F.array_distinct(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+            )
+        ).alias("tok"),
+    ).where(F.col("tok") != "")
+    n_lang = toks.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_inc")
+    )
+    verified = (
+        toks.join(
+            F.broadcast(cand),
+            (toks["lang"].eqNullSafe(cand["lang"])) & (toks["tok"] == cand["tok"]),
+            "leftsemi",
+        )
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
+        .join(F.broadcast(n_lang), "lang")
+        .where(F.col("doc_freq") * (m + 1) > F.col("n_inc"))
+    )
     w = Window.partitionBy("lang").orderBy(
-        F.col("est_freq").desc(), F.col("tok").asc()
+        F.col("doc_freq").desc(), F.col("tok").asc()
     )
     return (
-        merged.select(
-            "lang", "tok", "est_freq", F.row_number().over(w).alias("rk")
+        verified.select(
+            "lang", "tok", "doc_freq", F.row_number().over(w).alias("rk")
         )
         .where(F.col("rk") <= _HH_TOPK)
     )
+
+
+@query(
+    "q_llm_heavy_hitters_sketch",
+    priority=30,
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, unnest(list_distinct(string_split(
+            coalesce(text, ''), ' '))) AS tok
+        FROM documents
+    ),
+    df AS (
+        SELECT lang, tok, CAST(count(*) AS BIGINT) AS doc_freq
+        FROM toks WHERE tok <> '' GROUP BY lang, tok
+    ),
+    n AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_inc
+        FROM toks WHERE tok <> '' GROUP BY lang
+    )
+    SELECT lang, tok, doc_freq, rk FROM (
+        SELECT df.lang, df.tok, df.doc_freq,
+               row_number() OVER (
+                   PARTITION BY df.lang ORDER BY df.doc_freq DESC, df.tok ASC
+               ) AS rk
+        FROM df JOIN n USING (lang)
+        WHERE df.doc_freq * {_HH_SKETCH_M + 1} > n.n_inc
+    ) WHERE rk <= {_HH_TOPK}
+    """,
+)
+def q_llm_heavy_hitters_sketch(spark, sf_dir):
+    """C37s registered rung: :func:`heavy_hitters_sketch` at
+    m={_HH_SKETCH_M}. The oracle is the EXACT heavy-hitter query over the
+    guarantee region df > N_lang/(m+1) — legal because the two-pass output
+    is deterministic (see helper docstring); the guarantee-bound behavior
+    under vocabulary pressure (m=64 << vocab) stays pinned in
+    tests/test_llm.py."""
+    return heavy_hitters_sketch(spark, sf_dir, _HH_SKETCH_M)
 
 
 # --- C58: quota sampling (per-stratum caps) ----------------------------------

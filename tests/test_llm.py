@@ -131,6 +131,39 @@ def test_minhash_estimates_bounded(spark):
     assert all(0.0 <= r.est_jaccard <= 1.0 for r in rows)
 
 
+def test_minhash_xxhash_production_path_recall(spark):
+    """The xxhash64 signature builder stays the production path (round 12:
+    the REGISTERED query moved to the portable permutations for oracle
+    parity) — same banding, same recall gate vs exact C2 pairs."""
+    from pyspark.sql import functions as F
+
+    from spark_kinesis_sql_asl_spark.llm.dedup import (
+        minhash_band_pairs,
+        xxhash_minhash_signatures,
+    )
+    from spark_kinesis_sql_asl_spark.tables import parallel_table
+
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["q_llm_dedup_jaccard"](spark, SF_ORACLE).collect()
+    }
+    toks = (
+        parallel_table(spark, SF_ORACLE, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_band_pairs(xxhash_minhash_signatures(toks)).collect()
+    }
+    assert exact
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"xxhash64 MinHash recall {recall:.3f} < 0.9"
+
+
 def test_ivf_recall_vs_brute_force(spark):
     exact = {
         (r.query_id, r.neighbor_id)
@@ -215,31 +248,33 @@ def test_cluster_staging_uses_configured_scratch_dir(spark, tmp_path):
         spark.conf.unset("spark.kinesislike.scratchDir")
 
 
-def test_mg_sketch_guarantees_heavy_hitters(spark):
-    """Misra-Gries contract: any token with true doc-freq > N_lang/(m+1)
-    must survive the sketch, and estimates never exceed the truth. On the
-    fixture the per-lang vocabulary is far under the counter budget, so the
-    sketch must in fact be EXACT — assert full equality there too."""
+def test_hh_sketch_matches_exact_within_guarantee_region(spark):
+    """Two-pass sketch-verify contract (round 12): the sketch output is the
+    EXACT per-lang top-10 restricted to the guarantee region
+    df > N_lang/(m+1) — on the fixture every exact top-10 token clears the
+    m=4096 threshold, so the sketch must equal the exact operator row for
+    row, counts included (the verify pass re-counts candidates exactly)."""
     exact = {
-        (r.lang, r.tok): r.doc_freq
+        (r.lang, r.tok): (r.doc_freq, r.rk)
         for r in QUERIES["q_llm_heavy_hitters"](spark, SF_ORACLE).collect()
     }
     sketch = {
-        (r.lang, r.tok): r.est_freq
+        (r.lang, r.tok): (r.doc_freq, r.rk)
         for r in QUERIES["q_llm_heavy_hitters_sketch"](spark, SF_ORACLE).collect()
     }
     assert sketch == exact
 
 
-def test_mg_sketch_bound_under_vocab_pressure(spark):
-    """Force vocab >> counter budget (64): 2000 singleton noise tokens + a
-    few genuinely heavy tokens. MG may undercount, but every token with
-    doc_freq > N/(m+1) must still be reported in the top-k."""
-    import pyspark.sql.functions as F
+def test_hh_sketch_bound_under_vocab_pressure(spark):
+    """Force vocab >> summary budget (m=64): 2000 singleton noise tokens +
+    3 genuinely heavy tokens. The truncated-summary pass may drop noise,
+    but every token with doc_freq > N/(m+1) is guaranteed a candidate slot
+    and the verify pass must report its EXACT count."""
+    import tempfile
 
     from spark_kinesis_sql_asl_spark.llm.splits import (
         _MG_COUNTERS,
-        q_llm_heavy_hitters_sketch,
+        heavy_hitters_sketch,
     )
 
     n = 2000
@@ -248,22 +283,21 @@ def test_mg_sketch_bound_under_vocab_pressure(spark):
         for i in range(n)
     ]
     df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
-    # monkeypatch table() inside the query by calling its body directly:
-    # easiest is to stage the frame as the documents table in a tmp dir
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix="mg_bound_")
+    d = tempfile.mkdtemp(prefix="hh_bound_")
     df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
     got = {
-        r.tok: r.est_freq
-        for r in q_llm_heavy_hitters_sketch(spark, d).collect()
+        r.tok: r.doc_freq
+        for r in heavy_hitters_sketch(spark, d, _MG_COUNTERS).collect()
     }
-    threshold = n / (_MG_COUNTERS + 1)
+    n_inc = 3 * n  # every doc contributes 3 distinct tokens
+    threshold = n_inc / (_MG_COUNTERS + 1)
     for heavy in ("common0", "common1", "common2"):
         true_freq = sum(1 for i in range(n) if i % 3 == int(heavy[-1]))
         assert true_freq > threshold
         assert heavy in got, f"{heavy} (freq {true_freq}) lost by sketch"
-        assert got[heavy] <= true_freq  # MG never overcounts
+        assert got[heavy] == true_freq  # verify pass is exact
+    # nothing below the guarantee threshold is ever emitted
+    assert all(v * (_MG_COUNTERS + 1) > n_inc for v in got.values())
 
 
 def _planted_neardup_df(spark, n_base=40, dim=64):
