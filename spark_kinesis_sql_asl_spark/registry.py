@@ -64,106 +64,106 @@ _MODULES = (
     "operators.sorts_sets",
 )
 
-# ROUND-11 ROTATION (computed from CORRECTNESS_r01..r10.json): the cumulative
-# ledger is fully green through round 10 (0 red; the one r10 "err" row is the
-# by-design rows-only `q_llm_sim_ivf` no_oracle). The 26 round-10 additions
-# are the only never-driver-sampled queries. Round-11 window, in priority
-# order:
+# ROUND-12 ROTATION (computed from CORRECTNESS_r01..r11.json): the cumulative
+# ledger is fully green through round 11 (0 red; the r11 "err" row is the
+# by-design rows-only `q_agg_percentile_approx` no_oracle). Round-12 window,
+# in priority order:
 #
-#   override 8   the 26 never-driver-sampled round-10 additions — slots
-#                0..25; after this round the ENTIRE registry is
-#                driver-confirmed
-#   override 10  the 3 canaries last sampled in round 9 (D1/D14/D15) at
-#                their permanent priority — slots 26..28
-#   override 12  freshness rotation: the 17 remaining round-2-last-sampled
-#                queries (the other half of the r10 tranche) — slots 29..45
-#   override 14  window fill: the 4 oldest round-3-last-sampled queries,
-#                alphabetical — slots 46..49
-#   override 100 every other ever-driver-sampled query (including the 12
-#                legacy canaries re-sampled green in round 10)
+#   override 8   the 27 never-driver-sampled round-11 additions — slots
+#                0..26
+#   override 9   the 4 re-oracled queries whose latest driver row predates
+#                their SQL oracle (sim_lsh/sim_ivf oracled in r11; the
+#                minhash + heavy-hitters-sketch rows-only→SQL promotions
+#                of r12) — slots 27..30; after this round every registry
+#                query's latest driver row is post-current-oracle
+#   override 12  freshness rotation: the 19 oldest round-3-last-sampled
+#                queries, alphabetical — slots 31..49; the other 19 r3-era
+#                queries queue for round 13
+#   override 100 every other ever-driver-sampled query
 #
-# New round-11 queries use decorator priority=30: behind the window,
-# ahead of the pinned set — first driver rows in round 12.
+# Canary cadence: all 18 canaries were re-sampled green in r10/r11; they
+# re-enter on the 3-round refresh (r13 for the r10 cohort). Rows-only
+# half-frequency rule (VERDICT r11 item #2): a no_oracle query that has
+# already run clean >=2x is EXCLUDED from freshness tranches until every
+# other queue member has rotated (q_agg_approx_distinct,
+# q_agg_percentile_approx, q_llm_dedup_containment_lsh all pin at 100
+# this round) — tests/test_registry_rotation.py asserts the window holds
+# no such query.
+#
+# New round-12 queries use decorator priority=30: behind the window,
+# ahead of the pinned set — first driver rows in round 13.
 # tests/test_registry_rotation.py recomputes and asserts this composition.
 _PRIORITY_OVERRIDES: dict[str, int] = {
-    # (a) the 26 never-driver-sampled round-10 additions: slots 0..25
+    # (a) the 27 never-driver-sampled round-11 additions: slots 0..26
     **{
         n: 8
         for n in (
-            "q_agg_bootstrap_ci",
-            "q_agg_paired_ttest",
-            "q_canary_add_months",
-            "q_canary_regex_subset",
-            "q_events_decay_engagement",
-            "q_events_logrank",
-            "q_events_proportion_ztest",
-            "q_geo_geofence",
-            "q_join_interval_bucketed",
-            "q_llm_code_detect",
-            "q_llm_dedup_shard_locality",
-            "q_llm_host_cap_enforce",
-            "q_llm_mixture_temperature",
-            "q_llm_readability",
-            "q_llm_token_yield_funnel",
-            "q_llm_unigram_entropy",
-            "q_llm_url_host_audit",
-            "q_llm_whitespace_anomaly",
-            "q_ts_fano_dispersion",
-            "q_ts_hurst",
-            "q_ts_lttb",
-            "q_ts_mann_kendall",
-            "q_ts_runs_test",
-            "q_ts_theil_sen",
-            "q_win_drawdown",
-            "q_win_rolling_corr",
+            "q_canary_array_semantics",
+            "q_cohort_ltv",
+            "q_events_attribution",
+            "q_events_cuped",
+            "q_events_lifecycle",
+            "q_events_mde",
+            "q_events_seq_patterns",
+            "q_geo_dbscan",
+            "q_kinesis_hotkey_audit",
+            "q_kinesis_lag_audit",
+            "q_llm_cluster_keep_best",
+            "q_llm_cluster_tightness",
+            "q_llm_dedup_method_overlap",
+            "q_llm_embed_isotropy",
+            "q_llm_pq_distortion",
+            "q_llm_source_vocab_overlap",
+            "q_orders_littles_law",
+            "q_orders_priority_aging",
+            "q_part_abc_xyz",
+            "q_part_price_elasticity",
+            "q_part_safety_stock",
+            "q_sales_pvm_bridge",
+            "q_trade_flow_matrix",
+            "q_ts_forecast_backtest",
+            "q_ts_holt_linear",
+            "q_ts_seasonal_forecast",
+            "q_win_bollinger",
         )
     },
-    # (b) the 3 canaries last sampled in round 9 (D1/D14/D15) back at
-    # their permanent priority 10: slots 26..28
+    # (b) re-oracled queries with stale (pre-oracle) driver rows: slots 27..30
     **{
-        n: 10
+        n: 9
         for n in (
-            "q_canary_ln_quant",
-            "q_canary_tok_split",
-            "q_canary_wideint_convert",
+            "q_llm_dedup_minhash",
+            "q_llm_heavy_hitters_sketch",
+            "q_llm_sim_ivf",
+            "q_llm_sim_lsh",
         )
     },
-    # (c) freshness rotation: the 17 remaining round-2-last-sampled
-    # queries re-enter the window at 12: slots 29..45
+    # (c) freshness rotation: the 19 oldest round-3-last-sampled queries
+    # (alphabetical) re-enter at 12: slots 31..49
     **{
         n: 12
         for n in (
-            "q_llm_vec_ops",
-            "q_llm_vec_quantize",
-            "q_set_except_all",
-            "q_set_intersect_all",
-            "q_stream_dedup_keys",
-            "q_stream_session",
-            "q_stream_sliding",
-            "q_stream_tumbling",
-            "q_subquery_correlated_scalar",
-            "q_subquery_exists",
-            "q_subquery_scalar",
-            "q_topk_per_group",
-            "q_udaf_grouped",
-            "q_udf_pandas",
-            "q_udf_scalar",
-            "q_udtf_expand",
-            "q_win_distribution",
+            "q_fn_bitwise",
+            "q_fn_case",
+            "q_fn_cast",
+            "q_fn_datetime",
+            "q_fn_explode",
+            "q_fn_hash",
+            "q_fn_json",
+            "q_fn_map",
+            "q_fn_math",
+            "q_fn_posexplode",
+            "q_fn_struct",
+            "q_kinesis_decode_csv",
+            "q_kinesis_decode_json",
+            "q_kinesis_replay_window",
+            "q_kinesis_schema",
+            "q_kinesis_shard_route",
+            "q_llm_chunk",
+            "q_llm_corpus_stats",
+            "q_llm_curate_e2e",
         )
     },
-    # (d) window fill: the 4 oldest round-3-last-sampled queries
-    # (alphabetical) at 14: slots 46..49
-    **{
-        n: 14
-        for n in (
-            "q_agg_filter_clause",
-            "q_agg_percentile_approx",
-            "q_fn_array",
-            "q_fn_binary",
-        )
-    },
-    # (e) every other ever-driver-sampled query pins at 100
+    # (d) every other ever-driver-sampled query pins at 100
     **{
         n: 100
         for n in (
@@ -171,12 +171,14 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_agg_argmax",
             "q_agg_bivariate",
             "q_agg_boolcond",
+            "q_agg_bootstrap_ci",
             "q_agg_collect",
             "q_agg_cov_matrix",
             "q_agg_cube",
             "q_agg_decimal",
             "q_agg_distinct",
             "q_agg_entropy",
+            "q_agg_filter_clause",
             "q_agg_gini",
             "q_agg_global",
             "q_agg_group",
@@ -188,7 +190,9 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_agg_listagg",
             "q_agg_mode",
             "q_agg_multi_distinct",
+            "q_agg_paired_ttest",
             "q_agg_percentile",
+            "q_agg_percentile_approx",
             "q_agg_rollup",
             "q_agg_skew_kurtosis",
             "q_agg_stats",
@@ -198,19 +202,24 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_agg_winsorized_mean",
             "q_basket_pairs",
             "q_benford_audit",
+            "q_canary_add_months",
             "q_canary_decimal_sum",
             "q_canary_empty_agg",
             "q_canary_filter_null_agg",
             "q_canary_floor_cents",
             "q_canary_int_sum",
+            "q_canary_ln_quant",
             "q_canary_month_trunc",
             "q_canary_neg_div",
             "q_canary_nullable_bigint",
             "q_canary_range_frame",
+            "q_canary_regex_subset",
             "q_canary_round_double",
             "q_canary_string_order",
+            "q_canary_tok_split",
             "q_canary_try_arith",
             "q_canary_unicode_case",
+            "q_canary_wideint_convert",
             "q_customer_rfm",
             "q_customer_tier_migration",
             "q_cusum_changepoint",
@@ -220,6 +229,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_events_cohort_retention",
             "q_events_conversion_rate",
             "q_events_dau_wau",
+            "q_events_decay_engagement",
             "q_events_entropy_rate",
             "q_events_funnel",
             "q_events_hourly_profile",
@@ -227,10 +237,12 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_events_kruskal",
             "q_events_ks_test",
             "q_events_lift_matrix",
+            "q_events_logrank",
             "q_events_mad_outliers",
             "q_events_mannwhitney",
             "q_events_markov_stationary",
             "q_events_path_prefix",
+            "q_events_proportion_ztest",
             "q_events_sessionize",
             "q_events_spearman",
             "q_events_survival",
@@ -238,23 +250,15 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_filter_compound",
             "q_filter_like",
             "q_filter_null",
-            "q_fn_bitwise",
-            "q_fn_case",
-            "q_fn_cast",
-            "q_fn_datetime",
-            "q_fn_explode",
-            "q_fn_hash",
-            "q_fn_json",
-            "q_fn_map",
-            "q_fn_math",
-            "q_fn_posexplode",
+            "q_fn_array",
+            "q_fn_binary",
             "q_fn_regex",
             "q_fn_split",
             "q_fn_string",
-            "q_fn_struct",
             "q_fn_variant",
             "q_geo_cell_density",
             "q_geo_dist_join",
+            "q_geo_geofence",
             "q_geo_hotspot",
             "q_geo_knn",
             "q_graph_copurchase",
@@ -269,6 +273,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_join_full",
             "q_join_inner",
             "q_join_interval",
+            "q_join_interval_bucketed",
             "q_join_left",
             "q_join_multiway",
             "q_join_null_safe",
@@ -276,12 +281,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_join_salted",
             "q_join_semi",
             "q_join_theta",
-            "q_kinesis_decode_csv",
-            "q_kinesis_decode_json",
-            "q_kinesis_replay_window",
             "q_kinesis_reshard_plan",
-            "q_kinesis_schema",
-            "q_kinesis_shard_route",
             "q_kinesis_throughput_audit",
             "q_lateral_topn",
             "q_llm_band_assign",
@@ -295,18 +295,16 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_bpe_train3",
             "q_llm_bucket_stats",
             "q_llm_char_entropy",
-            "q_llm_chunk",
             "q_llm_cluster_purity",
             "q_llm_cluster_reweight",
             "q_llm_cms_heavy",
+            "q_llm_code_detect",
             "q_llm_composition",
             "q_llm_compress_proxy",
             "q_llm_contrastive_pairs",
             "q_llm_corpus_build",
             "q_llm_corpus_diff",
-            "q_llm_corpus_stats",
             "q_llm_cross_dup_matrix",
-            "q_llm_curate_e2e",
             "q_llm_curriculum_bins",
             "q_llm_data_card",
             "q_llm_decode_media",
@@ -318,11 +316,11 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_dedup_embed",
             "q_llm_dedup_exact",
             "q_llm_dedup_jaccard",
-            "q_llm_dedup_minhash",
             "q_llm_dedup_ngram",
             "q_llm_dedup_normalized",
             "q_llm_dedup_precision",
             "q_llm_dedup_semantic",
+            "q_llm_dedup_shard_locality",
             "q_llm_dedup_simhash",
             "q_llm_dedup_survivors",
             "q_llm_dedup_yield_curve",
@@ -352,7 +350,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_hard_negatives",
             "q_llm_heaps_fit",
             "q_llm_heavy_hitters",
-            "q_llm_heavy_hitters_sketch",
+            "q_llm_host_cap_enforce",
             "q_llm_ingest_cdc",
             "q_llm_ingest_dedup",
             "q_llm_ingest_jsonl",
@@ -379,6 +377,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_minhash_portable",
             "q_llm_mixture",
             "q_llm_mixture_sample",
+            "q_llm_mixture_temperature",
             "q_llm_mmr_select",
             "q_llm_mrr",
             "q_llm_multimodal",
@@ -408,6 +407,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_rake_keywords",
             "q_llm_random_proj",
             "q_llm_rater_kappa",
+            "q_llm_readability",
             "q_llm_recall_at_k",
             "q_llm_refresh_e2e",
             "q_llm_rejection_sample",
@@ -425,8 +425,6 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_semantic_yield",
             "q_llm_shard_balance",
             "q_llm_shingle_df_audit",
-            "q_llm_sim_ivf",
-            "q_llm_sim_lsh",
             "q_llm_sim_topk",
             "q_llm_source_leak",
             "q_llm_span_coverage",
@@ -440,10 +438,16 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_tfidf",
             "q_llm_tokcount",
             "q_llm_token_budget",
+            "q_llm_token_yield_funnel",
             "q_llm_tokenize",
             "q_llm_train_order",
+            "q_llm_unigram_entropy",
+            "q_llm_url_host_audit",
+            "q_llm_vec_ops",
+            "q_llm_vec_quantize",
             "q_llm_vocab_coverage",
             "q_llm_weighted_sample",
+            "q_llm_whitespace_anomaly",
             "q_llm_winnow",
             "q_llm_zipf_fit",
             "q_pareto_deciles",
@@ -459,27 +463,49 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_scan_pruned",
             "q_scan_pushdown",
             "q_set_except",
+            "q_set_except_all",
             "q_set_intersect",
+            "q_set_intersect_all",
             "q_set_union_all",
             "q_set_union_distinct",
             "q_skew_audit",
             "q_sort_multi",
             "q_sort_nulls_first",
             "q_sql_recursive_spine",
+            "q_stream_dedup_keys",
+            "q_stream_session",
+            "q_stream_sliding",
+            "q_stream_tumbling",
+            "q_subquery_correlated_scalar",
+            "q_subquery_exists",
+            "q_subquery_scalar",
             "q_topk",
+            "q_topk_per_group",
             "q_ts_acf",
             "q_ts_backlog",
             "q_ts_ccf",
             "q_ts_ewma_cross",
+            "q_ts_fano_dispersion",
             "q_ts_gapfill",
+            "q_ts_hurst",
+            "q_ts_lttb",
+            "q_ts_mann_kendall",
             "q_ts_ohlc",
             "q_ts_pacf",
             "q_ts_peaks",
+            "q_ts_runs_test",
             "q_ts_seasonal_outliers",
             "q_ts_seasonality",
+            "q_ts_theil_sen",
             "q_ts_time_weighted",
             "q_ts_trend_forecast",
+            "q_udaf_grouped",
+            "q_udf_pandas",
+            "q_udf_scalar",
+            "q_udtf_expand",
             "q_unpivot",
+            "q_win_distribution",
+            "q_win_drawdown",
             "q_win_first_last",
             "q_win_lag_lead",
             "q_win_mom_growth",
@@ -488,6 +514,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_win_order_concurrency",
             "q_win_range_frame",
             "q_win_rank",
+            "q_win_rolling_corr",
             "q_win_rolling_median",
             "q_win_rolling_slope",
             "q_win_running",

@@ -1,28 +1,35 @@
-"""Round-11 rotation window assertions (VERDICT r10 item #1).
+"""Round-12 rotation window assertions (VERDICT r11 items #1 and #2).
 
 The driver samples roughly the first 50 entries of the priority-ordered
-registry for CORRECTNESS_r{N}.json. Rounds 4-10 proved the rotation must be
+registry for CORRECTNESS_r{N}.json. Rounds 4-11 proved the rotation must be
 *recomputed* (not guessed) each round from the committed CORRECTNESS
-artifacts. Through round 10 the cumulative ledger is fully green, and the
-only queries without a driver row are the 26 round-10 priority-30
-additions. The round-11 window drains that backlog and resumes the
-freshness rotation:
+artifacts. Through round 11 the cumulative ledger is fully green; the only
+queries without a driver row are the 27 round-11 priority-30 additions, and
+four queries carry driver rows that PREDATE their current SQL oracle
+(q_llm_sim_lsh / q_llm_sim_ivf oracled in r11; q_llm_dedup_minhash /
+q_llm_heavy_hitters_sketch promoted rows-only→SQL in r12). The round-12
+window drains both backlogs and resumes the freshness rotation:
 
-  slots 0..25     the 26 never-driver-sampled round-10 additions
-                  (override 8) — after this round the ENTIRE registry is
-                  driver-confirmed
-  slots 26..28    D1/D14/D15, last sampled round 9, back at their
-                  permanent priority 10 (the 12 r7-era canaries were
-                  re-sampled green in r10 and pin at 100)
-  slots 29..45    freshness rotation: the 17 remaining round-2-last-sampled
-                  queries (override 12)
-  slots 46..49    window fill: the 4 oldest round-3-last-sampled queries,
-                  alphabetical (override 14); the other 39 r3-era queries
-                  queue for round 12
+  slots 0..26     the 27 never-driver-sampled round-11 additions
+                  (override 8)
+  slots 27..30    the 4 re-oracled queries (override 9) — after this round
+                  every registry query's latest driver row is
+                  post-current-oracle
+  slots 31..49    freshness rotation: the 19 oldest round-3-last-sampled
+                  queries, alphabetical (override 12); the other 19 r3-era
+                  queries queue for round 13
 
-New round-11 queries use decorator ``priority=30``: behind the window,
+Canary cadence: all 18 canaries were re-sampled green in r10/r11 and pin at
+100; the r10 cohort re-enters in round 13 (3-round refresh).
+
+Rows-only half-frequency rule (VERDICT r11 item #2): a no_oracle query that
+has already run clean >=2x under the driver burns no further window slots
+until the freshness queue has fully rotated — asserted below as "the window
+contains no such query".
+
+New round-12 queries use decorator ``priority=30``: behind the window,
 ahead of every pinned-100 query — they take their first driver rows in
-round 12. Add their names to ROUND11_NEW_THIS_ROUND below; the recompute
+round 13. Add their names to ROUND12_NEW_THIS_ROUND below; the recompute
 tests fail loudly on drift.
 """
 
@@ -38,47 +45,29 @@ from spark_kinesis_sql_asl_spark import registry
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-LAST_DRIVER_ROUND = 10
+LAST_DRIVER_ROUND = 11
 DRIVER_WINDOW = 50
 
-# Queries first registered in round 11 (decorator priority=30): they have no
+# Queries first registered in round 12 (decorator priority=30): they have no
 # CORRECTNESS row yet by construction. Keep in sync as operators land.
-ROUND11_NEW_THIS_ROUND: frozenset[str] = frozenset(
+ROUND12_NEW_THIS_ROUND: frozenset[str] = frozenset()
+
+# Queries whose driver row predates their CURRENT oracle (the r12 window's
+# override-9 tranche): sim_lsh/sim_ivf gained SQL oracles in round 11 after
+# their last rows; minhash and the heavy-hitters sketch were promoted from
+# rows-only to SQL in round 12.
+REORACLED: frozenset[str] = frozenset(
     {
-        "q_ts_seasonal_forecast",  # B190
-        "q_events_seq_patterns",  # B191
-        "q_events_attribution",  # B192
-        "q_events_lifecycle",  # B193
-        "q_kinesis_lag_audit",  # A15
-        "q_win_bollinger",  # B194
-        "q_part_abc_xyz",  # B195
-        "q_llm_cluster_keep_best",  # C168
-        "q_geo_dbscan",  # B196
-        "q_ts_forecast_backtest",  # B197
-        "q_cohort_ltv",  # B199
-        "q_part_safety_stock",  # B198
-        "q_sales_pvm_bridge",  # B200
-        "q_part_price_elasticity",  # B201
-        "q_orders_littles_law",  # B202
-        "q_llm_embed_isotropy",  # C169
-        "q_llm_cluster_tightness",  # C170
-        "q_ts_holt_linear",  # B203
-        "q_llm_dedup_method_overlap",  # C171
-        "q_kinesis_hotkey_audit",  # A16
-        "q_llm_pq_distortion",  # C172
-        "q_canary_array_semantics",  # D19
-        "q_trade_flow_matrix",  # B204
-        "q_events_cuped",  # B205
-        "q_events_mde",  # B206
-        "q_orders_priority_aging",  # B207
-        "q_llm_source_vocab_overlap",  # C173
+        "q_llm_sim_lsh",
+        "q_llm_sim_ivf",
+        "q_llm_dedup_minhash",
+        "q_llm_heavy_hitters_sketch",
     }
 )
 
-NEVER_SAMPLED_COUNT = 26  # the round-10 priority-30 additions
-CANARY_TRANCHE_COUNT = 3
-FRESHNESS_TRANCHE_COUNT = 17
-R3_FILL_COUNT = 4
+NEVER_SAMPLED_COUNT = 27  # the round-11 priority-30 additions
+REORACLED_COUNT = 4
+FRESHNESS_TRANCHE_COUNT = 19
 
 
 def _ordered():
@@ -113,53 +102,45 @@ def _last_sampled() -> dict[str, int]:
     return last
 
 
+def _rows_only_clean_counts() -> dict[str, int]:
+    """Per-query count of clean no_oracle driver rows across all rounds."""
+    counts: dict[str, int] = {}
+    for r in range(1, LAST_DRIVER_ROUND + 1):
+        path = os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json")
+        if not os.path.exists(path):  # pragma: no cover - driver artifact
+            pytest.skip(f"missing {path}")
+        with open(path) as f:
+            for q, row in json.load(f).items():
+                if row.get("err") == "no_oracle":
+                    counts[q] = counts.get(q, 0) + 1
+    return counts
+
+
 def _never_sampled() -> set[str]:
     registry.load_all()
     return (
         set(registry._QUERIES)
         - set(_rows_through(LAST_DRIVER_ROUND))
-        - ROUND11_NEW_THIS_ROUND
-    )
-
-
-def _legacy_canary_tranche() -> list[str]:
-    """The 3 canaries whose latest driver row is round 9 (D1/D14/D15) —
-    the 12 r7-era canaries were re-sampled green in round 10 and pin at
-    100; D16/D17/D18 ride other tranches."""
-    last = _last_sampled()
-    return sorted(
-        q
-        for q, r in last.items()
-        if q.startswith("q_canary_") and r == 9
+        - ROUND12_NEW_THIS_ROUND
     )
 
 
 def _freshness_tranche() -> list[str]:
-    """All 17 remaining round-2-last-sampled queries (the other half of
-    the round-10 freshness tranche)."""
-    last = _last_sampled()
-    registry.load_all()
-    r2 = sorted(
-        q for q, r in last.items() if r == 2 and q in registry._QUERIES
-    )
-    assert len(r2) == FRESHNESS_TRANCHE_COUNT, f"r2-era cohort drifted: {len(r2)}"
-    return r2
-
-
-def _r3_fill_tranche() -> list[str]:
-    """First 4 (alphabetical) of the round-3-last-sampled cohort — the
-    window fill; the rest queue for round 12."""
+    """First 19 (alphabetical) of the round-3-last-sampled cohort, minus
+    any member promoted into the re-oracled tranche."""
     last = _last_sampled()
     registry.load_all()
     r3 = sorted(
-        q for q, r in last.items() if r == 3 and q in registry._QUERIES
+        q
+        for q, r in last.items()
+        if r == 3 and q in registry._QUERIES and q not in REORACLED
     )
-    assert len(r3) == 43, f"r3-era cohort drifted: {len(r3)}"
-    return r3[:R3_FILL_COUNT]
+    assert len(r3) == 38, f"r3-era cohort drifted: {len(r3)}"
+    return r3[:FRESHNESS_TRANCHE_COUNT]
 
 
 def test_no_reds_to_recheck():
-    """The cumulative ledger through round 10 is fully green — no query
+    """The cumulative ledger through round 11 is fully green — no query
     carries override 0 (rows-only ``no_oracle`` rows are sampled-clean)."""
     latest = _rows_through(LAST_DRIVER_ROUND)
     reds = {
@@ -180,9 +161,9 @@ def test_no_reds_to_recheck():
 
 
 def test_never_sampled_backlog_heads_the_window():
-    """VERDICT r10 item #1's Done bar: every one of the 26 never-sampled
-    round-10 additions sits at the FRONT of the window (override 8,
-    slots 0..25)."""
+    """VERDICT r11 item #1's Done bar, part 1: every one of the 27
+    never-sampled round-11 additions sits at the FRONT of the window
+    (override 8, slots 0..26)."""
     never = _never_sampled()
     assert len(never) == NEVER_SAMPLED_COUNT, f"backlog drifted: {len(never)}"
     for n in sorted(never):
@@ -191,117 +172,123 @@ def test_never_sampled_backlog_heads_the_window():
     assert head == never, (sorted(head - never), sorted(never - head))
 
 
-def test_canary_tranche_follows_backlog():
-    """D1/D14/D15 (last sampled round 9) take slots 26..28 at their
-    permanent priority 10; the 12 r7-era canaries re-sampled green in
-    round 10 pin at 100; D17/D18 ride the never-sampled backlog."""
-    tranche = _legacy_canary_tranche()
-    assert len(tranche) == CANARY_TRANCHE_COUNT
+def test_reoracled_tranche_follows_backlog():
+    """VERDICT r11 item #1's Done bar, part 2: the 4 queries whose driver
+    rows predate their current oracle take slots 27..30 (override 9), so
+    a silent engine divergence in the promoted oracles surfaces THIS
+    round."""
+    assert len(REORACLED) == REORACLED_COUNT
+    registry.load_all()
+    oracles = set(registry._ORACLES)
+    for n in REORACLED:
+        assert n in oracles, f"{n} listed as re-oracled but has no oracle"
+        assert _priority(n) == 9, (n, _priority(n))
     names = _ordered()
-    mid = names[NEVER_SAMPLED_COUNT : NEVER_SAMPLED_COUNT + CANARY_TRANCHE_COUNT]
-    assert set(mid) == set(tranche), (sorted(mid), tranche)
-    assert all(_priority(n) == 10 for n in mid)
+    mid = names[NEVER_SAMPLED_COUNT : NEVER_SAMPLED_COUNT + REORACLED_COUNT]
+    assert set(mid) == set(REORACLED), (sorted(mid), sorted(REORACLED))
+
+
+def test_freshness_tranche_fills_the_window():
+    """Slots 31..49: the 19 oldest round-3-last-sampled queries re-enter
+    at override 12."""
+    tranche = _freshness_tranche()
+    names = _ordered()
+    tail = names[
+        NEVER_SAMPLED_COUNT
+        + REORACLED_COUNT : NEVER_SAMPLED_COUNT
+        + REORACLED_COUNT
+        + FRESHNESS_TRANCHE_COUNT
+    ]
+    assert set(tail) == set(tranche), (sorted(tail), tranche)
+    assert all(_priority(n) == 12 for n in tail)
+
+
+def test_window_composition_exact():
+    """27 backlog + 4 re-oracled + 19 freshness = the exact 50-slot
+    window."""
+    assert (
+        NEVER_SAMPLED_COUNT + REORACLED_COUNT + FRESHNESS_TRANCHE_COUNT
+        == DRIVER_WINDOW
+    )
+    names = _ordered()
+    window = set(names[:DRIVER_WINDOW])
+    expect = _never_sampled() | set(REORACLED) | set(_freshness_tranche())
+    assert window == expect, (
+        sorted(window - expect),
+        sorted(expect - window),
+    )
+    # round-12 additions (priority 30) queue directly after the window,
+    # ahead of the pinned-100 majority
+    after = names[DRIVER_WINDOW : DRIVER_WINDOW + len(ROUND12_NEW_THIS_ROUND)]
+    assert set(after) == ROUND12_NEW_THIS_ROUND, after
+
+
+def test_rows_only_half_frequency_rule():
+    """VERDICT r11 item #2's Done bar: the window composition contains no
+    rows-only query that has already run clean >=2x under the driver —
+    confirmed no_oracle rows stop burning window slots."""
+    registry.load_all()
+    oracled = set(registry._ORACLES)
+    counts = _rows_only_clean_counts()
+    window = set(_ordered()[:DRIVER_WINDOW])
+    offenders = sorted(
+        q
+        for q in window
+        if q not in oracled and counts.get(q, 0) >= 2
+    )
+    assert offenders == [], (
+        f"confirmed rows-only queries re-burning window slots: {offenders}"
+    )
+
+
+def test_canaries_on_three_round_refresh():
+    """All 18 canaries were re-sampled green in r10/r11 and pin at 100
+    this round (the r10 cohort re-enters in round 13) — except any canary
+    that is itself a round-11 addition, which rides the backlog tranche."""
     registry.load_all()
     never = _never_sampled()
     for n in registry._QUERIES:
         if not n.startswith("q_canary_"):
             continue
-        if n in tranche:
-            continue
         if n in never:
             assert _priority(n) == 8, (n, _priority(n))
-        elif n in ROUND11_NEW_THIS_ROUND:
+        elif n in ROUND12_NEW_THIS_ROUND:
             assert _priority(n) == 30, (n, _priority(n))
-        else:  # re-sampled green in round 10
+        else:
             assert _priority(n) == 100, (n, _priority(n))
 
 
-def test_freshness_tranche_fills_the_window():
-    """Slots 29..45: the 17 remaining round-2-last-sampled queries
-    re-enter at override 12; slots 46..49: the 4 oldest round-3 queries
-    at override 14."""
-    tranche = _freshness_tranche()
-    names = _ordered()
-    tail = names[
-        NEVER_SAMPLED_COUNT
-        + CANARY_TRANCHE_COUNT : NEVER_SAMPLED_COUNT
-        + CANARY_TRANCHE_COUNT
-        + FRESHNESS_TRANCHE_COUNT
-    ]
-    assert set(tail) == set(tranche), (sorted(tail), tranche)
-    assert all(_priority(n) == 12 for n in tail)
-    fill = names[
-        NEVER_SAMPLED_COUNT
-        + CANARY_TRANCHE_COUNT
-        + FRESHNESS_TRANCHE_COUNT : DRIVER_WINDOW
-    ]
-    assert set(fill) == set(_r3_fill_tranche()), (sorted(fill),)
-    assert all(_priority(n) == 14 for n in fill)
-
-
-def test_window_composition_exact():
-    """26 backlog + 3 canaries + 17 freshness + 4 r3-fill = the exact
-    50-slot window."""
-    assert (
-        NEVER_SAMPLED_COUNT
-        + CANARY_TRANCHE_COUNT
-        + FRESHNESS_TRANCHE_COUNT
-        + R3_FILL_COUNT
-        == DRIVER_WINDOW
-    )
-    names = _ordered()
-    window = set(names[:DRIVER_WINDOW])
-    expect = (
-        _never_sampled()
-        | set(_legacy_canary_tranche())
-        | set(_freshness_tranche())
-        | set(_r3_fill_tranche())
-    )
-    assert window == expect, (
-        sorted(window - expect),
-        sorted(expect - window),
-    )
-    # round-11 additions (priority 30) queue directly after the window,
-    # ahead of the pinned-100 majority
-    after = names[DRIVER_WINDOW : DRIVER_WINDOW + len(ROUND11_NEW_THIS_ROUND)]
-    assert set(after) == ROUND11_NEW_THIS_ROUND, after
-
-
 def test_new_this_round_constant_is_exact():
-    """ROUND11_NEW_THIS_ROUND == (registered queries with no driver row
-    that are not part of the round-10 backlog) — the r6 lesson: update the
+    """ROUND12_NEW_THIS_ROUND == (registered queries with no driver row
+    that are not part of the round-11 backlog) — the r6 lesson: update the
     constant with EVERY new @query or the recompute tests drift."""
     registry.load_all()
     unsampled = set(registry._QUERIES) - set(
         _rows_through(LAST_DRIVER_ROUND)
     )
     new = unsampled - _never_sampled()
-    assert new == ROUND11_NEW_THIS_ROUND, (
-        sorted(new - ROUND11_NEW_THIS_ROUND),
-        sorted(ROUND11_NEW_THIS_ROUND - new),
+    assert new == ROUND12_NEW_THIS_ROUND, (
+        sorted(new - ROUND12_NEW_THIS_ROUND),
+        sorted(ROUND12_NEW_THIS_ROUND - new),
     )
-    for n in sorted(ROUND11_NEW_THIS_ROUND):
+    for n in sorted(ROUND12_NEW_THIS_ROUND):
         assert n in registry._QUERIES, f"{n} listed but not registered"
         assert _priority(n) == 30, (n, _priority(n))
 
 
-def test_every_ever_sampled_query_pinned_at_10_12_14_or_100():
+def test_every_ever_sampled_query_pinned_at_9_12_or_100():
     """A <100 decorator priority must never leak a driver-green query back
     into the window at the expense of the rotation plan."""
     registry.load_all()
     fresh = set(_freshness_tranche())
-    canaries = set(_legacy_canary_tranche())
-    fill = set(_r3_fill_tranche())
     for n in sorted(
         set(_rows_through(LAST_DRIVER_ROUND)) & set(registry._QUERIES)
     ):
         p = _priority(n)
-        if n in fresh:
+        if n in REORACLED:
+            assert p == 9, f"{n}: re-oracled tranche must be 9, got {p}"
+        elif n in fresh:
             assert p == 12, f"{n}: freshness tranche must be 12, got {p}"
-        elif n in canaries:
-            assert p == 10, f"{n}: canary tranche must be 10, got {p}"
-        elif n in fill:
-            assert p == 14, f"{n}: r3-fill tranche must be 14, got {p}"
         else:
             assert p == 100, f"{n}: ever-sampled but priority {p}"
 
