@@ -136,19 +136,41 @@ class ShardSlice(InputPartition):
 
 def _read_slice(part: ShardSlice):
     """Executor-side record decode (A2/A6): Arrow scan of the chunk files.
-    Runs in a Python worker with no SparkSession — pyarrow only."""
+    Runs in a Python worker with no SparkSession — pyarrow only.
+
+    A11 data-loss policy covers BOTH loss classes (round 12): a chunk
+    missing below the requested offset (aged out past retention) and a
+    chunk present but unreadable (truncated mid-write / bit rot — pyarrow
+    raises on the footer or page decode). failOnDataLoss=true raises a
+    [DATA_LOSS] error naming the chunk; =false skips it and reports the
+    counted gap on stderr, so a backfill can quantify what the lenient
+    read dropped."""
+    import sys
+
     import pyarrow.parquet as pq
 
+    skipped: list[int] = []
     for idx in range(part.start, part.end):
         f = _chunk_file(part.path, part.stream, part.shard, idx)
         if not os.path.exists(f):
             if part.skip_missing:
+                skipped.append(idx)
                 continue  # A11: warn-and-skip policy
             raise RuntimeError(
                 f"[DATA_LOSS] chunk {idx} of {part.stream}/{part.shard} aged "
                 f"out (missing {f}); set failOnDataLoss=false to skip"
             )
-        tbl = pq.read_table(f)
+        try:
+            tbl = pq.read_table(f)
+        except Exception as exc:
+            if part.skip_missing:
+                skipped.append(idx)
+                continue
+            raise RuntimeError(
+                f"[DATA_LOSS] chunk {idx} of {part.stream}/{part.shard} is "
+                f"unreadable ({type(exc).__name__}: {exc}); corrupt or "
+                f"truncated chunk file {f}; set failOnDataLoss=false to skip"
+            ) from exc
         # Yield in the declared envelope order, NOT the chunk file's physical
         # column order: three envelope columns share type STRING, so an
         # externally-written chunk with reordered columns would silently
@@ -161,6 +183,12 @@ def _read_slice(part: ShardSlice):
             )
         for row in tbl.to_pylist():
             yield tuple(row[c] for c in _ENVELOPE_COLS)
+    if skipped:
+        print(
+            f"[kinesislike] WARN data loss: skipped {len(skipped)} chunk(s) "
+            f"{skipped} of {part.stream}/{part.shard} (failOnDataLoss=false)",
+            file=sys.stderr,
+        )
 
 
 class KinesisLikeStreamReader(DataSourceStreamReader):

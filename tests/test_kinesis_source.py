@@ -166,6 +166,69 @@ def test_data_loss_policy(registered, events_rows, tmp_path):
     assert lenient.count() == 300 - kept
 
 
+def test_data_loss_policy_corrupt_chunk(registered, events_rows, tmp_path):
+    """A11, round 12 (VERDICT r11 item #5): a chunk that is PRESENT but
+    unreadable (truncated mid-write) follows the same fail-vs-warn policy
+    as an aged-out chunk — strict mode raises [DATA_LOSS] naming the
+    chunk, lenient mode skips it with a counted gap."""
+    spark = registered
+    root = str(tmp_path / "staging")
+    write_staging(events_to_dicts(events_rows[:300]), root, n_shards=1, n_chunks=3)
+    victim = os.path.join(root, "events", "shard-0", "00000001.parquet")
+    lost = spark.read.parquet(victim).count()
+    assert lost > 0
+    with open(victim, "r+b") as f:  # truncate: kill the parquet footer
+        f.truncate(os.path.getsize(victim) // 2)
+
+    strict = spark.read.format("kinesislike").option("path", root).load()
+    with pytest.raises(Exception, match="DATA_LOSS"):
+        strict.count()
+
+    lenient = (
+        spark.read.format("kinesislike")
+        .option("path", root)
+        .option("failOnDataLoss", "false")
+        .load()
+    )
+    assert lenient.count() == 300 - lost  # the gap is exactly the dead chunk
+
+
+def test_data_loss_policy_corrupt_chunk_streaming(registered, events_rows, tmp_path):
+    """Same policy through the STREAMING path: an availableNow replay over
+    a log with one truncated chunk fails in strict mode and completes with
+    exactly the surviving records in lenient mode."""
+    spark = registered
+    root = str(tmp_path / "staging")
+    write_staging(events_to_dicts(events_rows[:300]), root, n_shards=2, n_chunks=3)
+    victim = os.path.join(root, "events", "shard-1", "00000000.parquet")
+    lost = spark.read.parquet(victim).count()
+    with open(victim, "r+b") as f:
+        f.truncate(10)  # not even a PAR1 magic header survives
+
+    strict = spark.readStream.format("kinesislike").option("path", root).load()
+    q = (
+        strict.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out_strict"))
+        .option("checkpointLocation", str(tmp_path / "ckpt_strict"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="DATA_LOSS"):
+        q.awaitTermination(120)
+
+    lenient = (
+        spark.readStream.format("kinesislike")
+        .option("path", root)
+        .option("failOnDataLoss", "false")
+        .load()
+    )
+    out = str(tmp_path / "out_lenient")
+    _run_available_now(
+        spark, lenient, out, str(tmp_path / "ckpt_lenient")
+    )
+    assert spark.read.parquet(out).count() == 300 - lost
+
+
 def test_multi_stream_union(registered, events_rows, tmp_path):
     spark = registered
     root = str(tmp_path / "staging")
