@@ -118,11 +118,34 @@ def main() -> None:
                 rebench[name] = {"first": timings[name], "rerun": rerun}
                 timings[name] = min(timings[name], rerun)
 
+    # Streaming-twin smoke (VERDICT r11 item #6): time each stateful twin's
+    # availableNow drain so a state-store regression shows up as a number.
+    # Timed into its own block — twin seconds do NOT enter the batch
+    # suite_seconds total (the rate gate's denominator is batch queries).
+    streaming: dict[str, float] = {}
+    if not sys.argv[1:] and os.environ.get("SPARK_GRAFT_SKIP_STREAMING") != "1":
+        import shutil
+        import tempfile
+
+        from spark_kinesis_sql_asl_spark.streaming.bench_twins import (
+            run_streaming_bench,
+        )
+
+        work_root = tempfile.mkdtemp(prefix="bench_twins_")
+        try:
+            streaming = run_streaming_bench(spark, sf_dir, work_root)
+        except Exception as exc:  # noqa: BLE001 - report, don't abort the suite
+            failures["_streaming_twins"] = f"{type(exc).__name__}: {exc}"[:200]
+        finally:
+            shutil.rmtree(work_root, ignore_errors=True)
+
     detail = {
         "metric": "suite_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "streaming": streaming,
+        "streaming_seconds": round(sum(streaming.values()), 3),
         "sf": _sf_of(sf_dir),
     }
     if failures:

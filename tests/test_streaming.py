@@ -2777,3 +2777,38 @@ def test_streaming_hotkey_monitor_equals_batch(spark, tmp_path):
     for (s,), (n, tk, tc) in got.items():
         b = expect[s]
         assert (n, tk, tc) == (b["n_records"], b["top_key"], b["top_cnt"]), s
+
+
+# --- round 12: streaming-twin bench harness (VERDICT r11 item #6) ---------
+
+
+def test_bench_twins_registry_is_complete_and_runnable(spark, tmp_path):
+    """The bench's streaming block must cover every parity-pinned stateful
+    twin that can run in this container (>=18), every entry must name a
+    real stager, and the harness itself must drain end-to-end — exercised
+    on a two-twin subset at smoke scale so the full sweep stays a bench
+    concern, not a test-suite cost."""
+    from unittest import mock
+
+    from spark_kinesis_sql_asl_spark.streaming import bench_twins
+
+    assert len(bench_twins.TWINS) >= 18
+    for name, (key, build) in bench_twins.TWINS.items():
+        assert key in bench_twins._STAGERS, (name, key)
+        assert callable(build)
+
+    subset = {
+        "s_hotkey_monitor": bench_twins.TWINS["s_hotkey_monitor"],
+        "s_drawdown": bench_twins.TWINS["s_drawdown"],
+    }
+    with mock.patch.object(bench_twins, "TWINS", subset):
+        t = bench_twins.run_streaming_bench(
+            spark, SF_SMOKE, str(tmp_path / "twins")
+        )
+    assert set(t) == {
+        "_stage_hotkey",
+        "_stage_order_days",
+        "s_hotkey_monitor",
+        "s_drawdown",
+    }
+    assert all(v >= 0 for v in t.values())
