@@ -3255,3 +3255,206 @@ def q_ts_holt_linear(spark, sf_dir):
         ),
         F.expr("CAST(e div (n - 1) AS BIGINT)").alias("mae_milli"),
     )
+
+
+# --- B208: Holt-Winters multiplicative seasonal forecast (round 12) ----------
+
+_HW_M = 7  # weekly season over the observed-day index (the B190 convention)
+_HW_H = 14  # forecast horizon released (two full seasons ahead)
+
+
+def _hw_step(y: str, l: str, b: str, s1: str, e: str, div: str) -> dict:
+    """The one-step Holt-Winters multiplicative recurrence at
+    α = β = γ = 1/4 on the integer (milli-cent, ppm) lattice — ONE
+    formula text rendered per dialect (`div` is Spark's ``div`` /
+    DuckDB's ``//``, both truncate toward zero per the D7 canary), so
+    the two engines walk the identical walk by construction."""
+    deseason = f"((1000 * {y} * 1000000) {div} greatest({s1}, 1))"
+    lnew = f"(({deseason} + 3 * ({l} + {b})) {div} 4)"
+    bnew = f"((({lnew} - {l}) + 3 * {b}) {div} 4)"
+    snew = (
+        f"greatest(1, (((1000 * {y} * 1000000) {div} greatest({lnew}, 1))"
+        f" + 3 * {s1}) {div} 4)"
+    )
+    enew = f"({e} + abs(1000 * {y} - (({l} + {b}) * {s1}) {div} 1000000))"
+    return {"l": lnew, "b": bnew, "s": snew, "e": enew}
+
+
+_HW_DUCK_STEP = _hw_step("q.cents", "r.l", "r.b", "r.s[1]", "r.e", "//")
+_HW_SPARK_STEP = _hw_step(
+    "y", "acc.l", "acc.b", "element_at(acc.s, 1)", "acc.e", "div"
+)
+
+
+@query(
+    "q_ts_holt_winters_mul",
+    priority=30,  # round-12 addition: first driver row in round 13
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY 1
+    ),
+    seq AS (
+        SELECT cents, row_number() OVER (ORDER BY d) AS t FROM daily
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seq),
+    init AS (
+        SELECT (1000 * sum(CASE WHEN t <= {_HW_M} THEN cents END))
+                   // {_HW_M} AS l0,
+               (1000 * (sum(CASE WHEN t > {_HW_M} THEN cents END)
+                        - sum(CASE WHEN t <= {_HW_M} THEN cents END)))
+                   // {_HW_M * _HW_M} AS b0
+        FROM seq WHERE t <= {2 * _HW_M}
+        HAVING count(*) = {2 * _HW_M}
+    ),
+    s0 AS (
+        SELECT list(greatest(1,
+                   (1000 * cents * 1000000) // greatest(l0, 1))
+                   ORDER BY t) AS s
+        FROM seq, init WHERE t <= {_HW_M}
+        GROUP BY l0
+    ),
+    rec(t, l, b, s, e) AS (
+        SELECT CAST({_HW_M} AS BIGINT), init.l0, init.b0, s0.s,
+               CAST(0 AS BIGINT)
+        FROM init, s0
+        UNION ALL
+        SELECT r.t + 1,
+               {_HW_DUCK_STEP["l"]},
+               {_HW_DUCK_STEP["b"]},
+               r.s[2:] || [{_HW_DUCK_STEP["s"]}],
+               {_HW_DUCK_STEP["e"]}
+        FROM rec r JOIN seq q ON q.t = r.t + 1
+    ),
+    fin AS (
+        SELECT r.l, r.b, r.s, r.e, nn.n
+        FROM rec r CROSS JOIN nn WHERE r.t = nn.n
+    )
+    SELECT h.h, fin.l AS level_milli, fin.b AS trend_milli,
+           fin.s[CAST((h.h - 1) % {_HW_M} AS BIGINT) + 1] AS season_ppm,
+           CAST((((fin.l + h.h * fin.b)
+                  * fin.s[CAST((h.h - 1) % {_HW_M} AS BIGINT) + 1])
+                 // 1000000) // 1000 AS BIGINT) AS forecast_cents,
+           CAST(fin.e // (fin.n - {_HW_M}) AS BIGINT) AS mae_milli
+    FROM fin CROSS JOIN (SELECT unnest(range(1, {_HW_H + 1})) AS h) h
+    """,
+)
+def q_ts_holt_winters_mul(spark, sf_dir):
+    """B208: Holt-Winters MULTIPLICATIVE triple exponential smoothing
+    (Winters 1960; Hyndman & Athanasopoulos fpp §8.3) over the daily
+    revenue series — the seasonal rung above B203's Holt linear (VERDICT
+    r11 item #7): level and trend as in B203, plus a rotating m={_HW_M}
+    seasonal-index queue updated each observed day at α = β = γ = 1/4,
+    l_t = α·(y_t/s_t−m) + (1−α)(l_t−1 + b_t−1),
+    b_t = β(l_t − l_t−1) + (1−β)b_t−1, s_t = γ(y_t/l_t) + (1−γ)s_t−m.
+    Init: l = first-week mean, b = classic two-season slope
+    ((mean₂ − mean₁)/m via integer sums), s_j = y_j/l ratios of week one;
+    series shorter than 2m release zero rows on BOTH engines (HAVING
+    count(*) = 2m guards the oracle's init, size(ys) >= 2m the Spark
+    fold). Released: the final state, the h = 1..{_HW_H} forecasts
+    (l + h·b)·s, and the walk's one-step MAE.
+
+    Cross-engine float shape: NO float — level/trend walk in exact
+    integer MILLI-cents and the seasonal indices in integer PPM; every
+    ratio is a truncating integer division (D7-pinned identical on
+    negatives, which the trend hits) rendered from ONE shared formula
+    text per step (:func:`_hw_step`), so both engines walk the identical
+    lattice: Spark folds the series with ``aggregate`` carrying the
+    m-slot seasonal queue in the accumulator struct, DuckDB walks the
+    same recurrence as a recursive CTE with a LIST column. The ppm
+    seasonal scale bounds the intermediate 1000·y·10⁶ at < 2⁶³ while
+    daily revenue stays under ~$92M/day — beyond that, drop the seasonal
+    scale to 1e3 (documented dial, same class as the D15 wide-int rule).
+    Plan/scale: ONE daily hash aggregate collapses corpus-scale input;
+    the fold runs over the |days| array (kilobytes at any SF — the B173
+    bound); release is {_HW_H} rows."""
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = (
+        table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"), epoch)
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    m, m2 = _HW_M, 2 * _HW_M
+    arr = daily.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, cents))),"
+            " s -> s.cents)"
+        ).alias("ys")
+    ).where(F.expr(f"size(ys) >= {m2}"))
+    init = arr.select(
+        "ys",
+        F.expr(
+            f"(1000 * aggregate(slice(ys, 1, {m}), CAST(0 AS BIGINT),"
+            f" (a, y) -> a + y)) div {m}"
+        ).alias("l0"),
+        F.expr(
+            f"(1000 * (aggregate(slice(ys, {m + 1}, {m}), CAST(0 AS BIGINT),"
+            f" (a, y) -> a + y)"
+            f" - aggregate(slice(ys, 1, {m}), CAST(0 AS BIGINT),"
+            f" (a, y) -> a + y))) div {m * m}"
+        ).alias("b0"),
+    ).select(
+        "ys",
+        "l0",
+        "b0",
+        F.expr(
+            f"transform(slice(ys, 1, {m}),"
+            f" y -> greatest(CAST(1 AS BIGINT),"
+            f" (1000 * y * 1000000) div greatest(l0, 1)))"
+        ).alias("s0"),
+    )
+    folded = init.select(
+        F.expr(
+            f"""
+            aggregate(
+              slice(ys, {m + 1}, size(ys) - {m}),
+              named_struct('l', l0, 'b', b0, 's', s0,
+                           'e', CAST(0 AS BIGINT)),
+              (acc, y) -> named_struct(
+                'l', {_HW_SPARK_STEP["l"]},
+                'b', {_HW_SPARK_STEP["b"]},
+                's', concat(slice(acc.s, 2, {m - 1}),
+                            array({_HW_SPARK_STEP["s"]})),
+                'e', {_HW_SPARK_STEP["e"]})
+            )
+            """
+        ).alias("fin"),
+        F.expr("CAST(size(ys) AS BIGINT)").alias("n"),
+    )
+    return folded.select(
+        F.explode(F.expr(f"sequence(1, {_HW_H})")).alias("h"),
+        F.col("fin.l").alias("l"),
+        F.col("fin.b").alias("b"),
+        F.col("fin.s").alias("s"),
+        F.col("fin.e").alias("e"),
+        "n",
+    ).select(
+        F.col("h").cast("bigint").alias("h"),
+        F.col("l").alias("level_milli"),
+        F.col("b").alias("trend_milli"),
+        F.expr(f"element_at(s, CAST((h - 1) % {m} AS INT) + 1)").alias(
+            "season_ppm"
+        ),
+        F.expr(
+            f"CAST((((l + h * b) * element_at(s, CAST((h - 1) % {m} AS INT)"
+            f" + 1)) div 1000000) div 1000 AS BIGINT)"
+        ).alias("forecast_cents"),
+        F.expr(f"CAST(e div (n - {m}) AS BIGINT)").alias("mae_milli"),
+    )

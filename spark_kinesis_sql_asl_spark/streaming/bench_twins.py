@@ -145,6 +145,8 @@ def _stage_hotkey(spark, sf_dir, root):
         .cast("bigint")
         .alias("shard"),
         "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
     )
     _write(df, out)
     return out
@@ -347,7 +349,17 @@ def _cu_cells(spark, staged):
 def _hk_monitor(spark, staged):
     from .stateful import streaming_hotkey_monitor
 
-    return streaming_hotkey_monitor(_read(spark, staged))
+    return streaming_hotkey_monitor(
+        _read(spark, staged).select("shard", "user_id")
+    )
+
+
+def _lag_monitor(spark, staged):
+    from .stateful import streaming_lag_monitor
+
+    return streaming_lag_monitor(
+        _read(spark, staged).select("shard", "us", "event_id")
+    )
 
 
 def _li_rdistinct(spark, staged):
@@ -375,6 +387,7 @@ TWINS = {
     "s_littles_law": ("spans", _sp_littles),
     "s_cell_density": ("customer", _cu_cells),
     "s_hotkey_monitor": ("hotkey", _hk_monitor),
+    "s_lag_monitor": ("hotkey", _lag_monitor),
     "s_running_distinct": ("lineitem_cust", _li_rdistinct),
 }
 

@@ -50,7 +50,11 @@ DRIVER_WINDOW = 50
 
 # Queries first registered in round 12 (decorator priority=30): they have no
 # CORRECTNESS row yet by construction. Keep in sync as operators land.
-ROUND12_NEW_THIS_ROUND: frozenset[str] = frozenset()
+ROUND12_NEW_THIS_ROUND: frozenset[str] = frozenset(
+    {
+        "q_ts_holt_winters_mul",  # B208
+    }
+)
 
 # Queries whose driver row predates their CURRENT oracle (the r12 window's
 # override-9 tranche): sim_lsh/sim_ivf gained SQL oracles in round 11 after

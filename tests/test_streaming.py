@@ -2792,7 +2792,7 @@ def test_bench_twins_registry_is_complete_and_runnable(spark, tmp_path):
 
     from spark_kinesis_sql_asl_spark.streaming import bench_twins
 
-    assert len(bench_twins.TWINS) >= 18
+    assert len(bench_twins.TWINS) >= 19
     for name, (key, build) in bench_twins.TWINS.items():
         assert key in bench_twins._STAGERS, (name, key)
         assert callable(build)
@@ -2812,3 +2812,106 @@ def test_bench_twins_registry_is_complete_and_runnable(spark, tmp_path):
         "s_drawdown",
     }
     assert all(v >= 0 for v in t.values())
+
+
+# --- A15s: streaming consumer-lag monitor parity (round 12) ----------------
+
+
+def test_streaming_lag_monitor_equals_batch(spark, tmp_path):
+    """A15's streaming twin: with per-shard arrivals in (ts, event_id)
+    order and the ring covering the checkpoint tail, each shard's final
+    emission + the central rollup must reproduce the batch lag audit's
+    integer columns EXACTLY, and both CloudWatch-analog alarms must equal
+    the same thresholds applied to the batch values."""
+    from spark_kinesis_sql_asl_spark.sources.kinesis_queries import (
+        q_kinesis_lag_audit,
+    )
+    from spark_kinesis_sql_asl_spark.streaming.stateful import (
+        lag_monitor_rollup,
+        streaming_lag_monitor,
+    )
+    from spark_kinesis_sql_asl_spark.tables import table as _t
+
+    rows = (
+        _t(spark, SF_SMOKE, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            (
+                (
+                    F.instr(
+                        F.lit("0123456789abcdef"),
+                        F.substring(
+                            F.md5(
+                                F.encode(
+                                    F.col("user_id").cast("string"), "UTF-8"
+                                )
+                            ),
+                            32,
+                            1,
+                        ),
+                    )
+                    - 1
+                )
+                % 16
+            )
+            .cast("bigint")
+            .alias("shard"),
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+        )
+        .collect()
+    )
+    rows.sort(key=lambda r: (r.us, r.event_id))  # the replay order
+    staging = str(tmp_path / "staging")
+    os.makedirs(staging, exist_ok=True)
+    n_files = 4
+    per = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        sl = rows[i * per : (i + 1) * per]
+        tbl = pa.table(
+            {
+                "shard": pa.array([r.shard for r in sl], pa.int64()),
+                "us": pa.array([r.us for r in sl], pa.int64()),
+                "event_id": pa.array([r.event_id for r in sl], pa.int64()),
+            }
+        )
+        f = os.path.join(staging, f"{i:04d}.parquet")
+        pq.write_table(tbl, f)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    src = (
+        spark.readStream.schema("shard bigint, us bigint, event_id bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    alarm_ms = 60_000
+    _drain(
+        streaming_lag_monitor(src, iterator_age_alarm_ms=alarm_ms)
+        .writeStream.format("memory")
+        .queryName("stream_lag")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    got = {
+        r.shard: r
+        for r in lag_monitor_rollup(
+            spark.table("stream_lag"), behind_latest_alarm_ms=alarm_ms
+        ).collect()
+    }
+    expect = {r.shard: r for r in q_kinesis_lag_audit(spark, SF_SMOKE).collect()}
+    assert set(got) == set(expect)
+    for shard, e in expect.items():
+        g = got[shard]
+        assert g.n_records == e.n_records, shard
+        assert g.ckpt_us == e.ckpt_us, shard
+        assert g.records_behind == e.records_behind, shard
+        assert g.millis_behind_tip == e.millis_behind_tip, shard
+        assert g.millis_behind_latest == e.millis_behind_latest, shard
+        assert g.alarm_iterator_age == (
+            1 if e.millis_behind_tip >= alarm_ms else 0
+        ), shard
+        assert g.alarm_behind_latest == (
+            1 if e.millis_behind_latest >= alarm_ms else 0
+        ), shard
+    # non-vacuous: the fixture must exercise BOTH alarm states somewhere
+    assert any(g.alarm_iterator_age == 1 for g in got.values())
