@@ -1419,3 +1419,224 @@ def q_llm_shingle_df_audit(spark, sf_dir):
             ).alias("joinable"),
         )
     )
+
+
+# --- C110s: winnowed substring-dedup scale rung (round 12) --------------------
+
+_WIN_W = 32  # winnowing window (kept-shingle rows); <= _SSD_MIN_RUN - 1
+_WIN_POS_BITS = 23  # packed-key position field: docs < 2^23 shingles
+_WIN_POS_MOD = 1 << _WIN_POS_BITS
+
+
+def _ssd_kept_shingles(corpus):
+    """The C110 kept-shingle frame (every-position {_SSD_K}-token shingles
+    with document frequency in [2, {_SSD_DF_CAP}]) — the rung and the
+    exact operator share this stage verbatim."""
+    sh = (
+        corpus.where(F.size("ts") >= _SSD_K)
+        .select(
+            "doc_id",
+            "ts",
+            F.explode(
+                F.expr(f"sequence(1, size(ts) - {_SSD_K} + 1)")
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.expr(
+                f"cast(conv(substring(md5(array_join("
+                f"slice(ts, pos, {_SSD_K}), ' ')), 1, 15), 16, 10) "
+                f"as bigint)"
+            ).alias("h"),
+        )
+    )
+    keep = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= _SSD_DF_CAP))
+        .select("h")
+    )
+    return sh.join(keep, "h")
+
+
+def winnow_fingerprints(m, w: int = _WIN_W):
+    """Robust winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the
+    MOSS fingerprinter) over the kept-shingle frame: every window of `w`
+    consecutive kept shingles of a doc selects its (hash, rightmost)
+    minimum; the union of selections is the fingerprint set, expected
+    density 2/(w+1). Window GUARANTEE: any diagonal run of >= w kept
+    shingles contains a full window, whose minimum is the SAME shingle of
+    the run in both docs — so every C110-qualifying span (run >=
+    {_SSD_MIN_RUN} > w) collides on at least one fingerprint.
+
+    One ROWS-frame window min per doc, no iteration: the (40-bit hash,
+    rightmost-position) argmin rides a single packed BIGINT —
+    h40·2^{_WIN_POS_BITS} + (2^{_WIN_POS_BITS}−1 − pos) — so the frame
+    min IS the tie-broken argmin (docs are bounded far under
+    2^{_WIN_POS_BITS} shingles). Selected rows dedup to (doc_id, fp40,
+    pos)."""
+    packed = m.select(
+        "doc_id",
+        "pos",
+        F.expr(
+            f"(h div {1 << 20}) * {_WIN_POS_MOD}"
+            f" + ({_WIN_POS_MOD - 1} - pos)"
+        ).alias("key"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), 0)
+    )
+    return (
+        packed.select("doc_id", F.min("key").over(win).alias("mn"))
+        .distinct()
+        .select(
+            "doc_id",
+            F.expr(f"mn div {_WIN_POS_MOD}").alias("fp40"),
+            (F.lit(_WIN_POS_MOD - 1) - F.col("mn") % _WIN_POS_MOD).alias(
+                "pos"
+            ),
+        )
+    )
+
+
+@query(
+    "q_llm_substring_sketch",
+    priority=30,  # round-12 addition: first driver row in round 13
+    # The oracle is C110's EXACT query on purpose: winnowing at w <
+    # MIN_RUN is a LOSSLESS sparsification for spans >= _SSD_MIN_SPAN
+    # (window guarantee above), and the verify stage recomputes exact
+    # spans for candidate pairs — so rung output == exact output is the
+    # operator's correctness contract, checkable by hash.
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               string_split(coalesce(text, ''), ' ') AS ts
+        FROM documents
+    ),
+    corpus AS (
+        SELECT doc_id, ts FROM base
+        UNION ALL
+        SELECT doc_id + {_SSD_OFFSET},
+               list_slice(ts, {_SSD_EXC_START},
+                          {_SSD_EXC_START + _SSD_EXC_LEN - 1})
+        FROM base
+        WHERE doc_id % 5 = 0 AND len(ts) >= {_SSD_MIN_TOKS}
+    ),
+    sh AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               ('0x' || substr(md5(array_to_string(
+                    list_slice(ts, pos, pos + {_SSD_K - 1}), ' ')),
+                    1, 15))::BIGINT AS h
+        FROM (SELECT doc_id, ts,
+                     unnest(range(1, CAST(len(ts) AS INTEGER)
+                                     - {_SSD_K} + 2)) AS pos
+              FROM corpus WHERE len(ts) >= {_SSD_K})
+    ),
+    keep AS (
+        SELECT h FROM sh GROUP BY h
+        HAVING count(DISTINCT doc_id) BETWEEN 2 AND {_SSD_DF_CAP}
+    ),
+    m AS (SELECT sh.doc_id, sh.pos, sh.h FROM sh JOIN keep USING (h)),
+    hits AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos - b.pos AS diag, a.pos AS pos_a
+        FROM m a JOIN m b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+        SELECT doc_a, doc_b, diag,
+               pos_a - row_number() OVER (
+                   PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+        FROM hits
+    ),
+    spans AS (
+        SELECT doc_a, doc_b,
+               CAST(count(*) + {_SSD_K} - 1 AS BIGINT) AS span_tokens
+        FROM runs GROUP BY doc_a, doc_b, diag, grp
+        HAVING count(*) >= {_SSD_MIN_RUN}
+    )
+    SELECT doc_a, doc_b,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(max(span_tokens) AS BIGINT) AS max_span_tokens,
+           CAST(sum(span_tokens) AS BIGINT) AS total_dup_tokens
+    FROM spans GROUP BY doc_a, doc_b
+    """,
+)
+def q_llm_substring_sketch(spark, sf_dir):
+    """C110s: the SKETCH rung of the substring-dedup ladder (VERDICT r11
+    item #7 — C110's df-cap stoplist is the audit, THIS is the rung):
+    winnowing fingerprints prune the candidate space, exact verification
+    restores C110's answer bit-for-bit.
+
+    Stage 1 (index): robust winnowing over the kept-shingle frame selects
+    ~2/(w+1) ≈ 6% of shingles as fingerprints (:func:`winnow_fingerprints`,
+    w={_WIN_W}); the candidate-pair join runs on the FINGERPRINT posting
+    lists — Σdf² over a 16× sparser index, the quadratic term every
+    100 TB sizing of C110 is dominated by.
+    Stage 2 (verify): the exact C110 diagonal-run span computation,
+    restricted to candidate docs and candidate pairs (broadcast
+    semi-joins) — spurious fingerprint collisions (the packed key keeps
+    40 hash bits) cost verify work, never wrong output.
+
+    Correctness is the WINDOW GUARANTEE, not hope: any qualifying span
+    (>= {_SSD_MIN_SPAN} tokens = {_SSD_MIN_RUN} kept-shingle run > w)
+    contains a full winnowing window, whose tie-broken minimum is the
+    same run shingle in both docs — so candidates ⊇ qualifying pairs and
+    rung output == C110 output EXACTLY. The oracle is therefore C110's
+    exact SQL, and the sparsification factor is pinned separately in
+    tests/test_llm.py. Lossless-sparsification + verify is how the MOSS
+    family deploys at scale; at 100 TB only fingerprints shuffle in
+    stage 1 (8-byte hashes), and stage 2's pair-restricted rebuild
+    touches the candidate docs, not the corpus."""
+    corpus = _ssd_corpus(spark, sf_dir)
+    m = _ssd_kept_shingles(corpus).localCheckpoint(eager=True)  # 2 consumers
+    fp = winnow_fingerprints(m)
+    fa = fp.alias("fa")
+    fb = fp.alias("fb")
+    cand = (
+        fa.join(
+            fb,
+            (F.col("fa.fp40") == F.col("fb.fp40"))
+            & (F.col("fa.doc_id") < F.col("fb.doc_id")),
+        )
+        .select(
+            F.col("fa.doc_id").alias("doc_a"),
+            F.col("fb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    mc = m.join(F.broadcast(cand_docs), "doc_id", "leftsemi")
+    hits = (
+        mc.alias("a")
+        .join(
+            mc.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+            F.col("a.pos").alias("pos_a"),
+        )
+        .join(F.broadcast(cand), ["doc_a", "doc_b"], "leftsemi")
+    )
+    run_w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    spans = (
+        hits.withColumn("grp", F.col("pos_a") - F.row_number().over(run_w))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg((F.count(F.lit(1)) + _SSD_K - 1).alias("span_tokens"))
+        .where(F.col("span_tokens") >= _SSD_MIN_SPAN)
+    )
+    return spans.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.max("span_tokens").cast("bigint").alias("max_span_tokens"),
+        F.sum("span_tokens").cast("bigint").alias("total_dup_tokens"),
+    )

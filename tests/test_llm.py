@@ -872,3 +872,34 @@ def test_dbscan_role_invariants(spark):
             assert r.n_ball < _DBSCAN_MINPTS
     # cluster ids are exactly the set of component-min cores
     assert {by_key[c].cluster_id for c in core_ids} <= core_ids
+
+
+def test_substring_sketch_sparsifies_and_matches_exact(spark):
+    """C110s contract (round 12): (a) rung output == C110 exact output
+    row-for-row (the winnowing window guarantee makes sparsification
+    lossless at the 40-token span threshold); (b) the fingerprint index
+    is genuinely sparse — at w=32 robust winnowing selects ~2/(w+1) of
+    kept shingles; assert <= 20% (3x headroom over the expectation, still
+    5x sparser than the exact index)."""
+    from spark_kinesis_sql_asl_spark.llm.spans import (
+        _ssd_corpus,
+        _ssd_kept_shingles,
+        winnow_fingerprints,
+    )
+
+    exact = {
+        (r.doc_a, r.doc_b): (r.n_spans, r.max_span_tokens, r.total_dup_tokens)
+        for r in QUERIES["q_llm_substring_dup"](spark, SF_ORACLE).collect()
+    }
+    rung = {
+        (r.doc_a, r.doc_b): (r.n_spans, r.max_span_tokens, r.total_dup_tokens)
+        for r in QUERIES["q_llm_substring_sketch"](spark, SF_ORACLE).collect()
+    }
+    assert exact, "exact substring dedup found no spans - fixture broken"
+    assert rung == exact
+
+    m = _ssd_kept_shingles(_ssd_corpus(spark, SF_ORACLE))
+    n_kept = m.count()
+    n_fp = winnow_fingerprints(m).count()
+    assert n_kept > 0
+    assert n_fp <= 0.20 * n_kept, (n_fp, n_kept)

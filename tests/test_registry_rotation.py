@@ -53,6 +53,7 @@ DRIVER_WINDOW = 50
 ROUND12_NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
         "q_ts_holt_winters_mul",  # B208
+        "q_llm_substring_sketch",  # C110s
     }
 )
 
