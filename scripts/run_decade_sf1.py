@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""One-off sf1-class scaling decade (VERDICT r11 item #4).
+
+tests/test_scaling.py's constant-density decade tops out at 50k docs (the
+sf0.1-class corpus). This script measures one genuinely BIGGER decade —
+50k → 500k docs (sf1-class), same constant-dup-density recipe from
+scripts/gen_scaling_fixture.py — for the THREE heaviest pair families only:
+
+  C2   q_llm_dedup_jaccard    (PPJoin prefix-filtered exact Jaccard)
+  C110 q_llm_substring_dup    (every-position shingle diagonal runs)
+  C125 q_llm_dedup_semantic   (cell-blocked SemDeDup pair join)
+
+Each family is timed on its FIRST touch per (session, sf_dir) — the honest
+build+consume cost, the same convention as the pytest decade — and the
+log-log slope over the true 10× lands in DESIGN-100TB.md §19. NOT part of
+the default test/bench suites (runtime ~10-20 min); rerun with:
+
+    python scripts/run_decade_sf1.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from scripts.gen_scaling_fixture import generate  # noqa: E402
+from spark_kinesis_sql_asl_spark.registry import all_queries  # noqa: E402
+from spark_kinesis_sql_asl_spark.session import get_session  # noqa: E402
+
+_ROOT = "/tmp/spark_scaling_fixture"
+_SMALL = (os.path.join(_ROOT, "d50k"), 50_000)
+_BIG = (os.path.join(_ROOT, "d500k"), 500_000)
+_FAMILIES = (
+    "q_llm_dedup_jaccard",
+    "q_llm_substring_dup",
+    "q_llm_dedup_semantic",
+)
+
+
+def _decade_conf(spark, name: str, n_docs: int) -> None:
+    """Per-scale config, mirroring tests/test_scaling.py: the semantic
+    family's cell count grows with the corpus (k ~ N/cell_target keeps
+    cell SIZE bounded — fixed k would make the cell join Θ(N²/k) by
+    construction)."""
+    if name == "q_llm_dedup_semantic":
+        n_vecs = 2 * n_docs // 5
+        spark.conf.set(
+            "spark.kinesislike.semantic.cells", str(max(16, n_vecs // 125))
+        )
+
+
+def main() -> None:
+    t0 = time.perf_counter()
+    for d, n in (_SMALL, _BIG):
+        generate(d, n)
+    gen_s = round(time.perf_counter() - t0, 1)
+
+    spark = get_session("decade_sf1")
+    queries = all_queries()
+
+    def run(name: str, sf_dir: str) -> float:
+        t = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.perf_counter() - t, 2)
+
+    # codegen warm-up on the driver fixture (different memo key: warms the
+    # JVM, not the family state)
+    for name in _FAMILIES:
+        run(name, "/root/testdata/sf0.001")
+
+    out = {"gen_seconds": gen_s, "families": {}}
+    for name in _FAMILIES:
+        times = {}
+        for sf_dir, n_docs in (_SMALL, _BIG):
+            _decade_conf(spark, name, n_docs)
+            times[n_docs] = run(name, sf_dir)  # first touch: build+consume
+        if name == "q_llm_dedup_semantic":
+            spark.conf.unset("spark.kinesislike.semantic.cells")
+        slope = math.log(times[_BIG[1]] / times[_SMALL[1]]) / math.log(10.0)
+        out["families"][name] = {
+            "t_50k": times[_SMALL[1]],
+            "t_500k": times[_BIG[1]],
+            "slope": round(slope, 3),
+        }
+        print(f"{name}: {times}  slope={slope:.3f}", flush=True)
+
+    dest = sys.argv[1] if len(sys.argv) > 1 else "/tmp/decade_sf1.json"
+    with open(dest, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

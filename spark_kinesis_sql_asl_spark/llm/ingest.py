@@ -735,17 +735,21 @@ def q_llm_scd2(spark, sf_dir):
 
 # --- C126: incremental NEAR-dup ingest (the C46 gap) --------------------------
 
-# MinHash geometry shared with C3 (llm/dedup.py): 16 signatures, 4 bands of
+# MinHash geometry shared with C3 (llm/dedup.py): 24 signatures, 6 bands of
 # 4 rows — collides w.h.p. above Jaccard ~0.7. The estimate threshold for
-# calling a band-hit a near-dup: >= 8/16 agreeing rows (est >= 0.5), chosen
+# calling a band-hit a near-dup: >= 12/24 agreeing rows (est >= 0.5), chosen
 # below the banding's design point so the probe over-reports rather than
 # under-reports; the exact verify on the survivors is C2's job downstream.
-_NEARDUP_K = 16
-_NEARDUP_BANDS = 4
-_NEARDUP_MIN_AGREE = 8
+# Round 12 (VERDICT r11 item #3): the registered probe runs C3's PORTABLE
+# permutation family end to end, so the whole funnel is deterministic and
+# SQL-oracle-able; sig_family="xxhash64" keeps the cheaper JVM-hash path
+# selectable for a deployment that doesn't need cross-engine parity.
+_NEARDUP_K = 24
+_NEARDUP_BANDS = 6
+_NEARDUP_MIN_AGREE = 12
 
 
-def ingest_neardup_flags(spark, sf_dir):
+def ingest_neardup_flags(spark, sf_dir, sig_family: str = "portable"):
     """Per-batch-doc novelty flags: (doc_id, lang, is_exact, is_near).
 
     The delta-vs-corpus MinHash band probe: signatures for all docs in one
@@ -754,24 +758,23 @@ def ingest_neardup_flags(spark, sf_dir):
     never |corpus|^2 (VERDICT r7 item 3: C46's exact-hash screen lets a
     re-crawl with one changed byte sail through; this catches it). Used by
     q_llm_ingest_neardup and the recall gate in tests/test_llm.py."""
+    from .dedup import portable_minhash_signatures, xxhash_minhash_signatures
+
     d = parallel_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
     h = F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary"))
     is_batch = F.col("doc_id") % _BATCH_MOD == 0
-    sigs = (
-        d.select(
-            "doc_id",
-            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.min(F.xxhash64("tok", F.lit(i))).alias(f"h{i}")
-                for i in range(_NEARDUP_K)
-            ]
-        )
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    ).where(F.col("tok") != "")
+    sig_fn = (
+        portable_minhash_signatures
+        if sig_family == "portable"
+        else xxhash_minhash_signatures
     )
+    sigs = sig_fn(toks)
     rows_per_band = _NEARDUP_K // _NEARDUP_BANDS
     bands = sigs.select(
         "doc_id",
@@ -780,11 +783,14 @@ def ingest_neardup_flags(spark, sf_dir):
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
+                        F.concat_ws(
+                            ",",
                             *[
-                                F.col(f"h{b * rows_per_band + r}")
+                                F.col(f"h{b * rows_per_band + r}").cast(
+                                    "string"
+                                )
                                 for r in range(rows_per_band)
-                            ]
+                            ],
                         ).alias("bucket"),
                     )
                     for b in range(_NEARDUP_BANDS)
@@ -844,7 +850,83 @@ def ingest_neardup_flags(spark, sf_dir):
     )
 
 
-@query("q_llm_ingest_neardup", priority=30)  # rows-only: hash-seeded sketch
+def _neardup_oracle() -> str:
+    """DuckDB twin of the portable C126 funnel (round 12 promotion)."""
+    from .dedup import _MH_SIG_TERMS
+    from .sketches import _hex_parse_duck
+
+    rows_per_band = _NEARDUP_K // _NEARDUP_BANDS
+    sig_cols = ", ".join(
+        f"min({g.format(h='h')}) AS h{i}" for i, g in enumerate(_MH_SIG_TERMS)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS bucket FROM sigs".format(
+            b=b,
+            cols=", ".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(_NEARDUP_BANDS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END"
+        for i in range(_NEARDUP_K)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    th AS (
+        SELECT DISTINCT doc_id, {_hex_parse_duck("tok", 1)} AS h
+        FROM toks WHERE tok <> ''
+    ),
+    sigs AS (SELECT doc_id, {sig_cols} FROM th GROUP BY doc_id),
+    bands AS ({band_selects}),
+    ids AS (
+        SELECT doc_id, lang, md5(coalesce(text, '')) AS ch,
+               doc_id % {_BATCH_MOD} = 0 AS in_batch
+        FROM documents
+    ),
+    cand AS (
+        SELECT DISTINCT pb.doc_id AS bd, pc.doc_id AS cd
+        FROM bands pb
+        JOIN ids ib ON pb.doc_id = ib.doc_id AND ib.in_batch
+        JOIN bands pc ON pb.band = pc.band AND pb.bucket = pc.bucket
+        JOIN ids ic ON pc.doc_id = ic.doc_id AND NOT ic.in_batch
+    ),
+    near AS (
+        SELECT DISTINCT c.bd AS doc_id
+        FROM cand c
+        JOIN sigs a ON c.bd = a.doc_id
+        JOIN sigs b ON c.cd = b.doc_id
+        WHERE ({agree}) >= {_NEARDUP_MIN_AGREE}
+    ),
+    ch AS (SELECT DISTINCT ch AS h FROM ids WHERE NOT in_batch),
+    flags AS (
+        SELECT i.doc_id, i.lang,
+               CASE WHEN ch.h IS NOT NULL THEN 1 ELSE 0 END AS is_exact,
+               CASE WHEN ch.h IS NULL AND n.doc_id IS NOT NULL
+                    THEN 1 ELSE 0 END AS is_near
+        FROM ids i
+        LEFT JOIN ch ON i.ch = ch.h
+        LEFT JOIN near n ON i.doc_id = n.doc_id
+        WHERE i.in_batch
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(sum(is_exact) AS BIGINT) AS n_exact_dup,
+           CAST(sum(is_near) AS BIGINT) AS n_near_dup,
+           CAST(count(*) - sum(is_exact) - sum(is_near) AS BIGINT)
+               AS n_novel,
+           CAST((1000000 * (count(*) - sum(is_exact) - sum(is_near)))
+                // count(*) AS BIGINT) AS novel_ppm
+    FROM flags GROUP BY lang
+    """
+
+
+@query("q_llm_ingest_neardup", priority=30, oracle=_neardup_oracle())
 def q_llm_ingest_neardup(spark, sf_dir):
     """C126: incremental NEAR-dup ingest funnel — per language, how much
     of a freshly-arrived batch is exact-duplicate, near-duplicate, or
@@ -855,10 +937,17 @@ def q_llm_ingest_neardup(spark, sf_dir):
     MinHash banding with the PROBE side restricted to the delta: cost is
     |delta| x bands on the probe, and the corpus band index is built once
     (at 100 TB: a persistent bucketed table the pipeline maintains
-    incrementally, exactly like its exact-hash sibling). Rows-only by
-    design (xxhash64-seeded signatures have no SQL oracle); the recall
-    gate vs exact cross-split tau=0.8 Jaccard pairs (>=0.9 doc-level) and
-    the band-math parity with C3 live in tests/test_llm.py."""
+    incrementally, exactly like its exact-hash sibling).
+
+    Round 12 (VERDICT r11 item #3): the registered funnel runs C3's
+    portable permutation family, so signatures, buckets, candidates and
+    the agreement verify are deterministic and the per-lang rollup
+    carries a full DuckDB hash oracle — the third rows-only→SQL
+    promotion. ``sig_family="xxhash64"`` on
+    :func:`ingest_neardup_flags` keeps the cheaper JVM-hash path; the
+    recall gate vs exact cross-split tau=0.8 Jaccard pairs (>=0.9
+    doc-level) and the band-math parity with C3 live in
+    tests/test_llm.py."""
     flags = ingest_neardup_flags(spark, sf_dir)
     return flags.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_batch"),

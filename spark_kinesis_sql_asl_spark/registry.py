@@ -71,13 +71,14 @@ _MODULES = (
 #
 #   override 8   the 27 never-driver-sampled round-11 additions — slots
 #                0..26
-#   override 9   the 4 re-oracled queries whose latest driver row predates
+#   override 9   the 5 re-oracled queries whose latest driver row predates
 #                their SQL oracle (sim_lsh/sim_ivf oracled in r11; the
-#                minhash + heavy-hitters-sketch rows-only→SQL promotions
-#                of r12) — slots 27..30; after this round every registry
-#                query's latest driver row is post-current-oracle
-#   override 12  freshness rotation: the 19 oldest round-3-last-sampled
-#                queries, alphabetical — slots 31..49; the other 19 r3-era
+#                minhash + heavy-hitters-sketch + ingest_neardup
+#                rows-only→SQL promotions of r12) — slots 27..31; after
+#                this round every registry query's latest driver row is
+#                post-current-oracle
+#   override 12  freshness rotation: the 18 oldest round-3-last-sampled
+#                queries, alphabetical — slots 32..49; the other 20 r3-era
 #                queries queue for round 13
 #   override 100 every other ever-driver-sampled query
 #
@@ -127,18 +128,19 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_win_bollinger",
         )
     },
-    # (b) re-oracled queries with stale (pre-oracle) driver rows: slots 27..30
+    # (b) re-oracled queries with stale (pre-oracle) driver rows: slots 27..31
     **{
         n: 9
         for n in (
             "q_llm_dedup_minhash",
             "q_llm_heavy_hitters_sketch",
+            "q_llm_ingest_neardup",
             "q_llm_sim_ivf",
             "q_llm_sim_lsh",
         )
     },
-    # (c) freshness rotation: the 19 oldest round-3-last-sampled queries
-    # (alphabetical) re-enter at 12: slots 31..49
+    # (c) freshness rotation: the 18 oldest round-3-last-sampled queries
+    # (alphabetical) re-enter at 12: slots 32..49
     **{
         n: 12
         for n in (
@@ -160,7 +162,6 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_kinesis_shard_route",
             "q_llm_chunk",
             "q_llm_corpus_stats",
-            "q_llm_curate_e2e",
         )
     },
     # (d) every other ever-driver-sampled query pins at 100
@@ -305,6 +306,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_corpus_build",
             "q_llm_corpus_diff",
             "q_llm_cross_dup_matrix",
+            "q_llm_curate_e2e",
             "q_llm_curriculum_bins",
             "q_llm_data_card",
             "q_llm_decode_media",
@@ -354,7 +356,6 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_ingest_cdc",
             "q_llm_ingest_dedup",
             "q_llm_ingest_jsonl",
-            "q_llm_ingest_neardup",
             "q_llm_inverted_index",
             "q_llm_js_divergence",
             "q_llm_keyword_stuffing",

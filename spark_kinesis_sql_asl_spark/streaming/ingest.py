@@ -23,20 +23,44 @@ from pyspark.sql import functions as F
 from ..llm.ingest import _NEARDUP_BANDS, _NEARDUP_K, _NEARDUP_MIN_AGREE
 
 
-def _sig_col(text_col, i: int):
-    toks = F.array_distinct(F.split(text_col, " "))
+def with_signatures(df, text_col="text", sig_family: str = "portable"):
+    """Append h0..h{k-1} MinHash signature columns as scan-stage
+    expressions (stream-safe: no shuffle; batch-identical: the same
+    per-token hash min as the batch groupBy builder). ``sig_family``
+    mirrors the batch option (round 12): "portable" = the C140 affine
+    permutations over one md5-parse per distinct token (cross-engine
+    deterministic, the registered default), "xxhash64" = the cheaper
+    JVM-hash path."""
+    from ..llm.dedup import _MH_SIG_TERMS
+    from ..llm.sketches import _hex_parse_spark
 
-    def lam(t):
-        return F.xxhash64(t, F.lit(i))
-
-    return F.array_min(F.transform(toks, lam))
-
-
-def with_signatures(df, text_col="text"):
-    """Append h0..h15 MinHash signature columns as scan-stage expressions
-    (stream-safe: no shuffle; batch-identical: same xxhash64(tok, i) min)."""
+    if sig_family == "portable":
+        hs = (
+            f"transform(filter(array_distinct(split({text_col}, ' ')),"
+            f" t -> t <> ''), t -> {_hex_parse_spark('t', 1)})"
+        )
+        staged = df.select("*", F.expr(hs).alias("_hs"))
+        return staged.select(
+            *[c for c in df.columns],
+            *[
+                F.expr(
+                    f"array_min(transform(_hs, h -> {g.format(h='h')}))"
+                ).alias(f"h{i}")
+                for i, g in enumerate(_MH_SIG_TERMS)
+            ],
+        )
+    toks = F.filter(
+        F.array_distinct(F.split(F.col(text_col), " ")),
+        lambda t: t != "",
+    )
     return df.select(
-        "*", *[_sig_col(F.col(text_col), i).alias(f"h{i}") for i in range(_NEARDUP_K)]
+        "*",
+        *[
+            F.array_min(
+                F.transform(toks, lambda t, j=i: F.xxhash64(t, F.lit(j)))
+            ).alias(f"h{i}")
+            for i in range(_NEARDUP_K)
+        ],
     )
 
 
@@ -46,8 +70,12 @@ def _band_structs():
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
                 ).alias("bucket"),
             )
             for b in range(_NEARDUP_BANDS)

@@ -6,17 +6,18 @@ registry for CORRECTNESS_r{N}.json. Rounds 4-11 proved the rotation must be
 artifacts. Through round 11 the cumulative ledger is fully green; the only
 queries without a driver row are the 27 round-11 priority-30 additions, and
 four queries carry driver rows that PREDATE their current SQL oracle
-(q_llm_sim_lsh / q_llm_sim_ivf oracled in r11; q_llm_dedup_minhash /
-q_llm_heavy_hitters_sketch promoted rows-only→SQL in r12). The round-12
+(q_llm_sim_lsh / q_llm_sim_ivf oracled in r11; q_llm_dedup_minhash,
+q_llm_heavy_hitters_sketch and q_llm_ingest_neardup promoted
+rows-only→SQL in r12). The round-12
 window drains both backlogs and resumes the freshness rotation:
 
   slots 0..26     the 27 never-driver-sampled round-11 additions
                   (override 8)
-  slots 27..30    the 4 re-oracled queries (override 9) — after this round
+  slots 27..31    the 5 re-oracled queries (override 9) — after this round
                   every registry query's latest driver row is
                   post-current-oracle
-  slots 31..49    freshness rotation: the 19 oldest round-3-last-sampled
-                  queries, alphabetical (override 12); the other 19 r3-era
+  slots 32..49    freshness rotation: the 18 oldest round-3-last-sampled
+                  queries, alphabetical (override 12); the other 20 r3-era
                   queries queue for round 13
 
 Canary cadence: all 18 canaries were re-sampled green in r10/r11 and pin at
@@ -67,12 +68,13 @@ REORACLED: frozenset[str] = frozenset(
         "q_llm_sim_ivf",
         "q_llm_dedup_minhash",
         "q_llm_heavy_hitters_sketch",
+        "q_llm_ingest_neardup",
     }
 )
 
 NEVER_SAMPLED_COUNT = 27  # the round-11 priority-30 additions
-REORACLED_COUNT = 4
-FRESHNESS_TRANCHE_COUNT = 19
+REORACLED_COUNT = 5
+FRESHNESS_TRANCHE_COUNT = 18
 
 
 def _ordered():
