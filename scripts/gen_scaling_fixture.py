@@ -57,19 +57,28 @@ def generate(out_dir: str, n_docs: int, seed: int = _SEED) -> str:
     ranks = np.arange(vocab_n, dtype=np.float64)
     probs = 1.0 / (ranks + 30.0)
     probs /= probs.sum()
+    # Inverse-CDF sampling via searchsorted: rng.choice(p=probs) rebuilds
+    # its O(vocab) lookup PER CALL, which made the sf1-class corpus
+    # (100k clusters x 500k vocab) take hours; the cumulative table makes
+    # each draw O(log vocab). Same Zipf-ish marginal distribution — the
+    # decade gates measure slopes, not token identities.
+    cum = np.cumsum(probs)
+
+    def _draw(size: int) -> np.ndarray:
+        return np.searchsorted(cum, rng.random(size), side="right")
 
     doc_ids, texts, langs, sources = [], [], [], []
     next_id = 0
     for b in range(n_base):
         length = int(rng.integers(20, 81))
-        base = rng.choice(vocab_n, size=length, p=probs)
+        base = _draw(length)
         lang = _LANGS[int(rng.integers(0, len(_LANGS)))]
         members = [base]
         for _ in range(_CLUSTER - 1):
             copy = base.copy()
             flip = rng.random(length) < _PERTURB
             if flip.any():
-                copy[flip] = rng.choice(vocab_n, size=int(flip.sum()), p=probs)
+                copy[flip] = _draw(int(flip.sum()))
             members.append(copy)
         for m in members:
             doc_ids.append(next_id)
@@ -179,7 +188,14 @@ def generate_embeddings(out_dir: str, n_vecs: int, seed: int = _SEED) -> str:
     if os.path.exists(path):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
-    n_base = n_vecs // _EMB_CLUSTER
+    # The spread construction provides exactly 72 x 16 = 1152 directions
+    # with pairwise |cos| <= 0.125 — the price of PROVABLY-O(N) pair
+    # output (any larger i.i.d. family's extreme-value tail crosses
+    # tau=0.3). Corpora asking for more vectors are capped at the family
+    # limit: the semantic decade runs at its largest clean 10x
+    # (2,880 -> 28,800 vectors) rather than on a fixture whose output
+    # volume would no longer be O(N).
+    n_base = min(n_vecs // _EMB_CLUSTER, 16 * 72)
     supports = _spread_supports()
     walsh = _walsh8() / np.sqrt(8.0)
     assert n_base <= 16 * len(supports), n_base

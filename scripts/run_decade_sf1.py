@@ -35,13 +35,25 @@ from spark_kinesis_sql_asl_spark.registry import all_queries  # noqa: E402
 from spark_kinesis_sql_asl_spark.session import get_session  # noqa: E402
 
 _ROOT = "/tmp/spark_scaling_fixture"
-_SMALL = (os.path.join(_ROOT, "d50k"), 50_000)
-_BIG = (os.path.join(_ROOT, "d500k"), 500_000)
-_FAMILIES = (
-    "q_llm_dedup_jaccard",
-    "q_llm_substring_dup",
-    "q_llm_dedup_semantic",
-)
+# Token families run the 50k -> 500k docs decade; the SEMANTIC family runs
+# its own largest clean 10x (7.2k -> 72k docs = 2,880 -> 28,800 vectors:
+# the spread direction family caps at 1,152 directions — beyond that the
+# fixture's pair output stops being O(N) and the slope would measure the
+# data, not the plan).
+_FAMILIES = {
+    "q_llm_dedup_jaccard": (
+        (os.path.join(_ROOT, "d50k"), 50_000),
+        (os.path.join(_ROOT, "d500k"), 500_000),
+    ),
+    "q_llm_substring_dup": (
+        (os.path.join(_ROOT, "d50k"), 50_000),
+        (os.path.join(_ROOT, "d500k"), 500_000),
+    ),
+    "q_llm_dedup_semantic": (
+        (os.path.join(_ROOT, "d7200"), 7_200),
+        (os.path.join(_ROOT, "d72000"), 72_000),
+    ),
+}
 
 
 def _decade_conf(spark, name: str, n_docs: int) -> None:
@@ -58,8 +70,9 @@ def _decade_conf(spark, name: str, n_docs: int) -> None:
 
 def main() -> None:
     t0 = time.perf_counter()
-    for d, n in (_SMALL, _BIG):
-        generate(d, n)
+    for scales in _FAMILIES.values():
+        for d, n in scales:
+            generate(d, n)
     gen_s = round(time.perf_counter() - t0, 1)
 
     spark = get_session("decade_sf1")
@@ -78,17 +91,18 @@ def main() -> None:
         run(name, "/root/testdata/sf0.001")
 
     out = {"gen_seconds": gen_s, "families": {}}
-    for name in _FAMILIES:
+    for name, ((d_small, n_small), (d_big, n_big)) in _FAMILIES.items():
         times = {}
-        for sf_dir, n_docs in (_SMALL, _BIG):
+        for sf_dir, n_docs in ((d_small, n_small), (d_big, n_big)):
             _decade_conf(spark, name, n_docs)
             times[n_docs] = run(name, sf_dir)  # first touch: build+consume
         if name == "q_llm_dedup_semantic":
             spark.conf.unset("spark.kinesislike.semantic.cells")
-        slope = math.log(times[_BIG[1]] / times[_SMALL[1]]) / math.log(10.0)
+        slope = math.log(times[n_big] / times[n_small]) / math.log(10.0)
         out["families"][name] = {
-            "t_50k": times[_SMALL[1]],
-            "t_500k": times[_BIG[1]],
+            "scale": f"{n_small}->{n_big} docs",
+            "t_small": times[n_small],
+            "t_big": times[n_big],
             "slope": round(slope, 3),
         }
         print(f"{name}: {times}  slope={slope:.3f}", flush=True)
