@@ -3458,3 +3458,166 @@ def q_ts_holt_winters_mul(spark, sf_dir):
         ).alias("forecast_cents"),
         F.expr(f"CAST(e div (n - {m}) AS BIGINT)").alias("mae_milli"),
     )
+
+
+# --- B209: Croston intermittent-demand forecast (round 12) --------------------
+
+_CROSTON_MOD = 97  # orderkey % 97 == 0 -> ~1% of orders: a sparse demand feed
+
+
+def _croston_step(y: str, q: str, z: str, p: str, div: str) -> dict:
+    """One Croston update at α = 1/4 on the integer lattice — ONE formula
+    text per dialect (the B208 `_hw_step` convention): z in milli-cents,
+    p in milli-days, sentinel p < 0 means 'first interval' (init-by-copy,
+    which the EWMA fixed-point makes identical to DuckDB's t=2 base)."""
+    znew = f"((1000 * {y} + 3 * {z}) {div} 4)"
+    pnew = (
+        f"(CASE WHEN {p} < 0 THEN 1000 * {q}"
+        f" ELSE (1000 * {q} + 3 * {p}) {div} 4 END)"
+    )
+    return {"z": znew, "p": pnew}
+
+
+_CROSTON_DUCK = _croston_step("s.y", "s.q", "r.z", "r.p", "//")
+_CROSTON_SPARK = _croston_step("s.y", "(s.d - acc.prev_d)", "acc.z", "acc.p", "div")
+
+
+@query(
+    "q_ts_croston",
+    priority=30,  # round-12 addition: first driver row in round 13
+    oracle=f"""
+    WITH RECURSIVE demand AS (
+        SELECT o_orderpriority AS grp,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM orders
+        WHERE o_orderkey % {_CROSTON_MOD} = 0
+          AND o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+          AND o_orderpriority IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT grp, d, y,
+               row_number() OVER (PARTITION BY grp ORDER BY d) AS t,
+               d - lag(d) OVER (PARTITION BY grp ORDER BY d) AS q
+        FROM demand
+    ),
+    nn AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n,
+               CAST(min(d) AS BIGINT) AS first_d,
+               CAST(max(d) AS BIGINT) AS last_d
+        FROM seq GROUP BY grp HAVING count(*) >= 2
+    ),
+    rec(grp, t, z, p) AS (
+        SELECT s1.grp, CAST(1 AS BIGINT),
+               CAST(1000 * s1.y AS BIGINT), CAST(-1 AS BIGINT)
+        FROM seq s1 JOIN nn ON s1.grp = nn.grp
+        WHERE s1.t = 1
+        UNION ALL
+        SELECT r.grp, r.t + 1,
+               {_CROSTON_DUCK["z"]},
+               {_CROSTON_DUCK["p"]}
+        FROM rec r JOIN seq s ON s.grp = r.grp AND s.t = r.t + 1
+    )
+    SELECT r.grp, nn.n AS n_demands,
+           r.z AS z_milli, r.p AS p_milli,
+           CAST((1000 * r.z) // r.p AS BIGINT) AS forecast_milli_cpd,
+           CAST(((last_d - first_d) * 1000) // (nn.n - 1) AS BIGINT)
+               AS mean_interval_milli
+    FROM rec r JOIN nn ON r.grp = nn.grp AND r.t = nn.n
+    """,
+)
+def q_ts_croston(spark, sf_dir):
+    """B209: Croston's method (Croston 1972; Hyndman & Athanasopoulos fpp
+    §13.2) — INTERMITTENT-demand forecasting, the sparse-series rung the
+    B159/B190/B203/B208 family lacks: when most days have NO demand, a
+    plain EWMA decays toward zero between events and systematically
+    under-forecasts. Croston smooths two series at the demand EVENTS
+    only — demand size z (milli-cents) and inter-demand interval p
+    (milli-days), both at α = 1/4 — and forecasts the per-day demand
+    RATE z/p. The demand feed models a slow-moving item: daily revenue
+    of the ~1% order slice o_orderkey % {_CROSTON_MOD} == 0, per order
+    priority (5 independent series; groups with < 2 events release
+    nothing on either engine).
+
+    Cross-engine float shape: NO float — the same integer-lattice walk
+    as B203/B208, one shared per-step formula text
+    (:func:`_croston_step`, truncating division D7-pinned): Spark folds
+    each group's (day, cents) array carrying (z, p, prev_day) in the
+    accumulator, DuckDB walks the grouped recursive CTE; the p
+    initialization-by-copy sentinel is EXACTLY the t=2 EWMA fixed point
+    ((1000q + 3·1000q) div 4 = 1000q), so both inits coincide by
+    algebra, not by luck. Released per priority: event count, final
+    (z, p), the forecast rate in milli-cents/day, and the exact mean
+    inter-demand interval. Plan/scale: one filtered daily aggregate
+    (predicate pushed to the scan), then a 5-group fold over
+    calendar-bounded arrays — kilobytes at any SF."""
+    epoch = F.lit("1970-01-01").cast("date")
+    demand = (
+        table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderkey") % _CROSTON_MOD == 0)
+            & F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+            & F.col("o_orderpriority").isNotNull()
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("grp"),
+            F.datediff(F.col("o_orderdate").cast("date"), epoch)
+            .cast("bigint")
+            .alias("d"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    arr = (
+        demand.groupBy("grp")
+        .agg(
+            F.expr(
+                "array_sort(collect_list(struct(d, y)))"
+            ).alias("ev"),
+            F.count(F.lit(1)).cast("bigint").alias("n_demands"),
+            F.min("d").cast("bigint").alias("first_d"),
+            F.max("d").cast("bigint").alias("last_d"),
+        )
+        .where(F.col("n_demands") >= 2)
+    )
+    folded = arr.select(
+        "grp",
+        "n_demands",
+        "first_d",
+        "last_d",
+        F.expr(
+            f"""
+            aggregate(
+              slice(ev, 2, size(ev) - 1),
+              named_struct(
+                'z', CAST(1000 * element_at(ev, 1).y AS BIGINT),
+                'p', CAST(-1 AS BIGINT),
+                'prev_d', element_at(ev, 1).d),
+              (acc, s) -> named_struct(
+                'z', {_CROSTON_SPARK["z"]},
+                'p', {_CROSTON_SPARK["p"]},
+                'prev_d', s.d)
+            )
+            """
+        ).alias("fin"),
+    )
+    return folded.select(
+        "grp",
+        "n_demands",
+        F.col("fin.z").alias("z_milli"),
+        F.col("fin.p").alias("p_milli"),
+        F.expr("CAST((1000 * fin.z) div fin.p AS BIGINT)").alias(
+            "forecast_milli_cpd"
+        ),
+        F.expr(
+            "CAST(((last_d - first_d) * 1000) div (n_demands - 1)"
+            " AS BIGINT)"
+        ).alias("mean_interval_milli"),
+    )

@@ -667,3 +667,126 @@ def q_kinesis_hotkey_audit(spark, sf_dir):
             >= F.lit(_HOTKEY_MULT) * F.col("n_records")
         ).alias("is_hot"),
     )
+
+
+# --- A17: enhanced fan-out consumer plan (round 12) ---------------------------
+
+_EFO_N_SHARDS = 16
+_EFO_ENVELOPE_BYTES = 64  # modeled per-record envelope overhead (key+seq+ts)
+_EFO_SHARED_BPS = 2_000_000  # Kinesis shared-throughput read limit per shard
+_EFO_CONSUMERS = 3  # modeled consumer-group count sharing the stream
+_EFO_SUPPORT_CAP = 1000  # release cap for the supportable-consumers column
+
+
+@query(
+    "q_kinesis_efo_plan",
+    priority=30,  # round-12 addition: first driver row in round 13
+    oracle=f"""
+    WITH routed AS (
+        SELECT (instr('0123456789abcdef',
+                      substr(md5(CAST(user_id AS VARCHAR)), 32, 1)) - 1)
+                   % {_EFO_N_SHARDS} AS shard,
+               date_trunc('hour', ts) AS hr,
+               length(coalesce(props, '')) + {_EFO_ENVELOPE_BYTES} AS bytes
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    hourly AS (
+        SELECT CAST(shard AS BIGINT) AS shard, hr,
+               CAST(sum(bytes) AS BIGINT) AS hr_bytes,
+               CAST(count(*) AS BIGINT) AS hr_records
+        FROM routed GROUP BY shard, hr
+    ),
+    per_shard AS (
+        SELECT shard,
+               CAST(sum(hr_records) AS BIGINT) AS n_records,
+               CAST(sum(hr_bytes) AS BIGINT) AS n_bytes,
+               CAST(max(hr_bytes) AS BIGINT) AS peak_hr_bytes
+        FROM hourly GROUP BY shard
+    )
+    SELECT shard, n_records, n_bytes, peak_hr_bytes,
+           CAST(peak_hr_bytes // 3600 AS BIGINT) AS peak_bps,
+           CAST((1000000 * {_EFO_CONSUMERS} * (peak_hr_bytes // 3600))
+                // {_EFO_SHARED_BPS} AS BIGINT) AS shared_util_ppm,
+           CAST(CASE WHEN {_EFO_CONSUMERS} * (peak_hr_bytes // 3600)
+                          > {_EFO_SHARED_BPS}
+                     THEN 1 ELSE 0 END AS INT) AS efo_required,
+           CAST(least({_EFO_SUPPORT_CAP},
+                      {_EFO_SHARED_BPS}
+                          // greatest(peak_hr_bytes // 3600, 1))
+                AS BIGINT) AS consumers_supportable
+    FROM per_shard
+    """,
+)
+def q_kinesis_efo_plan(spark, sf_dir):
+    """A17: ENHANCED FAN-OUT consumer plan — the
+    RegisterStreamConsumer-or-not decision table (round 12). Kinesis
+    gives a shard 2 MB/s of SHARED read throughput across all classic
+    consumers; enhanced fan-out gives each registered consumer its own
+    2 MB/s pipe. Per modeled shard (the A5 md5-ring, {_EFO_N_SHARDS}
+    shards), this audit releases: record/byte volume (record bytes
+    modeled as payload length + {_EFO_ENVELOPE_BYTES}B envelope — key,
+    sequence number, timestamp), the PEAK-hour read demand (peak hourly
+    bytes, floor-div to bytes/s — capacity planning sizes to peak, not
+    mean), the shared-pipe utilization in ppm at the modeled
+    {_EFO_CONSUMERS}-consumer group, an integer efo_required flag
+    (demand exceeds the shared pipe), and how many classic consumers the
+    shard's peak could support before tipping (capped at
+    {_EFO_SUPPORT_CAP}). All decisions are exact integer floor-div /
+    cross-multiplication — no float at a boundary (the A13 discipline).
+
+    Scale: one events-scale (shard, hour) rollup (map-side combined,
+    calendar-bounded), then a {_EFO_N_SHARDS}-row release — the same
+    shape CloudWatch enhanced monitoring emits, so the query audits a
+    real stream's metrics table unchanged."""
+    ev = table(spark, sf_dir, "events")
+    digit = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(F.encode(F.col("user_id").cast("string"), "UTF-8")),
+                32,
+                1,
+            ),
+        )
+        - 1
+    )
+    routed = ev.where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        (digit % _EFO_N_SHARDS).cast("bigint").alias("shard"),
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        (
+            F.length(F.coalesce(F.col("props"), F.lit("")))
+            + _EFO_ENVELOPE_BYTES
+        ).alias("bytes"),
+    )
+    hourly = routed.groupBy("shard", "hr").agg(
+        F.sum("bytes").cast("bigint").alias("hr_bytes"),
+        F.count(F.lit(1)).cast("bigint").alias("hr_records"),
+    )
+    per_shard = hourly.groupBy("shard").agg(
+        F.sum("hr_records").cast("bigint").alias("n_records"),
+        F.sum("hr_bytes").cast("bigint").alias("n_bytes"),
+        F.max("hr_bytes").cast("bigint").alias("peak_hr_bytes"),
+    )
+    peak_bps = F.expr("peak_hr_bytes div 3600")
+    return per_shard.select(
+        "shard",
+        "n_records",
+        "n_bytes",
+        "peak_hr_bytes",
+        peak_bps.cast("bigint").alias("peak_bps"),
+        F.expr(
+            f"CAST((1000000 * {_EFO_CONSUMERS} * (peak_hr_bytes div 3600))"
+            f" div {_EFO_SHARED_BPS} AS BIGINT)"
+        ).alias("shared_util_ppm"),
+        F.expr(
+            f"CAST(CASE WHEN {_EFO_CONSUMERS} * (peak_hr_bytes div 3600)"
+            f" > {_EFO_SHARED_BPS} THEN 1 ELSE 0 END AS INT)"
+        ).alias("efo_required"),
+        F.expr(
+            f"CAST(least({_EFO_SUPPORT_CAP}, {_EFO_SHARED_BPS}"
+            f" div greatest(peak_hr_bytes div 3600, 1)) AS BIGINT)"
+        ).alias("consumers_supportable"),
+    )

@@ -101,3 +101,66 @@ def test_hw_mul_weekly_pattern_recovered():
     f_spike = _tdiv(_tdiv((l + 5 * b) * s[4], 1_000_000), 1000)
     f_flat = _tdiv(_tdiv((l + 4 * b) * s[3], 1_000_000), 1000)
     assert f_spike > 1.5 * f_flat
+
+
+# --- B209: Croston intermittent-demand lattice walk ----------------------------
+
+
+def croston_reference(events):
+    """Pure-Python rendering of the B209 walk: events = [(day, cents)]
+    sorted, >= 2 entries; returns (z_milli, p_milli)."""
+    z = 1000 * events[0][1]
+    p = -1
+    prev_d = events[0][0]
+    for d, y in events[1:]:
+        q = d - prev_d
+        z = _tdiv(1000 * y + 3 * z, 4)
+        p = 1000 * q if p < 0 else _tdiv(1000 * q + 3 * p, 4)
+        prev_d = d
+    return z, p
+
+
+@given(
+    c=st.integers(1, 10**9),
+    k=st.integers(1, 400),
+    n=st.integers(2, 60),
+)
+@_SETTINGS
+def test_croston_regular_demand_converges_to_rate(c, k, n):
+    """Perfectly regular demand (value c every k days) must converge to
+    z ~ 1000c, p == 1000k exactly (every interval equals the init copy,
+    an EWMA fixed point), so the forecast rate is c/k within per-step
+    truncation."""
+    events = [(i * k, c) for i in range(n)]
+    z, p = croston_reference(events)
+    assert p == 1000 * k
+    assert abs(z - 1000 * c) <= 4 * n
+    rate = _tdiv(1000 * z, p)
+    assert abs(rate - _tdiv(1000 * c, k)) <= _tdiv(4 * n * 1000, 1000 * k) + 4
+
+
+@given(
+    days=st.lists(st.integers(1, 100), min_size=2, max_size=40),
+    vals=st.lists(st.integers(1, 10**6), min_size=40, max_size=40),
+)
+@_SETTINGS
+def test_croston_init_by_copy_is_t2_ewma_fixed_point(days, vals):
+    """The sentinel init (p copies the first interval) must equal running
+    the EWMA update at t=2 with p0 = 1000*q2 — the algebraic identity the
+    Spark fold and the DuckDB recursive base rely on to coincide."""
+    d = [0]
+    for step in days:
+        d.append(d[-1] + step)
+    events = list(zip(d, vals[: len(d)]))
+    z_a, p_a = croston_reference(events)
+    # explicit t=2-EWMA variant
+    z = 1000 * events[0][1]
+    q2 = events[1][0] - events[0][0]
+    p = 1000 * q2
+    prev_d = events[0][0]
+    for dd, y in events[1:]:
+        q = dd - prev_d
+        z = _tdiv(1000 * y + 3 * z, 4)
+        p = _tdiv(1000 * q + 3 * p, 4)
+        prev_d = dd
+    assert (z_a, p_a) == (z, p)
