@@ -673,9 +673,8 @@ def q_kinesis_hotkey_audit(spark, sf_dir):
 
 _EFO_N_SHARDS = 16
 _EFO_ENVELOPE_BYTES = 64  # modeled per-record envelope overhead (key+seq+ts)
-_EFO_SHARED_BPS = 2_000_000  # Kinesis shared-throughput read limit per shard
+_EFO_SHARED_BPH = 2_000_000 * 3600  # shared read pipe per shard, bytes/HOUR
 _EFO_CONSUMERS = 3  # modeled consumer-group count sharing the stream
-_EFO_SUPPORT_CAP = 1000  # release cap for the supportable-consumers column
 
 
 @query(
@@ -701,20 +700,18 @@ _EFO_SUPPORT_CAP = 1000  # release cap for the supportable-consumers column
         SELECT shard,
                CAST(sum(hr_records) AS BIGINT) AS n_records,
                CAST(sum(hr_bytes) AS BIGINT) AS n_bytes,
+               CAST(count(*) AS BIGINT) AS n_hours,
                CAST(max(hr_bytes) AS BIGINT) AS peak_hr_bytes
         FROM hourly GROUP BY shard
     )
-    SELECT shard, n_records, n_bytes, peak_hr_bytes,
-           CAST(peak_hr_bytes // 3600 AS BIGINT) AS peak_bps,
-           CAST((1000000 * {_EFO_CONSUMERS} * (peak_hr_bytes // 3600))
-                // {_EFO_SHARED_BPS} AS BIGINT) AS shared_util_ppm,
-           CAST(CASE WHEN {_EFO_CONSUMERS} * (peak_hr_bytes // 3600)
-                          > {_EFO_SHARED_BPS}
-                     THEN 1 ELSE 0 END AS INT) AS efo_required,
-           CAST(least({_EFO_SUPPORT_CAP},
-                      {_EFO_SHARED_BPS}
-                          // greatest(peak_hr_bytes // 3600, 1))
-                AS BIGINT) AS consumers_supportable
+    SELECT shard, n_records, n_bytes, n_hours, peak_hr_bytes,
+           CAST((1000000 * peak_hr_bytes * n_hours) // n_bytes AS BIGINT)
+               AS burst_ppm,
+           CAST((1000000 * {_EFO_CONSUMERS} * peak_hr_bytes)
+                // {_EFO_SHARED_BPH} AS BIGINT) AS shared_util_ppm,
+           CAST(CASE WHEN {_EFO_CONSUMERS} * peak_hr_bytes
+                          > {_EFO_SHARED_BPH}
+                     THEN 1 ELSE 0 END AS INT) AS efo_required
     FROM per_shard
     """,
 )
@@ -726,14 +723,16 @@ def q_kinesis_efo_plan(spark, sf_dir):
     2 MB/s pipe. Per modeled shard (the A5 md5-ring, {_EFO_N_SHARDS}
     shards), this audit releases: record/byte volume (record bytes
     modeled as payload length + {_EFO_ENVELOPE_BYTES}B envelope — key,
-    sequence number, timestamp), the PEAK-hour read demand (peak hourly
-    bytes, floor-div to bytes/s — capacity planning sizes to peak, not
-    mean), the shared-pipe utilization in ppm at the modeled
-    {_EFO_CONSUMERS}-consumer group, an integer efo_required flag
-    (demand exceeds the shared pipe), and how many classic consumers the
-    shard's peak could support before tipping (capped at
-    {_EFO_SUPPORT_CAP}). All decisions are exact integer floor-div /
-    cross-multiplication — no float at a boundary (the A13 discipline).
+    sequence number, timestamp), the PEAK-hour byte demand (capacity
+    planning sizes to peak, not mean), the peak-to-mean BURSTINESS in
+    ppm (peak_hr_bytes · n_hours / n_bytes — the scale-free signal: a
+    bursty shard tips into EFO territory long before a smooth one of
+    equal volume), the shared-pipe utilization in ppm at the modeled
+    {_EFO_CONSUMERS}-consumer group against the 2 MB/s × 3600 hourly
+    pipe, and an integer efo_required flag (group demand exceeds the
+    shared pipe in the peak hour). All decisions are exact integer
+    floor-div / cross-multiplication — no float at a boundary (the A13
+    discipline).
 
     Scale: one events-scale (shard, hour) rollup (map-side combined,
     calendar-bounded), then a {_EFO_N_SHARDS}-row release — the same
@@ -768,25 +767,25 @@ def q_kinesis_efo_plan(spark, sf_dir):
     per_shard = hourly.groupBy("shard").agg(
         F.sum("hr_records").cast("bigint").alias("n_records"),
         F.sum("hr_bytes").cast("bigint").alias("n_bytes"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
         F.max("hr_bytes").cast("bigint").alias("peak_hr_bytes"),
     )
-    peak_bps = F.expr("peak_hr_bytes div 3600")
     return per_shard.select(
         "shard",
         "n_records",
         "n_bytes",
+        "n_hours",
         "peak_hr_bytes",
-        peak_bps.cast("bigint").alias("peak_bps"),
         F.expr(
-            f"CAST((1000000 * {_EFO_CONSUMERS} * (peak_hr_bytes div 3600))"
-            f" div {_EFO_SHARED_BPS} AS BIGINT)"
+            "CAST((1000000 * peak_hr_bytes * n_hours) div n_bytes"
+            " AS BIGINT)"
+        ).alias("burst_ppm"),
+        F.expr(
+            f"CAST((1000000 * {_EFO_CONSUMERS} * peak_hr_bytes)"
+            f" div {_EFO_SHARED_BPH} AS BIGINT)"
         ).alias("shared_util_ppm"),
         F.expr(
-            f"CAST(CASE WHEN {_EFO_CONSUMERS} * (peak_hr_bytes div 3600)"
-            f" > {_EFO_SHARED_BPS} THEN 1 ELSE 0 END AS INT)"
+            f"CAST(CASE WHEN {_EFO_CONSUMERS} * peak_hr_bytes"
+            f" > {_EFO_SHARED_BPH} THEN 1 ELSE 0 END AS INT)"
         ).alias("efo_required"),
-        F.expr(
-            f"CAST(least({_EFO_SUPPORT_CAP}, {_EFO_SHARED_BPS}"
-            f" div greatest(peak_hr_bytes div 3600, 1)) AS BIGINT)"
-        ).alias("consumers_supportable"),
     )

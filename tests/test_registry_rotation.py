@@ -55,6 +55,8 @@ ROUND12_NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
         "q_ts_holt_winters_mul",  # B208
         "q_llm_substring_sketch",  # C110s
+        "q_kinesis_efo_plan",  # A17
+        "q_ts_croston",  # B209
     }
 )
 
