@@ -16,16 +16,23 @@ import pytest
 from spark_kinesis_sql_asl_spark.registry import all_queries
 
 from .driver_canon import canon_hash, spark_to_pandas
-from .test_registry_rotation import ROUND11_NEW_THIS_ROUND, _never_sampled
+from .test_registry_rotation import (
+    REORACLED,
+    ROUND12_NEW_THIS_ROUND,
+    _never_sampled,
+)
 
 SF = "/root/testdata/sf0.001"
 
-# Every query that gets its FIRST driver CORRECTNESS row in round 10: the
-# never-sampled backlog (slots 0..19 of the round-10 window) plus anything
-# registered this round. A driver-green-on-the-lucky-draw query is the
-# failure class this file exists to catch, so stress exactly the rows the
-# driver is about to hash for the first time.
-_FIRST_SAMPLED_THIS_ROUND = sorted(ROUND11_NEW_THIS_ROUND | _never_sampled())
+# Every query the driver is about to HASH for the first time this round:
+# the never-sampled round-11 backlog (window slots 0..26), the re-oracled
+# tranche (their old rows predate the current oracle, so the next hash is
+# effectively a first), plus anything registered this round. A
+# driver-green-on-the-lucky-draw query is the failure class this file
+# exists to catch, so stress exactly those rows.
+_FIRST_SAMPLED_THIS_ROUND = sorted(
+    ROUND12_NEW_THIS_ROUND | REORACLED | _never_sampled()
+)
 
 
 @pytest.mark.parametrize("name", _FIRST_SAMPLED_THIS_ROUND)
