@@ -3261,6 +3261,8 @@ def q_ts_holt_linear(spark, sf_dir):
 
 _HW_M = 7  # weekly season over the observed-day index (the B190 convention)
 _HW_H = 14  # forecast horizon released (two full seasons ahead)
+_HW_S_MIN = 62_500  # seasonal-index clamp: 1/16x .. 16x of level (ppm)
+_HW_S_MAX = 16_000_000
 
 
 def _hw_step(y: str, l: str, b: str, s1: str, e: str, div: str) -> dict:
@@ -3268,15 +3270,21 @@ def _hw_step(y: str, l: str, b: str, s1: str, e: str, div: str) -> dict:
     α = β = γ = 1/4 on the integer (milli-cent, ppm) lattice — ONE
     formula text rendered per dialect (`div` is Spark's ``div`` /
     DuckDB's ``//``, both truncate toward zero per the D7 canary), so
-    the two engines walk the identical walk by construction."""
-    deseason = f"((1000 * {y} * 1000000) {div} greatest({s1}, 1))"
+    the two engines walk the identical walk by construction. The
+    seasonal index clamps to [{_HW_S_MIN}, {_HW_S_MAX}] ppm (1/16x ..
+    16x of level — the dial that keeps every product in BIGINT range on
+    hostile series; real weekly retail seasonality sits well inside);
+    the one-step error accumulates in DESEASONED milli-cents (comparing
+    deseason_t against l+b needs no (level x ppm) product at all)."""
+    deseason = f"((1000 * {y} * 1000000) {div} {s1})"
     lnew = f"(({deseason} + 3 * ({l} + {b})) {div} 4)"
     bnew = f"((({lnew} - {l}) + 3 * {b}) {div} 4)"
     snew = (
-        f"greatest(1, (((1000 * {y} * 1000000) {div} greatest({lnew}, 1))"
-        f" + 3 * {s1}) {div} 4)"
+        f"least({_HW_S_MAX}, greatest({_HW_S_MIN},"
+        f" (((1000 * {y} * 1000000) {div} greatest({lnew}, 1))"
+        f" + 3 * {s1}) {div} 4))"
     )
-    enew = f"({e} + abs(1000 * {y} - (({l} + {b}) * {s1}) {div} 1000000))"
+    enew = f"({e} + abs({deseason} - ({l} + {b})))"
     return {"l": lnew, "b": bnew, "s": snew, "e": enew}
 
 
@@ -3302,19 +3310,27 @@ _HW_SPARK_STEP = _hw_step(
     seq AS (
         SELECT cents, row_number() OVER (ORDER BY d) AS t FROM daily
     ),
-    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seq),
+    nn AS (
+        -- multiplicative decomposition is defined for strictly positive
+        -- series only (fpp 8.3): a non-positive day releases zero rows
+        SELECT CAST(count(*) AS BIGINT) AS n FROM seq
+        HAVING count(*) >= {2 * _HW_M} AND min(cents) > 0
+    ),
     init AS (
-        SELECT (1000 * sum(CASE WHEN t <= {_HW_M} THEN cents END))
-                   // {_HW_M} AS l0,
-               (1000 * (sum(CASE WHEN t > {_HW_M} THEN cents END)
+        -- CASTs are load-bearing (D8/D15 class): DuckDB sum(BIGINT) widens
+        -- to HUGEINT, which would ride the whole recursion and bridge to
+        -- float64 at the driver boundary.
+        SELECT CAST((1000 * sum(CASE WHEN t <= {_HW_M} THEN cents END))
+                   // {_HW_M} AS BIGINT) AS l0,
+               CAST((1000 * (sum(CASE WHEN t > {_HW_M} THEN cents END)
                         - sum(CASE WHEN t <= {_HW_M} THEN cents END)))
-                   // {_HW_M * _HW_M} AS b0
-        FROM seq WHERE t <= {2 * _HW_M}
-        HAVING count(*) = {2 * _HW_M}
+                   // {_HW_M * _HW_M} AS BIGINT) AS b0
+        FROM seq, nn WHERE t <= {2 * _HW_M}
+        GROUP BY nn.n
     ),
     s0 AS (
-        SELECT list(greatest(1,
-                   (1000 * cents * 1000000) // greatest(l0, 1))
+        SELECT list(CAST(least({_HW_S_MAX}, greatest({_HW_S_MIN},
+                   (1000 * cents * 1000000) // greatest(l0, 1))) AS BIGINT)
                    ORDER BY t) AS s
         FROM seq, init WHERE t <= {_HW_M}
         GROUP BY l0
@@ -3325,24 +3341,31 @@ _HW_SPARK_STEP = _hw_step(
         FROM init, s0
         UNION ALL
         SELECT r.t + 1,
-               {_HW_DUCK_STEP["l"]},
-               {_HW_DUCK_STEP["b"]},
-               r.s[2:] || [{_HW_DUCK_STEP["s"]}],
-               {_HW_DUCK_STEP["e"]}
+               {{duck_l}},
+               {{duck_b}},
+               r.s[2:] || [{{duck_s}}],
+               {{duck_e}}
         FROM rec r JOIN seq q ON q.t = r.t + 1
     ),
     fin AS (
         SELECT r.l, r.b, r.s, r.e, nn.n
         FROM rec r CROSS JOIN nn WHERE r.t = nn.n
     )
-    SELECT h.h, fin.l AS level_milli, fin.b AS trend_milli,
-           fin.s[CAST((h.h - 1) % {_HW_M} AS BIGINT) + 1] AS season_ppm,
-           CAST((((fin.l + h.h * fin.b)
-                  * fin.s[CAST((h.h - 1) % {_HW_M} AS BIGINT) + 1])
-                 // 1000000) // 1000 AS BIGINT) AS forecast_cents,
-           CAST(fin.e // (fin.n - {_HW_M}) AS BIGINT) AS mae_milli
+    SELECT h.h, CAST(fin.l AS BIGINT) AS level_milli,
+           CAST(fin.b AS BIGINT) AS trend_milli,
+           CAST(fin.s[CAST((h.h - 1) % {_HW_M} AS BIGINT) + 1] AS BIGINT)
+               AS season_ppm,
+           CAST((((fin.l + h.h * fin.b) // 1000)
+                 * (fin.s[CAST((h.h - 1) % {_HW_M} AS BIGINT) + 1] // 1000))
+                // 1000 AS BIGINT) AS forecast_cents,
+           CAST(fin.e // (fin.n - {_HW_M}) AS BIGINT) AS mae_deseason_milli
     FROM fin CROSS JOIN (SELECT unnest(range(1, {_HW_H + 1})) AS h) h
-    """,
+    """.format(
+        duck_l=_HW_DUCK_STEP["l"],
+        duck_b=_HW_DUCK_STEP["b"],
+        duck_s=_HW_DUCK_STEP["s"],
+        duck_e=_HW_DUCK_STEP["e"],
+    ),
 )
 def q_ts_holt_winters_mul(spark, sf_dir):
     """B208: Holt-Winters MULTIPLICATIVE triple exponential smoothing
@@ -3353,11 +3376,13 @@ def q_ts_holt_winters_mul(spark, sf_dir):
     l_t = α·(y_t/s_t−m) + (1−α)(l_t−1 + b_t−1),
     b_t = β(l_t − l_t−1) + (1−β)b_t−1, s_t = γ(y_t/l_t) + (1−γ)s_t−m.
     Init: l = first-week mean, b = classic two-season slope
-    ((mean₂ − mean₁)/m via integer sums), s_j = y_j/l ratios of week one;
-    series shorter than 2m release zero rows on BOTH engines (HAVING
-    count(*) = 2m guards the oracle's init, size(ys) >= 2m the Spark
-    fold). Released: the final state, the h = 1..{_HW_H} forecasts
-    (l + h·b)·s, and the walk's one-step MAE.
+    ((mean₂ − mean₁)/m via integer sums), s_j = y_j/l ratios of week one.
+    Multiplicative decomposition is DEFINED only for strictly positive
+    series (fpp §8.3) — a series with any non-positive day, or shorter
+    than 2m, releases zero rows on BOTH engines (the adversarial-fixture
+    negative-revenue days exercise this guard). Released: the final
+    state, the h = 1..{_HW_H} forecasts (l + h·b)·s, and the walk's
+    one-step MAE in DESEASONED milli-cents.
 
     Cross-engine float shape: NO float — level/trend walk in exact
     integer MILLI-cents and the seasonal indices in integer PPM; every
@@ -3366,13 +3391,16 @@ def q_ts_holt_winters_mul(spark, sf_dir):
     text per step (:func:`_hw_step`), so both engines walk the identical
     lattice: Spark folds the series with ``aggregate`` carrying the
     m-slot seasonal queue in the accumulator struct, DuckDB walks the
-    same recurrence as a recursive CTE with a LIST column. The ppm
-    seasonal scale bounds the intermediate 1000·y·10⁶ at < 2⁶³ while
-    daily revenue stays under ~$92M/day — beyond that, drop the seasonal
-    scale to 1e3 (documented dial, same class as the D15 wide-int rule).
-    Plan/scale: ONE daily hash aggregate collapses corpus-scale input;
-    the fold runs over the |days| array (kilobytes at any SF — the B173
-    bound); release is {_HW_H} rows."""
+    same recurrence as a recursive CTE with a LIST column. Overflow
+    posture: the seasonal clamp [{_HW_S_MIN}, {_HW_S_MAX}] ppm bounds
+    deseasoned values at 16× the raw series, the MAE accumulates in
+    deseasoned space (no level×ppm product), and the forecast multiplies
+    (milli div 1000) × (ppm div 1000) — every intermediate stays under
+    2⁶³ while daily revenue is under ~$10¹¹ (documented dial: drop to a
+    1e3 seasonal scale beyond, the D15 wide-int rule). Plan/scale: ONE
+    daily hash aggregate collapses corpus-scale input; the fold runs
+    over the |days| array (kilobytes at any SF — the B173 bound);
+    release is {_HW_H} rows."""
     epoch = F.lit("1970-01-01").cast("date")
     daily = (
         table(spark, sf_dir, "orders")
@@ -3397,7 +3425,9 @@ def q_ts_holt_winters_mul(spark, sf_dir):
             "transform(array_sort(collect_list(struct(d, cents))),"
             " s -> s.cents)"
         ).alias("ys")
-    ).where(F.expr(f"size(ys) >= {m2}"))
+    ).where(
+        F.expr(f"size(ys) >= {m2} AND forall(ys, y -> y > 0)")
+    )
     init = arr.select(
         "ys",
         F.expr(
@@ -3416,8 +3446,8 @@ def q_ts_holt_winters_mul(spark, sf_dir):
         "b0",
         F.expr(
             f"transform(slice(ys, 1, {m}),"
-            f" y -> greatest(CAST(1 AS BIGINT),"
-            f" (1000 * y * 1000000) div greatest(l0, 1)))"
+            f" y -> CAST(least({_HW_S_MAX}, greatest({_HW_S_MIN},"
+            f" (1000 * y * 1000000) div greatest(l0, 1))) AS BIGINT))"
         ).alias("s0"),
     )
     folded = init.select(
@@ -3453,10 +3483,13 @@ def q_ts_holt_winters_mul(spark, sf_dir):
             "season_ppm"
         ),
         F.expr(
-            f"CAST((((l + h * b) * element_at(s, CAST((h - 1) % {m} AS INT)"
-            f" + 1)) div 1000000) div 1000 AS BIGINT)"
+            f"CAST((((l + h * b) div 1000)"
+            f" * (element_at(s, CAST((h - 1) % {m} AS INT) + 1) div 1000))"
+            f" div 1000 AS BIGINT)"
         ).alias("forecast_cents"),
-        F.expr(f"CAST(e div (n - {m}) AS BIGINT)").alias("mae_milli"),
+        F.expr(f"CAST(e div (n - {m}) AS BIGINT)").alias(
+            "mae_deseason_milli"
+        ),
     )
 
 

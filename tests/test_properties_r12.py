@@ -22,26 +22,43 @@ def _tdiv(a: int, b: int) -> int:
     return q if (a >= 0) == (b >= 0) else -q
 
 
+_HW_S_MIN = 62_500
+_HW_S_MAX = 16_000_000
+
+
+def _sclamp(x: int) -> int:
+    return min(_HW_S_MAX, max(_HW_S_MIN, x))
+
+
 def hw_mul_reference(ys, m=7):
     """Pure-Python rendering of the B208 lattice walk — the ONE recurrence
-    both engines execute (operators/timeseries.py `_hw_step`)."""
-    if len(ys) < 2 * m:
+    both engines execute (operators/timeseries.py `_hw_step`): seasonal
+    indices clamp to [1/16x, 16x] ppm, the one-step error accumulates in
+    DESEASONED milli-cents, positivity is the caller's guard."""
+    if len(ys) < 2 * m or min(ys) <= 0:
         return None
     l = _tdiv(1000 * sum(ys[:m]), m)
     b = _tdiv(1000 * (sum(ys[m : 2 * m]) - sum(ys[:m])), m * m)
-    s = [max(1, _tdiv(1000 * y * 1_000_000, max(l, 1))) for y in ys[:m]]
+    s = [_sclamp(_tdiv(1000 * y * 1_000_000, max(l, 1))) for y in ys[:m]]
     e = 0
     for y in ys[m:]:
         s1 = s[0]
-        deseason = _tdiv(1000 * y * 1_000_000, max(s1, 1))
+        deseason = _tdiv(1000 * y * 1_000_000, s1)
         lnew = _tdiv(deseason + 3 * (l + b), 4)
         bnew = _tdiv((lnew - l) + 3 * b, 4)
-        snew = max(
-            1, _tdiv(_tdiv(1000 * y * 1_000_000, max(lnew, 1)) + 3 * s1, 4)
+        snew = _sclamp(
+            _tdiv(_tdiv(1000 * y * 1_000_000, max(lnew, 1)) + 3 * s1, 4)
         )
-        e = e + abs(1000 * y - _tdiv((l + b) * s1, 1_000_000))
+        e = e + abs(deseason - (l + b))
         l, b, s = lnew, bnew, s[1:] + [snew]
     return l, b, s, e, len(ys)
+
+
+def hw_forecast_cents(l: int, b: int, s: list, h: int) -> int:
+    """The B208 release formula: (milli div 1000) x (ppm div 1000) div
+    1000 — the split that keeps the product in BIGINT range."""
+    sf = s[(h - 1) % 7]
+    return _tdiv(_tdiv(l + h * b, 1000) * _tdiv(sf, 1000), 1000)
 
 
 @given(
@@ -50,14 +67,15 @@ def hw_mul_reference(ys, m=7):
 @_SETTINGS
 def test_hw_mul_seasonal_queue_invariants(ys):
     """The rotating seasonal queue keeps exactly m entries, every index
-    stays >= 1 (the clamp that guards the deseason division), and the MAE
-    accumulator is monotone non-negative — the three structural invariants
-    the fold relies on at any input."""
+    stays inside the [1/16x, 16x] clamp (the bound that guards both the
+    deseason division and the BIGINT product range), and the MAE
+    accumulator is monotone non-negative — the structural invariants the
+    fold relies on at any positive input."""
     out = hw_mul_reference(ys)
     assert out is not None
     l, b, s, e, n = out
     assert len(s) == 7
-    assert all(x >= 1 for x in s)
+    assert all(62_500 <= x <= 16_000_000 for x in s)
     assert e >= 0
 
 
@@ -77,9 +95,9 @@ def test_hw_mul_flat_series_learns_flat_forecast(scale, reps):
     assert b == 0
     assert abs(l - 1000 * scale) <= 4 * 7 * reps  # per-step <=4 truncation
     for h in range(1, 15):
-        sf = s[(h - 1) % 7]
-        forecast_cents = _tdiv(_tdiv((l + h * b) * sf, 1_000_000), 1000)
-        assert abs(forecast_cents - scale) <= max(2, scale // 10_000)
+        forecast = hw_forecast_cents(l, b, s, h)
+        # the (div 1000)^2 release split truncates at per-mille grain
+        assert abs(forecast - scale) <= max(3, scale // 500)
 
 
 def test_hw_mul_weekly_pattern_recovered():
@@ -98,8 +116,8 @@ def test_hw_mul_weekly_pattern_recovered():
     spiked = s[4]
     others = [x for i, x in enumerate(s) if i != 4]
     assert spiked > 1.7 * max(others)
-    f_spike = _tdiv(_tdiv((l + 5 * b) * s[4], 1_000_000), 1000)
-    f_flat = _tdiv(_tdiv((l + 4 * b) * s[3], 1_000_000), 1000)
+    f_spike = hw_forecast_cents(l, b, s, 5)
+    f_flat = hw_forecast_cents(l, b, s, 4)
     assert f_spike > 1.5 * f_flat
 
 
