@@ -1423,9 +1423,9 @@ def q_llm_shingle_df_audit(spark, sf_dir):
 
 # --- C110s: winnowed substring-dedup scale rung (round 12) --------------------
 
-_WIN_W = 32  # winnowing window (kept-shingle rows); <= _SSD_MIN_RUN - 1
-_WIN_POS_BITS = 23  # packed-key position field: docs < 2^23 shingles
-_WIN_POS_MOD = 1 << _WIN_POS_BITS
+_C110S_W = 32  # winnowing window (kept-shingle rows); <= _SSD_MIN_RUN - 1
+_C110S_POS_BITS = 23  # packed-key position field: docs < 2^23 shingles
+_C110S_POS_MOD = 1 << _C110S_POS_BITS
 
 
 def _ssd_kept_shingles(corpus):
@@ -1460,7 +1460,7 @@ def _ssd_kept_shingles(corpus):
     return sh.join(keep, "h")
 
 
-def winnow_fingerprints(m, w: int = _WIN_W):
+def winnow_fingerprints(m, w: int = _C110S_W):
     """Robust winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the
     MOSS fingerprinter) over the kept-shingle frame: every window of `w`
     consecutive kept shingles of a doc selects its (hash, rightmost)
@@ -1472,16 +1472,16 @@ def winnow_fingerprints(m, w: int = _WIN_W):
 
     One ROWS-frame window min per doc, no iteration: the (40-bit hash,
     rightmost-position) argmin rides a single packed BIGINT —
-    h40·2^{_WIN_POS_BITS} + (2^{_WIN_POS_BITS}−1 − pos) — so the frame
+    h40·2^{_C110S_POS_BITS} + (2^{_C110S_POS_BITS}−1 − pos) — so the frame
     min IS the tie-broken argmin (docs are bounded far under
-    2^{_WIN_POS_BITS} shingles). Selected rows dedup to (doc_id, fp40,
+    2^{_C110S_POS_BITS} shingles). Selected rows dedup to (doc_id, fp40,
     pos)."""
     packed = m.select(
         "doc_id",
         "pos",
         F.expr(
-            f"(h div {1 << 20}) * {_WIN_POS_MOD}"
-            f" + ({_WIN_POS_MOD - 1} - pos)"
+            f"(h div {1 << 20}) * {_C110S_POS_MOD}"
+            f" + ({_C110S_POS_MOD - 1} - pos)"
         ).alias("key"),
     )
     win = (
@@ -1494,8 +1494,8 @@ def winnow_fingerprints(m, w: int = _WIN_W):
         .distinct()
         .select(
             "doc_id",
-            F.expr(f"mn div {_WIN_POS_MOD}").alias("fp40"),
-            (F.lit(_WIN_POS_MOD - 1) - F.col("mn") % _WIN_POS_MOD).alias(
+            F.expr(f"mn div {_C110S_POS_MOD}").alias("fp40"),
+            (F.lit(_C110S_POS_MOD - 1) - F.col("mn") % _C110S_POS_MOD).alias(
                 "pos"
             ),
         )
@@ -1572,7 +1572,7 @@ def q_llm_substring_sketch(spark, sf_dir):
 
     Stage 1 (index): robust winnowing over the kept-shingle frame selects
     ~2/(w+1) ≈ 6% of shingles as fingerprints (:func:`winnow_fingerprints`,
-    w={_WIN_W}); the candidate-pair join runs on the FINGERPRINT posting
+    w={_C110S_W}); the candidate-pair join runs on the FINGERPRINT posting
     lists — Σdf² over a 16× sparser index, the quadratic term every
     100 TB sizing of C110 is dominated by.
     Stage 2 (verify): the exact C110 diagonal-run span computation,
