@@ -680,3 +680,50 @@ def test_dbscan_no_cartesian_eps_rides_broadcast(spark):
     df = QUERIES["q_geo_dbscan"](spark, SF_ORACLE)
     assert count_nodes(df, "CartesianProduct") == 0
     assert count_nodes(df, "BroadcastNestedLoopJoin") <= 4
+
+
+# --- round-12 additions: plan-shape audits -----------------------------------
+
+
+def test_efo_plan_single_rollup_no_join(spark):
+    # A17: routing + byte model are scan expressions; the (shard, hour)
+    # rollup and the shard rollup are the only aggregates — no join, one
+    # events scan, predicate on ts/user_id pushed down.
+    df = QUERIES["q_kinesis_efo_plan"](spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert len(read_schemas(df)) == 1, "expected exactly one events scan"
+    assert "Join" not in plan.split("\n\n", 1)[0]
+    assert any("user_id" in p for p in pushed_filters(df))
+
+
+def test_croston_pushes_slice_predicate_and_folds_once(spark):
+    # B209: the %97 order-slice filter must reach the parquet scan as a
+    # data filter; the recurrence is an aggregate() fold, not a window —
+    # no Window node, no join, exactly one orders scan.
+    df = QUERIES["q_ts_croston"](spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert len(read_schemas(df)) == 1
+    assert "Window" not in plan
+    assert "Join" not in plan.split("\n\n", 1)[0]
+    assert any("o_orderdate" in p for p in pushed_filters(df))
+
+
+def test_holt_winters_mul_folds_without_window_or_join(spark):
+    # B208: ONE daily hash aggregate collapses the orders scan; the
+    # seasonal walk lives in an aggregate() fold over the collected
+    # array — no Window node, no join.
+    df = QUERIES["q_ts_holt_winters_mul"](spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert len(read_schemas(df)) == 1
+    assert "Window" not in plan
+    assert "Join" not in plan.split("\n\n", 1)[0]
+
+
+def test_substring_sketch_no_cartesian_hash_keyed_joins(spark):
+    # C110s: the fingerprint candidate join and the verify join are both
+    # hash-keyed equi-joins; nothing in the plan may degrade to a nested
+    # loop / cartesian (the classic failure when a join key is lost to a
+    # cast or the winnow min-key packing).
+    plan = formatted_plan(QUERIES["q_llm_substring_sketch"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
