@@ -559,3 +559,115 @@ def q_llm_media_phash(spark, sf_dir):
         .select("doc_a", "doc_b", "hamming")
         .distinct()
     )
+
+
+# --- C174: container header metadata extraction (round 12) --------------------
+
+# Synthesized dimensions (the C61 convention: payloads are synthesized,
+# the PARSER is real logic that works on any spec-conformant header)
+_DIMS_W = "16 + doc_id % 2048"
+_DIMS_H = "16 + (doc_id * 7) % 2048"
+
+
+@query(
+    "q_llm_media_dims",
+    priority=30,  # round-12 addition: first driver row in round 13
+    # The oracle states the EXPECTED parse from the synthesis arithmetic
+    # (the C61 route-table pattern): if the byte parser mis-reads an
+    # offset, endianness, or width, the hashes diverge.
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS container,
+           CAST({_DIMS_W} AS BIGINT) AS width,
+           CAST({_DIMS_H} AS BIGINT) AS height,
+           CAST(({_DIMS_W}) * ({_DIMS_H}) AS BIGINT) AS n_pixels,
+           CAST((1000000 * ({_DIMS_W})) // ({_DIMS_H}) AS BIGINT)
+               AS aspect_ppm
+    FROM documents
+    """,
+)
+def q_llm_media_dims(spark, sf_dir):
+    """C174: container header METADATA extraction — the stage between
+    C61's modality sniff and any decode: image dimensions read straight
+    off the container header bytes, no codec. A multimodal pipeline
+    filters/buckets by resolution (tiny thumbnails out, mega-images to a
+    resize lane) BEFORE paying decode cost, so this parse must run at
+    scan speed on the binary column. Two real formats, two real layouts:
+
+    - PNG: 8-byte signature, then the IHDR chunk — width and height as
+      4-byte BIG-endian integers at offsets 17 and 21 (1-based);
+    - GIF (GIF89a): 6-byte signature, then the logical screen descriptor
+      — width and height as 2-byte LITTLE-endian integers at offsets
+      7 and 9.
+
+    Payloads are synthesized spec-conformant headers (dims derived from
+    doc_id, container by doc_id % 2 — the C61 convention) prefixed onto
+    the text bytes; the PARSER is the honest part: pure JVM-side binary
+    expressions (substring on BINARY → hex → conv), container dispatched
+    by magic bytes, big- vs little-endian handled per format. No Python
+    UDF anywhere — at 100 TB this is a scan-stage projection, zero
+    shuffles, and the same expressions run unchanged on real crawled
+    bytes. The oracle states the expected parse from the synthesis
+    arithmetic, so any offset/endianness/width mistake hash-fails."""
+    d = table(spark, sf_dir, "documents")
+    w = F.expr(f"CAST({_DIMS_W} AS BIGINT)")
+    h = F.expr(f"CAST({_DIMS_H} AS BIGINT)")
+    def be4(c):
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),  # signature
+        F.unhex(F.lit("0000000D")),  # IHDR length 13
+        F.encode(F.lit("IHDR"), "UTF-8"),
+        be4(w),
+        be4(h),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"),
+    )
+    gif = F.concat(
+        F.encode(F.lit("GIF89a"), "UTF-8"),
+        F.unhex(F.lpad(F.hex(w % 256), 2, "0")),
+        F.unhex(F.lpad(F.hex(F.expr(f"CAST({_DIMS_W} AS BIGINT) div 256")), 2, "0")),
+        F.unhex(F.lpad(F.hex(h % 256), 2, "0")),
+        F.unhex(F.lpad(F.hex(F.expr(f"CAST({_DIMS_H} AS BIGINT) div 256")), 2, "0")),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"),
+    )
+    payload = F.when(F.col("doc_id") % 2 == 0, png).otherwise(gif)
+    rec = d.select("doc_id", payload.alias("p"))
+    # --- the parser: bytes in, metadata out (no doc_id arithmetic below) ---
+    is_png = F.hex(F.expr("substring(p, 1, 8)")) == "89504E470D0A1A0A"
+    is_gif = F.expr("decode(substring(p, 1, 4), 'UTF-8')") == "GIF8"
+    png_w = F.expr("CAST(conv(hex(substring(p, 17, 4)), 16, 10) AS BIGINT)")
+    png_h = F.expr("CAST(conv(hex(substring(p, 21, 4)), 16, 10) AS BIGINT)")
+    gif_w = F.expr(
+        "CAST(conv(hex(substring(p, 7, 1)), 16, 10) AS BIGINT)"
+        " + 256 * CAST(conv(hex(substring(p, 8, 1)), 16, 10) AS BIGINT)"
+    )
+    gif_h = F.expr(
+        "CAST(conv(hex(substring(p, 9, 1)), 16, 10) AS BIGINT)"
+        " + 256 * CAST(conv(hex(substring(p, 10, 1)), 16, 10) AS BIGINT)"
+    )
+    pw = F.when(is_png, png_w).when(is_gif, gif_w)
+    ph = F.when(is_png, png_h).when(is_gif, gif_h)
+    return rec.select(
+        "doc_id",
+        F.when(is_png, F.lit("png"))
+        .when(is_gif, F.lit("gif"))
+        .otherwise(F.lit("unknown"))
+        .alias("container"),
+        pw.alias("width"),
+        ph.alias("height"),
+        (pw * ph).cast("bigint").alias("n_pixels"),
+        F.expr(
+            "CAST((1000000 * (CASE"
+            " WHEN hex(substring(p, 1, 8)) = '89504E470D0A1A0A'"
+            " THEN CAST(conv(hex(substring(p, 17, 4)), 16, 10) AS BIGINT)"
+            " ELSE CAST(conv(hex(substring(p, 7, 1)), 16, 10) AS BIGINT)"
+            "      + 256 * CAST(conv(hex(substring(p, 8, 1)), 16, 10) AS BIGINT)"
+            " END)) div (CASE"
+            " WHEN hex(substring(p, 1, 8)) = '89504E470D0A1A0A'"
+            " THEN CAST(conv(hex(substring(p, 21, 4)), 16, 10) AS BIGINT)"
+            " ELSE CAST(conv(hex(substring(p, 9, 1)), 16, 10) AS BIGINT)"
+            "      + 256 * CAST(conv(hex(substring(p, 10, 1)), 16, 10) AS BIGINT)"
+            " END) AS BIGINT)"
+        ).alias("aspect_ppm"),
+    )

@@ -3045,3 +3045,160 @@ def q_events_mde(spark, sf_dir):
             " div nullif(100 * (s div n), 0) AS BIGINT)"
         ).alias("mde_rel_ppm"),
     )
+
+
+# --- B210: difference-in-differences readout (round 12) -----------------------
+
+
+@query(
+    "q_events_did",
+    priority=30,  # round-12 addition: first driver row in round 13
+    oracle="""
+    WITH ev AS (
+        SELECT (instr('0123456789abcdef',
+                      substr(md5(CAST(user_id AS VARCHAR)), 32, 1)) - 1)
+                   % 2 AS arm,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    mid AS (
+        SELECT CAST((min(d) + max(d) + 1) // 2 AS BIGINT) AS mid FROM ev
+    ),
+    cells AS (
+        SELECT CAST(arm AS BIGINT) AS arm,
+               CASE WHEN d >= mid THEN 1 ELSE 0 END AS post,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s
+        FROM ev CROSS JOIN mid GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT
+          max(CASE WHEN arm = 0 AND post = 0 THEN n END) AS n_pre_c,
+          max(CASE WHEN arm = 1 AND post = 0 THEN n END) AS n_pre_t,
+          max(CASE WHEN arm = 0 AND post = 1 THEN n END) AS n_post_c,
+          max(CASE WHEN arm = 1 AND post = 1 THEN n END) AS n_post_t,
+          max(CASE WHEN arm = 0 AND post = 0 THEN s END) AS s_pre_c,
+          max(CASE WHEN arm = 1 AND post = 0 THEN s END) AS s_pre_t,
+          max(CASE WHEN arm = 0 AND post = 1 THEN s END) AS s_post_c,
+          max(CASE WHEN arm = 1 AND post = 1 THEN s END) AS s_post_t
+        FROM cells
+    )
+    SELECT n_pre_c, n_pre_t, n_post_c, n_post_t,
+           CAST((1000000 * s_pre_c) // n_pre_c AS BIGINT) AS m_pre_c_micro,
+           CAST((1000000 * s_pre_t) // n_pre_t AS BIGINT) AS m_pre_t_micro,
+           CAST((1000000 * s_post_c) // n_post_c AS BIGINT)
+               AS m_post_c_micro,
+           CAST((1000000 * s_post_t) // n_post_t AS BIGINT)
+               AS m_post_t_micro,
+           CAST(((1000000 * s_post_t) // n_post_t
+                 - (1000000 * s_pre_t) // n_pre_t)
+                - ((1000000 * s_post_c) // n_post_c
+                   - (1000000 * s_pre_c) // n_pre_c) AS BIGINT) AS did_micro,
+           CAST((1000000 * s_post_t) // n_post_t
+                - (1000000 * s_post_c) // n_post_c AS BIGINT)
+               AS naive_diff_micro
+    FROM wide
+    """,
+)
+def q_events_did(spark, sf_dir):
+    """B210: difference-in-differences readout (Card & Krueger 1994 is the
+    canonical applied reference) — the OBSERVATIONAL sibling of the
+    B205/B206 experimentation pair: when assignment isn't randomized, the
+    post-period arm difference confounds treatment with pre-existing arm
+    differences; DiD subtracts each arm's own pre-period baseline,
+    (m_post_T − m_pre_T) − (m_post_C − m_pre_C), identifying the effect
+    under parallel trends. Arms follow the B205 md5-ring rule, periods
+    split at the global midpoint day (both the pinned deterministic
+    conventions); released beside the DiD estimate is the NAIVE post-only
+    difference — the pair of numbers whose gap IS the selection bias a
+    DiD reader inspects.
+
+    Cross-engine float shape: NO float — cell sums are exact BIGINT
+    floor-cents, each cell mean releases as an exact integer floor-div
+    in MICRO-cents, and the estimator is integer arithmetic over those
+    means (truncation ≤ 1 micro-cent per mean, far under cent-scale
+    effects). Plan/scale: one (arm, period) conditional rollup collapses
+    the event stream map-side (4 cells), the min/max day is a 1-row
+    broadcast; release is 1 row."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            (
+                (
+                    F.instr(
+                        F.lit("0123456789abcdef"),
+                        F.substring(
+                            F.md5(
+                                F.encode(
+                                    F.col("user_id").cast("string"), "UTF-8"
+                                )
+                            ),
+                            32,
+                            1,
+                        ),
+                    )
+                    - 1
+                )
+                % 2
+            )
+            .cast("bigint")
+            .alias("arm"),
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("d"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    mid = ev.agg(
+        F.expr("CAST((min(d) + max(d) + 1) div 2 AS BIGINT)").alias("mid")
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy(
+            "arm",
+            F.when(F.col("d") >= F.col("mid"), 1).otherwise(0).alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("s"),
+        )
+    )
+    def cell(a, p, col):
+        return F.max(
+            F.when((F.col("arm") == a) & (F.col("post") == p), F.col(col))
+        )
+
+    wide = cells.agg(
+        cell(0, 0, "n").alias("n_pre_c"),
+        cell(1, 0, "n").alias("n_pre_t"),
+        cell(0, 1, "n").alias("n_post_c"),
+        cell(1, 1, "n").alias("n_post_t"),
+        cell(0, 0, "s").alias("s_pre_c"),
+        cell(1, 0, "s").alias("s_pre_t"),
+        cell(0, 1, "s").alias("s_post_c"),
+        cell(1, 1, "s").alias("s_post_t"),
+    )
+    m = {
+        k: F.expr(f"CAST((1000000 * s_{k}) div n_{k} AS BIGINT)")
+        for k in ("pre_c", "pre_t", "post_c", "post_t")
+    }
+    return wide.select(
+        "n_pre_c",
+        "n_pre_t",
+        "n_post_c",
+        "n_post_t",
+        m["pre_c"].alias("m_pre_c_micro"),
+        m["pre_t"].alias("m_pre_t_micro"),
+        m["post_c"].alias("m_post_c_micro"),
+        m["post_t"].alias("m_post_t_micro"),
+        (
+            (m["post_t"] - m["pre_t"]) - (m["post_c"] - m["pre_c"])
+        )
+        .cast("bigint")
+        .alias("did_micro"),
+        (m["post_t"] - m["post_c"]).cast("bigint").alias("naive_diff_micro"),
+    )

@@ -57,6 +57,8 @@ ROUND12_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_llm_substring_sketch",  # C110s
         "q_kinesis_efo_plan",  # A17
         "q_ts_croston",  # B209
+        "q_events_did",  # B210
+        "q_llm_media_dims",  # C174
     }
 )
 
