@@ -727,3 +727,27 @@ def test_substring_sketch_no_cartesian_hash_keyed_joins(spark):
     plan = formatted_plan(QUERIES["q_llm_substring_sketch"](spark, SF_ORACLE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_did_two_scans_broadcast_midpoint_no_smj(spark):
+    # B210: exactly two events scans (the global midpoint-day aggregate
+    # needs its own pass — the B205 shape) and the midpoint rides a 1-row
+    # broadcast: no sort-merge join may appear anywhere.
+    df = QUERIES["q_events_did"](spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert len(read_schemas(df)) == 2
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert any("user_id" in p for p in pushed_filters(df))
+
+
+def test_media_dims_pure_scan_no_python(spark):
+    # C174's headline claim: the header parse is JVM-side binary
+    # expressions — no Python evaluation node of any kind, no join, one
+    # documents scan.
+    df = QUERIES["q_llm_media_dims"](spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert len(read_schemas(df)) == 1
+    assert "Join" not in plan.split("\n\n", 1)[0]
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
