@@ -738,7 +738,8 @@ def test_did_two_scans_broadcast_midpoint_no_smj(spark):
     assert len(read_schemas(df)) == 2
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    assert any("user_id" in p for p in pushed_filters(df))
+    pushed = pushed_filters(df)
+    assert any("ts" in p for p in pushed) and any("value" in p for p in pushed)
 
 
 def test_media_dims_pure_scan_no_python(spark):
