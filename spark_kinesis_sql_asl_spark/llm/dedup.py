@@ -915,7 +915,7 @@ def q_llm_dedup_containment(spark, sf_dir):
     )
 
 
-# --- C82s: containment-MinHash scale rung (rows-only, like C3 beside C2) -----
+# --- C82s: containment-MinHash scale rung (SQL-oracled since round 13) -------
 
 _CLSH_K = 24  # signature positions; binomial agree-count sets the estimate
 # Candidate-stage effective tau for the sketch rung ONLY (VERDICT r8 #3):
@@ -929,7 +929,100 @@ _CLSH_K = 24  # signature positions; binomial agree-count sets the estimate
 _CLSH_CAND_TAU = 0.98
 
 
-@query("q_llm_dedup_containment_lsh", priority=30)  # rows-only: hash-seeded
+def _clsh_est_duck() -> str:
+    """DuckDB rendering of the containment estimate — parenthesized to
+    mirror the Spark expression tree term for term (every intermediate a
+    DOUBLE; DuckDB's bare `24.0` would be DECIMAL and divide differently).
+    """
+    j = f"(agree / CAST({_CLSH_K} AS DOUBLE))"
+    return (
+        f"least(CAST(1 AS DOUBLE), ({j} * (sz_a + sz_b))"
+        f" / ((CAST(1 AS DOUBLE) + {j}) * sz_a))"
+    )
+
+
+def _containment_lsh_oracle() -> str:
+    """DuckDB twin of the FULL C82s pipeline (round-13 promotion, VERDICT
+    r12 item #3): corpus injection, the df-ordered asymmetric prefix
+    candidate stage at tau={_CLSH_CAND_TAU} (replicated exactly — the
+    output depends on which sub-threshold pairs the blocking admits, so
+    the oracle must run the same blocking, not just the same estimate),
+    portable-permutation signatures, agreement estimate, 0.8 cut, top-1."""
+    sig_cols = ", ".join(
+        f"min({g.format(h='h')}) AS h{i}" for i, g in enumerate(_MH_SIG_TERMS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END"
+        for i in range(_CLSH_K)
+    )
+    from .sketches import _hex_parse_duck
+
+    need = f"CAST(ceil({_CLSH_CAND_TAU} * a.sz) AS BIGINT)"
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_CONTAIN_TRUNC_OFFSET} AS doc_id, lang,
+               array_to_string(
+                   string_split(text, ' ')[1:{_CONTAIN_TRUNC_TOKENS}], ' ')
+                   AS text
+        FROM documents WHERE doc_id % 11 = 0
+    ),
+    z AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split(coalesce(text, ''), ' ')) AS ts,
+               len(list_distinct(string_split(coalesce(text, ''), ' ')))
+                   AS sz
+        FROM corpus
+    ),
+    toks AS (SELECT doc_id, lang, sz, unnest(ts) AS tok FROM z),
+    dfreq AS (
+        SELECT lang, tok, count(*) AS df FROM toks GROUP BY lang, tok
+    ),
+    idx AS (
+        SELECT t.doc_id, t.lang, t.sz, t.tok,
+               row_number() OVER (
+                   PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS pos
+        FROM toks t JOIN dfreq d ON t.lang = d.lang AND t.tok = d.tok
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_small, b.doc_id AS doc_big
+        FROM idx a
+        JOIN idx b
+          ON a.tok = b.tok AND a.lang = b.lang
+         AND (a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id))
+         AND b.sz >= {need}
+         AND least(a.sz - a.pos, b.sz - b.pos) + 1 >= {need}
+        WHERE a.pos <= a.sz - {need} + 1
+    ),
+    th AS (
+        SELECT doc_id, {_hex_parse_duck("tok", 1)} AS h FROM toks
+    ),
+    sigs AS (SELECT doc_id, {sig_cols} FROM th GROUP BY doc_id),
+    est AS (
+        SELECT c.doc_small, c.doc_big,
+               za.sz AS sz_a, zb.sz AS sz_b,
+               ({agree}) AS agree
+        FROM cand c
+        JOIN sigs a ON c.doc_small = a.doc_id
+        JOIN sigs b ON c.doc_big = b.doc_id
+        JOIN z za ON c.doc_small = za.doc_id
+        JOIN z zb ON c.doc_big = zb.doc_id
+    )
+    SELECT doc_small, doc_big, est_containment
+    FROM (
+        SELECT doc_small, doc_big,
+               round({_clsh_est_duck()}, 6) AS est_containment
+        FROM est
+    )
+    WHERE est_containment >= CAST(0.8 AS DOUBLE)
+    QUALIFY row_number() OVER (
+        PARTITION BY doc_small
+        ORDER BY est_containment DESC, doc_big ASC) = 1
+    """
+
+
+@query("q_llm_dedup_containment_lsh", priority=30, oracle=_containment_lsh_oracle())
 def q_llm_dedup_containment_lsh(spark, sf_dir):
     """C82s: the signature scale rung beside C82's exact containment pass
     (completing the C3-beside-C2 ladder for the asymmetric case). Same
@@ -943,10 +1036,8 @@ def q_llm_dedup_containment_lsh(spark, sf_dir):
     the FULL token array of both sides to every candidate pair — at sf0.1
     that is 1.18M qualifying pairs x ~200-element arrays, and on a 100 TB
     near-self-identical crawl the verify bytes dwarf the index. Here the
-    per-doc payload is {_CLSH_K} BIGINTs regardless of document size, the
-    signatures are scan-stage array folds over the checkpointed token sets
-    (array_min over transform — no explode, no extra shuffle), and the
-    estimate is a flat-column codegen sum. A pure band-1 positional
+    per-doc payload is {_CLSH_K} BIGINTs regardless of document size and
+    the estimate is a flat-column codegen sum. A pure band-1 positional
     LSH candidate join (the symmetric-C3 shape) was built and measured
     first: on this corpus each signature position has ~12 distinct minima,
     posting lists reach 4210 of 5455 docs, and the join degenerates to
@@ -955,29 +1046,41 @@ def q_llm_dedup_containment_lsh(spark, sf_dir):
     rung, exactly as LSH Ensemble (Zhu et al., VLDB 2016) partitions to
     keep posting lists bounded.
 
-    Rows-only by design (hash-seeded estimate, no SQL oracle);
-    tests/test_llm.py gates recall >= 0.9 of C82's exact doc_small
-    coverage at sf0.01. Recall loss comes from estimate noise (binomial
-    agree-count under-shooting the 0.8 cut) plus the sketch rung's
-    tighter candidate prefix (_CLSH_CAND_TAU = 0.98 vs the exact pass's
-    0.95 — measured recall cost 0.6pp, candidate volume cost -37%;
-    true-subset pairs survive any prefix)."""
+    Round 13 (VERDICT r12 item #3, the LAST promotable rows-only rung):
+    the xxhash64-seeded signatures are swapped for the C140/C3 portable
+    permutation family — h = 32-bit md5-parse of the token, sig_i = min
+    over tokens of (a_i*h + b_i) mod (2^31-1) — so signatures, the
+    agreement count and the containment estimate are deterministic pure
+    functions of the data that DuckDB replays bit-for-bit; the oracle
+    replicates the WHOLE pipeline including the tau={_CLSH_CAND_TAU}
+    prefix blocking (the blocking admits some sub-threshold pairs, so a
+    semantic all-pairs oracle would not hash-match — the blocking is part
+    of the operator's contract, exactly like C3's banding). Signature
+    build cost is one md5-parse per (doc, distinct token) + {_CLSH_K}
+    map-side min aggregates — the C3 shape; the xxhash64 array-fold
+    builder (cheaper at 100 TB where cross-engine parity doesn't matter)
+    remains the documented alternative via C3's
+    :func:`xxhash_minhash_signatures` family. The recall >= 0.9 gate vs
+    C82's exact doc_small coverage (tests/test_llm.py) is unchanged —
+    recall loss comes from estimate noise (binomial agree-count
+    under-shooting the 0.8 cut) plus the tighter candidate prefix
+    (_CLSH_CAND_TAU = 0.98 vs the exact pass's 0.95 — measured recall
+    cost 0.6pp, candidate volume cost -37%; true-subset pairs survive
+    any prefix)."""
+    from .sketches import _hex_parse_spark
+
     docs, indexed = _containment_state(spark, sf_dir)
     cand = _containment_candidates(spark, indexed, _CLSH_CAND_TAU)
-    def _seeded(i):
-        # single-parameter lambda on purpose: F.transform treats a
-        # TWO-parameter callable as (element, array_index) and would feed
-        # the array position where the seed belongs
-        return lambda t: F.xxhash64(t, F.lit(i))
-
-    sigs = docs.select(
-        "doc_id",
-        "sz",
+    th = docs.select("doc_id", "sz", F.explode("ts").alias("tok")).select(
+        "doc_id", "sz", F.expr(_hex_parse_spark("tok", 1)).alias("h")
+    )
+    sigs = th.groupBy("doc_id").agg(
+        F.max("sz").alias("sz"),
         *[
-            F.array_min(F.transform("ts", _seeded(i))).alias(f"h{i}")
-            for i in range(_CLSH_K)
+            F.min(F.expr(g.format(h="h"))).alias(f"h{i}")
+            for i, g in enumerate(_MH_SIG_TERMS)
         ],
-    ).localCheckpoint(eager=True)  # scan-stage folds; feeds both pair sides
+    ).localCheckpoint(eager=True)  # one groupBy; feeds both pair sides
     agree = sum(
         F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
         for i in range(_CLSH_K)
