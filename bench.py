@@ -74,6 +74,9 @@ def main() -> None:
         "q_llm_substring_dup",
         "q_llm_dedup_cluster",
         "q_llm_dedup_semantic",
+        # round 13: the portable-permutation signature barrier shared by
+        # C3/C126/C140/C143 (VERDICT r12 item #2) — first consumer pays it
+        "q_llm_dedup_minhash",
     )
     for name in _FAMILY_WARMUP:
         if name not in queries:

@@ -758,23 +758,25 @@ def ingest_neardup_flags(spark, sf_dir, sig_family: str = "portable"):
     never |corpus|^2 (VERDICT r7 item 3: C46's exact-hash screen lets a
     re-crawl with one changed byte sail through; this catches it). Used by
     q_llm_ingest_neardup and the recall gate in tests/test_llm.py."""
-    from .dedup import portable_minhash_signatures, xxhash_minhash_signatures
+    from .dedup import portable_doc_signatures, xxhash_minhash_signatures
 
     d = parallel_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
     h = F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary"))
     is_batch = F.col("doc_id") % _BATCH_MOD == 0
-    toks = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
-    ).where(F.col("tok") != "")
-    sig_fn = (
-        portable_minhash_signatures
-        if sig_family == "portable"
-        else xxhash_minhash_signatures
-    )
-    sigs = sig_fn(toks)
+    if sig_family == "portable":
+        # The memoized cross-query signature barrier (round 13): one
+        # md5-parse + affine-min build per session, shared with C3/C140/
+        # C143 — at 100 TB, the persistent signature table the incremental
+        # probe reads instead of recomputing.
+        sigs = portable_doc_signatures(spark, sf_dir)
+    else:
+        toks = d.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+        ).where(F.col("tok") != "")
+        sigs = xxhash_minhash_signatures(toks)
     rows_per_band = _NEARDUP_K // _NEARDUP_BANDS
     bands = sigs.select(
         "doc_id",

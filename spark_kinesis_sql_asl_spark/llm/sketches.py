@@ -457,6 +457,24 @@ def _pmh_sig_terms(h: str) -> list[str]:
     ]
 
 
+def _portable_sig_prefix(spark, sf_dir):
+    """C140/C143's {_PMH_K}-permutation signatures, read as the first
+    {_PMH_K} columns of the shared 24-permutation barrier
+    (:func:`~.dedup.portable_doc_signatures`) — valid because both
+    families derive constants from the same recurrence, asserted here so
+    a drift in either constant table fails loudly instead of silently
+    changing signatures."""
+    from .dedup import _MH_A, _MH_B, portable_doc_signatures
+
+    assert _PMH_A == _MH_A[:_PMH_K] and _PMH_B == _MH_B[:_PMH_K], (
+        "portable permutation families diverged"
+    )
+    return portable_doc_signatures(spark, sf_dir).select(
+        "doc_id",
+        *[F.col(f"h{i}").alias(f"s{i}") for i in range(_PMH_K)],
+    )
+
+
 @query(
     "q_llm_minhash_portable",
     priority=35,  # round-8 window full — driver row in r9
@@ -519,10 +537,12 @@ def q_llm_minhash_portable(spark, sf_dir):
     Spark-side (memoized `_jaccard_scored`), so this adds ZERO candidate
     cost in a pipeline already running the exact pass.
 
-    Plan/scale: one distinct-(doc, tok) scan with {_PMH_K} map-side min
-    aggregates (no explode survives the exchange — signatures are
-    {_PMH_K} BIGINTs per doc), two broadcast-size signature joins onto
-    the pair list."""
+    Plan/scale: signatures come from the memoized cross-query barrier
+    :func:`~..llm.dedup.portable_doc_signatures` (round 13 — C140's
+    {_PMH_K} permutations are by construction the first {_PMH_K} of the
+    shared 24-permutation family, asserted below), so in a pipeline the
+    estimator audit adds ZERO signature cost; two broadcast-size
+    signature joins onto the pair list."""
     from .dedup import _JACCARD_TAU, _jaccard_scored
 
     scored = _jaccard_scored(spark, sf_dir)
@@ -530,22 +550,7 @@ def q_llm_minhash_portable(spark, sf_dir):
     pairs = scored.where(jac >= _JACCARD_TAU).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
-    th = (
-        parallel_table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
-        )
-        .where(F.col("tok") != "")
-        .select("doc_id", F.expr(_hex_parse_spark("tok", 1)).alias("h"))
-        .distinct()
-    )
-    sigs = th.groupBy("doc_id").agg(
-        *[
-            F.min(F.expr(g)).alias(f"s{i}")
-            for i, g in enumerate(_pmh_sig_terms("h"))
-        ]
-    )
+    sigs = _portable_sig_prefix(spark, sf_dir)
     x = sigs.select(
         F.col("doc_id").alias("_xa"),
         *[F.col(f"s{i}").alias(f"xs{i}") for i in range(_PMH_K)],
@@ -665,38 +670,19 @@ def q_llm_band_assign(spark, sf_dir):
     candidate pair frames meet in a full-outer marker join whose single
     aggregate yields n_exact/n_candidates/n_hit together (each input
     consumed exactly once, so neither needs a checkpoint), instead of
-    three driver-side .count() actions. The only other job is the sigs
-    parquet barrier (the CC family's reliable-store discipline — sigs
-    feed BOTH sides of the band self-join; localCheckpoint's
-    executor-local blocks are the fault-tolerance hazard DESIGN-100TB
-    §4 bans)."""
+    three driver-side .count() actions. Signatures are the memoized
+    cross-query parquet barrier (round 13 —
+    :func:`~.dedup.portable_doc_signatures`, which keeps the CC family's
+    reliable-store discipline this query's private barrier used to pay
+    for alone: sigs feed BOTH sides of the band self-join;
+    localCheckpoint's executor-local blocks are the fault-tolerance
+    hazard DESIGN-100TB §4 bans)."""
     from .dedup import _JACCARD_TAU, _jaccard_scored
 
     scored = _jaccard_scored(spark, sf_dir)
     jac = F.col("i") * 1.0 / (F.col("sa") + F.col("sb") - F.col("i"))
     exact = scored.where(jac >= _JACCARD_TAU).select("doc_a", "doc_b")
-    th = (
-        parallel_table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
-        )
-        .where(F.col("tok") != "")
-        .select("doc_id", F.expr(_hex_parse_spark("tok", 1)).alias("h"))
-        .distinct()
-    )
-    import os as _os
-
-    from .iterative import scratch_dir
-
-    sigs_path = _os.path.join(scratch_dir(spark, "band_assign"), "sigs")
-    th.groupBy("doc_id").agg(
-        *[
-            F.min(F.expr(g)).alias(f"s{i}")
-            for i, g in enumerate(_pmh_sig_terms("h"))
-        ]
-    ).write.parquet(sigs_path)
-    sigs = spark.read.parquet(sigs_path)
+    sigs = _portable_sig_prefix(spark, sf_dir)
     bands = None
     for b in range(_BA_BANDS):
         key = F.concat_ws(
