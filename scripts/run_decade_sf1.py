@@ -68,14 +68,18 @@ def _decade_conf(spark, name: str, n_docs: int) -> None:
         )
 
 
-def main() -> None:
+def run_decade(spark) -> dict:
+    """Generate (idempotent) the sf1-class fixtures and measure the three
+    heaviest families' first-touch decade slopes. Shared by the CLI below
+    and the opt-in ``-m sf1decade`` pytest gate (tests/test_sf1_decade.py,
+    VERDICT r12 item #6) so a plan regression fails a TEST instead of
+    silently aging DESIGN-100TB §19."""
     t0 = time.perf_counter()
     for scales in _FAMILIES.values():
         for d, n in scales:
             generate(d, n)
     gen_s = round(time.perf_counter() - t0, 1)
 
-    spark = get_session("decade_sf1")
     queries = all_queries()
 
     def run(name: str, sf_dir: str) -> float:
@@ -106,7 +110,12 @@ def main() -> None:
             "slope": round(slope, 3),
         }
         print(f"{name}: {times}  slope={slope:.3f}", flush=True)
+    return out
 
+
+def main() -> None:
+    spark = get_session("decade_sf1")
+    out = run_decade(spark)
     dest = sys.argv[1] if len(sys.argv) > 1 else "/tmp/decade_sf1.json"
     with open(dest, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
