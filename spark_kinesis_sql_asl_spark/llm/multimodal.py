@@ -671,3 +671,175 @@ def q_llm_media_dims(spark, sf_dir):
             " END) AS BIGINT)"
         ).alias("aspect_ppm"),
     )
+
+
+# --- C175: JPEG SOF0 dimensions — the variable-offset chunk walk (round 13) ----
+
+# Synthesized dims (the C174/C61 convention); JPEG dims are 16-bit fields.
+_JPEG_W = "16 + (doc_id * 5) % 4000"
+_JPEG_H = "16 + (doc_id * 11) % 4000"
+_JPEG_MAX_LEAD = 4  # doc_id % 4 APPn segments precede SOF0 (0..3)
+_JPEG_WALK = 6  # unrolled walk depth: > max lead segments by margin
+
+
+def _jpeg_lead_total_duck() -> str:
+    """Closed-form byte length of the leading APPn segments (oracle side):
+    segment j occupies 4 + plen(j) bytes, plen(j) = 3 + ((doc_id+7j)%9)."""
+    p = [f"(3 + (doc_id + {7 * j}) % 9)" for j in range(_JPEG_MAX_LEAD - 1)]
+    return (
+        f"(CASE doc_id % {_JPEG_MAX_LEAD}"
+        f" WHEN 0 THEN 0"
+        f" WHEN 1 THEN 4 + {p[0]}"
+        f" WHEN 2 THEN 8 + {p[0]} + {p[1]}"
+        f" ELSE 12 + {p[0]} + {p[1]} + {p[2]} END)"
+    )
+
+
+@query(
+    "q_llm_media_dims_jpeg",
+    priority=30,  # round-13 addition; staged into the r13 window (11)
+    # The oracle states the EXPECTED parse from the synthesis arithmetic
+    # (the C174 pattern) INCLUDING the walk-derived sof_offset and segment
+    # count — a wrong length-field read, a misplaced marker compare, or an
+    # off-by-one in the segment advance shifts sof_offset and hash-fails.
+    oracle=f"""
+    SELECT doc_id,
+           'jpeg' AS container,
+           CAST(doc_id % {_JPEG_MAX_LEAD} AS BIGINT) AS n_lead_segments,
+           CAST(3 + {_jpeg_lead_total_duck()} AS BIGINT) AS sof_offset,
+           CAST({_JPEG_W} AS BIGINT) AS width,
+           CAST({_JPEG_H} AS BIGINT) AS height,
+           CAST(({_JPEG_W}) * ({_JPEG_H}) AS BIGINT) AS n_pixels,
+           CAST((1000000 * ({_JPEG_W})) // ({_JPEG_H}) AS BIGINT)
+               AS aspect_ppm
+    FROM documents
+    """,
+)
+def q_llm_media_dims_jpeg(spark, sf_dir):
+    """C175: JPEG SOF0 dimension extraction — C174's follow-through
+    (VERDICT r12 item #7c) and the honest next difficulty rung for
+    scan-stage binary parsing: unlike PNG/GIF's FIXED header offsets, a
+    JPEG's dimensions live in the SOF0 segment at a VARIABLE offset — the
+    parser must WALK the marker-segment chain (FF marker, 2-byte
+    big-endian length that counts itself, payload) past however many
+    APPn/COM segments the encoder emitted, exactly as libjpeg's header
+    scan does.
+
+    Payloads are synthesized spec-conformant (the C61/C174 convention):
+    SOI, then doc_id % {_JPEG_MAX_LEAD} APPn segments of VARYING payload
+    length (3..11 bytes, doc_id-derived), then SOF0
+    (precision 8, height/width big-endian 16-bit, one component), then
+    the text bytes as stand-in entropy data. The PARSER is the real
+    logic: a {_JPEG_WALK}-step UNROLLED walk in pure JVM binary
+    expressions — per step, read the 2-byte marker at the cursor, stop
+    on FFC0, else advance by 2 + the big-endian length field — then read
+    height/width relative to the found offset. No Python UDF: at 100 TB
+    this stays a scan-stage projection (the unroll bound is a documented
+    contract — real pipelines bound header scans the same way to cap
+    per-record work; deeper headers release NULL dims to a quarantine
+    lane rather than unbounded looping). The oracle reconstructs the
+    expected sof_offset and segment count from the synthesis arithmetic,
+    so a wrong length-field endianness, marker compare, or segment
+    advance hash-fails — the walk itself is verified, not just the final
+    dims."""
+    d = table(spark, sf_dir, "documents")
+    w = F.expr(f"CAST({_JPEG_W} AS BIGINT)")
+    h = F.expr(f"CAST({_JPEG_H} AS BIGINT)")
+
+    def be16(c):
+        return F.unhex(F.lpad(F.hex(c), 4, "0"))
+
+    segs = []
+    for j in range(_JPEG_MAX_LEAD - 1):
+        plen = F.expr(f"CAST(3 + (doc_id + {7 * j}) % 9 AS BIGINT)")
+        seg = F.concat(
+            F.unhex(F.lit(f"FFE{1 + j}")),  # APP(1+j) marker
+            be16(plen + 2),  # length counts itself
+            F.encode(
+                F.expr(f"repeat('X', 3 + (doc_id + {7 * j}) % 9)"), "UTF-8"
+            ),
+        )
+        segs.append(
+            F.when(F.col("doc_id") % _JPEG_MAX_LEAD > j, seg).otherwise(
+                F.lit(b"")
+            )
+        )
+    sof0 = F.concat(
+        F.unhex(F.lit("FFC0")),
+        F.unhex(F.lit("000B")),  # length 11: len+precision+h+w+1 component
+        F.unhex(F.lit("08")),  # precision
+        be16(h),
+        be16(w),
+        F.unhex(F.lit("01")),  # 1 component
+        F.unhex(F.lit("011100")),  # component spec
+    )
+    payload = F.concat(
+        F.unhex(F.lit("FFD8")),  # SOI
+        *segs,
+        sof0,
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"),
+    )
+    rec = d.select("doc_id", payload.alias("p"))
+    # --- the parser: bytes in, metadata out (no doc_id arithmetic below) ---
+    is_jpeg = F.expr("hex(substring(p, 1, 2))") == "FFD8"
+    rec = rec.select(
+        "doc_id",
+        "p",
+        is_jpeg.alias("ok"),
+        F.lit(3).cast("bigint").alias("pos"),
+        F.lit(None).cast("bigint").alias("sof"),
+        F.lit(0).cast("bigint").alias("skips"),
+    )
+    for _ in range(_JPEG_WALK):
+        marker = F.expr("hex(substring(p, CAST(pos AS INT), 2))")
+        advance = F.expr(
+            "2 + CAST(conv(hex(substring(p, CAST(pos AS INT) + 2, 2)),"
+            " 16, 10) AS BIGINT)"
+        )
+        walking = F.col("ok") & F.col("sof").isNull()
+        rec = rec.select(
+            "doc_id",
+            "p",
+            "ok",
+            F.when(walking & (marker != "FFC0"), F.col("pos") + advance)
+            .otherwise(F.col("pos"))
+            .alias("pos"),
+            F.when(walking & (marker == "FFC0"), F.col("pos"))
+            .otherwise(F.col("sof"))
+            .alias("sof"),
+            F.when(walking & (marker != "FFC0"), F.col("skips") + 1)
+            .otherwise(F.col("skips"))
+            .alias("skips"),
+        )
+    hh = F.expr(
+        "CAST(conv(hex(substring(p, CAST(sof AS INT) + 5, 2)), 16, 10)"
+        " AS BIGINT)"
+    )
+    ww = F.expr(
+        "CAST(conv(hex(substring(p, CAST(sof AS INT) + 7, 2)), 16, 10)"
+        " AS BIGINT)"
+    )
+    return rec.select(
+        "doc_id",
+        F.when(F.col("ok"), F.lit("jpeg")).otherwise(F.lit("unknown")).alias(
+            "container"
+        ),
+        F.when(F.col("sof").isNotNull(), F.col("skips")).alias(
+            "n_lead_segments"
+        ),
+        F.col("sof").alias("sof_offset"),
+        F.when(F.col("sof").isNotNull(), ww).alias("width"),
+        F.when(F.col("sof").isNotNull(), hh).alias("height"),
+        F.when(F.col("sof").isNotNull(), (ww * hh).cast("bigint")).alias(
+            "n_pixels"
+        ),
+        F.when(
+            F.col("sof").isNotNull(),
+            F.expr(
+                "CAST((1000000 * CAST(conv(hex(substring(p,"
+                " CAST(sof AS INT) + 7, 2)), 16, 10) AS BIGINT))"
+                " div CAST(conv(hex(substring(p, CAST(sof AS INT) + 5, 2)),"
+                " 16, 10) AS BIGINT) AS BIGINT)"
+            ),
+        ).alias("aspect_ppm"),
+    )

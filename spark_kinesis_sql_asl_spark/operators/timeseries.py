@@ -3654,3 +3654,163 @@ def q_ts_croston(spark, sf_dir):
             " AS BIGINT)"
         ).alias("mean_interval_milli"),
     )
+
+
+# --- B211: classical seasonal-trend decomposition readout (round 13) ----------
+
+_STL_M = 7  # weekly period over the daily revenue series
+_STL_HALF = _STL_M // 2
+
+
+@query(
+    "q_ts_stl_decompose",
+    priority=30,  # round-13 addition; staged into the r13 window (11)
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY 1
+    ),
+    tr AS (
+        SELECT d, cents,
+               count(*) OVER w AS nw,
+               CAST(sum(cents) OVER w AS BIGINT) AS sw
+        FROM daily
+        WINDOW w AS (ORDER BY d
+                     ROWS BETWEEN {_STL_HALF} PRECEDING
+                              AND {_STL_HALF} FOLLOWING)
+    ),
+    det AS (
+        SELECT d % {_STL_M} AS slot,
+               1000 * cents - (1000 * sw) // {_STL_M} AS detr
+        FROM tr WHERE nw = {_STL_M}
+    ),
+    rawix AS (
+        SELECT slot,
+               CAST(count(*) AS BIGINT) AS n_obs,
+               CAST(CAST(sum(detr) AS BIGINT) // count(*) AS BIGINT)
+                   AS raw_ix
+        FROM det GROUP BY slot
+    ),
+    grand AS (
+        SELECT CAST(CAST(sum(raw_ix) AS BIGINT) // {_STL_M} AS BIGINT) AS g
+        FROM rawix
+    ),
+    seas AS (
+        SELECT slot, n_obs, CAST(raw_ix - g AS BIGINT) AS seasonal_milli
+        FROM rawix CROSS JOIN grand
+    ),
+    remstat AS (
+        SELECT det.slot,
+               CAST(sum(abs(det.detr - s.seasonal_milli)) AS BIGINT) AS sa
+        FROM det JOIN seas s ON det.slot = s.slot
+        GROUP BY det.slot
+    )
+    SELECT s.slot, s.n_obs, s.seasonal_milli,
+           CAST(r.sa // s.n_obs AS BIGINT) AS remainder_mae_milli
+    FROM seas s JOIN remstat r ON s.slot = r.slot
+    """,
+)
+def q_ts_stl_decompose(spark, sf_dir):
+    """B211: classical additive seasonal-trend decomposition READOUT
+    (Hyndman & Athanasopoulos fpp §3.4 "classical decomposition" — the
+    decomposition twin beside B208's Holt-Winters FORECASTER, VERDICT r12
+    item #7a) over the daily revenue series at weekly period m={_STL_M}:
+
+    - trend_t  = centered {_STL_M}-day moving average (odd period, so the
+      plain centered mean; rows without a FULL window release nothing —
+      the classical edge rule, identical on both engines via the window
+      row count);
+    - detrended_t = y_t − trend_t;
+    - seasonal index s_j (j = epoch-day mod {_STL_M}) = mean of the
+      detrended values in slot j, re-centered so Σ_j s_j ≈ 0 (grand-mean
+      subtraction — the "seasonal components sum to zero" normalization);
+    - remainder_t = detrended_t − s_j, released as a per-slot MAE.
+
+    The 7-row readout (slot, n_obs, seasonal_milli, remainder_mae_milli)
+    is the seasonality audit a pipeline runs BEFORE committing to a
+    seasonal forecaster: strong stable indices + small remainder justify
+    B208/B190; indices within remainder noise mean seasonality is not
+    real and a simpler B203 level/trend model wins.
+
+    Cross-engine float shape: NO float — detrended values in exact
+    integer MILLI-cents ((1000·Σwindow) div {_STL_M} trend, the B208
+    lattice), slot means and the grand mean as truncating integer
+    divisions (D7-pinned on negatives, which detrended values hit by
+    construction), MAE likewise; DuckDB's HUGEINT sum is cast back to
+    BIGINT before every division (the D8/D15 rule).
+
+    Plan/scale: the corpus-scale work is the ONE daily hash aggregate
+    (map-side combined, calendar-bounded output); the moving-average
+    window, slot aggregate, 1-row grand mean (broadcast) and remainder
+    join all run on the |days|-row frame — kilobytes at any SF (the B173
+    bound). The trend window is partitionless by construction (a single
+    global daily series — the documented B88/B172 class, allowlisted in
+    tests/test_plans.py) and bounded by the calendar, not the data."""
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = (
+        table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"), epoch)
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(-_STL_HALF, _STL_HALF)
+    det = (
+        daily.select(
+            "d",
+            "cents",
+            F.count(F.lit(1)).over(w).alias("nw"),
+            F.sum("cents").over(w).cast("bigint").alias("sw"),
+        )
+        .where(F.col("nw") == _STL_M)
+        .select(
+            (F.col("d") % _STL_M).alias("slot"),
+            F.expr(f"1000 * cents - (1000 * sw) div {_STL_M}").alias(
+                "detr"
+            ),
+        )
+    )
+    rawix = det.groupBy("slot").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.expr("CAST(sum(detr) div count(1) AS BIGINT)").alias("raw_ix"),
+    )
+    grand = F.broadcast(
+        rawix.agg(
+            F.expr(f"CAST(sum(raw_ix) div {_STL_M} AS BIGINT)").alias("g")
+        )
+    )
+    seas = rawix.crossJoin(grand).select(
+        "slot",
+        "n_obs",
+        (F.col("raw_ix") - F.col("g")).cast("bigint").alias("seasonal_milli"),
+    )
+    remstat = (
+        det.join(F.broadcast(seas), "slot")
+        .groupBy("slot")
+        .agg(
+            F.sum(F.abs(F.col("detr") - F.col("seasonal_milli")))
+            .cast("bigint")
+            .alias("sa")
+        )
+    )
+    return seas.join(remstat, "slot").select(
+        "slot",
+        "n_obs",
+        "seasonal_milli",
+        F.expr("CAST(sa div n_obs AS BIGINT)").alias("remainder_mae_milli"),
+    )

@@ -64,119 +64,125 @@ _MODULES = (
     "operators.sorts_sets",
 )
 
-# ROUND-12 ROTATION (computed from CORRECTNESS_r01..r11.json): the cumulative
-# ledger is fully green through round 11 (0 red; the r11 "err" row is the
-# by-design rows-only `q_agg_percentile_approx` no_oracle). Round-12 window,
-# in priority order:
+# ROUND-13 ROTATION (computed from CORRECTNESS_r01..r12.json): the cumulative
+# ledger is fully green through round 12 (0 red ever; the only non-pass rows
+# are by-design rows-only no_oracle, now down to 2 after the C82s
+# promotion). Round-13 window, in priority order:
 #
-#   override 8   the 27 never-driver-sampled round-11 additions — slots
-#                0..26
-#   override 9   the 5 re-oracled queries whose latest driver row predates
-#                their SQL oracle (sim_lsh/sim_ivf oracled in r11; the
-#                minhash + heavy-hitters-sketch + ingest_neardup
-#                rows-only→SQL promotions of r12) — slots 27..31; after
-#                this round every registry query's latest driver row is
-#                post-current-oracle
-#   override 12  freshness rotation: the 18 oldest round-3-last-sampled
-#                queries, alphabetical — slots 32..49; the other 20 r3-era
-#                queries queue for round 13
+#   override 8   the 6 never-driver-sampled round-12 additions — slots 0..5
+#   override 9   the re-oracled/rewired tranche — slots 6..11: C82s gained
+#                its SQL oracle this round (rows-only→SQL promotion), the
+#                MinHash family (C3/C126/C140/C143) was rewired onto the
+#                shared portable-signature barrier, and the shared Jaccard
+#                PPJoin build moved to the BIGINT token domain
+#                (hash_tokens=True) — q_llm_dedup_jaccard re-verifies the
+#                shared frame's full pair dump for the other 13 consumers
+#   override 10  canary 3-round refresh: the 13 canaries last sampled in
+#                r10 — slots 12..24
+#   override 11  the 3 round-13 additions (B211 STL readout, A18 lease
+#                plan, C175 JPEG dims) staged DIRECTLY into the window —
+#                first round the structural one-round rotation lag is
+#                closed instead of carried — slots 25..27
+#   override 12  freshness rotation: the 20 remaining r3-era rows plus the
+#                2 oldest r4-era rows (alphabetical) — slots 28..49
 #   override 100 every other ever-driver-sampled query
 #
-# Canary cadence: all 18 canaries were re-sampled green in r10/r11; they
-# re-enter on the 3-round refresh (r13 for the r10 cohort). Rows-only
-# half-frequency rule (VERDICT r11 item #2): a no_oracle query that has
-# already run clean >=2x is EXCLUDED from freshness tranches until every
-# other queue member has rotated (q_agg_approx_distinct,
-# q_agg_percentile_approx, q_llm_dedup_containment_lsh all pin at 100
-# this round) — tests/test_registry_rotation.py asserts the window holds
-# no such query.
-#
-# New round-12 queries use decorator priority=30: behind the window,
-# ahead of the pinned set — first driver rows in round 13.
+# Rows-only half-frequency rule (VERDICT r11 item #2) still holds: the two
+# remaining no_oracle queries (q_agg_approx_distinct,
+# q_agg_percentile_approx) have >=2 clean runs and pin at 100.
 # tests/test_registry_rotation.py recomputes and asserts this composition.
 _PRIORITY_OVERRIDES: dict[str, int] = {
-    # (a) the 27 never-driver-sampled round-11 additions: slots 0..26
+    # (a) the 6 never-driver-sampled round-12 additions: slots 0..5
     **{
         n: 8
         for n in (
-            "q_canary_array_semantics",
-            "q_cohort_ltv",
-            "q_events_attribution",
-            "q_events_cuped",
-            "q_events_lifecycle",
-            "q_events_mde",
-            "q_events_seq_patterns",
-            "q_geo_dbscan",
-            "q_kinesis_hotkey_audit",
-            "q_kinesis_lag_audit",
-            "q_llm_cluster_keep_best",
-            "q_llm_cluster_tightness",
-            "q_llm_dedup_method_overlap",
-            "q_llm_embed_isotropy",
-            "q_llm_pq_distortion",
-            "q_llm_source_vocab_overlap",
-            "q_orders_littles_law",
-            "q_orders_priority_aging",
-            "q_part_abc_xyz",
-            "q_part_price_elasticity",
-            "q_part_safety_stock",
-            "q_sales_pvm_bridge",
-            "q_trade_flow_matrix",
-            "q_ts_forecast_backtest",
-            "q_ts_holt_linear",
-            "q_ts_seasonal_forecast",
-            "q_win_bollinger",
+            "q_events_did",
+            "q_kinesis_efo_plan",
+            "q_llm_media_dims",
+            "q_llm_substring_sketch",
+            "q_ts_croston",
+            "q_ts_holt_winters_mul",
         )
     },
-    # (b) re-oracled queries with stale (pre-oracle) driver rows: slots 27..31
+    # (b) re-oracled / rewired tranche: slots 6..11
     **{
         n: 9
         for n in (
+            "q_llm_band_assign",
+            "q_llm_dedup_containment_lsh",
+            "q_llm_dedup_jaccard",
             "q_llm_dedup_minhash",
-            "q_llm_heavy_hitters_sketch",
             "q_llm_ingest_neardup",
-            "q_llm_sim_ivf",
-            "q_llm_sim_lsh",
+            "q_llm_minhash_portable",
         )
     },
-    # (c) freshness rotation: the 18 oldest round-3-last-sampled queries
-    # (alphabetical) re-enter at 12: slots 32..49
+    # (c) canary 3-round refresh (r10 cohort): slots 12..24
+    **{
+        n: 10
+        for n in (
+            "q_canary_decimal_sum",
+            "q_canary_empty_agg",
+            "q_canary_filter_null_agg",
+            "q_canary_floor_cents",
+            "q_canary_int_sum",
+            "q_canary_month_trunc",
+            "q_canary_neg_div",
+            "q_canary_nullable_bigint",
+            "q_canary_range_frame",
+            "q_canary_round_double",
+            "q_canary_string_order",
+            "q_canary_try_arith",
+            "q_canary_unicode_case",
+        )
+    },
+    # (d) round-13 additions, staged into the window: slots 25..27
+    **{
+        n: 11
+        for n in (
+            "q_kinesis_lease_plan",
+            "q_llm_media_dims_jpeg",
+            "q_ts_stl_decompose",
+        )
+    },
+    # (e) freshness rotation (r3 remainder + r4 head): slots 28..49
     **{
         n: 12
         for n in (
-            "q_fn_bitwise",
-            "q_fn_case",
-            "q_fn_cast",
-            "q_fn_datetime",
-            "q_fn_explode",
-            "q_fn_hash",
-            "q_fn_json",
-            "q_fn_map",
-            "q_fn_math",
-            "q_fn_posexplode",
-            "q_fn_struct",
-            "q_kinesis_decode_csv",
-            "q_kinesis_decode_json",
-            "q_kinesis_replay_window",
-            "q_kinesis_schema",
-            "q_kinesis_shard_route",
-            "q_llm_chunk",
-            "q_llm_corpus_stats",
+            "q_llm_curate_e2e",
+            "q_llm_dedup_survivors",
+            "q_llm_fingerprint",
+            "q_llm_heavy_hitters",
+            "q_llm_kmeans",
+            "q_llm_kmeans_mstep",
+            "q_llm_mixture",
+            "q_llm_multimodal",
+            "q_llm_pack",
+            "q_llm_pq_encode",
+            "q_llm_quality_calibrate",
+            "q_llm_repetition",
+            "q_llm_sample_hash",
+            "q_llm_sample_reservoir",
+            "q_llm_split_stratified",
+            "q_llm_textscore",
+            "q_llm_tfidf",
+            "q_llm_tokenize",
+            "q_sql_recursive_spine",
+            "q_win_time_range",
+            "q_agg_boolcond",
+            "q_agg_decimal",
         )
     },
-    # (d) every other ever-driver-sampled query pins at 100
+    # (f) every other ever-driver-sampled query pins at 100
     **{
         n: 100
         for n in (
             "q_agg_approx_distinct",
             "q_agg_argmax",
             "q_agg_bivariate",
-            "q_agg_boolcond",
             "q_agg_bootstrap_ci",
             "q_agg_collect",
             "q_agg_cov_matrix",
             "q_agg_cube",
-            "q_agg_decimal",
             "q_agg_distinct",
             "q_agg_entropy",
             "q_agg_filter_clause",
@@ -204,31 +210,22 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_basket_pairs",
             "q_benford_audit",
             "q_canary_add_months",
-            "q_canary_decimal_sum",
-            "q_canary_empty_agg",
-            "q_canary_filter_null_agg",
-            "q_canary_floor_cents",
-            "q_canary_int_sum",
+            "q_canary_array_semantics",
             "q_canary_ln_quant",
-            "q_canary_month_trunc",
-            "q_canary_neg_div",
-            "q_canary_nullable_bigint",
-            "q_canary_range_frame",
             "q_canary_regex_subset",
-            "q_canary_round_double",
-            "q_canary_string_order",
             "q_canary_tok_split",
-            "q_canary_try_arith",
-            "q_canary_unicode_case",
             "q_canary_wideint_convert",
+            "q_cohort_ltv",
             "q_customer_rfm",
             "q_customer_tier_migration",
             "q_cusum_changepoint",
             "q_events_anova",
+            "q_events_attribution",
             "q_events_burst_episodes",
             "q_events_chisq_shift",
             "q_events_cohort_retention",
             "q_events_conversion_rate",
+            "q_events_cuped",
             "q_events_dau_wau",
             "q_events_decay_engagement",
             "q_events_entropy_rate",
@@ -237,13 +234,16 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_events_inter_arrival",
             "q_events_kruskal",
             "q_events_ks_test",
+            "q_events_lifecycle",
             "q_events_lift_matrix",
             "q_events_logrank",
             "q_events_mad_outliers",
             "q_events_mannwhitney",
             "q_events_markov_stationary",
+            "q_events_mde",
             "q_events_path_prefix",
             "q_events_proportion_ztest",
+            "q_events_seq_patterns",
             "q_events_sessionize",
             "q_events_spearman",
             "q_events_survival",
@@ -253,11 +253,23 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_filter_null",
             "q_fn_array",
             "q_fn_binary",
+            "q_fn_bitwise",
+            "q_fn_case",
+            "q_fn_cast",
+            "q_fn_datetime",
+            "q_fn_explode",
+            "q_fn_hash",
+            "q_fn_json",
+            "q_fn_map",
+            "q_fn_math",
+            "q_fn_posexplode",
             "q_fn_regex",
             "q_fn_split",
             "q_fn_string",
+            "q_fn_struct",
             "q_fn_variant",
             "q_geo_cell_density",
+            "q_geo_dbscan",
             "q_geo_dist_join",
             "q_geo_geofence",
             "q_geo_hotspot",
@@ -282,10 +294,16 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_join_salted",
             "q_join_semi",
             "q_join_theta",
+            "q_kinesis_decode_csv",
+            "q_kinesis_decode_json",
+            "q_kinesis_hotkey_audit",
+            "q_kinesis_lag_audit",
+            "q_kinesis_replay_window",
             "q_kinesis_reshard_plan",
+            "q_kinesis_schema",
+            "q_kinesis_shard_route",
             "q_kinesis_throughput_audit",
             "q_lateral_topn",
-            "q_llm_band_assign",
             "q_llm_band_tuning",
             "q_llm_bigram_topk",
             "q_llm_bitext_mine",
@@ -296,8 +314,11 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_bpe_train3",
             "q_llm_bucket_stats",
             "q_llm_char_entropy",
+            "q_llm_chunk",
+            "q_llm_cluster_keep_best",
             "q_llm_cluster_purity",
             "q_llm_cluster_reweight",
+            "q_llm_cluster_tightness",
             "q_llm_cms_heavy",
             "q_llm_code_detect",
             "q_llm_composition",
@@ -305,26 +326,24 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_contrastive_pairs",
             "q_llm_corpus_build",
             "q_llm_corpus_diff",
+            "q_llm_corpus_stats",
             "q_llm_cross_dup_matrix",
-            "q_llm_curate_e2e",
             "q_llm_curriculum_bins",
             "q_llm_data_card",
             "q_llm_decode_media",
             "q_llm_decontaminate",
             "q_llm_dedup_cluster",
             "q_llm_dedup_containment",
-            "q_llm_dedup_containment_lsh",
             "q_llm_dedup_editdist",
             "q_llm_dedup_embed",
             "q_llm_dedup_exact",
-            "q_llm_dedup_jaccard",
+            "q_llm_dedup_method_overlap",
             "q_llm_dedup_ngram",
             "q_llm_dedup_normalized",
             "q_llm_dedup_precision",
             "q_llm_dedup_semantic",
             "q_llm_dedup_shard_locality",
             "q_llm_dedup_simhash",
-            "q_llm_dedup_survivors",
             "q_llm_dedup_yield_curve",
             "q_llm_diversity",
             "q_llm_domain_quality",
@@ -339,11 +358,11 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_dup_two_hop",
             "q_llm_embed_dimstats",
             "q_llm_embed_drift",
+            "q_llm_embed_isotropy",
             "q_llm_embed_pca_power",
             "q_llm_epoch_schedule",
             "q_llm_fertility",
             "q_llm_filter_funnel",
-            "q_llm_fingerprint",
             "q_llm_frame_sample",
             "q_llm_freq_spectrum",
             "q_llm_gopher_rules",
@@ -351,7 +370,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_hapax_rate",
             "q_llm_hard_negatives",
             "q_llm_heaps_fit",
-            "q_llm_heavy_hitters",
+            "q_llm_heavy_hitters_sketch",
             "q_llm_host_cap_enforce",
             "q_llm_ingest_cdc",
             "q_llm_ingest_dedup",
@@ -359,8 +378,6 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_inverted_index",
             "q_llm_js_divergence",
             "q_llm_keyword_stuffing",
-            "q_llm_kmeans",
-            "q_llm_kmeans_mstep",
             "q_llm_kmeans_train",
             "q_llm_kmv_distinct",
             "q_llm_kmv_setops",
@@ -375,31 +392,26 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_media_dedup",
             "q_llm_media_phash",
             "q_llm_media_sniff",
-            "q_llm_minhash_portable",
-            "q_llm_mixture",
             "q_llm_mixture_sample",
             "q_llm_mixture_temperature",
             "q_llm_mmr_select",
             "q_llm_mrr",
-            "q_llm_multimodal",
             "q_llm_ndcg",
             "q_llm_ngram_lm",
             "q_llm_ngram_novelty_decay",
             "q_llm_novelty",
-            "q_llm_pack",
             "q_llm_pad_waste",
             "q_llm_paragraph_dedup",
             "q_llm_pii_scrub",
             "q_llm_pmi_bigrams",
             "q_llm_pq_adc_topk",
-            "q_llm_pq_encode",
+            "q_llm_pq_distortion",
             "q_llm_prefix_dup",
             "q_llm_probe_curve",
             "q_llm_profile",
             "q_llm_psi_drift",
             "q_llm_quality",
             "q_llm_quality_auc",
-            "q_llm_quality_calibrate",
             "q_llm_quality_dup_matrix",
             "q_llm_quality_ece",
             "q_llm_quality_isotonic",
@@ -413,10 +425,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_refresh_e2e",
             "q_llm_rejection_sample",
             "q_llm_repeated_chunks",
-            "q_llm_repetition",
             "q_llm_rrf_fusion",
-            "q_llm_sample_hash",
-            "q_llm_sample_reservoir",
             "q_llm_scd2",
             "q_llm_semantic_cell_audit",
             "q_llm_semantic_clusters",
@@ -426,21 +435,20 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_semantic_yield",
             "q_llm_shard_balance",
             "q_llm_shingle_df_audit",
+            "q_llm_sim_ivf",
+            "q_llm_sim_lsh",
             "q_llm_sim_topk",
             "q_llm_source_leak",
+            "q_llm_source_vocab_overlap",
             "q_llm_span_coverage",
             "q_llm_split_leakage",
-            "q_llm_split_stratified",
             "q_llm_submodular_coverage",
             "q_llm_substring_dup",
             "q_llm_surprisal",
             "q_llm_template_mine",
-            "q_llm_textscore",
-            "q_llm_tfidf",
             "q_llm_tokcount",
             "q_llm_token_budget",
             "q_llm_token_yield_funnel",
-            "q_llm_tokenize",
             "q_llm_train_order",
             "q_llm_unigram_entropy",
             "q_llm_url_host_audit",
@@ -451,7 +459,12 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_whitespace_anomaly",
             "q_llm_winnow",
             "q_llm_zipf_fit",
+            "q_orders_littles_law",
+            "q_orders_priority_aging",
             "q_pareto_deciles",
+            "q_part_abc_xyz",
+            "q_part_price_elasticity",
+            "q_part_safety_stock",
             "q_pivot",
             "q_privacy_bounded_contrib",
             "q_privacy_cell_suppression",
@@ -460,6 +473,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_privacy_ldiversity",
             "q_privacy_tcloseness",
             "q_project_arith",
+            "q_sales_pvm_bridge",
             "q_scan_full",
             "q_scan_pruned",
             "q_scan_pushdown",
@@ -472,7 +486,6 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_skew_audit",
             "q_sort_multi",
             "q_sort_nulls_first",
-            "q_sql_recursive_spine",
             "q_stream_dedup_keys",
             "q_stream_session",
             "q_stream_sliding",
@@ -482,12 +495,15 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_subquery_scalar",
             "q_topk",
             "q_topk_per_group",
+            "q_trade_flow_matrix",
             "q_ts_acf",
             "q_ts_backlog",
             "q_ts_ccf",
             "q_ts_ewma_cross",
             "q_ts_fano_dispersion",
+            "q_ts_forecast_backtest",
             "q_ts_gapfill",
+            "q_ts_holt_linear",
             "q_ts_hurst",
             "q_ts_lttb",
             "q_ts_mann_kendall",
@@ -495,6 +511,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_ts_pacf",
             "q_ts_peaks",
             "q_ts_runs_test",
+            "q_ts_seasonal_forecast",
             "q_ts_seasonal_outliers",
             "q_ts_seasonality",
             "q_ts_theil_sen",
@@ -505,6 +522,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_udf_scalar",
             "q_udtf_expand",
             "q_unpivot",
+            "q_win_bollinger",
             "q_win_distribution",
             "q_win_drawdown",
             "q_win_first_last",
@@ -522,7 +540,6 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_win_running_distinct",
             "q_win_skyline",
             "q_win_streaks",
-            "q_win_time_range",
             "q_zorder_layout",
         )
     },

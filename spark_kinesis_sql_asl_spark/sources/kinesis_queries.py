@@ -789,3 +789,122 @@ def q_kinesis_efo_plan(spark, sf_dir):
             f" > {_EFO_SHARED_BPH} THEN 1 ELSE 0 END AS INT)"
         ).alias("efo_required"),
     )
+
+
+# --- A18: KCL-style lease assignment / rebalance plan (round 13) ---------------
+
+_LEASE_N_SHARDS = 16  # the A13/A15 modeled md5 ring
+_LEASE_W_OLD = 4  # steady-state worker group before the scale event
+_LEASE_W_NEW = 5  # a worker joins (the KCL scale event under audit)
+
+
+@query(
+    "q_kinesis_lease_plan",
+    priority=30,  # round-13 addition; staged into the r13 window (11)
+    oracle=f"""
+    WITH routed AS (
+        SELECT (instr('0123456789abcdef',
+                      substr(md5(CAST(user_id AS VARCHAR)), 32, 1)) - 1)
+                   % {_LEASE_N_SHARDS} AS shard
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    counts AS (
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_records
+        FROM routed GROUP BY shard
+    ),
+    tot AS (SELECT CAST(sum(n_records) AS BIGINT) AS total FROM counts),
+    ranked AS (
+        SELECT shard, n_records,
+               row_number() OVER (
+                   ORDER BY n_records DESC, shard ASC) AS rk
+        FROM counts
+    )
+    SELECT r.shard, r.n_records,
+           CAST((1000000 * r.n_records) // t.total AS BIGINT) AS share_ppm,
+           CAST(r.shard % {_LEASE_W_OLD} AS BIGINT) AS old_worker,
+           CAST((r.rk - 1) % {_LEASE_W_NEW} AS BIGINT) AS new_worker,
+           CAST(CASE WHEN r.shard % {_LEASE_W_OLD}
+                          <> (r.rk - 1) % {_LEASE_W_NEW}
+                     THEN 1 ELSE 0 END AS INT) AS moved
+    FROM ranked r CROSS JOIN tot t
+    """,
+)
+def q_kinesis_lease_plan(spark, sf_dir):
+    """A18: LEASE assignment/rebalance plan — the operational table a
+    KCL-style consumer group converges to after a scale event (VERDICT
+    r12 item #7b, the row beside A13's reshard plan and A17's EFO
+    decision): which worker owns which shard lease once a
+    {_LEASE_W_NEW}th worker joins a steady {_LEASE_W_OLD}-worker group
+    over the {_LEASE_N_SHARDS}-shard A5 md5 ring.
+
+    The target assignment is the DETERMINISTIC balanced deal KCL's lease
+    taker converges to (uniform lease counts, load-striped): shards
+    ranked by observed record load (desc, shard-id tiebreak) are dealt
+    round-robin across the new worker set — worker counts differ by at
+    most one (the KCL "target leases per worker" invariant,
+    ceil/floor(shards/workers)), and striping by load rank keeps every
+    worker's RECORD load near the mean instead of merely its lease count
+    (the hot-shard clustering failure a naive contiguous split has).
+    ``old_worker`` is the pre-event round-robin steady state (shard mod
+    {_LEASE_W_OLD}); ``moved`` flags the leases that change hands — the
+    checkpoint-handoff cost of the event, which an operator reads BEFORE
+    scaling (each move is a lease steal: shutdown, checkpoint, resume at
+    the stored sequence number).
+
+    Exactness: load ranking and the deal are pure integer arithmetic on
+    exact counts; share_ppm is an exact floor-div (the A13 discipline —
+    no float at any decision boundary). The rank window is partitionless
+    over exactly {_LEASE_N_SHARDS} rows at ANY corpus size (the ring is
+    a compile-time constant — the C139 bounded-domain argument,
+    allowlisted in tests/test_plans.py).
+
+    Scale: one events-scale rollup to {_LEASE_N_SHARDS} rows (map-side
+    combined), then windows and a broadcast total on the
+    {_LEASE_N_SHARDS}-row frame. On a real stream the same query runs on
+    the DescribeStream shard table joined to enhanced-monitoring load —
+    the modeled ring keeps it oracle-able offline."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    digit = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(F.encode(F.col("user_id").cast("string"), "UTF-8")),
+                32,
+                1,
+            ),
+        )
+        - 1
+    )
+    counts = (
+        ev.select((digit % _LEASE_N_SHARDS).cast("bigint").alias("shard"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_records"))
+    )
+    # Total as an unbounded frame over the SAME partitionless 16-row
+    # window the rank uses — one shard frame, one scan; a counts.agg()
+    # cross-join here would re-derive the events scan a second time.
+    rk_w = Window.orderBy(F.col("n_records").desc(), F.col("shard").asc())
+    tot_w = rk_w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = counts.withColumn("rk", F.row_number().over(rk_w)).withColumn(
+        "total", F.sum("n_records").over(tot_w).cast("bigint")
+    )
+    old_w = (F.col("shard") % _LEASE_W_OLD).cast("bigint")
+    new_w = ((F.col("rk") - 1) % _LEASE_W_NEW).cast("bigint")
+    return ranked.select(
+        "shard",
+        "n_records",
+        F.expr("CAST((1000000 * n_records) div total AS BIGINT)").alias(
+            "share_ppm"
+        ),
+        old_w.alias("old_worker"),
+        new_w.alias("new_worker"),
+        F.when(old_w != new_w, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("moved"),
+    )

@@ -17,21 +17,21 @@ from spark_kinesis_sql_asl_spark.registry import all_queries
 
 from .driver_canon import canon_hash, spark_to_pandas
 from .test_registry_rotation import (
-    REORACLED,
-    ROUND12_NEW_THIS_ROUND,
+    REWIRED,
+    ROUND13_NEW_THIS_ROUND,
     _never_sampled,
 )
 
 SF = "/root/testdata/sf0.001"
 
 # Every query the driver is about to HASH for the first time this round:
-# the never-sampled round-11 backlog (window slots 0..26), the re-oracled
-# tranche (their old rows predate the current oracle, so the next hash is
-# effectively a first), plus anything registered this round. A
-# driver-green-on-the-lucky-draw query is the failure class this file
-# exists to catch, so stress exactly those rows.
+# the never-sampled round-12 backlog (window slots 0..5), the rewired
+# tranche (new oracle or materially changed implementation, so the next
+# hash is effectively a first), plus the round-13 additions staged into
+# the window. A driver-green-on-the-lucky-draw query is the failure class
+# this file exists to catch, so stress exactly those rows.
 _FIRST_SAMPLED_THIS_ROUND = sorted(
-    ROUND12_NEW_THIS_ROUND | REORACLED | _never_sampled()
+    ROUND13_NEW_THIS_ROUND | REWIRED | _never_sampled()
 )
 
 

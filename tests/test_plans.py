@@ -538,6 +538,14 @@ _PARTITIONLESS_WINDOW_BY_CONSTRUCTION = {
     # B172 argument), and a running sum cannot be limit-bounded by
     # construction.
     "q_orders_littles_law",
+    # B211 (round 13): the centered 7-day trend frame runs over the
+    # per-DAY revenue series — calendar-bounded (the B190/B173 argument),
+    # and a centered ROWS frame cannot be limit-bounded by construction.
+    "q_ts_stl_decompose",
+    # A18 (round 13): the load-rank deal runs over exactly 16 rows at ANY
+    # corpus size (the modeled shard ring is a compile-time constant —
+    # the C139 bounded-domain argument; see the query docstring).
+    "q_kinesis_lease_plan",
 }
 
 
@@ -747,6 +755,47 @@ def test_media_dims_pure_scan_no_python(spark):
     # expressions — no Python evaluation node of any kind, no join, one
     # documents scan.
     df = QUERIES["q_llm_media_dims"](spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert len(read_schemas(df)) == 1
+    assert "Join" not in plan.split("\n\n", 1)[0]
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+
+
+# --- round-13 additions: plan-shape audits -----------------------------------
+
+
+def test_stl_decompose_one_scan_daily_collapse(spark):
+    # B211: the corpus-scale work is ONE daily hash aggregate over ONE
+    # orders scan (the trend window, slot aggregate, grand mean and
+    # remainder join all run on the |days|-row frame; the seasonal/grand
+    # frames ride broadcasts — no sort-merge join anywhere); the
+    # null-guards push to the parquet scan.
+    df = QUERIES["q_ts_stl_decompose"](spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert len(set(read_schemas(df))) == 1, "expected only orders scans"
+    assert "SortMergeJoin" not in plan
+    pushed = pushed_filters(df)
+    assert any("o_orderdate" in p for p in pushed)
+    assert any("o_totalprice" in p for p in pushed)
+
+
+def test_lease_plan_single_rollup_broadcast_total(spark):
+    # A18: routing is a scan expression; ONE events scan collapses to the
+    # 16-row shard frame; the total rides a 1-row broadcast (no SMJ); the
+    # user_id null-guard pushes down.
+    df = QUERIES["q_kinesis_lease_plan"](spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert len(read_schemas(df)) == 1, "expected exactly one events scan"
+    assert "SortMergeJoin" not in plan
+    assert any("user_id" in p for p in pushed_filters(df))
+
+
+def test_media_dims_jpeg_pure_scan_no_python_no_join(spark):
+    # C175's headline claim: the unrolled marker walk is JVM-side binary
+    # expressions — no Python evaluation node, no join, one documents
+    # scan (the C174 bar, held at variable offsets).
+    df = QUERIES["q_llm_media_dims_jpeg"](spark, SF_ORACLE)
     plan = formatted_plan(df)
     assert len(read_schemas(df)) == 1
     assert "Join" not in plan.split("\n\n", 1)[0]

@@ -1,37 +1,35 @@
-"""Round-12 rotation window assertions (VERDICT r11 items #1 and #2).
+"""Round-13 rotation window assertions (VERDICT r12 items #1, #3, #5).
 
 The driver samples roughly the first 50 entries of the priority-ordered
-registry for CORRECTNESS_r{N}.json. Rounds 4-11 proved the rotation must be
+registry for CORRECTNESS_r{N}.json. Rounds 4-12 proved the rotation must be
 *recomputed* (not guessed) each round from the committed CORRECTNESS
-artifacts. Through round 11 the cumulative ledger is fully green; the only
-queries without a driver row are the 27 round-11 priority-30 additions, and
-four queries carry driver rows that PREDATE their current SQL oracle
-(q_llm_sim_lsh / q_llm_sim_ivf oracled in r11; q_llm_dedup_minhash,
-q_llm_heavy_hitters_sketch and q_llm_ingest_neardup promoted
-rows-only→SQL in r12). The round-12
-window drains both backlogs and resumes the freshness rotation:
+artifacts. Through round 12 the cumulative ledger is fully green; the only
+queries without a driver row are the 6 round-12 priority-30 additions. The
+round-13 window drains that backlog, re-verifies everything whose oracle or
+implementation changed this round, refreshes the overdue canary cohort, and
+— for the first time — stages the CURRENT round's additions directly into
+the window instead of carrying the one-round rotation lag:
 
-  slots 0..26     the 27 never-driver-sampled round-11 additions
+  slots 0..5      the 6 never-driver-sampled round-12 additions
                   (override 8)
-  slots 27..31    the 5 re-oracled queries (override 9) — after this round
-                  every registry query's latest driver row is
-                  post-current-oracle
-  slots 32..49    freshness rotation: the 18 oldest round-3-last-sampled
-                  queries, alphabetical (override 12); the other 20 r3-era
-                  queries queue for round 13
+  slots 6..11     the re-oracled / rewired tranche (override 9): C82s'
+                  rows-only→SQL promotion, the MinHash family rewired onto
+                  the shared portable-signature barrier (C3/C126/C140/
+                  C143), and q_llm_dedup_jaccard re-verifying the shared
+                  PPJoin frame after the BIGINT token-domain change (its
+                  full pair dump covers the other 13 consumers)
+  slots 12..24    canary 3-round refresh: the 13 canaries last sampled in
+                  r10 (override 10)
+  slots 25..27    the 3 round-13 additions (override 11) — B211 STL
+                  readout, A18 lease plan, C175 JPEG dims
+  slots 28..49    freshness rotation: the 20 remaining r3-era rows + the
+                  2 oldest r4-era rows (override 12)
 
-Canary cadence: all 18 canaries were re-sampled green in r10/r11 and pin at
-100; the r10 cohort re-enters in round 13 (3-round refresh).
-
-Rows-only half-frequency rule (VERDICT r11 item #2): a no_oracle query that
-has already run clean >=2x under the driver burns no further window slots
-until the freshness queue has fully rotated — asserted below as "the window
-contains no such query".
-
-New round-12 queries use decorator ``priority=30``: behind the window,
-ahead of every pinned-100 query — they take their first driver rows in
-round 13. Add their names to ROUND12_NEW_THIS_ROUND below; the recompute
-tests fail loudly on drift.
+Rows-only half-frequency rule (VERDICT r11 item #2): a no_oracle query
+that has already run clean >=2x under the driver burns no further window
+slots — asserted below as "the window contains no such query" (only
+q_agg_approx_distinct and q_agg_percentile_approx remain rows-only after
+the C82s promotion).
 """
 
 from __future__ import annotations
@@ -46,39 +44,47 @@ from spark_kinesis_sql_asl_spark import registry
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-LAST_DRIVER_ROUND = 11
+LAST_DRIVER_ROUND = 12
 DRIVER_WINDOW = 50
 
-# Queries first registered in round 12 (decorator priority=30): they have no
-# CORRECTNESS row yet by construction. Keep in sync as operators land.
-ROUND12_NEW_THIS_ROUND: frozenset[str] = frozenset(
+# Queries first registered in round 13: staged into the window at override
+# 11 (no driver row yet by construction). Keep in sync as operators land.
+ROUND13_NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
-        "q_ts_holt_winters_mul",  # B208
-        "q_llm_substring_sketch",  # C110s
-        "q_kinesis_efo_plan",  # A17
-        "q_ts_croston",  # B209
-        "q_events_did",  # B210
-        "q_llm_media_dims",  # C174
+        "q_ts_stl_decompose",  # B211
+        "q_kinesis_lease_plan",  # A18
+        "q_llm_media_dims_jpeg",  # C175
     }
 )
 
-# Queries whose driver row predates their CURRENT oracle (the r12 window's
-# override-9 tranche): sim_lsh/sim_ivf gained SQL oracles in round 11 after
-# their last rows; minhash and the heavy-hitters sketch were promoted from
-# rows-only to SQL in round 12.
-REORACLED: frozenset[str] = frozenset(
+# Queries whose driver row predates their CURRENT oracle or whose
+# implementation was materially rewired this round (the override-9
+# tranche): C82s was promoted rows-only→SQL in r13; C3/C126/C140/C143 now
+# read the shared portable-signature barrier; the shared Jaccard build
+# moved to the BIGINT token domain and q_llm_dedup_jaccard re-verifies it.
+REWIRED: frozenset[str] = frozenset(
     {
-        "q_llm_sim_lsh",
-        "q_llm_sim_ivf",
+        "q_llm_dedup_containment_lsh",
+        "q_llm_dedup_jaccard",
         "q_llm_dedup_minhash",
-        "q_llm_heavy_hitters_sketch",
         "q_llm_ingest_neardup",
+        "q_llm_minhash_portable",
+        "q_llm_band_assign",
     }
 )
 
-NEVER_SAMPLED_COUNT = 27  # the round-11 priority-30 additions
-REORACLED_COUNT = 5
-FRESHNESS_TRANCHE_COUNT = 18
+NEVER_SAMPLED_COUNT = 6  # the round-12 priority-30 additions
+REWIRED_COUNT = 6
+CANARY_REFRESH_ROUND = 10  # cohort last sampled r10 re-enters (3-round rule)
+CANARY_REFRESH_COUNT = 13
+R13_NEW_COUNT = 3
+FRESHNESS_TRANCHE_COUNT = (
+    DRIVER_WINDOW
+    - NEVER_SAMPLED_COUNT
+    - REWIRED_COUNT
+    - CANARY_REFRESH_COUNT
+    - R13_NEW_COUNT
+)  # = 22
 
 
 def _ordered():
@@ -132,26 +138,40 @@ def _never_sampled() -> set[str]:
     return (
         set(registry._QUERIES)
         - set(_rows_through(LAST_DRIVER_ROUND))
-        - ROUND12_NEW_THIS_ROUND
+        - ROUND13_NEW_THIS_ROUND
     )
+
+
+def _canary_refresh() -> set[str]:
+    last = _last_sampled()
+    return {
+        q
+        for q, r in last.items()
+        if q.startswith("q_canary_") and r == CANARY_REFRESH_ROUND
+    }
 
 
 def _freshness_tranche() -> list[str]:
-    """First 19 (alphabetical) of the round-3-last-sampled cohort, minus
-    any member promoted into the re-oracled tranche."""
+    """The oldest-last-sampled queries (r3 remainder, then r4 head,
+    alphabetical within a round), minus anything already in another
+    tranche, truncated to the remaining window slots."""
     last = _last_sampled()
     registry.load_all()
-    r3 = sorted(
-        q
-        for q, r in last.items()
-        if r == 3 and q in registry._QUERIES and q not in REORACLED
-    )
-    assert len(r3) == 38, f"r3-era cohort drifted: {len(r3)}"
-    return r3[:FRESHNESS_TRANCHE_COUNT]
+    taken = REWIRED | _canary_refresh()
+    queue: list[str] = []
+    for r in (3, 4):
+        queue.extend(
+            sorted(
+                q
+                for q, lr in last.items()
+                if lr == r and q in registry._QUERIES and q not in taken
+            )
+        )
+    return queue[:FRESHNESS_TRANCHE_COUNT]
 
 
 def test_no_reds_to_recheck():
-    """The cumulative ledger through round 11 is fully green — no query
+    """The cumulative ledger through round 12 is fully green — no query
     carries override 0 (rows-only ``no_oracle`` rows are sampled-clean)."""
     latest = _rows_through(LAST_DRIVER_ROUND)
     reds = {
@@ -172,132 +192,147 @@ def test_no_reds_to_recheck():
 
 
 def test_never_sampled_backlog_heads_the_window():
-    """VERDICT r11 item #1's Done bar, part 1: every one of the 27
-    never-sampled round-11 additions sits at the FRONT of the window
-    (override 8, slots 0..26)."""
+    """VERDICT r12 item #1's Done bar: every one of the 6 never-sampled
+    round-12 additions sits at the FRONT of the window (override 8,
+    slots 0..5)."""
     never = _never_sampled()
-    assert len(never) == NEVER_SAMPLED_COUNT, f"backlog drifted: {len(never)}"
+    assert len(never) == NEVER_SAMPLED_COUNT, f"backlog drifted: {never}"
     for n in sorted(never):
         assert _priority(n) == 8, (n, _priority(n))
     head = set(_ordered()[:NEVER_SAMPLED_COUNT])
     assert head == never, (sorted(head - never), sorted(never - head))
 
 
-def test_reoracled_tranche_follows_backlog():
-    """VERDICT r11 item #1's Done bar, part 2: the 4 queries whose driver
-    rows predate their current oracle take slots 27..30 (override 9), so
-    a silent engine divergence in the promoted oracles surfaces THIS
-    round."""
-    assert len(REORACLED) == REORACLED_COUNT
+def test_rewired_tranche_follows_backlog():
+    """VERDICT r12 items #2/#3: every query whose oracle or implementation
+    changed this round re-verifies THIS round (override 9, slots 6..11) —
+    each must carry an oracle (the C82s promotion included)."""
+    assert len(REWIRED) == REWIRED_COUNT
     registry.load_all()
     oracles = set(registry._ORACLES)
-    for n in REORACLED:
-        assert n in oracles, f"{n} listed as re-oracled but has no oracle"
+    for n in REWIRED:
+        assert n in oracles, f"{n} in the rewired tranche but has no oracle"
         assert _priority(n) == 9, (n, _priority(n))
     names = _ordered()
-    mid = names[NEVER_SAMPLED_COUNT : NEVER_SAMPLED_COUNT + REORACLED_COUNT]
-    assert set(mid) == set(REORACLED), (sorted(mid), sorted(REORACLED))
+    mid = names[NEVER_SAMPLED_COUNT : NEVER_SAMPLED_COUNT + REWIRED_COUNT]
+    assert set(mid) == set(REWIRED), (sorted(mid), sorted(REWIRED))
+
+
+def test_canary_cohort_on_three_round_refresh():
+    """VERDICT r12 item #5: the r10-sampled canary cohort re-enters on the
+    3-round refresh (override 10, slots 12..24); every other canary stays
+    pinned at 100."""
+    cohort = _canary_refresh()
+    assert len(cohort) == CANARY_REFRESH_COUNT, sorted(cohort)
+    names = _ordered()
+    lo = NEVER_SAMPLED_COUNT + REWIRED_COUNT
+    mid = names[lo : lo + CANARY_REFRESH_COUNT]
+    assert set(mid) == cohort, (sorted(mid), sorted(cohort))
+    registry.load_all()
+    for n in registry._QUERIES:
+        if n.startswith("q_canary_"):
+            assert _priority(n) == (10 if n in cohort else 100), n
+
+
+def test_round13_additions_staged_inside_the_window():
+    """The structural one-round rotation lag is CLOSED this round: the 3
+    round-13 additions take window slots (override 11, slots 25..27)
+    instead of queueing behind it."""
+    registry.load_all()
+    names = _ordered()
+    lo = NEVER_SAMPLED_COUNT + REWIRED_COUNT + CANARY_REFRESH_COUNT
+    mid = names[lo : lo + R13_NEW_COUNT]
+    assert set(mid) == ROUND13_NEW_THIS_ROUND, mid
+    for n in ROUND13_NEW_THIS_ROUND:
+        assert _priority(n) == 11, (n, _priority(n))
+        assert n in registry._ORACLES, f"{n} staged in-window without oracle"
 
 
 def test_freshness_tranche_fills_the_window():
-    """Slots 31..49: the 19 oldest round-3-last-sampled queries re-enter
-    at override 12."""
+    """Slots 28..49: the 20 remaining r3-era rows + the 2 oldest r4-era
+    rows re-enter at override 12."""
     tranche = _freshness_tranche()
+    assert len(tranche) == FRESHNESS_TRANCHE_COUNT
     names = _ordered()
-    tail = names[
+    lo = (
         NEVER_SAMPLED_COUNT
-        + REORACLED_COUNT : NEVER_SAMPLED_COUNT
-        + REORACLED_COUNT
-        + FRESHNESS_TRANCHE_COUNT
-    ]
-    assert set(tail) == set(tranche), (sorted(tail), tranche)
+        + REWIRED_COUNT
+        + CANARY_REFRESH_COUNT
+        + R13_NEW_COUNT
+    )
+    tail = names[lo : lo + FRESHNESS_TRANCHE_COUNT]
+    assert set(tail) == set(tranche), (sorted(tail), sorted(tranche))
     assert all(_priority(n) == 12 for n in tail)
+    # the r3-era queue is fully drained this round
+    last = _last_sampled()
+    r3_left = {q for q, r in last.items() if r == 3} - set(tranche) - REWIRED
+    assert r3_left == set(), sorted(r3_left)
 
 
 def test_window_composition_exact():
-    """27 backlog + 4 re-oracled + 19 freshness = the exact 50-slot
-    window."""
-    assert (
-        NEVER_SAMPLED_COUNT + REORACLED_COUNT + FRESHNESS_TRANCHE_COUNT
-        == DRIVER_WINDOW
-    )
+    """6 backlog + 6 rewired + 13 canaries + 3 round-13 additions + 22
+    freshness = the exact 50-slot window."""
     names = _ordered()
     window = set(names[:DRIVER_WINDOW])
-    expect = _never_sampled() | set(REORACLED) | set(_freshness_tranche())
+    expect = (
+        _never_sampled()
+        | set(REWIRED)
+        | _canary_refresh()
+        | ROUND13_NEW_THIS_ROUND
+        | set(_freshness_tranche())
+    )
     assert window == expect, (
         sorted(window - expect),
         sorted(expect - window),
     )
-    # round-12 additions (priority 30) queue directly after the window,
-    # ahead of the pinned-100 majority
-    after = names[DRIVER_WINDOW : DRIVER_WINDOW + len(ROUND12_NEW_THIS_ROUND)]
-    assert set(after) == ROUND12_NEW_THIS_ROUND, after
 
 
 def test_rows_only_half_frequency_rule():
-    """VERDICT r11 item #2's Done bar: the window composition contains no
-    rows-only query that has already run clean >=2x under the driver —
-    confirmed no_oracle rows stop burning window slots."""
+    """VERDICT r11 item #2's Done bar, still enforced: the window contains
+    no rows-only query that has already run clean >=2x under the driver."""
     registry.load_all()
     oracled = set(registry._ORACLES)
     counts = _rows_only_clean_counts()
     window = set(_ordered()[:DRIVER_WINDOW])
     offenders = sorted(
-        q
-        for q in window
-        if q not in oracled and counts.get(q, 0) >= 2
+        q for q in window if q not in oracled and counts.get(q, 0) >= 2
     )
     assert offenders == [], (
         f"confirmed rows-only queries re-burning window slots: {offenders}"
     )
 
 
-def test_canaries_on_three_round_refresh():
-    """All 18 canaries were re-sampled green in r10/r11 and pin at 100
-    this round (the r10 cohort re-enters in round 13) — except any canary
-    that is itself a round-11 addition, which rides the backlog tranche."""
-    registry.load_all()
-    never = _never_sampled()
-    for n in registry._QUERIES:
-        if not n.startswith("q_canary_"):
-            continue
-        if n in never:
-            assert _priority(n) == 8, (n, _priority(n))
-        elif n in ROUND12_NEW_THIS_ROUND:
-            assert _priority(n) == 30, (n, _priority(n))
-        else:
-            assert _priority(n) == 100, (n, _priority(n))
-
-
 def test_new_this_round_constant_is_exact():
-    """ROUND12_NEW_THIS_ROUND == (registered queries with no driver row
-    that are not part of the round-11 backlog) — the r6 lesson: update the
+    """ROUND13_NEW_THIS_ROUND == (registered queries with no driver row
+    that are not part of the round-12 backlog) — the r6 lesson: update the
     constant with EVERY new @query or the recompute tests drift."""
     registry.load_all()
     unsampled = set(registry._QUERIES) - set(
         _rows_through(LAST_DRIVER_ROUND)
     )
     new = unsampled - _never_sampled()
-    assert new == ROUND12_NEW_THIS_ROUND, (
-        sorted(new - ROUND12_NEW_THIS_ROUND),
-        sorted(ROUND12_NEW_THIS_ROUND - new),
+    assert new == ROUND13_NEW_THIS_ROUND, (
+        sorted(new - ROUND13_NEW_THIS_ROUND),
+        sorted(ROUND13_NEW_THIS_ROUND - new),
     )
-    for n in sorted(ROUND12_NEW_THIS_ROUND):
+    for n in sorted(ROUND13_NEW_THIS_ROUND):
         assert n in registry._QUERIES, f"{n} listed but not registered"
-        assert _priority(n) == 30, (n, _priority(n))
 
 
-def test_every_ever_sampled_query_pinned_at_9_12_or_100():
+def test_every_ever_sampled_query_pinned_at_9_10_12_or_100():
     """A <100 decorator priority must never leak a driver-green query back
     into the window at the expense of the rotation plan."""
     registry.load_all()
     fresh = set(_freshness_tranche())
+    canaries = _canary_refresh()
     for n in sorted(
         set(_rows_through(LAST_DRIVER_ROUND)) & set(registry._QUERIES)
     ):
         p = _priority(n)
-        if n in REORACLED:
-            assert p == 9, f"{n}: re-oracled tranche must be 9, got {p}"
+        if n in REWIRED:
+            assert p == 9, f"{n}: rewired tranche must be 9, got {p}"
+        elif n in canaries:
+            assert p == 10, f"{n}: canary refresh must be 10, got {p}"
         elif n in fresh:
             assert p == 12, f"{n}: freshness tranche must be 12, got {p}"
         else:
@@ -360,11 +395,8 @@ def test_survey_inventory_matches_registry():
 
 def test_survey_tier_sum_consistent():
     """Tier rows = query-backed rows + harness-only rows. VERDICT r8:
-    345 rows = 327 query-backed rows (-> 333 registry queries, i.e. 6
-    extra query names on shared rows: A7's second decode, C37's sketch,
-    A9/B42 sharing q_set_union_all, etc.) + 18 harness-only rows. Pinned
-    constants, updated only when a harness-only row or a shared-row query
-    is added."""
+    pinned constants, updated only when a harness-only row or a shared-row
+    query is added."""
     inv = _survey_inventory()
     rows_total = inv["tier_a"] + inv["tier_b"] + inv["tier_c"] + inv["tier_d"]
     registry.load_all()
