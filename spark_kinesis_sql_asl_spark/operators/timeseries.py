@@ -3814,3 +3814,172 @@ def q_ts_stl_decompose(spark, sf_dir):
         "seasonal_milli",
         F.expr("CAST(sa div n_obs AS BIGINT)").alias("remainder_mae_milli"),
     )
+
+
+# --- B212: Wilder RSI on the integer lattice (round 13) ------------------------
+
+_RSI_N = 14  # Wilder's smoothing length
+
+
+def _rsi_step(y: str, prev: str, ag: str, al: str, div: str) -> dict:
+    """One Wilder update at α = 1/{_RSI_N} on the integer milli-cent
+    lattice — ONE formula text per dialect (the B208/B209 convention).
+    Sentinel ag < 0 means 'first delta' (init-by-copy: both averages seed
+    from the first gain/loss pair, the B209 init convention — NOT the
+    textbook 14-bar SMA seed, chosen so the fold is single-phase and the
+    recurrence identical on both engines; after ~4·{_RSI_N} bars the two
+    seeds converge geometrically)."""
+    g = f"greatest({y} - {prev}, CAST(0 AS BIGINT))"
+    ls = f"greatest({prev} - {y}, CAST(0 AS BIGINT))"
+    return {
+        "ag": (
+            f"(CASE WHEN {ag} < 0 THEN 1000 * {g}"
+            f" ELSE ({_RSI_N - 1} * {ag} + 1000 * {g}) {div} {_RSI_N} END)"
+        ),
+        "al": (
+            f"(CASE WHEN {al} < 0 THEN 1000 * {ls}"
+            f" ELSE ({_RSI_N - 1} * {al} + 1000 * {ls}) {div} {_RSI_N} END)"
+        ),
+        "up": f"(CASE WHEN {y} > {prev} THEN 1 ELSE 0 END)",
+        "down": f"(CASE WHEN {y} < {prev} THEN 1 ELSE 0 END)",
+    }
+
+
+_RSI_DUCK = _rsi_step("s.y", "r.prev", "r.ag", "r.al", "//")
+_RSI_SPARK = _rsi_step("s.y", "acc.prev", "acc.ag", "acc.al", "div")
+
+
+@query(
+    "q_ts_rsi",
+    priority=30,  # round-13 addition; staged into the r13 window (11)
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT o_orderpriority AS grp,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+          AND o_orderpriority IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT grp, d, y,
+               row_number() OVER (PARTITION BY grp ORDER BY d) AS t
+        FROM daily
+    ),
+    nn AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n
+        FROM seq GROUP BY grp HAVING count(*) >= 2
+    ),
+    rec(grp, t, prev, ag, al, up, down) AS (
+        SELECT s1.grp, CAST(1 AS BIGINT), s1.y,
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM seq s1 JOIN nn ON s1.grp = nn.grp
+        WHERE s1.t = 1
+        UNION ALL
+        SELECT r.grp, r.t + 1, s.y,
+               {_RSI_DUCK["ag"]},
+               {_RSI_DUCK["al"]},
+               r.up + {_RSI_DUCK["up"]},
+               r.down + {_RSI_DUCK["down"]}
+        FROM rec r JOIN seq s ON s.grp = r.grp AND s.t = r.t + 1
+    )
+    SELECT r.grp, nn.n AS n_days, r.up AS n_up, r.down AS n_down,
+           r.ag AS avg_gain_milli, r.al AS avg_loss_milli,
+           CASE WHEN r.ag + r.al > 0
+                THEN CAST((1000000 * r.ag) // (r.ag + r.al) AS BIGINT)
+           END AS rsi_ppm
+    FROM rec r JOIN nn ON r.grp = nn.grp AND r.t = nn.n
+    """,
+)
+def q_ts_rsi(spark, sf_dir):
+    """B212: Wilder's RELATIVE STRENGTH INDEX (Wilder 1978) over the
+    daily revenue series per order priority — the momentum-oscillator
+    rung of the B194 (Bollinger) / B203 (Holt) indicator family: average
+    gain and average loss each smoothed at α = 1/{_RSI_N} (Wilder's
+    n={_RSI_N}), RSI = 100·ag/(ag+al) released in exact ppm. The
+    overbought/oversold readout (RSI > 70 / < 30 in the classic rule, >
+    700000 / < 300000 ppm here) a revenue-ops pipeline alarms on, with
+    the raw up/down day counts beside it so the reader can tell a
+    one-sided drift from genuine momentum.
+
+    Cross-engine float shape: NO float — gains/losses in exact integer
+    cents, both Wilder averages walk the MILLI-cent lattice with
+    truncating division (D7-pinned), one shared per-step formula text
+    (:func:`_rsi_step`): Spark folds each priority's sorted daily array
+    carrying (prev, ag, al, up, down), DuckDB walks the grouped
+    recursive CTE. Init-by-copy at the first delta (ag<0 sentinel — the
+    B209 convention; the textbook {_RSI_N}-bar SMA seed differs only in
+    the geometrically-vanishing seed term, and BOTH engines share this
+    exact recurrence, which is what the oracle verifies). rsi_ppm is an
+    exact integer floor-div with the ag+al=0 flat-series guard releasing
+    NULL on both engines.
+
+    Plan/scale: one daily hash aggregate (predicates pushed), then a
+    5-group fold over calendar-bounded arrays — kilobytes at any SF (the
+    B209 shape: no window, no join in the corpus-scale stage)."""
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = (
+        table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+            & F.col("o_orderpriority").isNotNull()
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("grp"),
+            F.datediff(F.col("o_orderdate").cast("date"), epoch)
+            .cast("bigint")
+            .alias("d"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    arr = (
+        daily.groupBy("grp")
+        .agg(
+            F.expr("array_sort(collect_list(struct(d, y)))").alias("ev"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+        .where(F.col("n_days") >= 2)
+    )
+    folded = arr.select(
+        "grp",
+        "n_days",
+        F.expr(
+            f"""
+            aggregate(
+              slice(ev, 2, size(ev) - 1),
+              named_struct(
+                'prev', element_at(ev, 1).y,
+                'ag', CAST(-1 AS BIGINT), 'al', CAST(-1 AS BIGINT),
+                'up', CAST(0 AS BIGINT), 'down', CAST(0 AS BIGINT)),
+              (acc, s) -> named_struct(
+                'prev', s.y,
+                'ag', {_RSI_SPARK["ag"]},
+                'al', {_RSI_SPARK["al"]},
+                'up', acc.up + {_RSI_SPARK["up"]},
+                'down', acc.down + {_RSI_SPARK["down"]})
+            )
+            """
+        ).alias("fin"),
+    )
+    return folded.select(
+        "grp",
+        "n_days",
+        F.col("fin.up").alias("n_up"),
+        F.col("fin.down").alias("n_down"),
+        F.col("fin.ag").alias("avg_gain_milli"),
+        F.col("fin.al").alias("avg_loss_milli"),
+        F.expr(
+            "CASE WHEN fin.ag + fin.al > 0 THEN"
+            " CAST((1000000 * fin.ag) div (fin.ag + fin.al) AS BIGINT)"
+            " END"
+        ).alias("rsi_ppm"),
+    )

@@ -79,12 +79,13 @@ _MODULES = (
 #                shared frame's full pair dump for the other 13 consumers
 #   override 10  canary 3-round refresh: the 13 canaries last sampled in
 #                r10 — slots 12..24
-#   override 11  the 3 round-13 additions (B211 STL readout, A18 lease
-#                plan, C175 JPEG dims) staged DIRECTLY into the window —
-#                first round the structural one-round rotation lag is
-#                closed instead of carried — slots 25..27
-#   override 12  freshness rotation: the 20 remaining r3-era rows plus the
-#                2 oldest r4-era rows (alphabetical) — slots 28..49
+#   override 11  the 5 round-13 additions (B211 STL readout, B212 RSI,
+#                A18 lease plan, A19 retention plan, C175 JPEG dims)
+#                staged DIRECTLY into the window — first round the
+#                structural one-round rotation lag is closed instead of
+#                carried — slots 25..29
+#   override 12  freshness rotation: the 20 remaining r3-era rows
+#                (alphabetical) — slots 30..49, draining the r3 queue
 #   override 100 every other ever-driver-sampled query
 #
 # Rows-only half-frequency rule (VERDICT r11 item #2) still holds: the two
@@ -135,12 +136,14 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_canary_unicode_case",
         )
     },
-    # (d) round-13 additions, staged into the window: slots 25..27
+    # (d) round-13 additions, staged into the window: slots 25..29
     **{
         n: 11
         for n in (
             "q_kinesis_lease_plan",
+            "q_kinesis_retention_plan",
             "q_llm_media_dims_jpeg",
+            "q_ts_rsi",
             "q_ts_stl_decompose",
         )
     },
@@ -168,8 +171,6 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_tokenize",
             "q_sql_recursive_spine",
             "q_win_time_range",
-            "q_agg_boolcond",
-            "q_agg_decimal",
         )
     },
     # (f) every other ever-driver-sampled query pins at 100
@@ -179,9 +180,11 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_agg_approx_distinct",
             "q_agg_argmax",
             "q_agg_bivariate",
+            "q_agg_boolcond",
             "q_agg_bootstrap_ci",
             "q_agg_collect",
             "q_agg_cov_matrix",
+            "q_agg_decimal",
             "q_agg_cube",
             "q_agg_distinct",
             "q_agg_entropy",

@@ -908,3 +908,183 @@ def q_kinesis_lease_plan(spark, sf_dir):
         .cast("int")
         .alias("moved"),
     )
+
+
+# --- A19: retention / replay-coverage plan (round 13) ---------------------------
+
+_RET_N_SHARDS = 16  # the A13/A15 modeled md5 ring
+_RET_DEFAULT_HOURS = 24  # Kinesis default retention; beyond is billed extended
+_US_PER_HOUR = 3_600_000_000
+
+
+@query(
+    "q_kinesis_retention_plan",
+    priority=30,  # round-13 addition; staged into the r13 window (11)
+    oracle=f"""
+    WITH routed AS (
+        SELECT (instr('0123456789abcdef',
+                      substr(md5(CAST(user_id AS VARCHAR)), 32, 1)) - 1)
+                   % {_RET_N_SHARDS} AS shard,
+               ts, event_id,
+               length(coalesce(props, '')) + {_EFO_ENVELOPE_BYTES} AS bytes
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    ranked AS (
+        SELECT shard, ts,
+               row_number() OVER (
+                   PARTITION BY shard ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY shard) AS n,
+               CAST(sum(bytes) OVER (PARTITION BY shard) AS BIGINT)
+                   AS total_bytes,
+               CAST(min(epoch_us(ts)) OVER (PARTITION BY shard) AS BIGINT)
+                   AS min_us,
+               CAST(max(epoch_us(ts)) OVER (PARTITION BY shard) AS BIGINT)
+                   AS max_us
+        FROM routed
+    ),
+    ck AS (
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(n AS BIGINT) AS n_records,
+               total_bytes, min_us, max_us,
+               CAST(epoch_us(ts) AS BIGINT) AS ckpt_us
+        FROM ranked
+        WHERE rn = greatest(1, ({_LAG_CKPT_NUM} * n) // {_LAG_CKPT_DEN})
+    ),
+    derived AS (
+        SELECT shard, n_records, total_bytes,
+               (max_us - min_us) // {_US_PER_HOUR} + 1 AS span_hours,
+               (max_us - ckpt_us + {_US_PER_HOUR} - 1) // {_US_PER_HOUR}
+                   AS replay_hours,
+               max_us - ckpt_us AS replay_us
+        FROM ck
+    )
+    SELECT shard, n_records, total_bytes,
+           CAST(span_hours AS BIGINT) AS span_hours,
+           CAST(total_bytes // span_hours AS BIGINT) AS bytes_per_hour,
+           CAST(replay_hours AS BIGINT) AS replay_hours,
+           CAST(greatest({_RET_DEFAULT_HOURS}, replay_hours) AS BIGINT)
+               AS retention_required_hours,
+           CAST(CASE WHEN replay_hours > {_RET_DEFAULT_HOURS}
+                     THEN 1 ELSE 0 END AS INT) AS extended_retention,
+           CAST((1000000 * replay_us)
+                // {_RET_DEFAULT_HOURS * _US_PER_HOUR} AS BIGINT)
+               AS window_util_ppm,
+           CAST((total_bytes // span_hours)
+                * greatest({_RET_DEFAULT_HOURS}, replay_hours) AS BIGINT)
+               AS retention_bytes_est
+    FROM derived
+    """,
+)
+def q_kinesis_retention_plan(spark, sf_dir):
+    """A19: stream RETENTION sizing — the IncreaseStreamRetentionPeriod
+    decision table beside A15's lag audit and A17's EFO plan: per A5-ring
+    shard, does the DEFAULT {_RET_DEFAULT_HOURS}h retention cover the
+    slowest consumer's replay need, and what does the required window
+    cost in stored bytes? The consumer checkpoint is A15's deterministic
+    model (the ({_LAG_CKPT_NUM}/{_LAG_CKPT_DEN}·n)-th record in
+    (ts, event_id) order); the replay need is the ceil-hours from that
+    checkpoint to the shard tip — if a crashed consumer must restart
+    from its last ack, retention has to span exactly that window or
+    records age out (the silent-data-loss failure A11's policy then
+    surfaces). Released per shard: volume, active-span hours, bytes/hour
+    rate, replay hours, the required retention (service floor
+    {_RET_DEFAULT_HOURS}h), an extended-retention flag, how much of the
+    default window the replay already consumes (exact floor-ppm), and
+    the stored-byte estimate at the required retention (rate × hours —
+    the number the extended-retention bill scales with).
+
+    Exactness: all integers — micros arithmetic, ceil-hours as
+    (x + 3599999999) div 3600000000 on non-negative lags, floor-div
+    rates and ppm (the A13 no-float-at-a-boundary discipline).
+
+    Plan/scale: ONE pass — the checkpoint rank and every per-shard
+    total (count, bytes, min/max micros) ride the SAME shard-partitioned
+    window, so the ckpt row already carries its shard's aggregates and
+    no second scan or self-join exists (tightening A15's ckpt+tips
+    two-derivation shape); state is one row per shard-task, release is
+    {_RET_N_SHARDS} rows."""
+    from pyspark.sql import Window
+
+    digit = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(F.encode(F.col("user_id").cast("string"), "UTF-8")),
+                32,
+                1,
+            ),
+        )
+        - 1
+    )
+    routed = (
+        table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            (digit % _RET_N_SHARDS).cast("bigint").alias("shard"),
+            "ts",
+            "event_id",
+            (
+                F.length(F.coalesce(F.col("props"), F.lit("")))
+                + _EFO_ENVELOPE_BYTES
+            ).alias("bytes"),
+        )
+    )
+    w = Window.partitionBy("shard").orderBy("ts", "event_id")
+    wn = Window.partitionBy("shard")
+    ranked = routed.select(
+        "shard",
+        "ts",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.sum("bytes").over(wn).cast("bigint").alias("total_bytes"),
+        F.min(F.unix_micros("ts")).over(wn).cast("bigint").alias("min_us"),
+        F.max(F.unix_micros("ts")).over(wn).cast("bigint").alias("max_us"),
+    )
+    ck = ranked.where(
+        F.col("rn")
+        == F.greatest(
+            F.lit(1),
+            F.expr(f"CAST(({_LAG_CKPT_NUM} * n) div {_LAG_CKPT_DEN} AS INT)"),
+        )
+    ).select(
+        "shard",
+        F.col("n").cast("bigint").alias("n_records"),
+        "total_bytes",
+        "min_us",
+        "max_us",
+        F.unix_micros("ts").alias("ckpt_us"),
+    )
+    span_h = F.expr(f"(max_us - min_us) div {_US_PER_HOUR} + 1")
+    replay_h = F.expr(
+        f"(max_us - ckpt_us + {_US_PER_HOUR - 1}) div {_US_PER_HOUR}"
+    )
+    need_h = F.greatest(F.lit(_RET_DEFAULT_HOURS).cast("bigint"), replay_h)
+    return ck.select(
+        "shard",
+        "n_records",
+        "total_bytes",
+        span_h.cast("bigint").alias("span_hours"),
+        F.expr(
+            f"CAST(total_bytes div ((max_us - min_us) div {_US_PER_HOUR} + 1)"
+            " AS BIGINT)"
+        ).alias("bytes_per_hour"),
+        replay_h.cast("bigint").alias("replay_hours"),
+        need_h.cast("bigint").alias("retention_required_hours"),
+        F.when(replay_h > _RET_DEFAULT_HOURS, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("extended_retention"),
+        F.expr(
+            f"CAST((1000000 * (max_us - ckpt_us))"
+            f" div {_RET_DEFAULT_HOURS * _US_PER_HOUR} AS BIGINT)"
+        ).alias("window_util_ppm"),
+        (
+            F.expr(
+                f"total_bytes div ((max_us - min_us) div {_US_PER_HOUR} + 1)"
+            )
+            * need_h
+        )
+        .cast("bigint")
+        .alias("retention_bytes_est"),
+    )

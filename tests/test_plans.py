@@ -801,3 +801,28 @@ def test_media_dims_jpeg_pure_scan_no_python_no_join(spark):
     assert "Join" not in plan.split("\n\n", 1)[0]
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, node
+
+
+def test_rsi_pushes_predicates_and_folds_once(spark):
+    # B212: the null-guards must reach the parquet scan; the Wilder walk
+    # is an aggregate() fold — no Window node, no join, one orders scan
+    # (the B209 shape).
+    df = QUERIES["q_ts_rsi"](spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert len(read_schemas(df)) == 1
+    assert "Window" not in plan
+    assert "Join" not in plan.split("\n\n", 1)[0]
+    pushed = pushed_filters(df)
+    assert any("o_orderdate" in p for p in pushed)
+    assert any("o_orderpriority" in p for p in pushed)
+
+
+def test_retention_plan_one_pass_no_join(spark):
+    # A19's headline claim: the checkpoint rank and every per-shard total
+    # ride ONE shard-partitioned window pass — exactly one events scan
+    # and NO join node anywhere (tightens A15's ckpt+tips shape).
+    df = QUERIES["q_kinesis_retention_plan"](spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert len(read_schemas(df)) == 1, "expected exactly one events scan"
+    assert "Join" not in plan
+    assert any("user_id" in p for p in pushed_filters(df))

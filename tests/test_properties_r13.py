@@ -231,3 +231,85 @@ def test_jpeg_walk_exhaustion_quarantines():
     p += (32).to_bytes(2, "big") + (64).to_bytes(2, "big") + b"\x01\x01\x11\x00"
     assert jpeg_walk(p, max_steps=6) is None
     assert jpeg_walk(p, max_steps=8) is not None
+
+
+# --- B212: Wilder RSI integer-lattice walk -------------------------------------
+
+_RSI_N = 14
+
+
+def rsi_reference(ys):
+    """Pure-Python rendering of the B212 lattice walk (init-by-copy
+    sentinel, truncating division)."""
+    if len(ys) < 2:
+        return None
+    prev, ag, al, up, down = ys[0], -1, -1, 0, 0
+    for y in ys[1:]:
+        g = max(y - prev, 0)
+        ls = max(prev - y, 0)
+        ag = 1000 * g if ag < 0 else _tdiv((_RSI_N - 1) * ag + 1000 * g, _RSI_N)
+        al = 1000 * ls if al < 0 else _tdiv((_RSI_N - 1) * al + 1000 * ls, _RSI_N)
+        up += 1 if y > prev else 0
+        down += 1 if y < prev else 0
+        prev = y
+    rsi = _tdiv(1_000_000 * ag, ag + al) if ag + al > 0 else None
+    return ag, al, up, down, rsi
+
+
+@given(ys=st.lists(st.integers(0, 10**9), min_size=2, max_size=120))
+@_SETTINGS
+def test_rsi_bounds_and_counts(ys):
+    """RSI stays in [0, 1e6] ppm, both averages stay non-negative after
+    init, and up+down never exceeds the number of deltas — on ANY series."""
+    ag, al, up, down, rsi = rsi_reference(ys)
+    assert ag >= 0 and al >= 0
+    assert up + down <= len(ys) - 1
+    if rsi is not None:
+        assert 0 <= rsi <= 1_000_000
+
+
+@given(
+    start=st.integers(0, 10**6),
+    steps=st.lists(st.integers(1, 10**4), min_size=2, max_size=60),
+)
+@_SETTINGS
+def test_rsi_monotone_series_saturates(start, steps):
+    """A strictly increasing series has zero average loss -> RSI exactly
+    1e6 ppm; its mirror image gives exactly 0 — the oscillator's defining
+    extremes, exact on the integer lattice (no float drift)."""
+    ys = [start]
+    for s in steps:
+        ys.append(ys[-1] + s)
+    ag, al, up, down, rsi = rsi_reference(ys)
+    assert al == 0 and down == 0 and rsi == 1_000_000
+    ys_down = [ys[0] + ys[-1] - y for y in ys]  # strictly decreasing
+    ag2, al2, up2, down2, rsi2 = rsi_reference(ys_down)
+    assert ag2 == 0 and up2 == 0 and rsi2 == 0
+
+
+def test_rsi_flat_series_releases_null():
+    """ag = al = 0 on a constant series -> the 0/0 guard yields None
+    (NULL on both engines), never a division error."""
+    assert rsi_reference([5, 5, 5, 5])[4] is None
+
+
+# --- A19: ceil-hours identity ---------------------------------------------------
+
+_US_PER_HOUR = 3_600_000_000
+
+
+@given(lag_us=st.integers(0, 10**15))
+@_SETTINGS
+def test_ceil_hours_identity(lag_us):
+    """(x + H-1) div H == ceil(x / H) for non-negative lags — the exact
+    integer form A19 uses for replay_hours (never a float ceil at the
+    retention boundary)."""
+    import math
+
+    got = (lag_us + _US_PER_HOUR - 1) // _US_PER_HOUR
+    assert got == math.ceil(lag_us / _US_PER_HOUR) or (
+        # float ceil can itself be wrong above 2^53 — the reason the
+        # integer form exists; verify against exact rational instead
+        got == -(-lag_us // _US_PER_HOUR)
+    )
+    assert got == -(-lag_us // _US_PER_HOUR)

@@ -20,10 +20,11 @@ the window instead of carrying the one-round rotation lag:
                   full pair dump covers the other 13 consumers)
   slots 12..24    canary 3-round refresh: the 13 canaries last sampled in
                   r10 (override 10)
-  slots 25..27    the 3 round-13 additions (override 11) — B211 STL
-                  readout, A18 lease plan, C175 JPEG dims
-  slots 28..49    freshness rotation: the 20 remaining r3-era rows + the
-                  2 oldest r4-era rows (override 12)
+  slots 25..29    the 5 round-13 additions (override 11) — B211 STL
+                  readout, B212 RSI, A18 lease plan, A19 retention plan,
+                  C175 JPEG dims
+  slots 30..49    freshness rotation: the 20 remaining r3-era rows
+                  (override 12), fully draining the r3 queue
 
 Rows-only half-frequency rule (VERDICT r11 item #2): a no_oracle query
 that has already run clean >=2x under the driver burns no further window
@@ -52,7 +53,9 @@ DRIVER_WINDOW = 50
 ROUND13_NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
         "q_ts_stl_decompose",  # B211
+        "q_ts_rsi",  # B212
         "q_kinesis_lease_plan",  # A18
+        "q_kinesis_retention_plan",  # A19
         "q_llm_media_dims_jpeg",  # C175
     }
 )
@@ -77,7 +80,7 @@ NEVER_SAMPLED_COUNT = 6  # the round-12 priority-30 additions
 REWIRED_COUNT = 6
 CANARY_REFRESH_ROUND = 10  # cohort last sampled r10 re-enters (3-round rule)
 CANARY_REFRESH_COUNT = 13
-R13_NEW_COUNT = 3
+R13_NEW_COUNT = 5
 FRESHNESS_TRANCHE_COUNT = (
     DRIVER_WINDOW
     - NEVER_SAMPLED_COUNT
@@ -249,8 +252,8 @@ def test_round13_additions_staged_inside_the_window():
 
 
 def test_freshness_tranche_fills_the_window():
-    """Slots 28..49: the 20 remaining r3-era rows + the 2 oldest r4-era
-    rows re-enter at override 12."""
+    """Slots 30..49: the 20 remaining r3-era rows re-enter at override
+    12, fully draining the r3 queue."""
     tranche = _freshness_tranche()
     assert len(tranche) == FRESHNESS_TRANCHE_COUNT
     names = _ordered()
@@ -270,7 +273,7 @@ def test_freshness_tranche_fills_the_window():
 
 
 def test_window_composition_exact():
-    """6 backlog + 6 rewired + 13 canaries + 3 round-13 additions + 22
+    """6 backlog + 6 rewired + 13 canaries + 5 round-13 additions + 20
     freshness = the exact 50-slot window."""
     names = _ordered()
     window = set(names[:DRIVER_WINDOW])
