@@ -152,6 +152,29 @@ def _stage_hotkey(spark, sf_dir, root):
     return out
 
 
+def _stage_order_days_prio(spark, sf_dir, root):
+    out = os.path.join(root, "order_days_prio")
+    df = (
+        table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+            & F.col("o_orderpriority").isNotNull()
+        )
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.expr("unix_micros(date_trunc('day', o_orderdate))").alias(
+                "day_us"
+            ),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias(
+                "cents"
+            ),
+        )
+    )
+    _write(df, out)
+    return out
+
+
 def _stage_lineitem_cust(spark, sf_dir, root):
     out = os.path.join(root, "lineitem_cust")
     df = (
@@ -177,6 +200,7 @@ _STAGERS = {
     "docs": _stage_docs,
     "order_days_nation": _stage_order_days_nation,
     "order_days": _stage_order_days,
+    "order_days_prio": _stage_order_days_prio,
     "spans": _stage_spans,
     "customer": _stage_customer,
     "hotkey": _stage_hotkey,
@@ -334,6 +358,12 @@ def _od_holt(spark, staged):
     return streaming_holt_linear(_read(spark, staged))
 
 
+def _odp_rsi(spark, staged):
+    from .timeseries import streaming_rsi
+
+    return streaming_rsi(_read(spark, staged))
+
+
 def _sp_littles(spark, staged):
     from .timeseries import streaming_littles_law
 
@@ -384,6 +414,7 @@ TWINS = {
     "s_seasonal_forecast": ("order_days", _od_seasonal),
     "s_bollinger": ("order_days", _od_bollinger),
     "s_holt_linear": ("order_days", _od_holt),
+    "s_rsi": ("order_days_prio", _odp_rsi),
     "s_littles_law": ("spans", _sp_littles),
     "s_cell_density": ("customer", _cu_cells),
     "s_hotkey_monitor": ("hotkey", _hk_monitor),

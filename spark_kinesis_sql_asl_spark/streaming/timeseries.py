@@ -974,3 +974,98 @@ def streaming_littles_law(span_stream):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- B212 twin: Wilder RSI ------------------------------------------------------
+
+_RSI_N = 14  # must match operators/timeseries._RSI_N
+_RSI_OUT_SCHEMA = (
+    "grp string, n_days bigint, n_up bigint, n_down bigint, "
+    "avg_gain_milli bigint, avg_loss_milli bigint, rsi_ppm bigint, "
+    "seq bigint"
+)
+_RSI_STATE_SCHEMA = "days array<bigint>, cents array<bigint>, seq bigint"
+
+
+def streaming_rsi(order_stream):
+    """B212-stream: Wilder's RSI as keyed streaming state, per priority
+    series. Like the B203 twin, the naive online form (update (ag, al)
+    from each arriving record) breaks under late data — a late order
+    changes a PAST day's revenue and therefore every delta after it — so
+    the honest streaming form keeps the per-day integer series itself
+    (calendar-bounded state, the B131s/B190s argument) and RE-FOLDS the
+    exact B212 recurrence per micro-batch: same milli-cent lattice, same
+    α = 1/{_RSI_N} truncating steps, same init-by-copy sentinel, so the
+    final emission equals the batch operator exactly (division-free
+    integer compare in the parity test; rsi_ppm is itself an exact
+    integer).
+
+    Input columns: grp (priority), day_us (epoch µs of the truncated
+    day), cents.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            days, cents, seq = state.get
+            acc = dict(zip((int(d) for d in days), (int(c) for c in cents)))
+        else:
+            acc = {}
+            seq = 0
+        for pdf in pdfs:
+            for day_us, c in zip(pdf["day_us"], pdf["cents"]):
+                d = int(day_us) // 86_400_000_000
+                acc[d] = acc.get(d, 0) + int(c)
+        seq += 1
+        days_sorted = sorted(acc)
+        state.update((days_sorted, [acc[d] for d in days_sorted], seq))
+        ys = [acc[d] for d in days_sorted]
+        rows: dict[str, list] = {k: [] for k in (
+            "n_days", "n_up", "n_down", "ag", "al", "rsi")}
+        if len(ys) >= 2:
+            prev, ag, al, up, down = ys[0], -1, -1, 0, 0
+            for y in ys[1:]:
+                g = max(y - prev, 0)
+                ls = max(prev - y, 0)
+                ag = (
+                    1000 * g
+                    if ag < 0
+                    else _trunc_div((_RSI_N - 1) * ag + 1000 * g, _RSI_N)
+                )
+                al = (
+                    1000 * ls
+                    if al < 0
+                    else _trunc_div((_RSI_N - 1) * al + 1000 * ls, _RSI_N)
+                )
+                up += 1 if y > prev else 0
+                down += 1 if y < prev else 0
+                prev = y
+            rows["n_days"].append(len(ys))
+            rows["n_up"].append(up)
+            rows["n_down"].append(down)
+            rows["ag"].append(ag)
+            rows["al"].append(al)
+            rows["rsi"].append(
+                _trunc_div(1_000_000 * ag, ag + al) if ag + al > 0 else None
+            )
+        n = len(rows["n_days"])
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]] * n,
+                "n_days": pd.Series(rows["n_days"], dtype="int64"),
+                "n_up": pd.Series(rows["n_up"], dtype="int64"),
+                "n_down": pd.Series(rows["n_down"], dtype="int64"),
+                "avg_gain_milli": pd.Series(rows["ag"], dtype="int64"),
+                "avg_loss_milli": pd.Series(rows["al"], dtype="int64"),
+                "rsi_ppm": pd.Series(rows["rsi"], dtype="object"),
+                "seq": pd.Series([seq] * n, dtype="int64"),
+            }
+        )
+
+    return order_stream.groupBy("grp").applyInPandasWithState(
+        fold,
+        outputStructType=_RSI_OUT_SCHEMA,
+        stateStructType=_RSI_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

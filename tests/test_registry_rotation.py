@@ -403,7 +403,7 @@ def test_survey_tier_sum_consistent():
     inv = _survey_inventory()
     rows_total = inv["tier_a"] + inv["tier_b"] + inv["tier_c"] + inv["tier_d"]
     registry.load_all()
-    HARNESS_ONLY_ROWS = 22  # +B163s (r9), +B194s/+B202s/+B203s (r11 twins)
+    HARNESS_ONLY_ROWS = 23  # ... +B194s/B202s/B203s (r11), +B212s (r13)
     EXTRA_QUERIES_ON_SHARED_ROWS = 6
     assert rows_total == len(registry._QUERIES) + HARNESS_ONLY_ROWS - (
         EXTRA_QUERIES_ON_SHARED_ROWS

@@ -2915,3 +2915,95 @@ def test_streaming_lag_monitor_equals_batch(spark, tmp_path):
         ), shard
     # non-vacuous: the fixture must exercise BOTH alarm states somewhere
     assert any(g.alarm_iterator_age == 1 for g in got.values())
+
+
+# --- B212s: streaming RSI parity --------------------------------------------------
+
+
+def _stage_prio_order_days(spark, out_dir: str, n_files: int):
+    """Stage the (grp, day_us, cents) per-priority order stream the RSI
+    twin consumes — the B212 batch query's exact input lattice."""
+    rows = (
+        table(spark, SF_SMOKE, "orders")
+        .where(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+            & F.col("o_orderpriority").isNotNull()
+        )
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.expr("unix_micros(date_trunc('day', o_orderdate))").alias(
+                "day_us"
+            ),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias(
+                "cents"
+            ),
+        )
+        .collect()
+    )
+    rows.sort(key=lambda r: (r.grp, r.day_us))
+    os.makedirs(out_dir, exist_ok=True)
+    per = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        sl = rows[i * per : (i + 1) * per]
+        tbl = pa.table(
+            {
+                "grp": pa.array([r.grp for r in sl], pa.string()),
+                "day_us": pa.array([r.day_us for r in sl], pa.int64()),
+                "cents": pa.array([r.cents for r in sl], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(out_dir, f"part-{i:02d}.parquet"))
+
+
+def test_streaming_rsi_equals_batch(spark, tmp_path):
+    """B212's streaming twin: the final per-priority emission must equal
+    q_ts_rsi exactly — same integer lattice, rsi_ppm itself an exact
+    integer (or NULL on a flat series), so the compare is division-free
+    equality on every column."""
+    from spark_kinesis_sql_asl_spark.operators.timeseries import q_ts_rsi
+    from spark_kinesis_sql_asl_spark.streaming.timeseries import (
+        streaming_rsi,
+    )
+
+    staging = str(tmp_path / "staging")
+    _stage_prio_order_days(spark, staging, n_files=4)
+    sch = "grp string, day_us bigint, cents bigint"
+    src = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    _drain(
+        streaming_rsi(src)
+        .writeStream.format("memory")
+        .queryName("stream_rsi")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    got = _dedup_last_by_seq(
+        spark,
+        "stream_rsi",
+        ["grp"],
+        [
+            "n_days",
+            "n_up",
+            "n_down",
+            "avg_gain_milli",
+            "avg_loss_milli",
+            "rsi_ppm",
+        ],
+    )
+    expect = {r["grp"]: r for r in q_ts_rsi(spark, SF_SMOKE).collect()}
+    assert {g for (g,) in got} == set(expect)
+    for (g,), vals in got.items():
+        bt = expect[g]
+        assert vals == (
+            bt["n_days"],
+            bt["n_up"],
+            bt["n_down"],
+            bt["avg_gain_milli"],
+            bt["avg_loss_milli"],
+            bt["rsi_ppm"],
+        ), g
