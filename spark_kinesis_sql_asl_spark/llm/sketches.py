@@ -729,3 +729,175 @@ def q_llm_band_assign(spark, sf_dir):
             "achieved_recall"
         ),
     )
+
+
+# --- C176: achieved recall of the PRODUCTION C3 banding geometry (round 13) ----
+
+
+def _c3_band_recall_oracle() -> str:
+    """DuckDB twin: exact tau=0.8 pairs (C2's brute-force form) vs the
+    candidates of the C3 geometry — 24 portable permutations, 6 bands x 4
+    rows (dedup._MH_SIG_TERMS / _MINHASH_BANDS, imported so the audit can
+    never drift from the production constants)."""
+    from .dedup import _MH_SIG_TERMS, _MINHASH_BANDS, _MINHASH_K
+
+    rows_per_band = _MINHASH_K // _MINHASH_BANDS
+    sig_cols = ", ".join(
+        f"min({g.format(h='h')}) AS h{i}" for i, g in enumerate(_MH_SIG_TERMS)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS bucket FROM sigs".format(
+            b=b,
+            cols=", ".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(_MINHASH_BANDS)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM toks a
+        JOIN toks b ON a.tok = b.tok AND a.lang = b.lang
+                   AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    exact AS MATERIALIZED (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE 100 * i >= 80 * (sa.sz + sb.sz - i)
+    ),
+    th AS (
+        SELECT DISTINCT doc_id, {_hex_parse_duck("tok", 1)} AS h
+        FROM toks WHERE tok <> ''
+    ),
+    sigs AS MATERIALIZED (SELECT doc_id, {sig_cols} FROM th GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x
+        JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+                    AND x.doc_id < y.doc_id
+    ),
+    hits AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_hit
+        FROM exact e JOIN cand c
+          ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+           n_hit,
+           round(n_hit * 1.0
+                 / (SELECT count(*) FROM exact), 6) AS achieved_recall,
+           round((SELECT count(*) FROM cand) * 1.0
+                 / (SELECT count(*) FROM exact), 6) AS candidate_ratio
+    FROM hits
+    """
+
+
+@query(
+    "q_llm_band_recall_24",
+    priority=30,  # round-13 addition; staged into the r13 window (11)
+    oracle=_c3_band_recall_oracle(),
+)
+def q_llm_band_recall_24(spark, sf_dir):
+    """C176: ACHIEVED recall of the PRODUCTION C3 banding geometry — the
+    loop C143 closes for the 16-permutation/4-band tuning family, closed
+    here for the geometry the registered dedup rung actually ships
+    (24 permutations, 6 bands x 4 rows, the round-12 widening that took
+    design recall 0.88 -> 0.96 at tau = 0.8): candidates are docs
+    agreeing on all 4 rows of any of the 6 bands, measured against C2's
+    exact tau=0.8 pairs, with the CANDIDATE RATIO beside recall — the
+    price axis (how many candidate pairs the banding generates per true
+    pair) that, together with recall, fully prices the C3 rung before a
+    100 TB run commits to it. Both constants are IMPORTED from the C3
+    implementation, so this audit cannot silently drift from what the
+    production rung does.
+
+    Exactness: signatures are exact integer mins over the shared
+    portable-permutation barrier (:func:`~.dedup.portable_doc_signatures`
+    — zero signature cost in a pipeline already running C3/C126/C140);
+    band keys are comma-joined decimal renderings; candidate generation
+    is a distinct self-join on (band, bucket); outputs are integer
+    counts + two round(6) ratios of exact integers.
+
+    Plan/scale: the exact side reuses the memoized PPJoin scored frame
+    (zero added candidate cost); the band self-join shuffles (band,
+    bucket-hash) pairs bounded by real collisions — the C3 geometry
+    itself; the readout is the C143 single-aggregate full-outer marker
+    join (each pair frame consumed exactly once)."""
+    from .dedup import (
+        _JACCARD_TAU,
+        _MINHASH_BANDS,
+        _MINHASH_K,
+        _jaccard_scored,
+        portable_doc_signatures,
+    )
+
+    scored = _jaccard_scored(spark, sf_dir)
+    jac = F.col("i") * 1.0 / (F.col("sa") + F.col("sb") - F.col("i"))
+    exact = scored.where(jac >= _JACCARD_TAU).select("doc_a", "doc_b")
+    sigs = portable_doc_signatures(spark, sf_dir)
+    rows_per_band = _MINHASH_K // _MINHASH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"h{b * rows_per_band + r}").cast(
+                                    "string"
+                                )
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(_MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    marked = exact.withColumn("in_e", F.lit(1)).join(
+        cand.withColumn("in_c", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+    )
+    return marked.agg(
+        F.sum("in_e").cast("bigint").alias("n_exact"),
+        F.sum("in_c").cast("bigint").alias("n_candidates"),
+        F.sum(F.col("in_e") * F.col("in_c")).cast("bigint").alias("n_hit"),
+    ).select(
+        "n_exact",
+        "n_candidates",
+        "n_hit",
+        F.round(F.col("n_hit") * 1.0 / F.col("n_exact"), 6).alias(
+            "achieved_recall"
+        ),
+        F.round(F.col("n_candidates") * 1.0 / F.col("n_exact"), 6).alias(
+            "candidate_ratio"
+        ),
+    )

@@ -79,13 +79,14 @@ _MODULES = (
 #                shared frame's full pair dump for the other 13 consumers
 #   override 10  canary 3-round refresh: the 13 canaries last sampled in
 #                r10 — slots 12..24
-#   override 11  the 5 round-13 additions (B211 STL readout, B212 RSI,
-#                A18 lease plan, A19 retention plan, C175 JPEG dims)
-#                staged DIRECTLY into the window — first round the
-#                structural one-round rotation lag is closed instead of
-#                carried — slots 25..29
-#   override 12  freshness rotation: the 20 remaining r3-era rows
-#                (alphabetical) — slots 30..49, draining the r3 queue
+#   override 11  the 6 round-13 additions (B211 STL readout, B212 RSI,
+#                A18 lease plan, A19 retention plan, C175 JPEG dims, C176
+#                production-geometry band recall) staged DIRECTLY into the
+#                window — first round the structural one-round rotation
+#                lag is closed instead of carried — slots 25..30
+#   override 12  freshness rotation: the 19 oldest r3-era rows
+#                (alphabetical) — slots 31..49; the one remaining r3 row
+#                (q_win_time_range) heads the round-14 freshness queue
 #   override 100 every other ever-driver-sampled query
 #
 # Rows-only half-frequency rule (VERDICT r11 item #2) still holds: the two
@@ -142,6 +143,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
         for n in (
             "q_kinesis_lease_plan",
             "q_kinesis_retention_plan",
+            "q_llm_band_recall_24",
             "q_llm_media_dims_jpeg",
             "q_ts_rsi",
             "q_ts_stl_decompose",
@@ -170,7 +172,6 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_tfidf",
             "q_llm_tokenize",
             "q_sql_recursive_spine",
-            "q_win_time_range",
         )
     },
     # (f) every other ever-driver-sampled query pins at 100
@@ -543,6 +544,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_win_running_distinct",
             "q_win_skyline",
             "q_win_streaks",
+            "q_win_time_range",
             "q_zorder_layout",
         )
     },

@@ -826,3 +826,14 @@ def test_retention_plan_one_pass_no_join(spark):
     assert len(read_schemas(df)) == 1, "expected exactly one events scan"
     assert "Join" not in plan
     assert any("user_id" in p for p in pushed_filters(df))
+
+
+def test_band_recall_24_no_cartesian_single_readout(spark):
+    # C176: band candidates and the recall marker join must stay hash-
+    # keyed equi-joins (no cartesian / nested loop anywhere), and the
+    # readout is ONE aggregate over the full-outer marker join — the C143
+    # discipline at the production geometry.
+    df = QUERIES["q_llm_band_recall_24"](spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -20,11 +20,11 @@ the window instead of carrying the one-round rotation lag:
                   full pair dump covers the other 13 consumers)
   slots 12..24    canary 3-round refresh: the 13 canaries last sampled in
                   r10 (override 10)
-  slots 25..29    the 5 round-13 additions (override 11) — B211 STL
+  slots 25..30    the 6 round-13 additions (override 11) — B211 STL
                   readout, B212 RSI, A18 lease plan, A19 retention plan,
-                  C175 JPEG dims
-  slots 30..49    freshness rotation: the 20 remaining r3-era rows
-                  (override 12), fully draining the r3 queue
+                  C175 JPEG dims, C176 production-geometry band recall
+  slots 31..49    freshness rotation: the 19 oldest r3-era rows
+                  (override 12); q_win_time_range heads the r14 queue
 
 Rows-only half-frequency rule (VERDICT r11 item #2): a no_oracle query
 that has already run clean >=2x under the driver burns no further window
@@ -57,6 +57,7 @@ ROUND13_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_kinesis_lease_plan",  # A18
         "q_kinesis_retention_plan",  # A19
         "q_llm_media_dims_jpeg",  # C175
+        "q_llm_band_recall_24",  # C176
     }
 )
 
@@ -80,7 +81,7 @@ NEVER_SAMPLED_COUNT = 6  # the round-12 priority-30 additions
 REWIRED_COUNT = 6
 CANARY_REFRESH_ROUND = 10  # cohort last sampled r10 re-enters (3-round rule)
 CANARY_REFRESH_COUNT = 13
-R13_NEW_COUNT = 5
+R13_NEW_COUNT = 6
 FRESHNESS_TRANCHE_COUNT = (
     DRIVER_WINDOW
     - NEVER_SAMPLED_COUNT
@@ -252,8 +253,10 @@ def test_round13_additions_staged_inside_the_window():
 
 
 def test_freshness_tranche_fills_the_window():
-    """Slots 30..49: the 20 remaining r3-era rows re-enter at override
-    12, fully draining the r3 queue."""
+    """Slots 31..49: the 19 oldest remaining r3-era rows re-enter at
+    override 12 (exactly one r3 row — q_win_time_range — stays queued
+    for round 14; the window has 19 slots left after staging all six
+    round-13 additions)."""
     tranche = _freshness_tranche()
     assert len(tranche) == FRESHNESS_TRANCHE_COUNT
     names = _ordered()
@@ -266,14 +269,14 @@ def test_freshness_tranche_fills_the_window():
     tail = names[lo : lo + FRESHNESS_TRANCHE_COUNT]
     assert set(tail) == set(tranche), (sorted(tail), sorted(tranche))
     assert all(_priority(n) == 12 for n in tail)
-    # the r3-era queue is fully drained this round
+    # the r3-era queue drains to exactly ONE member this round
     last = _last_sampled()
     r3_left = {q for q, r in last.items() if r == 3} - set(tranche) - REWIRED
-    assert r3_left == set(), sorted(r3_left)
+    assert r3_left == {"q_win_time_range"}, sorted(r3_left)
 
 
 def test_window_composition_exact():
-    """6 backlog + 6 rewired + 13 canaries + 5 round-13 additions + 20
+    """6 backlog + 6 rewired + 13 canaries + 6 round-13 additions + 19
     freshness = the exact 50-slot window."""
     names = _ordered()
     window = set(names[:DRIVER_WINDOW])
