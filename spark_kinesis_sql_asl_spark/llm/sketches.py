@@ -21,6 +21,27 @@ from ..tables import parallel_table
 _HEX = "0123456789abcdef"
 
 
+def _jaccard_tau_ints() -> tuple[int, int]:
+    """(num, den) integer rendering of dedup._JACCARD_TAU for the oracle
+    exact-pair predicate ``den * i >= num * (sa.sz + sb.sz - i)`` — DERIVED
+    from the same constant the Spark side filters on (ADVICE r13: a
+    hardcoded 80/100 silently diverges oracle from query if tau moves).
+    Exact via Fraction (the prefix_filtered_jaccard discipline), rendered
+    on the house /100 lattice when tau lands on it so today's oracle
+    strings stay byte-identical."""
+    from fractions import Fraction
+
+    from .dedup import _JACCARD_TAU
+
+    frac = Fraction(_JACCARD_TAU).limit_denominator(10_000)
+    if 100 % frac.denominator == 0:
+        return frac.numerator * (100 // frac.denominator), 100
+    return frac.numerator, frac.denominator
+
+
+_TAU_NUM, _TAU_DEN = _jaccard_tau_ints()
+
+
 def _hex_parse_spark(col: str, start: int) -> str:
     """Spark SQL expression: parse 8 hex chars of md5(col) starting at
     1-based position `start` into a BIGINT in [0, 2^32)."""
@@ -466,9 +487,13 @@ def _portable_sig_prefix(spark, sf_dir):
     changing signatures."""
     from .dedup import _MH_A, _MH_B, portable_doc_signatures
 
-    assert _PMH_A == _MH_A[:_PMH_K] and _PMH_B == _MH_B[:_PMH_K], (
-        "portable permutation families diverged"
-    )
+    # An explicit raise, not `assert`: python -O strips asserts, which
+    # would silently void the fails-loudly contract (ADVICE r13).
+    if _PMH_A != _MH_A[:_PMH_K] or _PMH_B != _MH_B[:_PMH_K]:
+        raise RuntimeError(
+            "portable permutation families diverged: sketches._PMH_A/_PMH_B"
+            " no longer prefix dedup._MH_A/_MH_B"
+        )
     return portable_doc_signatures(spark, sf_dir).select(
         "doc_id",
         *[F.col(f"h{i}").alias(f"s{i}") for i in range(_PMH_K)],
@@ -602,7 +627,7 @@ _BA_ROWS = 4
         FROM inter
         JOIN sizes sa ON doc_a = sa.doc_id
         JOIN sizes sb ON doc_b = sb.doc_id
-        WHERE 100 * i >= 80 * (sa.sz + sb.sz - i)
+        WHERE {_TAU_DEN} * i >= {_TAU_NUM} * (sa.sz + sb.sz - i)
     ),
     th AS (
         SELECT DISTINCT doc_id, {_hex_parse_duck("tok", 1)} AS h
@@ -773,7 +798,7 @@ def _c3_band_recall_oracle() -> str:
         FROM inter
         JOIN sizes sa ON doc_a = sa.doc_id
         JOIN sizes sb ON doc_b = sb.doc_id
-        WHERE 100 * i >= 80 * (sa.sz + sb.sz - i)
+        WHERE {_TAU_DEN} * i >= {_TAU_NUM} * (sa.sz + sb.sz - i)
     ),
     th AS (
         SELECT DISTINCT doc_id, {_hex_parse_duck("tok", 1)} AS h

@@ -3678,7 +3678,8 @@ _STL_HALF = _STL_M // 2
     tr AS (
         SELECT d, cents,
                count(*) OVER w AS nw,
-               CAST(sum(cents) OVER w AS BIGINT) AS sw
+               CAST(sum(cents) OVER w AS BIGINT) AS sw,
+               CAST(max(d) OVER w - min(d) OVER w AS BIGINT) AS dspan
         FROM daily
         WINDOW w AS (ORDER BY d
                      ROWS BETWEEN {_STL_HALF} PRECEDING
@@ -3687,7 +3688,7 @@ _STL_HALF = _STL_M // 2
     det AS (
         SELECT d % {_STL_M} AS slot,
                1000 * cents - (1000 * sw) // {_STL_M} AS detr
-        FROM tr WHERE nw = {_STL_M}
+        FROM tr WHERE nw = {_STL_M} AND dspan = {_STL_M - 1}
     ),
     rawix AS (
         SELECT slot,
@@ -3724,7 +3725,11 @@ def q_ts_stl_decompose(spark, sf_dir):
     - trend_t  = centered {_STL_M}-day moving average (odd period, so the
       plain centered mean; rows without a FULL window release nothing —
       the classical edge rule, identical on both engines via the window
-      row count);
+      row count — AND, because the frame is {_STL_M} ROWS over the
+      OBSERVED series, rows whose {_STL_M}-row window spans more than
+      {_STL_M} calendar days are gated out too (max(d)−min(d) must equal
+      {_STL_M - 1}), so a calendar gap cannot mislabel the seasonal
+      readout on sparse series — ADVICE r13);
     - detrended_t = y_t − trend_t;
     - seasonal index s_j (j = epoch-day mod {_STL_M}) = mean of the
       detrended values in slot j, re-centered so Σ_j s_j ≈ 0 (grand-mean
@@ -3776,8 +3781,11 @@ def q_ts_stl_decompose(spark, sf_dir):
             "cents",
             F.count(F.lit(1)).over(w).alias("nw"),
             F.sum("cents").over(w).cast("bigint").alias("sw"),
+            (F.max("d").over(w) - F.min("d").over(w))
+            .cast("bigint")
+            .alias("dspan"),
         )
-        .where(F.col("nw") == _STL_M)
+        .where((F.col("nw") == _STL_M) & (F.col("dspan") == _STL_M - 1))
         .select(
             (F.col("d") % _STL_M).alias("slot"),
             F.expr(f"1000 * cents - (1000 * sw) div {_STL_M}").alias(

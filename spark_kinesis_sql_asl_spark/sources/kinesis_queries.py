@@ -521,7 +521,13 @@ def q_kinesis_lag_audit(spark, sf_dir):
         F.col("rn")
         == F.greatest(
             F.lit(1),
-            F.expr(f"CAST(({_LAG_CKPT_NUM} * n) div {_LAG_CKPT_DEN} AS INT)"),
+            # BIGINT, not INT: n is a per-shard BIGINT count, and 9*n
+            # overflows INT32 past ~238M records/shard while the DuckDB
+            # oracle stays BIGINT (ADVICE r13); row_number() compares
+            # fine against a long.
+            F.expr(
+                f"CAST(({_LAG_CKPT_NUM} * n) div {_LAG_CKPT_DEN} AS BIGINT)"
+            ),
         )
     ).select(
         "shard",
@@ -1045,7 +1051,13 @@ def q_kinesis_retention_plan(spark, sf_dir):
         F.col("rn")
         == F.greatest(
             F.lit(1),
-            F.expr(f"CAST(({_LAG_CKPT_NUM} * n) div {_LAG_CKPT_DEN} AS INT)"),
+            # BIGINT, not INT: n is a per-shard BIGINT count, and 9*n
+            # overflows INT32 past ~238M records/shard while the DuckDB
+            # oracle stays BIGINT (ADVICE r13); row_number() compares
+            # fine against a long.
+            F.expr(
+                f"CAST(({_LAG_CKPT_NUM} * n) div {_LAG_CKPT_DEN} AS BIGINT)"
+            ),
         )
     ).select(
         "shard",
