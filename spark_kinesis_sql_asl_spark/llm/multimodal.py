@@ -843,3 +843,302 @@ def q_llm_media_dims_jpeg(spark, sf_dir):
             ),
         ).alias("aspect_ppm"),
     )
+
+
+# --- C177: RIFF container metadata — WAV audio + WebP image (round 14) --------
+
+# Synthesized parameters (the C174/C61 convention: payloads are synthesized
+# spec-conformant headers, the PARSER is real logic). Even doc_ids carry a
+# canonical 44-byte WAV header, odd doc_ids a lossy-VP8 WebP header; within
+# the WAV lane e = doc_id div 2 drives the variety so the two lanes don't
+# alias each other's arithmetic.
+_RIFF_RATES = (8000, 16000, 22050, 44100)  # the classic telephony→CD ladder
+_RIFF_BITS = 16
+_WEBP_W = "16 + doc_id % 2048"  # 14-bit VP8 dims (max 2063 < 16384)
+_WEBP_H = "16 + (doc_id * 7) % 2048"
+_RIFF_CH_DUCK = "(1 + (doc_id // 2) % 2)"
+_RIFF_RATE_DUCK = (
+    "(CASE (doc_id // 2) % 4"
+    + "".join(
+        f" WHEN {i} THEN {r}" for i, r in enumerate(_RIFF_RATES[:-1])
+    )
+    + f" ELSE {_RIFF_RATES[-1]} END)"
+)
+_RIFF_DBYTES_DUCK = "octet_length(encode(coalesce(text, '')))"
+
+
+@query(
+    "q_llm_media_dims_riff",
+    priority=30,  # round-14 addition; staged into the r14 window
+    # The oracle states the EXPECTED parse from the synthesis arithmetic
+    # (the C174 pattern): a wrong offset, a big-endian read of a
+    # little-endian field, or a broken LE32 write/read round-trip
+    # hash-fails. data_bytes cross-checks the LE32 data-chunk size the
+    # writer embedded against the text's true octet length.
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST({_RIFF_CH_DUCK} AS BIGINT) AS ch,
+               CAST({_RIFF_RATE_DUCK} AS BIGINT) AS rate,
+               CAST({_RIFF_DBYTES_DUCK} AS BIGINT) AS dbytes
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'WAVE' ELSE 'WEBP' END AS fourcc,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST({_WEBP_W} AS BIGINT) END AS width,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST({_WEBP_H} AS BIGINT) END AS height,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST(({_WEBP_W}) * ({_WEBP_H}) AS BIGINT)
+           END AS n_pixels,
+           CASE WHEN doc_id % 2 = 0 THEN ch END AS channels,
+           CASE WHEN doc_id % 2 = 0 THEN rate END AS sample_rate_hz,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST({_RIFF_BITS} AS BIGINT) END AS bits_per_sample,
+           CASE WHEN doc_id % 2 = 0 THEN dbytes END AS data_bytes,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST((1000 * dbytes)
+                          // (rate * ch * {_RIFF_BITS // 8}) AS BIGINT)
+           END AS duration_ms
+    FROM base
+    """,
+)
+def q_llm_media_dims_riff(spark, sf_dir):
+    """C177: RIFF container metadata extraction — the round-14 row that
+    completes the C61 "dims for every routed modality" story (C174 reads
+    PNG/GIF, C175 walks JPEG; RIFF was the routed-but-unread container).
+    One RIFF parser serves TWO real payload families dispatched by the
+    fourcc at byte 9:
+
+    - WAV (fourcc ``WAVE``, canonical 44-byte header): channels as
+      2-byte LITTLE-endian at offset 23, sample rate LE32 at 25, byte
+      rate LE32 at 29, bits/sample LE16 at 35, data-chunk size LE32 at
+      41 — released with the exact integer duration_ms =
+      (1000·data_bytes) div byte_rate, the number an audio-curation
+      pipeline buckets by (sub-second clips out, long-form to a
+      segmentation lane) before paying any codec cost;
+    - WebP (fourcc ``WEBP``, lossy VP8 bitstream): width and height as
+      14-bit little-endian fields at offsets 27 and 29, after the 3-byte
+      frame tag and the 9D012A sync code — the same resolution readout
+      C174/C175 give images.
+
+    Payloads are synthesized spec-conformant headers (rate from the
+    classic {{{", ".join(str(r) for r in _RIFF_RATES)}}} Hz ladder,
+    channels/dims from doc_id arithmetic — the C61 convention) prefixed
+    onto the text bytes as stand-in sample/entropy data, so the
+    data-chunk size field is the text's REAL octet length and the oracle
+    cross-checks the LE32 write/read round-trip. The PARSER is the
+    honest part: pure JVM-side binary expressions (substring on BINARY →
+    hex → conv, little-endian assembled byte-by-byte), fourcc-dispatched,
+    no Python UDF anywhere — at 100 TB this is a scan-stage projection,
+    zero shuffles, and the same expressions run unchanged on real
+    crawled bytes."""
+    d = table(spark, sf_dir, "documents")
+
+    # little-endian writers as expression text (cleaner than column math)
+    def le16x(expr: str):
+        return F.expr(
+            f"concat(unhex(lpad(hex(({expr}) % 256), 2, '0')),"
+            f" unhex(lpad(hex(({expr}) div 256 % 256), 2, '0')))"
+        )
+
+    def le32x(expr: str):
+        return F.expr(
+            "concat("
+            + ", ".join(
+                f"unhex(lpad(hex(({expr}) div {256 ** i} % 256), 2, '0'))"
+                for i in range(4)
+            )
+            + ")"
+        )
+
+    text_bytes = F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+    ch_x = "CAST(1 + (doc_id div 2) % 2 AS BIGINT)"
+    rate_x = (
+        "CAST(element_at(array"
+        + str(tuple(_RIFF_RATES))
+        + ", CAST((doc_id div 2) % 4 + 1 AS INT)) AS BIGINT)"
+    )
+    dbytes_x = "CAST(octet_length(encode(coalesce(text, ''), 'UTF-8')) AS BIGINT)"
+    block_x = f"({ch_x} * {_RIFF_BITS // 8})"
+    brate_x = f"({rate_x} * {block_x})"
+    wav = F.concat(
+        F.encode(F.lit("RIFF"), "UTF-8"),
+        le32x(f"36 + {dbytes_x}"),  # riff size = 4+(8+16)+(8+data)
+        F.encode(F.lit("WAVEfmt "), "UTF-8"),
+        le32x("16"),  # fmt chunk length
+        le16x("1"),  # PCM
+        le16x(ch_x),
+        le32x(rate_x),
+        le32x(brate_x),
+        le16x(block_x),
+        le16x(str(_RIFF_BITS)),
+        F.encode(F.lit("data"), "UTF-8"),
+        le32x(dbytes_x),
+        text_bytes,
+    )
+    webp_w_x = f"CAST({_WEBP_W} AS BIGINT)"
+    webp_h_x = f"CAST({_WEBP_H} AS BIGINT)"
+    webp = F.concat(
+        F.encode(F.lit("RIFF"), "UTF-8"),
+        le32x(f"20 + {dbytes_x}"),  # 4 (WEBP) + 8 (VP8 hdr) + frame
+        F.encode(F.lit("WEBP"), "UTF-8"),
+        F.encode(F.lit("VP8 "), "UTF-8"),
+        le32x(f"10 + {dbytes_x}"),  # tag+sync+dims+stand-in data
+        F.unhex(F.lit("000000")),  # frame tag (keyframe)
+        F.unhex(F.lit("9D012A")),  # VP8 sync code
+        le16x(webp_w_x),
+        le16x(webp_h_x),
+        text_bytes,
+    )
+    payload = F.when(F.col("doc_id") % 2 == 0, wav).otherwise(webp)
+    rec = d.select("doc_id", payload.alias("p"))
+
+    # --- the parser: bytes in, metadata out (no doc_id arithmetic below) ---
+    def le_read(off: int, nbytes: int) -> str:
+        """BIGINT from little-endian bytes at 1-based offset `off`."""
+        return (
+            "("
+            + " + ".join(
+                f"{256 ** i} * CAST(conv(hex(substring(p, {off + i}, 1)),"
+                " 16, 10) AS BIGINT)"
+                for i in range(nbytes)
+            )
+            + ")"
+        )
+
+    is_riff = F.expr("decode(substring(p, 1, 4), 'UTF-8')") == "RIFF"
+    fourcc = F.expr("decode(substring(p, 9, 4), 'UTF-8')")
+    is_wav = is_riff & (fourcc == "WAVE")
+    # VP8 lossy dims are 14-bit fields: mask with % 16384 like a real
+    # demuxer (the top 2 bits of the LE16 carry scaling hints).
+    is_webp = (
+        is_riff
+        & (fourcc == "WEBP")
+        & (F.expr("hex(substring(p, 24, 3))") == "9D012A")
+    )
+    w14 = F.expr(f"CAST({le_read(27, 2)} % 16384 AS BIGINT)")
+    h14 = F.expr(f"CAST({le_read(29, 2)} % 16384 AS BIGINT)")
+    chan = F.expr(f"CAST({le_read(23, 2)} AS BIGINT)")
+    srate = F.expr(f"CAST({le_read(25, 4)} AS BIGINT)")
+    brate = F.expr(f"CAST({le_read(29, 4)} AS BIGINT)")
+    bits = F.expr(f"CAST({le_read(35, 2)} AS BIGINT)")
+    dsize = F.expr(f"CAST({le_read(41, 4)} AS BIGINT)")
+    return rec.select(
+        "doc_id",
+        F.when(is_wav, F.lit("WAVE"))
+        .when(is_webp, F.lit("WEBP"))
+        .otherwise(F.lit("unknown"))
+        .alias("fourcc"),
+        F.when(is_webp, w14).alias("width"),
+        F.when(is_webp, h14).alias("height"),
+        F.when(is_webp, (w14 * h14).cast("bigint")).alias("n_pixels"),
+        F.when(is_wav, chan).alias("channels"),
+        F.when(is_wav, srate).alias("sample_rate_hz"),
+        F.when(is_wav, bits).alias("bits_per_sample"),
+        F.when(is_wav, dsize).alias("data_bytes"),
+        F.when(
+            is_wav,
+            F.expr(
+                f"CAST((1000 * {le_read(41, 4)}) div {le_read(29, 4)}"
+                " AS BIGINT)"
+            ),
+        ).alias("duration_ms"),
+    )
+
+
+# --- C178: PDF header metadata — version + Pages /Count (round 14) ------------
+
+# Synthesized layout (the C174/C61 convention). The payload is a minimal
+# spec-conformant PDF prefix: the 9-byte `%PDF-1.m\n` header, a VARIABLE-
+# length comment line (`%` + doc_id%9 x's + `\n` — so the /Count locate is
+# a real search, not a constant, and the oracle reconstructs the found
+# offset closed-form like C175's sof_offset), a Catalog object, a Pages
+# object carrying `/Count N`, then the text bytes as stand-in content.
+_PDF_MINOR = "1 + doc_id % 7"  # versions 1.1 .. 1.7
+_PDF_PAGES = "1 + doc_id % 100"
+_PDF_PAD = "doc_id % 9"
+_PDF_OBJ1 = "1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n"
+_PDF_OBJ2_PRE = "2 0 obj<</Type/Pages/Kids[3 0 R]"
+# 1-based offset of '/Count ' = header(9) + comment(2 + pad) + obj1 + pre + 1
+_PDF_COUNT_BASE = 9 + 2 + len(_PDF_OBJ1) + len(_PDF_OBJ2_PRE) + 1
+
+
+@query(
+    "q_llm_media_dims_pdf",
+    priority=30,  # round-14 addition; staged into the r14 window
+    # The oracle states the EXPECTED parse from the synthesis arithmetic
+    # (the C174/C175 pattern) INCLUDING the locate-derived count_offset —
+    # a mis-decoded version digit, a wrong fixed offset, or a locate that
+    # finds the wrong occurrence shifts a column and hash-fails.
+    oracle=f"""
+    SELECT doc_id,
+           'pdf' AS container,
+           CAST(1 AS BIGINT) AS version_major,
+           CAST({_PDF_MINOR} AS BIGINT) AS version_minor,
+           CAST({_PDF_COUNT_BASE} + ({_PDF_PAD}) AS BIGINT) AS count_offset,
+           CAST({_PDF_PAGES} AS BIGINT) AS n_pages
+    FROM documents
+    """,
+)
+def q_llm_media_dims_pdf(spark, sf_dir):
+    """C178: PDF header metadata extraction — the row that CLOSES the C61
+    "metadata for every routed modality" story (C174 PNG/GIF, C175 JPEG,
+    C177 RIFF; PDF was the last routed-but-unread container). Two real
+    reads a document-curation pipeline runs before any renderer:
+
+    - the VERSION at FIXED offsets — the spec pins the first 8 bytes to
+      ``%PDF-M.m``, so major/minor are one-byte decodes at offsets 6 and
+      8 (a pipeline gates features like object streams on >= 1.5);
+    - the PAGE COUNT as a LOCATE + integer parse: the Pages tree root
+      carries ``/Count N``; the parser finds the first occurrence and
+      parses the digit run after it, releasing the found offset beside
+      the value so the search itself is verified (the C175 sof_offset
+      discipline). A production parser reaches the Pages root via the
+      trailer/xref walk; on these synthesized single-Pages documents the
+      first ``/Count`` IS that root, and the walk's only honest cost —
+      finding a marker at a variable offset — is exercised by the
+      variable-length comment line the synthesis injects before it.
+
+    Payloads are synthesized spec-conformant prefixes (version, page
+    count and comment pad from doc_id arithmetic — the C61 convention)
+    with the text bytes as stand-in content AFTER the ``/Count`` object,
+    so the locate must not over-run into content. The PARSER is pure
+    JVM-side expressions (substring/decode/instr/regexp_extract on the
+    decoded bytes — PDF is a TEXT-structured container, so string ops
+    are the honest tool where C174/C177 needed binary ones); no Python
+    UDF, zero shuffles, scan-stage projection at any scale."""
+    d = table(spark, sf_dir, "documents")
+    payload = F.expr(
+        "concat("
+        f"'%PDF-1.', CAST({_PDF_MINOR} AS STRING), '\\n',"
+        f"'%', repeat('x', CAST({_PDF_PAD} AS INT)), '\\n',"
+        f"'{_PDF_OBJ1.rstrip(chr(10))}\\n',"
+        f"'{_PDF_OBJ2_PRE}',"
+        f"'/Count ', CAST({_PDF_PAGES} AS STRING), '>>endobj\\n',"
+        "coalesce(text, ''))"
+    )
+    rec = d.select("doc_id", F.encode(payload, "UTF-8").alias("p"))
+    # --- the parser: bytes in, metadata out (no doc_id arithmetic below) ---
+    is_pdf = F.expr("decode(substring(p, 1, 5), 'UTF-8')") == "%PDF-"
+    s = "decode(p, 'UTF-8')"
+    return rec.select(
+        "doc_id",
+        F.when(is_pdf, F.lit("pdf")).otherwise(F.lit("unknown")).alias(
+            "container"
+        ),
+        F.expr("CAST(decode(substring(p, 6, 1), 'UTF-8') AS BIGINT)").alias(
+            "version_major"
+        ),
+        F.expr("CAST(decode(substring(p, 8, 1), 'UTF-8') AS BIGINT)").alias(
+            "version_minor"
+        ),
+        F.expr(f"CAST(instr({s}, '/Count ') AS BIGINT)").alias(
+            "count_offset"
+        ),
+        F.expr(
+            f"CAST(regexp_extract(substring({s}, instr({s}, '/Count ')),"
+            " '/Count ([0-9]+)', 1) AS BIGINT)"
+        ).alias("n_pages"),
+    )

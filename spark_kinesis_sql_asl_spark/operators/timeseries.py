@@ -3991,3 +3991,182 @@ def q_ts_rsi(spark, sf_dir):
             " END"
         ).alias("rsi_ppm"),
     )
+
+
+# --- B213: MACD crossover on the integer lattice (round 14) --------------------
+
+_MACD_FAST = 12  # fast EWMA 1/12 (the classic 12/26/9 geometry)
+_MACD_SLOW = 26
+_MACD_SIG = 9
+
+
+def _macd_step(y: str, f: str, s: str, sig: str, d: str, div: str) -> dict:
+    """One MACD update on the integer cents lattice — ONE formula text per
+    dialect (the B208/B209/B212 convention). EWMAs as exact integer
+    recurrences E += (x−E) div a (the B132 form, D7-pinned truncating
+    division); the signal line smooths the NEW macd value; crossings
+    compare (old macd vs old signal) against (new macd vs new signal)."""
+    nf = f"({f} + ({y} - {f}) {div} {_MACD_FAST})"
+    ns = f"({s} + ({y} - {s}) {div} {_MACD_SLOW})"
+    nm = f"({nf} - {ns})"
+    nsig = f"({sig} + (({nm}) - {sig}) {div} {_MACD_SIG})"
+    om = f"({f} - {s})"
+    up_cond = f"({nm} > {nsig} AND {om} <= {sig})"
+    down_cond = f"({nm} < {nsig} AND {om} >= {sig})"
+    return {
+        "f": nf,
+        "s": ns,
+        "sig": nsig,
+        "up": f"(CASE WHEN {up_cond} THEN 1 ELSE 0 END)",
+        "down": f"(CASE WHEN {down_cond} THEN 1 ELSE 0 END)",
+        "up_cond": up_cond,
+        "fcd": f"(CASE WHEN {up_cond} THEN {d} END)",
+    }
+
+
+_MACD_DUCK = _macd_step("s.y", "r.f", "r.s", "r.sig", "s.d", "//")
+_MACD_SPARK = _macd_step("e.y", "a.f", "a.s", "a.sig", "e.d", "div")
+
+
+@query(
+    "q_ts_macd",
+    priority=30,  # round-14 addition; staged into the r14 window
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT o_orderpriority AS grp,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+          AND o_orderpriority IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT grp, d, y,
+               row_number() OVER (PARTITION BY grp ORDER BY d) AS t
+        FROM daily
+    ),
+    nn AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n
+        FROM seq GROUP BY grp HAVING count(*) >= 2
+    ),
+    rec(grp, t, f, s, sig, up, down, fcd) AS (
+        SELECT s1.grp, CAST(1 AS BIGINT), s1.y, s1.y,
+               CAST(0 AS BIGINT),
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(NULL AS BIGINT)
+        FROM seq s1 JOIN nn ON s1.grp = nn.grp
+        WHERE s1.t = 1
+        UNION ALL
+        SELECT r.grp, r.t + 1,
+               {_MACD_DUCK["f"]},
+               {_MACD_DUCK["s"]},
+               {_MACD_DUCK["sig"]},
+               r.up + {_MACD_DUCK["up"]},
+               r.down + {_MACD_DUCK["down"]},
+               coalesce(r.fcd, {_MACD_DUCK["fcd"]})
+        FROM rec r JOIN seq s ON s.grp = r.grp AND s.t = r.t + 1
+    )
+    SELECT r.grp, nn.n AS n_days,
+           CAST(r.f - r.s AS BIGINT) AS macd_cents,
+           r.sig AS signal_cents,
+           CAST(r.f - r.s - r.sig AS BIGINT) AS hist_cents,
+           r.up AS n_cross_up,
+           r.down AS n_cross_down,
+           r.fcd AS first_cross_d
+    FROM rec r JOIN nn ON r.grp = nn.grp AND r.t = nn.n
+    """,
+)
+def q_ts_macd(spark, sf_dir):
+    """B213: MACD (moving-average convergence/divergence, Appel's
+    {_MACD_FAST}/{_MACD_SLOW}/{_MACD_SIG} geometry) over the daily
+    revenue series per order priority — the trend-momentum rung beside
+    B212's RSI oscillator (VERDICT r13 item #7c), reusing the B212
+    fold discipline at a second timescale: the B132 fast/slow EWMA pair
+    plus a SIGNAL line (an EWMA of the macd difference itself), with
+    bullish/bearish crossover counts and the first bullish-cross day —
+    the entry/exit readout a revenue-ops pipeline alarms on where B132
+    alarms on the raw pair.
+
+    Cross-engine float shape: NO float — daily revenue in exact integer
+    cents; all three EWMAs walk the cents lattice as exact integer
+    recurrences E += (x−E) div a (truncating div, D7-pinned on the
+    negatives macd genuinely hits), ONE shared per-step formula text
+    (:func:`_macd_step`): Spark folds each priority's sorted daily
+    array carrying (f, s, sig, up, down, fcd), DuckDB walks the grouped
+    recursive CTE. Init-by-copy at bar 1 (f = s = y, so macd = 0 and
+    the signal seeds from it — the B209/B212 convention; both engines
+    share the exact recurrence, which is what the oracle verifies).
+    A crossing is (new macd vs new signal) flipping against (old macd
+    vs old signal) — the B132 compare, applied to the derived pair.
+
+    Plan/scale: identical to B212 — one daily hash aggregate (predicates
+    pushed to the orders scan), then a 5-group fold over
+    calendar-bounded arrays (kilobytes at any SF; no window, no join in
+    the corpus-scale stage)."""
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = (
+        table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+            & F.col("o_orderpriority").isNotNull()
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("grp"),
+            F.datediff(F.col("o_orderdate").cast("date"), epoch)
+            .cast("bigint")
+            .alias("d"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    arr = (
+        daily.groupBy("grp")
+        .agg(
+            F.expr("array_sort(collect_list(struct(d, y)))").alias("ev"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+        .where(F.col("n_days") >= 2)
+    )
+    folded = arr.select(
+        "grp",
+        "n_days",
+        F.expr(
+            f"""
+            aggregate(
+              slice(ev, 2, size(ev) - 1),
+              named_struct(
+                'f', element_at(ev, 1).y,
+                's', element_at(ev, 1).y,
+                'sig', CAST(0 AS BIGINT),
+                'up', CAST(0 AS BIGINT), 'down', CAST(0 AS BIGINT),
+                'fcd', CAST(NULL AS BIGINT)),
+              (a, e) -> named_struct(
+                'f', {_MACD_SPARK["f"]},
+                's', {_MACD_SPARK["s"]},
+                'sig', {_MACD_SPARK["sig"]},
+                'up', a.up + {_MACD_SPARK["up"]},
+                'down', a.down + {_MACD_SPARK["down"]},
+                'fcd', coalesce(a.fcd, {_MACD_SPARK["fcd"]}))
+            )
+            """
+        ).alias("fin"),
+    )
+    return folded.select(
+        "grp",
+        "n_days",
+        (F.col("fin.f") - F.col("fin.s")).cast("bigint").alias("macd_cents"),
+        F.col("fin.sig").alias("signal_cents"),
+        (F.col("fin.f") - F.col("fin.s") - F.col("fin.sig"))
+        .cast("bigint")
+        .alias("hist_cents"),
+        F.col("fin.up").alias("n_cross_up"),
+        F.col("fin.down").alias("n_cross_down"),
+        F.col("fin.fcd").alias("first_cross_d"),
+    )

@@ -1100,3 +1100,253 @@ def q_kinesis_retention_plan(spark, sf_dir):
         .cast("bigint")
         .alias("retention_bytes_est"),
     )
+
+
+# --- A20: shard-hour cost attribution (round 14) --------------------------------
+
+_COST_N_SHARDS = 16  # the A13/A15/A19 modeled md5 ring
+_COST_PUT_UNIT_BYTES = 25_600  # PUT payload unit: 25 KB, rounded up per record
+# Modeled billing rates on the exact NANO-dollar lattice (public pricing
+# SHAPE: per shard-hour, per PUT payload unit, per extended-retention
+# shard-hour — the constants are fixture-model parameters, not a quote):
+_COST_SHARD_HOUR_NANO = 15_000_000  # $0.015 / shard-hour
+_COST_PUT_UNIT_NANO = 14  # $0.014 per million PUT units
+_COST_EXT_HOUR_NANO = 20_000_000  # $0.020 / extended-retention shard-hour
+
+
+@query(
+    "q_kinesis_cost_plan",
+    priority=30,  # round-14 addition; staged into the r14 window
+    oracle=f"""
+    WITH routed AS (
+        SELECT (instr('0123456789abcdef',
+                      substr(md5(CAST(user_id AS VARCHAR)), 32, 1)) - 1)
+                   % {_COST_N_SHARDS} AS shard,
+               ts, event_id,
+               length(coalesce(props, '')) + {_EFO_ENVELOPE_BYTES} AS bytes
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    ranked AS (
+        SELECT shard, ts,
+               row_number() OVER (
+                   PARTITION BY shard ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY shard) AS n,
+               CAST(sum(bytes) OVER (PARTITION BY shard) AS BIGINT)
+                   AS total_bytes,
+               CAST(sum((bytes + {_COST_PUT_UNIT_BYTES - 1})
+                        // {_COST_PUT_UNIT_BYTES})
+                    OVER (PARTITION BY shard) AS BIGINT) AS put_units,
+               CAST(min(epoch_us(ts)) OVER (PARTITION BY shard) AS BIGINT)
+                   AS min_us,
+               CAST(max(epoch_us(ts)) OVER (PARTITION BY shard) AS BIGINT)
+                   AS max_us
+        FROM routed
+    ),
+    ck AS (
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(n AS BIGINT) AS n_records,
+               total_bytes, put_units, min_us, max_us,
+               CAST(epoch_us(ts) AS BIGINT) AS ckpt_us
+        FROM ranked
+        WHERE rn = greatest(1, ({_LAG_CKPT_NUM} * n) // {_LAG_CKPT_DEN})
+    ),
+    derived AS (
+        SELECT shard, n_records, total_bytes, put_units,
+               (max_us - min_us) // {_US_PER_HOUR} + 1 AS shard_hours,
+               greatest(CAST(0 AS BIGINT),
+                        (max_us - ckpt_us + {_US_PER_HOUR - 1})
+                            // {_US_PER_HOUR}
+                        - {_RET_DEFAULT_HOURS}) AS extended_hours
+        FROM ck
+    ),
+    costed AS (
+        SELECT shard, n_records, put_units, shard_hours, extended_hours,
+               CAST(shard_hours * {_COST_SHARD_HOUR_NANO} AS BIGINT)
+                   AS shard_cost_nano,
+               CAST(put_units * {_COST_PUT_UNIT_NANO} AS BIGINT)
+                   AS put_cost_nano,
+               CAST(extended_hours * {_COST_EXT_HOUR_NANO} AS BIGINT)
+                   AS ext_cost_nano,
+               CAST(total_bytes * extended_hours AS BIGINT)
+                   AS ext_byte_hours
+        FROM derived
+    )
+    SELECT shard, n_records, put_units,
+           CAST(shard_hours AS BIGINT) AS shard_hours,
+           CAST(extended_hours AS BIGINT) AS extended_hours,
+           ext_byte_hours,
+           shard_cost_nano, put_cost_nano, ext_cost_nano,
+           CAST(shard_cost_nano + put_cost_nano + ext_cost_nano AS BIGINT)
+               AS total_cost_nano,
+           CAST((1000000 * (shard_cost_nano + put_cost_nano
+                            + ext_cost_nano))
+                // (SELECT sum(shard_cost_nano + put_cost_nano
+                               + ext_cost_nano) FROM costed)
+               AS BIGINT) AS share_ppm
+    FROM costed
+    """,
+)
+def q_kinesis_cost_plan(spark, sf_dir):
+    """A20: shard-hour COST attribution — the bill table that A17's EFO
+    decision and A19's retention estimate both point at (VERDICT r13
+    item #7b): per A5-ring shard, the three metered components of the
+    stream bill as exact integers on the NANO-dollar lattice, plus each
+    shard's share of the stream total so a cost spike attributes to a
+    shard (and through A16's hotkey audit, to a key) instead of to "the
+    stream":
+
+    - shard-hours: the A19 active span ((max−min) micros floor-div
+      3.6e9 + 1) × the per-shard-hour rate;
+    - PUT payload units: per record, payload+envelope bytes rounded UP
+      to {_COST_PUT_UNIT_BYTES // 1024} KB units (the real billing
+      quantum — at this fixture's record sizes every record is one
+      unit, which the per-record ceil-div form makes a FIXTURE property,
+      not a code property) × the per-unit rate;
+    - extended retention: hours the A19 replay requirement exceeds the
+      {_RET_DEFAULT_HOURS}h service floor (same deterministic
+      ({_LAG_CKPT_NUM}/{_LAG_CKPT_DEN}·n)-th-record checkpoint model)
+      × the extended-hour rate, with the byte-hours it would store
+      released beside it (the capacity analog of the dollar figure).
+
+    Exactness: every component is integer arithmetic end-to-end —
+    micros div for hours, ceil-div for PUT units, nano-dollar rates so
+    no decimal/float touches a money column, share in exact floor-ppm
+    (the A13 discipline). The rates are MODELED constants (the public
+    pricing shape, not a quote) — swap in a real rate card unchanged.
+
+    Plan/scale: ONE pass — the checkpoint rank, per-shard volumes and
+    the PUT-unit sum all ride the SAME shard-partitioned window (the
+    A19 shape); the stream total rides a partitionless
+    window over the already-collapsed {_COST_N_SHARDS}-row frame (the
+    documented B88/B172 bounded-frame class — 16 rows through a single
+    partition), so no second events scan and no join exist at any SF."""
+    from pyspark.sql import Window
+
+    digit = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(F.encode(F.col("user_id").cast("string"), "UTF-8")),
+                32,
+                1,
+            ),
+        )
+        - 1
+    )
+    routed = (
+        table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            (digit % _COST_N_SHARDS).cast("bigint").alias("shard"),
+            "ts",
+            "event_id",
+            (
+                F.length(F.coalesce(F.col("props"), F.lit("")))
+                + _EFO_ENVELOPE_BYTES
+            ).alias("bytes"),
+        )
+    )
+    w = Window.partitionBy("shard").orderBy("ts", "event_id")
+    wn = Window.partitionBy("shard")
+    ranked = routed.select(
+        "shard",
+        "ts",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.sum("bytes").over(wn).cast("bigint").alias("total_bytes"),
+        F.sum(
+            F.expr(
+                f"(bytes + {_COST_PUT_UNIT_BYTES - 1})"
+                f" div {_COST_PUT_UNIT_BYTES}"
+            )
+        )
+        .over(wn)
+        .cast("bigint")
+        .alias("put_units"),
+        F.min(F.unix_micros("ts")).over(wn).cast("bigint").alias("min_us"),
+        F.max(F.unix_micros("ts")).over(wn).cast("bigint").alias("max_us"),
+    )
+    ck = ranked.where(
+        F.col("rn")
+        == F.greatest(
+            F.lit(1),
+            F.expr(
+                f"CAST(({_LAG_CKPT_NUM} * n) div {_LAG_CKPT_DEN} AS BIGINT)"
+            ),
+        )
+    ).select(
+        "shard",
+        F.col("n").cast("bigint").alias("n_records"),
+        "total_bytes",
+        "put_units",
+        "min_us",
+        "max_us",
+        F.unix_micros("ts").alias("ckpt_us"),
+    )
+    costed = ck.select(
+        "shard",
+        "n_records",
+        "put_units",
+        F.expr(f"(max_us - min_us) div {_US_PER_HOUR} + 1")
+        .cast("bigint")
+        .alias("shard_hours"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.expr(
+                f"(max_us - ckpt_us + {_US_PER_HOUR - 1})"
+                f" div {_US_PER_HOUR} - {_RET_DEFAULT_HOURS}"
+            ).cast("bigint"),
+        ).alias("extended_hours"),
+        "total_bytes",
+    )
+    costed = costed.select(
+        "shard",
+        "n_records",
+        "put_units",
+        "shard_hours",
+        "extended_hours",
+        (F.col("total_bytes") * F.col("extended_hours"))
+        .cast("bigint")
+        .alias("ext_byte_hours"),
+        (F.col("shard_hours") * _COST_SHARD_HOUR_NANO)
+        .cast("bigint")
+        .alias("shard_cost_nano"),
+        (F.col("put_units") * _COST_PUT_UNIT_NANO)
+        .cast("bigint")
+        .alias("put_cost_nano"),
+        (F.col("extended_hours") * _COST_EXT_HOUR_NANO)
+        .cast("bigint")
+        .alias("ext_cost_nano"),
+    )
+    costed = costed.withColumn(
+        "total_cost_nano",
+        (
+            F.col("shard_cost_nano")
+            + F.col("put_cost_nano")
+            + F.col("ext_cost_nano")
+        ).cast("bigint"),
+    )
+    # Stream total via a PARTITIONLESS window over the already-collapsed
+    # {_COST_N_SHARDS}-row frame (the documented B88/B172 bounded-frame
+    # class): a broadcast-total branch would RE-DERIVE the events scan
+    # (two scans of the fact table), while this shape keeps the one-pass
+    # A19 plan — the single-partition exchange moves 16 rows.
+    wall = Window.partitionBy()
+    costed = costed.withColumn(
+        "stream_nano", F.sum("total_cost_nano").over(wall).cast("bigint")
+    )
+    return costed.select(
+        "shard",
+        "n_records",
+        "put_units",
+        "shard_hours",
+        "extended_hours",
+        "ext_byte_hours",
+        "shard_cost_nano",
+        "put_cost_nano",
+        "ext_cost_nano",
+        "total_cost_nano",
+        F.expr("CAST((1000000 * total_cost_nano) div stream_nano AS BIGINT)")
+        .alias("share_ppm"),
+    )

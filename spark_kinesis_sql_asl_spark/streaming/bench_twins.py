@@ -364,6 +364,12 @@ def _odp_rsi(spark, staged):
     return streaming_rsi(_read(spark, staged))
 
 
+def _odp_macd(spark, staged):
+    from .timeseries import streaming_macd
+
+    return streaming_macd(_read(spark, staged))
+
+
 def _sp_littles(spark, staged):
     from .timeseries import streaming_littles_law
 
@@ -415,6 +421,7 @@ TWINS = {
     "s_bollinger": ("order_days", _od_bollinger),
     "s_holt_linear": ("order_days", _od_holt),
     "s_rsi": ("order_days_prio", _odp_rsi),
+    "s_macd": ("order_days_prio", _odp_macd),
     "s_littles_law": ("spans", _sp_littles),
     "s_cell_density": ("customer", _cu_cells),
     "s_hotkey_monitor": ("hotkey", _hk_monitor),

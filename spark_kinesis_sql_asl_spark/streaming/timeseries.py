@@ -1069,3 +1069,95 @@ def streaming_rsi(order_stream):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- B213 twin: MACD crossover ---------------------------------------------------
+
+_MACD_FAST = 12  # must match operators/timeseries._MACD_FAST/_SLOW/_SIG
+_MACD_SLOW = 26
+_MACD_SIG = 9
+_MACD_OUT_SCHEMA = (
+    "grp string, n_days bigint, macd_cents bigint, signal_cents bigint, "
+    "hist_cents bigint, n_cross_up bigint, n_cross_down bigint, "
+    "first_cross_d bigint, seq bigint"
+)
+_MACD_STATE_SCHEMA = "days array<bigint>, cents array<bigint>, seq bigint"
+
+
+def streaming_macd(order_stream):
+    """B213-stream: MACD as keyed streaming state, per priority series —
+    the same late-data argument as the B212 twin (a late order changes a
+    PAST day's revenue and therefore every EWMA step after it), so the
+    honest streaming form keeps the per-day integer series
+    (calendar-bounded state) and RE-FOLDS the exact B213 recurrence per
+    micro-batch: same cents lattice, same truncating
+    1/{_MACD_FAST}-1/{_MACD_SLOW}-1/{_MACD_SIG} steps, same init-by-copy,
+    so the final emission equals the batch operator exactly
+    (division-free integer compare in the parity test).
+
+    Input columns: grp (priority), day_us (epoch µs of the truncated
+    day), cents.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            days, cents, seq = state.get
+            acc = dict(zip((int(d) for d in days), (int(c) for c in cents)))
+        else:
+            acc = {}
+            seq = 0
+        for pdf in pdfs:
+            for day_us, c in zip(pdf["day_us"], pdf["cents"]):
+                d = int(day_us) // 86_400_000_000
+                acc[d] = acc.get(d, 0) + int(c)
+        seq += 1
+        days_sorted = sorted(acc)
+        state.update((days_sorted, [acc[d] for d in days_sorted], seq))
+        rows: dict[str, list] = {k: [] for k in (
+            "n_days", "macd", "sig", "hist", "up", "down", "fcd")}
+        if len(days_sorted) >= 2:
+            y0 = acc[days_sorted[0]]
+            f, s, sig, up, down, fcd = y0, y0, 0, 0, 0, None
+            for d in days_sorted[1:]:
+                y = acc[d]
+                om, osig = f - s, sig
+                f = f + _trunc_div(y - f, _MACD_FAST)
+                s = s + _trunc_div(y - s, _MACD_SLOW)
+                nm = f - s
+                sig = sig + _trunc_div(nm - sig, _MACD_SIG)
+                if nm > sig and om <= osig:
+                    up += 1
+                    if fcd is None:
+                        fcd = d
+                elif nm < sig and om >= osig:
+                    down += 1
+            rows["n_days"].append(len(days_sorted))
+            rows["macd"].append(f - s)
+            rows["sig"].append(sig)
+            rows["hist"].append(f - s - sig)
+            rows["up"].append(up)
+            rows["down"].append(down)
+            rows["fcd"].append(fcd)
+        n = len(rows["n_days"])
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]] * n,
+                "n_days": pd.Series(rows["n_days"], dtype="int64"),
+                "macd_cents": pd.Series(rows["macd"], dtype="int64"),
+                "signal_cents": pd.Series(rows["sig"], dtype="int64"),
+                "hist_cents": pd.Series(rows["hist"], dtype="int64"),
+                "n_cross_up": pd.Series(rows["up"], dtype="int64"),
+                "n_cross_down": pd.Series(rows["down"], dtype="int64"),
+                "first_cross_d": pd.Series(rows["fcd"], dtype="object"),
+                "seq": pd.Series([seq] * n, dtype="int64"),
+            }
+        )
+
+    return order_stream.groupBy("grp").applyInPandasWithState(
+        fold,
+        outputStructType=_MACD_OUT_SCHEMA,
+        stateStructType=_MACD_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

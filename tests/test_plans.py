@@ -837,3 +837,56 @@ def test_band_recall_24_no_cartesian_single_readout(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- round-14 additions: plan-shape audits -----------------------------------
+
+
+def test_media_dims_riff_pure_scan_no_python(spark):
+    # C177's headline claim: the RIFF parse (WAV fixed offsets + WebP VP8
+    # dims) is JVM-side binary expressions — no Python evaluation node,
+    # no join, one documents scan (the C174/C175 bar).
+    df = QUERIES["q_llm_media_dims_riff"](spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert len(read_schemas(df)) == 1
+    assert "Join" not in plan.split("\n\n", 1)[0]
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+
+
+def test_media_dims_pdf_pure_scan_no_python(spark):
+    # C178's headline claim: the PDF version read + /Count locate is
+    # JVM-side string expressions — no Python evaluation node, no join,
+    # one documents scan.
+    df = QUERIES["q_llm_media_dims_pdf"](spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert len(read_schemas(df)) == 1
+    assert "Join" not in plan.split("\n\n", 1)[0]
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+
+
+def test_cost_plan_one_pass_broadcast_total(spark):
+    # A20: the checkpoint rank, volumes and PUT units ride ONE
+    # shard-partitioned window over ONE events scan (the A19 shape); the
+    # stream total is a 1-row broadcast (no sort-merge join); the
+    # user_id/ts null-guards push down.
+    df = QUERIES["q_kinesis_cost_plan"](spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert len(read_schemas(df)) == 1, "expected exactly one events scan"
+    assert "SortMergeJoin" not in plan
+    assert any("user_id" in p for p in pushed_filters(df))
+
+
+def test_macd_pushes_predicates_and_folds_once(spark):
+    # B213: the null-guards must reach the parquet scan; the MACD walk is
+    # an aggregate() fold — no Window node, no join, one orders scan
+    # (the B212 shape held at the second timescale).
+    df = QUERIES["q_ts_macd"](spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert len(read_schemas(df)) == 1
+    assert "Window" not in plan
+    assert "Join" not in plan.split("\n\n", 1)[0]
+    pushed = pushed_filters(df)
+    assert any("o_orderdate" in p for p in pushed)
+    assert any("o_orderpriority" in p for p in pushed)

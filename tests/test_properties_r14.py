@@ -1,0 +1,243 @@
+"""Round-14 property checks: the algebraic identities the new operators
+(and their DuckDB oracles) rely on, verified against brute-force pure-Python
+references on hypothesis-generated inputs. No SparkSession — these pin the
+ALGEBRA both engines implement, independent of either (the round-10..13
+convention).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = settings(max_examples=200, deadline=None)
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (Spark `div` / DuckDB `//`, D7-pinned)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+# --- B213: MACD on the integer cents lattice -----------------------------------
+
+_MACD_FAST, _MACD_SLOW, _MACD_SIG = 12, 26, 9
+
+
+def macd_reference(ys):
+    """Pure-Python rendering of the B213 recurrence (init-by-copy at bar
+    1). Returns (macd, sig, up, down, first_cross_index or None)."""
+    f = s = ys[0]
+    sig, up, down, fci = 0, 0, 0, None
+    for i, y in enumerate(ys[1:], start=1):
+        om, osig = f - s, sig
+        f = f + _tdiv(y - f, _MACD_FAST)
+        s = s + _tdiv(y - s, _MACD_SLOW)
+        nm = f - s
+        sig = sig + _tdiv(nm - sig, _MACD_SIG)
+        if nm > sig and om <= osig:
+            up += 1
+            if fci is None:
+                fci = i
+        elif nm < sig and om >= osig:
+            down += 1
+    return f - s, sig, up, down, fci
+
+
+@given(st.integers(-(10**12), 10**12), st.integers(2, 60))
+@_SETTINGS
+def test_macd_flat_series_is_identically_zero(y, n):
+    """A constant series never moves any of the three EWMAs off the
+    init-by-copy seed: macd = signal = 0, zero crossings — the guard the
+    crossover CASEs rely on (strict > / <, so 0 vs 0 never fires)."""
+    macd, sig, up, down, fci = macd_reference([y] * n)
+    assert (macd, sig, up, down, fci) == (0, 0, 0, 0, None)
+
+
+@given(st.lists(st.integers(-(10**9), 10**9), min_size=2, max_size=120))
+@_SETTINGS
+def test_macd_crossings_alternate(ys):
+    """Bullish and bearish crossings strictly alternate (each requires the
+    PREVIOUS relation to be on the other side), so their counts differ by
+    at most one — the sanity bound a monitoring readout leans on."""
+    _, _, up, down, _ = macd_reference(ys)
+    assert abs(up - down) <= 1
+
+
+@given(st.lists(st.integers(-(10**9), 10**9), min_size=2, max_size=120))
+@_SETTINGS
+def test_macd_ewmas_stay_in_hull(ys):
+    """The truncating-div EWMA E += (x−E) div a can never leave the hull
+    of observed values (|step| <= |x−E|), so |macd| is bounded by the
+    series range — the no-overflow argument for the cents lattice."""
+    lo, hi = min(ys), max(ys)
+    f = s = ys[0]
+    for y in ys[1:]:
+        f = f + _tdiv(y - f, _MACD_FAST)
+        s = s + _tdiv(y - s, _MACD_SLOW)
+        assert lo <= f <= hi and lo <= s <= hi
+    macd, _, _, _, _ = macd_reference(ys)
+    assert abs(macd) <= hi - lo
+
+
+@given(st.integers(-(10**9), 10**9), st.integers(1, 10**7))
+@_SETTINGS
+def test_macd_first_cross_on_jump_up(base, jump):
+    """A flat series with one large upward jump fires its FIRST crossing
+    as bullish at the jump bar: fast outruns slow immediately, and the
+    signal (div {_MACD_SIG} of the new positive macd) lags below it when
+    the jump is large enough to survive truncation."""
+    ys = [base] * 10 + [base + jump * 1000] * 5
+    _, _, up, down, fci = macd_reference(ys)
+    if fci is not None:
+        assert fci == 10
+        assert up >= 1
+
+
+# --- C177: RIFF offset table vs an independent struct.pack encoding -----------
+
+
+def _le(b: bytes, off1: int, n: int) -> int:
+    """The parser's little-endian read, 1-based offset (the SQL form)."""
+    return sum(b[off1 - 1 + i] * 256**i for i in range(n))
+
+
+@given(
+    ch=st.integers(1, 2),
+    rate=st.sampled_from([8000, 16000, 22050, 44100]),
+    data=st.binary(min_size=0, max_size=200),
+)
+@_SETTINGS
+def test_wav_offsets_match_struct_pack(ch, rate, data):
+    """The WAV offset table (channels@23 LE16, rate@25 LE32, byte-rate@29
+    LE32, bits@35 LE16, data size@41 LE32) read back from a header encoded
+    INDEPENDENTLY with struct.pack's canonical 44-byte layout — pins the
+    parser's offsets/endianness against the spec, not our own writer."""
+    bits = 16
+    block = ch * bits // 8
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(data),
+        b"WAVE",
+        b"fmt ",
+        16,
+        1,
+        ch,
+        rate,
+        rate * block,
+        block,
+        bits,
+        b"data",
+        len(data),
+    )
+    b = hdr + data
+    assert b[8:12] == b"WAVE"
+    assert _le(b, 23, 2) == ch
+    assert _le(b, 25, 4) == rate
+    assert _le(b, 29, 4) == rate * block
+    assert _le(b, 35, 2) == bits
+    assert _le(b, 41, 4) == len(data)
+    if rate * block:
+        assert _tdiv(1000 * len(data), rate * block) == (
+            1000 * len(data)
+        ) // (rate * block)
+
+
+@given(
+    w=st.integers(1, 16383),
+    h=st.integers(1, 16383),
+    scale=st.integers(0, 3),
+)
+@_SETTINGS
+def test_webp_vp8_dims_mask_14_bits(w, h, scale):
+    """The VP8 lossy dims are 14-bit fields inside LE16 slots whose top 2
+    bits carry scaling hints — the parser's % 16384 mask must recover the
+    dims for ANY hint value (pins the mask against struct.pack)."""
+    hdr = struct.pack(
+        "<4sI4s4sI",
+        b"RIFF",
+        20,
+        b"WEBP",
+        b"VP8 ",
+        10,
+    ) + b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack(
+        "<HH", w | (scale << 14), h | (scale << 14)
+    )
+    assert hdr[8:12] == b"WEBP"
+    assert hdr[23:26] == b"\x9d\x01\x2a"
+    assert _le(hdr, 27, 2) % 16384 == w
+    assert _le(hdr, 29, 2) % 16384 == h
+
+
+# --- C178: the /Count locate's closed-form offset ------------------------------
+
+
+def test_pdf_count_offset_closed_form():
+    """Rebuild the synthesized PDF prefix in pure Python for every pad
+    value and check the oracle's closed-form count_offset equals the
+    actual 1-based position of '/Count ' — the C175 sof_offset
+    discipline applied to the text-structured container."""
+    from spark_kinesis_sql_asl_spark.llm.multimodal import (
+        _PDF_COUNT_BASE,
+        _PDF_OBJ1,
+        _PDF_OBJ2_PRE,
+    )
+
+    for doc_id in range(40):
+        minor = 1 + doc_id % 7
+        pad = doc_id % 9
+        pages = 1 + doc_id % 100
+        s = (
+            f"%PDF-1.{minor}\n"
+            + "%" + "x" * pad + "\n"
+            + _PDF_OBJ1
+            + _PDF_OBJ2_PRE
+            + f"/Count {pages}>>endobj\n"
+            + "tail /Count 999 content"  # decoy AFTER the real one
+        )
+        assert s.index("/Count ") + 1 == _PDF_COUNT_BASE + pad
+        assert s[5] == "1" and s[7] == str(minor)
+
+
+# --- A20: billing-lattice identities -------------------------------------------
+
+
+@given(st.lists(st.integers(1, 10**12), min_size=1, max_size=16))
+@_SETTINGS
+def test_cost_share_ppm_sums_to_million_minus_floor_loss(costs):
+    """Per-shard share_ppm = floor(1e6·c_i / total): the floor loses less
+    than one ppm per shard, so the shares sum into (1e6 − n_shards, 1e6]
+    — the reconciliation bound an attribution table is audited against."""
+    total = sum(costs)
+    shares = [(10**6 * c) // total for c in costs]
+    assert 10**6 - len(costs) < sum(shares) <= 10**6
+
+
+@given(st.lists(st.integers(0, 200_000), min_size=1, max_size=50))
+@_SETTINGS
+def test_cost_put_units_ceil_div_superadditive(sizes):
+    """Per-record PUT units sum >= the units of the concatenated bytes
+    (rounding up happens per record — the reason the billing column must
+    ceil per record, not on the shard total)."""
+    unit = 25_600
+    per_record = sum((b + unit - 1) // unit for b in sizes)
+    pooled = (sum(sizes) + unit - 1) // unit
+    assert per_record >= pooled
+
+
+@given(st.integers(0, 10**15))
+@_SETTINGS
+def test_cost_extended_hours_identity(lag_us):
+    """extended_hours = max(0, ceil_hours(lag) − 24) on the micros
+    lattice: zero iff the replay need fits the 24 h service floor."""
+    hr = 3_600_000_000
+    ceil_h = (lag_us + hr - 1) // hr
+    ext = max(0, ceil_h - 24)
+    if lag_us <= 24 * hr:
+        assert ext == 0
+    if ext > 0:
+        assert lag_us > 24 * hr
+        assert ext == ceil_h - 24

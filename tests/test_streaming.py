@@ -3007,3 +3007,57 @@ def test_streaming_rsi_equals_batch(spark, tmp_path):
             bt["avg_loss_milli"],
             bt["rsi_ppm"],
         ), g
+
+
+def test_streaming_macd_equals_batch(spark, tmp_path):
+    """B213's streaming twin: the final per-priority emission must equal
+    q_ts_macd exactly — same integer cents lattice, so the compare is
+    division-free equality on every column (first_cross_d NULL-safe)."""
+    from spark_kinesis_sql_asl_spark.operators.timeseries import q_ts_macd
+    from spark_kinesis_sql_asl_spark.streaming.timeseries import (
+        streaming_macd,
+    )
+
+    staging = str(tmp_path / "staging")
+    _stage_prio_order_days(spark, staging, n_files=4)
+    sch = "grp string, day_us bigint, cents bigint"
+    src = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    _drain(
+        streaming_macd(src)
+        .writeStream.format("memory")
+        .queryName("stream_macd")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    got = _dedup_last_by_seq(
+        spark,
+        "stream_macd",
+        ["grp"],
+        [
+            "n_days",
+            "macd_cents",
+            "signal_cents",
+            "hist_cents",
+            "n_cross_up",
+            "n_cross_down",
+            "first_cross_d",
+        ],
+    )
+    expect = {r["grp"]: r for r in q_ts_macd(spark, SF_SMOKE).collect()}
+    assert {g for (g,) in got} == set(expect)
+    for (g,), vals in got.items():
+        bt = expect[g]
+        assert vals == (
+            bt["n_days"],
+            bt["macd_cents"],
+            bt["signal_cents"],
+            bt["hist_cents"],
+            bt["n_cross_up"],
+            bt["n_cross_down"],
+            bt["first_cross_d"],
+        ), g
