@@ -64,29 +64,29 @@ _MODULES = (
     "operators.sorts_sets",
 )
 
-# ROUND-13 ROTATION (computed from CORRECTNESS_r01..r12.json): the cumulative
-# ledger is fully green through round 12 (0 red ever; the only non-pass rows
-# are by-design rows-only no_oracle, now down to 2 after the C82s
-# promotion). Round-13 window, in priority order:
+# ROUND-14 ROTATION (computed from CORRECTNESS_r01..r13.json): the cumulative
+# ledger is fully green through round 13 — for the first time EVERY
+# registered query has a driver-confirmed row at its declared oracle level
+# (416 hash-green + 2 by-design rows-only). Round-14 window, in priority
+# order:
 #
-#   override 8   the 6 never-driver-sampled round-12 additions — slots 0..5
-#   override 9   the re-oracled/rewired tranche — slots 6..11: C82s gained
-#                its SQL oracle this round (rows-only→SQL promotion), the
-#                MinHash family (C3/C126/C140/C143) was rewired onto the
-#                shared portable-signature barrier, and the shared Jaccard
-#                PPJoin build moved to the BIGINT token domain
-#                (hash_tokens=True) — q_llm_dedup_jaccard re-verifies the
-#                shared frame's full pair dump for the other 13 consumers
-#   override 10  canary 3-round refresh: the 13 canaries last sampled in
-#                r10 — slots 12..24
-#   override 11  the 6 round-13 additions (B211 STL readout, B212 RSI,
-#                A18 lease plan, A19 retention plan, C175 JPEG dims, C176
-#                production-geometry band recall) staged DIRECTLY into the
-#                window — first round the structural one-round rotation
-#                lag is closed instead of carried — slots 25..30
-#   override 12  freshness rotation: the 19 oldest r3-era rows
-#                (alphabetical) — slots 31..49; the one remaining r3 row
-#                (q_win_time_range) heads the round-14 freshness queue
+#   override 8   the 4 round-14 additions (A20 cost plan, C178 PDF header,
+#                C177 RIFF header, B213 MACD) staged DIRECTLY into their
+#                own round's window — the zero-lag staging rule made
+#                permanent (VERDICT r13 item #2) — slots 0..3
+#   override 9   the re-verify tranche — slot 4: q_ts_stl_decompose's
+#                trend window gained the dense-calendar gate
+#                (max(d)-min(d) = 6 beside nw = 7, ADVICE r13), a
+#                semantics change on sparse series, so its r13 row is
+#                stale by construction
+#   override 10  canary 3-round refresh: the 5 canaries last sampled in
+#                r11 — slots 5..9 (q_canary_array_semantics, r12, waits
+#                for r15)
+#   override 12  freshness rotation — slots 10..49: q_win_time_range (the
+#                last r3-era row) then the ENTIRE 39-query r4-era cohort
+#                (registration order within the tranche), draining VERDICT
+#                r13 item #1 completely:
+#                after this round no query's latest sample predates r5
 #   override 100 every other ever-driver-sampled query
 #
 # Rows-only half-frequency rule (VERDICT r11 item #2) still holds: the two
@@ -94,34 +94,117 @@ _MODULES = (
 # q_agg_percentile_approx) have >=2 clean runs and pin at 100.
 # tests/test_registry_rotation.py recomputes and asserts this composition.
 _PRIORITY_OVERRIDES: dict[str, int] = {
-    # (a) the 6 never-driver-sampled round-12 additions: slots 0..5
+    # (a) the 4 round-14 additions, staged into the window: slots 0..3
     **{
         n: 8
         for n in (
-            "q_events_did",
-            "q_kinesis_efo_plan",
-            "q_llm_media_dims",
-            "q_llm_substring_sketch",
-            "q_ts_croston",
-            "q_ts_holt_winters_mul",
+            "q_kinesis_cost_plan",
+            "q_llm_media_dims_pdf",
+            "q_llm_media_dims_riff",
+            "q_ts_macd",
         )
     },
-    # (b) re-oracled / rewired tranche: slots 6..11
+    # (b) re-verify tranche (STL dense-calendar gate): slot 4
     **{
         n: 9
         for n in (
-            "q_llm_band_assign",
-            "q_llm_dedup_containment_lsh",
-            "q_llm_dedup_jaccard",
-            "q_llm_dedup_minhash",
-            "q_llm_ingest_neardup",
-            "q_llm_minhash_portable",
+            "q_ts_stl_decompose",
         )
     },
-    # (c) canary 3-round refresh (r10 cohort): slots 12..24
+    # (c) canary 3-round refresh (r11 cohort): slots 5..9
     **{
         n: 10
         for n in (
+            "q_canary_add_months",
+            "q_canary_ln_quant",
+            "q_canary_regex_subset",
+            "q_canary_tok_split",
+            "q_canary_wideint_convert",
+        )
+    },
+    # (d) freshness rotation (r3 remainder + the full r4 cohort):
+    #     slots 10..49
+    **{
+        n: 12
+        for n in (
+            "q_win_time_range",
+            "q_agg_boolcond",
+            "q_agg_decimal",
+            "q_agg_listagg",
+            "q_basket_pairs",
+            "q_events_cohort_retention",
+            "q_events_sessionize",
+            "q_llm_bitext_mine",
+            "q_llm_bpe_pairs",
+            "q_llm_bpe_train3",
+            "q_llm_composition",
+            "q_llm_corpus_build",
+            "q_llm_corpus_diff",
+            "q_llm_decode_media",
+            "q_llm_dup_triangles",
+            "q_llm_embed_dimstats",
+            "q_llm_frame_sample",
+            "q_llm_freq_spectrum",
+            "q_llm_hamming_spectrum",
+            "q_llm_ingest_dedup",
+            "q_llm_ingest_jsonl",
+            "q_llm_link_extract",
+            "q_llm_lm_score",
+            "q_llm_maxsim",
+            "q_llm_media_sniff",
+            "q_llm_mixture_sample",
+            "q_llm_ngram_lm",
+            "q_llm_novelty",
+            "q_llm_quota_sample",
+            "q_llm_refresh_e2e",
+            "q_llm_repeated_chunks",
+            "q_llm_scd2",
+            "q_llm_shard_balance",
+            "q_llm_source_leak",
+            "q_llm_surprisal",
+            "q_llm_train_order",
+            "q_llm_winnow",
+            "q_skew_audit",
+            "q_sort_nulls_first",
+            "q_ts_gapfill",
+        )
+    },
+    # (e) every other ever-driver-sampled query pins at 100
+    **{
+        n: 100
+        for n in (
+            "q_agg_approx_distinct",
+            "q_agg_argmax",
+            "q_agg_bivariate",
+            "q_agg_bootstrap_ci",
+            "q_agg_collect",
+            "q_agg_cov_matrix",
+            "q_agg_cube",
+            "q_agg_distinct",
+            "q_agg_entropy",
+            "q_agg_filter_clause",
+            "q_agg_gini",
+            "q_agg_global",
+            "q_agg_group",
+            "q_agg_grouping_id",
+            "q_agg_grouping_sets",
+            "q_agg_having",
+            "q_agg_hhi",
+            "q_agg_histogram",
+            "q_agg_mode",
+            "q_agg_multi_distinct",
+            "q_agg_paired_ttest",
+            "q_agg_percentile",
+            "q_agg_percentile_approx",
+            "q_agg_rollup",
+            "q_agg_skew_kurtosis",
+            "q_agg_stats",
+            "q_agg_theil",
+            "q_agg_weighted_median",
+            "q_agg_welch_t",
+            "q_agg_winsorized_mean",
+            "q_benford_audit",
+            "q_canary_array_semantics",
             "q_canary_decimal_sum",
             "q_canary_empty_agg",
             "q_canary_filter_null_agg",
@@ -135,90 +218,6 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_canary_string_order",
             "q_canary_try_arith",
             "q_canary_unicode_case",
-        )
-    },
-    # (d) round-13 additions, staged into the window: slots 25..29
-    **{
-        n: 11
-        for n in (
-            "q_kinesis_lease_plan",
-            "q_kinesis_retention_plan",
-            "q_llm_band_recall_24",
-            "q_llm_media_dims_jpeg",
-            "q_ts_rsi",
-            "q_ts_stl_decompose",
-        )
-    },
-    # (e) freshness rotation (r3 remainder + r4 head): slots 28..49
-    **{
-        n: 12
-        for n in (
-            "q_llm_curate_e2e",
-            "q_llm_dedup_survivors",
-            "q_llm_fingerprint",
-            "q_llm_heavy_hitters",
-            "q_llm_kmeans",
-            "q_llm_kmeans_mstep",
-            "q_llm_mixture",
-            "q_llm_multimodal",
-            "q_llm_pack",
-            "q_llm_pq_encode",
-            "q_llm_quality_calibrate",
-            "q_llm_repetition",
-            "q_llm_sample_hash",
-            "q_llm_sample_reservoir",
-            "q_llm_split_stratified",
-            "q_llm_textscore",
-            "q_llm_tfidf",
-            "q_llm_tokenize",
-            "q_sql_recursive_spine",
-        )
-    },
-    # (f) every other ever-driver-sampled query pins at 100
-    **{
-        n: 100
-        for n in (
-            "q_agg_approx_distinct",
-            "q_agg_argmax",
-            "q_agg_bivariate",
-            "q_agg_boolcond",
-            "q_agg_bootstrap_ci",
-            "q_agg_collect",
-            "q_agg_cov_matrix",
-            "q_agg_decimal",
-            "q_agg_cube",
-            "q_agg_distinct",
-            "q_agg_entropy",
-            "q_agg_filter_clause",
-            "q_agg_gini",
-            "q_agg_global",
-            "q_agg_group",
-            "q_agg_grouping_id",
-            "q_agg_grouping_sets",
-            "q_agg_having",
-            "q_agg_hhi",
-            "q_agg_histogram",
-            "q_agg_listagg",
-            "q_agg_mode",
-            "q_agg_multi_distinct",
-            "q_agg_paired_ttest",
-            "q_agg_percentile",
-            "q_agg_percentile_approx",
-            "q_agg_rollup",
-            "q_agg_skew_kurtosis",
-            "q_agg_stats",
-            "q_agg_theil",
-            "q_agg_weighted_median",
-            "q_agg_welch_t",
-            "q_agg_winsorized_mean",
-            "q_basket_pairs",
-            "q_benford_audit",
-            "q_canary_add_months",
-            "q_canary_array_semantics",
-            "q_canary_ln_quant",
-            "q_canary_regex_subset",
-            "q_canary_tok_split",
-            "q_canary_wideint_convert",
             "q_cohort_ltv",
             "q_customer_rfm",
             "q_customer_tier_migration",
@@ -227,11 +226,11 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_events_attribution",
             "q_events_burst_episodes",
             "q_events_chisq_shift",
-            "q_events_cohort_retention",
             "q_events_conversion_rate",
             "q_events_cuped",
             "q_events_dau_wau",
             "q_events_decay_engagement",
+            "q_events_did",
             "q_events_entropy_rate",
             "q_events_funnel",
             "q_events_hourly_profile",
@@ -248,7 +247,6 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_events_path_prefix",
             "q_events_proportion_ztest",
             "q_events_seq_patterns",
-            "q_events_sessionize",
             "q_events_spearman",
             "q_events_survival",
             "q_events_transitions",
@@ -300,22 +298,24 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_join_theta",
             "q_kinesis_decode_csv",
             "q_kinesis_decode_json",
+            "q_kinesis_efo_plan",
             "q_kinesis_hotkey_audit",
             "q_kinesis_lag_audit",
+            "q_kinesis_lease_plan",
             "q_kinesis_replay_window",
             "q_kinesis_reshard_plan",
+            "q_kinesis_retention_plan",
             "q_kinesis_schema",
             "q_kinesis_shard_route",
             "q_kinesis_throughput_audit",
             "q_lateral_topn",
+            "q_llm_band_assign",
+            "q_llm_band_recall_24",
             "q_llm_band_tuning",
             "q_llm_bigram_topk",
-            "q_llm_bitext_mine",
             "q_llm_bloom_fpr",
             "q_llm_bm25",
             "q_llm_bpe_batch",
-            "q_llm_bpe_pairs",
-            "q_llm_bpe_train3",
             "q_llm_bucket_stats",
             "q_llm_char_entropy",
             "q_llm_chunk",
@@ -325,29 +325,30 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_cluster_tightness",
             "q_llm_cms_heavy",
             "q_llm_code_detect",
-            "q_llm_composition",
             "q_llm_compress_proxy",
             "q_llm_contrastive_pairs",
-            "q_llm_corpus_build",
-            "q_llm_corpus_diff",
             "q_llm_corpus_stats",
             "q_llm_cross_dup_matrix",
+            "q_llm_curate_e2e",
             "q_llm_curriculum_bins",
             "q_llm_data_card",
-            "q_llm_decode_media",
             "q_llm_decontaminate",
             "q_llm_dedup_cluster",
             "q_llm_dedup_containment",
+            "q_llm_dedup_containment_lsh",
             "q_llm_dedup_editdist",
             "q_llm_dedup_embed",
             "q_llm_dedup_exact",
+            "q_llm_dedup_jaccard",
             "q_llm_dedup_method_overlap",
+            "q_llm_dedup_minhash",
             "q_llm_dedup_ngram",
             "q_llm_dedup_normalized",
             "q_llm_dedup_precision",
             "q_llm_dedup_semantic",
             "q_llm_dedup_shard_locality",
             "q_llm_dedup_simhash",
+            "q_llm_dedup_survivors",
             "q_llm_dedup_yield_curve",
             "q_llm_diversity",
             "q_llm_domain_quality",
@@ -358,30 +359,28 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_dup_kcore",
             "q_llm_dup_pagerank",
             "q_llm_dup_span_ratio",
-            "q_llm_dup_triangles",
             "q_llm_dup_two_hop",
-            "q_llm_embed_dimstats",
             "q_llm_embed_drift",
             "q_llm_embed_isotropy",
             "q_llm_embed_pca_power",
             "q_llm_epoch_schedule",
             "q_llm_fertility",
             "q_llm_filter_funnel",
-            "q_llm_frame_sample",
-            "q_llm_freq_spectrum",
+            "q_llm_fingerprint",
             "q_llm_gopher_rules",
-            "q_llm_hamming_spectrum",
             "q_llm_hapax_rate",
             "q_llm_hard_negatives",
             "q_llm_heaps_fit",
+            "q_llm_heavy_hitters",
             "q_llm_heavy_hitters_sketch",
             "q_llm_host_cap_enforce",
             "q_llm_ingest_cdc",
-            "q_llm_ingest_dedup",
-            "q_llm_ingest_jsonl",
+            "q_llm_ingest_neardup",
             "q_llm_inverted_index",
             "q_llm_js_divergence",
             "q_llm_keyword_stuffing",
+            "q_llm_kmeans",
+            "q_llm_kmeans_mstep",
             "q_llm_kmeans_train",
             "q_llm_kmv_distinct",
             "q_llm_kmv_setops",
@@ -389,71 +388,72 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_langid",
             "q_llm_langid_confusion",
             "q_llm_length_profile",
-            "q_llm_link_extract",
-            "q_llm_lm_score",
             "q_llm_margin_sample",
-            "q_llm_maxsim",
             "q_llm_media_dedup",
+            "q_llm_media_dims",
+            "q_llm_media_dims_jpeg",
             "q_llm_media_phash",
-            "q_llm_media_sniff",
-            "q_llm_mixture_sample",
+            "q_llm_minhash_portable",
+            "q_llm_mixture",
             "q_llm_mixture_temperature",
             "q_llm_mmr_select",
             "q_llm_mrr",
+            "q_llm_multimodal",
             "q_llm_ndcg",
-            "q_llm_ngram_lm",
             "q_llm_ngram_novelty_decay",
-            "q_llm_novelty",
+            "q_llm_pack",
             "q_llm_pad_waste",
             "q_llm_paragraph_dedup",
             "q_llm_pii_scrub",
             "q_llm_pmi_bigrams",
             "q_llm_pq_adc_topk",
             "q_llm_pq_distortion",
+            "q_llm_pq_encode",
             "q_llm_prefix_dup",
             "q_llm_probe_curve",
             "q_llm_profile",
             "q_llm_psi_drift",
             "q_llm_quality",
             "q_llm_quality_auc",
+            "q_llm_quality_calibrate",
             "q_llm_quality_dup_matrix",
             "q_llm_quality_ece",
             "q_llm_quality_isotonic",
             "q_llm_quality_len_matrix",
-            "q_llm_quota_sample",
             "q_llm_rake_keywords",
             "q_llm_random_proj",
             "q_llm_rater_kappa",
             "q_llm_readability",
             "q_llm_recall_at_k",
-            "q_llm_refresh_e2e",
             "q_llm_rejection_sample",
-            "q_llm_repeated_chunks",
+            "q_llm_repetition",
             "q_llm_rrf_fusion",
-            "q_llm_scd2",
+            "q_llm_sample_hash",
+            "q_llm_sample_reservoir",
             "q_llm_semantic_cell_audit",
             "q_llm_semantic_clusters",
             "q_llm_semantic_dedup_e2e",
             "q_llm_semantic_outliers",
             "q_llm_semantic_survivors",
             "q_llm_semantic_yield",
-            "q_llm_shard_balance",
             "q_llm_shingle_df_audit",
             "q_llm_sim_ivf",
             "q_llm_sim_lsh",
             "q_llm_sim_topk",
-            "q_llm_source_leak",
             "q_llm_source_vocab_overlap",
             "q_llm_span_coverage",
             "q_llm_split_leakage",
+            "q_llm_split_stratified",
             "q_llm_submodular_coverage",
             "q_llm_substring_dup",
-            "q_llm_surprisal",
+            "q_llm_substring_sketch",
             "q_llm_template_mine",
+            "q_llm_textscore",
+            "q_llm_tfidf",
             "q_llm_tokcount",
             "q_llm_token_budget",
             "q_llm_token_yield_funnel",
-            "q_llm_train_order",
+            "q_llm_tokenize",
             "q_llm_unigram_entropy",
             "q_llm_url_host_audit",
             "q_llm_vec_ops",
@@ -461,7 +461,6 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_vocab_coverage",
             "q_llm_weighted_sample",
             "q_llm_whitespace_anomaly",
-            "q_llm_winnow",
             "q_llm_zipf_fit",
             "q_orders_littles_law",
             "q_orders_priority_aging",
@@ -487,9 +486,8 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_set_intersect_all",
             "q_set_union_all",
             "q_set_union_distinct",
-            "q_skew_audit",
             "q_sort_multi",
-            "q_sort_nulls_first",
+            "q_sql_recursive_spine",
             "q_stream_dedup_keys",
             "q_stream_session",
             "q_stream_sliding",
@@ -503,17 +501,19 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_ts_acf",
             "q_ts_backlog",
             "q_ts_ccf",
+            "q_ts_croston",
             "q_ts_ewma_cross",
             "q_ts_fano_dispersion",
             "q_ts_forecast_backtest",
-            "q_ts_gapfill",
             "q_ts_holt_linear",
+            "q_ts_holt_winters_mul",
             "q_ts_hurst",
             "q_ts_lttb",
             "q_ts_mann_kendall",
             "q_ts_ohlc",
             "q_ts_pacf",
             "q_ts_peaks",
+            "q_ts_rsi",
             "q_ts_runs_test",
             "q_ts_seasonal_forecast",
             "q_ts_seasonal_outliers",
@@ -544,7 +544,6 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_win_running_distinct",
             "q_win_skyline",
             "q_win_streaks",
-            "q_win_time_range",
             "q_zorder_layout",
         )
     },

@@ -1,36 +1,31 @@
-"""Round-13 rotation window assertions (VERDICT r12 items #1, #3, #5).
+"""Round-14 rotation window assertions (VERDICT r13 items #1, #2).
 
 The driver samples roughly the first 50 entries of the priority-ordered
-registry for CORRECTNESS_r{N}.json. Rounds 4-12 proved the rotation must be
+registry for CORRECTNESS_r{N}.json. Rounds 4-13 proved the rotation must be
 *recomputed* (not guessed) each round from the committed CORRECTNESS
-artifacts. Through round 12 the cumulative ledger is fully green; the only
-queries without a driver row are the 6 round-12 priority-30 additions. The
-round-13 window drains that backlog, re-verifies everything whose oracle or
-implementation changed this round, refreshes the overdue canary cohort, and
-— for the first time — stages the CURRENT round's additions directly into
-the window instead of carrying the one-round rotation lag:
+artifacts. Through round 13 the cumulative ledger is fully green and — for
+the first time — EVERY registered query has a driver row at its declared
+oracle level. The round-14 window:
 
-  slots 0..5      the 6 never-driver-sampled round-12 additions
-                  (override 8)
-  slots 6..11     the re-oracled / rewired tranche (override 9): C82s'
-                  rows-only→SQL promotion, the MinHash family rewired onto
-                  the shared portable-signature barrier (C3/C126/C140/
-                  C143), and q_llm_dedup_jaccard re-verifying the shared
-                  PPJoin frame after the BIGINT token-domain change (its
-                  full pair dump covers the other 13 consumers)
-  slots 12..24    canary 3-round refresh: the 13 canaries last sampled in
-                  r10 (override 10)
-  slots 25..30    the 6 round-13 additions (override 11) — B211 STL
-                  readout, B212 RSI, A18 lease plan, A19 retention plan,
-                  C175 JPEG dims, C176 production-geometry band recall
-  slots 31..49    freshness rotation: the 19 oldest r3-era rows
-                  (override 12); q_win_time_range heads the r14 queue
+  slots 0..3      the 4 round-14 additions (override 8) — the zero-lag
+                  staging rule made PERMANENT (item #2): any new @query
+                  lands with a driver slot in the SAME round, asserted
+                  structurally below (test_zero_lag_staging_invariant)
+  slot 4          the re-verify tranche (override 9): q_ts_stl_decompose's
+                  trend window gained the dense-calendar gate (ADVICE
+                  r13) — a semantics change, so its r13 row is stale
+  slots 5..9      canary 3-round refresh: the 5 canaries last sampled in
+                  r11 (override 10); q_canary_array_semantics (r12)
+                  waits for r15
+  slots 10..49    freshness rotation (override 12): q_win_time_range (the
+                  last r3-era row) plus the ENTIRE 39-query r4-era
+                  cohort — item #1 drained completely: after this round
+                  no query's latest sample predates round 5
 
 Rows-only half-frequency rule (VERDICT r11 item #2): a no_oracle query
 that has already run clean >=2x under the driver burns no further window
 slots — asserted below as "the window contains no such query" (only
-q_agg_approx_distinct and q_agg_percentile_approx remain rows-only after
-the C82s promotion).
+q_agg_approx_distinct and q_agg_percentile_approx remain rows-only).
 """
 
 from __future__ import annotations
@@ -45,50 +40,33 @@ from spark_kinesis_sql_asl_spark import registry
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-LAST_DRIVER_ROUND = 12
+LAST_DRIVER_ROUND = 13
 DRIVER_WINDOW = 50
 
-# Queries first registered in round 13: staged into the window at override
-# 11 (no driver row yet by construction). Keep in sync as operators land.
-ROUND13_NEW_THIS_ROUND: frozenset[str] = frozenset(
+# Queries first registered in round 14: staged into the window at override
+# 8 (no driver row yet by construction). Keep in sync as operators land —
+# test_zero_lag_staging_invariant recomputes the set from the artifacts.
+ROUND14_NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
-        "q_ts_stl_decompose",  # B211
-        "q_ts_rsi",  # B212
-        "q_kinesis_lease_plan",  # A18
-        "q_kinesis_retention_plan",  # A19
-        "q_llm_media_dims_jpeg",  # C175
-        "q_llm_band_recall_24",  # C176
+        "q_kinesis_cost_plan",  # A20
+        "q_llm_media_dims_riff",  # C177
+        "q_llm_media_dims_pdf",  # C178
+        "q_ts_macd",  # B213
     }
 )
 
-# Queries whose driver row predates their CURRENT oracle or whose
-# implementation was materially rewired this round (the override-9
-# tranche): C82s was promoted rows-only→SQL in r13; C3/C126/C140/C143 now
-# read the shared portable-signature barrier; the shared Jaccard build
-# moved to the BIGINT token domain and q_llm_dedup_jaccard re-verifies it.
-REWIRED: frozenset[str] = frozenset(
-    {
-        "q_llm_dedup_containment_lsh",
-        "q_llm_dedup_jaccard",
-        "q_llm_dedup_minhash",
-        "q_llm_ingest_neardup",
-        "q_llm_minhash_portable",
-        "q_llm_band_assign",
-    }
-)
+# Queries whose driver row predates their CURRENT semantics (the
+# override-9 tranche): the STL trend window gained the dense-calendar
+# dspan gate this round, which changes output on sparse series.
+REWIRED: frozenset[str] = frozenset({"q_ts_stl_decompose"})
 
-NEVER_SAMPLED_COUNT = 6  # the round-12 priority-30 additions
-REWIRED_COUNT = 6
-CANARY_REFRESH_ROUND = 10  # cohort last sampled r10 re-enters (3-round rule)
-CANARY_REFRESH_COUNT = 13
-R13_NEW_COUNT = 6
+NEW_COUNT = len(ROUND14_NEW_THIS_ROUND)  # 4
+REWIRED_COUNT = len(REWIRED)  # 1
+CANARY_REFRESH_ROUND = 11  # cohort last sampled r11 re-enters (3-round rule)
+CANARY_REFRESH_COUNT = 5
 FRESHNESS_TRANCHE_COUNT = (
-    DRIVER_WINDOW
-    - NEVER_SAMPLED_COUNT
-    - REWIRED_COUNT
-    - CANARY_REFRESH_COUNT
-    - R13_NEW_COUNT
-)  # = 22
+    DRIVER_WINDOW - NEW_COUNT - REWIRED_COUNT - CANARY_REFRESH_COUNT
+)  # = 40
 
 
 def _ordered():
@@ -137,15 +115,6 @@ def _rows_only_clean_counts() -> dict[str, int]:
     return counts
 
 
-def _never_sampled() -> set[str]:
-    registry.load_all()
-    return (
-        set(registry._QUERIES)
-        - set(_rows_through(LAST_DRIVER_ROUND))
-        - ROUND13_NEW_THIS_ROUND
-    )
-
-
 def _canary_refresh() -> set[str]:
     last = _last_sampled()
     return {
@@ -155,27 +124,24 @@ def _canary_refresh() -> set[str]:
     }
 
 
-def _freshness_tranche() -> list[str]:
-    """The oldest-last-sampled queries (r3 remainder, then r4 head,
-    alphabetical within a round), minus anything already in another
-    tranche, truncated to the remaining window slots."""
+def _freshness_tranche() -> set[str]:
+    """The oldest-last-sampled queries (the r3 remainder, then the whole
+    r4 cohort), minus anything already in another tranche."""
     last = _last_sampled()
     registry.load_all()
     taken = REWIRED | _canary_refresh()
-    queue: list[str] = []
+    queue: set[str] = set()
     for r in (3, 4):
-        queue.extend(
-            sorted(
-                q
-                for q, lr in last.items()
-                if lr == r and q in registry._QUERIES and q not in taken
-            )
-        )
-    return queue[:FRESHNESS_TRANCHE_COUNT]
+        queue |= {
+            q
+            for q, lr in last.items()
+            if lr == r and q in registry._QUERIES and q not in taken
+        }
+    return queue
 
 
 def test_no_reds_to_recheck():
-    """The cumulative ledger through round 12 is fully green — no query
+    """The cumulative ledger through round 13 is fully green — no query
     carries override 0 (rows-only ``no_oracle`` rows are sampled-clean)."""
     latest = _rows_through(LAST_DRIVER_ROUND)
     reds = {
@@ -195,41 +161,67 @@ def test_no_reds_to_recheck():
     assert at_zero == [], f"override 0 without a red: {at_zero}"
 
 
-def test_never_sampled_backlog_heads_the_window():
-    """VERDICT r12 item #1's Done bar: every one of the 6 never-sampled
-    round-12 additions sits at the FRONT of the window (override 8,
-    slots 0..5)."""
-    never = _never_sampled()
-    assert len(never) == NEVER_SAMPLED_COUNT, f"backlog drifted: {never}"
-    for n in sorted(never):
-        assert _priority(n) == 8, (n, _priority(n))
-    head = set(_ordered()[:NEVER_SAMPLED_COUNT])
-    assert head == never, (sorted(head - never), sorted(never - head))
-
-
-def test_rewired_tranche_follows_backlog():
-    """VERDICT r12 items #2/#3: every query whose oracle or implementation
-    changed this round re-verifies THIS round (override 9, slots 6..11) —
-    each must carry an oracle (the C82s promotion included)."""
-    assert len(REWIRED) == REWIRED_COUNT
+def test_every_query_has_been_driver_sampled():
+    """Round 13 closed the backlog: every query registered BEFORE this
+    round has a driver row (the only unsampled queries are this round's
+    own additions, staged at the front of the window)."""
     registry.load_all()
-    oracles = set(registry._ORACLES)
+    unsampled = set(registry._QUERIES) - set(
+        _rows_through(LAST_DRIVER_ROUND)
+    )
+    assert unsampled == ROUND14_NEW_THIS_ROUND, (
+        sorted(unsampled - ROUND14_NEW_THIS_ROUND),
+        sorted(ROUND14_NEW_THIS_ROUND - unsampled),
+    )
+
+
+def test_zero_lag_staging_invariant():
+    """VERDICT r13 item #2's Done bar, the PERMANENT rule: every query
+    with no driver row (i.e. every addition of the current round) must be
+    staged INSIDE the window — recomputed from the artifacts, not from a
+    constant, so forgetting to stage a new @query fails here."""
+    registry.load_all()
+    sampled = set(_rows_through(LAST_DRIVER_ROUND))
+    window = set(_ordered()[:DRIVER_WINDOW])
+    unstaged = {
+        n for n in registry._QUERIES if n not in sampled and n not in window
+    }
+    assert unstaged == set(), (
+        f"additions not staged into their own round's window: "
+        f"{sorted(unstaged)}"
+    )
+
+
+def test_round14_additions_head_the_window():
+    """The 4 round-14 additions sit at the FRONT of the window
+    (override 8, slots 0..3), each with an oracle."""
+    registry.load_all()
+    for n in ROUND14_NEW_THIS_ROUND:
+        assert _priority(n) == 8, (n, _priority(n))
+        assert n in registry._ORACLES, f"{n} staged in-window without oracle"
+    head = set(_ordered()[:NEW_COUNT])
+    assert head == ROUND14_NEW_THIS_ROUND, sorted(head)
+
+
+def test_rewired_tranche_follows_additions():
+    """Every query whose semantics changed this round re-verifies THIS
+    round (override 9, slot 4): the STL dense-calendar gate."""
+    registry.load_all()
     for n in REWIRED:
-        assert n in oracles, f"{n} in the rewired tranche but has no oracle"
+        assert n in registry._ORACLES
         assert _priority(n) == 9, (n, _priority(n))
     names = _ordered()
-    mid = names[NEVER_SAMPLED_COUNT : NEVER_SAMPLED_COUNT + REWIRED_COUNT]
+    mid = names[NEW_COUNT : NEW_COUNT + REWIRED_COUNT]
     assert set(mid) == set(REWIRED), (sorted(mid), sorted(REWIRED))
 
 
 def test_canary_cohort_on_three_round_refresh():
-    """VERDICT r12 item #5: the r10-sampled canary cohort re-enters on the
-    3-round refresh (override 10, slots 12..24); every other canary stays
-    pinned at 100."""
+    """The r11-sampled canary cohort re-enters on the 3-round refresh
+    (override 10, slots 5..9); every other canary stays pinned at 100."""
     cohort = _canary_refresh()
     assert len(cohort) == CANARY_REFRESH_COUNT, sorted(cohort)
     names = _ordered()
-    lo = NEVER_SAMPLED_COUNT + REWIRED_COUNT
+    lo = NEW_COUNT + REWIRED_COUNT
     mid = names[lo : lo + CANARY_REFRESH_COUNT]
     assert set(mid) == cohort, (sorted(mid), sorted(cohort))
     registry.load_all()
@@ -238,59 +230,39 @@ def test_canary_cohort_on_three_round_refresh():
             assert _priority(n) == (10 if n in cohort else 100), n
 
 
-def test_round13_additions_staged_inside_the_window():
-    """The structural one-round rotation lag is CLOSED this round: the 3
-    round-13 additions take window slots (override 11, slots 25..27)
-    instead of queueing behind it."""
-    registry.load_all()
-    names = _ordered()
-    lo = NEVER_SAMPLED_COUNT + REWIRED_COUNT + CANARY_REFRESH_COUNT
-    mid = names[lo : lo + R13_NEW_COUNT]
-    assert set(mid) == ROUND13_NEW_THIS_ROUND, mid
-    for n in ROUND13_NEW_THIS_ROUND:
-        assert _priority(n) == 11, (n, _priority(n))
-        assert n in registry._ORACLES, f"{n} staged in-window without oracle"
-
-
-def test_freshness_tranche_fills_the_window():
-    """Slots 31..49: the 19 oldest remaining r3-era rows re-enter at
-    override 12 (exactly one r3 row — q_win_time_range — stays queued
-    for round 14; the window has 19 slots left after staging all six
-    round-13 additions)."""
+def test_freshness_tranche_drains_r3_and_r4_completely():
+    """Slots 10..49: the last r3-era row (q_win_time_range) and the
+    ENTIRE 39-query r4-era cohort re-enter at override 12 — VERDICT r13
+    item #1's Done bar exceeded (all 39, not just the oldest ~30): after
+    round 14 no query's latest sample predates round 5."""
     tranche = _freshness_tranche()
     assert len(tranche) == FRESHNESS_TRANCHE_COUNT
-    names = _ordered()
-    lo = (
-        NEVER_SAMPLED_COUNT
-        + REWIRED_COUNT
-        + CANARY_REFRESH_COUNT
-        + R13_NEW_COUNT
-    )
-    tail = names[lo : lo + FRESHNESS_TRANCHE_COUNT]
-    assert set(tail) == set(tranche), (sorted(tail), sorted(tranche))
-    assert all(_priority(n) == 12 for n in tail)
-    # the r3-era queue drains to exactly ONE member this round
+    assert "q_win_time_range" in tranche
     last = _last_sampled()
-    r3_left = {q for q, r in last.items() if r == 3} - set(tranche) - REWIRED
-    assert r3_left == {"q_win_time_range"}, sorted(r3_left)
+    assert {q for q, r in last.items() if r <= 4} - tranche == set()
+    names = _ordered()
+    lo = NEW_COUNT + REWIRED_COUNT + CANARY_REFRESH_COUNT
+    tail = names[lo : lo + FRESHNESS_TRANCHE_COUNT]
+    assert set(tail) == tranche, (sorted(tail), sorted(tranche))
+    assert all(_priority(n) == 12 for n in tail)
 
 
 def test_window_composition_exact():
-    """6 backlog + 6 rewired + 13 canaries + 6 round-13 additions + 19
-    freshness = the exact 50-slot window."""
+    """4 additions + 1 rewired + 5 canaries + 40 freshness = the exact
+    50-slot window."""
     names = _ordered()
     window = set(names[:DRIVER_WINDOW])
     expect = (
-        _never_sampled()
+        ROUND14_NEW_THIS_ROUND
         | set(REWIRED)
         | _canary_refresh()
-        | ROUND13_NEW_THIS_ROUND
-        | set(_freshness_tranche())
+        | _freshness_tranche()
     )
     assert window == expect, (
         sorted(window - expect),
         sorted(expect - window),
     )
+    assert _priority(names[DRIVER_WINDOW]) == 100
 
 
 def test_rows_only_half_frequency_rule():
@@ -308,28 +280,11 @@ def test_rows_only_half_frequency_rule():
     )
 
 
-def test_new_this_round_constant_is_exact():
-    """ROUND13_NEW_THIS_ROUND == (registered queries with no driver row
-    that are not part of the round-12 backlog) — the r6 lesson: update the
-    constant with EVERY new @query or the recompute tests drift."""
-    registry.load_all()
-    unsampled = set(registry._QUERIES) - set(
-        _rows_through(LAST_DRIVER_ROUND)
-    )
-    new = unsampled - _never_sampled()
-    assert new == ROUND13_NEW_THIS_ROUND, (
-        sorted(new - ROUND13_NEW_THIS_ROUND),
-        sorted(ROUND13_NEW_THIS_ROUND - new),
-    )
-    for n in sorted(ROUND13_NEW_THIS_ROUND):
-        assert n in registry._QUERIES, f"{n} listed but not registered"
-
-
 def test_every_ever_sampled_query_pinned_at_9_10_12_or_100():
     """A <100 decorator priority must never leak a driver-green query back
     into the window at the expense of the rotation plan."""
     registry.load_all()
-    fresh = set(_freshness_tranche())
+    fresh = _freshness_tranche()
     canaries = _canary_refresh()
     for n in sorted(
         set(_rows_through(LAST_DRIVER_ROUND)) & set(registry._QUERIES)
@@ -406,7 +361,7 @@ def test_survey_tier_sum_consistent():
     inv = _survey_inventory()
     rows_total = inv["tier_a"] + inv["tier_b"] + inv["tier_c"] + inv["tier_d"]
     registry.load_all()
-    HARNESS_ONLY_ROWS = 23  # ... +B194s/B202s/B203s (r11), +B212s (r13)
+    HARNESS_ONLY_ROWS = 24  # ... +B212s (r13), +B213s MACD twin (r14)
     EXTRA_QUERIES_ON_SHARED_ROWS = 6
     assert rows_total == len(registry._QUERIES) + HARNESS_ONLY_ROWS - (
         EXTRA_QUERIES_ON_SHARED_ROWS
