@@ -1,0 +1,77 @@
+"""Bench contract pins (VERDICT r13 item #4 + ADVICE r13).
+
+The per-query rate gate excludes `_shared_build_*` rows, so WHAT those
+rows may contain must be test-asserted, not just prose: the codegen
+warm-up row may only run the declared pair families at the tiny warm-up
+fixture — migrating real work into the excluded row (or warming at the
+timed sf_dir) would silently game the rate.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import inspect
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_spec = importlib.util.spec_from_file_location(
+    "bench", os.path.join(REPO, "bench.py")
+)
+bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench)
+
+# The allowed warm-up plan set: exactly the six shared-state pair families
+# whose builds are booked as their own `_shared_build_<name>` rows. Adding
+# a name here is a DELIBERATE act reviewed with the bench change.
+ALLOWED_WARMUP = frozenset(
+    {
+        "q_llm_dedup_jaccard",
+        "q_llm_dedup_containment",
+        "q_llm_substring_dup",
+        "q_llm_dedup_cluster",
+        "q_llm_dedup_semantic",
+        "q_llm_dedup_minhash",
+    }
+)
+
+
+def test_warmup_family_set_pinned():
+    assert frozenset(bench._FAMILY_WARMUP) == ALLOWED_WARMUP, (
+        "bench warm-up composition changed — review that the new plan "
+        "belongs in the rate-excluded row, then update ALLOWED_WARMUP"
+    )
+
+
+def test_warmup_fixture_is_the_tiny_sf():
+    assert bench._WARMUP_SF_DIR == "/root/testdata/sf0.001"
+
+
+def test_warmup_row_runs_only_declared_plans_at_warmup_fixture():
+    """Source-level pin: the single block that books the
+    `_shared_build_codegen_warmup` timing iterates ONLY _FAMILY_WARMUP
+    and executes ONLY at _WARMUP_SF_DIR — never the timed sf_dir."""
+    src = inspect.getsource(bench.main)
+    assert src.count('timings["_shared_build_codegen_warmup"]') == 1
+    block = src[
+        src.index("warmed_ok = True") : src.index(
+            '_shared_build_codegen_warmup"] = round'
+        )
+    ]
+    assert "for name in _FAMILY_WARMUP" in block
+    assert "queries[name](spark, _WARMUP_SF_DIR)" in block
+    assert "sf_dir" not in block.replace("_WARMUP_SF_DIR", ""), (
+        "warm-up must never touch the timed sf_dir"
+    )
+
+
+def test_warmup_row_skipped_when_fixture_missing_or_raising():
+    """ADVICE r13: a missing fixture or a raising warm-up pass must SKIP
+    the row (logged), not book a near-zero timing."""
+    src = inspect.getsource(bench.main)
+    assert "os.path.isdir(_WARMUP_SF_DIR)" in src
+    assert "warmed_ok = False" in src
+    # the row is booked only on the warmed_ok branch
+    i = src.index("if warmed_ok:")
+    j = src.index('_shared_build_codegen_warmup"] = round')
+    assert i < j
