@@ -414,6 +414,73 @@ def streaming_bounded_contrib(event_stream, cap: int = 3):
     )
 
 
+def streaming_bounded_contrib_tws(event_stream, cap: int = 3):
+    """B117-stream on the MODERN arbitrary-state API (round 14, VERDICT
+    r13 item #6): the same per-(user, event_type, day) saturating counter
+    as :func:`streaming_bounded_contrib`, as a
+    ``transformWithStateInPandas`` ``StatefulProcessor`` with ONE
+    ValueState of two BIGINTs + seq. Semantics are IDENTICAL by
+    construction (the C61s-tws pattern) — the harness test pins the two
+    implementations equal on the same stream where the API is available.
+
+    WHY this twin exists: the legacy twin's measured floor is the per-key
+    pandas slice/yield machinery of ``applyInPandasWithState`` (a fold
+    body replaced by a constant yield still drained in ~9 s at sf0.1's
+    ~81k keys — streaming_bounded_contrib's docstring documents the
+    experiment), so no fold rewrite on that API can reach the ~4 s
+    sibling ambition. ``transformWithState`` drops the per-key pandas
+    requirement (typed state handles, RocksDB-backed), which is exactly
+    the documented exit. Requires the ``google.protobuf`` package (the
+    TWS state-protocol wire format — absent in this container, so the
+    parity test import-skips and the bench row joins only where the
+    dependency exists; same env-gate as
+    :func:`streaming_quantile_octaves_tws`)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Proc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "bc", "capped bigint, total bigint, seq bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._st.exists():
+                capped, total, seq = self._st.get()
+            else:
+                capped, total, seq = 0, 0, 0
+            for pdf in rows:
+                n = len(pdf)
+                total += n
+                capped = min(cap, capped + n)
+            seq += 1
+            self._st.update((capped, total, seq))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "event_type": [key[1]],
+                    "day": [key[2]],
+                    "capped_n": [capped],
+                    "total_n": [total],
+                    "seq": [seq],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return event_stream.groupBy(
+        "user_id", "event_type", "day"
+    ).transformWithStateInPandas(
+        statefulProcessor=_Proc(),
+        outputStructType=_BC_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 _RD_OUT_SCHEMA = "cust bigint, distinct_parts_to_date bigint, seq bigint"
 _RD_STATE_SCHEMA = "n_distinct bigint, seq bigint"
 

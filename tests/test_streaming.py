@@ -3061,3 +3061,102 @@ def test_streaming_macd_equals_batch(spark, tmp_path):
             bt["n_cross_down"],
             bt["first_cross_d"],
         ), g
+
+
+def test_bounded_contrib_tws_matches_legacy(spark, tmp_path):
+    """B117-tws (round 14, VERDICT r13 item #6): the
+    transformWithStateInPandas bounded-contribution twin must produce
+    EXACTLY the legacy applyInPandasWithState summaries on the same
+    micro-batched stream — the per-key-machinery floor exit, verified
+    where the TWS protobuf dependency exists (import-skips here)."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState's state protocol needs protobuf "
+        "(absent in this container)",
+    )
+    from spark_kinesis_sql_asl_spark.streaming.stateful import (
+        streaming_bounded_contrib,
+        streaming_bounded_contrib_tws,
+    )
+
+    ev = (
+        table(spark, SF_SMOKE, "events")
+        .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .collect()
+    )
+    staging = str(tmp_path / "bc_stream")
+    os.makedirs(staging)
+    per = (len(ev) + 2) // 3
+    for i in range(3):
+        sl = ev[i * per : (i + 1) * per]
+        tbl = pa.table(
+            {
+                "user_id": pa.array([r.user_id for r in sl], pa.int64()),
+                "event_type": pa.array(
+                    [r.event_type for r in sl], pa.string()
+                ),
+                "day": pa.array([r.day for r in sl], pa.int64()),
+            }
+        )
+        f = os.path.join(staging, f"{i:04d}.parquet")
+        pq.write_table(tbl, f)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def final_rows(op, qname, ckpt, provider=None):
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(key, None)
+        if provider:
+            spark.conf.set(key, provider)
+        try:
+            stream = (
+                spark.readStream.schema(
+                    "user_id bigint, event_type string, day bigint"
+                )
+                .option("maxFilesPerTrigger", "1")
+                .parquet(staging)
+            )
+            _drain(
+                op(stream, cap=3)
+                .writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("update")
+                .option("checkpointLocation", str(tmp_path / ckpt))
+                .trigger(availableNow=True)
+            )
+            return {
+                (r.user_id, r.event_type, r.day, r.capped_n, r.total_n)
+                for r in spark.sql(
+                    f"""
+                    SELECT user_id, event_type, day, capped_n, total_n
+                    FROM (
+                        SELECT *, row_number() OVER (
+                            PARTITION BY user_id, event_type, day
+                            ORDER BY seq DESC
+                        ) AS rn FROM {qname}
+                    ) WHERE rn = 1
+                    """
+                ).collect()
+            }
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    legacy = final_rows(streaming_bounded_contrib, "bc_legacy", "bc_ck_l")
+    tws = final_rows(
+        streaming_bounded_contrib_tws,
+        "bc_tws",
+        "bc_ck_t",
+        provider=(
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+    )
+    assert tws == legacy
+    assert legacy  # non-vacuous
