@@ -102,6 +102,7 @@ def main() -> None:
     # raises, SKIP the row (and say so) instead of booking a near-zero
     # timing that silently pushes the JIT cost back into the first
     # family's timed row.
+    warm_names = [n for n in _FAMILY_WARMUP if n in queries]
     if not os.path.isdir(_WARMUP_SF_DIR):
         print(
             f"warmup fixture {_WARMUP_SF_DIR} missing — skipping"
@@ -109,12 +110,12 @@ def main() -> None:
             " family's timed row)",
             file=sys.stderr,
         )
+    elif not warm_names:
+        pass  # isolation re-bench without a pair family: no row to book
     else:
         t0 = time.perf_counter()
         warmed_ok = True
-        for name in _FAMILY_WARMUP:
-            if name not in queries:
-                continue
+        for name in warm_names:
             try:
                 queries[name](spark, _WARMUP_SF_DIR).write.format(
                     "noop"

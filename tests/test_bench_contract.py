@@ -53,12 +53,14 @@ def test_warmup_row_runs_only_declared_plans_at_warmup_fixture():
     and executes ONLY at _WARMUP_SF_DIR — never the timed sf_dir."""
     src = inspect.getsource(bench.main)
     assert src.count('timings["_shared_build_codegen_warmup"]') == 1
+    # the warm-up candidates derive from _FAMILY_WARMUP and nothing else
+    assert "warm_names = [n for n in _FAMILY_WARMUP if n in queries]" in src
     block = src[
         src.index("warmed_ok = True") : src.index(
             '_shared_build_codegen_warmup"] = round'
         )
     ]
-    assert "for name in _FAMILY_WARMUP" in block
+    assert "for name in warm_names" in block
     assert "queries[name](spark, _WARMUP_SF_DIR)" in block
     assert "sf_dir" not in block.replace("_WARMUP_SF_DIR", ""), (
         "warm-up must never touch the timed sf_dir"
