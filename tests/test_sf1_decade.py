@@ -23,11 +23,16 @@ from __future__ import annotations
 
 import pytest
 
-# slope ceilings per family: measured r12 0.30 / 0.24 / 0.87
+# slope ceilings per family: measured r12 0.30/0.24/0.87, r13 0.285/0.377/
+# 0.937, r14 0.489/0.333/0.825 (DECADE_r14.json). The semantic gate
+# tightened 1.2 -> 1.1 per VERDICT r13 item #5 once the shared
+# portable-signature barrier pulled its re-measured slope under 0.9; the
+# token families keep generous 1.5 ceilings because their slopes swing
+# ~±0.2 with JIT/warm-up state while staying far sub-linear.
 _GATES = {
     "q_llm_dedup_jaccard": 1.5,
     "q_llm_substring_dup": 1.5,
-    "q_llm_dedup_semantic": 1.2,
+    "q_llm_dedup_semantic": 1.1,
 }
 
 
