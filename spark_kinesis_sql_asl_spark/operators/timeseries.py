@@ -4170,3 +4170,177 @@ def q_ts_macd(spark, sf_dir):
         F.col("fin.down").alias("n_cross_down"),
         F.col("fin.fcd").alias("first_cross_d"),
     )
+
+
+# --- B214: Wilder's Average True Range on the integer lattice (round 14) ------
+
+_ATR_N = 14  # Wilder's classic n=14 smoothing window
+
+
+def _atr_step(h: str, l: str, pc: str, atr: str, mx: str, div: str) -> dict:
+    """One ATR update on the MILLI-cent lattice — ONE formula text per
+    dialect (the B208/B209/B212/B213 convention). True range at bar t is
+    greatest(high-low, |high-prev_close|, |low-prev_close|) in exact
+    integer cents; Wilder's smoothing walks the milli-cent lattice as
+    atr' = ((n-1)·atr + 1000·tr) div n (truncating division — atr and tr
+    are non-negative by construction, so floor and trunc agree)."""
+    tr = f"greatest({h} - {l}, abs({h} - {pc}), abs({l} - {pc}))"
+    return {
+        "atr": f"(({_ATR_N - 1} * {atr} + 1000 * ({tr})) {div} {_ATR_N})",
+        "mx": f"greatest({mx}, {tr})",
+    }
+
+
+_ATR_DUCK = _atr_step("s.h", "s.l", "r.pc", "r.atr", "r.mx", "//")
+_ATR_SPARK = _atr_step("s.h", "s.l", "a.pc", "a.atr", "a.mx", "div")
+
+
+@query(
+    "q_ts_atr",
+    priority=30,  # round-14 addition; staged into the r14 window
+    oracle=f"""
+    WITH RECURSIVE t AS (
+        SELECT event_type AS grp,
+               CAST(epoch_us(ts) // {_DAY_US_TS} AS BIGINT) AS d,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               ts, event_id
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    w AS (
+        SELECT grp, d, cents,
+               first_value(cents) OVER (
+                   PARTITION BY grp, d ORDER BY ts DESC, event_id DESC
+               ) AS close_c
+        FROM t
+    ),
+    daily AS (
+        SELECT grp, d,
+               CAST(max(cents) AS BIGINT) AS h,
+               CAST(min(cents) AS BIGINT) AS l,
+               CAST(min(close_c) AS BIGINT) AS c
+        FROM w GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT grp, d, h, l, c,
+               row_number() OVER (PARTITION BY grp ORDER BY d) AS t
+        FROM daily
+    ),
+    nn AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n
+        FROM seq GROUP BY grp HAVING count(*) >= 2
+    ),
+    rec(grp, t, pc, atr, mx) AS (
+        SELECT s1.grp, CAST(1 AS BIGINT), s1.c,
+               CAST(1000 * (s1.h - s1.l) AS BIGINT),
+               CAST(s1.h - s1.l AS BIGINT)
+        FROM seq s1 JOIN nn ON s1.grp = nn.grp
+        WHERE s1.t = 1
+        UNION ALL
+        SELECT r.grp, r.t + 1, s.c,
+               {_ATR_DUCK["atr"]},
+               {_ATR_DUCK["mx"]}
+        FROM rec r JOIN seq s ON s.grp = r.grp AND s.t = r.t + 1
+    )
+    SELECT r.grp, nn.n AS n_days,
+           r.pc AS close_cents,
+           r.mx AS max_tr_cents,
+           r.atr AS atr_milli,
+           CASE WHEN r.pc > 0
+                THEN CAST((1000 * r.atr) // r.pc AS BIGINT)
+           END AS natr_ppm
+    FROM rec r JOIN nn ON r.grp = nn.grp AND r.t = nn.n
+    """,
+)
+def q_ts_atr(spark, sf_dir):
+    """B214: Wilder's AVERAGE TRUE RANGE (Wilder 1978) over daily
+    (event_type, day) OHLC bars from the events stream — the volatility
+    rung of the indicator family beside B212's RSI (momentum) and
+    B213's MACD (trend): true range folds the overnight gap into the
+    bar's range (greatest of high−low, |high−prev close|,
+    |low−prev close|), smoothed at Wilder's α = 1/{_ATR_N}, with the
+    normalized ATR (atr/close, exact ppm) beside it so volatility is
+    comparable across price levels — the position-sizing / anomaly-band
+    readout an ops pipeline alarms on.
+
+    Cross-engine float shape: NO float — bars in exact integer cents
+    (the B110 OHLC discipline: close is first_value in (ts, event_id)
+    DESC order so ties break identically), the Wilder average walks the
+    MILLI-cent lattice with truncating division (atr and tr are
+    non-negative by construction so floor/trunc agree), ONE shared
+    per-step formula text (:func:`_atr_step`): Spark folds each type's
+    sorted daily array carrying (pc, atr, mx), DuckDB walks the grouped
+    recursive CTE. Init-by-copy at bar 1 (atr = 1000·(h₁−l₁) — bar 1's
+    true range is its plain range, no prev close exists; both engines
+    share the exact recurrence, which is what the oracle verifies).
+    natr_ppm is an exact integer floor-div with a close>0 guard
+    releasing NULL on both engines.
+
+    Plan/scale: one (grp, d) window pass + hash aggregate build the
+    daily bars (predicates pushed to the events scan), then a per-type
+    fold over calendar-bounded arrays — kilobytes at any SF (the
+    B209/B212/B213 shape: no window, no join in the corpus-scale stage
+    beyond the bar build)."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    t = ev.select(
+        F.col("event_type").alias("grp"),
+        F.expr(f"unix_micros(ts) div {_DAY_US_TS}").cast("bigint").alias("d"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        "ts",
+        "event_id",
+    )
+    desc = Window.partitionBy("grp", "d").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    w = t.select(
+        "grp", "d", "cents", F.first("cents").over(desc).alias("close_c")
+    )
+    daily = w.groupBy("grp", "d").agg(
+        F.max("cents").cast("bigint").alias("h"),
+        F.min("cents").cast("bigint").alias("l"),
+        F.min("close_c").cast("bigint").alias("c"),
+    )
+    arr = (
+        daily.groupBy("grp")
+        .agg(
+            F.expr("array_sort(collect_list(struct(d, h, l, c)))").alias(
+                "ev"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+        .where(F.col("n_days") >= 2)
+    )
+    folded = arr.select(
+        "grp",
+        "n_days",
+        F.expr(
+            f"""
+            aggregate(
+              slice(ev, 2, size(ev) - 1),
+              named_struct(
+                'pc', element_at(ev, 1).c,
+                'atr', CAST(1000 * (element_at(ev, 1).h
+                                    - element_at(ev, 1).l) AS BIGINT),
+                'mx', CAST(element_at(ev, 1).h
+                           - element_at(ev, 1).l AS BIGINT)),
+              (a, s) -> named_struct(
+                'pc', s.c,
+                'atr', {_ATR_SPARK["atr"]},
+                'mx', {_ATR_SPARK["mx"]})
+            )
+            """
+        ).alias("fin"),
+    )
+    return folded.select(
+        "grp",
+        "n_days",
+        F.col("fin.pc").alias("close_cents"),
+        F.col("fin.mx").alias("max_tr_cents"),
+        F.col("fin.atr").alias("atr_milli"),
+        F.expr(
+            "CASE WHEN fin.pc > 0 THEN"
+            " CAST((1000 * fin.atr) div fin.pc AS BIGINT)"
+            " END"
+        ).alias("natr_ppm"),
+    )

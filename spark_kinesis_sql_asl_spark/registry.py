@@ -94,13 +94,17 @@ _MODULES = (
 # q_agg_percentile_approx) have >=2 clean runs and pin at 100.
 # tests/test_registry_rotation.py recomputes and asserts this composition.
 _PRIORITY_OVERRIDES: dict[str, int] = {
-    # (a) the 4 round-14 additions, staged into the window: slots 0..3
+    # (a) the round-14 additions, staged into the window (zero-lag rule):
+    #     slots 0..N-1. Each mid-round addition displaces ONE freshness
+    #     name from tranche (d) to the head of the r15 queue (the window
+    #     is exactly 50 slots) — the deferred names are listed in (e).
     **{
         n: 8
         for n in (
             "q_kinesis_cost_plan",
             "q_llm_media_dims_pdf",
             "q_llm_media_dims_riff",
+            "q_ts_atr",
             "q_ts_macd",
         )
     },
@@ -128,7 +132,6 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
         n: 12
         for n in (
             "q_win_time_range",
-            "q_agg_boolcond",
             "q_agg_decimal",
             "q_agg_listagg",
             "q_basket_pairs",
@@ -169,10 +172,14 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_ts_gapfill",
         )
     },
-    # (e) every other ever-driver-sampled query pins at 100
+    # (e) every other ever-driver-sampled query pins at 100. The names on
+    #     the first line are the r4-era freshness rows displaced by this
+    #     round's own mid-round additions (one per addition, zero-lag
+    #     rule) — they HEAD the round-15 freshness queue.
     **{
         n: 100
         for n in (
+            "q_agg_boolcond",
             "q_agg_approx_distinct",
             "q_agg_argmax",
             "q_agg_bivariate",

@@ -386,6 +386,21 @@ def _odp_macd(spark, staged):
     return streaming_macd(_read(spark, staged))
 
 
+def _ev_atr(spark, staged):
+    from .timeseries import streaming_atr
+
+    return streaming_atr(
+        _read(spark, staged)
+        .where("ts IS NOT NULL AND value IS NOT NULL")
+        .selectExpr(
+            "event_type AS grp",
+            "unix_micros(ts) AS ts_us",
+            "CAST(floor(value * 100) AS BIGINT) AS cents",
+            "event_id",
+        )
+    )
+
+
 def _sp_littles(spark, staged):
     from .timeseries import streaming_littles_law
 
@@ -438,6 +453,7 @@ TWINS = {
     "s_holt_linear": ("order_days", _od_holt),
     "s_rsi": ("order_days_prio", _odp_rsi),
     "s_macd": ("order_days_prio", _odp_macd),
+    "s_atr": ("events", _ev_atr),
     "s_littles_law": ("spans", _sp_littles),
     "s_cell_density": ("customer", _cu_cells),
     "s_hotkey_monitor": ("hotkey", _hk_monitor),

@@ -1161,3 +1161,125 @@ def streaming_macd(order_stream):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- B214s: streaming ATR twin (round 14) -------------------------------------
+
+_ATR_OUT_SCHEMA = (
+    "grp string, n_days bigint, close_cents bigint, max_tr_cents bigint,"
+    " atr_milli bigint, natr_ppm bigint, seq bigint"
+)
+_ATR_STATE_SCHEMA = (
+    "days array<bigint>, hs array<bigint>, ls array<bigint>,"
+    " cs array<bigint>, cts array<bigint>, cid array<bigint>, seq bigint"
+)
+
+
+def streaming_atr(event_stream):
+    """B214-stream: Wilder's ATR as keyed streaming state, per event-type
+    series — the B212s/B213s late-data argument applies twice over: a
+    late event can change a PAST day's high/low AND displace its close
+    (the bar's last value in (ts, event_id) order), so the honest
+    streaming form keeps the per-day BAR state itself — (h, l, c) plus
+    the (ts, event_id) key the close was elected under, calendar-bounded
+    — and RE-FOLDS the exact B214 recurrence per micro-batch: same
+    milli-cent lattice, same truncating 1/n steps (α imported from the
+    batch operator so the smoothing window cannot drift), same
+    init-by-copy at bar 1, so the final emission equals the batch
+    operator exactly (division-free integer compare in the parity test).
+
+    Input columns: grp (event_type), ts_us (epoch µs), cents, event_id.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.timeseries import _ATR_N
+
+    day_us = 86_400_000_000
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            days, hs, ls, cs, cts, cid, seq = state.get
+            acc = {
+                int(d): [int(h), int(lo), int(c), int(t), int(i)]
+                for d, h, lo, c, t, i in zip(days, hs, ls, cs, cts, cid)
+            }
+        else:
+            acc = {}
+            seq = 0
+        for pdf in pdfs:
+            for ts_us, cents, eid in zip(
+                pdf["ts_us"], pdf["cents"], pdf["event_id"]
+            ):
+                d = int(ts_us) // day_us
+                c = int(cents)
+                k = (int(ts_us), int(eid))
+                bar = acc.get(d)
+                if bar is None:
+                    acc[d] = [c, c, c, k[0], k[1]]
+                else:
+                    bar[0] = max(bar[0], c)
+                    bar[1] = min(bar[1], c)
+                    if k > (bar[3], bar[4]):
+                        bar[2], bar[3], bar[4] = c, k[0], k[1]
+        seq += 1
+        days_sorted = sorted(acc)
+        state.update(
+            (
+                days_sorted,
+                [acc[d][0] for d in days_sorted],
+                [acc[d][1] for d in days_sorted],
+                [acc[d][2] for d in days_sorted],
+                [acc[d][3] for d in days_sorted],
+                [acc[d][4] for d in days_sorted],
+                seq,
+            )
+        )
+        rows = []
+        if len(days_sorted) >= 2:
+            h1, l1, c1 = acc[days_sorted[0]][:3]
+            pc, atr, mx = c1, 1000 * (h1 - l1), h1 - l1
+            for d in days_sorted[1:]:
+                h, lo, c = acc[d][:3]
+                tr = max(h - lo, abs(h - pc), abs(lo - pc))
+                atr = _trunc_div((_ATR_N - 1) * atr + 1000 * tr, _ATR_N)
+                mx = max(mx, tr)
+                pc = c
+            rows.append(
+                (
+                    len(days_sorted),
+                    pc,
+                    mx,
+                    atr,
+                    (1000 * atr) // pc if pc > 0 else None,
+                )
+            )
+        n = len(rows)
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]] * n,
+                "n_days": pd.Series(
+                    [r[0] for r in rows], dtype="int64"
+                ),
+                "close_cents": pd.Series(
+                    [r[1] for r in rows], dtype="int64"
+                ),
+                "max_tr_cents": pd.Series(
+                    [r[2] for r in rows], dtype="int64"
+                ),
+                "atr_milli": pd.Series(
+                    [r[3] for r in rows], dtype="int64"
+                ),
+                "natr_ppm": pd.Series(
+                    [r[4] for r in rows], dtype="object"
+                ),
+                "seq": pd.Series([seq] * n, dtype="int64"),
+            }
+        )
+
+    return event_stream.groupBy("grp").applyInPandasWithState(
+        fold,
+        outputStructType=_ATR_OUT_SCHEMA,
+        stateStructType=_ATR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

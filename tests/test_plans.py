@@ -890,3 +890,18 @@ def test_macd_pushes_predicates_and_folds_once(spark):
     pushed = pushed_filters(df)
     assert any("o_orderdate" in p for p in pushed)
     assert any("o_orderpriority" in p for p in pushed)
+
+
+def test_atr_pushes_predicates_single_scan(spark):
+    # B214: the null-guards must reach the events parquet scan; the bar
+    # build is ONE (grp, d) window pass + hash aggregate, the Wilder walk
+    # is an aggregate() fold — exactly one Window node (the close
+    # election), no join, one events scan.
+    df = QUERIES["q_ts_atr"](spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert len(read_schemas(df)) == 1
+    assert plan.count("Window") <= 2  # one Window node (+ plan-detail echo)
+    assert "Join" not in plan.split("\n\n", 1)[0]
+    pushed = pushed_filters(df)
+    assert any("ts" in p for p in pushed)
+    assert any("value" in p for p in pushed)

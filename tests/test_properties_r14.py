@@ -241,3 +241,90 @@ def test_cost_extended_hours_identity(lag_us):
     if ext > 0:
         assert lag_us > 24 * hr
         assert ext == ceil_h - 24
+
+
+# --- B214: Wilder ATR on the milli-cent lattice --------------------------------
+
+_ATR_N = 14
+
+
+def atr_reference(bars):
+    """Pure-Python rendering of the B214 recurrence (init-by-copy at bar
+    1: atr = 1000·(h1−l1)). bars = [(h, l, c)]. Returns (atr, mx, pc)."""
+    h1, l1, c1 = bars[0]
+    pc, atr, mx = c1, 1000 * (h1 - l1), h1 - l1
+    for h, lo, c in bars[1:]:
+        tr = max(h - lo, abs(h - pc), abs(lo - pc))
+        atr = _tdiv((_ATR_N - 1) * atr + 1000 * tr, _ATR_N)
+        mx = max(mx, tr)
+        pc = c
+    return atr, mx, pc
+
+
+def _bars_strategy():
+    """(h, l, c) bars with the structural invariant l <= c <= h the daily
+    OHLC build guarantees (close is one of the bar's observed cents)."""
+    def mk(a, b, t):
+        lo, hi = min(a, b), max(a, b)
+        return (hi, lo, lo + (hi - lo) * t // 1000)
+
+    return st.lists(
+        st.builds(
+            mk,
+            st.integers(-(10**9), 10**9),
+            st.integers(-(10**9), 10**9),
+            st.integers(0, 1000),
+        ),
+        min_size=2,
+        max_size=120,
+    )
+
+
+@given(_bars_strategy())
+@_SETTINGS
+def test_atr_nonnegative_and_bounded_by_max_tr(bars):
+    """atr and every true range are non-negative (so truncating div ==
+    floor div — the cross-engine argument), and the Wilder average can
+    never exceed the largest true range seen: atr' = ((n-1)·atr +
+    1000·tr) div n stays <= max(atr, 1000·tr) inductively."""
+    atr, mx, _ = atr_reference(bars)
+    assert atr >= 0 and mx >= 0
+    assert atr <= 1000 * mx
+
+
+@given(st.integers(-(10**9), 10**9), st.integers(2, 80))
+@_SETTINGS
+def test_atr_flat_bars_are_identically_zero(c, n):
+    """Degenerate h = l = c bars: every true range is zero, so the ATR is
+    identically zero at every step — the flat-series guard, and the case
+    where natr's close>0 gate is the ONLY thing between the readout and a
+    division by zero."""
+    atr, mx, pc = atr_reference([(c, c, c)] * n)
+    assert (atr, mx, pc) == (0, 0, c)
+
+
+@given(
+    st.integers(0, 10**8),
+    st.integers(1, 10**7),
+    st.integers(2, 40),
+)
+@_SETTINGS
+def test_atr_gap_dominates_range(base, gap, n):
+    """An overnight GAP between flat bars is invisible to high−low but
+    NOT to true range: tr at the jump bar is exactly the gap (that is the
+    point of Wilder's max-of-three form), so max_tr == gap and the
+    smoothed atr moves off zero iff 1000·gap survives div {_ATR_N}."""
+    bars = [(base, base, base)] * n + [(base + gap, base + gap, base + gap)]
+    atr, mx, _ = atr_reference(bars)
+    assert mx == gap
+    assert atr == _tdiv(1000 * gap, _ATR_N)
+
+
+@given(_bars_strategy())
+@_SETTINGS
+def test_atr_tr_at_least_plain_range(bars):
+    """Every bar's true range >= its plain high−low range, so the folded
+    max_tr is >= the widest plain range — the 'gap folding only widens'
+    monotonicity the docstring claims."""
+    _, mx, _ = atr_reference(bars)
+    assert mx >= max(h - lo for h, lo, _ in bars)

@@ -7,20 +7,20 @@ artifacts. Through round 13 the cumulative ledger is fully green and — for
 the first time — EVERY registered query has a driver row at its declared
 oracle level. The round-14 window:
 
-  slots 0..3      the 4 round-14 additions (override 8) — the zero-lag
+  head slots      the round-14 additions (override 8) — the zero-lag
                   staging rule made PERMANENT (item #2): any new @query
                   lands with a driver slot in the SAME round, asserted
                   structurally below (test_zero_lag_staging_invariant)
-  slot 4          the re-verify tranche (override 9): q_ts_stl_decompose's
+  next slot       the re-verify tranche (override 9): q_ts_stl_decompose's
                   trend window gained the dense-calendar gate (ADVICE
                   r13) — a semantics change, so its r13 row is stale
-  slots 5..9      canary 3-round refresh: the 5 canaries last sampled in
+  then 5 slots    canary 3-round refresh: the 5 canaries last sampled in
                   r11 (override 10); q_canary_array_semantics (r12)
                   waits for r15
-  slots 10..49    freshness rotation (override 12): q_win_time_range (the
-                  last r3-era row) plus the ENTIRE 39-query r4-era
-                  cohort — item #1 drained completely: after this round
-                  no query's latest sample predates round 5
+  rest            freshness rotation (override 12): q_win_time_range (the
+                  last r3-era row) plus the r4-era cohort — item #1
+                  drained to within the mid-round displacements
+                  (DEFERRED_TO_R15 head the r15 queue)
 
 Rows-only half-frequency rule (VERDICT r11 item #2): a no_oracle query
 that has already run clean >=2x under the driver burns no further window
@@ -52,6 +52,17 @@ ROUND14_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_llm_media_dims_riff",  # C177
         "q_llm_media_dims_pdf",  # C178
         "q_ts_macd",  # B213
+        "q_ts_atr",  # B214 (mid-round)
+    }
+)
+
+# Each MID-round addition displaces one r4-era freshness name (the window
+# is exactly 50 slots and the additions must stage zero-lag): the
+# displaced names stay pinned at 100 and HEAD the round-15 freshness
+# queue. One name per addition beyond the 4 the round opened with.
+DEFERRED_TO_R15: frozenset[str] = frozenset(
+    {
+        "q_agg_boolcond",
     }
 )
 
@@ -60,13 +71,13 @@ ROUND14_NEW_THIS_ROUND: frozenset[str] = frozenset(
 # dspan gate this round, which changes output on sparse series.
 REWIRED: frozenset[str] = frozenset({"q_ts_stl_decompose"})
 
-NEW_COUNT = len(ROUND14_NEW_THIS_ROUND)  # 4
+NEW_COUNT = len(ROUND14_NEW_THIS_ROUND)
 REWIRED_COUNT = len(REWIRED)  # 1
 CANARY_REFRESH_ROUND = 11  # cohort last sampled r11 re-enters (3-round rule)
 CANARY_REFRESH_COUNT = 5
 FRESHNESS_TRANCHE_COUNT = (
     DRIVER_WINDOW - NEW_COUNT - REWIRED_COUNT - CANARY_REFRESH_COUNT
-)  # = 40
+)
 
 
 def _ordered():
@@ -137,7 +148,7 @@ def _freshness_tranche() -> set[str]:
             for q, lr in last.items()
             if lr == r and q in registry._QUERIES and q not in taken
         }
-    return queue
+    return queue - DEFERRED_TO_R15
 
 
 def test_no_reds_to_recheck():
@@ -193,7 +204,7 @@ def test_zero_lag_staging_invariant():
 
 
 def test_round14_additions_head_the_window():
-    """The 4 round-14 additions sit at the FRONT of the window
+    """The round-14 additions sit at the FRONT of the window
     (override 8, slots 0..3), each with an oracle."""
     registry.load_all()
     for n in ROUND14_NEW_THIS_ROUND:
@@ -231,15 +242,19 @@ def test_canary_cohort_on_three_round_refresh():
 
 
 def test_freshness_tranche_drains_r3_and_r4_completely():
-    """Slots 10..49: the last r3-era row (q_win_time_range) and the
-    ENTIRE 39-query r4-era cohort re-enter at override 12 — VERDICT r13
-    item #1's Done bar exceeded (all 39, not just the oldest ~30): after
-    round 14 no query's latest sample predates round 5."""
+    """Remaining slots: the last r3-era row (q_win_time_range) and the
+    r4-era cohort re-enter at override 12 — VERDICT r13 item #1's Done
+    bar ("the oldest ~30 of the r4 cohort") exceeded, minus exactly the
+    names each mid-round addition displaced (DEFERRED_TO_R15, pinned at
+    100, heading the r15 queue)."""
     tranche = _freshness_tranche()
     assert len(tranche) == FRESHNESS_TRANCHE_COUNT
     assert "q_win_time_range" in tranche
     last = _last_sampled()
-    assert {q for q, r in last.items() if r <= 4} - tranche == set()
+    assert {q for q, r in last.items() if r <= 4} - tranche == DEFERRED_TO_R15
+    registry.load_all()
+    for n in DEFERRED_TO_R15:
+        assert _priority(n) == 100, (n, _priority(n))
     names = _ordered()
     lo = NEW_COUNT + REWIRED_COUNT + CANARY_REFRESH_COUNT
     tail = names[lo : lo + FRESHNESS_TRANCHE_COUNT]
@@ -248,7 +263,7 @@ def test_freshness_tranche_drains_r3_and_r4_completely():
 
 
 def test_window_composition_exact():
-    """4 additions + 1 rewired + 5 canaries + 40 freshness = the exact
+    """additions + 1 rewired + 5 canaries + freshness = the exact
     50-slot window."""
     names = _ordered()
     window = set(names[:DRIVER_WINDOW])
@@ -361,7 +376,7 @@ def test_survey_tier_sum_consistent():
     inv = _survey_inventory()
     rows_total = inv["tier_a"] + inv["tier_b"] + inv["tier_c"] + inv["tier_d"]
     registry.load_all()
-    HARNESS_ONLY_ROWS = 24  # ... +B212s (r13), +B213s MACD twin (r14)
+    HARNESS_ONLY_ROWS = 25  # ... +B213s MACD twin, +B214s ATR twin (r14)
     EXTRA_QUERIES_ON_SHARED_ROWS = 6
     assert rows_total == len(registry._QUERIES) + HARNESS_ONLY_ROWS - (
         EXTRA_QUERIES_ON_SHARED_ROWS

@@ -3063,6 +3063,62 @@ def test_streaming_macd_equals_batch(spark, tmp_path):
         ), g
 
 
+def test_streaming_atr_equals_batch(spark, events_rows, tmp_path):
+    """B214's streaming twin: the final per-type emission must equal
+    q_ts_atr exactly — same milli-cent lattice, division-free equality
+    on every column. Staged with a LATE arrival (reorder_late): a late
+    event can rewrite a past bar's high/low AND displace its elected
+    close, which is exactly the state the twin keeps to stay honest."""
+    from spark_kinesis_sql_asl_spark.operators.timeseries import q_ts_atr
+    from spark_kinesis_sql_asl_spark.streaming.timeseries import (
+        streaming_atr,
+    )
+
+    staging = str(tmp_path / "staging")
+    _stage(events_rows, staging, n_files=4, reorder_late=True)
+
+    def prep(src):
+        f = src.where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        return f.select(
+            F.col("event_type").alias("grp"),
+            F.expr("unix_micros(ts)").alias("ts_us"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+            "event_id",
+        )
+
+    _drain(
+        streaming_atr(prep(_stream(spark, staging)))
+        .writeStream.format("memory")
+        .queryName("stream_atr")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    got = _dedup_last_by_seq(
+        spark,
+        "stream_atr",
+        ["grp"],
+        [
+            "n_days",
+            "close_cents",
+            "max_tr_cents",
+            "atr_milli",
+            "natr_ppm",
+        ],
+    )
+    expect = {r["grp"]: r for r in q_ts_atr(spark, SF_SMOKE).collect()}
+    assert {g for (g,) in got} == set(expect)
+    for (g,), vals in got.items():
+        bt = expect[g]
+        assert vals == (
+            bt["n_days"],
+            bt["close_cents"],
+            bt["max_tr_cents"],
+            bt["atr_milli"],
+            bt["natr_ppm"],
+        ), g
+
+
 def test_bounded_contrib_tws_matches_legacy(spark, tmp_path):
     """B117-tws (round 14, VERDICT r13 item #6): the
     transformWithStateInPandas bounded-contribution twin must produce
