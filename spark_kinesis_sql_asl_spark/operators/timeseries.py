@@ -4344,3 +4344,196 @@ def q_ts_atr(spark, sf_dir):
             " END"
         ).alias("natr_ppm"),
     )
+
+
+# --- B215: stochastic oscillator %K/%D on the integer lattice (round 14) ------
+
+_STO_N = 14  # %K lookback (Lane's classic 14)
+_STO_D = 3  # %D smoothing: 3-bar SMA of %K
+_STO_HI = 800_000  # overbought: %K > 80 (ppm)
+_STO_LO = 200_000  # oversold:  %K < 20 (ppm)
+
+
+@query(
+    "q_ts_stochastic",
+    priority=30,  # round-14 addition; staged into the r14 window
+    oracle=f"""
+    WITH t AS (
+        SELECT event_type AS grp,
+               CAST(epoch_us(ts) // {_DAY_US_TS} AS BIGINT) AS d,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               ts, event_id
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    w AS (
+        SELECT grp, d, cents,
+               first_value(cents) OVER (
+                   PARTITION BY grp, d ORDER BY ts DESC, event_id DESC
+               ) AS close_c
+        FROM t
+    ),
+    daily AS (
+        SELECT grp, d,
+               CAST(max(cents) AS BIGINT) AS h,
+               CAST(min(cents) AS BIGINT) AS l,
+               CAST(min(close_c) AS BIGINT) AS c
+        FROM w GROUP BY 1, 2
+    ),
+    k AS (
+        SELECT grp, d, c,
+               row_number() OVER (PARTITION BY grp ORDER BY d) AS t,
+               count(*) OVER (PARTITION BY grp) AS n,
+               CASE WHEN count(*) OVER w14 = {_STO_N}
+                     AND d - min(d) OVER w14 = {_STO_N - 1}
+                     AND max(h) OVER w14 > min(l) OVER w14
+                    THEN CAST((1000000 * (c - min(l) OVER w14))
+                              // (max(h) OVER w14 - min(l) OVER w14)
+                         AS BIGINT)
+               END AS k_ppm
+        FROM daily
+        WINDOW w14 AS (PARTITION BY grp ORDER BY d
+                       ROWS BETWEEN {_STO_N - 1} PRECEDING AND CURRENT ROW)
+    ),
+    kd AS (
+        SELECT grp, d, t, n, k_ppm,
+               CASE WHEN count(k_ppm) OVER w3 = {_STO_D}
+                    THEN CAST(sum(k_ppm) OVER w3 // {_STO_D} AS BIGINT)
+               END AS d_ppm
+        FROM k
+        WINDOW w3 AS (PARTITION BY grp ORDER BY d
+                      ROWS BETWEEN {_STO_D - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT grp,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(count(k_ppm) AS BIGINT) AS n_k,
+           CAST(count(CASE WHEN k_ppm > {_STO_HI} THEN 1 END) AS BIGINT)
+               AS n_overbought,
+           CAST(count(CASE WHEN k_ppm < {_STO_LO} THEN 1 END) AS BIGINT)
+               AS n_oversold,
+           max(CASE WHEN t = n THEN k_ppm END) AS last_k_ppm,
+           max(CASE WHEN t = n THEN d_ppm END) AS last_d_ppm,
+           min(CASE WHEN k_ppm > {_STO_HI} THEN d END) AS first_ob_d
+    FROM kd GROUP BY grp
+    """,
+)
+def q_ts_stochastic(spark, sf_dir):
+    """B215: Lane's STOCHASTIC OSCILLATOR (%K/%D) over daily
+    (event_type, day) OHLC bars — the range-position rung of the
+    indicator family beside B212 RSI, B213 MACD and B214 ATR: %K places
+    today's close inside the rolling {_STO_N}-bar high/low envelope
+    (exact ppm), %D is the {_STO_D}-bar SMA of %K, with
+    overbought/oversold day counts (>{_STO_HI // 10000}/<
+    {_STO_LO // 10000} in classic percent terms) and the first
+    overbought day — the mean-reversion entry readout.
+
+    Cross-engine float shape: NO float — bars in exact integer cents
+    (the B110/B214 close-election discipline), %K an exact integer
+    floor-div (numerator c−L is non-negative because L is the min over
+    a frame CONTAINING the current bar's low ≤ close, so floor/trunc
+    agree), %D an integer div {_STO_D} of the 3-bar sum. The %K frame is
+    ROW-based and therefore gated BOTH on a full {_STO_N}-row frame AND
+    on the frame spanning exactly {_STO_N} consecutive days
+    (d − min(d) = {_STO_N - 1}) — the B211 dense-calendar lesson
+    (ADVICE r13) applied up front: a sparse series releases NULL
+    instead of silently mislabeling a longer span as "{_STO_N}-day".
+    Flat envelopes (H = L) release NULL on both engines.
+
+    Plan/scale: the bar build is the B214 shape (one (grp, d) window
+    pass + hash aggregate, predicates pushed); the oscillator stages are
+    two window passes over the collapsed |types|×|days| daily frame and
+    a final hash aggregate — all calendar-bounded, kilobytes at any SF;
+    no join anywhere."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    t = ev.select(
+        F.col("event_type").alias("grp"),
+        F.expr(f"unix_micros(ts) div {_DAY_US_TS}").cast("bigint").alias("d"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        "ts",
+        "event_id",
+    )
+    desc = Window.partitionBy("grp", "d").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    w = t.select(
+        "grp", "d", "cents", F.first("cents").over(desc).alias("close_c")
+    )
+    daily = w.groupBy("grp", "d").agg(
+        F.max("cents").cast("bigint").alias("h"),
+        F.min("cents").cast("bigint").alias("l"),
+        F.min("close_c").cast("bigint").alias("c"),
+    )
+    w14 = (
+        Window.partitionBy("grp")
+        .orderBy("d")
+        .rowsBetween(-(_STO_N - 1), 0)
+    )
+    seq = Window.partitionBy("grp").orderBy("d")
+    full = Window.partitionBy("grp")
+    h14 = F.max("h").over(w14)
+    l14 = F.min("l").over(w14)
+    dense = (
+        (F.count(F.lit(1)).over(w14) == _STO_N)
+        & ((F.col("d") - F.min("d").over(w14)) == _STO_N - 1)
+        & (h14 > l14)
+    )
+    k = daily.select(
+        "grp",
+        "d",
+        F.row_number().over(seq).cast("bigint").alias("t"),
+        F.count(F.lit(1)).over(full).cast("bigint").alias("n"),
+        F.when(
+            dense,
+            F.expr(
+                f"CAST((1000000 * (c - min(l) OVER (PARTITION BY grp"
+                f" ORDER BY d ROWS BETWEEN {_STO_N - 1} PRECEDING AND"
+                f" CURRENT ROW))) div (max(h) OVER (PARTITION BY grp"
+                f" ORDER BY d ROWS BETWEEN {_STO_N - 1} PRECEDING AND"
+                f" CURRENT ROW) - min(l) OVER (PARTITION BY grp ORDER BY d"
+                f" ROWS BETWEEN {_STO_N - 1} PRECEDING AND CURRENT ROW))"
+                f" AS BIGINT)"
+            ),
+        ).alias("k_ppm"),
+    )
+    w3 = (
+        Window.partitionBy("grp")
+        .orderBy("d")
+        .rowsBetween(-(_STO_D - 1), 0)
+    )
+    kd = k.select(
+        "grp",
+        "d",
+        "t",
+        "n",
+        "k_ppm",
+        F.when(
+            F.count("k_ppm").over(w3) == _STO_D,
+            F.sum("k_ppm").over(w3).cast("bigint"),
+        ).alias("_s3"),
+    ).withColumn(
+        "d_ppm",
+        F.when(
+            F.col("_s3").isNotNull(),
+            F.expr(f"CAST(_s3 div {_STO_D} AS BIGINT)"),
+        ),
+    )
+    return kd.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.count("k_ppm").cast("bigint").alias("n_k"),
+        F.count(F.when(F.col("k_ppm") > _STO_HI, 1))
+        .cast("bigint")
+        .alias("n_overbought"),
+        F.count(F.when(F.col("k_ppm") < _STO_LO, 1))
+        .cast("bigint")
+        .alias("n_oversold"),
+        F.max(F.when(F.col("t") == F.col("n"), F.col("k_ppm"))).alias(
+            "last_k_ppm"
+        ),
+        F.max(F.when(F.col("t") == F.col("n"), F.col("d_ppm"))).alias(
+            "last_d_ppm"
+        ),
+        F.min(F.when(F.col("k_ppm") > _STO_HI, F.col("d"))).alias(
+            "first_ob_d"
+        ),
+    )

@@ -106,6 +106,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_media_dims_riff",
             "q_ts_atr",
             "q_ts_macd",
+            "q_ts_stochastic",
         )
     },
     # (b) re-verify tranche (STL dense-calendar gate): slot 4
@@ -132,7 +133,6 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
         n: 12
         for n in (
             "q_win_time_range",
-            "q_agg_decimal",
             "q_agg_listagg",
             "q_basket_pairs",
             "q_events_cohort_retention",
@@ -180,6 +180,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
         n: 100
         for n in (
             "q_agg_boolcond",
+            "q_agg_decimal",
             "q_agg_approx_distinct",
             "q_agg_argmax",
             "q_agg_bivariate",

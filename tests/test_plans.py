@@ -905,3 +905,16 @@ def test_atr_pushes_predicates_single_scan(spark):
     pushed = pushed_filters(df)
     assert any("ts" in p for p in pushed)
     assert any("value" in p for p in pushed)
+
+
+def test_stochastic_pushes_predicates_single_scan(spark):
+    # B215: null-guards reach the events scan; one scan, no join; the
+    # oscillator is window passes over the collapsed daily frame (close
+    # election + %K frame + %D frame + rank/count).
+    df = QUERIES["q_ts_stochastic"](spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert len(read_schemas(df)) == 1
+    assert "Join" not in plan.split("\n\n", 1)[0]
+    pushed = pushed_filters(df)
+    assert any("ts" in p for p in pushed)
+    assert any("value" in p for p in pushed)

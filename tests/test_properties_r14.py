@@ -328,3 +328,76 @@ def test_atr_tr_at_least_plain_range(bars):
     monotonicity the docstring claims."""
     _, mx, _ = atr_reference(bars)
     assert mx >= max(h - lo for h, lo, _ in bars)
+
+
+# --- B215: stochastic oscillator %K/%D ----------------------------------------
+
+_STO_N, _STO_D = 14, 3
+
+
+def k_ppm(c: int, l14: int, h14: int):
+    """The %K formula both engines implement (floor-div, flat guard)."""
+    if h14 <= l14:
+        return None
+    return (1000000 * (c - l14)) // (h14 - l14)
+
+
+@given(
+    st.integers(-(10**9), 10**9),
+    st.integers(0, 10**9),
+    st.integers(0, 1000),
+)
+@_SETTINGS
+def test_stochastic_k_in_ppm_range(lo, spread, t):
+    """With l14 <= c <= h14 (the frame contains the current bar, whose
+    low <= close <= high), %K lands in [0, 1e6] exactly — the numerator
+    is non-negative so truncating div == floor div cross-engine."""
+    hi = lo + spread
+    c = lo + spread * t // 1000
+    k = k_ppm(c, lo, hi)
+    if spread == 0:
+        assert k is None
+    else:
+        assert 0 <= k <= 1000000
+
+
+@given(
+    st.integers(-(10**6), 10**6),
+    st.integers(1, 10**6),
+    st.integers(0, 1000),
+    st.integers(0, 1000),
+)
+@_SETTINGS
+def test_stochastic_k_monotone_in_close(lo, spread, t1, t2):
+    """For a fixed envelope, %K is monotone in the close — the property
+    that makes it an oscillator (a higher close never reads as weaker)."""
+    hi = lo + spread
+    c1 = lo + spread * min(t1, t2) // 1000
+    c2 = lo + spread * max(t1, t2) // 1000
+    assert k_ppm(c1, lo, hi) <= k_ppm(c2, lo, hi)
+
+
+@given(st.lists(st.integers(0, 10**6), min_size=3, max_size=3))
+@_SETTINGS
+def test_stochastic_d_stays_in_k_hull(ks):
+    """%D (the floor 3-bar mean) can never leave the hull of its three
+    %K inputs: min <= (a+b+c) div 3 <= max."""
+    d = sum(ks) // _STO_D
+    assert min(ks) <= d <= max(ks)
+
+
+def test_stochastic_dense_gate_excludes_gapped_frames():
+    """The dense-calendar gate (B211 lesson): a 14-ROW frame whose day
+    span exceeds 13 releases NULL. Construct days with one gap — every
+    frame containing the gap is excluded, frames fully before/after it
+    qualify."""
+    days = list(range(20)) + list(range(25, 45))  # gap 20..24
+    qualifying = []
+    for i in range(len(days)):
+        if i >= _STO_N - 1:
+            frame = days[i - (_STO_N - 1) : i + 1]
+            if frame[-1] - frame[0] == _STO_N - 1:
+                qualifying.append(days[i])
+    # frames entirely inside [0,19] qualify (days 13..19), the gap kills
+    # every frame straddling it, then [25,44] re-qualifies from day 38
+    assert qualifying == list(range(13, 20)) + list(range(38, 45))

@@ -53,6 +53,7 @@ ROUND14_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_llm_media_dims_pdf",  # C178
         "q_ts_macd",  # B213
         "q_ts_atr",  # B214 (mid-round)
+        "q_ts_stochastic",  # B215 (mid-round)
     }
 )
 
@@ -63,6 +64,7 @@ ROUND14_NEW_THIS_ROUND: frozenset[str] = frozenset(
 DEFERRED_TO_R15: frozenset[str] = frozenset(
     {
         "q_agg_boolcond",
+        "q_agg_decimal",
     }
 )
 
