@@ -102,6 +102,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
         n: 8
         for n in (
             "q_kinesis_cost_plan",
+            "q_kinesis_kpl_plan",
             "q_llm_media_dims_pdf",
             "q_llm_media_dims_riff",
             "q_ts_atr",
@@ -133,7 +134,6 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
         n: 12
         for n in (
             "q_win_time_range",
-            "q_agg_listagg",
             "q_basket_pairs",
             "q_events_cohort_retention",
             "q_events_sessionize",
@@ -181,6 +181,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
         for n in (
             "q_agg_boolcond",
             "q_agg_decimal",
+            "q_agg_listagg",
             "q_agg_approx_distinct",
             "q_agg_argmax",
             "q_agg_bivariate",

@@ -1350,3 +1350,166 @@ def q_kinesis_cost_plan(spark, sf_dir):
         F.expr("CAST((1000000 * total_cost_nano) div stream_nano AS BIGINT)")
         .alias("share_ppm"),
     )
+
+
+# --- A21: KPL aggregation-efficiency plan (round 14) ---------------------------
+
+_KPL_FLUSH_US = 100_000  # RecordMaxBufferedTime: 100 ms flush window
+_KPL_SUB_OVERHEAD = 8  # modeled protobuf sub-record framing (tag+len+key idx)
+_KPL_AGG_OVERHEAD = 20  # KPL envelope: 4-byte magic 0xF3899AC2 + 16-byte MD5
+_KPL_MAX_AGG_BYTES = 1_048_576  # the 1 MiB PutRecord payload ceiling
+
+
+@query(
+    "q_kinesis_kpl_plan",
+    priority=30,  # round-14 addition; staged into the r14 window
+    oracle=f"""
+    WITH routed AS (
+        SELECT (instr('0123456789abcdef',
+                      substr(md5(CAST(user_id AS VARCHAR)), 32, 1)) - 1)
+                   % {_COST_N_SHARDS} AS shard,
+               CAST(epoch_us(ts) // {_KPL_FLUSH_US} AS BIGINT) AS f,
+               length(coalesce(props, '')) + {_EFO_ENVELOPE_BYTES} AS bytes
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    flushes AS (
+        SELECT shard, f,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum((bytes + {_COST_PUT_UNIT_BYTES - 1})
+                        // {_COST_PUT_UNIT_BYTES}) AS BIGINT) AS raw_units,
+               CAST({_KPL_AGG_OVERHEAD}
+                    + sum(bytes + {_KPL_SUB_OVERHEAD}) AS BIGINT)
+                   AS agg_bytes
+        FROM routed GROUP BY 1, 2
+    ),
+    per_shard AS (
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(sum(n) AS BIGINT) AS n_records,
+               CAST(count(*) AS BIGINT) AS n_aggregates,
+               CAST(sum(raw_units) AS BIGINT) AS raw_units,
+               CAST(sum((agg_bytes + {_COST_PUT_UNIT_BYTES - 1})
+                        // {_COST_PUT_UNIT_BYTES}) AS BIGINT) AS agg_units,
+               CAST(max(agg_bytes) AS BIGINT) AS max_agg_bytes,
+               CAST(count(CASE WHEN agg_bytes > {_KPL_MAX_AGG_BYTES}
+                          THEN 1 END) AS BIGINT) AS n_oversize
+        FROM flushes GROUP BY shard
+    )
+    SELECT shard, n_records, n_aggregates, raw_units, agg_units,
+           CAST(raw_units - agg_units AS BIGINT) AS saved_units,
+           CASE WHEN raw_units > 0
+                THEN CAST((1000000 * (raw_units - agg_units)) // raw_units
+                     AS BIGINT)
+           END AS savings_ppm,
+           max_agg_bytes, n_oversize
+    FROM per_shard
+    """,
+)
+def q_kinesis_kpl_plan(spark, sf_dir):
+    """A21: KPL AGGREGATION-efficiency plan — the producer-side rung
+    that closes the loop A8 opened on the consumer side (the KPL
+    protobuf de-aggregator) and A20 priced (PUT payload units): per
+    A5-ring shard, what batching records into KPL aggregates under the
+    RecordMaxBufferedTime flush model actually saves on the bill.
+
+    Model (the deterministic, window-expressible flush regime): records
+    routed to a shard flush together every {_KPL_FLUSH_US // 1000} ms
+    (f = epoch-µs div flush), one aggregate per non-empty (shard, flush)
+    cell carrying {_KPL_AGG_OVERHEAD} bytes of envelope (the A8 magic +
+    MD5) plus {_KPL_SUB_OVERHEAD} bytes of modeled protobuf framing per
+    sub-record. raw_units prices each record alone (the A20 per-record
+    {_COST_PUT_UNIT_BYTES // 1024} KB ceil-div — superadditivity means
+    this is the WORST case); agg_units prices the packed aggregate by
+    the same quantum. saved_units can be NEGATIVE on sparse shards
+    (one small record per flush still pays the envelope — the honest
+    audit readout; savings_ppm rides the D7-pinned truncating div), and
+    aggregates that would exceed the {_KPL_MAX_AGG_BYTES // 1024} KiB
+    PutRecord ceiling are counted in n_oversize — the dial that says
+    "shorten the flush window" (the real KPL splits these; the count is
+    the audit signal, the units stay ceil-div-correct either way).
+
+    Exactness: integer arithmetic end-to-end — byte counts, ceil-div
+    unit rounding, exact floor/trunc-ppm share; no float anywhere.
+
+    Plan/scale: TWO hash aggregates — (shard, flush) then (shard) —
+    both on integer keys with partial aggregation map-side; no window,
+    no join, one events scan with both null-guards pushed. At 100 TB
+    the (shard, flush) key space is |shards| × |flush windows in the
+    scanned range|: time-bounded, so the first aggregate is the only
+    corpus-scale stage and it combines map-side (the A14/A20 shape)."""
+    digit = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(F.encode(F.col("user_id").cast("string"), "UTF-8")),
+                32,
+                1,
+            ),
+        )
+        - 1
+    )
+    routed = (
+        table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            (digit % _COST_N_SHARDS).cast("bigint").alias("shard"),
+            F.expr(f"unix_micros(ts) div {_KPL_FLUSH_US}")
+            .cast("bigint")
+            .alias("f"),
+            (
+                F.length(F.coalesce(F.col("props"), F.lit("")))
+                + _EFO_ENVELOPE_BYTES
+            ).alias("bytes"),
+        )
+    )
+    flushes = routed.groupBy("shard", "f").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.expr(
+                f"(bytes + {_COST_PUT_UNIT_BYTES - 1})"
+                f" div {_COST_PUT_UNIT_BYTES}"
+            )
+        )
+        .cast("bigint")
+        .alias("raw_units"),
+        (
+            F.lit(_KPL_AGG_OVERHEAD)
+            + F.sum(F.col("bytes") + _KPL_SUB_OVERHEAD)
+        )
+        .cast("bigint")
+        .alias("agg_bytes"),
+    )
+    per_shard = flushes.groupBy("shard").agg(
+        F.sum("n").cast("bigint").alias("n_records"),
+        F.count(F.lit(1)).cast("bigint").alias("n_aggregates"),
+        F.sum("raw_units").cast("bigint").alias("raw_units"),
+        F.sum(
+            F.expr(
+                f"(agg_bytes + {_COST_PUT_UNIT_BYTES - 1})"
+                f" div {_COST_PUT_UNIT_BYTES}"
+            )
+        )
+        .cast("bigint")
+        .alias("agg_units"),
+        F.max("agg_bytes").cast("bigint").alias("max_agg_bytes"),
+        F.count(F.when(F.col("agg_bytes") > _KPL_MAX_AGG_BYTES, 1))
+        .cast("bigint")
+        .alias("n_oversize"),
+    )
+    return per_shard.select(
+        "shard",
+        "n_records",
+        "n_aggregates",
+        "raw_units",
+        "agg_units",
+        (F.col("raw_units") - F.col("agg_units"))
+        .cast("bigint")
+        .alias("saved_units"),
+        F.expr(
+            "CASE WHEN raw_units > 0 THEN"
+            " CAST((1000000 * (raw_units - agg_units)) div raw_units"
+            " AS BIGINT) END"
+        ).alias("savings_ppm"),
+        "max_agg_bytes",
+        "n_oversize",
+    )

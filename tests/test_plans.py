@@ -918,3 +918,16 @@ def test_stochastic_pushes_predicates_single_scan(spark):
     pushed = pushed_filters(df)
     assert any("ts" in p for p in pushed)
     assert any("value" in p for p in pushed)
+
+
+def test_kpl_plan_two_hash_aggs_no_window_no_join(spark):
+    # A21: two integer-keyed hash aggregates, no Window node, no join,
+    # one events scan with both null-guards pushed.
+    df = QUERIES["q_kinesis_kpl_plan"](spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert len(read_schemas(df)) == 1
+    assert "Window" not in plan
+    assert "Join" not in plan.split("\n\n", 1)[0]
+    pushed = pushed_filters(df)
+    assert any("ts" in p for p in pushed)
+    assert any("user_id" in p for p in pushed)

@@ -401,3 +401,57 @@ def test_stochastic_dense_gate_excludes_gapped_frames():
     # frames entirely inside [0,19] qualify (days 13..19), the gap kills
     # every frame straddling it, then [25,44] re-qualifies from day 38
     assert qualifying == list(range(13, 20)) + list(range(38, 45))
+
+
+# --- A21: KPL aggregation-efficiency on the 25 KB quantum ----------------------
+
+_PUT_Q = 25_600
+_SUB_O = 8
+_AGG_O = 20
+
+
+def _ceil_div(a: int, q: int) -> int:
+    return (a + q - 1) // q
+
+
+@given(st.lists(st.integers(1, 200_000), min_size=1, max_size=50))
+@_SETTINGS
+def test_kpl_packing_subadditive_without_overhead(sizes):
+    """ceil((a+b)/q) <= ceil(a/q) + ceil(b/q): absent framing overhead,
+    packing records into one aggregate can never cost MORE units than
+    sending them alone — the direction the savings readout leans on."""
+    assert _ceil_div(sum(sizes), _PUT_Q) <= sum(
+        _ceil_div(b, _PUT_Q) for b in sizes
+    )
+
+
+@given(st.lists(st.integers(1, 200_000), min_size=1, max_size=50))
+@_SETTINGS
+def test_kpl_overhead_excess_is_bounded(sizes):
+    """WITH framing overhead the aggregate can cost more than the raw
+    records (sparse-shard honesty), but the excess is bounded by the
+    units the overhead bytes alone occupy: agg_units <= raw_units +
+    ceil((n·sub + agg)/q) — the bound that keeps saved_units' negative
+    tail explainable in the audit."""
+    raw = sum(_ceil_div(b, _PUT_Q) for b in sizes)
+    agg_bytes = _AGG_O + sum(b + _SUB_O for b in sizes)
+    agg = _ceil_div(agg_bytes, _PUT_Q)
+    overhead_units = _ceil_div(len(sizes) * _SUB_O + _AGG_O, _PUT_Q)
+    assert agg <= raw + overhead_units
+    assert agg >= 1
+
+
+@given(
+    st.lists(st.integers(1, 200_000), min_size=1, max_size=30),
+    st.lists(st.integers(1, 200_000), min_size=1, max_size=30),
+)
+@_SETTINGS
+def test_kpl_merging_flushes_never_costs_more(a, b):
+    """Coarsening the flush window (merging two adjacent flush cells into
+    one aggregate) never increases agg units: one envelope fewer AND the
+    ceil is subadditive — the monotone dial the n_oversize readout trades
+    against."""
+    def agg_units(sizes):
+        return _ceil_div(_AGG_O + sum(x + _SUB_O for x in sizes), _PUT_Q)
+
+    assert agg_units(a + b) <= agg_units(a) + agg_units(b)

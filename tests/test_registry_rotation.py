@@ -49,6 +49,7 @@ DRIVER_WINDOW = 50
 ROUND14_NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
         "q_kinesis_cost_plan",  # A20
+        "q_kinesis_kpl_plan",  # A21 (mid-round)
         "q_llm_media_dims_riff",  # C177
         "q_llm_media_dims_pdf",  # C178
         "q_ts_macd",  # B213
@@ -65,6 +66,7 @@ DEFERRED_TO_R15: frozenset[str] = frozenset(
     {
         "q_agg_boolcond",
         "q_agg_decimal",
+        "q_agg_listagg",
     }
 )
 
