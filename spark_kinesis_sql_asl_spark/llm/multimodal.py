@@ -1142,3 +1142,202 @@ def q_llm_media_dims_pdf(spark, sf_dir):
             " '/Count ([0-9]+)', 1) AS BIGINT)"
         ).alias("n_pages"),
     )
+
+
+# --- C179: ISO-BMFF (MP4) movie-header walk (round 14) ------------------------
+
+# Synthesized parameters (the C174/C175/C177 convention: payloads are
+# synthesized spec-conformant, the PARSER is the real logic). The movie
+# timescale ladder covers the classic video/audio clocks; the duration is
+# doc_id-derived so duration_ms exercises the div at every remainder class.
+_MP4_TIMESCALES = (600, 1000, 44100, 90000)
+_MP4_MAX_LEAD = 4  # doc_id % 4 'free' boxes between ftyp and moov (0..3)
+_MP4_WALK = 6  # unrolled top-level box-walk depth: > max lead by margin
+_MP4_MVHD_SIZE = 108  # version-0 mvhd box: 8 header + 100 payload
+_MP4_DUR = "(1 + (doc_id * 37) % 1000000)"
+_MP4_TS_DUCK = (
+    "(CASE doc_id % 4"
+    + "".join(
+        f" WHEN {i} THEN {t}" for i, t in enumerate(_MP4_TIMESCALES[:-1])
+    )
+    + f" ELSE {_MP4_TIMESCALES[-1]} END)"
+)
+
+
+def _mp4_lead_total_duck() -> str:
+    """Closed-form byte length of the leading 'free' boxes (oracle side):
+    box j occupies 8 + plen(j) bytes, plen(j) = 1 + ((doc_id+5j)%8)."""
+    p = [f"(1 + (doc_id + {5 * j}) % 8)" for j in range(_MP4_MAX_LEAD - 1)]
+    return (
+        f"(CASE doc_id % {_MP4_MAX_LEAD}"
+        f" WHEN 0 THEN 0"
+        f" WHEN 1 THEN 8 + {p[0]}"
+        f" WHEN 2 THEN 16 + {p[0]} + {p[1]}"
+        f" ELSE 24 + {p[0]} + {p[1]} + {p[2]} END)"
+    )
+
+
+@query(
+    "q_llm_media_dims_mp4",
+    priority=30,  # round-14 addition; staged into the r14 window
+    # The oracle states the EXPECTED parse from the synthesis arithmetic
+    # (the C175 bar) INCLUDING the walk-derived moov_offset and lead-box
+    # count — a wrong 32-bit size read, a misplaced fourcc compare, or an
+    # off-by-one in the box advance shifts moov_offset and hash-fails.
+    oracle=f"""
+    SELECT doc_id,
+           'mp4' AS container,
+           CAST(doc_id % {_MP4_MAX_LEAD} AS BIGINT) AS n_lead_boxes,
+           CAST(17 + {_mp4_lead_total_duck()} AS BIGINT) AS moov_offset,
+           CAST({_MP4_TS_DUCK} AS BIGINT) AS timescale,
+           CAST({_MP4_DUR} AS BIGINT) AS duration_ticks,
+           CAST((1000 * {_MP4_DUR}) // {_MP4_TS_DUCK} AS BIGINT)
+               AS duration_ms
+    FROM documents
+    """,
+)
+def q_llm_media_dims_mp4(spark, sf_dir):
+    """C179: ISO-BMFF (MP4) movie-header extraction — the video rung of
+    the media-header family (C174 PNG/GIF fixed offsets, C175 JPEG
+    marker walk, C177 RIFF fourcc dispatch, C178 PDF text locate),
+    completing "metadata for every mainstream container class" with the
+    box-tree layout every MP4/MOV/HEIF derivative shares: length-
+    prefixed boxes ([4-byte BE size][4-byte fourcc]) at the TOP level,
+    the movie timescale/duration at a fixed offset inside moov's first
+    child (mvhd, version 0) — so the parser must WALK the top-level box
+    chain past however many 'free' boxes the muxer emitted (the C175
+    discipline on a 32-bit size field instead of JPEG's 16-bit), then
+    descend one level.
+
+    Payloads are synthesized spec-conformant (the C61/C174 convention):
+    a 16-byte ftyp, doc_id % {_MP4_MAX_LEAD} 'free' boxes of VARYING
+    size (9..16 bytes, doc_id-derived), then moov containing a
+    version-0 mvhd ({_MP4_MVHD_SIZE} bytes: timescale at payload offset
+    12, duration at 16, zero-padded matrix/rate tail), then the text
+    bytes as stand-in mdat. The PARSER is the real logic: a
+    {_MP4_WALK}-step UNROLLED walk in pure JVM binary expressions — per
+    step read the 32-bit BE size and the fourcc at the cursor, stop on
+    'moov', else advance by size — then verify 'mvhd' at moov+8 and
+    read timescale/duration relative to the FOUND offset; duration_ms
+    is the exact integer (1000·ticks) div timescale both engines
+    release identically. No Python: at 100 TB this stays a scan-stage
+    projection (the unroll bound is the documented header-scan cap —
+    deeper lead chains release NULL to a quarantine lane, the C175
+    contract). The oracle reconstructs moov_offset and the lead count
+    from the synthesis arithmetic, so a wrong size-field width, fourcc
+    compare, or box advance hash-fails — the walk is verified, not just
+    the final readout."""
+    d = table(spark, sf_dir, "documents")
+
+    def be32(c):
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    ftyp = F.concat(
+        F.unhex(F.lit("00000010")),  # size 16
+        F.encode(F.lit("ftypisom"), "UTF-8"),
+        F.unhex(F.lit("00000200")),  # minor version
+    )
+    leads = []
+    for j in range(_MP4_MAX_LEAD - 1):
+        plen = F.expr(f"CAST(1 + (doc_id + {5 * j}) % 8 AS BIGINT)")
+        box = F.concat(
+            be32(plen + 8),
+            F.encode(F.lit("free"), "UTF-8"),
+            F.encode(
+                F.expr(f"repeat('Z', 1 + (doc_id + {5 * j}) % 8)"), "UTF-8"
+            ),
+        )
+        leads.append(
+            F.when(F.col("doc_id") % _MP4_MAX_LEAD > j, box).otherwise(
+                F.lit(b"")
+            )
+        )
+    ts = F.expr(f"CAST({_MP4_TS_DUCK.replace('//', 'div')} AS BIGINT)")
+    dur = F.expr(f"CAST({_MP4_DUR} AS BIGINT)")
+    mvhd = F.concat(
+        be32(F.lit(_MP4_MVHD_SIZE).cast("bigint")),
+        F.encode(F.lit("mvhd"), "UTF-8"),
+        F.unhex(F.lit("00000000")),  # version 0 + flags
+        F.unhex(F.lit("00000000")),  # creation
+        F.unhex(F.lit("00000000")),  # modification
+        be32(ts),
+        be32(dur),
+        F.unhex(F.lit("00" * (_MP4_MVHD_SIZE - 28))),  # rate..next_track
+    )
+    moov = F.concat(
+        be32(F.lit(8 + _MP4_MVHD_SIZE).cast("bigint")),
+        F.encode(F.lit("moov"), "UTF-8"),
+        mvhd,
+    )
+    text_bytes = F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+    mdat = F.concat(
+        be32(F.length(text_bytes).cast("bigint") + 8),
+        F.encode(F.lit("mdat"), "UTF-8"),
+        text_bytes,
+    )
+    payload = F.concat(ftyp, *leads, moov, mdat)
+    rec = d.select("doc_id", payload.alias("p"))
+    # --- the parser: bytes in, metadata out (no doc_id arithmetic below) ---
+    is_mp4 = F.expr("hex(substring(p, 5, 4))") == "66747970"  # 'ftyp' 
+    rec = rec.select(
+        "doc_id",
+        "p",
+        is_mp4.alias("ok"),
+        F.lit(1).cast("bigint").alias("pos"),
+        F.lit(None).cast("bigint").alias("moov"),
+        F.lit(0).cast("bigint").alias("skips"),
+    )
+    for _ in range(_MP4_WALK):
+        fourcc = F.expr("hex(substring(p, CAST(pos AS INT) + 4, 4))")
+        advance = F.expr(
+            "CAST(conv(hex(substring(p, CAST(pos AS INT), 4)), 16, 10)"
+            " AS BIGINT)"
+        )
+        walking = F.col("ok") & F.col("moov").isNull()
+        moov_cc, ftyp_cc = "6D6F6F76", "66747970"
+        rec = rec.select(
+            "doc_id",
+            "p",
+            "ok",
+            F.when(walking & (fourcc != moov_cc), F.col("pos") + advance)
+            .otherwise(F.col("pos"))
+            .alias("pos"),
+            F.when(walking & (fourcc == moov_cc), F.col("pos"))
+            .otherwise(F.col("moov"))
+            .alias("moov"),
+            F.when(
+                walking & (fourcc != moov_cc) & (fourcc != ftyp_cc),
+                F.col("skips") + 1,
+            )
+            .otherwise(F.col("skips"))
+            .alias("skips"),
+        )
+    child_ok = (
+        F.expr("hex(substring(p, CAST(moov AS INT) + 12, 4))")
+        == "6D766864"  # 'mvhd'
+    ) & (F.expr("hex(substring(p, CAST(moov AS INT) + 16, 1))") == "00")
+    found = F.col("moov").isNotNull() & child_ok
+    tscale = F.expr(
+        "CAST(conv(hex(substring(p, CAST(moov AS INT) + 28, 4)), 16, 10)"
+        " AS BIGINT)"
+    )
+    ticks = F.expr(
+        "CAST(conv(hex(substring(p, CAST(moov AS INT) + 32, 4)), 16, 10)"
+        " AS BIGINT)"
+    )
+    return rec.select(
+        "doc_id",
+        F.when(found, F.lit("mp4")).otherwise(F.lit("unknown")).alias(
+            "container"
+        ),
+        F.when(found, F.col("skips")).alias("n_lead_boxes"),
+        F.when(found, F.col("moov")).alias("moov_offset"),
+        F.when(found & (tscale > 0), tscale).alias("timescale"),
+        F.when(found, ticks).alias("duration_ticks"),
+        F.when(found & (tscale > 0), F.expr(
+            "CAST((1000 * CAST(conv(hex(substring(p, CAST(moov AS INT)"
+            " + 32, 4)), 16, 10) AS BIGINT)) div"
+            " CAST(conv(hex(substring(p, CAST(moov AS INT) + 28, 4)),"
+            " 16, 10) AS BIGINT) AS BIGINT)"
+        )).alias("duration_ms"),
+    )

@@ -103,6 +103,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
         for n in (
             "q_kinesis_cost_plan",
             "q_kinesis_kpl_plan",
+            "q_llm_media_dims_mp4",
             "q_llm_media_dims_pdf",
             "q_llm_media_dims_riff",
             "q_ts_atr",
@@ -168,7 +169,6 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_llm_train_order",
             "q_llm_winnow",
             "q_skew_audit",
-            "q_sort_nulls_first",
             "q_ts_gapfill",
         )
     },
@@ -182,6 +182,7 @@ _PRIORITY_OVERRIDES: dict[str, int] = {
             "q_agg_boolcond",
             "q_agg_decimal",
             "q_agg_listagg",
+            "q_sort_nulls_first",
             "q_agg_approx_distinct",
             "q_agg_argmax",
             "q_agg_bivariate",

@@ -931,3 +931,14 @@ def test_kpl_plan_two_hash_aggs_no_window_no_join(spark):
     pushed = pushed_filters(df)
     assert any("ts" in p for p in pushed)
     assert any("user_id" in p for p in pushed)
+
+
+def test_mp4_dims_scan_stage_only(spark):
+    # C179: the whole synth+walk+read is ONE scan-stage projection over
+    # documents — no join, no Window, no exchange in the final plan.
+    df = QUERIES["q_llm_media_dims_mp4"](spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert len(read_schemas(df)) == 1
+    assert "Join" not in plan.split("\n\n", 1)[0]
+    assert "Window" not in plan
+    assert "Exchange" not in plan.split("\n\n", 1)[0]

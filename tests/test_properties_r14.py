@@ -455,3 +455,84 @@ def test_kpl_merging_flushes_never_costs_more(a, b):
         return _ceil_div(_AGG_O + sum(x + _SUB_O for x in sizes), _PUT_Q)
 
     assert agg_units(a + b) <= agg_units(a) + agg_units(b)
+
+
+# --- C179: MP4 box walk vs an independent struct.pack encoding ----------------
+
+_MP4_TIMESCALES = (600, 1000, 44100, 90000)
+_MP4_MAX_LEAD = 4
+_MP4_MVHD_SIZE = 108
+
+
+def _mp4_payload(doc_id: int, text: bytes) -> bytes:
+    """Independent struct.pack rebuild of the C179 synthesis (big-endian
+    box sizes, version-0 mvhd) — NOT the SQL concat, so an arithmetic
+    slip in either side breaks the agreement."""
+    out = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0x200)
+    for j in range(doc_id % _MP4_MAX_LEAD):
+        plen = 1 + (doc_id + 5 * j) % 8
+        out += struct.pack(">I", 8 + plen) + b"free" + b"Z" * plen
+    ts = _MP4_TIMESCALES[doc_id % 4]
+    dur = 1 + (doc_id * 37) % 1000000
+    mvhd = (
+        struct.pack(">I", _MP4_MVHD_SIZE)
+        + b"mvhd"
+        + b"\x00" * 12
+        + struct.pack(">II", ts, dur)
+        + b"\x00" * (_MP4_MVHD_SIZE - 28)
+    )
+    out += struct.pack(">I", 8 + _MP4_MVHD_SIZE) + b"moov" + mvhd
+    out += struct.pack(">I", 8 + len(text)) + b"mdat" + text
+    return out
+
+
+def _mp4_walk(b: bytes):
+    """Independent parser: top-level walk to moov (0-based cursor), then
+    the mvhd reads — returns (moov_offset_1based, skips, ts, dur)."""
+    assert b[4:8] == b"ftyp"
+    pos, skips = 0, 0
+    for _ in range(8):
+        size = struct.unpack(">I", b[pos : pos + 4])[0]
+        cc = b[pos + 4 : pos + 8]
+        if cc == b"moov":
+            break
+        if cc != b"ftyp":
+            skips += 1
+        pos += size
+    child = pos + 8
+    assert b[child + 4 : child + 8] == b"mvhd" and b[child + 8] == 0
+    ts, dur = struct.unpack(">II", b[child + 20 : child + 28])
+    return pos + 1, skips, ts, dur
+
+
+def _mp4_lead_total(doc_id: int) -> int:
+    return sum(
+        9 + (doc_id + 5 * j) % 8 for j in range(doc_id % _MP4_MAX_LEAD)
+    )
+
+
+@given(st.integers(0, 10**9), st.binary(min_size=0, max_size=120))
+@_SETTINGS
+def test_mp4_walk_matches_closed_form(doc_id, text):
+    """The walk-found moov offset equals the oracle's closed form
+    17 + lead_total, the skip count equals doc_id % 4, and the
+    timescale/duration land exactly where child+12/child+16 read them."""
+    b = _mp4_payload(doc_id, text)
+    moov1, skips, ts, dur = _mp4_walk(b)
+    assert moov1 == 17 + _mp4_lead_total(doc_id)
+    assert skips == doc_id % _MP4_MAX_LEAD
+    assert ts == _MP4_TIMESCALES[doc_id % 4]
+    assert dur == 1 + (doc_id * 37) % 1000000
+
+
+@given(st.integers(0, 10**9))
+@_SETTINGS
+def test_mp4_duration_ms_floor_identity(doc_id):
+    """duration_ms = (1000·ticks) div timescale is an exact non-negative
+    floor division — and inverting it brackets the tick count, the
+    round-trip sanity both engines must agree on."""
+    ts = _MP4_TIMESCALES[doc_id % 4]
+    dur = 1 + (doc_id * 37) % 1000000
+    ms = (1000 * dur) // ts
+    assert 0 <= ms
+    assert ms * ts <= 1000 * dur < (ms + 1) * ts

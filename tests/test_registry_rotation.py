@@ -52,6 +52,7 @@ ROUND14_NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_kinesis_kpl_plan",  # A21 (mid-round)
         "q_llm_media_dims_riff",  # C177
         "q_llm_media_dims_pdf",  # C178
+        "q_llm_media_dims_mp4",  # C179 (mid-round)
         "q_ts_macd",  # B213
         "q_ts_atr",  # B214 (mid-round)
         "q_ts_stochastic",  # B215 (mid-round)
@@ -67,6 +68,7 @@ DEFERRED_TO_R15: frozenset[str] = frozenset(
         "q_agg_boolcond",
         "q_agg_decimal",
         "q_agg_listagg",
+        "q_sort_nulls_first",
     }
 )
 
