@@ -70,23 +70,24 @@ _MODULES = (
 # (416 hash-green + 2 by-design rows-only). Round-14 window, in priority
 # order:
 #
-#   override 8   the 4 round-14 additions (A20 cost plan, C178 PDF header,
-#                C177 RIFF header, B213 MACD) staged DIRECTLY into their
-#                own round's window — the zero-lag staging rule made
-#                permanent (VERDICT r13 item #2) — slots 0..3
-#   override 9   the re-verify tranche — slot 4: q_ts_stl_decompose's
+#   override 8   the 8 round-14 additions (A20 cost plan, A21 KPL plan,
+#                C177 RIFF header, C178 PDF header, C179 MP4 mvhd walk,
+#                B213 MACD, B214 ATR, B215 stochastic) staged DIRECTLY
+#                into their own round's window — the zero-lag staging
+#                rule made permanent (VERDICT r13 item #2) — slots 0..7
+#   override 9   the re-verify tranche — q_ts_stl_decompose's
 #                trend window gained the dense-calendar gate
 #                (max(d)-min(d) = 6 beside nw = 7, ADVICE r13), a
 #                semantics change on sparse series, so its r13 row is
 #                stale by construction
 #   override 10  canary 3-round refresh: the 5 canaries last sampled in
-#                r11 — slots 5..9 (q_canary_array_semantics, r12, waits
-#                for r15)
-#   override 12  freshness rotation — slots 10..49: q_win_time_range (the
-#                last r3-era row) then the ENTIRE 39-query r4-era cohort
-#                (registration order within the tranche), draining VERDICT
-#                r13 item #1 completely:
-#                after this round no query's latest sample predates r5
+#                r11 (q_canary_array_semantics, r12, waits for r15)
+#   override 12  freshness rotation — the remaining slots to 49:
+#                q_win_time_range (the last r3-era row) then the r4-era
+#                cohort (registration order within the tranche), draining
+#                VERDICT r13 item #1 to within the four names the
+#                mid-round additions displaced (one per addition; they
+#                HEAD the r15 freshness queue — see tranche (e))
 #   override 100 every other ever-driver-sampled query
 #
 # Rows-only half-frequency rule (VERDICT r11 item #2) still holds: the two
