@@ -17,21 +17,32 @@ from spark_kinesis_sql_asl_spark.registry import all_queries
 
 from .driver_canon import canon_hash, spark_to_pandas
 from .test_registry_rotation import (
+    LAST_DRIVER_ROUND,
     REWIRED,
-    ROUND13_NEW_THIS_ROUND,
-    _never_sampled,
+    ROUND14_NEW_THIS_ROUND,
+    _rows_through,
 )
 
 SF = "/root/testdata/sf0.001"
 
+
+def _never_sampled() -> set[str]:
+    """Queries with no driver row in any committed CORRECTNESS artifact —
+    recomputed, so a new @query joins this stress list automatically."""
+    from spark_kinesis_sql_asl_spark import registry
+
+    registry.load_all()
+    return set(registry._QUERIES) - set(_rows_through(LAST_DRIVER_ROUND))
+
+
 # Every query the driver is about to HASH for the first time this round:
-# the never-sampled round-12 backlog (window slots 0..5), the rewired
-# tranche (new oracle or materially changed implementation, so the next
-# hash is effectively a first), plus the round-13 additions staged into
-# the window. A driver-green-on-the-lucky-draw query is the failure class
-# this file exists to catch, so stress exactly those rows.
+# the never-sampled backlog (this round's additions by construction), the
+# rewired tranche (new oracle or materially changed implementation, so
+# the next hash is effectively a first), plus the staged additions. A
+# driver-green-on-the-lucky-draw query is the failure class this file
+# exists to catch, so stress exactly those rows.
 _FIRST_SAMPLED_THIS_ROUND = sorted(
-    ROUND13_NEW_THIS_ROUND | REWIRED | _never_sampled()
+    ROUND14_NEW_THIS_ROUND | REWIRED | _never_sampled()
 )
 
 
