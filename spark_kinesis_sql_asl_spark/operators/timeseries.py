@@ -4205,6 +4205,7 @@ _ATR_SPARK = _atr_step("s.h", "s.l", "a.pc", "a.atr", "a.mx", "div")
                CAST(floor(value * 100) AS BIGINT) AS cents,
                ts, event_id
         FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND event_type IS NOT NULL
     ),
     w AS (
         SELECT grp, d, cents,
@@ -4281,7 +4282,9 @@ def q_ts_atr(spark, sf_dir):
     B209/B212/B213 shape: no window, no join in the corpus-scale stage
     beyond the bar build)."""
     ev = table(spark, sf_dir, "events").where(
-        F.col("ts").isNotNull() & F.col("value").isNotNull()
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
     )
     t = ev.select(
         F.col("event_type").alias("grp"),
@@ -4364,6 +4367,7 @@ _STO_LO = 200_000  # oversold:  %K < 20 (ppm)
                CAST(floor(value * 100) AS BIGINT) AS cents,
                ts, event_id
         FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND event_type IS NOT NULL
     ),
     w AS (
         SELECT grp, d, cents,
@@ -4444,7 +4448,9 @@ def q_ts_stochastic(spark, sf_dir):
     a final hash aggregate — all calendar-bounded, kilobytes at any SF;
     no join anywhere."""
     ev = table(spark, sf_dir, "events").where(
-        F.col("ts").isNotNull() & F.col("value").isNotNull()
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
     )
     t = ev.select(
         F.col("event_type").alias("grp"),

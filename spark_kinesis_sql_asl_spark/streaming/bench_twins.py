@@ -391,7 +391,10 @@ def _ev_atr(spark, staged):
 
     return streaming_atr(
         _read(spark, staged)
-        .where("ts IS NOT NULL AND value IS NOT NULL")
+        .where(
+            "ts IS NOT NULL AND value IS NOT NULL"
+            " AND event_type IS NOT NULL"
+        )
         .selectExpr(
             "event_type AS grp",
             "unix_micros(ts) AS ts_us",

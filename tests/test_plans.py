@@ -461,6 +461,12 @@ def test_rolling_slope_single_exchange_all_windows(spark):
 # that admits a few dozen rows) rather than by a limit node — each entry
 # must carry its justification here and in the query docstring.
 _PARTITIONLESS_WINDOW_BY_CONSTRUCTION = {
+    # A20 (round 14): the stream-total window runs over the COLLAPSED
+    # 16-row per-shard cost frame (the md5 ring is the partition count by
+    # construction) — the documented B88/B172 bounded class; the
+    # docstring's one-pass argument is exactly why a second scan/join is
+    # not used instead.
+    "q_kinesis_cost_plan",
     # D9: the slice is doc_id % 53 (a few dozen rows at any fixture SF);
     # the canary deliberately exercises a global string-collation rank and
     # documents why the single partition is harmless there.

@@ -3078,7 +3078,11 @@ def test_streaming_atr_equals_batch(spark, events_rows, tmp_path):
     _stage(events_rows, staging, n_files=4, reorder_late=True)
 
     def prep(src):
-        f = src.where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        f = src.where(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
         return f.select(
             F.col("event_type").alias("grp"),
             F.expr("unix_micros(ts)").alias("ts_us"),
