@@ -755,7 +755,16 @@ def _containment_docs(spark, sf_dir, stage):
                 F.split(F.coalesce(F.col("text"), F.lit("")), " ")
             ).alias("ts"),
         )
-        .withColumn("sz", F.size("ts")),
+        .withColumn("sz", F.size("ts"))
+        # Round 14: hashed twin of ts for C82's verify stage — the
+        # hash_tokens=True discipline the Jaccard family measured at
+        # ~40% on its verify (fixed-width BIGINT array_intersect vs
+        # string compares). Set sizes and intersection sizes — hence
+        # containment — are unchanged unless two distinct tokens of one
+        # candidate pair collide in 64 bits (~|vocab|²/2⁶⁴, negligible;
+        # the C2 precedent). ts itself stays: C82s' portable md5-parse
+        # signatures hash the true strings.
+        .withColumn("hts", F.transform("ts", lambda t: F.xxhash64(t))),
         stage,
         "docs",  # consumed by index + verify/estimate
     )
@@ -927,13 +936,17 @@ def q_llm_dedup_containment(spark, sf_dir):
     tau = _CONTAIN_TAU
     docs, indexed = _containment_state(spark, sf_dir)
     cand = _containment_candidates(spark, indexed, tau)
+    # Verify on the hashed-token twin (round 14): BIGINT array_intersect
+    # instead of string compares — the Jaccard family's measured
+    # hash_tokens win ported to the asymmetric pass. Bit-identical output
+    # barring a 64-bit collision inside one candidate pair (~|vocab|²/2⁶⁴).
     da = docs.select(
         F.col("doc_id").alias("doc_small"),
-        F.col("ts").alias("ta"),
+        F.col("hts").alias("ta"),
         F.col("sz").alias("sa"),
     )
     db = docs.select(
-        F.col("doc_id").alias("doc_big"), F.col("ts").alias("tb")
+        F.col("doc_id").alias("doc_big"), F.col("hts").alias("tb")
     )
     scored = (
         cand.join(da, "doc_small")
@@ -942,7 +955,17 @@ def q_llm_dedup_containment(spark, sf_dir):
             "doc_small",
             "doc_big",
             "sa",
-            F.size(F.array_intersect("ta", "tb")).alias("i"),
+            # Single-evaluation barrier (round 14): without the
+            # nondeterministic marker the tau filter below is pushed into
+            # the doc_big join CONDITION with the array_intersect inlined,
+            # and the projection keeps a second copy — the dominant verify
+            # expression ran TWICE per candidate (seen in
+            # plans/r14/q_llm_dedup_containment_before.txt). rand(7)*0 is
+            # always zero; the marker forces exactly one evaluation.
+            (
+                F.size(F.array_intersect("ta", "tb"))
+                + (F.rand(7) * 0).cast("int")
+            ).alias("i"),
         )
     )
     containment = F.col("i") * 1.0 / F.col("sa")
@@ -1146,13 +1169,40 @@ def q_llm_dedup_containment_lsh(spark, sf_dir):
         * (F.col("sz_a") + F.col("sz_b"))
         / ((1.0 + j_hat) * F.col("sz_a")),
     )
-    # Top-1 container per doc_small via max_by, not a rank window: the
-    # estimate keeps ~4M rows at sf0.1 (the 0.8 cut is looser than exact
-    # tau by design), and max_by partial-aggregates map-side — duplicate
-    # candidates from the no-distinct prefix stage are absorbed for free,
-    # where a window would first shuffle-sort every surviving row.
-    # Tie-break (est desc, doc_big asc) rides the packed struct: bitwise
-    # NOT of doc_big makes "doc_big asc" the max.
+    # Top-1 container per doc_small via a PACKED-BIGINT max, not a rank
+    # window: the estimate keeps ~4M rows at sf0.1 (the 0.8 cut is looser
+    # than exact tau by design) and partial-aggregates map-side —
+    # duplicate candidates from the no-distinct prefix stage are absorbed
+    # for free, where a window would first shuffle-sort every surviving
+    # row. Round 14, two fixes on the round-13 max_by form:
+    #
+    # 1. Single evaluation of the estimate: written as select(round(est))
+    #    .where(est >= 0.8), the optimizer pushed the 0.8 cut into the
+    #    doc_big join CONDITION with the whole 24-term agree sum inlined,
+    #    then re-evaluated the identical sum in the projection — the
+    #    dominant per-candidate expression ran TWICE (seen in
+    #    plans/r14/q_llm_dedup_containment_lsh_before.txt). The rand(7)*0
+    #    term is always zero but marks the column nondeterministic:
+    #    exactly one evaluation, not pushable.
+    # 2. max_by(struct, struct) has an immutable (struct-typed) aggregate
+    #    buffer, so Spark planned a SortAggregate — two full sorts of the
+    #    surviving pairs around the exchange. The (est desc, doc_big asc)
+    #    order packs losslessly into ONE BIGINT instead:
+    #    round(c,6)*1e6 is an integer n <= 1e6 recovered exactly by
+    #    floor(est*1e6 + 0.5) (est is the nearest double to n/1e6, so
+    #    est*1e6 is within ~1e-10 of n), and doc ids are < 2^41;
+    #    packed = n * 2^41 + (2^41-1 - doc_big) makes max(packed) the
+    #    exact argmax with the asc tie-break. A plain max over BIGINT
+    #    hash-aggregates with map-side combine. The unpack division
+    #    CAST(n AS DOUBLE)/1e6 is IEEE-correctly-rounded, i.e. the same
+    #    double round(c,6) produced — bit-identical output.
+    est_nd = F.round(c_hat, 6) + F.rand(7) * 0
+    _PK = 1 << 41
+    packed = (
+        F.floor(F.col("est_containment") * 1e6 + F.lit(0.5)).cast("bigint")
+        * F.lit(_PK)
+        + (F.lit(_PK - 1) - F.col("doc_big"))
+    )
     return (
         cand.join(sa, F.col("doc_small") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_big") == F.col("sb.doc_id"))
@@ -1166,23 +1216,17 @@ def q_llm_dedup_containment_lsh(spark, sf_dir):
         .select(
             "doc_small",
             "doc_big",
-            F.round(c_hat, 6).alias("est_containment"),
+            est_nd.alias("est_containment"),
         )
         .where(F.col("est_containment") >= 0.8)
         .groupBy("doc_small")
-        .agg(
-            F.max_by(
-                F.struct("doc_big", "est_containment"),
-                F.struct(
-                    F.col("est_containment").alias("e"),
-                    F.bitwise_not(F.col("doc_big")).alias("nb"),
-                ),
-            ).alias("best")
-        )
+        .agg(F.max(packed).alias("pk"))
         .select(
             "doc_small",
-            F.col("best.doc_big").alias("doc_big"),
-            F.col("best.est_containment").alias("est_containment"),
+            (F.lit(_PK - 1) - F.pmod("pk", F.lit(_PK))).alias("doc_big"),
+            (
+                F.expr(f"CAST(pk div {_PK}L AS DOUBLE)") / F.lit(1.0e6)
+            ).alias("est_containment"),
         )
     )
 
@@ -1850,6 +1894,16 @@ def q_llm_dup_kcore(spark, sf_dir):
         )
         .localCheckpoint(eager=True)
     )
+    # Early exit at the fixpoint (round 14): each peel round filters the
+    # edge set, so edges_{r+1} ⊆ edges_r; an unchanged COUNT therefore
+    # means an unchanged SET, identical degrees, identical keeps — every
+    # remaining round is the identity and the final result is the same.
+    # The count rides the eager checkpoint's cached blocks (one cheap
+    # job), while a skipped round saves a groupBy + two joins + a
+    # checkpoint materialization — at sf0.1 the peel reaches its
+    # fixpoint in <= 3 of the {_KCORE_ROUNDS} contract rounds, and at
+    # 100 TB the saving is a full edge-scale pass per skipped round.
+    prev_n = edges.count()
     for _ in range(_KCORE_ROUNDS):
         deg = edges.groupBy("src").agg(
             F.count(F.lit(1)).cast("bigint").alias("d")
@@ -1864,6 +1918,10 @@ def q_llm_dup_kcore(spark, sf_dir):
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )
+        n = edges.count()
+        if n == prev_n:
+            break
+        prev_n = n
     return edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
     ).select(F.col("src").alias("doc_id"), "core_degree")

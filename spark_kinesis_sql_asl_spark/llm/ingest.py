@@ -79,15 +79,21 @@ def q_llm_bitext_mine(spark, sf_dir):
         F.col("nrm").alias("nb"),
     )
     cos = safe_cosine(dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
+    # Single-evaluation barrier (round 14, the embed_neardup_pairs fix):
+    # without it the tau filter is pushed into the label-join CONDITION
+    # while the rounded copy stays in the projection, running the zip_with
+    # dot product twice per candidate pair. rand(7)*0 is always zero but
+    # marks the column nondeterministic — one evaluation, not pushable.
     return (
         a.join(
             b,
             (F.col("la") == F.col("lb")) & (F.col("lang_a") < F.col("lang_b")),
         )
-        .where(cos >= _BITEXT_TAU)
+        .withColumn("_cos", cos + F.rand(7) * 0)
+        .where(F.col("_cos") >= _BITEXT_TAU)
         .select(
             "doc_a", "doc_b", "lang_a", "lang_b",
-            F.round(cos, 6).alias("cosine"),
+            F.round("_cos", 6).alias("cosine"),
         )
     )
 

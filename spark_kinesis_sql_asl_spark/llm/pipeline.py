@@ -354,9 +354,22 @@ def embed_neardup_pairs(df, tau=_EMBED_TAU, block="auto"):
             .where(F.col("vec_a") < F.col("vec_b"))
             .dropDuplicates(["vec_a", "vec_b"])
         )
+    # Single-evaluation barrier (round 14): written as where(cos).select
+    # (round(cos)), the optimizer pushes the tau filter into the pair-join
+    # CONDITION and keeps the rounded copy in the projection — the full
+    # zip_with dot product runs TWICE per candidate (seen in
+    # plans/r14/q_llm_dedup_embed_before.txt: `aggregate(zip_with(...))`
+    # in both the join condition and the project). The rand(7)*0 term is
+    # always zero but marks the column nondeterministic, so it can be
+    # neither pushed below the projection nor duplicated — one dot product
+    # per candidate, at any scale (the prefix_filtered_jaccard barrier
+    # discipline).
+    cand = cand.withColumn("_cos", cos + F.rand(7) * 0)
     return (
-        cand.where(cos >= tau)
-        .select("vec_a", "vec_b", "label", F.round(cos, 6).alias("cosine"))
+        cand.where(F.col("_cos") >= tau)
+        .select(
+            "vec_a", "vec_b", "label", F.round("_cos", 6).alias("cosine")
+        )
     )
 
 

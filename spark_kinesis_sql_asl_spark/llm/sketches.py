@@ -733,14 +733,32 @@ def q_llm_band_assign(spark, sf_dir):
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .distinct()
     )
-    # Full-outer marker join: every (doc_a, doc_b) pair carries an in_e
-    # and/or in_c flag; one aggregate reads off all three counts. Each
-    # pair frame is consumed exactly ONCE, so nothing re-executes and
-    # nothing needs a barrier.
-    marked = exact.withColumn("in_e", F.lit(1)).join(
-        cand.withColumn("in_c", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+    # Union marker aggregate (round 14; was distinct() + full-outer
+    # marker join): the candidate pairs carried a <= {_BA_BANDS}x band
+    # duplication that a distinct() shuffled once, and the full-outer
+    # join then shuffled BOTH pair frames again before the single
+    # readout aggregate — three pair-scale exchanges for one row of
+    # counts. Flag-union + groupBy(pair) computes the identical
+    # dedup-and-mark in ONE pair exchange, and the max() flags
+    # partial-aggregate map-side, so band duplicates collapse before
+    # the shuffle (guide §2.3/§2.4). Same counts: max(in_c) dedups
+    # candidates, max(in_e) marks exact pairs, and the final aggregate
+    # is unchanged.
+    marked = (
+        exact.select(
+            "doc_a", "doc_b", F.lit(1).alias("in_e"), F.lit(None).cast("int").alias("in_c")
+        )
+        .unionByName(
+            cand.select(
+                "doc_a",
+                "doc_b",
+                F.lit(None).cast("int").alias("in_e"),
+                F.lit(1).alias("in_c"),
+            )
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("in_e").alias("in_e"), F.max("in_c").alias("in_c"))
     )
     return marked.agg(
         F.sum("in_e").cast("bigint").alias("n_exact"),
@@ -906,10 +924,25 @@ def q_llm_band_recall_24(spark, sf_dir):
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
         )
-        .distinct()
     )
-    marked = exact.withColumn("in_e", F.lit(1)).join(
-        cand.withColumn("in_c", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+    # Union marker aggregate (round 14): same rewrite as C143 — one pair
+    # exchange with map-side flag combine instead of distinct() + a
+    # full-outer marker join (three pair-scale exchanges). Identical
+    # counts; see q_llm_band_assign.
+    marked = (
+        exact.select(
+            "doc_a", "doc_b", F.lit(1).alias("in_e"), F.lit(None).cast("int").alias("in_c")
+        )
+        .unionByName(
+            cand.select(
+                "doc_a",
+                "doc_b",
+                F.lit(None).cast("int").alias("in_e"),
+                F.lit(1).alias("in_c"),
+            )
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("in_e").alias("in_e"), F.max("in_c").alias("in_c"))
     )
     return marked.agg(
         F.sum("in_e").cast("bigint").alias("n_exact"),

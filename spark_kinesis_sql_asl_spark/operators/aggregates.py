@@ -1627,9 +1627,16 @@ def q_agg_bootstrap_ci(spark, sf_dir):
     rollup with map-side combine; the CI selection runs on a
     {_BOOT_B}-row frame."""
     from ..llm.sketches import _hex_parse_spark
+    from ..tables import parallel_table
 
+    # parallel_table (round 14): the fixture events scan is ONE row-group
+    # split, so the whole md5-per-(event, group) replicate pipeline below
+    # ran as a single task (profiled 3.3 s serial of the 4.2 s total at
+    # sf0.1). The helper exchanges by event_id only when splits < cores —
+    # at 100 TB the scan has thousands of natural splits and no shuffle
+    # is added.
     ev = (
-        table(spark, sf_dir, "events")
+        parallel_table(spark, sf_dir, "events", key="event_id")
         .where(
             F.col("value").isNotNull()
             & (F.col("event_type") == "purchase")
