@@ -596,7 +596,13 @@ def q_llm_fingerprint(spark, sf_dir):
     join/group key for clustering at 100 TB. The fingerprint is rendered as
     a comma-joined string (B32/C27 convention): flat, hashable output —
     the driver's pandas canonicalizer crashes on raw array cells."""
-    d = table(spark, sf_dir, "documents").where(F.length("text") >= _FP_GRAM)
+    # parallel_table (round 14): the per-doc md5-per-gram fold is pure
+    # scan-stage compute, and the single-row-group fixture scan ran the
+    # WHOLE query as one 2.6 s task (profiled). Spread only when splits <
+    # cores — no shuffle added at scale.
+    d = parallel_table(spark, sf_dir, "documents").where(
+        F.length("text") >= _FP_GRAM
+    )
     hs = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.length("text") - (_FP_GRAM - 1)),

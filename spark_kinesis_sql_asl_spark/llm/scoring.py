@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import table
+from ..tables import parallel_table, table
 
 # freq_ppm <= 1e6 < 2^20, so surprisal_bits = 20 - floor(log2(freq_ppm))
 # lands in [1, 20]; greatest(1, ppm) guards tokens whose floor-div ppm
@@ -361,7 +361,10 @@ def q_llm_dsir_weight(spark, sf_dir):
     the per-doc rollup partial-aggregates map-side. One corpus-scale
     explode, one broadcast join, one reduce; importance RESAMPLING
     downstream is C36's reservoir / C25's hash gate keyed on logw_oct."""
-    d = table(spark, sf_dir, "documents").select(
+    # parallel_table (round 14): the bigram explode + md5 bucket is pure
+    # scan-stage compute and the single-row-group fixture scan ran it
+    # serial; spread only when splits < cores (no shuffle at scale).
+    d = parallel_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.split(F.coalesce("text", F.lit("")), " ").alias("ts")
     )
     bg = (
@@ -379,20 +382,25 @@ def q_llm_dsir_weight(spark, sf_dir):
         )
         .select("doc_id", "source", F.expr(_DSIR_SPARK_BUCKET).alias("b"))
     )
-    tgt = (
-        bg.where(F.col("source").isin(*_TRUSTED_SOURCES))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # ONE corpus-scale count pass (round 14; was separate tgt/src
+    # groupBys plus separate nt/ns aggregates — the bigram explode
+    # re-evaluated per branch): a conditional count yields both models'
+    # bucket counts together (count(when(trusted)) == the left-joined
+    # tgt count with coalesce-to-0), and the totals come from the
+    # <={_DSIR_BUCKETS}-row bucket table itself, not another corpus
+    # pass. Identical integers; corpus passes 3+ -> 2 (counts + the
+    # final weight join).
+    counts = bg.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cs"),
+        F.count(
+            F.when(F.col("source").isin(*_TRUSTED_SOURCES), F.lit(1))
+        ).alias("ct"),
     )
-    src = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
-    # bucket score table: <=512 rows, the totals ride a cross join of two
-    # 1-row aggregates — broadcast everywhere
-    nt = tgt.agg(F.sum("ct").alias("nt"))
-    ns = src.agg(F.sum("cs").alias("ns"))
+    tot = counts.agg(
+        F.sum("ct").alias("nt"), F.sum("cs").alias("ns")
+    )
     r = (
-        src.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(nt))
-        .crossJoin(F.broadcast(ns))
+        counts.crossJoin(F.broadcast(tot))
         .select(
             "b",
             F.expr(

@@ -13,7 +13,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import table
+from ..tables import parallel_table, table
 
 
 @query(
@@ -1327,8 +1327,13 @@ def q_agg_cov_matrix(spark, sf_dir):
     for v in _COV_VARS:
         c = F.col(v).isNotNull()
         conds = c if conds is None else (conds & c)
+    # parallel_table (round 14): the 15 DECIMAL(38,0) partial accumulators
+    # run in the scan stage, and the single-row-group fixture scan made
+    # that ONE task of wide-decimal arithmetic over every lineitem row
+    # (profiled as the dominant serial stage). The helper exchanges by
+    # l_orderkey only when splits < cores — no shuffle added at scale.
     s = (
-        table(spark, sf_dir, "lineitem")
+        parallel_table(spark, sf_dir, "lineitem", key="l_orderkey")
         .where(conds)
         .select(
             *[
@@ -1627,7 +1632,6 @@ def q_agg_bootstrap_ci(spark, sf_dir):
     rollup with map-side combine; the CI selection runs on a
     {_BOOT_B}-row frame."""
     from ..llm.sketches import _hex_parse_spark
-    from ..tables import parallel_table
 
     # parallel_table (round 14): the fixture events scan is ONE row-group
     # split, so the whole md5-per-(event, group) replicate pipeline below

@@ -2354,9 +2354,18 @@ def q_events_seq_patterns(spark, sf_dir):
         )
         .select("user_id", F.col("event_type").alias("et"), "ts", "event_id")
     )
+    # Explicit exchanges pin the two first-occurrence windows against AQE
+    # coalescing (round 14): the shuffles are ~1 MB at sf0.1, so AQE
+    # collapsed them to ONE partition and the window chains ran serial
+    # (profiled 1.5 + 1.0 s single-task stages). The partition keys match
+    # the window specs exactly, so no shuffle is ADDED — only the width
+    # is pinned (the C2 df-pass discipline). At 100 TB these exchanges
+    # are data-scale and AQE would never collapse them.
+    par = spark.sparkContext.defaultParallelism
     wa = Window.partitionBy("user_id", "et").orderBy("ts", "event_id")
     fa = (
-        ev.withColumn("_rn", F.row_number().over(wa))
+        ev.repartition(par, "user_id", "et")
+        .withColumn("_rn", F.row_number().over(wa))
         .where(F.col("_rn") == 1)
         .select(
             "user_id",
@@ -2381,6 +2390,7 @@ def q_events_seq_patterns(spark, sf_dir):
             F.col("e.ts").alias("b_ts"),
             F.col("e.event_id").alias("b_eid"),
         )
+        .repartition(par, "user_id", "a", "b")
         .withColumn("_rn", F.row_number().over(wb))
         .where(F.col("_rn") == 1)
         .drop("_rn")

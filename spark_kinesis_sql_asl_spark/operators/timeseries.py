@@ -1964,7 +1964,15 @@ def q_ts_theil_sen(spark, sf_dir):
             " CAST(xb AS DOUBLE) - CAST(xa AS DOUBLE))"
         ).alias("slope")
     )
-    n_all = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    # n_pairs arithmetically (round 14): the released count keeps EVERY
+    # generated pair, and x is distinct (a groupBy key), so count(pairs)
+    # is exactly n_days*(n_days-1)/2 — a one-row aggregate over the daily
+    # frame instead of a second full pass through the broadcast theta
+    # join (the pair generation ran TWICE: once for the rank-select, once
+    # just to count itself).
+    n_all = daily.agg(F.count(F.lit(1)).alias("nd")).select(
+        F.expr("CAST(nd * (nd - 1) div 2 AS BIGINT)").alias("n_pairs")
+    )
     # rank only NON-NULL slopes: both engines' median/percentile skip
     # NULLs (a day whose prices are all NULL yields a NULL daily sum and
     # a NULL slope — the adversarial fixture exercises this), while the
