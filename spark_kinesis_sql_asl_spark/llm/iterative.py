@@ -56,4 +56,7 @@ def parquet_barrier(spark, df, stage: str, name: str):
     """
     path = os.path.join(stage, name)
     df.write.parquet(path)
-    return spark.read.parquet(path)
+    # Pin the schema we just wrote: an inferring read pays a footer-read
+    # job plus ~70 ms of driver plan work PER BARRIER (measured round 14);
+    # the schema is by construction the written frame's own.
+    return spark.read.schema(df.schema).parquet(path)

@@ -44,7 +44,7 @@ _SIMHASH_MAX_HAMMING = 4
 # (applicationId, sf_dir) -> staged fingerprint parquet path (the C21
 # shared-state pattern: first SimHash-family consumer pays the build, the
 # rest re-read the scratch parquet).
-_SIMHASH_FP_CACHE: dict[tuple[str, str], str] = {}
+_SIMHASH_FP_CACHE: dict[tuple[str, str], tuple] = {}
 
 # 60-bit integer from the md5 hex prefix — identical in Spark and DuckDB.
 _SPARK_TOKHASH = "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
@@ -117,8 +117,8 @@ def simhash_fingerprints(spark, sf_dir, checkpoint=True):
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     if checkpoint:
         cached = _SIMHASH_FP_CACHE.get(key)
-        if cached is not None and os.path.isdir(cached):
-            return spark.read.parquet(cached)
+        if cached is not None and os.path.isdir(cached[0]):
+            return spark.read.schema(cached[1]).parquet(cached[0])
     d = parallel_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull()
     )
@@ -142,8 +142,10 @@ def simhash_fingerprints(spark, sf_dir, checkpoint=True):
         return sh
     path = os.path.join(scratch_dir(spark, "simhash_fp"), "fp")
     sh.write.parquet(path)
-    _SIMHASH_FP_CACHE[key] = path
-    return spark.read.parquet(path)
+    # Cache (path, schema): the memo-hit read is then pure metadata — no
+    # footer-inference job (round 14).
+    _SIMHASH_FP_CACHE[key] = (path, sh.schema)
+    return spark.read.schema(sh.schema).parquet(path)
 
 
 def simhash_bands(sh):
@@ -747,7 +749,7 @@ _CC_MAX_ITERS = 20
 
 # sf_dir -> staged final-label parquet path (process-lifetime memo; the
 # staging dirs live until interpreter exit or the cluster's scratch policy)
-_CC_LABELS_CACHE: dict[str, str] = {}
+_CC_LABELS_CACHE: dict[str, tuple] = {}
 
 
 def min_label_components(spark, pairs, prefix="spark_cc_rounds", shortcut=False):
@@ -780,22 +782,26 @@ def min_label_components(spark, pairs, prefix="spark_cc_rounds", shortcut=False)
     pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).write.parquet(edges_path)
-    edges = spark.read.parquet(edges_path)
+    _edge_schema = pairs.schema
+    edges = spark.read.schema(_edge_schema).parquet(edges_path)
 
     # Round 1 fused into initialization: starting from label(v) = v, one
     # propagation round yields exactly min(v, neighbors(v)) — a single
     # groupBy over the edge list, no union with an identity-label table.
     labels_path = os.path.join(stage, "labels_1")
-    (
+    lab1 = (
         edges.groupBy("doc_a")
         .agg(F.min("doc_b").alias("mn"))
         .select(
             F.col("doc_a").alias("doc_id"),
             F.least("doc_a", "mn").alias("cluster_id"),
         )
-        .write.parquet(labels_path)
     )
-    labels = spark.read.parquet(labels_path)
+    lab1.write.parquet(labels_path)
+    # Schema pinned from the written frame (round 14): the per-round
+    # re-reads then skip the footer-inference job and its driver plan work.
+    _label_schema = lab1.schema
+    labels = spark.read.schema(_label_schema).parquet(labels_path)
     out_final = labels_path
 
     for it in range(1, _CC_MAX_ITERS):
@@ -882,7 +888,7 @@ def min_label_components(spark, pairs, prefix="spark_cc_rounds", shortcut=False)
             .select("doc_id", "cluster_id")
             .write.parquet(out_path)
         )
-        labels = spark.read.parquet(out_path)
+        labels = spark.read.schema(_label_schema).parquet(out_path)
         out_final = out_path
         if not obs.get["n_changed"]:
             break
@@ -942,8 +948,8 @@ def q_llm_dedup_cluster(spark, sf_dir):
     single-job analog of a pipeline materializing its dedup labels once."""
     key = os.path.abspath(sf_dir)
     cached = _CC_LABELS_CACHE.get(key)
-    if cached is not None and os.path.isdir(cached):
-        labels = spark.read.parquet(cached)
+    if cached is not None and os.path.isdir(cached[0]):
+        labels = spark.read.schema(cached[1]).parquet(cached[0])
         w = Window.partitionBy("cluster_id")
         return labels.select(
             "doc_id",
@@ -952,7 +958,7 @@ def q_llm_dedup_cluster(spark, sf_dir):
         )
     pairs = q_llm_dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
     labels, out_final = min_label_components(spark, pairs)
-    _CC_LABELS_CACHE[key] = out_final
+    _CC_LABELS_CACHE[key] = (out_final, labels.schema)
     w = Window.partitionBy("cluster_id")
     return labels.select(
         "doc_id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")

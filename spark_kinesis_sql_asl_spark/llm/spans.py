@@ -338,7 +338,7 @@ def q_llm_bpe_train3(spark, sf_dir):
                     F.lit(_BPE_PH[k - 1]),
                 ).alias("w")
             ).write.parquet(out)
-            cur = spark.read.parquet(out)
+            cur = spark.read.schema("w STRING").parquet(out)
 
     def _decode(s: str) -> str:
         for j in range(len(_BPE_PH) - 1, -1, -1):

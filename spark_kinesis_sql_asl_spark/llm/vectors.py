@@ -330,7 +330,7 @@ def train_centroids(spark, sf_dir, rounds=_TRAIN_ROUNDS, k=_KMEANS_K):
         )
         path = os.path.join(stage, f"cents_{r}")
         new_cents.write.parquet(path)
-        cents = spark.read.parquet(path)
+        cents = spark.read.schema(new_cents.schema).parquet(path)
     _TRAINED_CENTROIDS[memo_key] = cents
     return cents
 
@@ -1329,6 +1329,33 @@ def q_llm_semantic_yield(spark, sf_dir):
     ).drop("n_vecs")
 
 
+_SEM_CC_LABELS: dict[tuple, tuple] = {}
+
+
+def semantic_cc_labels(spark, sf_dir):
+    """Memoized min-label CC over the C125 semantic pair graph — built
+    once per (session, sf) and shared by C131 (cluster histogram) and
+    C170 (tightness audit). Round 14: the two queries each ran their own
+    IDENTICAL label loop over the same memoized pair state (~8 barrier
+    jobs apiece); one loop now serves both — the same family-state
+    discipline as the C21 simhash labels and the C125 pair memo (the
+    build is booked to whichever family member runs first)."""
+    from .pipeline import min_label_components
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    hit = _SEM_CC_LABELS.get(key)
+    if hit is not None and os.path.isdir(hit[0]):
+        return spark.read.schema(hit[1]).parquet(hit[0])
+    pairs = semantic_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels, path = min_label_components(
+        spark, pairs, prefix="spark_semcc_rounds"
+    )
+    _SEM_CC_LABELS[key] = (path, labels.schema)
+    return labels
+
+
 @query(
     "q_llm_semantic_clusters",
     priority=35,  # round-8 window full — driver row in r9
@@ -1379,12 +1406,7 @@ def q_llm_semantic_clusters(spark, sf_dir):
     executor-loss-safe — DESIGN-100TB.md §4); converges in O(component
     diameter) rounds. Edges are id pairs only; the histogram is a
     |clusters|-row rollup."""
-    from .pipeline import min_label_components
-
-    pairs = semantic_pairs(spark, sf_dir).select(
-        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
-    )
-    labels, _ = min_label_components(spark, pairs, prefix="spark_semcc_rounds")
+    labels = semantic_cc_labels(spark, sf_dir)
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
     )
@@ -1853,14 +1875,7 @@ def q_llm_cluster_tightness(spark, sf_dir):
     posexplode rollup keyed by (cluster, dim) — ids and 8-byte sums on
     every exchange, clusters bounded by the subcritical pair graph;
     release is |multi-clusters| rows."""
-    from .pipeline import min_label_components
-
-    pairs = semantic_pairs(spark, sf_dir).select(
-        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
-    )
-    labels, _ = min_label_components(
-        spark, pairs, prefix="spark_semtight_rounds"
-    )
+    labels = semantic_cc_labels(spark, sf_dir)
     q = parallel_table(spark, sf_dir, "embeddings", key="vec_id").select(
         "vec_id", F.expr(_Q_VEC_SQL_SPARK).alias("qv")
     )
