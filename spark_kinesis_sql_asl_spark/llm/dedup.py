@@ -1784,19 +1784,35 @@ def q_llm_dup_pagerank(spark, sf_dir):
     scored = _jaccard_scored(spark, sf_dir)
     jac = F.col("i") * 1.0 / (F.col("sa") + F.col("sb") - F.col("i"))
     pairs = scored.where(jac >= _JACCARD_TAU).select("doc_a", "doc_b")
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(
-                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-            )
-        )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    # Round 14 (guide §2.4, measured by stage profile): the old form
+    # eagerly checkpointed EDGES (a union of two 32-partition scans of the
+    # memoized pair parquet -> 64 partitions, so every downstream stage ran
+    # 64 tasks), then re-aggregated deg from that checkpoint three more
+    # times (base build, n_nodes count, final readout join). Checkpoint the
+    # |nodes|-row DEG once (tiny at any scale: one row per document that
+    # has a near-dup) and the joined BASE once (the loop re-reads it per
+    # step — that read is the iteration's inherent cost); edges itself is a
+    # cheap two-scan pipeline over the tau-filtered pair parquet and never
+    # needs materializing. n_nodes and the final join now read the tiny
+    # deg checkpoint instead of re-running edge-scale aggregates.
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
         .localCheckpoint(eager=True)
     )
-    deg = edges.groupBy("src").agg(
-        F.count(F.lit(1)).cast("bigint").alias("deg")
-    )
-    base = edges.join(deg, "src").localCheckpoint(eager=True)
+    # Broadcast hints (round 14): the checkpoints above give the planner
+    # REAL sizes, and with them it switched these node-frame joins to
+    # SortMergeJoin — sorting the edge frame once per iteration. The rank/
+    # degree side is one row per node with >=1 near-dup, the regime this
+    # loop is documented for (the docstring's C21 parquet-barrier form
+    # takes over once |nodes| outgrows executor memory), so pin the
+    # broadcast exactly like the family's other bounded-frame joins.
+    base = edges.join(F.broadcast(deg), "src").localCheckpoint(eager=True)
     n_nodes = deg.count()
     if n_nodes == 0:
         return base.select(
@@ -1811,7 +1827,7 @@ def q_llm_dup_pagerank(spark, sf_dir):
     )
     for _ in range(_PAGERANK_STEPS):
         pr = (
-            base.join(pr, base.src == pr.v)
+            base.join(F.broadcast(pr), base.src == pr.v)
             .select(
                 F.col("dst"),
                 F.expr("CAST((17 * p) div (20 * deg) AS BIGINT)").alias(
@@ -1824,7 +1840,7 @@ def q_llm_dup_pagerank(spark, sf_dir):
             )
             .select(F.col("_v").alias("v"), "p")
         )
-    return pr.join(deg, pr.v == deg.src).select(
+    return pr.join(F.broadcast(deg), pr.v == deg.src).select(
         F.col("v").alias("doc_id"),
         F.col("deg").alias("degree"),
         F.col("p").alias(f"pr{_PAGERANK_STEPS}_ppm"),

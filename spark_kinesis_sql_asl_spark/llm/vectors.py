@@ -1533,11 +1533,21 @@ def q_llm_embed_pca_power(spark, sf_dir):
         ).alias("s")
     ).select("s.i", "s.j", "s.p")
     m = prods.groupBy("i", "j").agg(F.sum("p").cast("bigint").alias("m"))
+    # Round 14 (guide §2.4): materialize the 4096-row Gram ONCE. The loop
+    # below references `m` every round, so without a lineage cut the
+    # corpus-scale Gram subtree (scan + 4096-way explode + rollup) is
+    # replanned per round — and each round also read `w` twice (once for
+    # the mx aggregate, once for the renormalization crossJoin), doubling
+    # every subtree per round: 3 rounds planned 74 Exchanges. The window
+    # form evaluates mx over the SAME 64-row frame (all 64 dims in one
+    # partition — a fixed-width frame at any corpus size), so each round
+    # references its predecessor exactly once: linear plan, one Gram job.
+    m = m.localCheckpoint(eager=True)
     v = spark.range(64).select(
         F.col("id").cast("int").alias("i"),
         F.lit(_PCA_SCALE).cast("bigint").alias("v"),
     )
-    mx = None
+    wm = None
     for _ in range(_PCA_ROUNDS):
         w = (
             m.join(
@@ -1546,14 +1556,16 @@ def q_llm_embed_pca_power(spark, sf_dir):
             .groupBy("i")
             .agg(F.sum(F.col("m") * F.col("v")).cast("bigint").alias("w"))
         )
-        mx = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
-        v = w.crossJoin(F.broadcast(mx)).select(
+        wm = w.withColumn(
+            "mx", F.max(F.abs(F.col("w"))).over(Window.partitionBy())
+        )
+        v = wm.select(
             "i",
             F.expr(f"CAST((w * {_PCA_SCALE}) div mx AS BIGINT)").alias("v"),
         )
-    return v.crossJoin(F.broadcast(mx)).select(
+    return wm.select(
         F.col("i").alias("dim"),
-        F.col("v").alias("eig_q"),
+        F.expr(f"CAST((w * {_PCA_SCALE}) div mx AS BIGINT)").alias("eig_q"),
         F.expr(f"CAST(mx div {_PCA_SCALE} AS BIGINT)").alias("lambda_est"),
     )
 
@@ -1742,24 +1754,33 @@ def q_llm_embed_isotropy(spark, sf_dir):
             .alias("m"),
         )
     )
+    # Round 14 (guide §2.4): same duplicated-subtree fix as C132 — one
+    # eager checkpoint of the 4096-row centered matrix, and the per-round
+    # renormalization reads mx from a global window over the 64-row w
+    # frame instead of re-referencing w through an aggregate + crossJoin
+    # (3 rounds planned 74 Exchanges before; the loop is linear now).
+    m = m.localCheckpoint(eager=True)
     v = spark.range(64).select(
         F.col("id").cast("int").alias("i"),
         F.lit(_PCA_SCALE).cast("bigint").alias("v"),
     )
-    mx = None
+    wm = None
     for _ in range(_PCA_ROUNDS):
         w = (
             m.join(F.broadcast(v.select(F.col("i").alias("j"), "v")), "j")
             .groupBy("i")
             .agg(F.sum(F.col("m") * F.col("v")).cast("bigint").alias("w"))
         )
-        mx = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
-        v = w.crossJoin(F.broadcast(mx)).select(
+        wm = w.withColumn(
+            "mx", F.max(F.abs(F.col("w"))).over(Window.partitionBy())
+        )
+        v = wm.select(
             "i",
             F.expr(
                 f"CAST(w div greatest(mx div {_PCA_SCALE}, 1) AS BIGINT)"
             ).alias("v"),
         )
+    mx = wm.agg(F.max(F.col("mx")).alias("mx"))
     return (
         nn.crossJoin(F.broadcast(tt))
         .crossJoin(F.broadcast(s2))

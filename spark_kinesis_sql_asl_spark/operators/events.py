@@ -1031,6 +1031,14 @@ def q_events_survival(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("m"),
         F.sum("observed").cast("bigint").alias("n_events"),
     )
+    # Round 14 (guide §2.4): everything below operates on |distinct
+    # durations| rows (~1e4 at day grain, corpus-size-independent — the
+    # docstring's scale argument), but it references `steps` through two
+    # chained global_running_sums whose run/counts/offset branches each
+    # replant the events-scale starts+fold subtree (55 Exchanges planned,
+    # 37 jobs executed). One eager checkpoint of the tiny step table runs
+    # the events-scale work exactly once.
+    steps = steps.localCheckpoint(eager=True)
     tot = steps.agg(F.sum("m").cast("bigint").alias("n_users"))
     cum = global_running_sums(steps, [F.col("dur").asc()], {"cum_m": "m"})
     at_risk = F.col("n_users") - (F.col("cum_m") - F.col("m"))
@@ -1049,6 +1057,11 @@ def q_events_survival(spark, sf_dir):
         )
         .alias("ln_q"),
     )
+    # Same O(|durations|) lineage cut before the second prefix-sum pass
+    # (its run/counts branches would otherwise replant the whole first
+    # pass per reference); the range sampling inside each pass stays
+    # within one action, so rank/offset consistency is untouched.
+    hazard = hazard.localCheckpoint(eager=True)
     # cumulative quantized log-hazard + a cumulative NULL detector: once
     # any step exhausted the risk set, survival is 0 forever after.
     cum2 = global_running_sums(

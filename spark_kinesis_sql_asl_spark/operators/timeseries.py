@@ -1995,19 +1995,32 @@ def q_ts_theil_sen(spark, sf_dir):
         )
         .crossJoin(F.broadcast(n_all))
     )
+    # Round 14 (guide §2.4): reference `med` ONCE. The old form crossJoined
+    # med into the residual pass AND again into the final select, planning
+    # the whole rank-select chain (range exchange + window) twice; riding
+    # slope_med/n_pairs through the residual aggregate (min over the
+    # constant column the 1-row crossJoin replicated — value-identical,
+    # with n_pairs coalesced to 0 for the empty-daily frame exactly like
+    # the old n_all path released) halves the pair-scale work.
     icept = (
         daily.crossJoin(F.broadcast(med))
         .select(
             F.expr(
                 "CAST(y AS DOUBLE) - slope_med * CAST(x AS DOUBLE)"
-            ).alias("resid")
+            ).alias("resid"),
+            "slope_med",
+            "n_pairs",
         )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_days"),
             F.expr("percentile(resid, 0.5)").alias("icept_med"),
+            F.min("slope_med").alias("slope_med"),
+            F.coalesce(F.min("n_pairs"), F.lit(0).cast("bigint")).alias(
+                "n_pairs"
+            ),
         )
     )
-    return icept.crossJoin(F.broadcast(med)).select(
+    return icept.select(
         "n_days",
         "n_pairs",
         F.col("slope_med").alias("slope_cents_per_day"),

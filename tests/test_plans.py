@@ -948,3 +948,58 @@ def test_mp4_dims_scan_stage_only(spark):
     assert "Join" not in plan.split("\n\n", 1)[0]
     assert "Window" not in plan
     assert "Exchange" not in plan.split("\n\n", 1)[0]
+
+
+# --- Round 14 optimization audits: duplicated-subtree elimination ------------
+# Each bound is ~2x the measured post-fix node count (before-counts in
+# plans/r14/*_before.txt), so a regression back to per-round replanting
+# fails loudly while AQE/planner drift has headroom.
+
+
+def _tree(df) -> str:
+    return formatted_plan(df).split("\n\n", 1)[0]
+
+
+def test_pca_power_loop_plans_linear(spark):
+    # C132 (round 14): the Gram matrix is checkpointed once and each power
+    # round references its predecessor exactly once via a global window —
+    # the old aggregate+crossJoin renormalization doubled every subtree per
+    # round (74 Exchanges planned for 3 rounds; now 6).
+    tree = _tree(QUERIES["q_llm_embed_pca_power"](spark, SF_ORACLE))
+    assert tree.count("Exchange") <= 12
+    assert "SortMergeJoin" not in tree
+
+
+def test_isotropy_loop_plans_linear(spark):
+    # C169 (round 14): same fix as C132 on the centered matrix (74 -> 13
+    # Exchanges planned).
+    tree = _tree(QUERIES["q_llm_embed_isotropy"](spark, SF_ORACLE))
+    assert tree.count("Exchange") <= 20
+    assert "SortMergeJoin" not in tree
+
+
+def test_theil_sen_single_median_chain(spark):
+    # B176 (round 14): global_rank counts ride the range exchange without a
+    # second row_number pass, and the selected median is referenced once
+    # (ridden through the residual aggregate) — 41 -> 22 Exchanges, 16 -> 8
+    # nested-loop pair joins planned.
+    tree = _tree(QUERIES["q_ts_theil_sen"](spark, SF_ORACLE))
+    assert tree.count("Exchange") <= 36
+    assert tree.count("BroadcastNestedLoopJoin") <= 10
+
+
+def test_survival_checkpoints_step_table(spark):
+    # B149 (round 14): the |distinct durations| step table and the hazard
+    # frame are checkpointed, so the two chained prefix-sum passes never
+    # replant the events-scale fold (55 -> 6 Exchanges planned).
+    tree = _tree(QUERIES["q_events_survival"](spark, SF_ORACLE))
+    assert tree.count("Exchange") <= 12
+
+
+def test_pagerank_one_deg_build_broadcast_loop(spark):
+    # C135 (round 14): deg is materialized once (not re-aggregated for the
+    # base build, the node count and the readout), and the rank-frame joins
+    # are pinned broadcast — no edge-frame sort per step.
+    tree = _tree(QUERIES["q_llm_dup_pagerank"](spark, SF_ORACLE))
+    assert tree.count("Exchange") <= 12
+    assert "SortMergeJoin" not in tree
