@@ -291,6 +291,16 @@ def q_llm_sim_lsh(spark, sf_dir):
             F.expr("int(bucket ^ mask)").alias("bucket"),
         )
     )
+    # Round 14 (guide §2.3): score BEFORE deduplicating. dropDuplicates on
+    # (query_id, neighbor_id) carried the two 64-dim double arrays through
+    # first() aggregates — non-hash-aggregable, so the planner ran TWO
+    # SortAggregates with full sorts of the candidate set around the
+    # exchange, shuffling vector payloads to dedup an id pair. Computing
+    # the cosine per collision row (a pair collides at most once per band,
+    # so <= 2 evaluations) lets a plain max() hash-aggregate on ids+cos
+    # dedup map-side — duplicates are bitwise-identical evaluations of the
+    # same arrays, so max() releases the very same value. SortAggregate
+    # count 2 -> 0; the exchange now moves 24 bytes/pair, never vectors.
     cand = (
         buckets.join(
             F.broadcast(q),
@@ -299,21 +309,19 @@ def q_llm_sim_lsh(spark, sf_dir):
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
-            "qe",
-            "qn",
             F.col("vec_id").alias("neighbor_id"),
-            F.col("e").alias("ce"),
-            F.col("nrm").alias("cn"),
+            safe_cosine(
+                dot(F.col("qe"), F.col("e")), F.col("qn"), F.col("nrm")
+            ).alias("cos"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos").alias("cos"))
     )
-    cos = safe_cosine(dot(F.col("qe"), F.col("ce")), F.col("qn"), F.col("cn"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
     return (
-        cand.select("query_id", "neighbor_id", cos.alias("cos"))
-        .withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _TOPK)
         .select(
             "query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn"

@@ -1245,15 +1245,31 @@ def q_llm_ngram_novelty_decay(spark, sf_dir):
         )
         .distinct()
     )
-    firsts = g.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    # Round 14 (guide §2.4): no corpus-scale self-join. The old form joined
+    # g back onto its own min(doc_id) rollup to count, per doc, the grams
+    # whose first occurrence it owns — but that count is a pure function of
+    # the rollup alone: group the |distinct grams| frame by first_doc. Both
+    # readouts now hang off g's one distinct exchange (reused), the gram-
+    # scale join is gone, and per_doc is assembled from two |docs|-row
+    # frames. Identical accounting: every doc in g has an n_grams row, and
+    # a doc owning no firsts gets n_novel = 0 exactly like the old sum of
+    # zero equality flags.
+    n_novel = (
+        g.groupBy("h")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
     per_doc = (
-        g.join(firsts, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                (F.col("first_doc") == F.col("doc_id")).cast("bigint")
-            ).alias("n_novel"),
+        g.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+        .join(n_novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("bigint")).alias(
+                "n_novel"
+            ),
         )
     )
     return (

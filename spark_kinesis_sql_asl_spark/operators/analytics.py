@@ -658,8 +658,18 @@ def q_basket_pairs(spark, sf_dir):
         F.countDistinct("ok").cast("bigint").alias("n")
     )
     item_supp = items.groupBy("pk").agg(F.count(F.lit(1)).alias("supp"))
-    a = items.select(F.col("ok"), F.col("pk").alias("pk_a"))
-    b = items.select(F.col("ok").alias("ok_b"), F.col("pk").alias("pk_b"))
+    # Round 14 (guide §2.5, the parallel_table rationale): the basket
+    # self-join must exchange by ok either way, but AQE sizes that
+    # exchange by BYTES (~5 MB here -> 5 tasks) while the |basket|²
+    # expansion + pair rollup it feeds is CPU-bound — profiled 3.4 s of
+    # CPU serialized onto 5 of 32 cores. An explicit user-specified width
+    # pins the same shuffle at the session's parallelism; both aliases
+    # share the one exchange.
+    spread = items.repartition(
+        spark.sparkContext.defaultParallelism, "ok"
+    )
+    a = spread.select(F.col("ok"), F.col("pk").alias("pk_a"))
+    b = spread.select(F.col("ok").alias("ok_b"), F.col("pk").alias("pk_b"))
     pairs = (
         a.join(b, (a.ok == b.ok_b) & (F.col("pk_a") < F.col("pk_b")))
         .groupBy("pk_a", "pk_b")
@@ -947,6 +957,12 @@ def q_customer_rfm(spark, sf_dir):
         .cast("bigint")
         .alias("monetary_cents"),
     )
+    # Round 14 (guide §2.4): the per-customer rollup feeds three ntile
+    # passes plus the final re-join, and each reference replanted the
+    # orders-scale aggregate (43 Exchanges planned). One materialization
+    # of the frame all four consumers must hold anyway runs the fact scan
+    # once.
+    base = base.localCheckpoint(eager=True)
     r = global_exact_ntile(
         base.select("ck", "rec_days"),
         5,
@@ -1475,6 +1491,10 @@ def q_customer_tier_migration(spark, sf_dir):
         )
         .groupBy("cust", "period")
         .agg(F.sum("cents").cast("bigint").alias("cents"))
+        # Round 14 (guide §2.4): the per-(customer, period) rollup feeds
+        # two ntile chains; one materialization runs the orders scan once
+        # (29 Exchanges planned before).
+        .localCheckpoint(eager=True)
     )
     p1 = global_exact_ntile(
         spend.where(F.col("period") == 1),
@@ -1566,7 +1586,13 @@ def q_graph_copurchase(spark, sf_dir):
         .where(F.col("n") <= _COPURCHASE_CAP)
         .select("ck")
     )
-    scc = sc.join(kept, "ck", "left_semi")
+    # Round 14 (guide §2.4, the round-10/11 measured-barrier policy): the
+    # capped edge list feeds THREE consumers (totals + both sides of the
+    # pair self-join), and each reference replanted the lineitem⋈orders
+    # join + distinct + cap semi-join (19 Exchanges / 5 SortMergeJoins
+    # planned). One materialization runs the bipartite build once; the
+    # checkpoint is the (sk, ck) edge frame the self-join must hold anyway.
+    scc = sc.join(kept, "ck", "left_semi").localCheckpoint(eager=True)
     totals = scc.groupBy("sk").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
     inter = (
         scc.alias("a")
@@ -1696,10 +1722,19 @@ def q_part_abc_xyz(spark, sf_dir):
     demand is one (part, month) hash rollup collapsed to |parts| rows;
     the release is a ≤9-row rollup with the 1-row total broadcast."""
     li = table(spark, sf_dir, "lineitem")
-    rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
-        .cast("bigint")
-        .alias("cents")
+    # Round 14 (guide §2.4): the |parts|-row revenue rollup feeds the
+    # total, the prefix-sum pass (whose run/counts branches each reference
+    # it) and the ABC release — checkpointing the catalog-bounded frame
+    # runs the lineitem rollup once instead of per branch (16 Exchanges
+    # planned before).
+    rev = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=True)
     )
     tot = rev.agg(F.sum("cents").cast("bigint").alias("total"))
     run = global_running_sums(

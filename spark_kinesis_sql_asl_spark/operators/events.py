@@ -757,6 +757,12 @@ def q_events_ks_test(spark, sf_dir):
         F.sum("is_a").cast("bigint").alias("na_here"),
         F.sum("is_b").cast("bigint").alias("nb_here"),
     )
+    # Round 14 (guide §2.4): the per-distinct-value histogram feeds the
+    # prefix-sum pass (run + counts branches) and the totals; the gap
+    # frame below feeds the max rollup and the argmax re-join. Both are
+    # histogram-bounded, and without the lineage cuts each reference
+    # replanted the events scan + rollup (24 Exchanges planned).
+    v = v.localCheckpoint(eager=True)
     cum = global_running_sums(
         v, [F.col("value").asc()], {"ca": "na_here", "cb": "nb_here"}
     ).select("value", "ca", "cb")
@@ -771,7 +777,7 @@ def q_events_ks_test(spark, sf_dir):
         F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")).alias(
             "gap"
         ),
-    )
+    ).localCheckpoint(eager=True)
     mx = gaps.groupBy("n_a", "n_b").agg(
         F.max("gap").cast("bigint").alias("ks_num"),
         F.expr("CAST((1000000 * max(gap)) div (n_a * n_b) AS BIGINT)").alias(

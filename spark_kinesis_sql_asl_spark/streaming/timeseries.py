@@ -1206,21 +1206,47 @@ def streaming_atr(event_stream):
         else:
             acc = {}
             seq = 0
+        # Vectorized batch fold (round 14, guide §4.2): this twin keys on
+        # event_type, so one key sees ~|events|/|types| rows per drain and
+        # the old per-row Python loop dominated the twin's wall time. One
+        # numpy lexsort by (day, ts, event_id) + day-boundary scan reduces
+        # each batch to per-day segments; the per-DAY merge loop is
+        # calendar-bounded like the state itself. Identical fold: high =
+        # segment max, low = segment min, close = the (ts, event_id)-max
+        # row's cents — exactly what the row loop elected.
+        import numpy as np
+
         for pdf in pdfs:
-            for ts_us, cents, eid in zip(
-                pdf["ts_us"], pdf["cents"], pdf["event_id"]
-            ):
-                d = int(ts_us) // day_us
-                c = int(cents)
-                k = (int(ts_us), int(eid))
+            if len(pdf) == 0:
+                continue
+            ts_a = pdf["ts_us"].to_numpy(dtype="int64")
+            c_a = pdf["cents"].to_numpy(dtype="int64")
+            e_a = pdf["event_id"].to_numpy(dtype="int64")
+            d_a = ts_a // day_us
+            order = np.lexsort((e_a, ts_a, d_a))
+            ts_a, c_a, e_a, d_a = (
+                ts_a[order],
+                c_a[order],
+                e_a[order],
+                d_a[order],
+            )
+            starts = np.flatnonzero(
+                np.r_[True, d_a[1:] != d_a[:-1]]
+            )
+            ends = np.r_[starts[1:], len(d_a)] - 1
+            for s_i, e_i in zip(starts, ends):
+                d = int(d_a[s_i])
+                seg = c_a[s_i : e_i + 1]
+                hi, lo = int(seg.max()), int(seg.min())
+                c, t, i = int(c_a[e_i]), int(ts_a[e_i]), int(e_a[e_i])
                 bar = acc.get(d)
                 if bar is None:
-                    acc[d] = [c, c, c, k[0], k[1]]
+                    acc[d] = [hi, lo, c, t, i]
                 else:
-                    bar[0] = max(bar[0], c)
-                    bar[1] = min(bar[1], c)
-                    if k > (bar[3], bar[4]):
-                        bar[2], bar[3], bar[4] = c, k[0], k[1]
+                    bar[0] = max(bar[0], hi)
+                    bar[1] = min(bar[1], lo)
+                    if (t, i) > (bar[3], bar[4]):
+                        bar[2], bar[3], bar[4] = c, t, i
         seq += 1
         days_sorted = sorted(acc)
         state.update(

@@ -1003,3 +1003,33 @@ def test_pagerank_one_deg_build_broadcast_loop(spark):
     tree = _tree(QUERIES["q_llm_dup_pagerank"](spark, SF_ORACLE))
     assert tree.count("Exchange") <= 12
     assert "SortMergeJoin" not in tree
+
+
+def test_sim_lsh_no_sort_aggregate(spark):
+    # C5 (round 14): candidates are scored per collision and deduped by a
+    # hash-aggregable max on (query_id, neighbor_id, cos) — the old
+    # dropDuplicates carried the 64-dim arrays through two SortAggregates.
+    tree = _tree(QUERIES["q_llm_sim_lsh"](spark, SF_ORACLE))
+    assert "SortAggregate" not in tree
+
+
+def test_copurchase_one_bipartite_build(spark):
+    # B171 (round 14): the capped (sk, ck) edge list is checkpointed, so
+    # totals and both self-join sides read one build (19 -> 5 Exchanges).
+    tree = _tree(QUERIES["q_graph_copurchase"](spark, SF_ORACLE))
+    assert tree.count("Exchange") <= 10
+
+
+def test_ks_test_checkpoints_histogram(spark):
+    # B144-family KS (round 14): the per-value histogram and the gap frame
+    # are checkpointed (24 -> 2 Exchanges planned).
+    tree = _tree(QUERIES["q_events_ks_test"](spark, SF_ORACLE))
+    assert tree.count("Exchange") <= 6
+
+
+def test_novelty_decay_no_gram_scale_join(spark):
+    # C114 (round 14): n_novel comes from grouping the min(doc_id) rollup
+    # by first_doc — the (doc, gram-hash)-scale self-join is gone; the two
+    # |docs|-row readouts meet in one small join.
+    tree = _tree(QUERIES["q_llm_ngram_novelty_decay"](spark, SF_ORACLE))
+    assert tree.count("Exchange") <= 8
