@@ -51,7 +51,7 @@ from ..llm.iterative import parquet_barrier, scratch_dir
 from ..llm.pipeline import min_label_components
 from ..llm.sketches import _hex_parse_duck, _hex_parse_spark
 from ..registry import query
-from ..tables import table
+from ..tables import parallel_table, table
 
 # 8°×8° planar region in integer micro-degrees.
 _PLANE = 8_000_000
@@ -162,7 +162,7 @@ def q_geo_cell_density(spark, sf_dir):
     Balance released as exact floor-cents BIGINT (the D2-pinned money
     pattern; floor of an IEEE-exact double product is engine-identical),
     NULL balances dropped by sum semantics on both engines."""
-    cust = table(spark, sf_dir, "customer")
+    cust = parallel_table(spark, sf_dir, "customer", key="c_custkey")
     enriched = _with_coords(cust, "c", "c_custkey").select(
         F.expr(f"slat div {_DCELL}").alias("cell_lat"),
         F.expr(f"slon div {_DCELL}").alias("cell_lon"),
@@ -232,7 +232,11 @@ def q_geo_dist_join(spark, sf_dir):
     released sum is of per-pair ``dist2 // 1e6`` (truncating division
     of non-negative ints — D7-safe) to stay far below 2^53 at any SF
     (D15 wide-int rule)."""
-    cust = _with_coords(table(spark, sf_dir, "customer"), "c", "c_custkey")
+    cust = _with_coords(
+        parallel_table(spark, sf_dir, "customer", key="c_custkey"),
+        "c",
+        "c_custkey",
+    )
     supp = _coords_spark(table(spark, sf_dir, "supplier"), "s", "s_suppkey")
     supp_cells = _supp_neighborhood(supp)
     cust_cells = cust.select(
@@ -328,7 +332,9 @@ def q_geo_knn(spark, sf_dir):
     Total order (dist2, s_suppkey) makes row_number deterministic on
     both engines; dist2 is exact BIGINT. Oracle: unchanged brute force."""
     cust = _coords_spark(
-        table(spark, sf_dir, "customer"), "c", "c_custkey"
+        parallel_table(spark, sf_dir, "customer", key="c_custkey"),
+        "c",
+        "c_custkey",
     ).select(
         "c_custkey",
         "slat",
@@ -434,7 +440,11 @@ def q_geo_hotspot(spark, sf_dir):
     broadcastable rather than the oracle's range-predicate form. The
     released share is a plain count ratio (≪ 2^53 — D15-safe), rounded
     to 6 places."""
-    cust = _coords_spark(table(spark, sf_dir, "customer"), "c", "c_custkey")
+    cust = _coords_spark(
+        parallel_table(spark, sf_dir, "customer", key="c_custkey"),
+        "c",
+        "c_custkey",
+    )
     cells = (
         cust.select(
             F.expr(f"slat div {_DCELL}").alias("cell_lat"),
@@ -558,7 +568,9 @@ def q_geo_geofence(spark, sf_dir):
         )
     )
     cust = _with_coords(
-        table(spark, sf_dir, "customer"), "c", "c_custkey"
+        parallel_table(spark, sf_dir, "customer", key="c_custkey"),
+        "c",
+        "c_custkey",
     ).select("c_nationkey", "c_acctbal", "slat", "slon")
     hits = (
         cust.join(
@@ -703,7 +715,9 @@ def q_geo_dbscan(spark, sf_dir):
     the C21 loop). N-scalars (count, eps) are 1-row broadcast frames —
     no driver collect."""
     pts = _coords_spark(
-        table(spark, sf_dir, "customer"), "c", "c_custkey"
+        parallel_table(spark, sf_dir, "customer", key="c_custkey"),
+        "c",
+        "c_custkey",
     )
     eps = pts.agg(F.count(F.lit(1)).alias("n")).select(
         F.expr(
