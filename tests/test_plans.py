@@ -552,6 +552,15 @@ _PARTITIONLESS_WINDOW_BY_CONSTRUCTION = {
     # corpus size (the modeled shard ring is a compile-time constant —
     # the C139 bounded-domain argument; see the query docstring).
     "q_kinesis_lease_plan",
+    # C132/C169 (round 14): the renormalization max rides a global window
+    # over the power-iteration w frame — exactly 64 rows (the embedding
+    # dimension, a compile-time constant) at ANY corpus size (the
+    # A18/B184 bounded-domain argument). The data-scale Gram/centered
+    # fold upstream partitions by (i, j) and is checkpointed; which of
+    # the two queries shows the window depends on which one builds the
+    # shared checkpoint first, so both are exempted.
+    "q_llm_embed_pca_power",
+    "q_llm_embed_isotropy",
 }
 
 
