@@ -807,14 +807,16 @@ def ingest_neardup_flags(spark, sf_dir, sig_family: str = "portable"):
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
     ids = d.select("doc_id", "lang", h.alias("h"), is_batch.alias("in_batch"))
-    probe = bands.join(
-        ids.select("doc_id", "in_batch"), "doc_id"
-    )
+    # in_batch is a pure function of doc_id, so the probe/corpus split is a
+    # scan-stage FILTER on the band frame — joining the band explode against
+    # ids just to read the flag back paid a full (doc_id) exchange of
+    # |docs| x bands rows for nothing (round 14; the join was inner on the
+    # complete doc set, so filtering directly is row-identical).
     cand = (
-        probe.where("in_batch")
+        bands.where(is_batch)
         .select(F.col("doc_id").alias("bd"), "band", "bucket")
         .join(
-            probe.where(~F.col("in_batch")).select(
+            bands.where(~is_batch).select(
                 F.col("doc_id").alias("cd"), "band", "bucket"
             ),
             ["band", "bucket"],
