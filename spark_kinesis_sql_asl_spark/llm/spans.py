@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import parallel_table, table
-from .iterative import scratch_dir
+from .iterative import parquet_barrier, scratch_dir
 
 _SPAN_W = 32  # chunk width (chars), non-overlapping
 _SPAN_TOP_K = 50
@@ -963,39 +963,15 @@ def _ssd_corpus(spark, sf_dir):
     return base.unionByName(synth)
 
 
-def _ssd_spans(corpus):
+def _ssd_spans(m):
     """Shared C110/C111 qualifying-span frame: one row per maximal
     diagonal run of >= {_SSD_MIN_RUN} matching shingles, with the run's
     token interval in BOTH docs ([a_start, a_end] and the diag-shifted
-    b twin). Lazy on purpose — each consumer's plan fuses the chain; the
-    heavy stages (shingle rollup, pair join) shuffle 8-byte hashes and
-    BIGINT positions only."""
-    sh = (
-        corpus.where(F.size("ts") >= _SSD_K)
-        .select(
-            "doc_id",
-            "ts",
-            F.explode(
-                F.expr(f"sequence(1, size(ts) - {_SSD_K} + 1)")
-            ).alias("pos"),
-        )
-        .select(
-            "doc_id",
-            F.col("pos").cast("bigint").alias("pos"),
-            F.expr(
-                f"cast(conv(substring(md5(array_join("
-                f"slice(ts, pos, {_SSD_K}), ' ')), 1, 15), 16, 10) "
-                f"as bigint)"
-            ).alias("h"),
-        )
-    )
-    keep = (
-        sh.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .where((F.col("df") >= 2) & (F.col("df") <= _SSD_DF_CAP))
-        .select("h")
-    )
-    m = sh.join(keep, "h")
+    b twin). Takes the kept-shingle frame ``m`` (round 14 — built once by
+    :func:`_ssd_kept_shingles_cached` and shared with the C110s rung);
+    lazy on purpose — each consumer's plan fuses the chain; the heavy
+    stages (shingle rollup, pair join) shuffle 8-byte hashes and BIGINT
+    positions only."""
     hits = (
         m.alias("a")
         .join(
@@ -1037,9 +1013,9 @@ def _ssd_spans_cached(spark, sf_dir):
     hit = _SSD_SPANS_CACHE.get(key)
     if hit is not None:
         return hit
-    spans = _ssd_spans(_ssd_corpus(spark, sf_dir)).localCheckpoint(
-        eager=True
-    )
+    spans = _ssd_spans(
+        _ssd_kept_shingles_cached(spark, sf_dir)
+    ).localCheckpoint(eager=True)
     _SSD_SPANS_CACHE[key] = spans
     return spans
 
@@ -1431,7 +1407,20 @@ _C110S_POS_MOD = 1 << _C110S_POS_BITS
 def _ssd_kept_shingles(corpus):
     """The C110 kept-shingle frame (every-position {_SSD_K}-token shingles
     with document frequency in [2, {_SSD_DF_CAP}]) — the rung and the
-    exact operator share this stage verbatim."""
+    exact operator share this stage verbatim.
+
+    Round 14 (guide §2.4/§5): the per-position slice+md5 fold is the
+    family's CPU-heaviest stage and used to be planned TWICE — once under
+    the df rollup and once as the posting join's probe side (profiled at
+    sf0.1: two ~31 s-task-CPU scan stages for identical output; the
+    partial-agg child under the rollup's exchange defeats ReuseExchange).
+    One parquet barrier of the (doc_id, pos, h) frame — 24 bytes per
+    shingle position, no token arrays — feeds both consumers, so the fold
+    runs once and the df join probes a stats-bearing scan. At 100 TB the
+    barrier is ~24 B × corpus shingle positions, cheaper than running the
+    md5 fold over the corpus a second time, and restart-safe (the
+    DESIGN-100TB §4 reliable-store discipline)."""
+    spark = corpus.sparkSession
     sh = (
         corpus.where(F.size("ts") >= _SSD_K)
         .select(
@@ -1451,6 +1440,7 @@ def _ssd_kept_shingles(corpus):
             ).alias("h"),
         )
     )
+    sh = parquet_barrier(spark, sh, scratch_dir(spark, "spark_ssd_sh"), "sh")
     keep = (
         sh.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -1458,6 +1448,25 @@ def _ssd_kept_shingles(corpus):
         .select("h")
     )
     return sh.join(keep, "h")
+
+
+# C110/C110s shared state: the kept-shingle frame memoized per
+# (session, corpus) — one shingle fold + df rollup per session feeds the
+# exact operator's span build AND the winnowed rung (the _SSD_SPANS_CACHE
+# precedent, one level lower in the ladder).
+_SSD_SHINGLES_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _ssd_kept_shingles_cached(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    hit = _SSD_SHINGLES_CACHE.get(key)
+    if hit is not None:
+        return hit
+    m = _ssd_kept_shingles(_ssd_corpus(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+    _SSD_SHINGLES_CACHE[key] = m
+    return m
 
 
 def winnow_fingerprints(m, w: int = _C110S_W):
@@ -1590,8 +1599,7 @@ def q_llm_substring_sketch(spark, sf_dir):
     family deploys at scale; at 100 TB only fingerprints shuffle in
     stage 1 (8-byte hashes), and stage 2's pair-restricted rebuild
     touches the candidate docs, not the corpus."""
-    corpus = _ssd_corpus(spark, sf_dir)
-    m = _ssd_kept_shingles(corpus).localCheckpoint(eager=True)  # 2 consumers
+    m = _ssd_kept_shingles_cached(spark, sf_dir)  # memoized + checkpointed
     fp = winnow_fingerprints(m)
     fa = fp.alias("fa")
     fb = fp.alias("fb")
