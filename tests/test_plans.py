@@ -600,6 +600,37 @@ def test_substring_dup_exchanges_carry_only_hash_keys(spark):
         assert "ts#" not in line, line
 
 
+def test_substring_kept_shingles_built_once_and_shared(spark):
+    # Round 14: the per-position slice+md5 shingle fold is the family's
+    # CPU-heaviest stage. It must run ONCE per (session, sf_dir) — the
+    # memoized kept-shingle frame is shared by the exact operator's span
+    # build and the winnowed rung — and consumers must read the barrier,
+    # not re-plan the fold (the double-fold regression this round fixed).
+    from spark_kinesis_sql_asl_spark.llm.spans import (
+        _ssd_kept_shingles_cached,
+    )
+
+    m1 = _ssd_kept_shingles_cached(spark, SF_ORACLE)
+    m2 = _ssd_kept_shingles_cached(spark, SF_ORACLE)
+    assert m1 is m2, "kept-shingle frame must be memoized per session+sf"
+    # The rung's plan starts from the checkpointed kept frame: the fold's
+    # signature expressions (array_join over a ts slice feeding md5) may
+    # not appear anywhere in the sketch plan.
+    plan = formatted_plan(QUERIES["q_llm_substring_sketch"](spark, SF_ORACLE))
+    assert "array_join" not in plan, "shingle fold re-planned past the barrier"
+
+
+def test_ingest_neardup_probe_split_is_a_filter_not_a_join(spark):
+    # Round 14: in_batch is a pure modulo of doc_id, so the probe/corpus
+    # split of the band explode must be a FILTER on the band frame — the
+    # old doc-table join re-shuffled |docs|x bands rows by doc_id just to
+    # read the flag back. One sort-merge join (the band-bucket collision
+    # join) may remain; a second one is the regression.
+    df = QUERIES["q_llm_ingest_neardup"](spark, SF_ORACLE)
+    assert count_nodes(df, "SortMergeJoin") <= 1
+    assert count_nodes(df, "Exchange") <= 6  # was 10 with the flag join
+
+
 def test_line_dedup_and_template_exchanges_hash_only(spark):
     # C112/C113: line/affix strings must reduce to 60-bit hashes before
     # any Exchange — neither the token array nor a chunk string may ride
