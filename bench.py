@@ -170,10 +170,12 @@ def main() -> None:
     # Self-adjudicating contention rule (round-4 verdict item 6): any query
     # whose first-pass time leaves the ±25%/0.5s box-variance band vs the
     # last committed snapshot is re-run once after the full sweep (quiet
-    # JVM, caches warm) and scored min(first, rerun) — a second measurement
-    # back inside the band proves the excursion was suite-order contention,
-    # not a plan change. Both measurements are recorded so the adjudication
-    # is auditable in BENCH_DETAIL.json instead of living in prose.
+    # JVM, caches warm) and scored as the RERUN — the second measurement
+    # is the quiet-box one, so a marginal REAL regression still shows up
+    # in it instead of being masked by min() (VERDICT r14 what's-wrong
+    # #4). Both measurements are recorded so the adjudication is
+    # auditable in BENCH_DETAIL.json, and a rerun still >1.1x the
+    # snapshot is called out on stderr as a suspected real regression.
     rebench: dict[str, dict[str, float]] = {}
     if not sys.argv[1:]:
         import glob
@@ -193,8 +195,19 @@ def main() -> None:
                     rerun = run_one(name)
                 except Exception:  # noqa: BLE001 - keep the first measurement
                     continue
-                rebench[name] = {"first": timings[name], "rerun": rerun}
-                timings[name] = min(timings[name], rerun)
+                rebench[name] = {
+                    "first": timings[name],
+                    "rerun": rerun,
+                    "snapshot": old[name],
+                }
+                timings[name] = rerun
+                if rerun > old[name] * 1.1:
+                    print(
+                        f"rebench: {name} rerun {rerun:.3f}s is still"
+                        f" >1.1x the snapshot {old[name]:.3f}s —"
+                        " suspected real regression, not contention",
+                        file=sys.stderr,
+                    )
 
     # Streaming-twin smoke (VERDICT r11 item #6): time each stateful twin's
     # availableNow drain so a state-store regression shows up as a number.

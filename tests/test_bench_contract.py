@@ -67,6 +67,20 @@ def test_warmup_row_runs_only_declared_plans_at_warmup_fixture():
     )
 
 
+def test_rebench_scores_the_rerun_not_the_min():
+    """VERDICT r14 what's-wrong #4: min(first, rerun) could mask a marginal
+    REAL regression whose rerun lands just inside the band. The scored
+    value must be the rerun (the quiet-box measurement), both measurements
+    must stay recorded, and a rerun still >1.1x the snapshot must be
+    called out."""
+    src = inspect.getsource(bench.main)
+    assert "timings[name] = rerun" in src
+    assert "min(timings[name], rerun)" not in src
+    assert '"first": timings[name]' in src  # both measurements recorded
+    assert '"snapshot": old[name]' in src
+    assert "rerun > old[name] * 1.1" in src  # suspected-regression note
+
+
 def test_warmup_row_skipped_when_fixture_missing_or_raising():
     """ADVICE r13: a missing fixture or a raising warm-up pass must SKIP
     the row (logged), not book a near-zero timing."""
