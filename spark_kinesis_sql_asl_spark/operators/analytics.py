@@ -649,25 +649,31 @@ def q_basket_pairs(spark, sf_dir):
     — deterministic across engines and summation orders; ranking goes
     through orderBy+limit (TakeOrderedAndProject), never a full-frame
     window sort."""
-    items = (
-        table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    n_orders = items.agg(
-        F.countDistinct("ok").cast("bigint").alias("n")
-    )
-    item_supp = items.groupBy("pk").agg(F.count(F.lit(1)).alias("supp"))
+    # Round 15 (guide §2.4): the old form planned the lineitem scan +
+    # (ok, pk) distinct FIVE times (self-join a/b, item_supp via sa and
+    # sb, n_orders). Shuffle raw (ok, pk) rows by ok ONCE, then run the
+    # distinct ON TOP of that exchange — HashPartitioning(ok) satisfies
+    # the (ok, pk) aggregate's clustering requirement (ok is a subset of
+    # the keys), so the dedup adds no exchange — and derive every
+    # consumer (self-join, per-part support, order count) from the same
+    # subtree, which ReuseExchange then materializes once.
     # Round 14 (guide §2.5, the parallel_table rationale): the basket
     # self-join must exchange by ok either way, but AQE sizes that
     # exchange by BYTES (~5 MB here -> 5 tasks) while the |basket|²
     # expansion + pair rollup it feeds is CPU-bound — profiled 3.4 s of
     # CPU serialized onto 5 of 32 cores. An explicit user-specified width
-    # pins the same shuffle at the session's parallelism; both aliases
+    # pins the same shuffle at the session's parallelism; all consumers
     # share the one exchange.
-    spread = items.repartition(
-        spark.sparkContext.defaultParallelism, "ok"
+    spread = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .repartition(spark.sparkContext.defaultParallelism, "ok")
+        .dropDuplicates(["ok", "pk"])
     )
+    n_orders = spread.agg(
+        F.countDistinct("ok").cast("bigint").alias("n")
+    )
+    item_supp = spread.groupBy("pk").agg(F.count(F.lit(1)).alias("supp"))
     a = spread.select(F.col("ok"), F.col("pk").alias("pk_a"))
     b = spread.select(F.col("ok").alias("ok_b"), F.col("pk").alias("pk_b"))
     pairs = (
@@ -787,24 +793,51 @@ def global_rank(df, sort_cols, out_name="_rank", with_total=False):
 
     Plan: (1) range-repartition on the sort key (each task gets a
     contiguous, bounded key range; range-partition ids are ordered by the
-    sort spec), (2) per-partition ``row_number`` — the window
-    hash-partitions on ``spark_partition_id()`` so every group is one
-    bounded range slice, never the whole frame, (3) per-partition row
-    counts (a ≤#partitions-row aggregate) turned into rank offsets via a
-    broadcast triangular self-join (no window at all, so the plan carries
-    zero partitionless WindowExec).
+    sort spec), (2) per-partition ``row_number`` with NO second exchange:
+    ``sortWithinPartitions`` orders each range slice in place and
+    ``monotonically_increasing_id()`` — whose documented value is
+    ``(partition_id << 33) + row_index`` in the partition's physical row
+    order, here the just-sorted total order — yields the 0-based
+    per-partition index by subtracting the partition term (round 15: the
+    old ``row_number`` window required ClusteredDistribution(_pid), which
+    RangePartitioning does not satisfy, so EVERY caller paid a second
+    data-scale hashpartitioning(_pid) exchange right after the range
+    exchange; measured plan diff on q_customer_rfm: 30 → 21 Exchanges).
+    Rows per partition are bounded by 2^33 — at larger scale raise the
+    range partition count, exactly the knob this helper already rides.
+    (3) per-partition row counts (a ≤#partitions-row aggregate) turned
+    into rank offsets via a broadcast triangular self-join (no window at
+    all, so the plan carries zero partitionless WindowExec).
 
     ``sort_cols`` are Column sort expressions (e.g. ``F.col("x").desc()``)
     forming a total order (callers include a key tiebreak); the same list
-    drives the range partitioner and the row_number order. Returns ``df``
-    plus a BIGINT ``out_name`` column (and, when ``with_total``, a
-    ``_total`` row-count column for rank arithmetic).
+    drives the range partitioner and the row-number order, so the rank is
+    bit-identical to the old window form. Returns ``df`` plus a BIGINT
+    ``out_name`` column (and, when ``with_total``, a ``_total`` row-count
+    column for rank arithmetic).
     """
-    part = df.repartitionByRange(*sort_cols).withColumn(
+    # Explicit partition count (round 15): the rank joins per-partition
+    # offsets back on _pid, so every branch MUST see the identical
+    # partition layout. A bare repartitionByRange is REPARTITION_BY_COL,
+    # which AQE may coalesce — and the rn and counts branches can land
+    # different coalesce decisions (measured on q_ts_theil_sen under a
+    # default 200-partition session: the _pid join silently dropped 64%
+    # of ranked rows). REPARTITION_BY_NUM is never coalesced, and the
+    # width scales with the cluster (defaultParallelism), the C2
+    # df-pass discipline.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    part = df.repartitionByRange(par, *sort_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
-    w = Window.partitionBy("_pid").orderBy(*sort_cols)
-    rn = part.withColumn("_rn", F.row_number().over(w))
+    rn = (
+        part.sortWithinPartitions(*sort_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn(
+            "_rn",
+            F.expr("_mid - (CAST(_pid AS BIGINT) * 8589934592) + 1"),
+        )
+        .drop("_mid")
+    )
     # Round 14 (guide §1.2/§2.4): the per-partition counts need only the
     # range exchange, NOT the row_number — counting from `part` instead of
     # `rn` drops one full window evaluation over the ranked frame
@@ -843,8 +876,14 @@ def global_running_sums(df, sort_cols, sums):
     column name; each output is the cumulative sum of its input in
     ``sort_cols`` order, BIGINT. Used by the ECDF family (B144): at 100 TB
     every task cumulates one bounded key range and the offset table is
-    |partitions| rows."""
-    part = df.repartitionByRange(*sort_cols).withColumn(
+    |partitions| rows.
+
+    Explicit partition count (round 15): same rationale as
+    :func:`global_rank` — the offset join keys on _pid, so the cumulate
+    and counts branches must see the identical layout; REPARTITION_BY_NUM
+    pins it against divergent AQE coalescing."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    part = df.repartitionByRange(par, *sort_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
     w = (

@@ -370,14 +370,15 @@ def test_rfm_and_pareto_no_partitionless_window(spark):
         # the rank must ride a range-partitioned exchange (the distributed
         # global sort), not a single-partition funnel
         assert "rangepartitioning" in plan.lower(), name
-        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
-        assert specs, f"{name}: expected row_number windows in plan"
-        for spec in specs:
-            # a partitionless window's spec starts directly with the sort
-            # order; the bounded form leads with the _pid partition column
-            assert "_pid" in spec.split(",")[0], (
-                f"{name}: partitionless window spec: {spec[:120]}"
-            )
+        # round 15: the per-slice row number comes from sortWithinPartitions
+        # + monotonically_increasing_id — NO window at all (the old _pid
+        # row_number window forced a second data-scale hashpartitioning
+        # exchange right after the range one; the only _pid exchange left
+        # is the ≤#partitions-row counts aggregate).
+        assert "monotonically_increasing_id" in plan, name
+        assert "windowspecdefinition" not in plan, (
+            f"{name}: expected a window-free global rank"
+        )
 
 
 def test_ohlc_single_exchange_serves_windows_and_agg(spark):
@@ -409,10 +410,12 @@ def test_rrf_ranks_are_range_partitioned_takeordered_fusion(spark):
     plan = formatted_plan(QUERIES["q_llm_rrf_fusion"](spark, SF_ORACLE))
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" in plan.lower()
-    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
-    assert specs, "expected row_number windows from global_rank"
-    for spec in specs:
-        assert "_pid" in spec.split(",")[0], spec[:120]
+    # round 15: global_rank's per-slice row number is window-free
+    # (sortWithinPartitions + monotonically_increasing_id); the ranked
+    # frame is never re-shuffled by _pid (the only _pid exchange left is
+    # the ≤#partitions-row counts aggregate).
+    assert "monotonically_increasing_id" in plan
+    assert "windowspecdefinition" not in plan
 
 
 def test_weighted_median_single_exchange(spark):
@@ -442,10 +445,10 @@ def test_gini_rank_is_range_partitioned(spark):
 
     plan = formatted_plan(QUERIES["q_agg_gini"](spark, SF_ORACLE))
     assert "rangepartitioning" in plan.lower()
-    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
-    assert specs
-    for spec in specs:
-        assert "_pid" in spec.split(",")[0], spec[:120]
+    # round 15: window-free rank (sortWithinPartitions +
+    # monotonically_increasing_id); no data-scale _pid re-shuffle.
+    assert "monotonically_increasing_id" in plan
+    assert "windowspecdefinition" not in plan
 
 
 def test_rolling_slope_single_exchange_all_windows(spark):

@@ -415,6 +415,40 @@ def test_gini_bounds_and_uniform_zero(spark):
     assert abs(g) < 1e-12
 
 
+def test_global_rank_dense_under_default_partitions(spark):
+    """Round 15 regression: global_rank's per-partition offsets join back
+    on _pid, so every branch must see the identical partition layout. An
+    un-pinned repartitionByRange (REPARTITION_BY_COL) let AQE coalesce the
+    rank and counts branches DIFFERENTLY under a default 200-partition
+    session — the _pid inner join then silently dropped rows (caught on
+    q_ts_theil_sen: 64% of ranked rows gone, median selected from the
+    wrong rank). Pin: under 200 shuffle partitions the ranks are a dense
+    1..N permutation, with ties in the sort key (the theil_sen shape)."""
+    from spark_kinesis_sql_asl_spark.operators.analytics import global_rank
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        df = spark.range(0, 100_000).select(
+            (F.col("id") % 997).alias("v"), F.col("id").alias("k")
+        )
+        r = global_rank(
+            df, [F.col("v").asc(), F.col("k").asc()], "rk", with_total=True
+        )
+        s = r.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("rk").alias("ndr"),
+            F.min("rk").alias("mn"),
+            F.max("rk").alias("mx"),
+            F.min("_total").alias("tot"),
+        ).collect()[0]
+        assert s.n == 100_000, "offset join dropped rows"
+        assert (s.ndr, s.mn, s.mx) == (100_000, 1, 100_000), "ranks not dense"
+        assert s.tot == 100_000
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def test_mmr_first_pick_is_relevance_argmax_and_picks_distinct(spark):
     """C87 laws: step 1 is the plain relevance argmax (no diversity term
     yet), all 5 picks are distinct, and every later step's mmr equals
