@@ -15,7 +15,7 @@ from pyspark.sql.window import Window as W
 
 from ..registry import query
 from ..tables import parallel_table, table
-from .iterative import parquet_barrier, scratch_dir
+from .iterative import memo_put, parquet_barrier, scratch_dir
 
 # The fixture corpus has no exact duplicate texts (FIXTURES.md, verified);
 # C1 injects copies of every 10th doc so the detector has real work.
@@ -379,7 +379,7 @@ def _jaccard_scored(spark, sf_dir):
     scored = prefix_filtered_jaccard(
         docs, _JACCARD_TAU, reuse=True, return_scored=True, hash_tokens=True
     )
-    _JACCARD_SCORED_CACHE[key] = scored
+    memo_put(_JACCARD_SCORED_CACHE, key, scored)
     return scored
 
 
@@ -507,7 +507,7 @@ def portable_doc_signatures(spark, sf_dir):
         scratch_dir(spark, "portable_sigs"),
         "sigs",  # consumed by C3 bands + agreement joins, C126, C140, C143
     )
-    _PORTABLE_SIG_CACHE[key] = sigs
+    memo_put(_PORTABLE_SIG_CACHE, key, sigs)
     return sigs
 
 
@@ -857,7 +857,7 @@ def _containment_state(spark, sf_dir):
     stage = scratch_dir(spark, "containment_state")
     docs = _containment_docs(spark, sf_dir, stage)
     indexed = _containment_index(spark, docs, stage)
-    _CONTAINMENT_STATE[key] = (docs, indexed)
+    memo_put(_CONTAINMENT_STATE, key, (docs, indexed))
     return docs, indexed
 
 

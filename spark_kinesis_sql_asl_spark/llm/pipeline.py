@@ -25,7 +25,7 @@ from ..registry import query
 from ..tables import parallel_table, table
 from .curation import _NTOK_DUCK, _NTOK_SPARK
 from .dedup import prefix_filtered_jaccard
-from .iterative import scratch_dir
+from .iterative import memo_put, scratch_dir
 from .similarity import (
     _N_QUERIES,
     _TOPK,
@@ -145,7 +145,7 @@ def simhash_fingerprints(spark, sf_dir, checkpoint=True):
     sh.write.parquet(path)
     # Cache (path, schema): the memo-hit read is then pure metadata — no
     # footer-inference job (round 14).
-    _SIMHASH_FP_CACHE[key] = (path, sh.schema)
+    memo_put(_SIMHASH_FP_CACHE, key, (path, sh.schema))
     return spark.read.schema(sh.schema).parquet(path)
 
 

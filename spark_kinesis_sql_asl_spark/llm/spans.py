@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import parallel_table, table
-from .iterative import parquet_barrier, scratch_dir
+from .iterative import memo_put, parquet_barrier, scratch_dir
 
 _SPAN_W = 32  # chunk width (chars), non-overlapping
 _SPAN_TOP_K = 50
@@ -1016,7 +1016,7 @@ def _ssd_spans_cached(spark, sf_dir):
     spans = _ssd_spans(
         _ssd_kept_shingles_cached(spark, sf_dir)
     ).localCheckpoint(eager=True)
-    _SSD_SPANS_CACHE[key] = spans
+    memo_put(_SSD_SPANS_CACHE, key, spans)
     return spans
 
 
@@ -1462,11 +1462,19 @@ def _ssd_kept_shingles_cached(spark, sf_dir):
     hit = _SSD_SHINGLES_CACHE.get(key)
     if hit is not None:
         return hit
-    m = _ssd_kept_shingles(_ssd_corpus(spark, sf_dir)).localCheckpoint(
-        eager=True
+    # Parquet barrier, not localCheckpoint (ADVICE r14): this is the
+    # long-lived shared family state both C110 and the winnowed rung ride
+    # — checkpoint blocks die with their executor and are unrecoverable,
+    # contradicting the reliable-store discipline the un-kept shingle
+    # frame one call below already paid for. The kept frame is (doc_id,
+    # pos, h) — 24 B/row, the cheap barrier class.
+    m = parquet_barrier(
+        spark,
+        _ssd_kept_shingles(_ssd_corpus(spark, sf_dir)),
+        scratch_dir(spark, "spark_ssd_kept"),
+        "kept",
     )
-    _SSD_SHINGLES_CACHE[key] = m
-    return m
+    return memo_put(_SSD_SHINGLES_CACHE, key, m)
 
 
 def winnow_fingerprints(m, w: int = _C110S_W):

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..tables import parallel_table, table
 from .curation import _KMEANS_K, _Q_VEC_SQL_DUCK, _Q_VEC_SQL_SPARK
-from .iterative import parquet_barrier, scratch_dir
+from .iterative import memo_put, parquet_barrier, scratch_dir
 
 # Shared DuckDB CTE: quantize + seed + assign (identical to C33's oracle,
 # re-stated here so each oracle stays self-contained for the driver).
@@ -1055,7 +1055,7 @@ def _semantic_state(spark, sf_dir):
         "sem_pairs",
     )
     state = (primary, probes, sem_pairs)
-    _SEMANTIC_STATE[key] = state
+    memo_put(_SEMANTIC_STATE, key, state)
     return state
 
 

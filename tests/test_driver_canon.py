@@ -63,6 +63,11 @@ def _check(spark, ddb, name: str, sf_dir: str) -> None:
     assert not problems, f"{name} @ {sf_dir}:\n" + "\n".join(problems[:5])
 
 
+# Round 15: the sf0.001 strict-canon sweep is slow-tier — its coverage is
+# subsumed in the default tier by test_oracle's sf0.01 sweep (same queries,
+# real data, conftest canon) plus test_driver_canon_adversarial (same
+# strict pandas canon, hostile fixtures), which both stay default.
+@pytest.mark.slow
 @pytest.mark.parametrize("name", _ORACLED)
 def test_driver_canon_testdata(spark, ddb, name):
     _check(spark, ddb, name, SF_SMOKE)
