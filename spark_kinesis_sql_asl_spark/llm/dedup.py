@@ -1784,38 +1784,40 @@ def q_llm_dup_pagerank(spark, sf_dir):
     scored = _jaccard_scored(spark, sf_dir)
     jac = F.col("i") * 1.0 / (F.col("sa") + F.col("sb") - F.col("i"))
     pairs = scored.where(jac >= _JACCARD_TAU).select("doc_a", "doc_b")
+    # Round 15 (guide §2.3, profiled): the r14 form checkpointed BASE =
+    # edges ⋈ deg and re-read 132 MB of deserialized cache blocks per
+    # iteration, paying the per-EDGE (17*p) div (20*deg) division each
+    # step. The damped term depends only on the SOURCE node, so compute it
+    # on the |nodes|-row frame (contrib = pr ⋈ deg, both node-scale,
+    # broadcast) and stream the edges against it — the per-round edge-side
+    # read is now the tau-filtered pair parquet itself (columnar,
+    # column-pruned to the two id columns, explode-doubled in-stage: one
+    # scan per round, ~10x fewer bytes than the old cache re-read), with
+    # no base-build checkpoint job at all. Results are bit-identical:
+    # term(src) summed per dst is the same integer lattice.
     edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
-    # Round 14 (guide §2.4, measured by stage profile): the old form
-    # eagerly checkpointed EDGES (a union of two 32-partition scans of the
-    # memoized pair parquet -> 64 partitions, so every downstream stage ran
-    # 64 tasks), then re-aggregated deg from that checkpoint three more
-    # times (base build, n_nodes count, final readout join). Checkpoint the
-    # |nodes|-row DEG once (tiny at any scale: one row per document that
-    # has a near-dup) and the joined BASE once (the loop re-reads it per
-    # step — that read is the iteration's inherent cost); edges itself is a
-    # cheap two-scan pipeline over the tau-filtered pair parquet and never
-    # needs materializing. n_nodes and the final join now read the tiny
-    # deg checkpoint instead of re-running edge-scale aggregates.
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                ),
+                F.struct(
+                    F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
+    # deg stays checkpointed: one row per node with >=1 near-dup — the
+    # bounded-frame regime this loop is documented for (the C21
+    # parquet-barrier form takes over once |nodes| outgrows memory).
     deg = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
         .localCheckpoint(eager=True)
     )
-    # Broadcast hints (round 14): the checkpoints above give the planner
-    # REAL sizes, and with them it switched these node-frame joins to
-    # SortMergeJoin — sorting the edge frame once per iteration. The rank/
-    # degree side is one row per node with >=1 near-dup, the regime this
-    # loop is documented for (the docstring's C21 parquet-barrier form
-    # takes over once |nodes| outgrows executor memory), so pin the
-    # broadcast exactly like the family's other bounded-frame joins.
-    base = edges.join(F.broadcast(deg), "src").localCheckpoint(eager=True)
     n_nodes = deg.count()
     if n_nodes == 0:
-        return base.select(
+        return deg.select(
             F.col("src").alias("doc_id"),
             F.col("deg").alias("degree"),
             F.col("deg").alias(f"pr{_PAGERANK_STEPS}_ppm"),
@@ -1826,18 +1828,19 @@ def q_llm_dup_pagerank(spark, sf_dir):
         F.lit(1_000_000 // n_nodes).cast("bigint").alias("p"),
     )
     for _ in range(_PAGERANK_STEPS):
-        pr = (
-            base.join(F.broadcast(pr), base.src == pr.v)
+        contrib = (
+            pr.join(F.broadcast(deg), pr.v == deg.src)
             .select(
-                F.col("dst"),
+                F.col("v").alias("cv"),
                 F.expr("CAST((17 * p) div (20 * deg) AS BIGINT)").alias(
-                    "term"
+                    "c"
                 ),
             )
+        )
+        pr = (
+            edges.join(F.broadcast(contrib), edges.src == F.col("cv"))
             .groupBy(F.col("dst").alias("_v"))
-            .agg(
-                (F.lit(tele) + F.sum("term")).cast("bigint").alias("p")
-            )
+            .agg((F.lit(tele) + F.sum("c")).cast("bigint").alias("p"))
             .select(F.col("_v").alias("v"), "p")
         )
     return pr.join(F.broadcast(deg), pr.v == deg.src).select(
@@ -1901,15 +1904,23 @@ def q_llm_dup_kcore(spark, sf_dir):
     scored = _jaccard_scored(spark, sf_dir)
     jac = F.col("i") * 1.0 / (F.col("sa") + F.col("sb") - F.col("i"))
     pairs = scored.where(jac >= _JACCARD_TAU).select("doc_a", "doc_b")
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(
-                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+    # Round 15 (guide §2.3): round 1 reads the tau-filtered pair parquet
+    # directly (explode-doubled in-stage — one column-pruned scan) instead
+    # of first materializing a deserialized 2x-edge checkpoint (121 MB
+    # profiled) that only the first peel round ever read; the loop's
+    # per-round SHRINKING edge state keeps its eager checkpoints below.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                ),
+                F.struct(
+                    F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                ),
             )
-        )
-        .localCheckpoint(eager=True)
-    )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     # Early exit at the fixpoint (round 14): each peel round filters the
     # edge set, so edges_{r+1} ⊆ edges_r; an unchanged COUNT therefore
     # means an unchanged SET, identical degrees, identical keeps — every
