@@ -200,6 +200,23 @@ def main() -> None:
                     "rerun": rerun,
                     "snapshot": old[name],
                 }
+                # A rerun far BELOW the band is as untrustworthy as the
+                # high first pass: queries with process-lifetime memoized
+                # family state (dbscan labels, semantic state, PPJoin
+                # pairs) measure the warm memo on the second call, not
+                # the query (a genuinely improved query never enters this
+                # branch — entering requires first >> snapshot). Keep the
+                # first (contended) measurement then: pessimistic, never
+                # flattering.
+                if rerun < old[name] * 0.75 - 0.5:
+                    rebench[name]["scored"] = "first (rerun hit warm memo)"
+                    print(
+                        f"rebench: {name} rerun {rerun:.3f}s is far below"
+                        f" the snapshot {old[name]:.3f}s — warm memoized"
+                        " state, keeping the first measurement",
+                        file=sys.stderr,
+                    )
+                    continue
                 timings[name] = rerun
                 if rerun > old[name] * 1.1:
                     print(

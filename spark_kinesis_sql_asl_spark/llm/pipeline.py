@@ -15,7 +15,6 @@ Design notes (100 TB posture):
 
 from __future__ import annotations
 
-import atexit
 import os
 
 from pyspark.sql import Observation, Window
@@ -748,17 +747,6 @@ def q_llm_sim_ivf(spark, sf_dir):
 
 _CC_MAX_ITERS = 20
 
-
-def _drop_table_quietly(spark, name: str) -> None:
-    """Best-effort cleanup of the loop's bucketed edge table (managed, so
-    DROP removes its warehouse files) — same lifetime policy as the
-    scratch dirs; a dead session just leaves files for the warehouse's
-    retention policy."""
-    try:
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-    except Exception:  # noqa: BLE001 - interpreter exit / stopped session
-        pass
-
 # sf_dir -> staged final-label parquet path (process-lifetime memo; the
 # staging dirs live until interpreter exit or the cluster's scratch policy)
 _CC_LABELS_CACHE: dict[str, tuple] = {}
@@ -790,52 +778,32 @@ def min_label_components(spark, pairs, prefix="spark_cc_rounds", shortcut=False)
     O(log diameter) expected. Kept opt-in: clique-like callers converge
     in 2 rounds either way and would only pay the extra shuffles."""
     stage = scratch_dir(spark, prefix)
-    # Round 15 (guide §2.4, "bucketed tables persist a partitioning across
-    # jobs"): the loop joins EDGES by doc_a every round, and a plain
-    # parquet barrier forgets its partitioning — so every round re-paid a
-    # full edge-scale exchange (the widest stage of each round, profiled
-    # on B196). Write the symmetric edge list ONCE as a parquet table
-    # bucketed by doc_a (repartition first so each writer task holds
-    # exactly one bucket — one file per bucket, sorted): every round's
-    # join then shuffles only the id-scale LABEL frame into the bucket
-    # layout, and the round-1 groupBy(doc_a) rides the bucketing with no
-    # exchange at all. Same reliable-store durability as the old edges
-    # parquet (managed table files in the warehouse), dropped at
-    # interpreter exit like the scratch dirs.
-    import uuid as _uuid
-
-    par = spark.sparkContext.defaultParallelism
-    edges_tbl = f"cc_edges_{_uuid.uuid4().hex}"
-    (
-        # explode, not union: a union consumes the caller's (possibly
-        # expensive, un-barriered) pair plan twice; the explode doubles
-        # each row in-stage off ONE evaluation.
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("doc_a").alias("doc_a"),
-                        F.col("doc_b").alias("doc_b"),
-                    ),
-                    F.struct(
-                        F.col("doc_b").alias("doc_a"),
-                        F.col("doc_a").alias("doc_b"),
-                    ),
-                )
-            ).alias("_e")
-        )
-        .select("_e.doc_a", "_e.doc_b")
-        .repartition(par, "doc_a")
-        .write.bucketBy(par, "doc_a")
-        .sortBy("doc_a")
-        .mode("overwrite")
-        .format("parquet")
-        .saveAsTable(edges_tbl)
-    )
-    edges = spark.table(edges_tbl)
-    atexit.register(
-        lambda s=spark, t=edges_tbl: _drop_table_quietly(s, t)
-    )
+    # A bucketed-table edge store (bucketBy(doc_a) saveAsTable, so every
+    # round's join skips the edge-side exchange) was BUILT AND MEASURED
+    # here in round 15 and REVERTED: at bench scale the catalog + bucketed
+    # commit overhead cost more than the per-round edge exchanges it
+    # removed (B196 cold isolation 15.1 s -> 24.4 s). The plain doubled
+    # parquet stands; the surviving round-15 change below is the explode
+    # doubling — a union consumed the caller's (possibly un-barriered:
+    # B196 hands in the core-core join) pair plan twice, the explode
+    # doubles rows in-stage off ONE evaluation.
+    edges_path = os.path.join(stage, "edges")
+    doubled = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_a"),
+                    F.col("doc_b").alias("doc_b"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_a"),
+                    F.col("doc_a").alias("doc_b"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.doc_a", "_e.doc_b")
+    doubled.write.parquet(edges_path)
+    edges = spark.read.schema(pairs.schema).parquet(edges_path)
 
     # Round 1 fused into initialization: starting from label(v) = v, one
     # propagation round yields exactly min(v, neighbors(v)) — a single
@@ -935,31 +903,19 @@ def min_label_components(spark, pairs, prefix="spark_cc_rounds", shortcut=False)
                 )
         return new_labels
 
-    # Round 15 (VERDICT r14 next-round #3): TWO rounds per parquet barrier.
-    # Each barrier write (a job) plus the label re-read/plan work was paid
-    # per round; chaining round k+1 directly on round k's in-plan output
-    # halves the barrier cadence, and every intermediate frame the second
-    # round consumes twice (join probe + own-label union) is capped by an
-    # Exchange node, so ReuseExchange materializes it once. Labels are
-    # bit-identical (min propagation is batching-insensitive); convergence
-    # is observed on the SECOND half — changed==0 there means the first
-    # half was the fixpoint too (labels only ever decrease), so the stop
-    # condition is exactly the old even-round check, catching odd-round
-    # convergence one (no-op, id-frame-scale) round later. Restart
-    # granularity becomes two rounds of id-frame work — the barrier
-    # discipline (reliable store, flat lineage) is unchanged.
-    it = 1
-    while it < _CC_MAX_ITERS:
-        first = one_round(labels).select("doc_id", "cluster_id")
-        second = (
-            one_round(first)
-            if it + 1 < _CC_MAX_ITERS
-            else first.withColumn("incumbent", F.col("cluster_id"))
-        )
+    # Two-rounds-per-barrier batching was BUILT AND MEASURED here in
+    # round 15 and REVERTED: chaining round k+1 on round k's in-plan
+    # output re-executes the shortcut path's between-exchange segments
+    # per consumer and deepens every AQE replanning pass — measured
+    # NET-SLOWER on B196 (cold isolation 15.1 s r14 -> 17.4 s batched,
+    # with the explode doubling already in) despite halving barrier
+    # writes. One round per barrier stands.
+    for it in range(1, _CC_MAX_ITERS):
+        new_labels = one_round(labels)
         obs = Observation()
         out_path = os.path.join(stage, f"labels_{it + 1}")
         (
-            second.observe(
+            new_labels.observe(
                 obs,
                 F.sum(
                     (F.col("cluster_id") < F.col("incumbent")).cast("long")
@@ -972,7 +928,6 @@ def min_label_components(spark, pairs, prefix="spark_cc_rounds", shortcut=False)
         out_final = out_path
         if not obs.get["n_changed"]:
             break
-        it += 2
     return labels, out_final
 
 

@@ -79,6 +79,13 @@ def test_rebench_scores_the_rerun_not_the_min():
     assert '"first": timings[name]' in src  # both measurements recorded
     assert '"snapshot": old[name]' in src
     assert "rerun > old[name] * 1.1" in src  # suspected-regression note
+    # warm-memo guard: a rerun far BELOW the band measures process-
+    # lifetime memoized family state, not the query — the first
+    # (pessimistic) measurement must be kept then.
+    assert "rerun < old[name] * 0.75 - 0.5" in src
+    i = src.index("rerun < old[name] * 0.75 - 0.5")
+    j = src.index("timings[name] = rerun")
+    assert i < j, "the warm-memo guard must run before the rerun is scored"
 
 
 def test_warmup_row_skipped_when_fixture_missing_or_raising():

@@ -1043,8 +1043,13 @@ def test_pagerank_one_deg_build_broadcast_loop(spark):
     # C135 (round 14): deg is materialized once (not re-aggregated for the
     # base build, the node count and the readout), and the rank-frame joins
     # are pinned broadcast — no edge-frame sort per step.
+    # Round 15: the damped term rides a node-scale contrib join
+    # (pr ⋈ deg, broadcast) and each iteration streams the column-pruned
+    # pair parquet explode-doubled — no base checkpoint; the contrib
+    # joins add one id-scale exchange mention per step (13 planned), all
+    # broadcast-fed, still zero SortMergeJoin.
     tree = _tree(QUERIES["q_llm_dup_pagerank"](spark, SF_ORACLE))
-    assert tree.count("Exchange") <= 12
+    assert tree.count("Exchange") <= 14
     assert "SortMergeJoin" not in tree
 
 
