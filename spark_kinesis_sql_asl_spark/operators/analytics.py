@@ -816,18 +816,26 @@ def global_rank(df, sort_cols, out_name="_rank", with_total=False):
     ``out_name`` column (and, when ``with_total``, a ``_total`` row-count
     column for rank arithmetic).
     """
-    # Explicit partition count (round 15): the rank joins per-partition
-    # offsets back on _pid, so every branch MUST see the identical
-    # partition layout. A bare repartitionByRange is REPARTITION_BY_COL,
-    # which AQE may coalesce — and the rn and counts branches can land
-    # different coalesce decisions (measured on q_ts_theil_sen under a
-    # default 200-partition session: the _pid join silently dropped 64%
-    # of ranked rows). REPARTITION_BY_NUM is never coalesced, and the
-    # width scales with the cluster (defaultParallelism), the C2
-    # df-pass discipline.
+    # Materialize the range-partitioned frame ONCE (round 15): the rank
+    # joins per-partition offsets back on _pid, so the rn and counts
+    # branches MUST see the identical partition layout — but each branch
+    # replans the range exchange, whose boundary SAMPLE is only shared
+    # when ReuseExchange happens to fire, and AQE can coalesce the two
+    # reads differently (both failure modes were MEASURED this round:
+    # 64% of theil_sen's ranked rows silently dropped under a default
+    # 200-partition session; q_events_mannwhitney's prefix sums went
+    # nondeterministically wrong at sf0.1). The eager localCheckpoint
+    # freezes boundaries, layout and _pid in one materialization that
+    # every branch reads — consistency by construction, not by optimizer
+    # accident. Transient within-query build state (the C2 build-frame
+    # precedent), not long-lived family state, so the checkpoint is the
+    # right barrier kind; the explicit partition count keeps the width
+    # cluster-scaled (defaultParallelism).
     par = df.sparkSession.sparkContext.defaultParallelism
-    part = df.repartitionByRange(par, *sort_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    part = (
+        df.repartitionByRange(par, *sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     rn = (
         part.sortWithinPartitions(*sort_cols)
@@ -878,13 +886,19 @@ def global_running_sums(df, sort_cols, sums):
     every task cumulates one bounded key range and the offset table is
     |partitions| rows.
 
-    Explicit partition count (round 15): same rationale as
-    :func:`global_rank` — the offset join keys on _pid, so the cumulate
-    and counts branches must see the identical layout; REPARTITION_BY_NUM
-    pins it against divergent AQE coalescing."""
+    Materialized root (round 15): same rationale as :func:`global_rank`
+    — the offset join keys on _pid, so the cumulate and counts branches
+    must see the identical boundaries/layout; each branch replanning the
+    range exchange only shares the boundary sample when ReuseExchange
+    happens to fire (q_events_mannwhitney's prefix sums were MEASURED
+    nondeterministically wrong at sf0.1 without this). One eager
+    localCheckpoint of the range-partitioned frame freezes it for every
+    branch."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    part = df.repartitionByRange(par, *sort_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    part = (
+        df.repartitionByRange(par, *sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w = (
         Window.partitionBy("_pid")
